@@ -1,0 +1,123 @@
+"""Similarity search over ``array<float>`` embeddings (SURVEY §2.4).
+
+Two tiers, both pure codegen'd expressions (no Python on the hot path):
+
+- **brute-force cosine top-k** — the correctness baseline: query set ×
+  corpus cross join, fold-based dot product, Window top-k. At 100 TB the
+  query side is broadcast (it's small by construction) so the corpus is
+  scanned exactly once with no shuffle before the top-k aggregation.
+- **sign-LSH bucketed ANN** — the scale path: an 8-bit bucket from the
+  signs of the leading components; candidates are an equi-join on the
+  bucket id, so comparisons drop from n·q to Σ|bucket|·q_bucket. (A
+  production system would use random hyperplanes; signs of fixed dims keep
+  the oracle expressible while exercising the identical plan shape.)
+
+Determinism: dot products are sequential left folds over doubles —
+bit-identical to the DuckDB oracle's ``list_reduce`` — and ranking uses
+round(sim, 6) with vec_id tie-break, so result sets match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SIM_ROUND = 6
+LSH_BITS = 8
+
+DOT_EXPR = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+NORM_EXPR = "sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + v * v))"
+
+
+def _as_double(col: str) -> F.Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_expr(a: str, b: str) -> str:
+    return f"({DOT_EXPR.format(a=a, b=b)} / ({NORM_EXPR.format(a=a)} * {NORM_EXPR.format(a=b)}))"
+
+
+def brute_force_topk(
+    embeddings: DataFrame, n_queries: int = 8, k: int = 3
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the full corpus."""
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("e"))
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("q")
+    )
+    pairs = (
+        emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", F.round(F.expr(cosine_expr("q", "e")), SIM_ROUND))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "sim", "rk")
+    )
+
+
+def sign_lsh_bucket_expr(e: str, bits: int = LSH_BITS) -> str:
+    """8-bit bucket id from component signs (element_at is 1-based)."""
+    terms = [
+        f"(CASE WHEN element_at({e}, {i + 1}) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def lsh_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 3) -> DataFrame:
+    """ANN top-k restricted to the query's sign-LSH bucket."""
+    emb = embeddings.select(
+        "vec_id",
+        _as_double("embedding").alias("e"),
+        F.expr(sign_lsh_bucket_expr("embedding")).alias("bucket"),
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("q"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = (
+        emb.join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("sim", F.round(F.expr(cosine_expr("q", "e")), SIM_ROUND))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "bucket", "sim", "rk")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame, sample_mod: int = 5, threshold: float = 0.9
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by label.
+
+    Blocking on ``label`` turns the n² scan into Σ|block|²; at 100 TB the
+    block key would be an LSH bucket (see :func:`lsh_topk`) — the plan
+    shape (equi-join on block, fold-based cosine, threshold filter) is
+    identical. ``sample_mod`` bounds the oracle-checkable form.
+    """
+    emb = embeddings.filter(F.col("vec_id") % sample_mod == 0).select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("e").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("e").alias("eb")
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b"))
+    ).withColumn("sim", F.round(F.expr(cosine_expr("ea", "eb")), SIM_ROUND))
+    return pairs.filter(F.col("sim") >= threshold).select(
+        "vec_a", "vec_b", "label", "sim"
+    )

@@ -1,0 +1,909 @@
+"""The query catalog (SURVEY §2.3) — every operator surface the engine
+supports, as (Spark DataFrame builder, DuckDB oracle SQL) pairs.
+
+This is the analytic surface the reference *enables* via its Glue/Athena
+table (template.yml:116-168; the reference itself emits only DDL,
+main.go:177) plus the LLM-pipeline extension operators (SURVEY §2.4).
+
+Oracle-exactness rules (the driver hash-compares values):
+- identical column names on both sides (every computed column aliased);
+- double *aggregation* always goes through exact decimal summation
+  (functions/casts.py) — order-independent, bit-identical across engines;
+- scalar double arithmetic keeps the identical expression tree on both
+  sides (IEEE ops are deterministic given identical inputs);
+- every ranking/limit/dedup has an explicit, total tie-break order;
+- timestamps are compared as formatted strings; session timezone is UTC.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.casts import exact_avg, exact_avg_sql, exact_sum, exact_sum_sql
+from ..operators import dedup as dd
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators import text as tx
+from ..session import ensure_session_posture
+from ..sources.flowlog import parse_flowlog_lines
+from ..sources.tables import load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_posture(spark)
+            return fn(spark, sf_dir)
+
+        QUERIES[name] = wrapped
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# Parse / project / filter (reference R4-R8 analogues)
+# =====================================================================
+
+@register(
+    "q_parse_project",
+    oracle="""
+    SELECT event_id,
+           COALESCE(TRY_CAST(regexp_extract(props, '"k": (-?\\d+)', 1) AS INT), 0) AS k,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_bucket,
+           event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+    FROM events
+    """,
+)
+def q_parse_project(spark, sf_dir):
+    """Typed projection with zero-default casts (flowlog.go:50-90 semantics)
+    over the semi-structured ``events.props`` column."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.regexp_extract("props", '"k": (-?\\d+)', 1).try_cast("int"), F.lit(0)
+        ).alias("k"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour_bucket"),
+        "event_type",
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+_LINE_SQL_DUCK = """
+        concat_ws(' ', '2', lpad(CAST(user_id AS VARCHAR), 12, '0'),
+                  concat('eni-', CAST(event_id AS VARCHAR)),
+                  '10.0.0.1', '10.0.0.2',
+                  CAST(CAST(floor(value) AS INT) AS VARCHAR),
+                  CASE WHEN event_id % 7 = 0 THEN '-' ELSE '443' END,
+                  '6',
+                  CAST(event_id % 100 AS VARCHAR),
+                  CAST(CAST(floor(value * 10) AS INT) AS VARCHAR),
+                  CAST(CAST(floor(epoch(ts)) AS BIGINT) AS VARCHAR),
+                  CAST(CAST(floor(epoch(ts)) AS BIGINT) + 60 AS VARCHAR),
+                  CASE WHEN event_id % 2 = 0 THEN 'ACCEPT' ELSE 'REJECT' END,
+                  CASE WHEN event_id % 7 = 0 THEN 'NODATA' ELSE 'OK' END)
+"""
+
+
+@register(
+    "q_flowlog_parse",
+    oracle=f"""
+    WITH lines AS (SELECT {_LINE_SQL_DUCK} AS value FROM events),
+    toks AS (SELECT string_split(value, ' ') AS t FROM lines
+             WHERE len(string_split(value, ' ')) = 14
+               AND string_split(value, ' ')[1] = '2')
+    SELECT CAST(t[1] AS INT) AS version,
+           t[2] AS accountid, t[3] AS interfaceid,
+           t[4] AS srcaddr, t[5] AS dstaddr,
+           COALESCE(TRY_CAST(t[6] AS INT), 0) AS srcport,
+           COALESCE(TRY_CAST(t[7] AS INT), 0) AS dstport,
+           COALESCE(TRY_CAST(t[8] AS INT), 0) AS protocol,
+           COALESCE(TRY_CAST(t[9] AS INT), 0) AS packets,
+           COALESCE(TRY_CAST(t[10] AS INT), 0) AS bytes,
+           COALESCE(TRY_CAST(t[11] AS BIGINT), 0) AS start_ts,
+           COALESCE(TRY_CAST(t[12] AS BIGINT), 0) AS end_ts,
+           t[13] AS action, t[14] AS logstatus,
+           strftime(make_timestamp(COALESCE(TRY_CAST(t[11] AS BIGINT), 0) * 1000000),
+                    '%Y-%m-%d') AS dt
+    FROM toks
+    """,
+)
+def q_flowlog_parse(spark, sf_dir):
+    """The real flow-log parser (sources/flowlog.py, reference
+    flowlog.go:33-98) over raw v2 lines synthesized deterministically from
+    ``events`` — exercises tokenize, arity/version gates, zero-default
+    casts ('-' → 0 on every 7th line), and event-time partition-key
+    derivation (convert.go:13-27)."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    line = F.concat_ws(
+        " ",
+        F.lit("2"),
+        F.lpad(F.col("user_id").cast("string"), 12, "0"),
+        F.concat(F.lit("eni-"), F.col("event_id").cast("string")),
+        F.lit("10.0.0.1"),
+        F.lit("10.0.0.2"),
+        F.floor("value").cast("int").cast("string"),
+        F.when(F.col("event_id") % 7 == 0, "-").otherwise("443"),
+        F.lit("6"),
+        (F.col("event_id") % 100).cast("string"),
+        F.floor(F.col("value") * 10).cast("int").cast("string"),
+        epoch.cast("string"),
+        (epoch + 60).cast("string"),
+        F.when(F.col("event_id") % 2 == 0, "ACCEPT").otherwise("REJECT"),
+        F.when(F.col("event_id") % 7 == 0, "NODATA").otherwise("OK"),
+    )
+    parsed = parse_flowlog_lines(ev.select(line.alias("value")))
+    return parsed.withColumn(
+        "dt", F.date_format("start_time", "yyyy-MM-dd")
+    ).drop("start_time")
+
+
+@register(
+    "q_filter_predicate",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN CAST(0.03 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+      AND l_quantity < CAST(24 AS DOUBLE)
+    """,
+)
+def q_filter_predicate(spark, sf_dir):
+    """Conjunctive predicates pushed to the parquet scan (TPC-H Q6 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount")
+
+
+@register(
+    "q_distinct_partitions",
+    oracle="""
+    SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS order_month, o_orderstatus
+    FROM orders
+    """,
+)
+def q_distinct_partitions(spark, sf_dir):
+    """Distinct partition-key set (reference pkeySet, main.go:169-172)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"), "o_orderstatus"
+    ).distinct()
+
+
+# =====================================================================
+# Aggregation
+# =====================================================================
+
+@register(
+    "q_agg_sum_group",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {exact_sum_sql('l_quantity')} AS sum_qty,
+           {exact_sum_sql('l_extendedprice')} AS sum_base_price,
+           {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {exact_sum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {exact_avg_sql('l_quantity')} AS avg_qty,
+           {exact_avg_sql('l_extendedprice')} AS avg_price,
+           {exact_avg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_sum_group(spark, sf_dir):
+    """TPC-H Q1: the flagship scan→filter→hash-agg pipeline. Partial
+    (map-side) aggregation + exact decimal sums keep it both fast and
+    bit-deterministic at any partition count."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity").alias("sum_qty"),
+            exact_sum("l_extendedprice").alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(charge).alias("sum_charge"),
+            exact_avg("l_quantity").alias("avg_qty"),
+            exact_avg("l_extendedprice").alias("avg_price"),
+            exact_avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {exact_sum_sql('l_quantity')} AS sum_qty,
+           {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_rollup(spark, sf_dir):
+    """Hierarchical totals via ROLLUP (grouping sets)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity").alias("sum_qty"),
+        exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_topk",
+    oracle=f"""
+    SELECT l_partkey, {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    GROUP BY l_partkey
+    ORDER BY revenue DESC, l_partkey
+    LIMIT 10
+    """,
+)
+def q_topk(spark, sf_dir):
+    """Top-K: Catalyst compiles orderBy+limit to TakeOrderedAndProject —
+    per-partition heaps + a K-row driver merge, no global sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_partkey"))
+        .limit(10)
+    )
+
+
+# =====================================================================
+# Joins
+# =====================================================================
+
+@register(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_totalprice > CAST(400000 AS DOUBLE)
+    """,
+)
+def q_join_inner(spark, sf_dir):
+    """Equi inner join; Catalyst/AQE picks broadcast vs sort-merge by
+    actual build-side size at runtime."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000.0)
+    c = _t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey).select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_broadcast",
+    oracle=f"""
+    SELECT r_name, n_name, COUNT(*) AS n_customers,
+           {exact_sum_sql('c_acctbal', 2)} AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def q_join_broadcast(spark, sf_dir):
+    """Star join with explicitly broadcast dimensions — zero shuffle on the
+    fact side until the final rollup."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            exact_sum("c_acctbal", 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "q_join_semi_anti",
+    oracle="""
+    SELECT c_custkey, c_name, 'big_spender' AS tag FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_totalprice > CAST(400000 AS DOUBLE))
+    UNION ALL
+    SELECT c_custkey, c_name, 'no_orders' AS tag FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q_join_semi_anti(spark, sf_dir):
+    """left_semi (EXISTS) + left_anti (NOT EXISTS) — no row duplication,
+    the probe side streams through the broadcast hash set once."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    big = o.filter(F.col("o_totalprice") > 400000.0)
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.lit("big_spender").alias("tag")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", F.lit("no_orders").alias("tag")
+    )
+    return semi.unionByName(anti)
+
+
+@register(
+    "q_join_multiway",
+    oracle=f"""
+    SELECT n_name, {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_join_multiway(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join; small dims broadcast, the fact-fact
+    (orders⋈lineitem) join shuffles on the shared key once, and Catalyst
+    reorders the tree under AQE."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1999-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(o, o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+    )
+
+
+# =====================================================================
+# Window functions
+# =====================================================================
+
+@register(
+    "q_window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(rn AS INT) AS rn, CAST(rnk AS INT) AS rnk FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER w AS rn, RANK() OVER w AS rnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_rank(spark, sf_dir):
+    """Top-3 orders per customer via ranking windows with a total order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn", "rnk")
+    )
+
+
+@register(
+    "q_window_running",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER (
+             PARTITION BY l_suppkey
+             ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+)
+def q_window_running(spark, sf_dir):
+    """Running sum with an explicit ROWS frame over a total order; decimal
+    accumulation makes every prefix exact. (l_orderkey, l_linenumber) is
+    NOT unique in this synthetic lineitem, so the order extends to the
+    full distinguishing tuple — any non-total order would make prefix
+    sums partition-order dependent."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(w).cast("double").alias("running_qty"),
+    )
+
+
+# =====================================================================
+# Set operations / scalar functions / time
+# =====================================================================
+
+@register(
+    "q_set_ops",
+    oracle="""
+    WITH a AS (SELECT c_custkey FROM customer WHERE c_acctbal > CAST(5000 AS DOUBLE)),
+         b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    SELECT c_custkey, 'union' AS tag FROM (SELECT * FROM a UNION SELECT * FROM b)
+    UNION ALL
+    SELECT c_custkey, 'intersect' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+    UNION ALL
+    SELECT c_custkey, 'except' AS tag FROM (SELECT * FROM a EXCEPT SELECT * FROM b)
+    """,
+)
+def q_set_ops(spark, sf_dir):
+    """UNION / INTERSECT / EXCEPT over two customer splits."""
+    c = _t(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_acctbal") > 5000.0).select("c_custkey")
+    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return (
+        a.union(b).distinct().select("c_custkey", F.lit("union").alias("tag"))
+        .unionByName(a.intersect(b).select("c_custkey", F.lit("intersect").alias("tag")))
+        .unionByName(a.exceptAll(b).distinct().select("c_custkey", F.lit("except").alias("tag")))
+    )
+
+
+@register(
+    "q_scalar_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           substring(p_name, 1, 8) AS name_pfx,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+           CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+           CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+           abs(p_size - 25) AS size_dist,
+           lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad
+    FROM part
+    """,
+)
+def q_scalar_funcs(spark, sf_dir):
+    """String/math scalar function surface (all codegen'd, no UDFs)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.substring("p_name", 1, 8).alias("name_pfx"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_name", "([a-z]+)$", 1).alias("last_word"),
+        F.floor("p_retailprice").alias("price_floor"),
+        F.ceil("p_retailprice").alias("price_ceil"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_pad"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m') AS order_ym,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_dt
+    FROM orders
+    """,
+)
+def q_date_funcs(spark, sf_dir):
+    """Date/time scalar surface; UTC session keeps both engines aligned."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.year("o_orderdate").alias("order_year"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("days_since"),
+        F.date_format(F.date_add(F.col("o_orderdate"), 30), "yyyy-MM-dd").alias("due_dt"),
+    )
+
+
+@register(
+    "q_time_bucket",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_bucket,
+           event_type,
+           COUNT(*) AS n,
+           {exact_sum_sql('value', 2)} AS sum_value,
+           {exact_avg_sql('value', 2)} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_time_bucket(spark, sf_dir):
+    """Tumbling 1-hour event-time buckets (batch form of the streaming
+    windowed agg in streaming/windows.py)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias("hour_bucket"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            exact_sum("value", 2).alias("sum_value"),
+            exact_avg("value", 2).alias("avg_value"),
+        )
+    )
+
+
+@register(
+    "q_session_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type FROM (
+      SELECT event_id, user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_session_dedup(spark, sf_dir):
+    """Keep-first dedup with a deterministic survivor (operators/dedup.py
+    keep_first_dedup) — the hash-matchable form of dropDuplicates."""
+    ev = _t(spark, sf_dir, "events")
+    return dd.keep_first_dedup(ev, ["user_id", "event_type"], ["ts", "event_id"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+# =====================================================================
+# Extension operators: dedup / similarity / text / multimodal (SURVEY §2.4)
+# =====================================================================
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id, md5(text) AS content_md5, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_DUCK_TOKENS = "list_filter(string_split(lower(text), ' '), t -> t != '')"
+_DUCK_SHINGLES = (
+    f"CASE WHEN len(t) >= {dd.SHINGLE_K} THEN "
+    f"list_transform(generate_series(1, len(t) - {dd.SHINGLE_K - 1}), "
+    f"i -> concat_ws(' ', t[i], t[i+1], t[i+2])) "
+    f"ELSE [] END"
+)
+_DUCK_MINHASH = (
+    f"list_transform(generate_series(0, {dd.MINHASH_PERMS - 1}), "
+    f"j -> list_min(list_transform(sh, s -> md5(concat(CAST(j AS VARCHAR), '|', s)))))"
+)
+_DUCK_BANDS = (
+    f"list_transform(generate_series(0, {dd.MINHASH_BANDS - 1}), "
+    f"b -> concat(CAST(b AS VARCHAR), '#', "
+    f"array_to_string(mh[b*{dd.MINHASH_ROWS_PER_BAND}+1 : "
+    f"b*{dd.MINHASH_ROWS_PER_BAND}+{dd.MINHASH_ROWS_PER_BAND}], '|')))"
+)
+
+
+@register(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents)
+    ),
+    sigs AS (
+      SELECT doc_id, sh, {_DUCK_MINHASH} AS mh FROM toks WHERE len(sh) > 0
+    ),
+    bands AS (
+      SELECT doc_id, unnest(bandlist) AS band
+      FROM (SELECT doc_id, {_DUCK_BANDS} AS bandlist FROM sigs)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.sh, sb.sh)) AS inter,
+             len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
+      FROM cand
+      JOIN sigs sa ON sa.doc_id = cand.doc_a
+      JOIN sigs sb ON sb.doc_id = cand.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+    FROM scored WHERE CAST(inter AS DOUBLE) / uni >= {dd.JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_minhash(spark, sf_dir):
+    return dd.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _duck_simhash() -> str:
+    toks = f"list_distinct({_DUCK_TOKENS})"
+    terms = []
+    for bit in range(dd.SIMHASH_BITS):
+        nibble_pos = bit // 4 + 1
+        nib = f"(strpos('0123456789abcdef', substring(md5(t), {nibble_pos}, 1)) - 1)"
+        vote = (
+            f"COALESCE(list_sum(list_transform({toks}, "
+            f"t -> ((({nib}) // {2 ** (bit % 4)}) % 2) * 2 - 1)), 0)"
+        )
+        terms.append(f"(CASE WHEN ({vote}) >= 0 THEN {2 ** bit} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    SELECT doc_id, CAST({_duck_simhash()} AS INT) AS simhash FROM documents
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_ngram",
+    oracle=f"""
+    WITH sigs AS (
+      SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents WHERE doc_id < 200)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.sh, b.sh)) AS inter,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS uni
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+    )
+    SELECT doc_a, doc_b, CAST(inter AS DOUBLE) / uni AS jaccard
+    FROM pairs WHERE CAST(inter AS DOUBLE) / uni >= 0.2
+    """,
+)
+def q_dedup_ngram(spark, sf_dir):
+    return dd.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), max_id=200)
+
+
+_DUCK_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, (x, i) -> x * {b}[i])), (p, v) -> p + v)"
+)
+_DUCK_NORM = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform({a}, x -> x * x)), (p, v) -> p + v))"
+)
+
+
+def _duck_cosine(a: str, b: str) -> str:
+    return (
+        f"round({_DUCK_DOT.format(a=a, b=b)} / "
+        f"({_DUCK_NORM.format(a=a)} * {_DUCK_NORM.format(a=b)}), {sim.SIM_ROUND})"
+    )
+
+
+_DUCK_EMB = "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings"
+
+
+@register(
+    "q_similarity_topk",
+    oracle=f"""
+    WITH emb AS ({_DUCK_EMB}),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM emb WHERE vec_id < 8),
+    pairs AS (
+      SELECT q.query_id, emb.vec_id, {_duck_cosine('q.qv', 'emb.e')} AS sim
+      FROM emb, q WHERE emb.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, sim, CAST(rk AS INT) AS rk FROM (
+      SELECT query_id, vec_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 3
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    return sim.brute_force_topk(_t(spark, sf_dir, "embeddings"), n_queries=8, k=3)
+
+
+def _duck_lsh_bucket(e: str) -> str:
+    terms = [
+        f"(CASE WHEN {e}[{i + 1}] > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(sim.LSH_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q_ann_lsh",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             {_duck_lsh_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qv, bucket AS qbucket FROM emb WHERE vec_id < 8),
+    pairs AS (
+      SELECT q.query_id, emb.vec_id, emb.bucket, {_duck_cosine('q.qv', 'emb.e')} AS sim
+      FROM emb JOIN q ON emb.bucket = q.qbucket AND emb.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, bucket, sim, CAST(rk AS INT) AS rk FROM (
+      SELECT query_id, vec_id, bucket, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 3
+    """,
+)
+def q_ann_lsh(spark, sf_dir):
+    return sim.lsh_topk(_t(spark, sf_dir, "embeddings"), n_queries=8, k=3)
+
+
+@register(
+    "q_embed_dup",
+    oracle=f"""
+    WITH emb AS ({_DUCK_EMB}),
+    sampled AS (SELECT * FROM emb WHERE vec_id % 5 = 0)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           {_duck_cosine('a.e', 'b.e')} AS sim
+    FROM sampled a JOIN sampled b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_duck_cosine('a.e', 'b.e')} >= CAST(0.9 AS DOUBLE)
+    """,
+)
+def q_embed_dup(spark, sf_dir):
+    return sim.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), sample_mod=5, threshold=0.9
+    )
+
+
+def _duck_marker_count(markers: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_DUCK_TOKENS}, t -> t IN ({quoted})))"
+
+
+def _duck_lang_id() -> str:
+    langs = list(tx.LANG_MARKERS)
+    scores = ", ".join(
+        f"{_duck_marker_count(tx.LANG_MARKERS[lang])} AS score_{lang}" for lang in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = " ".join(
+        f"WHEN score_{lang} = {greatest} THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH scored AS (SELECT doc_id, lang, {scores} FROM documents)
+    SELECT doc_id, lang,
+           CASE {case} ELSE '{langs[0]}' END AS pred_lang,
+           (CASE {case} ELSE '{langs[0]}' END) = lang AS is_correct
+    FROM scored
+    """
+
+
+@register("q_lang_id", oracle=_duck_lang_id())
+def q_lang_id(spark, sf_dir):
+    return tx.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_token_count",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_ws_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_pieces) AS BIGINT) AS total_pieces,
+           CAST(SUM(n_ws_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM (
+      SELECT lang, len({_DUCK_TOKENS}) AS n_ws_tokens,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_pieces,
+             length(text) AS n_chars
+      FROM documents
+    )
+    GROUP BY lang
+    """,
+)
+def q_token_count(spark, sf_dir):
+    return tx.token_counts(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_quality_score",
+    oracle=f"""
+    SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(token_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           least(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+             + (CAST(n_stop AS DOUBLE) / n_tokens) * CAST(0.3 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - least((CAST(n_punct AS DOUBLE) / n_chars) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.3 AS DOUBLE)
+             AS quality_score
+    FROM (
+      SELECT doc_id, length(text) AS n_chars,
+             len({_DUCK_TOKENS}) AS n_tokens,
+             len(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+             {_duck_marker_count(tx.LANG_MARKERS['en'])} AS n_stop,
+             COALESCE(list_sum(list_transform({_DUCK_TOKENS}, t -> length(t))), 0) AS token_chars
+      FROM documents
+    ) WHERE n_tokens > 0
+    """,
+)
+def q_quality_score(spark, sf_dir):
+    return tx.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+def _duck_fingerprint() -> str:
+    nib = "(strpos('0123456789abcdef', substring(md5(t), {i}, 1)) - 1)"
+    tok_hash = " + ".join(f"({nib.format(i=i + 1)} * {16 ** (3 - i)})" for i in range(4))
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform({_DUCK_TOKENS}, t -> CAST({tok_hash} AS BIGINT))), "
+        f"(acc, v) -> (acc * {tx.HASH_MULT} + v) % {tx.MOD_PRIME})"
+    )
+
+
+@register(
+    "q_fingerprint",
+    oracle=f"SELECT doc_id, {_duck_fingerprint()} AS fingerprint FROM documents",
+)
+def q_fingerprint(spark, sf_dir):
+    return tx.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS content_md5,
+           octet_length(encode(text)) = length(text) AS is_ascii
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-payload plumbing via Arrow-batched mapInPandas
+    (operators/multimodal.py); byte-level features are oracle-checkable."""
+    return mm.extract_features(_t(spark, sf_dir, "documents"))
+
+
+# =====================================================================
+
+
+def flagship(spark: SparkSession) -> DataFrame:
+    """entry() target: the flagship scan→filter→agg slice at sf0.001."""
+    return q_agg_sum_group(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,65 @@
+"""SparkSession factory.
+
+Reference analogue: env/config binding (main.go:43-52, 137-150) — the engine
+config object. Spark-side we centralize session tuning here so every entry
+point (tests, bench, driver) gets the same posture:
+
+- AQE on (runtime coalescing + skew-join splitting) — the 100 TB posture:
+  static shuffle-partition counts are wrong at some scale; AQE re-plans.
+- shuffle.partitions sized to cores for local mode (the default 200
+  over-parallelizes small local runs; on a real cluster AQE coalesces up).
+- Session timezone pinned to UTC: the reference derives partition dates with
+  local-time `time.Unix` (flowlog.go:86, convert.go:22-24); we pin UTC so
+  event-time partitioning is deployment-independent (SURVEY §7 divergence).
+- Arrow enabled for the Pandas-UDF extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(app_name: str = "aws-vpcflowlogs-parquet-spark") -> SparkSession:
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_session_posture(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable posture to a session we did not create.
+
+    The driver passes its own SparkSession into ``queries()`` callables; the
+    settings that affect result correctness (timezone) or plan quality (AQE)
+    are runtime-settable and applied here.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    try:
+        # events.parquet stores TIMESTAMP(NANOS); read as long, converted
+        # to a timestamp in sources/tables.py.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf not recognized on this Spark version
+    return spark

@@ -1,0 +1,84 @@
+"""Driver-replica: exercise __spark_entry__.py exactly as the harness would.
+
+Creates a PLAIN SparkSession (no engine-side tuning — the driver won't use
+our factory), imports the contract module, runs entry(), then every
+queries()[name] at sf0.01 against oracle_sql()[name] via DuckDB with
+row-count + column + exact value comparison.
+"""
+
+import math
+import sys
+import time
+
+import duckdb
+from pyspark.sql import SparkSession
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as contract
+
+SF_DIR = "/root/testdata/sf0.01"
+
+# driver-like session: defaults, no engine posture
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("driver-replica")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+t0 = time.time()
+df = contract.entry(spark)
+rows = df.collect()
+print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema]}, {time.time()-t0:.1f}s")
+assert len(rows) > 0
+
+con = duckdb.connect()
+for name in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{SF_DIR}/{name}.parquet')")
+
+
+def canon(v):
+    if v is None:
+        return "\0null"
+    if isinstance(v, float):
+        return "\0nan" if math.isnan(v) else v.hex()
+    return str(v)
+
+
+qs = contract.queries()
+oracles = contract.oracle_sql()
+fail = 0
+for name in sorted(qs):
+    t0 = time.time()
+    try:
+        sdf = qs[name](spark, SF_DIR)
+        scols = sdf.columns
+        srows = [tuple(r) for r in sdf.collect()]
+        res = con.execute(oracles[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        status = []
+        if sorted(scols) != sorted(dcols):
+            status.append(f"COLS spark={sorted(scols)} duck={sorted(dcols)}")
+        if len(srows) != len(drows):
+            status.append(f"ROWS spark={len(srows)} duck={len(drows)}")
+        if not status:
+            order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+            order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+            a = sorted(tuple(canon(r[i]) for i in order_s) for r in srows)
+            b = sorted(tuple(canon(r[i]) for i in order_d) for r in drows)
+            if a != b:
+                diffs = [(x, y) for x, y in zip(a, b) if x != y][:2]
+                status.append(f"VALUES {diffs}")
+        if status:
+            fail += 1
+            print(f"FAIL {name}: {'; '.join(status)}")
+        else:
+            print(f"ok   {name}: {len(srows)} rows  {time.time()-t0:.1f}s")
+    except Exception as e:
+        fail += 1
+        print(f"ERR  {name}: {type(e).__name__}: {str(e)[:200]}")
+
+print("RESULT:", "FAIL" if fail else "PASS", f"({len(qs)} queries, {fail} failing)")
+sys.exit(1 if fail else 0)
