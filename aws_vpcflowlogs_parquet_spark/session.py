@@ -36,6 +36,10 @@ def get_spark(app_name: str = "aws-vpcflowlogs-parquet-spark") -> SparkSession:
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # dt/account partition values stay STRING (the reference's Glue
+        # table declares them string, template.yml:122-126); inference
+        # would turn dt= dirs into DATE and account= into LONG
+        .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
@@ -60,6 +64,9 @@ def ensure_session_posture(spark: SparkSession) -> SparkSession:
         # events.parquet stores TIMESTAMP(NANOS); read as long, converted
         # to a timestamp in sources/tables.py.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set(
+            "spark.sql.sources.partitionColumnTypeInference.enabled", "false"
+        )
     except Exception:
         pass  # conf not recognized on this Spark version
     return spark

@@ -27,15 +27,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    # reader rejects; with spark.sql.legacy.parquet.nanosAsLong (set in
-    # session posture) it surfaces as a long we convert to a microsecond
-    # timestamp here (integer div — no double round-trip at 2^63 scale).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
+        df = convert_nanos_ts(df)
+    return df
+
+
+def convert_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    reader rejects; with spark.sql.legacy.parquet.nanosAsLong (set in
+    session posture) it surfaces as a long we convert to a microsecond
+    timestamp (integer div — no double round-trip at 2^63 scale)."""
+    if dict(df.dtypes).get(col) == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df
+
+
+def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
+    """events as an unbounded stream (file source) with the ts conversion."""
+    from pyspark.sql import types as T
+
+    raw = spark.read.parquet(f"{src_dir}/events.parquet").schema
+    fields = [
+        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
+        for f in raw
+    ]
+    stream = spark.readStream.schema(T.StructType(fields)).parquet(src_dir)
+    return convert_nanos_ts(stream)
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:

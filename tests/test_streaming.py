@@ -1,0 +1,152 @@
+"""Structured Streaming tests: drive file sources to completion
+synchronously (processAllAvailable) and assert against batch twins —
+the Kappa property: streaming results == batch results on the same data.
+"""
+
+from __future__ import annotations
+
+import gzip
+import shutil
+
+from pyspark.sql import functions as F
+
+from aws_vpcflowlogs_parquet_spark.sources.tables import load_table, stream_events
+from aws_vpcflowlogs_parquet_spark.streaming.convert_stream import start_flowlog_stream
+from aws_vpcflowlogs_parquet_spark.streaming.windows import (
+    sessionized,
+    streaming_dedup,
+    tumbling_agg,
+)
+
+from .conftest import SF_DIR
+
+HEADER = (
+    "version account-id interface-id srcaddr dstaddr srcport dstport "
+    "protocol packets bytes start end action log-status"
+)
+
+
+def _mk_line(acct: str, start: int, sport: int) -> str:
+    return (
+        f"2 {acct} eni-1 10.0.2.2 10.0.4.8 {sport} 5245 17 6 965 "
+        f"{start} {start + 420} ACCEPT OK"
+    )
+
+
+def test_stream_convert_end_to_end(spark, tmp_path):
+    src = tmp_path / "drop"
+    src.mkdir()
+    dst = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    with gzip.open(src / "a.log.gz", "wt") as f:
+        f.write("\n".join([HEADER, _mk_line("111111111111", 1541375637, 1)]))
+    q = start_flowlog_stream(spark, str(src), str(dst), str(ckpt))
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(str(dst)).count() == 1
+        # second file arrives while the query runs → picked up incrementally
+        (src / "b.log").write_text(
+            "\n".join([HEADER, _mk_line("222222222222", 1541462037, 2)])
+        )
+        q.processAllAvailable()
+        back = spark.read.parquet(str(dst))
+        assert back.count() == 2
+        assert sorted(
+            tuple(r) for r in back.select("dt", "account").distinct().collect()
+        ) == [("2018-11-04", "111111111111"), ("2018-11-05", "222222222222")]
+    finally:
+        q.stop()
+
+
+def test_stream_restart_is_exactly_once(spark, tmp_path):
+    # kill the query, restart with same checkpoint, re-drop nothing: rows
+    # must not duplicate (upgrade over the reference's at-most-once,
+    # main.go:77-83)
+    src = tmp_path / "drop"
+    src.mkdir()
+    dst = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    (src / "a.log").write_text(
+        "\n".join([HEADER, _mk_line("111111111111", 1541375637, 1)])
+    )
+    q = start_flowlog_stream(spark, str(src), str(dst), str(ckpt))
+    q.processAllAvailable()
+    q.stop()
+    q2 = start_flowlog_stream(spark, str(src), str(dst), str(ckpt))
+    try:
+        q2.processAllAvailable()
+        assert spark.read.parquet(str(dst)).count() == 1
+    finally:
+        q2.stop()
+
+
+def _stream_events(spark, tmp_path):
+    # stage the events table as a parquet streaming source
+    src = tmp_path / "events_src"
+    src.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", src / "events.parquet")
+    batch = load_table(spark, SF_DIR, "events")
+    return stream_events(spark, str(src)), batch
+
+
+def test_tumbling_agg_matches_batch(spark, tmp_path):
+    streaming, batch = _stream_events(spark, tmp_path)
+    out = tumbling_agg(streaming, "1 hour", "30 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("tumbling_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT window_start, event_type, n, sum_value FROM tumbling_out"
+        )
+        expected = tumbling_agg(batch, "1 hour", "30 minutes").select(
+            "window_start", "event_type", "n", "sum_value"
+        )
+        # append mode emits only windows closed by the watermark; every
+        # emitted row must match the batch computation exactly
+        assert got.count() > 0
+        assert got.exceptAll(expected).count() == 0
+    finally:
+        q.stop()
+
+
+def test_sessionized_runs(spark, tmp_path):
+    streaming, _ = _stream_events(spark, tmp_path)
+    out = sessionized(streaming, gap="20 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sessions_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM sessions_out WHERE session_end > session_start"
+        ).count()
+        assert rows > 0
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup_bounded_state(spark, tmp_path):
+    streaming, batch = _stream_events(spark, tmp_path)
+    out = streaming_dedup(streaming, ["user_id", "event_type"])
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
+        # no exact (user_id, event_type, ts) duplicates exist in the data,
+        # so dedup-within-watermark passes everything through
+        assert n == batch.count()
+    finally:
+        q.stop()
