@@ -590,6 +590,160 @@ def q_session_dedup(spark, sf_dir):
     )
 
 
+@register(
+    "q_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot(spark, sf_dir):
+    """Pivot with explicit values — compiles to one hash-agg with
+    conditional counters, no extra pass per column."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").pivot("o_orderstatus", ["O", "F", "P"]).count()
+
+
+@register(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {exact_sum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_cube(spark, sf_dir):
+    """CUBE: all 2^k grouping sets in one pass (Expand + single shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (bit-identical to quantile_cont).
+    At 100 TB the same query swaps to approx_percentile — t-digest sketch,
+    mergeable map-side, no full sort — at the cost of the exact oracle."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
+        F.expr("percentile(l_extendedprice, 0.75)").alias("p75_price"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+    )
+
+
+@register(
+    "q_asof_join",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 0 AS is_p, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS is_p, NULL AS click_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+      SELECT user_id, ts, event_id, is_p,
+             last_value(click_id IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_p, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS asof_click_id
+      FROM u
+    )
+    SELECT event_id AS purchase_id, user_id, asof_click_id
+    FROM carried WHERE is_p = 1
+    """,
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (Spark has no native one): for each purchase, the most
+    recent click at-or-before it, per user. Implemented as the
+    union+ordered-window carry — one shuffle on user_id, no range
+    explosion, the standard scalable pattern (vs. merge_asof in pandas,
+    which would cap at one group per worker)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id",
+        F.lit(0).alias("is_p"), F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id",
+        F.lit(1).alias("is_p"), F.lit(None).cast("long").alias("click_id"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(purchases).withColumn(
+        "asof_click_id", F.last("click_id", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("is_p") == 1).select(
+        F.col("event_id").alias("purchase_id"), "user_id", "asof_click_id"
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, event_id, ts_us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM g
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           min(ts_us) AS start_us, max(ts_us) AS end_us
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark, sf_dir):
+    """Batch sessionization (30-min gap): lag + running sum of
+    session-starts — the batch twin of streaming session_window, one
+    shuffle on user_id shared by both windows and the final rollup."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_s = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = ev.withColumn("new_s", new_s).withColumn(
+        "session_id", F.sum("new_s").over(run)
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        F.max("ts_us").alias("end_us"),
+    )
+
+
 # =====================================================================
 # Extension operators: dedup / similarity / text / multimodal (SURVEY §2.4)
 # =====================================================================
@@ -612,15 +766,19 @@ _DUCK_SHINGLES = (
     f"i -> concat_ws(' ', t[i], t[i+1], t[i+2])) "
     f"ELSE [] END"
 )
-_DUCK_MINHASH = (
-    f"list_transform(generate_series(0, {dd.MINHASH_PERMS - 1}), "
-    f"j -> list_min(list_transform(sh, s -> md5(concat(CAST(j AS VARCHAR), '|', s)))))"
+_DUCK_MINS = ", ".join(
+    f"min((h1 + {j} * h2) % {dd.MINHASH_PRIME}) AS mh{j}"
+    for j in range(dd.MINHASH_PERMS)
 )
-_DUCK_BANDS = (
-    f"list_transform(generate_series(0, {dd.MINHASH_BANDS - 1}), "
-    f"b -> concat(CAST(b AS VARCHAR), '#', "
-    f"array_to_string(mh[b*{dd.MINHASH_ROWS_PER_BAND}+1 : "
-    f"b*{dd.MINHASH_ROWS_PER_BAND}+{dd.MINHASH_ROWS_PER_BAND}], '|')))"
+_DUCK_BANDS = ", ".join(
+    "concat_ws('|', '{b}', {cols})".format(
+        b=b,
+        cols=", ".join(
+            f"mh{b * dd.MINHASH_ROWS_PER_BAND + r}"
+            for r in range(dd.MINHASH_ROWS_PER_BAND)
+        ),
+    )
+    for b in range(dd.MINHASH_BANDS)
 )
 
 
@@ -632,11 +790,17 @@ _DUCK_BANDS = (
       FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents)
     ),
     sigs AS (
-      SELECT doc_id, sh, {_DUCK_MINHASH} AS mh FROM toks WHERE len(sh) > 0
+      SELECT doc_id, sh FROM toks WHERE len(sh) > 0
     ),
+    hs AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(s), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(s), 9, 8))::BIGINT AS h2
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sigs)
+    ),
+    mins AS (SELECT doc_id, {_DUCK_MINS} FROM hs GROUP BY doc_id),
     bands AS (
-      SELECT doc_id, unnest(bandlist) AS band
-      FROM (SELECT doc_id, {_DUCK_BANDS} AS bandlist FROM sigs)
+      SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band FROM mins
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
