@@ -1066,6 +1066,461 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 # =====================================================================
+# Joins II: outer / non-equi / decorrelated  (SURVEY §2.2 join flavors)
+# =====================================================================
+
+@register(
+    "q_join_outer",
+    oracle=f"""
+    SELECT c_custkey, c_name,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(total_spent, CAST(0 AS DOUBLE)) AS total_spent
+    FROM customer LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS n_orders,
+             {exact_sum_sql('o_totalprice', 2)} AS total_spent
+      FROM orders GROUP BY o_custkey
+    ) agg ON c_custkey = o_custkey
+    """,
+)
+def q_join_outer(spark, sf_dir):
+    """TPC-H Q13 shape: customers with their order count, zero-order
+    customers preserved via left outer join. Aggregate-then-join keeps the
+    outer side one row per customer — the join probe is the small side."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        exact_sum("o_totalprice", 2).alias("total_spent"),
+    )
+    return c.join(agg, c.c_custkey == agg.o_custkey, "left").select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+    )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+    WITH a AS (SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS n_orders
+               FROM orders GROUP BY 1),
+         b AS (SELECT strftime(l_shipdate, '%Y-%m') AS ym, COUNT(*) AS n_ship
+               FROM lineitem GROUP BY 1)
+    SELECT COALESCE(a.ym, b.ym) AS ym,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(n_ship, 0) AS n_ship
+    FROM a FULL OUTER JOIN b ON a.ym = b.ym
+    """,
+)
+def q_join_full_outer(spark, sf_dir):
+    """Full outer join of two monthly activity profiles; months present on
+    either side survive with zero-filled counts."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("ym_a")).agg(
+        F.count("*").alias("n_orders")
+    )
+    b = li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("ym_b")).agg(
+        F.count("*").alias("n_ship")
+    )
+    return a.join(b, a.ym_a == b.ym_b, "full_outer").select(
+        F.coalesce("ym_a", "ym_b").alias("ym"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_ship", F.lit(0)).alias("n_ship"),
+    )
+
+
+@register(
+    "q_range_join",
+    oracle=f"""
+    WITH ranges(bucket, lo, hi) AS (VALUES
+      ('tiny',  CAST(0   AS DOUBLE), CAST(1   AS DOUBLE)),
+      ('small', CAST(1   AS DOUBLE), CAST(10  AS DOUBLE)),
+      ('mid',   CAST(10  AS DOUBLE), CAST(100 AS DOUBLE)),
+      ('large', CAST(100 AS DOUBLE), CAST(500 AS DOUBLE)))
+    SELECT bucket, COUNT(*) AS n, {exact_sum_sql('value', 2)} AS sum_value
+    FROM events JOIN ranges ON value >= lo AND value < hi
+    GROUP BY bucket
+    """,
+)
+def q_range_join(spark, sf_dir):
+    """Non-equi (range) join: events binned against a broadcast interval
+    table — BroadcastNestedLoopJoin over a 4-row build side, so the fact
+    side streams once with no shuffle before the rollup."""
+    ev = _t(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(
+        [("tiny", 0.0, 1.0), ("small", 1.0, 10.0),
+         ("mid", 10.0, 100.0), ("large", 100.0, 500.0)],
+        "bucket string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(ranges),
+            (ev.value >= ranges.lo) & (ev.value < ranges.hi),
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"), exact_sum("value", 2).alias("sum_value"))
+    )
+
+
+@register(
+    "q_correlated_avg",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+             AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey AND p_size = 5
+    JOIN (SELECT l_partkey AS pk,
+                 CAST(0.2 AS DOUBLE) *
+                 (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(l_quantity)) AS qty_thresh
+          FROM lineitem GROUP BY l_partkey) t ON l_partkey = pk
+    WHERE l_quantity < qty_thresh
+    """,
+)
+def q_correlated_avg(spark, sf_dir):
+    """TPC-H Q17 shape: lineitems below 20% of their part's average
+    quantity. The correlated scalar subquery is decorrelated by hand into
+    an aggregate-then-join — exactly the rewrite Catalyst itself performs —
+    so the per-part average is computed once, one shuffle on l_partkey."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 5)
+    thresh = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * exact_avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresh, li.l_partkey == thresh.pk)
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg((exact_sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+# =====================================================================
+# Windows II: lead/lag, bounded frames
+# =====================================================================
+
+@register(
+    "q_window_lead_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           COALESCE(CAST(datediff('day', lag(o_orderdate) OVER w, o_orderdate)
+                         AS INT), -1) AS days_since_prev,
+           COALESCE(strftime(lead(o_orderdate) OVER w, '%Y-%m-%d'), 'none')
+             AS next_order_dt
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_lead_lag(spark, sf_dir):
+    """Per-customer order cadence via lag/lead over a total order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(
+            F.datediff("o_orderdate", F.lag("o_orderdate").over(w)), F.lit(-1)
+        ).alias("days_since_prev"),
+        F.coalesce(
+            F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd"),
+            F.lit("none"),
+        ).alias("next_order_dt"),
+    )
+
+
+@register(
+    "q_window_moving",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER w3 AS DOUBLE)
+             AS mov_sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) OVER w3 AS DOUBLE)
+             / COUNT(*) OVER w3 AS mov_avg_qty
+    FROM lineitem
+    WINDOW w3 AS (PARTITION BY l_suppkey
+                  ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity,
+                           l_extendedprice
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_moving(spark, sf_dir):
+    """3-row moving sum/average per supplier — a bounded sliding frame
+    (vs q_window_running's unbounded prefix frame)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w3 = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+                 "l_extendedprice")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mov_sum = F.sum(F.col("l_quantity").cast("decimal(38,6)")).over(w3).cast("double")
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        mov_sum.alias("mov_sum_qty"),
+        (mov_sum / F.count("*").over(w3)).alias("mov_avg_qty"),
+    )
+
+
+# =====================================================================
+# Aggregation II: grouping sets, distinct counts, argmax, moments,
+# histograms, conditional aggregates, array agg
+# =====================================================================
+
+@register(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           {exact_sum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                            (l_linestatus), ())
+    """,
+)
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping() null-vs-ALL disambiguation —
+    one Expand + single shuffle, same engine path as rollup/cube."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(f"""
+        SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+               COALESCE(l_linestatus, 'ALL') AS ls,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+               {exact_sum_sql('l_quantity')} AS sum_qty, COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag),
+                                (l_linestatus), ())
+    """)
+
+
+@register(
+    "q_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_custs,
+           COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS n_months,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_count_distinct(spark, sf_dir):
+    """Multiple exact distinct aggregates (Expand-based multi-distinct).
+    At 100 TB the drop-in scale path is approx_count_distinct (HLL sketch,
+    mergeable map-side) at the cost of the exact oracle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct(F.date_format("o_orderdate", "yyyy-MM")).alias("n_months"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "q_argmax",
+    oracle="""
+    SELECT c_mktsegment, c_custkey AS top_custkey, c_acctbal AS top_acctbal
+    FROM (
+      SELECT c_mktsegment, c_custkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn = 1
+    """,
+)
+def q_argmax(spark, sf_dir):
+    """max_by with a composite tie-break (highest acctbal, then lowest
+    custkey) — a single hash-agg, no window/sort; the oracle states the
+    identical semantics as a ROW_NUMBER pick."""
+    c = _t(spark, sf_dir, "customer")
+    ord_key = F.struct(F.col("c_acctbal"), (-F.col("c_custkey")).alias("neg_ck"))
+    return c.groupBy("c_mktsegment").agg(
+        F.max_by("c_custkey", ord_key).alias("top_custkey"),
+        F.max("c_acctbal").alias("top_acctbal"),
+    )
+
+
+@register(
+    "q_stats_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+               AS s2,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, n, s1 / n AS mean_qty,
+           (s2 - s1 * s1 / n) / (n - 1) AS var_qty,
+           sqrt((s2 - s1 * s1 / n) / (n - 1)) AS std_qty
+    FROM s
+    """,
+)
+def q_stats_moments(spark, sf_dir):
+    """Mean/variance/stddev from exact decimal power sums — bit-identical
+    in any aggregation order, unlike the built-in var_samp over doubles;
+    the same two-pass-free shape stddev uses internally."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_returnflag").agg(
+        exact_sum("l_quantity").alias("s1"),
+        exact_sum(F.col("l_quantity") * F.col("l_quantity")).alias("s2"),
+        F.count("*").alias("n"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+    )
+
+
+@register(
+    "q_histogram",
+    oracle=f"""
+    SELECT CAST(least(floor(l_extendedprice / 5000), 20) AS INT) AS bucket,
+           COUNT(*) AS n, {exact_sum_sql('l_extendedprice', 2)} AS sum_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram by arithmetic binning — bucket is computed,
+    not joined, so it's a plain one-shuffle hash-agg at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 5000), F.lit(20)).cast("int")
+    return li.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        exact_sum("l_extendedprice", 2).alias("sum_price"),
+    )
+
+
+@register(
+    "q_conditional_agg",
+    oracle=f"""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_big,
+           CAST(SUM(CASE WHEN l_discount >= CAST(0.05 AS DOUBLE) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_disc,
+           {exact_sum_sql("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END", 2)}
+             AS returned_price,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_conditional_agg(spark, sf_dir):
+    """Conditional aggregates (SUM(CASE…)) — several filtered measures in
+    one pass over the fact table instead of one scan per predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0)).alias("n_big"),
+        F.sum(F.when(F.col("l_discount") >= 0.05, 1).otherwise(0)).alias("n_disc"),
+        exact_sum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0),
+            2,
+        ).alias("returned_price"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_array_agg",
+    oracle="""
+    SELECT o_custkey,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS order_keys,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_array_agg(spark, sf_dir):
+    """Order-insensitive array aggregation: collect_list + sort_array gives
+    a deterministic per-group sequence without any window/sort stage."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.sort_array(F.collect_list("o_orderkey")).cast("array<string>"), ","
+        ).alias("order_keys"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "q_explode_wordcount",
+    oracle=f"""
+    SELECT t AS token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents)
+    WHERE length(t) >= 3
+    GROUP BY t
+    """,
+)
+def q_explode_wordcount(spark, sf_dir):
+    """Lateral explode → token frequency + document frequency: the
+    wordcount shape (explode fans out, partial agg collapses map-side)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(dd.tokens_col("text")).alias("token"))
+        .filter(F.length("token") >= 3)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+    )
+
+
+# =====================================================================
+# Structured Streaming surface (batch-equivalent, oracle-checked)
+# =====================================================================
+
+@register(
+    "q_stream_time_bucket",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n, {exact_sum_sql('value', 2)} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_time_bucket(spark, sf_dir):
+    """The REAL streaming path (streaming/windows.py tumbling_agg): file
+    source → watermark → tumbling window agg → memory sink, driven to
+    completion with availableNow. One availableNow batch sees all files,
+    so no row is ever late and the result equals the batch oracle — the
+    batch/stream unification Structured Streaming guarantees."""
+    import os
+    import tempfile
+
+    from ..sources.tables import stream_events
+    from ..streaming.windows import tumbling_agg
+
+    # the parquet file source wants a directory; stage the events file into
+    # one via symlink (no data copy)
+    src_dir = tempfile.mkdtemp(prefix="q_stream_events_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
+    )
+    stream = stream_events(spark, src_dir)
+    agg = tumbling_agg(stream, window_len="1 hour", watermark="30 minutes")
+    sink = "q_stream_time_bucket_sink"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+# =====================================================================
 
 
 def flagship(spark: SparkSession) -> DataFrame:

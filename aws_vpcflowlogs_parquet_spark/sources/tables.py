@@ -44,16 +44,21 @@ def convert_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
-def stream_events(spark: SparkSession, src_dir: str) -> DataFrame:
-    """events as an unbounded stream (file source) with the ts conversion."""
+def stream_events(spark: SparkSession, src: str) -> DataFrame:
+    """events as an unbounded stream (file source) with the ts conversion.
+
+    ``src`` is either a directory holding events parquet file(s) or the
+    path of one events parquet file (the file source treats it as a glob).
+    """
     from pyspark.sql import types as T
 
-    raw = spark.read.parquet(f"{src_dir}/events.parquet").schema
+    schema_src = src if src.endswith(".parquet") else f"{src}/events.parquet"
+    raw = spark.read.parquet(schema_src).schema
     fields = [
         T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
         for f in raw
     ]
-    stream = spark.readStream.schema(T.StructType(fields)).parquet(src_dir)
+    stream = spark.readStream.schema(T.StructType(fields)).parquet(src)
     return convert_nanos_ts(stream)
 
 
