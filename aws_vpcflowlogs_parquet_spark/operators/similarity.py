@@ -96,6 +96,67 @@ def lsh_topk(embeddings: DataFrame, n_queries: int = 8, k: int = 3) -> DataFrame
     )
 
 
+IVF_CENTROIDS = 8
+IVF_QUERIES = 8
+
+
+def ivf_assign(embeddings: DataFrame, n_centroids: int = IVF_CENTROIDS) -> DataFrame:
+    """(vec_id, e, cell): each vector assigned to its nearest centroid.
+
+    Centroids are the first ``n_centroids`` vectors by vec_id — a
+    deterministic stand-in for a k-means fit (the *assignment* dataflow is
+    what matters for the plan: centroid table broadcast, one corpus scan,
+    argmax per vector, no shuffle). Ties break on (rounded sim, cent_id).
+    """
+    emb = embeddings.select("vec_id", _as_double("embedding").alias("e"))
+    cents = emb.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cent_id"), F.col("e").alias("c")
+    )
+    scored = emb.join(F.broadcast(cents)).withColumn(
+        "sim_c", F.round(F.expr(cosine_expr("c", "e")), SIM_ROUND)
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim_c"), F.asc("cent_id"))
+    return (
+        scored.withColumn("crk", F.row_number().over(w))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "e", F.col("cent_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    n_centroids: int = IVF_CENTROIDS,
+    n_queries: int = IVF_QUERIES,
+    k: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: probe only the query's centroid cell.
+
+    The scale path beside :func:`lsh_topk`: comparisons drop from n·q to
+    Σ|cell|·q_cell, and the candidate join is an equi-join on the cell id
+    — at 100 TB the corpus is pre-partitioned (bucketed) by cell so probes
+    touch one partition per query. nprobe=1 here; production raises nprobe
+    by joining on the query's top-p cells instead of its argmax cell.
+    """
+    assigned = ivf_assign(embeddings, n_centroids).persist()
+    queries = assigned.filter(
+        (F.col("vec_id") >= n_centroids) & (F.col("vec_id") < n_centroids + n_queries)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("e").alias("q"),
+        F.col("cell").alias("qcell"),
+    )
+    pairs = assigned.join(
+        F.broadcast(queries),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).withColumn("sim", F.round(F.expr(cosine_expr("q", "e")), SIM_ROUND))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cell", "sim", "rk")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, sample_mod: int = 5, threshold: float = 0.9
 ) -> DataFrame:

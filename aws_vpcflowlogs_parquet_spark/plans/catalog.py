@@ -1471,9 +1471,163 @@ def q_explode_wordcount(spark, sf_dir):
     )
 
 
+@register(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+           to_json(struct_pack(event_id := event_id, event_type := event_type))
+             AS as_json
+    FROM events
+    """,
+)
+def q_json_funcs(spark, sf_dir):
+    """Semi-structured JSON surface: path extraction from a JSON string
+    column and JSON construction from a struct — both codegen'd, the
+    standard shape for props/payload columns in event pipelines."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.to_json(F.struct(F.col("event_id"), F.col("event_type"))).alias("as_json"),
+    )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER w2 AS last_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+           w2 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_distribution(spark, sf_dir):
+    """Distribution window functions (ntile / percent_rank / cume_dist /
+    first_value / last_value-over-full-frame) over a total order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w2 = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w2).alias("last_key"),
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, value FROM (
+      SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice
+      FROM part
+    ) UNPIVOT (value FOR metric IN (p_size, p_retailprice))
+    """,
+)
+def q_unpivot(spark, sf_dir):
+    """Unpivot (melt) wide columns into (metric, value) rows — the inverse
+    of q_pivot, one Expand node, no shuffle."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        "p_retailprice",
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+@register(
+    "q_ann_ivf",
+    oracle=f"""
+    WITH emb AS ({_DUCK_EMB}),
+    cents AS (SELECT vec_id AS cent_id, e AS c FROM emb
+              WHERE vec_id < {sim.IVF_CENTROIDS}),
+    scored AS (
+      SELECT emb.vec_id, emb.e, cent_id, {_duck_cosine('c', 'emb.e')} AS sim_c
+      FROM emb, cents
+    ),
+    assigned AS (
+      SELECT vec_id, e, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY sim_c DESC, cent_id) AS crk
+        FROM scored
+      ) WHERE crk = 1
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qv, cell AS qcell FROM assigned
+          WHERE vec_id >= {sim.IVF_CENTROIDS}
+            AND vec_id < {sim.IVF_CENTROIDS + sim.IVF_QUERIES}),
+    pairs AS (
+      SELECT q.query_id, a.vec_id, a.cell, {_duck_cosine('q.qv', 'a.e')} AS sim
+      FROM assigned a JOIN q ON a.cell = q.qcell AND a.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cell, sim, CAST(rk AS INT) AS rk FROM (
+      SELECT query_id, vec_id, cell, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 3
+    """,
+)
+def q_ann_ivf(spark, sf_dir):
+    """IVF ANN (operators/similarity.py ivf_topk): centroid-cell probing —
+    the inverted-file scale path next to the sign-LSH variant."""
+    return sim.ivf_topk(_t(spark, sf_dir, "embeddings"))
+
+
 # =====================================================================
 # Structured Streaming surface (batch-equivalent, oracle-checked)
 # =====================================================================
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+    FROM events
+    """,
+)
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (streaming/windows.py streaming_dedup →
+    dropDuplicatesWithinWatermark): projecting exactly the dedup key makes
+    the survivor unambiguous, so the availableNow run equals batch
+    DISTINCT. State is bounded by the watermark horizon — this runs
+    forever on an unbounded feed."""
+    import os
+    import tempfile
+
+    from ..sources.tables import stream_events
+    from ..streaming.windows import streaming_dedup
+
+    src_dir = tempfile.mkdtemp(prefix="q_stream_dedup_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
+    )
+    stream = stream_events(spark, src_dir).select("user_id", "event_type", "ts")
+    deduped = streaming_dedup(stream, ["user_id", "event_type"])
+    sink = "q_stream_dedup_sink"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+    )
 
 @register(
     "q_stream_time_bucket",
