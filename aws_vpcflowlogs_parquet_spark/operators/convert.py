@@ -82,6 +82,31 @@ def convert_flowlogs(
     return [(r["dt"], r["account"]) for r in keys]
 
 
+def compact_partitions(spark: SparkSession, src_path: str, dst_path: str) -> int:
+    """Rewrite a partitioned flow-log table to one file per partition key.
+
+    The reference emits one output file per (source file × partition key)
+    (convert.go:86) — at 100 TB that's millions of small files, the classic
+    scan killer. Compaction is one shuffle keyed on the partition columns
+    (every row of a key lands in one task → exactly one output file per
+    key). Spark cannot overwrite a path it is reading, so the compacted
+    table lands at ``dst_path``; callers swap locations (or repoint the
+    table's LOCATION) atomically. Returns the partition count.
+
+    At cluster scale, run per dt-range so the shuffle stays bounded, and
+    raise the per-key file count by salting the repartition key when a
+    single partition exceeds a task's output budget.
+    """
+    df = spark.read.parquet(src_path)
+    (
+        df.repartition(*PARTITION_COLUMNS)
+        .write.mode("overwrite")
+        .partitionBy(*PARTITION_COLUMNS)
+        .parquet(dst_path, compression="snappy")
+    )
+    return df.select(*PARTITION_COLUMNS).distinct().count()
+
+
 def register_flowlog_table(
     spark: SparkSession,
     table: str,

@@ -69,3 +69,79 @@ def extract_features(documents: DataFrame) -> DataFrame:
     return with_binary_payload(documents).mapInPandas(
         feature_batches, schema=FEATURE_SCHEMA
     )
+
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, out_width int, out_height int"
+)
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_md5 string"
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for a codec's (width, height) probe."""
+    n = len(payload)
+    return 16 + n % 241, 16 + (n * 7) % 241
+
+
+def resize_images(documents: DataFrame, target_max: int = 64) -> DataFrame:
+    """Aspect-preserving resize plan over binary image payloads.
+
+    Decode is stubbed (:func:`decode_image`; dims derive deterministically
+    from payload length) but the dataflow is the production one: binary in,
+    Arrow batches through ``mapInPandas``, scalar metadata out — one
+    pass, no shuffle, scales with input bytes.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            dims = pdf["payload"].map(_fake_dims)
+            w = dims.map(lambda d: d[0]).astype("int32")
+            h = dims.map(lambda d: d[1]).astype("int32")
+            scale = (target_max / w.combine(h, max)).clip(upper=1.0)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": w,
+                    "height": h,
+                    "out_width": (w * scale).astype("int32").clip(lower=1),
+                    "out_height": (h * scale).astype("int32").clip(lower=1),
+                }
+            )
+
+    return with_binary_payload(documents).mapInPandas(
+        resize_batches, schema=RESIZE_SCHEMA
+    )
+
+
+def sample_frames(documents: DataFrame, n_frames: int = 3) -> DataFrame:
+    """Frame sampling over binary video payloads: one input row fans out
+    to ``n_frames`` output rows (1:N mapInPandas — the batch function
+    yields more rows than it receives, no explode/shuffle needed).
+
+    Frames are deterministic byte slices standing in for codec output;
+    the fan-out shape, schema, and Arrow batching are the production
+    plumbing.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                k = max(len(payload) // n_frames, 1)
+                for i in range(n_frames):
+                    frame = bytes(payload[i * k : (i + 1) * k])
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(frame))
+                    out["frame_md5"].append(_hashlib.md5(frame).hexdigest())
+            yield _pd.DataFrame(out)
+
+    return with_binary_payload(documents).mapInPandas(
+        frame_batches, schema=FRAME_SCHEMA
+    )

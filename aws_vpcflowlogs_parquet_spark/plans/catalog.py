@@ -637,14 +637,24 @@ def q_agg_cube(spark, sf_dir):
 )
 def q_percentiles(spark, sf_dir):
     """Exact interpolated percentiles (bit-identical to quantile_cont).
-    At 100 TB the same query swaps to approx_percentile — t-digest sketch,
-    mergeable map-side, no full sort — at the cost of the exact oracle."""
+    The three price percentiles share ONE aggregation buffer via the array
+    form (one sort of l_extendedprice instead of three). At 100 TB the
+    same query swaps to approx_percentile — t-digest sketch, mergeable
+    map-side, no full sort — at the cost of the exact oracle."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
-        F.expr("percentile(l_extendedprice, 0.25)").alias("p25_price"),
-        F.expr("percentile(l_extendedprice, 0.75)").alias("p75_price"),
-        F.expr("percentile(l_extendedprice, 0.99)").alias("p99_price"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+            F.expr("percentile(l_extendedprice, array(0.25, 0.75, 0.99))").alias("_ps"),
+        )
+        .select(
+            "l_returnflag",
+            "median_qty",
+            F.element_at("_ps", 1).alias("p25_price"),
+            F.element_at("_ps", 2).alias("p75_price"),
+            F.element_at("_ps", 3).alias("p99_price"),
+        )
     )
 
 
