@@ -42,6 +42,11 @@ def get_spark(app_name: str = "aws-vpcflowlogs-parquet-spark") -> SparkSession:
         .config("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # 128 MB row groups — parity with the reference writer (parquet.go:34)
+        .config("spark.hadoop.parquet.block.size", str(128 * 1024 * 1024))
+        # scan-side partition sizing for the 100 TB posture: one task per
+        # 128 MB of input, aligned with the row-group size above
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
