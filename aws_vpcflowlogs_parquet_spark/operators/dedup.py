@@ -257,6 +257,65 @@ def ngram_jaccard_pairs(documents: DataFrame, max_id: int = 200) -> DataFrame:
     return scored.filter(F.col("jaccard") >= 0.2).select("doc_a", "doc_b", "jaccard")
 
 
+def dedup_clusters(documents: DataFrame, max_id: int = 200) -> DataFrame:
+    """Near-duplicate *clusters*: connected components over the similarity
+    pair graph, by iterative min-label propagation.
+
+    Pairs (doc_a, doc_b) from :func:`ngram_jaccard_pairs` form an
+    undirected graph; each node's cluster id converges to the minimum
+    doc_id reachable from it. Each iteration is one join (labels × edges)
+    + one min-aggregate — both shuffles on doc_id, reusable partitioning —
+    and the loop runs until a fixed point (≤ graph diameter steps; the
+    driver-side loop condition is a single count, not data). This is the
+    standard large-graph CC pattern (GraphX/Pregel's simplest case) and
+    the only iterative operator in the engine; the oracle is a recursive
+    CTE computing min reachable id.
+
+    Returns (doc_id, cluster_id) for every doc in the id range, singletons
+    included.
+    """
+    nodes = documents.filter(F.col("doc_id") < max_id).select("doc_id")
+    pairs = ngram_jaccard_pairs(documents, max_id=max_id).select("doc_a", "doc_b")
+    # symmetric edge list
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    ).persist()
+
+    labels = nodes.withColumn("cluster_id", F.col("doc_id"))
+    prev_persisted = None
+    while True:
+        # candidate labels: my own + the label of every neighbor
+        neighbor = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+            )
+            .select(F.col("doc_a").alias("doc_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        if prev_persisted is not None:
+            prev_persisted.unpersist()
+        prev_persisted = new_labels
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
 def keep_first_dedup(df: DataFrame, keys: list[str], order: list[str]) -> DataFrame:
     """Deterministic 'keep first' dedup: row_number over an explicit total
     order instead of ``dropDuplicates`` (whose survivor is partition-order

@@ -1482,6 +1482,137 @@ def q_explode_wordcount(spark, sf_dir):
 
 
 @register(
+    "q_subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           (SELECT max(c_acctbal) FROM customer WHERE c_custkey = o_custkey)
+             AS cust_acctbal
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_acctbal > CAST(9000 AS DOUBLE))
+      AND o_totalprice > CAST(300000 AS DOUBLE)
+    """,
+)
+def q_subquery_in(spark, sf_dir):
+    """Genuine SQL subqueries — uncorrelated IN plus a correlated scalar
+    subquery — left to Catalyst's decorrelation (IN → left-semi join,
+    scalar → aggregate + left outer join). Demonstrates the engine's SQL
+    surface; q_join_semi_anti is the hand-written DataFrame twin."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_sq")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               (SELECT max(c_acctbal) FROM customer_sq WHERE c_custkey = o_custkey)
+                 AS cust_acctbal
+        FROM orders_sq
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_sq
+                            WHERE c_acctbal > CAST(9000 AS DOUBLE))
+          AND o_totalprice > CAST(300000 AS DOUBLE)
+    """)
+
+
+@register(
+    "q_lateral_join",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    )
+    WHERE c_acctbal > CAST(9900 AS DOUBLE)
+    """,
+)
+def q_lateral_join(spark, sf_dir):
+    """LATERAL correlated subquery: top-2 orders per qualifying customer.
+    Catalyst rewrites the per-row limit into a ranked window under a join
+    — the same plan the q_window_rank form produces, from SQL the user
+    actually writes."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql("""
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer_lat,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders_lat
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        )
+        WHERE c_acctbal > CAST(9900 AS DOUBLE)
+    """)
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+    WITH o AS (SELECT o_orderkey, nullif(o_orderstatus, 'P') AS status_n,
+                      o_totalprice
+               FROM orders)
+    SELECT status_n,
+           COUNT(*) AS n_rows,
+           COUNT(status_n) AS n_nonnull,
+           CAST(SUM(CASE WHEN status_n IS NOT DISTINCT FROM NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_null_safe,
+           COALESCE(status_n, 'MISSING') AS status_filled
+    FROM o GROUP BY status_n
+    """,
+)
+def q_null_semantics(spark, sf_dir):
+    """NULL discipline: nullif-created nulls grouped as their own key,
+    COUNT(*) vs COUNT(col), null-safe equality (<=> / IS NOT DISTINCT
+    FROM), and coalesce backfill."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.nullif("o_orderstatus", F.lit("P")).alias("status_n")
+    )
+    return o.groupBy("status_n").agg(
+        F.count("*").alias("n_rows"),
+        F.count("status_n").alias("n_nonnull"),
+        F.sum(
+            F.when(F.col("status_n").eqNullSafe(F.lit(None)), 1).otherwise(0)
+        ).alias("n_null_safe"),
+        F.coalesce(F.first("status_n"), F.lit("MISSING")).alias("status_filled"),
+    )
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    sigs AS (
+      SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents WHERE doc_id < 200)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(src, node) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+      UNION
+      SELECT w.src, e.doc_b FROM walk w JOIN edges e ON w.node = e.doc_a
+    )
+    SELECT src AS doc_id, min(node) AS cluster_id FROM walk GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (operators/dedup.py dedup_clusters): connected
+    components of the Jaccard pair graph via iterative min-label
+    propagation — the engine's iterative-algorithm surface, verified
+    against a recursive-CTE oracle."""
+    return dd.dedup_clusters(_t(spark, sf_dir, "documents"), max_id=200)
+
+
+@register(
     "q_json_funcs",
     oracle="""
     SELECT event_id,
