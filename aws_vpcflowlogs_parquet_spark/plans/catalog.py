@@ -1730,6 +1730,210 @@ def q_ann_ivf(spark, sf_dir):
 # =====================================================================
 
 @register(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id, e.key AS k, e.value AS v FROM (
+      SELECT event_id,
+             unnest(map_entries(MAP {'type': event_type,
+                                     'uid': CAST(user_id AS VARCHAR)})) AS e
+      FROM events
+    )
+    """,
+)
+def q_map_funcs(spark, sf_dir):
+    """MapType surface: construct a map column, explode it to entry rows
+    (2 rows out per event — map fan-out mirrors array explode)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select("event_id", F.explode(m).alias("k", "v"))
+
+
+@register(
+    "q_bitwise",
+    oracle="""
+    SELECT event_id,
+           event_id & 255 AS low_byte,
+           event_id | 4096 AS with_flag,
+           xor(event_id, 85) AS xored,
+           CAST(event_id << 2 AS BIGINT) AS shifted_l,
+           event_id >> 3 AS shifted_r,
+           CAST(bit_count(event_id) AS INT) AS popcount
+    FROM events
+    """,
+)
+def q_bitwise(spark, sf_dir):
+    """Bitwise operator surface (AND/OR/XOR/shifts/popcount) — all
+    codegen'd integer ops."""
+    ev = _t(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return ev.select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("low_byte"),
+        e.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        e.bitwiseXOR(F.lit(85)).alias("xored"),
+        F.expr("event_id << 2").alias("shifted_l"),
+        F.expr("event_id >> 3").alias("shifted_r"),
+        F.bit_count(e).alias("popcount"),
+    )
+
+
+@register(
+    "q_string_advanced",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, 'Brand#00') AS lev_dist,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+           split_part(p_type, ' ', 1) AS type_head,
+           repeat(substring(p_brand, 1, 2), 2) AS rep2,
+           reverse(p_name) AS name_rev,
+           CAST(strpos(p_name, 'a') AS INT) AS first_a
+    FROM part
+    """,
+)
+def q_string_advanced(spark, sf_dir):
+    """Advanced string functions: edit distance, translate, split_part,
+    repeat, reverse, position — the long tail of the scalar surface."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_brand", F.lit("Brand#00")).alias("lev_dist"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_tr"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+        F.repeat(F.substring("p_brand", 1, 2), 2).alias("rep2"),
+        F.reverse("p_name").alias("name_rev"),
+        F.instr("p_name", "a").alias("first_a"),
+    )
+
+
+@register(
+    "q_sample_hash",
+    oracle="""
+    SELECT o_orderkey, bucket FROM (
+      SELECT o_orderkey,
+             ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+               % 100 AS bucket
+      FROM orders
+    ) WHERE bucket < 10
+    """,
+)
+def q_sample_hash(spark, sf_dir):
+    """Deterministic ~10% sample by key hash — unlike df.sample(seed=…),
+    the selection is a pure function of the key: stable across runs,
+    partitionings, and engines (reproducible experiment splits at 100 TB),
+    and the oracle can verify the exact membership."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    return o.select("o_orderkey", bucket.alias("bucket")).filter(F.col("bucket") < 10)
+
+
+@register(
+    "q_grouped_pandas",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           quantile_cont(n_chars, 0.5) AS median_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_grouped_pandas(spark, sf_dir):
+    """Grouped-map applyInPandas: per-language numpy stats — the escape
+    hatch for aggregates Spark SQL can't express. Arrow ships each group
+    as one pandas frame; one shuffle on the group key. Median on
+    integer-valued data is bit-deterministic ((a+b)/2 exact), so even
+    this Python path keeps an exact oracle."""
+    import numpy as np
+    import pandas as pd
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["n_chars"].to_numpy(dtype="int64")
+        return pd.DataFrame(
+            {
+                "lang": [pdf["lang"].iloc[0]],
+                "n_docs": [len(v)],
+                "median_chars": [float(np.median(v))],
+                "mean_chars": [float(v.sum()) / len(v)],
+            }
+        )
+
+    d = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    return d.groupBy("lang").applyInPandas(
+        stats, schema="lang string, n_docs bigint, median_chars double, mean_chars double"
+    )
+
+
+@register(
+    "q_stream_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+                  OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    s AS (
+      SELECT user_id, ts_us,
+             CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM g
+    ),
+    agg AS (
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+             min(ts_us) AS su, max(ts_us) AS eu
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           strftime(make_timestamp(su), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(eu + 1800000000), '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           n_events
+    FROM agg
+    """,
+)
+def q_stream_sessionize(spark, sf_dir):
+    """Streaming gap-based session windows (streaming/windows.py
+    sessionized → session_window): merged while consecutive events are
+    < 30 min apart; window end = last event + gap. The oracle restates
+    exactly that semantics with lag + running sums (note >= at the gap
+    boundary: an event exactly gap-later starts a NEW session, since
+    session windows are [start, end))."""
+    import os
+    import tempfile
+
+    from ..sources.tables import stream_events
+    from ..streaming.windows import sessionized
+
+    src_dir = tempfile.mkdtemp(prefix="q_stream_sess_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
+    )
+    stream = stream_events(spark, src_dir)
+    sess = sessionized(stream, gap="30 minutes", watermark="30 minutes")
+    sink = "q_stream_sessionize_sink"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
     "q_stream_dedup",
     oracle="""
     SELECT DISTINCT user_id, event_type,
