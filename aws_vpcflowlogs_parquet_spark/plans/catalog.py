@@ -1725,10 +1725,6 @@ def q_ann_ivf(spark, sf_dir):
     return sim.ivf_topk(_t(spark, sf_dir, "embeddings"))
 
 
-# =====================================================================
-# Structured Streaming surface (batch-equivalent, oracle-checked)
-# =====================================================================
-
 @register(
     "q_map_funcs",
     oracle="""
@@ -1867,6 +1863,67 @@ def q_grouped_pandas(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Structured Streaming surface (batch-equivalent, oracle-checked)
+# =====================================================================
+
+def _staged_event_stream(spark: SparkSession, sf_dir: str, tag: str):
+    """events.parquet staged into a fresh directory (the file source wants
+    a dir; symlink, no data copy) and opened as an unbounded stream."""
+    import os
+    import tempfile
+
+    from ..sources.tables import stream_events
+
+    src_dir = tempfile.mkdtemp(prefix=f"{tag}_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
+    )
+    return stream_events(spark, src_dir)
+
+
+def _run_stream_to_parquet(spark, df, tag: str, complete: bool) -> DataFrame:
+    """Drive a streaming frame to completion (availableNow) into a temp
+    parquet sink and return the batch result.
+
+    A parquet sink, not a memory sink: memory sinks buffer the whole
+    result on the driver (GC pressure that outlives the query); the
+    parquet sink is the production shape — bounded driver memory,
+    executors write in parallel. Append-mode streams use the native file
+    sink (exactly-once via the checkpoint + file log); complete-mode
+    aggregations go through foreachBatch overwrite (the file sink cannot
+    re-emit full results).
+    """
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix=f"{tag}_out_")
+    ckpt = tempfile.mkdtemp(prefix=f"{tag}_ckpt_")
+    if complete:
+        q = (
+            df.writeStream.foreachBatch(
+                lambda batch, _eid: batch.coalesce(4)
+                .write.mode("overwrite")
+                .parquet(out_dir)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        q = (
+            df.coalesce(4)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
 @register(
     "q_stream_sessionize",
     oracle="""
@@ -1904,28 +1961,11 @@ def q_stream_sessionize(spark, sf_dir):
     exactly that semantics with lag + running sums (note >= at the gap
     boundary: an event exactly gap-later starts a NEW session, since
     session windows are [start, end))."""
-    import os
-    import tempfile
-
-    from ..sources.tables import stream_events
     from ..streaming.windows import sessionized
 
-    src_dir = tempfile.mkdtemp(prefix="q_stream_sess_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
-    )
-    stream = stream_events(spark, src_dir)
+    stream = _staged_event_stream(spark, sf_dir, "q_stream_sess")
     sess = sessionized(stream, gap="30 minutes", watermark="30 minutes")
-    sink = "q_stream_sessionize_sink"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink).select(
+    return _run_stream_to_parquet(spark, sess, "q_stream_sess", complete=True).select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
@@ -1947,28 +1987,13 @@ def q_stream_dedup(spark, sf_dir):
     the survivor unambiguous, so the availableNow run equals batch
     DISTINCT. State is bounded by the watermark horizon — this runs
     forever on an unbounded feed."""
-    import os
-    import tempfile
-
-    from ..sources.tables import stream_events
     from ..streaming.windows import streaming_dedup
 
-    src_dir = tempfile.mkdtemp(prefix="q_stream_dedup_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
+    stream = _staged_event_stream(spark, sf_dir, "q_stream_dd").select(
+        "user_id", "event_type", "ts"
     )
-    stream = stream_events(spark, src_dir).select("user_id", "event_type", "ts")
     deduped = streaming_dedup(stream, ["user_id", "event_type"])
-    sink = "q_stream_dedup_sink"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink).select(
+    return _run_stream_to_parquet(spark, deduped, "q_stream_dd", complete=False).select(
         "user_id",
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
@@ -1988,30 +2013,11 @@ def q_stream_time_bucket(spark, sf_dir):
     completion with availableNow. One availableNow batch sees all files,
     so no row is ever late and the result equals the batch oracle — the
     batch/stream unification Structured Streaming guarantees."""
-    import os
-    import tempfile
-
-    from ..sources.tables import stream_events
     from ..streaming.windows import tumbling_agg
 
-    # the parquet file source wants a directory; stage the events file into
-    # one via symlink (no data copy)
-    src_dir = tempfile.mkdtemp(prefix="q_stream_events_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
-    )
-    stream = stream_events(spark, src_dir)
+    stream = _staged_event_stream(spark, sf_dir, "q_stream_tb")
     agg = tumbling_agg(stream, window_len="1 hour", watermark="30 minutes")
-    sink = "q_stream_time_bucket_sink"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink).select(
+    return _run_stream_to_parquet(spark, agg, "q_stream_tb", complete=True).select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n",

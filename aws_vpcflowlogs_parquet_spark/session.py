@@ -65,6 +65,12 @@ def ensure_session_posture(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # size the pre-AQE shuffle fan-out to the actual core count: the 200
+    # default costs real time on streaming stateful ops, which allocate one
+    # state store per shuffle partition (AQE does not re-plan streams)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     try:
         # events.parquet stores TIMESTAMP(NANOS); read as long, converted
         # to a timestamp in sources/tables.py.
