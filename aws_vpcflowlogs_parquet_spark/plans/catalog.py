@@ -1882,7 +1882,7 @@ def _staged_event_stream(spark: SparkSession, sf_dir: str, tag: str):
     return stream_events(spark, src_dir)
 
 
-def _run_stream_to_parquet(spark, df, tag: str, complete: bool) -> DataFrame:
+def _run_stream_to_parquet(spark, df, tag: str, mode: str) -> DataFrame:
     """Drive a streaming frame to completion (availableNow) into a temp
     parquet sink and return the batch result.
 
@@ -1890,22 +1890,24 @@ def _run_stream_to_parquet(spark, df, tag: str, complete: bool) -> DataFrame:
     result on the driver (GC pressure that outlives the query); the
     parquet sink is the production shape — bounded driver memory,
     executors write in parallel. Append-mode streams use the native file
-    sink (exactly-once via the checkpoint + file log); complete-mode
-    aggregations go through foreachBatch overwrite (the file sink cannot
-    re-emit full results).
+    sink (exactly-once via the checkpoint + file log); complete-/update-
+    mode aggregations go through foreachBatch overwrite (the file sink is
+    append-only and cannot re-emit or revise results; overwrite-per-batch
+    is correct here because availableNow over one staged file is a single
+    batch).
     """
     import tempfile
 
     out_dir = tempfile.mkdtemp(prefix=f"{tag}_out_")
     ckpt = tempfile.mkdtemp(prefix=f"{tag}_ckpt_")
-    if complete:
+    if mode in ("complete", "update"):
         q = (
             df.writeStream.foreachBatch(
                 lambda batch, _eid: batch.coalesce(4)
                 .write.mode("overwrite")
                 .parquet(out_dir)
             )
-            .outputMode("complete")
+            .outputMode(mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -1965,7 +1967,7 @@ def q_stream_sessionize(spark, sf_dir):
 
     stream = _staged_event_stream(spark, sf_dir, "q_stream_sess")
     sess = sessionized(stream, gap="30 minutes", watermark="30 minutes")
-    return _run_stream_to_parquet(spark, sess, "q_stream_sess", complete=True).select(
+    return _run_stream_to_parquet(spark, sess, "q_stream_sess", mode="complete").select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
@@ -1993,7 +1995,7 @@ def q_stream_dedup(spark, sf_dir):
         "user_id", "event_type", "ts"
     )
     deduped = streaming_dedup(stream, ["user_id", "event_type"])
-    return _run_stream_to_parquet(spark, deduped, "q_stream_dd", complete=False).select(
+    return _run_stream_to_parquet(spark, deduped, "q_stream_dd", mode="append").select(
         "user_id",
         "event_type",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
@@ -2017,11 +2019,81 @@ def q_stream_time_bucket(spark, sf_dir):
 
     stream = _staged_event_stream(spark, sf_dir, "q_stream_tb")
     agg = tumbling_agg(stream, window_len="1 hour", watermark="30 minutes")
-    return _run_stream_to_parquet(spark, agg, "q_stream_tb", complete=True).select(
+    return _run_stream_to_parquet(spark, agg, "q_stream_tb", mode="complete").select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
         "n",
         "sum_value",
+    )
+
+
+@register(
+    "q_stream_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts_s
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful(spark, sf_dir):
+    """Custom stateful streaming operator (streaming/windows.py
+    stateful_user_stats → applyInPandasWithState): per-user running
+    accumulators held in explicit group state. Update mode emits the
+    revised totals for keys touched each micro-batch; one availableNow
+    batch touches every key exactly once, so the emitted set equals the
+    batch GROUP BY — which is the oracle. The cross-batch state carry is
+    unit-tested separately (tests/test_streaming.py drives two batches
+    with maxFilesPerTrigger=1)."""
+    from ..streaming.windows import stateful_user_stats
+
+    stream = _staged_event_stream(spark, sf_dir, "q_stream_st")
+    stats = stateful_user_stats(stream)
+    return _run_stream_to_parquet(spark, stats, "q_stream_st", mode="update").select(
+        "user_id",
+        "n_events",
+        "max_value",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts_s"),
+    )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+    WITH t AS (
+      SELECT o_custkey, o_orderkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+             o_totalprice
+      FROM orders)
+    SELECT o_custkey, o_orderkey, day_num,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+             PARTITION BY o_custkey ORDER BY day_num
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_30d
+    FROM t
+    """,
+)
+def q_window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based, vs q_window_running's ROWS frame): per
+    customer, the rolling 30-day order-value sum. RANGE frames are
+    peer-inclusive — every row whose order key falls in [v-30, v] joins
+    the frame regardless of physical order — so the result is
+    deterministic under ties without a total tie-break order. Decimal
+    accumulation keeps every frame sum exact. Scale shape: one shuffle on
+    o_custkey, per-partition sort on day_num, frames computed in a single
+    pass per partition."""
+    orders = _t(spark, sf_dir, "orders").withColumn(
+        "day_num",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day_num").rangeBetween(-30, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_num",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("sum_30d"),
     )
 
 

@@ -89,6 +89,62 @@ def sessionized(
     )
 
 
+def stateful_user_stats(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running stats (event count, max value, last event time) maintained in
+    explicit group state across micro-batches.
+
+    This is the escape hatch for stateful semantics Spark's built-in
+    windowed aggregations cannot express (arbitrary per-key accumulators,
+    custom merge logic). Each micro-batch emits the *updated* totals for
+    exactly the keys it touched (update semantics); state is one fixed-size
+    tuple per user — O(#distinct users), independent of stream length, so
+    at 100 TB/day the state store is bounded by key cardinality and
+    partitioned across executors by the groupBy hash. All per-batch work is
+    Arrow-batched pandas, never row-at-a-time Python.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, max_value double, last_ts timestamp"
+    state_schema = "n bigint, mx double, last_us bigint"
+
+    def update(key, pdf_iter, state: GroupState):
+        n, mx, last_us = state.get if state.exists else (0, None, None)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            v = pdf["value"].max()
+            if not pd.isna(v):
+                mx = float(v) if mx is None else max(mx, float(v))
+            t = pdf[ts_col].max()
+            if not pd.isna(t):
+                t_us = t.value // 1000  # pd.Timestamp.value is ns
+                last_us = t_us if last_us is None else max(last_us, t_us)
+        state.update((n, mx, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "max_value": [mx],
+                "last_ts": [
+                    pd.Timestamp(last_us, unit="us") if last_us is not None else pd.NaT
+                ],
+            }
+        )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],

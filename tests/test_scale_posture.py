@@ -104,3 +104,20 @@ def test_sample_frames_fan_out(spark):
     want = hashlib.md5(payload[:k]).hexdigest()
     got = [r.frame_md5 for r in rows if r.doc_id == 0 and r.frame_idx == 0]
     assert got == [want]
+
+
+def test_approx_count_distinct_within_bound(spark):
+    # the documented 100 TB swap for exact multi-distinct (SCALE.md):
+    # approx_count_distinct is a mergeable HLL sketch — partial aggregation
+    # stays enabled, shuffle carries one sketch per group instead of the
+    # full value set. Default rsd is 5%; assert the estimate lands well
+    # inside it on real data.
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, SF_DIR, "orders")
+    row = orders.agg(
+        F.countDistinct("o_custkey").alias("exact"),
+        F.approx_count_distinct("o_custkey").alias("approx"),
+    ).collect()[0]
+    assert row["exact"] > 0
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.10

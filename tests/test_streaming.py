@@ -150,3 +150,46 @@ def test_streaming_dedup_bounded_state(spark, tmp_path):
         assert n == batch.count()
     finally:
         q.stop()
+
+
+def test_stateful_user_stats_carries_state_across_batches(spark, tmp_path):
+    # the applyInPandasWithState accumulator must survive micro-batch
+    # boundaries: feed the events table in two batches and check the final
+    # emitted totals equal the batch GROUP BY over the whole table
+    import pyarrow.parquet as pq
+
+    from aws_vpcflowlogs_parquet_spark.streaming.windows import stateful_user_stats
+
+    src = tmp_path / "st_src"
+    src.mkdir()
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    half = tbl.num_rows // 2
+    pq.write_table(tbl.slice(0, half), src / "events.parquet")
+    stream = stream_events(spark, str(src))
+    out = stateful_user_stats(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batch1 = spark.sql("SELECT count(*) AS n FROM stateful_out").collect()[0]["n"]
+        pq.write_table(tbl.slice(half), src / "events2.parquet")
+        q.processAllAvailable()
+        # update mode appends one revised row per touched key per batch;
+        # the latest (= max, counts are monotone) row per user is the total
+        got = spark.sql(
+            "SELECT user_id, max(n_events) AS n FROM stateful_out GROUP BY user_id"
+        )
+        batch = (
+            load_table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+        )
+        assert n_batch1 > 0
+        assert got.exceptAll(batch).count() == 0
+        assert batch.exceptAll(got).count() == 0
+    finally:
+        q.stop()
