@@ -395,6 +395,43 @@ def q_join_multiway(spark, sf_dir):
     )
 
 
+@register(
+    "q_join_salted",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+           {exact_sum_sql('o_totalprice')} AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_salted(spark, sf_dir):
+    """Skew-resilient join via key salting (operators/joins.py
+    salted_join): the probe side gets a deterministic salt in [0, 8), the
+    build side is replicated across all salts, and the join key becomes
+    (custkey, _salt) — one hot customer's rows spread over 8 shuffle
+    partitions instead of serializing on one task. Result set is
+    provably identical to the plain join (the oracle IS the plain join);
+    only the physical partitioning changes. This is the manual escape
+    hatch for single-key skew that AQE's skew-split cannot subdivide
+    (AQE splits partitions, never keys)."""
+    from ..operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return (
+        salted_join(o, c, ["custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            exact_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
 # =====================================================================
 # Window functions
 # =====================================================================
