@@ -1,0 +1,81 @@
+"""Plan-quality assertions over the catalog queries themselves.
+
+`.explain`-level proofs that the physical plans are the ones we'd want on
+a 1000-executor cluster: filters reach the parquet scan (PushedFilters),
+projection prunes the read schema, small dimensions broadcast, hash
+aggregation runs partial+final, and the hot pipelines stay inside
+WholeStageCodegen. These properties — not the sf0.1 timings — are what
+carry to 100 TB.
+"""
+
+from __future__ import annotations
+
+from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
+
+from .conftest import SF_DIR
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _executed(QUERIES["q_filter_predicate"](spark, SF_DIR))
+    # the shipdate/discount/quantity predicates land in the parquet reader,
+    # not a post-scan Filter over full rows
+    assert "PushedFilters: [" in plan, plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert pushed.strip(), plan  # non-empty pushdown list
+
+
+def test_column_pruning_in_read_schema(spark):
+    # TPC-H Q1 touches 7 of lineitem's 16 columns; the scan must not read
+    # the rest (l_comment is the widest — the classic pruning victim)
+    plan = _executed(QUERIES["q_agg_sum_group"](spark, SF_DIR))
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert "l_comment" not in schema, schema
+    assert "l_quantity" in schema, schema
+
+
+def test_broadcast_join_is_chosen(spark):
+    plan = _executed(QUERIES["q_join_broadcast"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    # no shuffle of the big side for a broadcastable dim
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_flagship_partial_aggregation_and_codegen(spark):
+    df = QUERIES["q_agg_sum_group"](spark, SF_DIR)
+    plan = _executed(df)
+    # partial (map-side) + final HashAggregate pair around one exchange
+    assert plan.count("HashAggregate") >= 2, plan
+    # under AQE codegen stages exist only in the *final* plan — execute,
+    # then re-read the same QueryExecution
+    df.collect()
+    final = _executed(df)
+    assert "isFinalPlan=true" in final, final
+    # '*(n)' prefixes mark WholeStageCodegen stages in plan toString
+    assert "*(" in final, final
+
+
+def test_topk_uses_take_ordered(spark):
+    # orderBy().limit(k) must compile to TakeOrderedAndProject (per-
+    # partition top-k then merge), never a global sort
+    plan = _executed(QUERIES["q_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_semi_anti_joins_stay_semi(spark):
+    # left_semi/left_anti must not degrade to inner join + distinct
+    plan = _optimized(QUERIES["q_join_semi_anti"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_session_posture_aqe_on(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true") == "true"
