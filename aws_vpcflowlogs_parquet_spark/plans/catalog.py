@@ -608,6 +608,48 @@ def q_time_bucket(spark, sf_dir):
 
 
 @register(
+    "q_time_bucket_sliding",
+    oracle=f"""
+    WITH s AS (
+      SELECT make_timestamp(
+               ((CAST(floor(epoch(ts) / 1800) AS BIGINT) - j.j) * 1800) * 1000000
+             ) AS win_start,
+             event_type, value
+      FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS j) j
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS window_start,
+           event_type, COUNT(*) AS n, {exact_sum_sql('value', 2)} AS sum_value
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_time_bucket_sliding(spark, sf_dir):
+    """Sliding 1-hour windows every 30 minutes (overlapping buckets):
+    ``window(ts, '1 hour', '30 minutes')`` fans each event into the 2
+    windows that contain it — len/slide rows per event, then one ordinary
+    hash-agg. The oracle derives the same 2 epoch-aligned window starts
+    arithmetically (start ∈ {{floor(t/slide)·slide − j·slide}}, j<len/slide).
+    Scale shape: the fan-out is a codegen'd Expand node (no shuffle),
+    followed by partial+final aggregation on (window, type)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            exact_sum("value", 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "q_session_dedup",
     oracle="""
     SELECT event_id, user_id, event_type FROM (

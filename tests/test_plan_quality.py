@@ -76,6 +76,19 @@ def test_semi_anti_joins_stay_semi(spark):
     assert "LeftAnti" in plan, plan
 
 
+def test_shuffle_hash_hint_avoids_sort(spark):
+    # for a large-large join where one side still fits a per-task hash map,
+    # SHUFFLE_HASH skips both sort passes of SMJ; assert the hint is honored
+    from aws_vpcflowlogs_parquet_spark.sources.tables import load_table
+
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    joined = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    plan = _executed(joined)
+    assert "ShuffledHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_session_posture_aqe_on(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true") == "true"
