@@ -2107,6 +2107,36 @@ def q_stream_time_bucket(spark, sf_dir):
 
 
 @register(
+    "q_stream_sliding",
+    oracle="""
+    WITH s AS (
+      SELECT make_timestamp(
+               ((CAST(floor(epoch(ts) / 1800) AS BIGINT) - j.j) * 1800) * 1000000
+             ) AS win_start
+      FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS j) j
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS window_start,
+           COUNT(*) AS n
+    FROM s GROUP BY 1
+    """,
+)
+def q_stream_sliding(spark, sf_dir):
+    """Streaming sliding-window counts (streaming/windows.py
+    sliding_counts): 1-hour windows every 30 minutes over the event
+    stream, watermark-bounded state. Same epoch-aligned window-start
+    arithmetic oracle as the batch twin q_time_bucket_sliding — the
+    Kappa property, asserted for the overlapping-window case."""
+    from ..streaming.windows import sliding_counts
+
+    stream = _staged_event_stream(spark, sf_dir, "q_stream_sl")
+    agg = sliding_counts(stream, window_len="1 hour", slide="30 minutes", watermark="30 minutes")
+    return _run_stream_to_parquet(spark, agg, "q_stream_sl", mode="complete").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm").alias("window_start"),
+        "n",
+    )
+
+
+@register(
     "q_stream_stateful",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value,
