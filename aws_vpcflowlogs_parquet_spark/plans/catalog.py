@@ -432,6 +432,41 @@ def q_join_salted(spark, sf_dir):
     )
 
 
+@register(
+    "q_join_bucketed",
+    oracle=f"""
+    SELECT o_orderpriority, COUNT(*) AS n_items,
+           {exact_sum_sql('l_extendedprice')} AS total_price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_bucketed(spark, sf_dir):
+    """Co-located join via write-time bucketing (operators/joins.py
+    write_bucketed): both fact tables land pre-shuffled into the same
+    8-bucket layout on the join key, so the repeated-join workload pays
+    the shuffle once at write instead of per query — with matching
+    bucket counts the sort-merge join runs with ZERO exchange (plan
+    asserted in tests/test_join_strategies.py; at this SF the planner
+    may still prefer broadcast, which is also shuffle-free). The oracle
+    is the plain join — bucketing changes layout, never results."""
+    from ..operators.joins import write_bucketed
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    write_bucketed(o, "q_jb_orders", ["okey"], 8)
+    write_bucketed(li, "q_jb_lineitem", ["okey"], 8)
+    joined = spark.table("q_jb_orders").join(spark.table("q_jb_lineitem"), "okey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        exact_sum("l_extendedprice").alias("total_price"),
+    )
+
+
 # =====================================================================
 # Window functions
 # =====================================================================
