@@ -65,6 +65,19 @@ def write_bucketed(
     analogue of the reference's partition-key fan-out (convert.go:57-67)
     applied to join keys instead of output paths.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a warehouse dir left by a previous *process* is an orphan to this
+    # session's in-memory catalog, and saveAsTable refuses the location
+    # (LOCATION_ALREADY_EXISTS); clear it for local filesystems
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse"))
+    if wh.scheme in ("", "file"):
+        shutil.rmtree(os.path.join(wh.path, table.lower()), ignore_errors=True)
+
     writer = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -2172,6 +2172,43 @@ def q_stream_sliding(spark, sf_dir):
 
 
 @register(
+    "q_stream_static_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join — the canonical streaming pattern:
+    each micro-batch of the event stream joins a static dimension
+    (customer) before aggregating. The static side is planned per batch
+    (broadcast here — it's a dim), so dimension updates are picked up at
+    batch boundaries without restarting the query; no watermark is needed
+    on a static side. Complete-mode aggregation over the enriched stream;
+    the oracle is the identical batch join+GROUP BY."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = _staged_event_stream(spark, sf_dir, "q_stream_sj")
+    # streaming side keeps the fine grain (segment, user) so the exact
+    # distinct-user count stays computable after the sink; the final
+    # rollup over ≤ #users rows is a trivial batch agg
+    per_user = (
+        stream.select("user_id")
+        .join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "user_id")
+        .agg(F.count("*").alias("_n"))
+    )
+    out = _run_stream_to_parquet(spark, per_user, "q_stream_sj", mode="complete")
+    return out.groupBy("c_mktsegment").agg(
+        F.sum("_n").cast("long").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
     "q_stream_stateful",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value,
