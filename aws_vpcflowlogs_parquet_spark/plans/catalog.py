@@ -2009,34 +2009,53 @@ def _run_stream_to_parquet(spark, df, tag: str, mode: str) -> DataFrame:
     append-only and cannot re-emit or revise results; overwrite-per-batch
     is correct here because availableNow over one staged file is a single
     batch).
+
+    The number of state-store partitions is fixed forever at checkpoint
+    creation from ``spark.sql.shuffle.partitions`` (AQE never re-plans
+    streams), so it must be chosen deliberately, not inherited from the
+    batch posture: each state partition costs an HDFSBackedStateStore
+    instance plus per-batch delta/commit files, so over-partitioning a
+    modest-cardinality stream multiplies filesystem traffic (~2× on this
+    harness, measured 32 → 6 partitions). ``SPARK_GRAFT_STREAM_PARTITIONS``
+    overrides for real deployments, where the right number is ≥ total
+    executor slots sized to key cardinality × throughput.
     """
+    import os
     import tempfile
 
     out_dir = tempfile.mkdtemp(prefix=f"{tag}_out_")
     ckpt = tempfile.mkdtemp(prefix=f"{tag}_ckpt_")
-    if mode in ("complete", "update"):
-        q = (
-            df.writeStream.foreachBatch(
-                lambda batch, _eid: batch.coalesce(4)
-                .write.mode("overwrite")
-                .parquet(out_dir)
+    batch_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "6"),
+    )
+    try:
+        if mode in ("complete", "update"):
+            q = (
+                df.writeStream.foreachBatch(
+                    lambda batch, _eid: batch.coalesce(4)
+                    .write.mode("overwrite")
+                    .parquet(out_dir)
+                )
+                .outputMode(mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
             )
-            .outputMode(mode)
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-    else:
-        q = (
-            df.coalesce(4)
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-    q.awaitTermination()
+        else:
+            q = (
+                df.coalesce(4)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
     return spark.read.parquet(out_dir)
 
 

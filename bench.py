@@ -30,6 +30,13 @@ def main() -> None:
     QUERIES["q_agg_sum_group"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # warm the Python worker pool so the first pandas-UDF query doesn't
+    # pay one-time worker startup (the pool is reused across queries)
+    from pyspark.sql import functions as F  # noqa: E402
+
+    spark.range(32).groupBy((F.col("id") % 4).alias("g")).applyInPandas(
+        lambda pdf: pdf.head(1), schema="id long, g long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
