@@ -1840,6 +1840,45 @@ def q_ann_ivf(spark, sf_dir):
 
 
 @register(
+    "q_ann_ivf_multiprobe",
+    oracle=f"""
+    WITH emb AS ({_DUCK_EMB}),
+    cents AS (SELECT vec_id AS cent_id, e AS c FROM emb
+              WHERE vec_id < {sim.IVF_CENTROIDS}),
+    scored AS (
+      SELECT emb.vec_id, emb.e, cent_id, {_duck_cosine('c', 'emb.e')} AS sim_c
+      FROM emb, cents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sim_c DESC, cent_id) AS crk
+      FROM scored
+    ),
+    assigned AS (SELECT vec_id, e, cent_id AS cell FROM ranked WHERE crk = 1),
+    q AS (SELECT vec_id AS query_id, e AS qv, cent_id AS qcell FROM ranked
+          WHERE crk <= {sim.IVF_NPROBE}
+            AND vec_id >= {sim.IVF_CENTROIDS}
+            AND vec_id < {sim.IVF_CENTROIDS + sim.IVF_QUERIES}),
+    pairs AS (
+      SELECT q.query_id, a.vec_id, a.cell, {_duck_cosine('q.qv', 'a.e')} AS sim
+      FROM assigned a JOIN q ON a.cell = q.qcell AND a.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cell, sim, CAST(rk AS INT) AS rk FROM (
+      SELECT query_id, vec_id, cell, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rk
+      FROM pairs
+    ) WHERE rk <= 3
+    """,
+)
+def q_ann_ivf_multiprobe(spark, sf_dir):
+    """Multi-probe IVF ANN (operators/similarity.py ivf_topk_multiprobe):
+    each query scans its nprobe=2 nearest cells — the production recall
+    refinement over q_ann_ivf's single-cell probe, same broadcast
+    equi-join plan shape."""
+    return sim.ivf_topk_multiprobe(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
     "q_map_funcs",
     oracle="""
     SELECT event_id, e.key AS k, e.value AS v FROM (
