@@ -13,7 +13,7 @@ multi-row double aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import TOKENS_EXPR
@@ -120,6 +120,52 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     return df.select(
         "doc_id", "n_chars", "n_tokens", "avg_token_len",
         "punct_ratio", "stopword_ratio", score.alias("quality_score"),
+    )
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k TF-IDF terms per document — the retrieval/feature-extraction
+    primitive of an LLM data pipeline, fully relational:
+
+    explode tokens → per-(doc, term) tf (hash agg, map-side combine) →
+    per-term document frequency (second hash agg over the *already
+    deduped* (doc, term) rows — the shuffle carries one row per distinct
+    pair, not per token) → broadcast the corpus-size scalar → smoothed
+    idf = ln((1+N)/(1+df)) + 1 (sklearn convention) → Window top-k.
+    Scales like the wordcount queries: shuffles keyed on term/doc only,
+    score rounded for cross-engine determinism.
+    """
+    toks = TOKENS_EXPR.format(col="text")
+    tok_rows = documents.select("doc_id", F.explode(F.expr(toks)).alias("t"))
+    tf = tok_rows.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").alias("df"))
+    n_docs = documents.select(
+        F.count("*").alias("n_docs")
+    )  # 1-row frame, broadcast below: no driver-side collect
+    scored = (
+        tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n_docs"))
+                        / (F.lit(1.0) + F.col("df"))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("t"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", F.col("t").alias("term"), "tf", "df", "tfidf",
+                F.col("rk").cast("int").alias("rk"))
     )
 
 

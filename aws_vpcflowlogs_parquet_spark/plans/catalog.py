@@ -1131,6 +1131,34 @@ def q_token_count(spark, sf_dir):
 
 
 @register(
+    "q_tfidf",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY doc_id, t),
+    dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.t, tf.tf, dfq.df,
+             round(tf.tf * (ln((1.0 + n_docs) / (1.0 + df)) + 1.0), 6) AS tfidf
+      FROM tf JOIN dfq USING (t) CROSS JOIN n
+    )
+    SELECT doc_id, t AS term, tf, df, tfidf, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, t) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (operators/text.py
+    tfidf_top_terms): tf and document-frequency hash aggs, broadcast
+    corpus-size scalar, smoothed idf, Window top-k."""
+    return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "q_quality_score",
     oracle=f"""
     SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(n_tokens AS INT) AS n_tokens,
