@@ -92,3 +92,20 @@ def test_shuffle_hash_hint_avoids_sort(spark):
 def test_session_posture_aqe_on(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled", "true") == "true"
+
+
+def test_tfidf_broadcasts_scalar_and_stays_jvm(spark):
+    # the corpus-size scalar must broadcast (never shuffle the tf table
+    # against a 1-row frame) and the whole pipeline stays UDF-free
+    plan = _executed(QUERIES["q_tfidf"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_ann_multiprobe_broadcasts_probes(spark):
+    # both centroid scoring and candidate probing are broadcast joins:
+    # the corpus is scanned, never shuffled
+    plan = _executed(QUERIES["q_ann_ivf_multiprobe"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
