@@ -2009,6 +2009,71 @@ def q_sample_hash(spark, sf_dir):
     return o.select("o_orderkey", bucket.alias("bucket")).filter(F.col("bucket") < 10)
 
 
+_STRATA_RATES = {"F": 5, "O": 10, "P": 50}  # keep-percent per order status
+
+
+@register(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT o_orderkey, o_orderstatus, bucket FROM (
+      SELECT o_orderkey, o_orderstatus,
+             ('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+               % 100 AS bucket
+      FROM orders
+    ) WHERE bucket < CASE o_orderstatus
+        {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
+        ELSE 0 END
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Stratified deterministic sampling: a different keep-rate per class
+    (the class-balance knob of a training-data pipeline). The per-stratum
+    rate table is a broadcast dim join — at 100 TB the fact table is
+    scanned once, filtered map-side, no shuffle; membership is a pure
+    function of the key (same md5 bucket as q_sample_hash) so splits are
+    reproducible across runs, engines, and partitionings."""
+    o = _t(spark, sf_dir, "orders")
+    rates = spark.createDataFrame(
+        [(k, v) for k, v in _STRATA_RATES.items()], "o_orderstatus string, rate int"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    return (
+        o.select("o_orderkey", "o_orderstatus", bucket.alias("bucket"))
+        .join(F.broadcast(rates), "o_orderstatus")
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("o_orderkey", "o_orderstatus", "bucket")
+    )
+
+
+@register(
+    "q_ngram_counts",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM
+             (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tok)),
+    counted AS (SELECT s AS ngram, COUNT(*) AS doc_freq FROM sh GROUP BY s)
+    SELECT ngram, doc_freq FROM counted
+    ORDER BY doc_freq DESC, ngram LIMIT 20
+    """,
+)
+def q_ngram_counts(spark, sf_dir):
+    """Corpus token-3-gram document frequencies, top-20 — the n-gram LM /
+    contamination-check primitive. Reuses the dedup shingle pipeline
+    (operators/dedup.py shingle_rows, distinct per doc), one hash agg
+    keyed on the n-gram, TakeOrderedAndProject for the global top-k (per-
+    partition top-20 then merge — no global sort at any scale)."""
+    sh = dd.shingle_rows(_t(spark, sf_dir, "documents"))
+    return (
+        sh.groupBy(F.col("s").alias("ngram"))
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(20)
+    )
+
+
 @register(
     "q_grouped_pandas",
     oracle="""
