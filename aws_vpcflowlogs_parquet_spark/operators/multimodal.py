@@ -15,7 +15,6 @@ encoding of ``documents.text``, which keeps the operator oracle-checkable
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
 import pandas as pd

@@ -84,3 +84,55 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         lineitem, orders.o_orderkey == lineitem.l_orderkey
     ).count()
     assert joined.count() == expected
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Runtime skew handling: AQE must detect a hot join key's oversized
+    shuffle partition and split it (OptimizeSkewedJoin) — the automatic
+    complement to the manual salted_join. Thresholds are lowered so the
+    skew is visible at test scale; on a cluster the defaults (256 MB)
+    play the same role.
+    """
+    from pyspark.sql import functions as F
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        # the count() below adds a post-join shuffle; without force, AQE
+        # declines to split rather than add an exchange
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        # ~95% of 1M rows on one key; pad makes the hot partition's bytes
+        # unambiguous vs the per-partition skew threshold
+        left = (
+            spark.range(0, 1_000_000)
+            .withColumn(
+                "k",
+                F.when(F.col("id") % 20 < 19, F.lit(1)).otherwise(
+                    F.col("id") % 1000
+                ),
+            )
+            .withColumn("pad", F.repeat(F.md5(F.col("id").cast("string")), 8))
+        )
+        right = (
+            spark.range(0, 1000)
+            .withColumnRenamed("id", "k2")
+            .withColumn("v", F.md5(F.col("k2").cast("string")))
+        )
+        j = left.join(right, left.k == right.k2).select(F.count("*").alias("n"))
+        assert j.collect()[0]["n"] == 1_000_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
