@@ -1603,6 +1603,53 @@ def q_array_agg(spark, sf_dir):
 
 
 @register(
+    "q_array_funcs",
+    oracle="""
+    SELECT p_partkey,
+           COALESCE(array_to_string(list_sort(list_distinct(list_concat(a1, a2))), ','),
+                    '') AS u,
+           COALESCE(array_to_string(list_sort(list_distinct(list_intersect(a1, a2))), ','),
+                    '') AS i,
+           COALESCE(array_to_string(list_sort(list_filter(list_distinct(a1),
+                                     x -> NOT list_contains(a2, x))), ','), '') AS e,
+           list_contains(a1, 10) AS has_ten,
+           COALESCE(list_position(a2, 3), 0) AS pos3,
+           len(a1) + len(a2) AS total_len
+    FROM (
+      SELECT p_partkey,
+             [p_size, p_size + 1, 10, p_size % 7] AS a1,
+             list_transform(generate_series(1, p_size % 5 + 1), i -> i) AS a2
+      FROM part
+    )
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    """Array-function surface: union/intersect/except (set semantics),
+    membership, position, sequence construction — all codegen'd element
+    ops, canonicalized with sort_array + array_join so the comparison is
+    order- and engine-independent. Per-row work only: no shuffle."""
+    p = _t(spark, sf_dir, "part")
+    a1 = F.array(
+        F.col("p_size"), F.col("p_size") + 1, F.lit(10), F.col("p_size") % 7
+    )
+    a2 = F.sequence(F.lit(1), F.col("p_size") % 5 + 1)
+    base = p.select("p_partkey", a1.alias("a1"), a2.alias("a2"))
+
+    def canon(col: F.Column) -> F.Column:
+        return F.array_join(F.sort_array(col).cast("array<string>"), ",")
+
+    return base.select(
+        "p_partkey",
+        canon(F.array_union(F.col("a1"), F.col("a2"))).alias("u"),
+        canon(F.array_intersect(F.col("a1"), F.col("a2"))).alias("i"),
+        canon(F.array_except(F.col("a1"), F.col("a2"))).alias("e"),
+        F.array_contains(F.col("a1"), F.lit(10)).alias("has_ten"),
+        F.coalesce(F.array_position(F.col("a2"), F.lit(3)), F.lit(0)).alias("pos3"),
+        (F.size("a1") + F.size("a2")).alias("total_len"),
+    )
+
+
+@register(
     "q_explode_wordcount",
     oracle=f"""
     SELECT t AS token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
