@@ -1700,6 +1700,32 @@ def q_subquery_in(spark, sf_dir):
     """)
 
 
+_EXISTS_SQL = """
+    SELECT c_custkey, c_mktsegment, c_acctbal
+    FROM {customer} c
+    WHERE EXISTS (SELECT 1 FROM {orders} o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > CAST(300000 AS DOUBLE))
+      AND NOT EXISTS (SELECT 1 FROM {orders} o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+"""
+
+
+@register(
+    "q_exists_subquery",
+    oracle=_EXISTS_SQL.format(customer="customer", orders="orders"),
+)
+def q_exists_subquery(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS with extra predicates — Catalyst
+    decorrelates to a left-semi and a left-anti join (the predicate rides
+    along as a join condition, unlike plain IN). Same ANSI text runs on
+    both engines; the DataFrame twin is q_join_semi_anti."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_ex")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    return spark.sql(_EXISTS_SQL.format(customer="customer_ex", orders="orders_ex"))
+
+
 @register(
     "q_lateral_join",
     oracle="""
