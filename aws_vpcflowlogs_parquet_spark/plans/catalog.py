@@ -1474,6 +1474,79 @@ def q_count_distinct(spark, sf_dir):
 
 
 @register(
+    "q_sketch_kmv",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT o_orderpriority,
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM orders
+    ),
+    r AS (
+      SELECT o_orderpriority, h,
+             row_number() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+      FROM h
+    ),
+    sk AS (
+      SELECT o_orderpriority, MAX(h) AS kth_hash, COUNT(*) AS n_min
+      FROM r WHERE rn <= 64 GROUP BY o_orderpriority
+    ),
+    ex AS (
+      SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_exact
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT sk.o_orderpriority, kth_hash, n_min, n_exact,
+           CASE WHEN n_min < 64 THEN CAST(n_min AS DOUBLE)
+                ELSE 17732923532771328.0 / CAST(kth_hash AS DOUBLE)
+           END AS est_distinct
+    FROM sk JOIN ex USING (o_orderpriority)
+    """,
+)
+def q_sketch_kmv(spark, sf_dir):
+    """KMV (k-minimum-values) distinct-count sketch, k=64, per group —
+    the mergeable-sketch answer to COUNT(DISTINCT) at 100 TB. Unlike
+    approx_count_distinct's HLL (engine-private bit tricks, no oracle),
+    KMV is pure arithmetic on a shared hash: keep the k smallest 48-bit
+    md5 values of the key; if fewer than k survive the count is exact,
+    else estimate (k-1)/frac(kth min). Both engines compute the identical
+    md5 → identical doubles, so an *approximate* algorithm gets an
+    *exact* oracle. Scale shape: the distinct is a map-side-combinable
+    hash agg on (group, hash); the per-group k-min is a TakeOrdered-style
+    window over ≤ |distinct| rows — at real scale each partition keeps
+    its local k smallest and merges (the sketch's union is a k-way min
+    merge), never materializing the full distinct set. n_exact is carried
+    alongside to show the estimate lands within KMV's ~1/sqrt(k) bound."""
+    k = 64
+    o = _t(spark, sf_dir, "orders")
+    h = (
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    hashes = o.select("o_orderpriority", h).distinct()
+    w = Window.partitionBy("o_orderpriority").orderBy("h")
+    sk = (
+        hashes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("o_orderpriority")
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("n_min"))
+    )
+    ex = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    est = F.when(F.col("n_min") < k, F.col("n_min").cast("double")).otherwise(
+        # (k-1) * 2^48 = 17732923532771328, exactly representable in double
+        F.lit(17732923532771328.0) / F.col("kth_hash").cast("double")
+    )
+    return sk.join(F.broadcast(ex), "o_orderpriority").select(
+        "o_orderpriority",
+        "kth_hash",
+        "n_min",
+        "n_exact",
+        est.alias("est_distinct"),
+    )
+
+
+@register(
     "q_argmax",
     oracle="""
     SELECT c_mktsegment, c_custkey AS top_custkey, c_acctbal AS top_acctbal
@@ -2429,6 +2502,45 @@ def q_stream_static_join(spark, sf_dir):
     return out.groupBy("c_mktsegment").agg(
         F.sum("_n").cast("long").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT l.user_id,
+           l.event_id AS click_id,
+           r.event_id AS purchase_id,
+           epoch_us(r.ts) - epoch_us(l.ts) AS delay_us
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join (streaming/windows.py stream_stream_join):
+    click→purchase attribution pairs within a 30-minute event-time
+    horizon, both sides unbounded streams. The time-range join condition
+    plus per-side watermarks bound the join state store (left rows expire
+    once the right watermark passes l_ts + horizon and vice versa), so
+    this sustains an unbounded feed; one availableNow batch sees all
+    rows, so the emitted pair set equals the batch join — the oracle.
+    Pair grain (not a rollup) so the hash verifies the join itself."""
+    from ..streaming.windows import stream_stream_join
+
+    clicks = _staged_event_stream(spark, sf_dir, "q_ssj_l").filter(
+        F.col("event_type") == "click"
+    )
+    purchases = _staged_event_stream(spark, sf_dir, "q_ssj_r").filter(
+        F.col("event_type") == "purchase"
+    )
+    pairs = stream_stream_join(clicks, purchases, horizon="30 minutes")
+    return _run_stream_to_parquet(spark, pairs, "q_ssj", mode="append").select(
+        F.col("l_key").alias("user_id"),
+        F.col("l_event_id").alias("click_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("delay_us"),
     )
 
 

@@ -145,6 +145,47 @@ def stateful_user_stats(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon: str = "30 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time horizon: each left
+    event pairs with right events for the same key whose timestamp falls
+    in ``[left.ts, left.ts + horizon]``.
+
+    Both sides carry a watermark and the join condition bounds right.ts
+    relative to left.ts, which is what lets Spark expire buffered state on
+    BOTH sides: a left row can be dropped once the right watermark passes
+    ``left.ts + horizon``, and a right row once the left watermark passes
+    ``right.ts``. Without the time-range condition the state store grows
+    without bound — the difference between a demo and an operator that
+    survives an unbounded 100 TB/day feed. Matches emit immediately
+    (inner-join append semantics), so latency is one micro-batch, not one
+    watermark delay.
+    """
+    l = left.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    r = right.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str],

@@ -14,6 +14,7 @@ from aws_vpcflowlogs_parquet_spark.sources.tables import load_table, stream_even
 from aws_vpcflowlogs_parquet_spark.streaming.convert_stream import start_flowlog_stream
 from aws_vpcflowlogs_parquet_spark.streaming.windows import (
     sessionized,
+    stream_stream_join,
     streaming_dedup,
     tumbling_agg,
 )
@@ -191,5 +192,75 @@ def test_stateful_user_stats_carries_state_across_batches(spark, tmp_path):
         assert n_batch1 > 0
         assert got.exceptAll(batch).count() == 0
         assert batch.exceptAll(got).count() == 0
+    finally:
+        q.stop()
+
+
+def test_stream_stream_join_buffers_state_across_batches(spark, tmp_path):
+    # a click arriving in micro-batch 1 must stay buffered in the join
+    # state store until its purchase arrives in micro-batch 2: split the
+    # event feed exactly at a known pair's purchase timestamp, feed the
+    # two halves as separate batches, and check the emitted pair set
+    # equals the batch join over the whole table
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    horizon = "480 minutes"
+    events = load_table(spark, SF_DIR, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    batch_pairs = clicks.alias("l").join(
+        purchases.alias("r"),
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") >= F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {horizon}")),
+    )
+    strict = batch_pairs.filter(F.col("r.ts") > F.col("l.ts"))
+    assert strict.count() > 0, "fixture has no cross-timestamp pair to split on"
+    boundary = strict.select(F.max("r.ts").alias("b")).collect()[0]["b"]
+
+    src = tmp_path / "ssj_src"
+    src.mkdir()
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    cut = pa.scalar(boundary, type=tbl.schema.field("ts").type)
+    early = tbl.filter(pc.less(tbl["ts"], cut))
+    late = tbl.filter(pc.greater_equal(tbl["ts"], cut))
+    assert early.num_rows > 0 and late.num_rows > 0
+    pq.write_table(early, src / "events.parquet")
+
+    stream = stream_events(spark, str(src))
+    out = stream_stream_join(
+        stream.filter(F.col("event_type") == "click"),
+        stream.filter(F.col("event_type") == "purchase"),
+        horizon=horizon,
+        watermark="30 minutes",
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ssj_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pq.write_table(late, src / "events2.parquet")
+        q.processAllAvailable()
+        got = spark.sql("SELECT l_key, l_event_id, r_event_id FROM ssj_out")
+        want = batch_pairs.select(
+            F.col("l.user_id").alias("l_key"),
+            F.col("l.event_id").alias("l_event_id"),
+            F.col("r.event_id").alias("r_event_id"),
+        )
+        # the boundary pair itself spans the two batches
+        crossed = got.join(
+            strict.filter(F.col("r.ts") == boundary).select(
+                F.col("l.event_id").alias("l_event_id")
+            ),
+            "l_event_id",
+        )
+        assert crossed.count() > 0, "no pair actually crossed the batch boundary"
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
     finally:
         q.stop()
