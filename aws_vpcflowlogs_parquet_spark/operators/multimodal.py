@@ -76,12 +76,6 @@ RESIZE_SCHEMA = (
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_bytes int, frame_md5 string"
 
 
-def _fake_dims(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for a codec's (width, height) probe."""
-    n = len(payload)
-    return 16 + n % 241, 16 + (n * 7) % 241
-
-
 def resize_images(documents: DataFrame, target_max: int = 64) -> DataFrame:
     """Aspect-preserving resize plan over binary image payloads.
 
@@ -94,8 +88,15 @@ def resize_images(documents: DataFrame, target_max: int = 64) -> DataFrame:
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
 
+        def fake_dims(payload: bytes) -> tuple[int, int]:
+            # inlined _fake_dims: a module-level reference would make
+            # cloudpickle serialize this closure by module path, which
+            # breaks on workers that can't import the engine package
+            n = len(payload)
+            return 16 + n % 241, 16 + (n * 7) % 241
+
         for pdf in batches:
-            dims = pdf["payload"].map(_fake_dims)
+            dims = pdf["payload"].map(fake_dims)
             w = dims.map(lambda d: d[0]).astype("int32")
             h = dims.map(lambda d: d[1]).astype("int32")
             scale = (target_max / w.combine(h, max)).clip(upper=1.0)

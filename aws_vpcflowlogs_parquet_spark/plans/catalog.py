@@ -1217,6 +1217,61 @@ def q_multimodal_meta(spark, sf_dir):
     return mm.extract_features(_t(spark, sf_dir, "documents"))
 
 
+@register(
+    "q_multimodal_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             16 + octet_length(encode(text)) % 241 AS w,
+             16 + (octet_length(encode(text)) * 7) % 241 AS h
+      FROM documents
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           GREATEST(CAST(FLOOR(w * LEAST(64.0 / GREATEST(w, h), 1.0)) AS INT), 1)
+             AS out_width,
+           GREATEST(CAST(FLOOR(h * LEAST(64.0 / GREATEST(w, h), 1.0)) AS INT), 1)
+             AS out_height
+    FROM dims
+    """,
+)
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize planning over opaque binary payloads
+    (operators/multimodal.py resize_images): the codec probe is a
+    deterministic stub (dims from payload length — no image libs in this
+    container) but the dataflow is the production one: binary column in,
+    Arrow-batched mapInPandas, scalar metadata out, one pass, no shuffle.
+    The aspect-preserving scale arithmetic (double divide → multiply →
+    truncate) is replayed exactly by the oracle, so even the stubbed
+    pipeline is value-verified end to end."""
+    return mm.resize_images(_t(spark, sf_dir, "documents"), target_max=64)
+
+
+@register(
+    "q_frame_sample",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, text,
+             GREATEST(octet_length(encode(text)) // 3, 1) AS k
+      FROM documents
+    )
+    SELECT doc_id, CAST(i.i AS INT) AS frame_idx,
+           CAST(length(substring(text, i.i * k + 1, k)) AS INT) AS frame_bytes,
+           md5(substring(text, i.i * k + 1, k)) AS frame_md5
+    FROM k CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i) i
+    """,
+)
+def q_frame_sample(spark, sf_dir):
+    """Video frame sampling over binary payloads
+    (operators/multimodal.py sample_frames): 1:N fan-out inside
+    mapInPandas — the batch function yields n_frames rows per input row,
+    so the fan-out happens executor-side with no explode or shuffle.
+    Frames are deterministic byte slices standing in for codec output;
+    the documents corpus is pure ASCII at every SF, so byte slices equal
+    character slices and DuckDB's VARCHAR substring/md5 replay the frame
+    hashes exactly."""
+    return mm.sample_frames(_t(spark, sf_dir, "documents"), n_frames=3)
+
+
 # =====================================================================
 # Joins II: outer / non-equi / decorrelated  (SURVEY §2.2 join flavors)
 # =====================================================================
