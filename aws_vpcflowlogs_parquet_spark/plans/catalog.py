@@ -1798,6 +1798,42 @@ def q_explode_wordcount(spark, sf_dir):
     )
 
 
+_NOT_IN_SQL_T = """
+    WITH probe AS (
+      SELECT CASE WHEN o_custkey = (SELECT min(o_custkey) FROM {orders}
+                                    WHERE o_orderstatus = 'F')
+                  THEN NULL ELSE o_custkey END AS k
+      FROM {orders} WHERE o_orderstatus = 'F'
+    )
+    SELECT
+      (SELECT COUNT(*) FROM {customer}
+       WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_with_nulls,
+      (SELECT COUNT(*) FROM {customer}
+       WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+        AS n_null_filtered,
+      (SELECT COUNT(*) FROM {customer}
+       WHERE c_custkey IN (SELECT k FROM probe)) AS n_in
+"""
+
+
+@register(
+    "q_not_in_null_aware",
+    oracle=_NOT_IN_SQL_T.format(orders="orders", customer="customer"),
+)
+def q_not_in_null_aware(spark, sf_dir):
+    """Null-aware NOT IN — the three-valued-logic trap as a first-class
+    query: the probe set provably contains one NULL, so ``NOT IN`` must
+    return zero rows (x <> NULL is unknown for every x), while the
+    null-filtered variant anti-joins normally and plain ``IN`` ignores
+    the NULL. Catalyst plans the null-aware case as a special anti join
+    (single-column NAAJ when the build side broadcasts) rather than the
+    plain LeftAnti the filtered variant gets — semantics preserved at any
+    scale, not rewritten away. Identical ANSI SQL in both engines."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ni")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_ni")
+    return spark.sql(_NOT_IN_SQL_T.format(orders="orders_ni", customer="customer_ni"))
+
+
 @register(
     "q_subquery_in",
     oracle="""
@@ -2250,6 +2286,69 @@ def q_sample_stratified(spark, sf_dir):
 
 
 @register(
+    "q_cdc_merge",
+    oracle="""
+    WITH changes AS (
+      SELECT o_orderkey, 'U' AS op, o_orderstatus,
+             o_totalprice + 10.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 3
+      UNION ALL
+      SELECT o_orderkey, 'D', o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 3
+      UNION ALL
+      SELECT o_orderkey + 100000000, 'I', 'N', 1000.0
+      FROM orders WHERE o_orderkey % 11 = 5
+    ),
+    base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders)
+    SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+           COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+           COALESCE(c.o_totalprice, b.o_totalprice) AS o_totalprice
+    FROM base b FULL JOIN changes c ON b.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def q_cdc_merge(spark, sf_dir):
+    """CDC apply / MERGE semantics without a table format: a deterministic
+    changes feed (updates, deletes, inserts keyed on o_orderkey) merged
+    onto the base snapshot in ONE full-outer shuffle join — unmatched base
+    rows pass through, matched 'U' rows take the change's values, 'D'
+    rows drop, unmatched 'I' rows append. This is the incremental-refresh
+    primitive a training-data pipeline needs between full rebuilds (the
+    reference gets idempotency by overwriting whole partition files,
+    convert.go:86; MERGE is that generalized to row granularity). At
+    100 TB the join shuffles on the merge key with AQE skew splitting;
+    with the base bucketed on the key (q_join_bucketed layout) the base
+    side needs no exchange at all."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    upd = base.filter(F.col("o_orderkey") % 7 == 3).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        "o_orderstatus",
+        (F.col("o_totalprice") + F.lit(10.0)).alias("o_totalprice"),
+    )
+    dele = base.filter(
+        (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 7 != 3)
+    ).select("o_orderkey", F.lit("D").alias("op"), "o_orderstatus", "o_totalprice")
+    ins = base.filter(F.col("o_orderkey") % 11 == 5).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(1000.0).alias("o_totalprice"),
+    )
+    changes = upd.unionByName(dele).unionByName(ins)
+    b, c = base.alias("b"), changes.alias("c")
+    merged = b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full_outer")
+    return merged.filter(
+        F.col("c.op").isNull() | (F.col("c.op") != "D")
+    ).select(
+        F.coalesce("c.o_orderkey", "b.o_orderkey").alias("o_orderkey"),
+        F.coalesce("c.o_orderstatus", "b.o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("c.o_totalprice", "b.o_totalprice").alias("o_totalprice"),
+    )
+
+
+@register(
     "q_ngram_counts",
     oracle=f"""
     WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
@@ -2307,6 +2406,53 @@ def q_grouped_pandas(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").select("lang", "n_chars")
     return d.groupBy("lang").applyInPandas(
         stats, schema="lang string, n_docs bigint, median_chars double, mean_chars double"
+    )
+
+
+@register(
+    "q_pandas_udaf",
+    oracle="""
+    SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_pandas_udaf(spark, sf_dir):
+    """Grouped-aggregate pandas UDF (UDAF) — the remaining member of the
+    Python surface (scalar pandas_udf: vectors.py cosine; grouped map:
+    q_grouped_pandas; map iterator: multimodal; stateful map:
+    q_stream_stateful). Each group's column arrives as one Arrow-backed
+    pd.Series; int64 sums are exact and order-independent, so even the
+    Python path keeps an exact oracle. Scale note, stated honestly:
+    pandas UDAFs get NO partial aggregation — every row shuffles to its
+    group's reducer, unlike built-in aggs (one row per task × group). Use
+    them only for aggregates Catalyst cannot express (custom sketches,
+    model-ish reductions); this query's aggregates are deliberately also
+    expressible as built-ins so the oracle can price that trade."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG functionType: the module's future-annotations
+    # turn type hints into strings pyspark can't resolve for locally
+    # imported pandas
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def total_chars(v):
+        return int(v.sum())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return int(v.size)
+
+    d = _t(spark, sf_dir, "documents").select("lang", "n_chars")
+    agg = d.groupBy("lang").agg(
+        total_chars("n_chars").alias("total_chars"),
+        n_rows("n_chars").alias("n_docs"),
+    )
+    return agg.select(
+        "lang",
+        "total_chars",
+        "n_docs",
+        (F.col("total_chars").cast("double") / F.col("n_docs")).alias("mean_chars"),
     )
 
 

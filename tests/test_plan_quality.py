@@ -109,3 +109,27 @@ def test_ann_multiprobe_broadcasts_probes(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark):
+    plan = _executed(QUERIES["q_not_in_null_aware"](spark, SF_DIR))
+    # NOT IN must survive as a null-aware anti join (trailing flag `true`
+    # on the BroadcastHashJoin), not get rewritten to the plain LeftAnti
+    # that would return wrong rows when the probe set contains NULL
+    assert "LeftAnti, BuildRight, true" in plan, plan
+    assert "LeftSemi" in plan, plan  # the IN variant stays a semi join
+
+
+def test_cdc_merge_is_single_full_outer_shuffle(spark):
+    plan = _executed(QUERIES["q_cdc_merge"](spark, SF_DIR))
+    # MERGE = exactly one full-outer join on the merge key; the op-code
+    # predicates push into the parquet scans of the change legs
+    assert plan.count("FullOuter") == 1, plan
+    assert "PushedFilters: [" in plan, plan
+
+
+def test_sketch_kmv_broadcasts_exact_side(spark):
+    plan = _executed(QUERIES["q_sketch_kmv"](spark, SF_DIR))
+    # the 5-row exact-count side joins by broadcast — no shuffle added to
+    # the sketch side beyond its own distinct + window partitioning
+    assert "BroadcastHashJoin" in plan, plan
