@@ -192,3 +192,102 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.expr(fingerprint_expr(toks)).alias("fingerprint")
     )
+
+
+CHUNK_WINDOW = 32  # tokens per chunk
+CHUNK_STRIDE = 24  # tokens between chunk starts (8-token overlap)
+
+
+def chunk_windows(
+    documents: DataFrame,
+    window: int = CHUNK_WINDOW,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """Split each document's token stream into fixed-size context windows
+    with overlap — the chunking step that feeds an embedding or training
+    pipeline. Number of chunks is exact integer arithmetic
+    (ceil((n-W)/S)+1, 1 chunk for short docs); each chunk is a token
+    slice re-joined with single spaces. Everything is codegen'd array
+    arithmetic: sequence→explode fans out chunk indices executor-side
+    (rows ∝ Σ chunks, no driver loop), slice/concat_ws build the chunk —
+    no shuffle at all, output partitioning follows input."""
+    toks = F.expr(TOKENS_EXPR.format(col="text"))
+    d = documents.select("doc_id", toks.alias("t")).withColumn(
+        "n_tokens", F.size("t")
+    )
+    n_chunks = F.when(F.col("n_tokens") <= window, F.lit(1)).otherwise(
+        F.expr(f"int((n_tokens - {window} + {stride} - 1) div {stride}) + 1")
+    )
+    return (
+        d.withColumn("chunk_idx", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(
+                F.col("t"), F.col("chunk_idx") * stride + 1, F.lit(window)
+            ).alias("chunk_toks"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk_toks").alias("chunk_len"),
+            F.concat_ws(" ", F.col("chunk_toks")).alias("chunk_text"),
+        )
+    )
+
+
+def contamination(documents: DataFrame, probe_mod: int = 101) -> DataFrame:
+    """Train/test decontamination: which training documents share a
+     3-token shingle with the benchmark set (here: every ``probe_mod``-th
+    doc stands in for the benchmark). The probe's distinct shingle set is
+    tiny next to the corpus, so the overlap check is a broadcast semi
+    join against the train shingles — at 100 TB the corpus-side shingles
+    stream through map tasks and never shuffle; per-doc totals reuse the
+    shingle pipeline's one shuffle on doc_id."""
+    from .dedup import shingle_rows
+
+    sh = shingle_rows(documents)
+    probe = (
+        sh.filter((F.col("doc_id") % probe_mod) == 0).select("s").distinct()
+    )
+    train = sh.filter((F.col("doc_id") % probe_mod) != 0)
+    totals = train.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    overlap = (
+        train.join(F.broadcast(probe), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    return overlap.join(totals, "doc_id").select(
+        "doc_id",
+        "n_overlap",
+        "n_shingles",
+        (F.col("n_overlap").cast("double") / F.col("n_shingles")).alias(
+            "contamination"
+        ),
+    )
+
+
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """Intra-document repetition: 1 - distinct/total 3-gram shingles — a
+    standard low-quality/boilerplate signal (high ratio = the document
+    repeats itself). Total shingles is pure arithmetic on token count;
+    distinct reuses the shingle pipeline. Docs with < 3 tokens drop out
+    (no shingles, ratio undefined)."""
+    from .dedup import SHINGLE_K, shingle_rows
+
+    toks = F.expr(TOKENS_EXPR.format(col="text"))
+    totals = documents.select(
+        "doc_id", (F.size(toks) - (SHINGLE_K - 1)).alias("n_total")
+    ).filter(F.col("n_total") > 0)
+    distinct = shingle_rows(documents).groupBy("doc_id").agg(
+        F.count("*").alias("n_distinct")
+    )
+    return totals.join(distinct, "doc_id").select(
+        "doc_id",
+        "n_total",
+        "n_distinct",
+        (
+            F.lit(1.0)
+            - F.col("n_distinct").cast("double") / F.col("n_total").cast("double")
+        ).alias("rep_ratio"),
+    )

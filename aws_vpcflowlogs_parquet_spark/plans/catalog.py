@@ -147,7 +147,15 @@ def q_flowlog_parse(spark, sf_dir):
         F.when(F.col("event_id") % 2 == 0, "ACCEPT").otherwise("REJECT"),
         F.when(F.col("event_id") % 7 == 0, "NODATA").otherwise("OK"),
     )
-    parsed = parse_flowlog_lines(ev.select(line.alias("value")))
+    # the staged events table is one parquet file -> a 1-task scan; the
+    # parse (split + 14 try_casts per line) is the expensive stage, so
+    # spread the cheap one-column line frame across the cluster first —
+    # the same reasoning as the converter's file-level parallelism
+    # (one gzip file is also a single-task read, SCALE.md)
+    lines = ev.select(line.alias("value")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    parsed = parse_flowlog_lines(lines)
     return parsed.withColumn(
         "dt", F.date_format("start_time", "yyyy-MM-dd")
     ).drop("start_time")
@@ -1156,6 +1164,101 @@ def q_tfidf(spark, sf_dir):
     tfidf_top_terms): tf and document-frequency hash aggs, broadcast
     corpus-size scalar, smoothed idf, Window top-k."""
     return tx.tfidf_top_terms(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_chunk_windows",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t, len({_DUCK_TOKENS}) AS n_tokens
+      FROM documents
+    ),
+    nc AS (
+      SELECT doc_id, t,
+             CASE WHEN n_tokens <= {tx.CHUNK_WINDOW} THEN 1
+                  ELSE CAST((n_tokens - {tx.CHUNK_WINDOW} + {tx.CHUNK_STRIDE} - 1)
+                            // {tx.CHUNK_STRIDE} AS INT) + 1
+             END AS n_chunks
+      FROM tok
+    ),
+    ch AS (
+      SELECT doc_id, CAST(i.i AS INT) AS chunk_idx,
+             t[i.i * {tx.CHUNK_STRIDE} + 1 :
+               i.i * {tx.CHUNK_STRIDE} + {tx.CHUNK_WINDOW}] AS chunk_toks
+      FROM nc CROSS JOIN LATERAL
+        (SELECT UNNEST(generate_series(0, n_chunks - 1)) AS i) i
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk_toks) AS INT) AS chunk_len,
+           array_to_string(chunk_toks, ' ') AS chunk_text
+    FROM ch
+    """,
+)
+def q_chunk_windows(spark, sf_dir):
+    """Context-window chunking (operators/text.py chunk_windows): each
+    document's token stream cut into 32-token windows every 24 tokens
+    (8-token overlap) — the chunking stage ahead of embedding/training.
+    sequence→explode fans out chunk indices executor-side; slice +
+    concat_ws build chunks inside codegen; zero shuffles. The oracle
+    replays the identical integer window arithmetic with DuckDB list
+    slicing."""
+    return tx.chunk_windows(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_contamination",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    sh AS (SELECT DISTINCT doc_id, s FROM
+             (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tok)),
+    probe AS (SELECT DISTINCT s FROM sh WHERE doc_id % 101 = 0),
+    train AS (SELECT * FROM sh WHERE doc_id % 101 <> 0),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id),
+    ov AS (SELECT doc_id, COUNT(*) AS n_overlap
+           FROM train JOIN probe USING (s) GROUP BY doc_id)
+    SELECT doc_id, n_overlap, n_shingles,
+           CAST(n_overlap AS DOUBLE) / n_shingles AS contamination
+    FROM ov JOIN tot USING (doc_id)
+    """,
+)
+def q_contamination(spark, sf_dir):
+    """Train/test decontamination (operators/text.py contamination):
+    training documents sharing a 3-token shingle with the benchmark probe
+    set (every 101st doc stands in), with per-doc overlap ratios. The
+    probe shingle set broadcasts; corpus shingles never shuffle for the
+    overlap check — the shape that matters when the corpus is 100 TB and
+    the benchmark suite is megabytes."""
+    return tx.contamination(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_repetition",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, len({_DUCK_TOKENS}) - {dd.SHINGLE_K - 1} AS n_total,
+             {_DUCK_TOKENS} AS t
+      FROM documents
+    ),
+    dist AS (
+      SELECT doc_id, COUNT(*) AS n_distinct FROM
+        (SELECT DISTINCT doc_id, s FROM
+          (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tok))
+      GROUP BY doc_id
+    )
+    SELECT tok.doc_id, n_total, n_distinct,
+           1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_total AS DOUBLE)
+             AS rep_ratio
+    FROM tok JOIN dist ON tok.doc_id = dist.doc_id
+    WHERE n_total > 0
+    """,
+)
+def q_repetition(spark, sf_dir):
+    """Intra-document repetition scoring (operators/text.py
+    repetition_scores): 1 - distinct/total 3-gram shingles, the standard
+    boilerplate/low-quality signal. Totals are pure token arithmetic
+    (no second pass over shingles); distinct counts reuse the shingle
+    pipeline's single doc_id shuffle."""
+    return tx.repetition_scores(_t(spark, sf_dir, "documents"))
 
 
 @register(
