@@ -133,3 +133,18 @@ def test_sketch_kmv_broadcasts_exact_side(spark):
     # the 5-row exact-count side joins by broadcast — no shuffle added to
     # the sketch side beyond its own distinct + window partitioning
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_chunk_windows_has_no_exchange(spark):
+    plan = _executed(QUERIES["q_chunk_windows"](spark, SF_DIR))
+    # chunk fan-out is sequence->explode->slice inside the scan pipeline;
+    # a shuffle here would mean the operator doesn't scale with input
+    assert "Exchange" not in plan, plan
+    assert "Generate explode" in plan, plan
+
+
+def test_contamination_broadcasts_probe_set(spark):
+    plan = _executed(QUERIES["q_contamination"](spark, SF_DIR))
+    # the benchmark shingle set joins by broadcast; the corpus-side
+    # shingles must not shuffle for the overlap check
+    assert "BroadcastHashJoin" in plan, plan
