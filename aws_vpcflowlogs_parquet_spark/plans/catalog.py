@@ -2513,6 +2513,66 @@ def q_grouped_pandas(spark, sf_dir):
 
 
 @register(
+    "q_udtf_rle",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, t.t AS token, t.i AS pos
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS ts FROM documents),
+           LATERAL (SELECT UNNEST(ts) AS t,
+                           UNNEST(generate_series(1, len(ts))) AS i) t
+    ),
+    g AS (
+      SELECT doc_id, token, pos,
+             CASE WHEN lag(token) OVER w IS DISTINCT FROM token
+                  THEN 1 ELSE 0 END AS brk
+      FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    r AS (
+      SELECT doc_id, token, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM g
+    )
+    SELECT doc_id, CAST(grp - 1 AS INT) AS run_idx, token,
+           CAST(COUNT(*) AS INT) AS run_len
+    FROM r GROUP BY doc_id, grp, token
+    """,
+)
+def q_udtf_rle(spark, sf_dir):
+    """Python UDTF (table function) — the last member of the Python API
+    triad (scalar pandas UDF, grouped-agg UDAF, and now UDTF): run-length
+    encode each document's token stream, one input row fanning out to one
+    row per run via LATERAL. The oracle restates RLE relationally
+    (lag → break flags → running-sum group ids), which is also this
+    engine's documented scale path — a UDTF is row-at-a-time Python, so
+    it earns its place only for table-generating logic with no relational
+    form; here it exists to pin the API surface and its exact semantics."""
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="run_idx int, token string, run_len int")
+    class RLE:
+        def eval(self, text):
+            toks = [t for t in (text or "").lower().split(" ") if t]
+            if not toks:
+                return
+            run, idx, n = toks[0], 0, 1
+            for t in toks[1:]:
+                if t == run:
+                    n += 1
+                else:
+                    yield (idx, run, n)
+                    idx, run, n = idx + 1, t, 1
+            yield (idx, run, n)
+
+    spark.udtf.register("rle_udtf", RLE)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("documents_rle")
+    return spark.sql(
+        "SELECT doc_id, r.run_idx, r.token, r.run_len "
+        "FROM documents_rle, LATERAL rle_udtf(text) r"
+    )
+
+
+@register(
     "q_pandas_udaf",
     oracle="""
     SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
