@@ -52,10 +52,18 @@ def _scaled_long_dec(col: Column | str, scale: int) -> Column:
 
 
 def exact_sum(col: Column | str, scale: int = EXACT_SCALE) -> Column:
-    """Order-independent SUM over doubles; returns double."""
-    return F.sum(_scaled_long_dec(col, scale)).cast("double") / F.lit(
-        float(10**scale)
-    )
+    """Order-independent SUM over doubles; returns double.
+
+    The final conversion goes decimal → BIGINT → DOUBLE, not decimal →
+    DOUBLE: DuckDB's wide-decimal→double cast misrounds certain negative
+    values needing more than 53 bits (e.g. -9007199255718750 →
+    -9007199255718748.0), while BIGINT→DOUBLE is correctly rounded in
+    both engines. The long hop bounds the *final* |sum·10^scale| at
+    2^63; the decimal accumulator still makes the accumulation itself
+    overflow-proof."""
+    return F.sum(_scaled_long_dec(col, scale)).cast("long").cast(
+        "double"
+    ) / F.lit(float(10**scale))
 
 
 def exact_avg(col: Column | str, scale: int = EXACT_SCALE) -> Column:
@@ -63,15 +71,16 @@ def exact_avg(col: Column | str, scale: int = EXACT_SCALE) -> Column:
     double divides."""
     c = F.col(col) if isinstance(col, str) else col
     return (
-        F.sum(_scaled_long_dec(c, scale)).cast("double") / F.lit(float(10**scale))
+        F.sum(_scaled_long_dec(c, scale)).cast("long").cast("double")
+        / F.lit(float(10**scale))
     ) / F.count(c)
 
 
 def exact_sum_sql(expr: str, scale: int = EXACT_SCALE) -> str:
     """Oracle-side twin of :func:`exact_sum` (identical arithmetic)."""
     return (
-        f"CAST(SUM(CAST(FLOOR(({expr}) * {float(10 ** scale)} + 0.5) AS BIGINT)"
-        f"::DECIMAL({EXACT_PRECISION},0)) AS DOUBLE) / {float(10 ** scale)}"
+        f"CAST(CAST(SUM(CAST(FLOOR(({expr}) * {float(10 ** scale)} + 0.5) AS BIGINT)"
+        f"::DECIMAL({EXACT_PRECISION},0)) AS BIGINT) AS DOUBLE) / {float(10 ** scale)}"
     )
 
 

@@ -2619,6 +2619,95 @@ def q_pandas_udaf(spark, sf_dir):
     )
 
 
+@register(
+    "q_gap_fill",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT t.event_type,
+           strftime(s.hour, '%Y-%m-%d %H:%M:%S') AS hour_s,
+           COALESCE(c.n, 0) AS n
+    FROM types t CROSS JOIN spine s
+    LEFT JOIN counts c ON c.event_type = t.event_type AND c.hour = s.hour
+    """,
+)
+def q_gap_fill(spark, sf_dir):
+    """Time-series gap filling: a dense (event_type × hour) grid from the
+    stream's observed time range, zero-filling hours with no events —
+    what every dashboard/alerting rollup needs before rate math. The
+    hour spine comes from one 1-row aggregate exploded through
+    ``sequence(lo, hi, interval 1 hour)``; spine × type grid and the
+    grid←counts join are both broadcasts (the grid is O(types × hours),
+    tiny next to the event scan at any data size)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    )
+    bounds = ev.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("interval 1 hour"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy("event_type", "hour").agg(F.count("*").alias("n"))
+    grid = types.crossJoin(F.broadcast(spine))
+    return grid.join(F.broadcast(counts), ["event_type", "hour"], "left").select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour_s"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )
+
+
+@register(
+    "q_window_fill",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT user_id, event_id,
+           v IS NULL AS was_gap,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled
+    FROM s
+    """,
+)
+def q_window_fill(spark, sf_dir):
+    """Forward fill (last-observation-carried-forward): sensor-style gaps
+    (every 5th reading nulled deterministically) repaired with
+    ``last_value(..., ignoreNulls=True)`` over a per-user event-time
+    order. The order key (ts, event_id) is total, so the fill is
+    deterministic under ties; leading gaps stay NULL by construction.
+    One shuffle on user_id, single-pass frame evaluation — the same
+    shape as every other window query at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        v.isNull().alias("was_gap"),
+        F.last(v, ignorenulls=True).over(w).alias("filled"),
+    )
+
+
 # =====================================================================
 # Structured Streaming surface (batch-equivalent, oracle-checked)
 # =====================================================================

@@ -10,7 +10,7 @@ that fixed fixtures miss.
 from __future__ import annotations
 
 import duckdb
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StructField, StructType
@@ -37,6 +37,9 @@ VALUES = st.lists(
 
 
 @given(vals=VALUES, parts=st.sampled_from([1, 3, 7]))
+# regression: DuckDB's wide-decimal->double cast misrounds this negative
+# >53-bit value; the helpers route the final cast through BIGINT instead
+@example(vals=[-9007199255.71875], parts=1)
 @settings(
     max_examples=20,
     deadline=None,
