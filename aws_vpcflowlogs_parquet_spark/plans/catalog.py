@@ -2619,6 +2619,129 @@ def q_pandas_udaf(spark, sf_dir):
     )
 
 
+# Typed flow-log frame synthesized deterministically from events — the
+# analytic surface the reference enables via Athena over its Glue table
+# (template.yml:116-168): these are the queries a flow-log user actually
+# runs. The Spark builder and the DuckDB CTE are kept textually parallel.
+_FLOW_SQL_DUCK = """
+    SELECT lpad(CAST(user_id % 4 AS VARCHAR), 12, '0') AS account,
+           concat('10.', CAST(user_id % 64 AS VARCHAR), '.',
+                  CAST(event_id % 16 AS VARCHAR), '.',
+                  CAST(1 + event_id % 200 AS VARCHAR)) AS srcaddr,
+           concat('10.', CAST((user_id + 7) % 64 AS VARCHAR), '.',
+                  CAST((event_id + 3) % 16 AS VARCHAR), '.',
+                  CAST(1 + (event_id + 11) % 200 AS VARCHAR)) AS dstaddr,
+           CAST(CAST(floor(value) AS INT) % 32768 AS INT) AS srcport,
+           CASE WHEN event_id % 3 = 0 THEN 443 ELSE 80 END AS dstport,
+           CASE WHEN event_id % 5 = 0 THEN 17 ELSE 6 END AS protocol,
+           CAST(event_id % 100 AS INT) AS packets,
+           CAST(CAST(floor(value * 10) AS INT) AS INT) AS bytes,
+           CASE WHEN event_id % 2 = 0 THEN 'ACCEPT' ELSE 'REJECT' END AS action
+    FROM events
+"""
+
+
+def _flow_frame(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.lpad((F.col("user_id") % 4).cast("string"), 12, "0").alias("account"),
+        F.concat(
+            F.lit("10."),
+            (F.col("user_id") % 64).cast("string"),
+            F.lit("."),
+            (F.col("event_id") % 16).cast("string"),
+            F.lit("."),
+            (1 + F.col("event_id") % 200).cast("string"),
+        ).alias("srcaddr"),
+        F.concat(
+            F.lit("10."),
+            ((F.col("user_id") + 7) % 64).cast("string"),
+            F.lit("."),
+            ((F.col("event_id") + 3) % 16).cast("string"),
+            F.lit("."),
+            (1 + (F.col("event_id") + 11) % 200).cast("string"),
+        ).alias("dstaddr"),
+        (F.floor("value").cast("int") % 32768).cast("int").alias("srcport"),
+        F.when(F.col("event_id") % 3 == 0, 443).otherwise(80).alias("dstport"),
+        F.when(F.col("event_id") % 5 == 0, 17).otherwise(6).alias("protocol"),
+        (F.col("event_id") % 100).cast("int").alias("packets"),
+        F.floor(F.col("value") * 10).cast("int").alias("bytes"),
+        F.when(F.col("event_id") % 2 == 0, "ACCEPT")
+        .otherwise("REJECT")
+        .alias("action"),
+    )
+
+
+@register(
+    "q_flowlog_top_talkers",
+    oracle=f"""
+    WITH fl AS ({_FLOW_SQL_DUCK})
+    SELECT srcaddr, dstaddr,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(packets) AS BIGINT) AS total_packets,
+           COUNT(*) AS n_flows
+    FROM fl WHERE action = 'ACCEPT'
+    GROUP BY srcaddr, dstaddr
+    ORDER BY total_bytes DESC, srcaddr, dstaddr LIMIT 10
+    """,
+)
+def q_flowlog_top_talkers(spark, sf_dir):
+    """Top talkers — the first query anyone runs on VPC flow logs (the
+    Athena surface the reference exists to enable): Σbytes by
+    (src, dst) over accepted flows, top 10 with a total tie-break.
+    Hash agg with map-side partials, then TakeOrderedAndProject — the
+    top-k never materializes the full pair distribution on one node."""
+    fl = _flow_frame(spark, sf_dir)
+    return (
+        fl.filter(F.col("action") == "ACCEPT")
+        .groupBy("srcaddr", "dstaddr")
+        .agg(
+            F.sum("bytes").alias("total_bytes"),
+            F.sum("packets").alias("total_packets"),
+            F.count("*").alias("n_flows"),
+        )
+        .orderBy(F.desc("total_bytes"), "srcaddr", "dstaddr")
+        .limit(10)
+    )
+
+
+@register(
+    "q_flowlog_reject_ratio",
+    oracle=f"""
+    WITH fl AS ({_FLOW_SQL_DUCK})
+    SELECT account,
+           COUNT(*) AS n_flows,
+           COUNT(*) FILTER (action = 'REJECT') AS n_rejects,
+           CAST(COUNT(*) FILTER (action = 'REJECT') AS DOUBLE) / COUNT(*)
+             AS reject_ratio,
+           COUNT(DISTINCT srcaddr) AS n_src,
+           COUNT(DISTINCT CASE WHEN action = 'REJECT' THEN dstport END)
+             AS n_rejected_ports
+    FROM fl GROUP BY account
+    """,
+)
+def q_flowlog_reject_ratio(spark, sf_dir):
+    """Per-account security posture — reject ratios and scanned-port
+    spread, the standard flow-log triage rollup. Conditional aggregates
+    ride the same single hash agg; the per-account grain (4 accounts
+    here, thousands in a real org) is the partition-pruning column the
+    converter writes (dt, account), so on the real table this reads one
+    account's files only."""
+    fl = _flow_frame(spark, sf_dir)
+    is_rej = F.col("action") == "REJECT"
+    return fl.groupBy("account").agg(
+        F.count("*").alias("n_flows"),
+        F.count(F.when(is_rej, 1)).alias("n_rejects"),
+        (F.count(F.when(is_rej, 1)).cast("double") / F.count("*")).alias(
+            "reject_ratio"
+        ),
+        F.countDistinct("srcaddr").alias("n_src"),
+        F.countDistinct(F.when(is_rej, F.col("dstport"))).alias(
+            "n_rejected_ports"
+        ),
+    )
+
+
 @register(
     "q_gap_fill",
     oracle="""
