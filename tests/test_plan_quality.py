@@ -148,3 +148,18 @@ def test_contamination_broadcasts_probe_set(spark):
     # the benchmark shingle set joins by broadcast; the corpus-side
     # shingles must not shuffle for the overlap check
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_flowlog_top_talkers_uses_take_ordered(spark):
+    plan = _executed(QUERIES["q_flowlog_top_talkers"](spark, SF_DIR))
+    # top-10 must be TakeOrderedAndProject (per-partition heaps + merge),
+    # never a global sort followed by limit
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_gap_fill_grid_joins_broadcast(spark):
+    plan = _executed(QUERIES["q_gap_fill"](spark, SF_DIR))
+    # the (type x hour) spine grid is tiny at any scale; both grid joins
+    # must broadcast rather than shuffle the event counts
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
