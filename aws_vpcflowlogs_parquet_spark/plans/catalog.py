@@ -3105,10 +3105,19 @@ def q_stream_stream_join(spark, sf_dir):
     Pair grain (not a rollup) so the hash verifies the join itself."""
     from ..streaming.windows import stream_stream_join
 
-    clicks = _staged_event_stream(spark, sf_dir, "q_ssj_l").filter(
-        F.col("event_type") == "click"
+    # one staged dir, two independent stream readers over it (each side
+    # of a stream-stream join is its own source instance regardless)
+    import os
+    import tempfile
+
+    from ..sources.tables import stream_events
+
+    src_dir = tempfile.mkdtemp(prefix="q_ssj_src_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
     )
-    purchases = _staged_event_stream(spark, sf_dir, "q_ssj_r").filter(
+    clicks = stream_events(spark, src_dir).filter(F.col("event_type") == "click")
+    purchases = stream_events(spark, src_dir).filter(
         F.col("event_type") == "purchase"
     )
     pairs = stream_stream_join(clicks, purchases, horizon="30 minutes")
