@@ -2743,6 +2743,73 @@ def q_flowlog_reject_ratio(spark, sf_dir):
 
 
 @register(
+    "q_cidr_enrich",
+    oracle=f"""
+    WITH fl AS ({_FLOW_SQL_DUCK}),
+    ip AS (
+      SELECT srcaddr, bytes,
+             CAST(string_split(srcaddr, '.')[1] AS BIGINT) * 16777216
+           + CAST(string_split(srcaddr, '.')[2] AS BIGINT) * 65536
+           + CAST(string_split(srcaddr, '.')[3] AS BIGINT) * 256
+           + CAST(string_split(srcaddr, '.')[4] AS BIGINT) AS ip_num
+      FROM fl WHERE action = 'ACCEPT'
+    ),
+    subnets AS (
+      SELECT 167772160 + i.i * 65536 AS lo,
+             167772160 + i.i * 65536 + 65535 AS hi,
+             concat('10.', CAST(i.i AS VARCHAR), '.0.0/16') AS cidr,
+             CASE i.i % 4 WHEN 0 THEN 'dmz' WHEN 1 THEN 'app'
+                          WHEN 2 THEN 'db' ELSE 'mgmt' END AS zone
+      FROM (SELECT UNNEST(generate_series(0, 63)) AS i) i
+    )
+    SELECT zone, cidr,
+           COUNT(*) AS n_flows,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes
+    FROM ip JOIN subnets ON ip_num >= lo AND ip_num <= hi
+    GROUP BY zone, cidr
+    """,
+)
+def q_cidr_enrich(spark, sf_dir):
+    """CIDR subnet enrichment — the flow-log range join: src addresses
+    parsed to a 32-bit integer (split + positional arithmetic, all
+    codegen) and matched to a 64-row /16 prefix table by containment
+    (ip_num BETWEEN lo AND hi). The subnet dim broadcasts, so the
+    non-equi join is a per-row broadcast probe — flows never shuffle for
+    the lookup; only the final (zone, cidr) rollup aggregates. This is
+    the enrichment every flow-log deployment bolts on (security zones,
+    VPC ranges) and the reference's Athena users hand-write daily."""
+    fl = _flow_frame(spark, sf_dir)
+    part = F.split(F.col("srcaddr"), "\\.")
+    ip = fl.filter(F.col("action") == "ACCEPT").select(
+        (
+            part.getItem(0).cast("bigint") * 16777216
+            + part.getItem(1).cast("bigint") * 65536
+            + part.getItem(2).cast("bigint") * 256
+            + part.getItem(3).cast("bigint")
+        ).alias("ip_num"),
+        "bytes",
+    )
+    i = F.col("id")
+    subnets = spark.range(0, 64).select(
+        (F.lit(167772160) + i * 65536).alias("lo"),
+        (F.lit(167772160) + i * 65536 + 65535).alias("hi"),
+        F.concat(F.lit("10."), i.cast("string"), F.lit(".0.0/16")).alias("cidr"),
+        F.element_at(
+            F.array(F.lit("dmz"), F.lit("app"), F.lit("db"), F.lit("mgmt")),
+            (i % 4).cast("int") + 1,
+        ).alias("zone"),
+    )
+    return (
+        ip.join(
+            F.broadcast(subnets),
+            (F.col("ip_num") >= F.col("lo")) & (F.col("ip_num") <= F.col("hi")),
+        )
+        .groupBy("zone", "cidr")
+        .agg(F.count("*").alias("n_flows"), F.sum("bytes").alias("total_bytes"))
+    )
+
+
+@register(
     "q_gap_fill",
     oracle="""
     WITH b AS (
