@@ -121,3 +121,16 @@ def test_approx_count_distinct_within_bound(spark):
     ).collect()[0]
     assert row["exact"] > 0
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.10
+
+
+def test_kmv_estimate_within_theoretical_bound(spark):
+    # KMV with k=64 has relative standard error ~1/sqrt(k-2) ≈ 12.7%;
+    # assert every group's estimate lands within 4 sigma of the exact
+    # count — validates the estimator, not just the arithmetic mirror
+    from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
+
+    rows = QUERIES["q_sketch_kmv"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r["est_distinct"] - r["n_exact"]) / r["n_exact"]
+        assert rel_err < 4 / (62 ** 0.5), (r["o_orderpriority"], rel_err)
