@@ -163,3 +163,13 @@ def test_gap_fill_grid_joins_broadcast(spark):
     # must broadcast rather than shuffle the event counts
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_per_group_gets_window_group_limit(spark):
+    # rank<=k predicates over ranking windows must trigger Spark's
+    # WindowGroupLimit rewrite: per-partition k-row heaps ahead of the
+    # shuffle instead of ranking every row then filtering — the difference
+    # between shuffling k rows/group and shuffling the corpus
+    for name in ("q_tfidf", "q_window_rank"):
+        plan = _executed(QUERIES[name](spark, SF_DIR))
+        assert "WindowGroupLimit" in plan, (name, plan)
