@@ -2573,6 +2573,80 @@ def q_udtf_rle(spark, sf_dir):
 
 
 @register(
+    "q_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS INT) AS n_chars,
+           CAST(len(regexp_extract_all(text, '[aeiou]')) AS INT) AS n_vowels
+    FROM documents
+    """,
+)
+def q_map_in_arrow(spark, sf_dir):
+    """``mapInArrow`` — the zero-copy sibling of mapInPandas: the batch
+    function sees raw pyarrow RecordBatches and answers with pyarrow
+    compute kernels, skipping the Arrow→pandas→Arrow conversion entirely
+    (the right choice when the Python logic is itself vectorized Arrow
+    compute). Same scale shape as every map-partitions operator: no
+    shuffle, no driver, batches stream through executors."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fn(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"),
+                    pc.cast(pc.utf8_length(b.column("text")), pa.int32()),
+                    pc.cast(
+                        pc.count_substring_regex(b.column("text"), "[aeiou]"),
+                        pa.int32(),
+                    ),
+                ],
+                names=["doc_id", "n_chars", "n_vowels"],
+            )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(fn, schema="doc_id bigint, n_chars int, n_vowels int")
+
+
+@register(
+    "q_trimmed_mean",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             percent_rank() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey) AS pr
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_kept,
+           {exact_sum_sql('o_totalprice', 2)} AS kept_sum,
+           {exact_avg_sql('o_totalprice', 2)} AS trimmed_mean
+    FROM ranked WHERE pr >= 0.1 AND pr <= 0.9
+    GROUP BY o_orderstatus
+    """,
+)
+def q_trimmed_mean(spark, sf_dir):
+    """Robust aggregation: per-status 10%-trimmed mean of order value —
+    outliers cut by percent_rank over a total order (ties broken by
+    o_orderkey so the trim boundary is deterministic), then the exact
+    decimal mean over the kept middle 80%. One shuffle for the window,
+    the agg reuses its partitioning. percent_rank's (rank-1)/(n-1)
+    arithmetic is a single double divide — identical in both engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_orderstatus", "o_totalprice", F.percent_rank().over(w).alias("pr")
+    )
+    kept = ranked.filter((F.col("pr") >= 0.1) & (F.col("pr") <= 0.9))
+    return kept.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_kept"),
+        exact_sum("o_totalprice", 2).alias("kept_sum"),
+        exact_avg("o_totalprice", 2).alias("trimmed_mean"),
+    )
+
+
+@register(
     "q_pandas_udaf",
     oracle="""
     SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
