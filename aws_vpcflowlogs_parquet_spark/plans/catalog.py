@@ -2573,6 +2573,43 @@ def q_udtf_rle(spark, sf_dir):
 
 
 @register(
+    "q_higher_order",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(t, x -> length(x) >= 4)) AS INT) AS n_long,
+           CAST(list_reduce(list_prepend(0, list_transform(t, x -> length(x))),
+                            (a, x) -> a + x) AS INT) AS total_chars,
+           CAST(list_reduce(list_prepend(0, list_transform(t, x -> length(x))),
+                            (a, x) -> GREATEST(a, x)) AS INT)
+             AS max_token_len
+    FROM tok
+    """,
+)
+def q_higher_order(spark, sf_dir):
+    """Higher-order array lambdas as a first-class surface — transform /
+    filter / aggregate evaluated inside codegen per row, the idiom that
+    keeps array logic out of Python UDFs entirely: per-doc long-token
+    count, total token characters (a fold), and max token length (a
+    fold with a conditional combiner). DuckDB replays the same folds
+    with list_reduce over a 0-seeded list — using GREATEST as the max
+    combiner: a CASE-expression lambda inside DuckDB's list_reduce
+    returns row-misaligned results under full-table vectorized
+    execution (reproducible: correct with a WHERE doc_id IN (...)
+    filter, wrong without), so the oracle avoids that construct."""
+    toks = F.expr(dd.TOKENS_EXPR.format(col="text"))
+    lens = F.transform(toks, lambda x: F.length(x))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) >= 4)).alias("n_long"),
+        F.aggregate(lens, F.lit(0), lambda a, x: a + x).alias("total_chars"),
+        F.aggregate(
+            lens, F.lit(0), lambda a, x: F.when(x > a, x).otherwise(a)
+        ).alias("max_token_len"),
+    )
+
+
+@register(
     "q_map_in_arrow",
     oracle="""
     SELECT doc_id,
