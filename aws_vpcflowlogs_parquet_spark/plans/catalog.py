@@ -2573,6 +2573,51 @@ def q_udtf_rle(spark, sf_dir):
 
 
 @register(
+    "q_struct_funcs",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, o_orderdate, o_totalprice, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_totalprice, o_orderkey)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+      FROM orders
+    )
+    SELECT o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS first_date,
+           o_totalprice AS first_price,
+           o_orderkey AS first_orderkey,
+           n_orders
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_struct_funcs(spark, sf_dir):
+    """Struct ordering semantics: ``min`` over a STRUCT compares fields
+    lexicographically, so min(struct(date, price, key)) IS the per-group
+    argmin with tie-breaks — one hash agg carrying a 3-field struct, no
+    window, no sort. The oracle states the identical semantics as a
+    ROW_NUMBER pick (DuckDB's struct comparison exists too, but the
+    window form is the unambiguous ANSI statement). Complements
+    q_argmax's max_by: same problem, the struct-comparison idiom."""
+    o = _t(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderdate").alias("d"),
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderkey").alias("k"),
+    )
+    agg = o.groupBy("o_custkey").agg(
+        F.min(s).alias("first"), F.count("*").alias("n_orders")
+    )
+    return agg.select(
+        "o_custkey",
+        F.date_format("first.d", "yyyy-MM-dd").alias("first_date"),
+        F.col("first.p").alias("first_price"),
+        F.col("first.k").alias("first_orderkey"),
+        "n_orders",
+    )
+
+
+@register(
     "q_higher_order",
     oracle=f"""
     WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents)
