@@ -2573,6 +2573,127 @@ def q_udtf_rle(spark, sf_dir):
 
 
 @register(
+    "q_bloom_filter",
+    oracle="""
+    WITH member AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal < -800
+    ),
+    mh AS (
+      SELECT c_custkey,
+             ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(CAST(c_custkey AS VARCHAR)), 9, 8))::BIGINT AS h2
+      FROM member
+    ),
+    mbits AS (
+      SELECT (h1 + i.i * h2) % 1024 AS bit
+      FROM mh CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i) i
+    ),
+    bitmap AS (
+      SELECT CAST(bit // 32 AS INT) AS lane,
+             bit_or(CAST(1 AS BIGINT) << CAST(bit % 32 AS INT)) AS bits
+      FROM mbits GROUP BY 1
+    ),
+    probe AS (
+      SELECT o_orderkey, o_custkey,
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 9, 8))::BIGINT AS h2
+      FROM orders
+    ),
+    pbits AS (
+      SELECT o_orderkey, o_custkey,
+             (h1 + i.i * h2) % 1024 AS bit
+      FROM probe CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS i) i
+    ),
+    checked AS (
+      SELECT p.o_orderkey, p.o_custkey,
+             min(CASE WHEN b.bits IS NOT NULL
+                       AND (b.bits & (CAST(1 AS BIGINT) << CAST(p.bit % 32 AS INT))) <> 0
+                      THEN 1 ELSE 0 END) AS bloom_hit
+      FROM pbits p LEFT JOIN bitmap b ON b.lane = CAST(p.bit // 32 AS INT)
+      GROUP BY 1, 2
+    )
+    SELECT COUNT(*) AS n_probed,
+           CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_pos,
+           COUNT(*) FILTER (o_custkey IN (SELECT c_custkey FROM member))
+             AS n_true_pos
+    FROM checked
+    """,
+)
+def q_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership pre-filter, built relationally with shared
+    arithmetic (m=1024 bits as 32×32-bit lanes, k=3 md5-derived probes —
+    the Carter-Wegman h1+i·h2 scheme the minhash pipeline also uses):
+    the denylist's bitmap is a ≤32-row aggregate that BROADCASTS, and
+    probing is pure bit arithmetic per row — the classic 100 TB pattern
+    for skipping an expensive semi-join shuffle when most probes miss
+    (Spark's own runtime row-group Bloom pruning works the same way, but
+    engine-private; this one is oracle-verifiable bit-for-bit). Output
+    counts bloom positives vs exact membership: every true member is a
+    bloom positive (no false negatives, the Bloom guarantee), and the
+    gap is the measured false-positive cost."""
+    cust = _t(spark, sf_dir, "customer")
+    member = cust.filter(F.col("c_acctbal") < -800).select("c_custkey").distinct()
+
+    def h12(key_col):
+        md5 = F.md5(key_col.cast("string"))
+        h1 = F.conv(F.substring(md5, 1, 8), 16, 10).cast("bigint")
+        h2 = F.conv(F.substring(md5, 9, 8), 16, 10).cast("bigint")
+        return h1, h2
+
+    i = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("i")
+    mh1, mh2 = h12(F.col("c_custkey"))
+    mbits = member.select(mh1.alias("h1"), mh2.alias("h2")).select(
+        i, "h1", "h2"
+    ).select(((F.col("h1") + F.col("i") * F.col("h2")) % 1024).alias("bit"))
+    # shiftleft() only takes a literal count; column shift amounts need expr
+    mask = F.expr("shiftleft(cast(1 as bigint), cast(bit % 32 as int))")
+    bitmap = mbits.groupBy((F.col("bit") / 32).cast("int").alias("lane")).agg(
+        F.bit_or(mask).alias("bits")
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    ph1, ph2 = h12(F.col("o_custkey"))
+    pbits = o.select("o_orderkey", "o_custkey", ph1.alias("h1"), ph2.alias("h2")).select(
+        "o_orderkey", "o_custkey", i, "h1", "h2"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        ((F.col("h1") + F.col("i") * F.col("h2")) % 1024).alias("bit"),
+    )
+    checked = (
+        pbits.join(
+            F.broadcast(bitmap),
+            F.col("lane") == (F.col("bit") / 32).cast("int"),
+            "left",
+        )
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.col("bits").bitwiseAND(mask) != 0),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.min("hit").alias("bloom_hit"))
+    )
+    # exact membership via broadcast left join, aggregated alongside
+    is_member = member.withColumn("_m", F.lit(1))
+    return (
+        checked.join(
+            F.broadcast(is_member),
+            checked.o_custkey == is_member.c_custkey,
+            "left",
+        )
+        .agg(
+            F.count("*").alias("n_probed"),
+            F.sum("bloom_hit").cast("long").alias("n_bloom_pos"),
+            F.count(F.col("_m")).alias("n_true_pos"),
+        )
+    )
+
+
+@register(
     "q_struct_funcs",
     oracle="""
     WITH ranked AS (

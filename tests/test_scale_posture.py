@@ -134,3 +134,14 @@ def test_kmv_estimate_within_theoretical_bound(spark):
     for r in rows:
         rel_err = abs(r["est_distinct"] - r["n_exact"]) / r["n_exact"]
         assert rel_err < 4 / (62 ** 0.5), (r["o_orderpriority"], rel_err)
+
+
+def test_bloom_filter_has_no_false_negatives(spark):
+    # the Bloom guarantee: every true member is a bloom positive. The
+    # false-positive overshoot is bounded loosely (k=3, m=1024 vs a
+    # few-hundred-key member set keeps it far under 10% of probes).
+    from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
+
+    row = QUERIES["q_bloom_filter"](spark, SF_DIR).collect()[0]
+    assert row["n_bloom_pos"] >= row["n_true_pos"]
+    assert row["n_bloom_pos"] - row["n_true_pos"] <= row["n_probed"] * 0.1
