@@ -2573,6 +2573,66 @@ def q_udtf_rle(spark, sf_dir):
 
 
 @register(
+    "q_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM s1) AS n_viewed,
+           (SELECT COUNT(*) FROM s2) AS n_clicked_after,
+           (SELECT COUNT(*) FROM s3) AS n_purchased_after
+    """,
+)
+def q_funnel(spark, sf_dir):
+    """Ordered event funnel (view → click-after-view →
+    purchase-after-click), the canonical product-analytics query: each
+    stage is min-event-time per user constrained to follow the previous
+    stage's timestamp. Three hash aggs chained by equi-joins on user_id
+    — one shuffle keying that all three stages reuse; stage frames
+    shrink monotonically, so at 100 TB the later joins run against
+    ever-smaller (often broadcastable) sides. The oracle states the same
+    three-CTE chain."""
+    ev = _t(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_viewed"))
+        .crossJoin(s2.agg(F.count("*").alias("n_clicked_after")))
+        .crossJoin(s3.agg(F.count("*").alias("n_purchased_after")))
+    )
+
+
+@register(
     "q_bloom_filter",
     oracle="""
     WITH member AS (
