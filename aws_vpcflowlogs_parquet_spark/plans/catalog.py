@@ -2573,6 +2573,46 @@ def q_udtf_rle(spark, sf_dir):
 
 
 @register(
+    "q_percent_of_total",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderstatus, o_orderkey, o_totalprice,
+             CAST(CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                           ::DECIMAL(38,0))
+                       OVER (PARTITION BY o_orderstatus) AS BIGINT) AS DOUBLE)
+               / 100.0 AS status_total
+      FROM orders
+    )
+    SELECT o_orderstatus, o_orderkey, o_totalprice,
+           status_total,
+           o_totalprice / status_total AS pct_of_status
+    FROM base
+    """,
+)
+def q_percent_of_total(spark, sf_dir):
+    """Ratio-to-report: each order's share of its status group's total —
+    the everyday BI window (unordered partition frame = one value per
+    group, computed without a second scan or join). The denominator uses
+    the exact quantized sum so every row's ratio is bit-deterministic at
+    any partition count; one shuffle on the partition key."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus")
+    scaled = F.floor(F.col("o_totalprice") * F.lit(100.0) + F.lit(0.5)).cast(
+        "decimal(38,0)"
+    )
+    total = (F.sum(scaled).over(w).cast("long").cast("double") / F.lit(100.0)).alias(
+        "status_total"
+    )
+    return o.select(
+        "o_orderstatus",
+        "o_orderkey",
+        "o_totalprice",
+        total,
+        (F.col("o_totalprice") / F.col("status_total")).alias("pct_of_status"),
+    )
+
+
+@register(
     "q_funnel",
     oracle="""
     WITH s1 AS (
