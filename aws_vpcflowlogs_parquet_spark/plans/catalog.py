@@ -2573,6 +2573,40 @@ def q_udtf_rle(spark, sf_dir):
 
 
 @register(
+    "q_json_typed",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_rows,
+           COUNT(k) AS n_parsed,
+           CAST(SUM(k) AS BIGINT) AS sum_k
+    FROM (
+      SELECT event_type,
+             CASE WHEN event_id % 11 = 0 THEN NULL
+                  ELSE CAST(json_extract_string(props, '$.k') AS INT) END AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+)
+def q_json_typed(spark, sf_dir):
+    """Schema-on-read JSON typing: ``from_json`` with an explicit struct
+    schema (vs q_json_funcs' untyped path extraction) — corrupt payloads
+    (every 11th row garbled deterministically) parse to NULL instead of
+    failing the job, the posture a 100 TB semi-structured ingest needs.
+    Typed field access then feeds ordinary aggregates; the corrupt-row
+    count falls out of COUNT(*) - COUNT(field)."""
+    ev = _t(spark, sf_dir, "events")
+    garbled = F.when(
+        F.col("event_id") % 11 == 0, F.lit("not json")
+    ).otherwise(F.col("props"))
+    k = F.from_json(garbled, "struct<k:int>")["k"]
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count("k").alias("n_parsed"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+@register(
     "q_percent_of_total",
     oracle="""
     WITH base AS (

@@ -8,7 +8,7 @@ from aws_vpcflowlogs_parquet_spark.plans.catalog import ORACLES, QUERIES
 
 def test_registry_consistent():
     assert set(ORACLES) == set(QUERIES)
-    assert len(QUERIES) >= 101
+    assert len(QUERIES) >= 102
 
 
 def test_every_oracle_is_substantive():
