@@ -33,14 +33,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def convert_nanos_ts(df: DataFrame, col: str = "ts") -> DataFrame:
-    """events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; with spark.sql.legacy.parquet.nanosAsLong (set in
-    session posture) it surfaces as a long we convert to a microsecond
-    timestamp (integer div — no double round-trip at 2^63 scale)."""
-    if dict(df.dtypes).get(col) == "bigint":
-        from pyspark.sql import functions as F
+    """Normalize events.ts to a session-zone TIMESTAMP regardless of how the
+    generator wrote it:
 
+    - INT64 TIMESTAMP(NANOS): Spark's vectorized reader rejects it; with
+      spark.sql.legacy.parquet.nanosAsLong (session posture) it surfaces as
+      a long we convert with integer div (no double round-trip at 2^63).
+    - timestamp[us] without tz: Spark reads TIMESTAMP_NTZ; cast to TIMESTAMP
+      under the UTC session zone — same wall clock, and downstream
+      time functions (unix_micros, window, watermarks) need TIMESTAMP.
+    """
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
         df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -54,10 +63,9 @@ def stream_events(spark: SparkSession, src: str) -> DataFrame:
 
     schema_src = src if src.endswith(".parquet") else f"{src}/events.parquet"
     raw = spark.read.parquet(schema_src).schema
-    fields = [
-        T.StructField(f.name, T.LongType() if f.name == "ts" else f.dataType, True)
-        for f in raw
-    ]
+    # mirror the batch reader's surfaced type for ts: nanos → long (legacy
+    # flag), micros-no-tz → TIMESTAMP_NTZ; convert_nanos_ts normalizes both
+    fields = [T.StructField(f.name, f.dataType, True) for f in raw]
     stream = spark.readStream.schema(T.StructType(fields)).parquet(src)
     return convert_nanos_ts(stream)
 

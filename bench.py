@@ -17,8 +17,22 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# The driver parses ONE JSON line from stdout. Spark logs go to stderr,
+# but the JVM gateway / Python workers can still emit stray stdout lines
+# (warnings, accumulator chatter). Guarantee a clean channel: save the
+# real stdout fd, then point fd 1 at stderr for the whole run — the JSON
+# line is written to the saved fd at the end, and is the ONLY stdout.
+_REAL_STDOUT_FD = os.dup(1)
+os.dup2(2, 1)
+sys.stdout = sys.stderr
+
 from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES  # noqa: E402
 from aws_vpcflowlogs_parquet_spark.session import get_spark  # noqa: E402
+
+
+def _emit(payload: dict) -> None:
+    line = json.dumps(payload) + "\n"
+    os.write(_REAL_STDOUT_FD, line.encode("utf-8"))
 
 
 def main() -> None:
@@ -56,16 +70,14 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
+    _emit(
+        {
+            "metric": "catalog_total_runtime",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf),
+        }
     )
 
 
