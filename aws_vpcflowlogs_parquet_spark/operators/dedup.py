@@ -237,14 +237,29 @@ def simhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
+NGRAM_PAIRS_MAX_INPUT = 10_000
+
+
 def ngram_jaccard_pairs(documents: DataFrame, max_id: int = 200) -> DataFrame:
     """Exact token-3-gram Jaccard over a bounded id range (all-pairs).
 
     The quadratic all-pairs form is the *verification* kernel; production
     candidate generation is :func:`minhash_lsh_pairs`. ``max_id`` bounds the
-    oracle-checkable form.
+    oracle-checkable form, and the bound is MANDATORY: the filtered input
+    is counted and the call raises if it exceeds ``NGRAM_PAIRS_MAX_INPUT``
+    — a caller wanting corpus-scale near-dup detection must go through
+    minhash_lsh_pairs and use this only on its candidate output. The guard
+    count is one scan of an already-filtered, projected input (cheap next
+    to the n² join it prevents).
     """
     docs = documents.filter(F.col("doc_id") < max_id)
+    n = docs.count()
+    if n > NGRAM_PAIRS_MAX_INPUT:
+        raise ValueError(
+            f"ngram_jaccard_pairs is a quadratic verification kernel; input has "
+            f"{n} rows > bound {NGRAM_PAIRS_MAX_INPUT}. Generate candidates with "
+            f"minhash_lsh_pairs and verify those pairs instead."
+        )
     sigs = shingled(docs).persist()  # referenced by both join sides
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))

@@ -214,25 +214,33 @@ def ivf_topk_multiprobe(
 def embedding_near_dup_pairs(
     embeddings: DataFrame, sample_mod: int = 5, threshold: float = 0.9
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by label.
+    """Embedding-cosine near-dup pairs, blocked on the sign-LSH bucket.
 
-    Blocking on ``label`` turns the n² scan into Σ|block|²; at 100 TB the
-    block key would be an LSH bucket (see :func:`lsh_topk`) — the plan
-    shape (equi-join on block, fold-based cosine, threshold filter) is
-    identical. ``sample_mod`` bounds the oracle-checkable form.
+    The block key is :func:`sign_lsh_bucket_expr` — the same sub-quadratic
+    key the ANN path uses — so the candidate join is an equi-join on the
+    bucket id and comparisons drop from n² to Σ|bucket|². Cosine ≥ 0.9
+    vectors agree on almost all sign bits, so recall loss is the standard
+    LSH trade; at 100 TB this is the only blocking that stays sub-quadratic
+    when a label spans a large fraction of the corpus. ``sample_mod``
+    bounds the oracle-checkable form; both sides emit (vec_a, vec_b,
+    bucket, sim) so the driver hash-compare is exact.
     """
     emb = embeddings.filter(F.col("vec_id") % sample_mod == 0).select(
-        "vec_id", "label", _as_double("embedding").alias("e")
+        "vec_id",
+        _as_double("embedding").alias("e"),
+        F.expr(sign_lsh_bucket_expr("embedding")).alias("bucket"),
     )
     a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("e").alias("ea")
+        F.col("vec_id").alias("vec_a"), F.col("bucket"), F.col("e").alias("ea")
     )
     b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label").alias("label_b"), F.col("e").alias("eb")
+        F.col("vec_id").alias("vec_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("e").alias("eb"),
     )
     pairs = a.join(
-        b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b"))
+        b, (F.col("bucket") == F.col("bucket_b")) & (F.col("vec_a") < F.col("vec_b"))
     ).withColumn("sim", F.round(F.expr(cosine_expr("ea", "eb")), SIM_ROUND))
     return pairs.filter(F.col("sim") >= threshold).select(
-        "vec_a", "vec_b", "label", "sim"
+        "vec_a", "vec_b", "bucket", "sim"
     )

@@ -1075,15 +1075,22 @@ def q_ann_lsh(spark, sf_dir):
 @register(
     "q_embed_dup",
     oracle=f"""
-    WITH emb AS ({_DUCK_EMB}),
+    WITH emb AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             {_duck_lsh_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
     sampled AS (SELECT * FROM emb WHERE vec_id % 5 = 0)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
            {_duck_cosine('a.e', 'b.e')} AS sim
-    FROM sampled a JOIN sampled b ON a.label = b.label AND a.vec_id < b.vec_id
+    FROM sampled a JOIN sampled b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
     WHERE {_duck_cosine('a.e', 'b.e')} >= CAST(0.9 AS DOUBLE)
     """,
 )
 def q_embed_dup(spark, sf_dir):
+    """Sub-quadratic near-dup pairs: the block key is the sign-LSH bucket
+    (operators/similarity.py sign_lsh_bucket_expr), not the label — a label
+    block can be a large fraction of the corpus at 100 TB."""
     return sim.embedding_near_dup_pairs(
         _t(spark, sf_dir, "embeddings"), sample_mod=5, threshold=0.9
     )

@@ -145,3 +145,20 @@ def test_bloom_filter_has_no_false_negatives(spark):
     row = QUERIES["q_bloom_filter"](spark, SF_DIR).collect()[0]
     assert row["n_bloom_pos"] >= row["n_true_pos"]
     assert row["n_bloom_pos"] - row["n_true_pos"] <= row["n_probed"] * 0.1
+
+
+def test_ngram_pairs_guard_rejects_unbounded_input(spark):
+    """The quadratic verification kernel must refuse corpus-scale input:
+    callers get candidates from minhash_lsh_pairs, never all-pairs."""
+    import pytest as _pytest
+
+    from aws_vpcflowlogs_parquet_spark.operators import dedup as dd
+
+    docs = load_table(spark, SF_DIR, "documents")
+    wide = spark.range(dd.NGRAM_PAIRS_MAX_INPUT + 1).selectExpr(
+        "id AS doc_id", "'the quick brown fox jumps over the lazy dog' AS text"
+    )
+    with _pytest.raises(ValueError, match="quadratic verification kernel"):
+        dd.ngram_jaccard_pairs(wide, max_id=dd.NGRAM_PAIRS_MAX_INPUT + 1)
+    # bounded form still works
+    assert dd.ngram_jaccard_pairs(docs, max_id=50).count() >= 0
