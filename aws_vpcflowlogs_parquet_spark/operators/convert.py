@@ -26,15 +26,26 @@ Design decisions (SURVEY §4):
 - **Idempotence**: dynamic partition overwrite replaces exactly the
   partitions present in this batch — the scalable analogue of the
   reference's deterministic output key per source file (convert.go:86).
+  ``src_partition=True`` restores the reference's *per-source-file*
+  granularity (see convert_flowlogs docstring).
+- **Single pass**: strict validation and the distinct partition-key set
+  both ride the write job as CollectMetrics observations — the source is
+  scanned exactly once (the reference also single-passes, convert.go:41-95;
+  our round-1 strict probe paid a second scan).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..schema import PARTITION_COLUMNS
-from ..sources.flowlog import read_flowlog_text
+from ..sources.flowlog import parse_flowlog_lines_observed, raise_if_malformed
+
+# per-source-file partition column (src_partition mode): short content-free
+# hash of the input file path, the analogue of the reference's
+# source-derived output object key (convert.go:86)
+SRC_COLUMN = "src"
 
 
 def with_partition_columns(df: DataFrame) -> DataFrame:
@@ -50,36 +61,69 @@ def convert_flowlogs(
     dst_path: str,
     strict: bool = True,
     overwrite_partitions: bool = True,
+    src_partition: bool = False,
 ) -> list[tuple[str, str]]:
     """Convert raw flow-log text files into the partitioned Parquet table.
 
     Returns the distinct partition keys written, mirroring the reference's
     result{partitionKeys} (convert.go:37-39, main.go:169-172).
+
+    Re-run granularity (reference R14, convert.go:86): with the default
+    layout, dynamic overwrite replaces the *whole* (dt, account) partition
+    — re-converting one source file of a multi-file partition drops the
+    other files' rows. When one partition accumulates from many source
+    files over time, either use ``overwrite_partitions=False`` (append;
+    re-runs duplicate — follow with :func:`compact_partitions` dedup) or
+    ``src_partition=True``, which adds a third partition level
+    ``src=<hash(source file)>`` so dynamic overwrite replaces exactly the
+    re-converted file's own output — the reference's per-source-file
+    idempotence, expressed as partition layout. Register such tables with
+    ``register_flowlog_table(..., src_partitioned=True)``.
+
+    Strict mode is single-pass: the malformed-line counter rides the write
+    job as an observation, and the error is raised *after* the write
+    (valid rows of the failing batch are already written; a re-run of the
+    corrected input overwrites them idempotently). This diverges from the
+    reference's write-nothing abort (convert.go:48-50) in exchange for
+    not scanning 100 TB of source twice.
     """
-    parsed = read_flowlog_text(spark, src_paths, strict=strict)
+    if isinstance(src_paths, str):
+        src_paths = [src_paths]
+    lines = spark.read.text(src_paths)
+    parsed, parse_obs = parse_flowlog_lines_observed(lines)
     partitioned = with_partition_columns(parsed).drop("start_time")
+
+    part_cols = list(PARTITION_COLUMNS)
+    if src_partition:
+        partitioned = partitioned.withColumn(
+            SRC_COLUMN, F.substring(F.sha2(F.input_file_name(), 256), 1, 12)
+        )
+        part_cols.append(SRC_COLUMN)
+
+    # distinct partition-key set (reference pkeySet, main.go:153,169-172)
+    # collected as an observation: bounded metadata (days × accounts), no
+    # second scan of the source
+    key_obs = Observation()
+    partitioned = partitioned.observe(
+        key_obs, F.collect_set(F.struct(*PARTITION_COLUMNS)).alias("pkeys")
+    )
 
     mode = "overwrite" if overwrite_partitions else "append"
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            partitioned.repartition(*PARTITION_COLUMNS)
+            partitioned.repartition(*part_cols)
             .write.mode(mode)
-            .partitionBy(*PARTITION_COLUMNS)
+            .partitionBy(*part_cols)
             .parquet(dst_path, compression="snappy")
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
-    # distinct partition-key set (reference pkeySet, main.go:153,169-172)
-    keys = (
-        partitioned.select(*PARTITION_COLUMNS)
-        .distinct()
-        .orderBy(*PARTITION_COLUMNS)
-        .collect()
-    )
-    return [(r["dt"], r["account"]) for r in keys]
+    if strict:
+        raise_if_malformed(parse_obs)
+    return sorted((r["dt"], r["account"]) for r in key_obs.get["pkeys"])
 
 
 def compact_partitions(spark: SparkSession, src_path: str, dst_path: str) -> int:
@@ -98,6 +142,10 @@ def compact_partitions(spark: SparkSession, src_path: str, dst_path: str) -> int
     single partition exceeds a task's output budget.
     """
     df = spark.read.parquet(src_path)
+    if SRC_COLUMN in df.columns:
+        # src-partitioned layout (per-source-file idempotence): compaction
+        # is exactly the step that retires the per-file granularity
+        df = df.drop(SRC_COLUMN)
     (
         df.repartition(*PARTITION_COLUMNS)
         .write.mode("overwrite")
@@ -111,7 +159,8 @@ def register_flowlog_table(
     spark: SparkSession,
     table: str,
     location: str,
-    partitions: list[tuple[str, str]] | None = None,
+    partitions: list[tuple[str, str]] | list[tuple[str, str, str]] | None = None,
+    src_partitioned: bool = False,
 ) -> None:
     """Catalog registration (reference main.go:175-196, template.yml:116-168).
 
@@ -120,7 +169,18 @@ def register_flowlog_table(
     ``recoverPartitions``; the explicit per-key ``ALTER TABLE … ADD IF NOT
     EXISTS PARTITION`` path is kept for parity with the reference's DDL
     (main.go:177) and for selective registration.
+
+    ``partitions`` entries are ``(dt, account)`` for Hive-layout
+    directories under ``location``, or ``(dt, account, path)`` to register
+    an explicit ``LOCATION`` — the reference always emits one
+    (main.go:177) because its ``logs/{acct}/{Y}/{M}/{D}/`` layout is not
+    Hive-discoverable; the explicit form keeps parity for externally-laid-
+    out tables. ``src_partitioned`` matches tables written with
+    ``convert_flowlogs(..., src_partition=True)``.
     """
+    part_spec = "dt STRING, account STRING" + (
+        f", {SRC_COLUMN} STRING" if src_partitioned else ""
+    )
     spark.sql(
         f"""
         CREATE TABLE IF NOT EXISTS {table} (
@@ -130,16 +190,18 @@ def register_flowlog_table(
           start_ts BIGINT, end_ts BIGINT, action STRING, logstatus STRING
         )
         USING PARQUET
-        PARTITIONED BY (dt STRING, account STRING)
+        PARTITIONED BY ({part_spec})
         LOCATION '{location}'
         """
     )
     if partitions is None:
         spark.sql(f"MSCK REPAIR TABLE {table}")
         return
-    for dt, account in partitions:
+    for entry in partitions:
         # one DDL per distinct key, exactly the reference's statement shape
+        dt, account = entry[0], entry[1]
+        loc = f" LOCATION '{entry[2]}'" if len(entry) > 2 else ""
         spark.sql(
             f"ALTER TABLE {table} ADD IF NOT EXISTS "
-            f"PARTITION (dt='{dt}', account='{account}')"
+            f"PARTITION (dt='{dt}', account='{account}'){loc}"
         )

@@ -21,7 +21,7 @@ query per bad line is not a streaming posture.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.casts import zero_default_cast
@@ -87,6 +87,42 @@ def parse_flowlog_lines(
             raise FlowLogParseError(f"malformed flow log line: {row[0][0]!r}")
     parsed = typed_projection(tok.filter(F.col("_is_valid")))
     return parsed.drop("_is_valid")
+
+
+def parse_flowlog_lines_observed(
+    lines: DataFrame, value_col: str = "value"
+) -> tuple[DataFrame, Observation]:
+    """Lines → typed DataFrame plus an :class:`Observation` for single-pass
+    strict validation.
+
+    The eager strict probe in :func:`parse_flowlog_lines` costs a second
+    scan of the input — at 100 TB that doubles ingest I/O. Here the
+    malformed-line count (and one sample line for the error message) rides
+    the main job as a CollectMetrics node placed *before* the validity
+    filter, so one scan produces both the output and the verdict. The
+    caller runs its action, then checks ``obs.get["n_bad"]`` and raises —
+    see operators/convert.py convert_flowlogs (reference abort-on-error:
+    convert.go:48-50).
+    """
+    obs = Observation()
+    bad = ~F.col("_is_valid") & ~F.col("_is_header")
+    tok = tokenize(lines, value_col).observe(
+        obs,
+        F.sum(bad.cast("long")).alias("n_bad"),
+        F.max(F.when(bad, F.col(value_col))).alias("sample_bad"),
+    )
+    parsed = typed_projection(tok.filter(F.col("_is_valid"))).drop("_is_valid")
+    return parsed, obs
+
+
+def raise_if_malformed(obs: Observation) -> None:
+    """Post-action half of the single-pass strict contract."""
+    metrics = obs.get
+    if metrics["n_bad"]:
+        raise FlowLogParseError(
+            f"{metrics['n_bad']} malformed flow log line(s); "
+            f"sample: {metrics['sample_bad']!r}"
+        )
 
 
 def read_flowlog_text(

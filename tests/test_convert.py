@@ -125,3 +125,132 @@ def test_targets_from_sns_wrapped_event():
 def test_targets_bad_sns_message_skipped():
     event = {"Records": [{"Sns": {"Message": "not json"}}]}
     assert targets_from_event(event) == []
+
+
+def test_strict_raises_single_pass_and_writes_valid_rows(spark, tmp_path):
+    # single-pass strict (observe-based): the malformed-line verdict rides
+    # the write job; error raised AFTER the write, valid rows persisted,
+    # re-run of corrected input overwrites idempotently
+    import pytest
+
+    from aws_vpcflowlogs_parquet_spark.sources.flowlog import FlowLogParseError
+
+    src = tmp_path / "in.log"
+    src.write_text(
+        "\n".join([HEADER, _mk_line("111111111111", DAY1), "2 too few tokens"])
+    )
+    out = tmp_path / "out"
+    with pytest.raises(FlowLogParseError, match="1 malformed"):
+        convert_flowlogs(spark, str(src), str(out), strict=True)
+    assert spark.read.parquet(str(out)).count() == 1
+    # corrected input converges to the same single row
+    src.write_text("\n".join([HEADER, _mk_line("111111111111", DAY1)]))
+    keys = convert_flowlogs(spark, str(src), str(out), strict=True)
+    assert keys == [("2018-11-04", "111111111111")]
+    assert spark.read.parquet(str(out)).count() == 1
+
+
+def test_observed_parse_plan_has_collect_metrics_single_scan(spark, tmp_path):
+    # the validity counter is a CollectMetrics node inside the one plan —
+    # no separate validation scan of the source
+    from aws_vpcflowlogs_parquet_spark.sources.flowlog import (
+        parse_flowlog_lines_observed,
+    )
+
+    src = tmp_path / "in.log"
+    src.write_text("\n".join([HEADER, _mk_line("111111111111", DAY1)]))
+    parsed, _obs = parse_flowlog_lines_observed(spark.read.text(str(src)))
+    plan = parsed._jdf.queryExecution().optimizedPlan().toString()
+    assert "CollectMetrics" in plan
+    assert plan.count("Relation") == 1  # exactly one source scan
+
+
+def test_src_partition_preserves_sibling_source_files(spark, tmp_path):
+    # R14 per-source-file idempotence (reference convert.go:86): two source
+    # files land in the same (dt, account); re-converting one must not drop
+    # the other's rows and must not duplicate its own
+    f1 = tmp_path / "a.log"
+    f2 = tmp_path / "b.log"
+    f1.write_text("\n".join([HEADER, _mk_line("111111111111", DAY1, 1111)]))
+    f2.write_text(
+        "\n".join(
+            [HEADER, _mk_line("111111111111", DAY1, 2222), _mk_line("111111111111", DAY1, 3333)]
+        )
+    )
+    out = tmp_path / "out"
+    convert_flowlogs(spark, str(f1), str(out), src_partition=True)
+    convert_flowlogs(spark, str(f2), str(out), src_partition=True)
+    assert spark.read.parquet(str(out)).count() == 3
+    # re-run of f1 alone: sibling f2 rows intact, no duplicates
+    convert_flowlogs(spark, str(f1), str(out), src_partition=True)
+    back = spark.read.parquet(str(out))
+    assert back.count() == 3
+    assert back.filter(F.col("srcport") == 1111).count() == 1
+    # dt/account pruning still works through the extra src level
+    assert back.filter(F.col("dt") == "2018-11-04").count() == 3
+
+
+def test_register_partition_with_explicit_location(spark, tmp_path):
+    # non-Hive layout parity (reference main.go:177 always emits LOCATION):
+    # data lives outside the table root; explicit per-partition LOCATION
+    # registers it and queries prune on the declared key
+    src = tmp_path / "in.log"
+    src.write_text("\n".join([HEADER, _mk_line("333333333333", DAY1, 7777)]))
+    staged = tmp_path / "staged"
+    convert_flowlogs(spark, str(src), str(staged))
+    leaf = str(staged / "dt=2018-11-04" / "account=333333333333")
+    tbl_root = tmp_path / "tbl_root"
+    tbl_root.mkdir()
+    register_flowlog_table(
+        spark,
+        "flowlogs_loc_test",
+        str(tbl_root),
+        partitions=[("2018-11-04", "333333333333", leaf)],
+    )
+    try:
+        got = spark.sql(
+            "SELECT srcport FROM flowlogs_loc_test WHERE dt='2018-11-04'"
+        ).collect()
+        assert [r["srcport"] for r in got] == [7777]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS flowlogs_loc_test")
+
+
+def test_run_event_end_to_end(spark, tmp_path):
+    # the reference Lambda handler surface (main.go:67-85): SNS-wrapped S3
+    # event → convert → registered, queryable table
+    import json as _json
+
+    from aws_vpcflowlogs_parquet_spark.handler import (
+        config_from_env,
+        run_event,
+    )
+
+    bucket = tmp_path / "bucket"
+    (bucket / "logs").mkdir(parents=True)
+    (bucket / "logs" / "x.log").write_text(
+        "\n".join([HEADER, _mk_line("111111111111", DAY1), _mk_line("222222222222", DAY2)])
+    )
+    inner = {
+        "Records": [
+            {"s3": {"bucket": {"name": str(bucket)}, "object": {"key": "logs/x.log"}}}
+        ]
+    }
+    event = {"Records": [{"Sns": {"Message": _json.dumps(inner)}}]}
+    cfg = config_from_env(
+        {"S3_BUCKET": str(tmp_path / "warehouse"), "ATHENA_TABLE_NAME": "flowlogs_h_test"}
+    )
+    try:
+        keys = run_event(spark, event, cfg)
+        assert keys == [
+            ("2018-11-04", "111111111111"),
+            ("2018-11-05", "222222222222"),
+        ]
+        n = spark.sql(
+            "SELECT count(*) AS n FROM flowlogs_h_test WHERE dt='2018-11-05'"
+        ).collect()[0]["n"]
+        assert n == 1
+        # empty / uninterpretable event: no-op, not an error (main.go:119-123)
+        assert run_event(spark, {"Records": [{"nope": 1}]}, cfg) == []
+    finally:
+        spark.sql("DROP TABLE IF EXISTS flowlogs_h_test")
