@@ -3685,6 +3685,459 @@ def q_window_range_frame(spark, sf_dir):
 
 
 # =====================================================================
+# Training-data pipeline extensions, round 2 (SURVEY §2.4): dataset
+# splitting, quality gating, class balancing, incremental dedup,
+# curriculum bucketing — the ops a 100 TB pretraining-data build runs
+# between "raw documents" and "training shards".
+# =====================================================================
+
+
+@register(
+    "q_split_assign",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, (doc_id * 2654435761) % 1000 AS hmod FROM documents
+    ),
+    tagged AS (
+      SELECT CASE WHEN hmod < 800 THEN 'train'
+                  WHEN hmod < 900 THEN 'val'
+                  ELSE 'test' END AS split,
+             doc_id
+      FROM h
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS frac,
+           MIN(doc_id) AS min_doc_id
+    FROM tagged GROUP BY split
+    """,
+)
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment — the split every training
+    pipeline needs to be (a) reproducible across reruns and (b) stable
+    under data growth. The split key is pure integer arithmetic on the
+    document id (Knuth multiplicative hash mod 1000), so assignment is a
+    per-row codegen'd expression: no shuffle, no RNG state, any engine
+    recomputes the same split. The rollup is one map-side-combined agg;
+    the window total runs over 3 rows."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "hmod", (F.col("doc_id") * F.lit(2654435761)) % 1000
+    )
+    tagged = d.withColumn(
+        "split",
+        F.when(F.col("hmod") < 800, "train")
+        .when(F.col("hmod") < 900, "val")
+        .otherwise("test"),
+    )
+    agg = tagged.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "split",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.sum("n_docs").over(w)).alias("frac"),
+        "min_doc_id",
+    )
+
+
+@register(
+    "q_filter_gate",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, n_chars,
+             len({_DUCK_TOKENS}) AS n_tok,
+             len(list_distinct({_DUCK_TOKENS})) AS n_uniq
+      FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             (n_chars BETWEEN 100 AND 5000) AS len_ok,
+             (n_tok >= 20) AS tok_ok,
+             (n_uniq * 10 >= n_tok * 3) AS div_ok
+      FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN NOT len_ok THEN 1 ELSE 0 END) AS n_len_fail,
+           SUM(CASE WHEN NOT tok_ok THEN 1 ELSE 0 END) AS n_tok_fail,
+           SUM(CASE WHEN NOT div_ok THEN 1 ELSE 0 END) AS n_div_fail,
+           SUM(CASE WHEN len_ok AND tok_ok AND div_ok THEN 1 ELSE 0 END) AS n_keep
+    FROM flags GROUP BY source
+    """,
+)
+def q_filter_gate(spark, sf_dir):
+    """Composite quality gate with why-dropped accounting — production
+    filtering is a conjunction of predicates, and the operational question
+    is "which rule is eating my data, per source". Flags are pure integer
+    comparisons (token diversity as a cross-multiplied int inequality, no
+    float ratio), all inside one codegen'd projection; the per-source
+    rollup is a single map-side-combined aggregation."""
+    t = _t(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        F.size(dd.tokens_col("text")).alias("n_tok"),
+        F.size(F.array_distinct(dd.tokens_col("text"))).alias("n_uniq"),
+    )
+    flags = t.select(
+        "source",
+        F.col("n_chars").between(100, 5000).alias("len_ok"),
+        (F.col("n_tok") >= 20).alias("tok_ok"),
+        (F.col("n_uniq") * 10 >= F.col("n_tok") * 3).alias("div_ok"),
+    )
+    return flags.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((~F.col("len_ok")).cast("long")).alias("n_len_fail"),
+        F.sum((~F.col("tok_ok")).cast("long")).alias("n_tok_fail"),
+        F.sum((~F.col("div_ok")).cast("long")).alias("n_div_fail"),
+        F.sum(
+            (F.col("len_ok") & F.col("tok_ok") & F.col("div_ok")).cast("long")
+        ).alias("n_keep"),
+    )
+
+
+@register(
+    "q_class_balance",
+    oracle="""
+    WITH c AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+    SELECT label, n AS n_vecs,
+           CAST(SUM(n) OVER () AS DOUBLE) / (COUNT(*) OVER () * n) AS class_weight
+    FROM c
+    """,
+)
+def q_class_balance(spark, sf_dir):
+    """Inverse-frequency class weights — the standard imbalance correction
+    computed engine-side so the training loop can broadcast a tiny weight
+    table instead of rescanning the corpus. One hash agg on label; the
+    window normalization runs over the per-label result (rows = distinct
+    labels, driver-scale), never the raw data. Weight arithmetic is a
+    single double division of exact integers — deterministic."""
+    c = (
+        _t(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy()
+    return c.select(
+        "label",
+        F.col("n").alias("n_vecs"),
+        (
+            F.sum("n").over(w).cast("double") / (F.count("*").over(w) * F.col("n"))
+        ).alias("class_weight"),
+    )
+
+
+@register(
+    "q_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT md5(text) AS h FROM documents WHERE doc_id % 5 != 0
+    ),
+    inc AS (
+      SELECT doc_id, source, md5(text) AS content_md5
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, source, content_md5 FROM inc
+    WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.h = inc.content_md5)
+    """,
+)
+def q_incremental_dedup(spark, sf_dir):
+    """Incremental-ingest dedup: new batch anti-joined against the
+    historical corpus on the content hash — the shape every continuously
+    fed dataset runs on arrival (history is the already-published shards;
+    the batch is today's crawl). The anti join shuffles only 16-byte
+    hashes, never document text; at 100 TB the history side is a
+    pre-bucketed hash table so the probe is co-located. Here the
+    history/incoming split is a deterministic id partition so the oracle
+    is exact."""
+    docs = _t(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 5 != 0).select(
+        F.md5("text").alias("content_md5")
+    )
+    inc = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", "source", F.md5("text").alias("content_md5")
+    )
+    return inc.join(hist, "content_md5", "left_anti").select(
+        "doc_id", "source", "content_md5"
+    )
+
+
+@register(
+    "q_decile_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT o_totalprice,
+             ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           {exact_avg_sql('o_totalprice')} AS avg_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM t GROUP BY decile
+    """,
+)
+def q_decile_stats(spark, sf_dir):
+    """Curriculum-style difficulty bucketing: global deciles of a score
+    column with per-bucket stats. ntile's tie-break is the full
+    (price, orderkey) tuple so bucket assignment is total-order
+    deterministic. Stated honestly: a global ntile is a single-partition
+    sort — correct here, but at 100 TB the same query swaps to
+    approx_percentile cut points + a broadcast range join, which keeps the
+    bucketing distributed at the cost of the exact oracle."""
+    t = _t(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        F.ntile(10)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("decile"),
+    )
+    return t.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        exact_avg("o_totalprice").alias("avg_price"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
+    "q_regex_extract",
+    oracle="""
+    WITH lines AS (
+      SELECT concat('uid=', CAST(user_id AS VARCHAR), ' type=', event_type,
+                    ' url=https://svc-', CAST(user_id % 10 AS VARCHAR),
+                    '.example.com/p/', CAST(event_id AS VARCHAR)) AS line
+      FROM events
+    ),
+    ex AS (
+      SELECT regexp_extract(line, 'url=https://([a-z0-9.-]+)/', 1) AS host,
+             CAST(regexp_extract(line, 'uid=([0-9]+)', 1) AS BIGINT) AS uid
+      FROM lines
+    )
+    SELECT host, COUNT(*) AS n_requests, COUNT(DISTINCT uid) AS n_users
+    FROM ex GROUP BY host
+    """,
+)
+def q_regex_extract(spark, sf_dir):
+    """Schema-on-read field extraction from semi-structured log lines —
+    regexes run as codegen'd expressions (Java regex JVM-side, no Python),
+    and the extracted host becomes an ordinary group key. The synthetic
+    line is built from events so the oracle is exact; on real data this is
+    the 'parse the app log you never schematized' query. One projection +
+    one hash agg; the regex cost is per-row CPU that scales linearly and
+    shuffles nothing extra."""
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        F.concat(
+            F.lit("uid="),
+            F.col("user_id").cast("string"),
+            F.lit(" type="),
+            F.col("event_type"),
+            F.lit(" url=https://svc-"),
+            (F.col("user_id") % 10).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("event_id").cast("string"),
+        ).alias("line")
+    )
+    ex = lines.select(
+        F.regexp_extract("line", r"url=https://([a-z0-9.-]+)/", 1).alias("host"),
+        F.regexp_extract("line", r"uid=([0-9]+)", 1).cast("bigint").alias("uid"),
+    )
+    return ex.groupBy("host").agg(
+        F.count("*").alias("n_requests"),
+        F.countDistinct("uid").alias("n_users"),
+    )
+
+
+@register(
+    "q_winsorize",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS p05,
+             quantile_cont(value, 0.95) AS p95
+      FROM events GROUP BY event_type
+    ),
+    c AS (
+      SELECT e.event_type,
+             CASE WHEN e.value < p.p05 THEN p.p05
+                  WHEN e.value > p.p95 THEN p.p95
+                  ELSE e.value END AS v
+      FROM events e JOIN p ON e.event_type = p.event_type
+    )
+    SELECT event_type, COUNT(*) AS n,
+           {exact_avg_sql('v')} AS avg_winsorized
+    FROM c GROUP BY event_type
+    """,
+)
+def q_winsorize(spark, sf_dir):
+    """Winsorized mean — outlier-robust scoring for noisy quality signals:
+    clamp to the per-group [p5, p95] band, then average. Two aggregations
+    over one base scan: the percentile table is rows = distinct types, so
+    the join back is a broadcast probe (no shuffle of the fact side); the
+    clamp is a codegen'd CASE; the mean is exact decimal summation so the
+    result is partition-count invariant. At 100 TB swap the exact
+    percentile for approx_percentile and keep everything else."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("p05"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+    )
+    c = ev.join(F.broadcast(p), "event_type").select(
+        "event_type",
+        F.when(F.col("value") < F.col("p05"), F.col("p05"))
+        .when(F.col("value") > F.col("p95"), F.col("p95"))
+        .otherwise(F.col("value"))
+        .alias("v"),
+    )
+    return c.groupBy("event_type").agg(
+        F.count("*").alias("n"), exact_avg("v").alias("avg_winsorized")
+    )
+
+
+@register(
+    "q_port_scan",
+    oracle="""
+    WITH fl AS (
+      SELECT lpad(CAST(user_id % 4 AS VARCHAR), 12, '0') AS account,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(CAST(floor(value) AS INT) % 32768 AS INT) AS port
+      FROM events
+    )
+    SELECT account, day, COUNT(DISTINCT port) AS n_ports, COUNT(*) AS n_flows
+    FROM fl GROUP BY account, day
+    ORDER BY n_ports DESC, account, day LIMIT 20
+    """,
+)
+def q_port_scan(spark, sf_dir):
+    """Port-scan triage — the flow-log security query after top-talkers:
+    which account touched the most distinct ports per day. COUNT(DISTINCT)
+    runs as Spark's two-phase distinct aggregate (partial distinct
+    map-side, exact merge), and the final top-20 is TakeOrderedAndProject
+    with a total tie-break — the full (account, day) distribution never
+    sits on one node. Reported as a ranked feed (no fixed threshold), the
+    shape a SOC dashboard actually consumes."""
+    ev = _t(spark, sf_dir, "events")
+    fl = ev.select(
+        F.lpad((F.col("user_id") % 4).cast("string"), 12, "0").alias("account"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        (F.floor("value").cast("int") % 32768).cast("int").alias("port"),
+    )
+    return (
+        fl.groupBy("account", "day")
+        .agg(
+            F.countDistinct("port").alias("n_ports"),
+            F.count("*").alias("n_flows"),
+        )
+        .orderBy(F.desc("n_ports"), "account", "day")
+        .limit(20)
+    )
+
+
+@register(
+    "q_beaconing",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, event_type,
+             epoch_s - lag(epoch_s) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY epoch_s, event_id
+             ) AS gap
+      FROM e
+    )
+    SELECT user_id, event_type,
+           COUNT(gap) AS n_gaps,
+           CAST(SUM(gap) AS DOUBLE) / COUNT(gap) AS mean_gap_s,
+           (CAST(SUM(gap * gap) AS DOUBLE)
+            - (CAST(SUM(gap) AS DOUBLE) * CAST(SUM(gap) AS DOUBLE)) / COUNT(gap)
+           ) / COUNT(gap) AS var_gap
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id, event_type
+    HAVING COUNT(gap) >= 3 AND SUM(gap) > 0
+    """,
+)
+def q_beaconing(spark, sf_dir):
+    """Beacon detection — regular-interval callout discovery (C2 hunting
+    on flow logs): per (entity, channel), the variance of inter-arrival
+    gaps; low variance at a steady mean is a beacon. Gaps come from one
+    lag() window (single shuffle on the entity key, total tie-break
+    order); variance uses the integer-moment identity (Σg, Σg²) so the
+    aggregation is exact long arithmetic with map-side partials —
+    deterministic across engines and partition counts, unlike a naive
+    double stddev."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("epoch_s"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("epoch_s", "event_id")
+    g = e.select(
+        "user_id",
+        "event_type",
+        (F.col("epoch_s") - F.lag("epoch_s").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    agg = g.groupBy("user_id", "event_type").agg(
+        F.count("gap").alias("n_gaps"),
+        F.sum("gap").alias("_sg"),
+        F.sum(F.col("gap") * F.col("gap")).alias("_sg2"),
+    )
+    return (
+        agg.filter((F.col("n_gaps") >= 3) & (F.col("_sg") > 0))
+        .select(
+            "user_id",
+            "event_type",
+            "n_gaps",
+            (F.col("_sg").cast("double") / F.col("n_gaps")).alias("mean_gap_s"),
+            (
+                (
+                    F.col("_sg2").cast("double")
+                    - (F.col("_sg").cast("double") * F.col("_sg").cast("double"))
+                    / F.col("n_gaps")
+                )
+                / F.col("n_gaps")
+            ).alias("var_gap"),
+        )
+    )
+
+
+@register(
+    "q_tokenize_regex",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))
+             AS tok
+      FROM documents
+    )
+    SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok
+    ORDER BY n DESC, tok LIMIT 25
+    """,
+)
+def q_tokenize_regex(spark, sf_dir):
+    """BPE-style pre-tokenization: the regex split every subword tokenizer
+    runs before merges (letters / digits / punctuation as separate
+    atoms), then the vocabulary frequency table that seeds BPE training.
+    regexp_extract_all + explode stays JVM-side; the count is one hash
+    agg with map-side partials and the top-25 is TakeOrderedAndProject.
+    At 100 TB this is exactly how you build the tokenizer-training corpus
+    stats — no driver-side vocab, the heavy tail stays distributed."""
+    toks = _t(spark, sf_dir, "documents").select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(25)
+    )
+
+
+# =====================================================================
 
 
 def flagship(spark: SparkSession) -> DataFrame:
