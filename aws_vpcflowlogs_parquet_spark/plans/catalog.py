@@ -4137,6 +4137,311 @@ def q_tokenize_regex(spark, sf_dir):
     )
 
 
+_DUCK_BIGRAMS = (
+    "CASE WHEN len(t) >= 2 THEN "
+    "list_transform(generate_series(1, len(t) - 1), "
+    "i -> concat_ws(' ', t[i], t[i+1])) "
+    "ELSE [] END"
+)
+_SPARK_BIGRAMS = (
+    "CASE WHEN size(t) >= 2 THEN "
+    "transform(sequence(1, size(t) - 1), "
+    "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1))) "
+    "ELSE array() END"
+)
+
+
+@register(
+    "q_cooccurrence_lift",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+    uni AS (
+      SELECT u AS tok, COUNT(*) AS n FROM (SELECT unnest(t) AS u FROM tok)
+      GROUP BY u
+    ),
+    bi AS (
+      SELECT b AS bigram, COUNT(*) AS n_ab
+      FROM (SELECT unnest({_DUCK_BIGRAMS}) AS b FROM tok)
+      GROUP BY b
+    ),
+    tot_u AS (SELECT SUM(n) AS n_uni FROM uni),
+    tot_b AS (SELECT SUM(n_ab) AS n_bi FROM bi)
+    SELECT bigram, n_ab,
+           (CAST(n_ab AS DOUBLE) / n_bi) /
+           ((CAST(a.n AS DOUBLE) / n_uni) * (CAST(b.n AS DOUBLE) / n_uni))
+             AS lift
+    FROM bi CROSS JOIN tot_u CROSS JOIN tot_b
+    JOIN uni a ON a.tok = string_split(bigram, ' ')[1]
+    JOIN uni b ON b.tok = string_split(bigram, ' ')[2]
+    WHERE n_ab >= 5
+    ORDER BY lift DESC, bigram LIMIT 20
+    """,
+)
+def q_cooccurrence_lift(spark, sf_dir):
+    """Collocation mining — bigram lift (PMI without the log), the signal
+    for multi-word expressions / templated boilerplate in a pretraining
+    corpus. All three distributions (unigram, adjacent bigram, totals)
+    come from per-row array transforms + hash aggs; the lift arithmetic is
+    pure integer-derived double division so the oracle is bit-exact (a
+    log-based PMI would diverge in libm's last bit between engines). The
+    unigram table joins back via the bigram's split halves — two
+    broadcast-size joins — and the top-20 is TakeOrderedAndProject."""
+    tok = _t(spark, sf_dir, "documents").select(
+        "doc_id", dd.tokens_col("text").alias("t")
+    )
+    uni = (
+        tok.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    bi = (
+        tok.select(F.explode(F.expr(_SPARK_BIGRAMS)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    n_uni = uni.agg(F.sum("n").alias("n_uni"))
+    n_bi = bi.agg(F.sum("n_ab").alias("n_bi"))
+    a = uni.select(F.col("tok").alias("tok_a"), F.col("n").alias("n_a"))
+    b = uni.select(F.col("tok").alias("tok_b"), F.col("n").alias("n_b"))
+    parts = F.split(F.col("bigram"), " ")
+    return (
+        bi.filter(F.col("n_ab") >= 5)
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .withColumn("tok_a", parts.getItem(0))
+        .withColumn("tok_b", parts.getItem(1))
+        .join(F.broadcast(a), "tok_a")
+        .join(F.broadcast(b), "tok_b")
+        .select(
+            "bigram",
+            "n_ab",
+            (
+                (F.col("n_ab").cast("double") / F.col("n_bi"))
+                / (
+                    (F.col("n_a").cast("double") / F.col("n_uni"))
+                    * (F.col("n_b").cast("double") / F.col("n_uni"))
+                )
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "bigram")
+        .limit(20)
+    )
+
+
+@register(
+    "q_anomaly_zscore",
+    oracle=f"""
+    WITH s AS (
+      SELECT event_type,
+             {exact_avg_sql('value')} AS mean_v,
+             sqrt(greatest(
+               ({exact_sum_sql('value * value')}) / COUNT(value)
+               - ({exact_avg_sql('value')}) * ({exact_avg_sql('value')}),
+               0.0)) AS std_v
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           (value - mean_v) / std_v AS z
+    FROM events e JOIN s ON e.event_type = s.event_type
+    WHERE std_v > 0.0
+    ORDER BY abs((value - mean_v) / std_v) DESC, event_id LIMIT 20
+    """,
+)
+def q_anomaly_zscore(spark, sf_dir):
+    """Z-score outlier feed: per-group mean/std from exact decimal moments
+    (Σv, Σv² quantized — partition-count invariant, so z-scores are
+    bit-identical across engines and cluster sizes, unlike naive double
+    stddev), broadcast back onto the stream, top-20 by |z| with a total
+    tie-break. This is the quality-outlier triage loop of a data
+    pipeline: one scan for moments, one for scoring, TakeOrdered at the
+    end — no global sort."""
+    ev = _t(spark, sf_dir, "events")
+    mean_v = exact_avg("value")
+    var_v = (
+        exact_sum(F.col("value") * F.col("value")) / F.count("value")
+        - mean_v * mean_v
+    )
+    s = ev.groupBy("event_type").agg(
+        mean_v.alias("mean_v"),
+        F.sqrt(F.greatest(var_v, F.lit(0.0))).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .filter(F.col("std_v") > 0.0)
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .orderBy(F.abs(F.col("z")).desc(), "event_id")
+        .limit(20)
+    )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, value,
+             lead(epoch_s) OVER (
+               PARTITION BY user_id ORDER BY epoch_s, event_id
+             ) - epoch_s AS dur
+      FROM e
+    )
+    SELECT user_id, COUNT(dur) AS n_segments,
+           CAST(SUM(dur) AS BIGINT) AS total_s,
+           CAST(CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) * dur)
+                     AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(dur) AS BIGINT) AS DOUBLE) / 1000000.0 AS twa
+    FROM seg WHERE dur IS NOT NULL GROUP BY user_id
+    HAVING SUM(dur) > 0
+    """,
+)
+def q_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average (the TimescaleDB/kdb gauge-rollup operator,
+    left-endpoint weighting): each reading holds until the next one, so
+    its weight is the segment duration. Durations come from one lead()
+    window; the weighted sum quantizes the value to micro-units (the
+    exact_sum trick) times an integer duration, so the whole accumulation
+    is exact integer arithmetic — order- and partition-invariant — with
+    two deterministic double divisions at the end. One shuffle on
+    user_id, which the groupBy reuses."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("epoch_s"),
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_s", "event_id")
+    seg = e.select(
+        "user_id",
+        "value",
+        (F.lead("epoch_s").over(w) - F.col("epoch_s")).alias("dur"),
+    ).filter(F.col("dur").isNotNull())
+    qv = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    agg = seg.groupBy("user_id").agg(
+        F.count("dur").alias("n_segments"),
+        F.sum("dur").alias("total_s"),
+        F.sum(qv * F.col("dur")).alias("_wsum"),
+    )
+    return agg.filter(F.col("total_s") > 0).select(
+        "user_id",
+        "n_segments",
+        "total_s",
+        (
+            F.col("_wsum").cast("double") / F.col("total_s").cast("double")
+            / F.lit(1000000.0)
+        ).alias("twa"),
+    )
+
+
+@register(
+    "q_join_null_safe",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL
+                  ELSE CAST(event_id % 5 AS INT) END AS k
+      FROM events
+    ),
+    dim AS (
+      SELECT CAST(NULL AS INT) AS k, 'missing' AS k_name
+      UNION ALL SELECT 0, 'zero' UNION ALL SELECT 1, 'one'
+      UNION ALL SELECT 2, 'two'
+    )
+    SELECT k_name, COUNT(*) AS n
+    FROM e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+    GROUP BY k_name
+    """,
+)
+def q_join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match NULL dim rows instead of silently dropping — the dimension
+    lookup with an explicit 'missing' bucket. Catalyst plans <=> as a
+    hash-join key (null-safe equality is still an equi-join), so the dim
+    broadcasts and nothing degrades to a nested loop."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("int"))
+        .otherwise((F.col("event_id") % 5).cast("int"))
+        .alias("k"),
+    )
+    dim = spark.createDataFrame(
+        [(None, "missing"), (0, "zero"), (1, "one"), (2, "two")],
+        "k int, k_name string",
+    )
+    return (
+        e.join(F.broadcast(dim), e["k"].eqNullSafe(dim["k"]))
+        .groupBy("k_name")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "q_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents WHERE doc_id < 200
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM
+             (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tok)),
+    sets AS (SELECT doc_id, list(s ORDER BY s) AS sh FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a, doc_b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(src, node) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 200
+      UNION
+      SELECT w.src, e.doc_b FROM walk w JOIN edges e ON w.node = e.doc_a
+    ),
+    clusters AS (SELECT src AS doc_id, min(node) AS cluster_id FROM walk GROUP BY src),
+    ranked AS (
+      SELECT c.cluster_id, d.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.cluster_id ORDER BY d.n_chars DESC, d.doc_id
+             ) AS rk,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, n_chars, n_members
+    FROM ranked WHERE rk = 1
+    """,
+)
+def q_dedup_keep_best(spark, sf_dir):
+    """Canonical-document selection — the step after clustering that
+    dedup actually exists for: per near-dup cluster, keep the best member
+    (longest, doc_id tie-break) and record the cluster size. Composes the
+    iterative connected-components operator with a per-cluster top-1
+    window (WindowGroupLimit, no sort of the full corpus). At 100 TB the
+    keep-list is what anti-joins the corpus to produce the final shard
+    set."""
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dd.dedup_clusters(docs, max_id=200)
+    joined = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
+    wc = Window.partitionBy("cluster_id")
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            "n_chars",
+            "n_members",
+        )
+    )
+
+
 # =====================================================================
 
 
