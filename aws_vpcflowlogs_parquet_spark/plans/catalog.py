@@ -4442,6 +4442,198 @@ def q_dedup_keep_best(spark, sf_dir):
     )
 
 
+@register(
+    "q_autocorr",
+    oracle="""
+    WITH p AS (
+      SELECT event_type, value,
+             lag(value) OVER (
+               PARTITION BY event_type
+               ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+             ) AS prev
+      FROM events
+    ),
+    q AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 1000.0 + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(prev  * 1000.0 + 0.5) AS BIGINT) AS y
+      FROM p WHERE prev IS NOT NULL
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(y) AS BIGINT) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(x * y) AS BIGINT) AS DOUBLE) AS sxy,
+             CAST(CAST(SUM(x * x) AS BIGINT) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(y * y) AS BIGINT) AS DOUBLE) AS syy
+      FROM q GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (sxy / n - (sx / n) * (sy / n))
+           / (sqrt(sxx / n - (sx / n) * (sx / n))
+              * sqrt(syy / n - (sy / n) * (sy / n))) AS autocorr_lag1
+    FROM m
+    """,
+)
+def q_autocorr(spark, sf_dir):
+    """Lag-1 autocorrelation per series — the periodicity signal behind
+    beacon detection and seasonality checks. The (current, previous) pairs
+    come from one lag() window; Pearson r is then computed entirely from
+    integer moments (n, Σx, Σy, Σxy, Σx², Σy²) over milli-unit quantized
+    values (scale chosen so Σx² stays inside int64 headroom at target SF)
+    — exact, associative, map-side combinable — with the floating point
+    confined to the final normalized expression, so both engines agree
+    bitwise. The naive corr() built-in would drift with partition count;
+    this form cannot."""
+    p = _t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("epoch_s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("epoch_s", "event_id")
+    q = (
+        p.withColumn("prev", F.lag("value").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1000.0 + 0.5).cast("bigint").alias("x"),
+            F.floor(F.col("prev") * 1000.0 + 0.5).cast("bigint").alias("y"),
+        )
+    )
+    m = q.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast("bigint").cast("double").alias("sx"),
+        F.sum("y").cast("bigint").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    mean_term = F.col("sxy") / n - (F.col("sx") / n) * (F.col("sy") / n)
+    dx = F.sqrt(F.col("sxx") / n - (F.col("sx") / n) * (F.col("sx") / n))
+    dy = F.sqrt(F.col("syy") / n - (F.col("sy") / n) * (F.col("sy") / n))
+    return m.select(
+        "event_type", "n", (mean_term / (dx * dy)).alias("autocorr_lag1")
+    )
+
+
+@register(
+    "q_containment",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents WHERE doc_id < 200
+    ),
+    sh AS (SELECT DISTINCT doc_id, s FROM
+             (SELECT doc_id, unnest({_DUCK_SHINGLES}) AS s FROM tok)),
+    sets AS (SELECT doc_id, list(s ORDER BY s) AS sh FROM sh GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.sh, b.sh)) AS n_common,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+             AS containment_a_in_b
+    FROM sets a JOIN sets b ON a.doc_id != b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.5
+    """,
+)
+def q_containment(spark, sf_dir):
+    """Asymmetric shingle containment |A∩B|/|A| — the quote/subset
+    detector Jaccard misses: a short doc fully copied into a long one has
+    low Jaccard but containment ≈ 1. Same bounded verification-kernel
+    posture as the n-gram Jaccard (post-LSH, id-bounded); directional, so
+    both (a in b) and (b in a) rows can appear. Integer intersection
+    sizes divided once in double — exact oracle."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sets = dd.shingled(docs).persist()
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.join(b, F.col("doc_a") != F.col("doc_b"))
+        .withColumn("n_common", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .withColumn(
+            "containment_a_in_b",
+            F.col("n_common").cast("double") / F.expr("size(sh_a)"),
+        )
+    )
+    return pairs.filter(F.col("containment_a_in_b") >= 0.5).select(
+        "doc_a", "doc_b", "n_common", "containment_a_in_b"
+    )
+
+
+@register(
+    "q_dataset_card",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, lang, n_chars, len({_DUCK_TOKENS}) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS mean_tokens,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM t GROUP BY source
+    """,
+)
+def q_dataset_card(spark, sf_dir):
+    """Dataset-card statistics — the per-source summary block every
+    published dataset ships (doc/token/char totals, language spread,
+    length envelope). One scan, one map-side-combined agg; token counts
+    are computed inline from the same codegen'd tokenizer the dedup
+    family uses, so the card and the pipeline can't disagree about what
+    a token is."""
+    t = _t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(dd.tokens_col("text")).alias("n_tok"),
+    )
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        (F.sum("n_tok").cast("double") / F.count("*")).alias("mean_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_balanced_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT vec_id, label,
+             ROW_NUMBER() OVER (
+               PARTITION BY label
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+             ) AS rk
+      FROM embeddings
+    )
+    SELECT label, vec_id, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def q_balanced_sample(spark, sf_dir):
+    """Balanced per-class subset: exactly k rows per label, chosen by
+    deterministic hash order (md5 of the id) so the 'random' sample is
+    reproducible across runs, engines, and partitionings — the
+    downsample-the-majority-class step of class rebalancing.
+    WindowGroupLimit prunes beyond rank k inside each partition before
+    the final sort, so the shuffle carries O(labels × k), not the
+    corpus."""
+    e = _t(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        e.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("label", "vec_id", "rk")
+    )
+
+
 # =====================================================================
 
 

@@ -16,7 +16,7 @@ is built around.
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -49,6 +49,13 @@ def start_flowlog_stream(
 
     def write_batch(batch_df, epoch_id: int) -> None:
         sess = batch_df.sparkSession
+        # partition keys ride the write as a CollectMetrics observation —
+        # the second micro-batch scan the round-1 distinct().collect() paid
+        # is gone (same single-pass contract as the batch converter)
+        obs = Observation()
+        batch_df = batch_df.observe(
+            obs, F.collect_set(F.struct(*PARTITION_COLUMNS)).alias("pkeys")
+        )
         prev = sess.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         sess.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
@@ -61,11 +68,10 @@ def start_flowlog_stream(
         finally:
             sess.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         if table is not None:
-            keys = batch_df.select(*PARTITION_COLUMNS).distinct().collect()
-            for row in keys:
+            for row in sorted((r["dt"], r["account"]) for r in obs.get["pkeys"]):
                 sess.sql(
                     f"ALTER TABLE {table} ADD IF NOT EXISTS "
-                    f"PARTITION (dt='{row['dt']}', account='{row['account']}')"
+                    f"PARTITION (dt='{row[0]}', account='{row[1]}')"
                 )
 
     return (
