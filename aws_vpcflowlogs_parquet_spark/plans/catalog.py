@@ -4420,25 +4420,29 @@ def q_dedup_keep_best(spark, sf_dir):
     """Canonical-document selection — the step after clustering that
     dedup actually exists for: per near-dup cluster, keep the best member
     (longest, doc_id tie-break) and record the cluster size. Composes the
-    iterative connected-components operator with a per-cluster top-1
-    window (WindowGroupLimit, no sort of the full corpus). At 100 TB the
-    keep-list is what anti-joins the corpus to produce the final shard
-    set."""
+    iterative connected-components operator with a per-cluster max_by
+    argmax over the (n_chars, -doc_id) order tuple — a partial+final
+    aggregate (SortAggregate, since the struct buffer isn't
+    hash-aggregable) that carries ONE candidate row per cluster per task
+    into the shuffle, where a row_number window with the member count
+    attached would materialize and sort every cluster member. At 100 TB
+    the keep-list is what anti-joins the corpus to produce the final
+    shard set."""
     docs = _t(spark, sf_dir, "documents")
     clusters = dd.dedup_clusters(docs, max_id=200)
     joined = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), "doc_id")
-    wc = Window.partitionBy("cluster_id")
-    return (
-        joined.withColumn("rk", F.row_number().over(w))
-        .withColumn("n_members", F.count("*").over(wc))
-        .filter(F.col("rk") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("keep_doc_id"),
-            "n_chars",
-            "n_members",
-        )
+    agg = joined.groupBy("cluster_id").agg(
+        F.max_by(
+            F.struct(F.col("doc_id"), F.col("n_chars")),
+            F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_id")),
+        ).alias("best"),
+        F.count("*").alias("n_members"),
+    )
+    return agg.select(
+        "cluster_id",
+        F.col("best.doc_id").alias("keep_doc_id"),
+        F.col("best.n_chars").alias("n_chars"),
+        "n_members",
     )
 
 

@@ -173,3 +173,55 @@ def test_topk_per_group_gets_window_group_limit(spark):
     for name in ("q_tfidf", "q_window_rank"):
         plan = _executed(QUERIES[name](spark, SF_DIR))
         assert "WindowGroupLimit" in plan, (name, plan)
+
+
+def test_winsorize_and_zscore_broadcast_stats(spark):
+    # per-group stats tables are rows = distinct groups; the fact-side
+    # scoring join must broadcast them, never shuffle the fact table
+    for name in ("q_winsorize", "q_anomaly_zscore"):
+        plan = _executed(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+
+
+def test_ranked_feeds_use_take_ordered(spark):
+    # top-k feeds (port scan, vocab table, collocations) must compile to
+    # TakeOrderedAndProject — per-partition heaps, no global sort
+    for name in ("q_port_scan", "q_tokenize_regex", "q_cooccurrence_lift"):
+        plan = _executed(QUERIES[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+
+
+def test_per_group_topk_gets_window_group_limit(spark):
+    # rank()<=k shapes in the new ops must hit the WindowGroupLimit
+    # rewrite: k rows per group survive each partition before the shuffle
+    plan = _executed(QUERIES["q_balanced_sample"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_keep_best_is_aggregate_argmax(spark):
+    # canonical selection must be a partial+final max_by aggregate (one
+    # candidate per cluster per task crosses the shuffle) — not a
+    # row_number window, which would materialize and rank every cluster
+    # member post-shuffle
+    plan = _executed(QUERIES["q_dedup_keep_best"](spark, SF_DIR))
+    assert "partial_max_by" in plan, plan
+    assert "row_number" not in plan, plan
+
+
+def test_incremental_dedup_antijoin_on_hash(spark):
+    plan = _optimized(QUERIES["q_incremental_dedup"](spark, SF_DIR))
+    # the anti join must stay an anti join (not rewritten through a
+    # distinct+outer shape) and join on the 16-byte md5, never the text
+    assert "LeftAnti" in plan, plan
+    assert "md5" in plan, plan
+
+
+def test_split_assign_and_gate_are_single_agg_scans(spark):
+    # pure per-row expressions + one aggregation: exactly one shuffle
+    # (the groupBy), nothing else
+    for name in ("q_split_assign", "q_filter_gate"):
+        plan = _executed(QUERIES[name](spark, SF_DIR))
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, (name, n_exchanges, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
