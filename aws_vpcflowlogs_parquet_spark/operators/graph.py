@@ -1,0 +1,81 @@
+"""Iterative graph algorithms (SURVEY §2.4 extension surface).
+
+Beside connected components (operators/dedup.py dedup_clusters — min-label
+propagation), PageRank is the second canonical iterative dataflow: each
+round is joins + an aggregation, the loop runs a fixed iteration count,
+and the per-round plan is identical — the shape GraphFrames/Pregel
+implement, expressed directly on DataFrames.
+
+Determinism contract (oracle-exact): the per-round contribution sum is the
+one order-dependent float reduction in PageRank. Contributions are
+quantized to 1e-12 units (bigint) before summation, so accumulation is
+exact integer arithmetic — bit-identical across engines, join orders, and
+partition counts — and the teleport/damping arithmetic is a fixed
+double-expression tree. Three rounds at 100 TB: ranks and edges both hash
+by src, so each round reuses one co-partitioned shuffle; the node-count
+scalar broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 1_000_000_000_000  # 1e-12 quantization of per-edge contributions
+PR_DAMPING = 0.85
+
+
+def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = PR_DAMPING) -> DataFrame:
+    """(node, rank) after ``n_iter`` synchronous PageRank rounds.
+
+    ``edges`` is a distinct (src, dst) DataFrame. Dangling nodes (no
+    out-edges) contribute nothing (their mass leaks — the simple PR
+    variant, matched exactly by the oracle); in-degree-0 nodes keep the
+    teleport term via the left join + coalesce.
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    nn = nodes.agg(F.count("*").alias("n_nodes"))
+    ranks = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    )
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(
+                ranks.select(F.col("node").alias("src"), "rank"), "src"
+            )
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.floor(
+                    F.col("rank") / F.col("outdeg") * F.lit(float(PR_SCALE))
+                    + F.lit(0.5)
+                )
+                .cast("bigint")
+                .alias("c"),
+            )
+        )
+        summed = contribs.groupBy("node").agg(
+            F.sum("c").cast("bigint").cast("double").alias("csum")
+        )
+        ranks = (
+            nodes.join(summed, "node", "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                "n_nodes",
+                (
+                    F.lit(1.0 - damping) / F.col("n_nodes")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("csum"), F.lit(0.0))
+                        / F.lit(float(PR_SCALE))
+                    )
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")

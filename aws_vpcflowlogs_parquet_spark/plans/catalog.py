@@ -4638,6 +4638,73 @@ def q_balanced_sample(spark, sf_dir):
     )
 
 
+def _duck_pagerank_sql(n_iter: int = 3) -> str:
+    """Unrolled PageRank oracle: one (contrib, sum, rank) CTE trio per
+    round, mirroring operators/graph.py pagerank bit-for-bit (teleport
+    written as 1.0 - 0.85 so the constant matches Python float
+    arithmetic; contribution sums quantized to 1e-12 bigint units)."""
+    parts = [
+        """
+    WITH edges AS (
+      SELECT DISTINCT user_id % 64 AS src, (user_id + event_id) % 64 AS dst
+      FROM events WHERE user_id % 64 != (user_id + event_id) % 64
+    ),
+    nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+    outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    r0 AS (
+      SELECT node, CAST(1.0 AS DOUBLE) / n_nodes AS rank
+      FROM nodes CROSS JOIN nn
+    )"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst AS node,
+             CAST(FLOOR(r.rank / o.outdeg * 1000000000000.0 + 0.5) AS BIGINT) AS c
+      FROM edges e JOIN r{i - 1} r ON e.src = r.node JOIN outdeg o ON e.src = o.src
+    ),
+    s{i} AS (
+      SELECT node, CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE) AS csum
+      FROM c{i} GROUP BY node
+    ),
+    r{i} AS (
+      SELECT n.node,
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n_nodes
+             + CAST(0.85 AS DOUBLE)
+               * (COALESCE(s.csum, CAST(0.0 AS DOUBLE)) / 1000000000000.0)
+               AS rank
+      FROM nodes n LEFT JOIN s{i} s ON n.node = s.node CROSS JOIN nn
+    )"""
+        )
+    parts.append(f"\n    SELECT node, rank FROM r{n_iter}")
+    return "".join(parts)
+
+
+@register("q_pagerank", oracle=_duck_pagerank_sql(3))
+def q_pagerank(spark, sf_dir):
+    """PageRank, 3 synchronous rounds (operators/graph.py) over an
+    interaction graph derived deterministically from events — the second
+    iterative-dataflow surface beside connected components. Each round is
+    two joins + one aggregation with the same plan; contribution sums are
+    quantized to integer units so the iteration is bit-stable across
+    engines and partition counts, verified against a fully unrolled CTE
+    oracle."""
+    from ..operators.graph import pagerank
+
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 64).alias("src"),
+            ((F.col("user_id") + F.col("event_id")) % 64).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return pagerank(edges, n_iter=3, damping=0.85)
+
+
 # =====================================================================
 
 
