@@ -4638,6 +4638,157 @@ def q_balanced_sample(spark, sf_dir):
     )
 
 
+@register(
+    "q_interval_overlap",
+    oracle="""
+    WITH a AS (
+      SELECT o_orderkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS a_start,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT)
+               + (o_orderkey % 20 + 1) * 86400 AS a_end
+      FROM orders WHERE o_orderkey % 50 = 0
+    ),
+    b AS (
+      SELECT i.i AS win_id,
+             788918400 + i.i * 2592000 AS b_start,
+             788918400 + i.i * 2592000 + 1209600 AS b_end
+      FROM (SELECT UNNEST(generate_series(0, 35)) AS i) i
+    )
+    SELECT o_orderkey, win_id,
+           CAST(least(a_end, b_end) - greatest(a_start, b_start) AS BIGINT)
+             AS overlap_s
+    FROM a JOIN b ON a_start < b_end AND b_start < a_end
+    """,
+)
+def q_interval_overlap(spark, sf_dir):
+    """Interval-overlap join (interval × interval, vs q_range_join's
+    point-in-interval): order activity windows against a maintenance-
+    window calendar, emitting the overlap duration — the scheduling/
+    conflict primitive time-series stores ship as a dedicated operator.
+    The calendar side is bounded (36 rows) → broadcast nested-loop with
+    the two-sided strict-inequality condition; overlap length is
+    least(ends) − greatest(starts) on integer seconds. For two LARGE
+    interval sets, bin both sides to a common grid and equi-join on the
+    bin with this same residual predicate (SCALE.md, range-join
+    section)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    a = o.select(
+        "o_orderkey",
+        F.unix_timestamp("o_orderdate").alias("a_start"),
+        (
+            F.unix_timestamp("o_orderdate")
+            + (F.col("o_orderkey") % 20 + 1) * 86400
+        ).alias("a_end"),
+    )
+    b = spark.range(0, 36).select(
+        F.col("id").cast("int").alias("win_id"),
+        (F.lit(788918400) + F.col("id") * 2592000).alias("b_start"),
+        (F.lit(788918400) + F.col("id") * 2592000 + 1209600).alias("b_end"),
+    )
+    return a.join(
+        F.broadcast(b),
+        (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end")),
+    ).select(
+        "o_orderkey",
+        "win_id",
+        (
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        ).cast("bigint").alias("overlap_s"),
+    )
+
+
+@register(
+    "q_window_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           nth_value(o_orderkey, 2) OVER w AS second_order,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w2 AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def q_window_nth(spark, sf_dir):
+    """nth_value / first_value / last_value frame functions — the
+    remaining window-function family members (beside
+    rank/lead-lag/distribution/fill already covered): per customer, the
+    second-ever order and the first/latest price. Frames are explicit and
+    orders total, so results are deterministic; one shuffle on custkey
+    serves all three functions."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w2).alias("last_price"),
+    )
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len({_DUCK_TOKENS}) AS n_tok FROM documents
+    ),
+    placed AS (
+      SELECT doc_id, source, n_tok,
+             CAST(floor(
+               CAST(COALESCE(SUM(n_tok) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS DOUBLE) / 2048.0) AS BIGINT) AS bin_id
+      FROM t
+    )
+    SELECT source, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+    FROM placed GROUP BY source, bin_id
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing — assembling fixed-budget context windows (2048
+    tokens) from variable-length documents, the step between 'clean
+    corpus' and 'training batches'. Contiguous streaming fill: each doc's
+    bin is floor(running-token-count-before-it / budget) within its
+    source stream — one window (shuffle on source, sort by doc_id), one
+    rollup; deterministic because the fill order is the total doc_id
+    order, exactly how a sequential packer consumes a sorted shard. The
+    per-bin census (docs, tokens) is the packing-efficiency report."""
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(dd.tokens_col("text")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = t.select(
+        "source",
+        "n_tok",
+        F.floor(
+            F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("double")
+            / F.lit(2048.0)
+        ).alias("bin_id"),
+    )
+    return placed.groupBy("source", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+    )
+
+
 def _duck_pagerank_sql(n_iter: int = 3) -> str:
     """Unrolled PageRank oracle: one (contrib, sum, rank) CTE trio per
     round, mirroring operators/graph.py pagerank bit-for-bit (teleport
