@@ -31,6 +31,7 @@ from pyspark.sql import SparkSession
 
 from .operators.convert import convert_flowlogs, register_flowlog_table
 from .sources.events import targets_from_event
+from .sources.flowlog import FlowLogParseError
 
 
 @dataclass(frozen=True)
@@ -63,22 +64,42 @@ def config_from_env(env: dict[str, str] | None = None) -> HandlerConfig:
 
 def run_event(
     spark: SparkSession, event: dict | str, config: HandlerConfig
-) -> list[tuple[str, str]]:
+) -> list[tuple[str, ...]]:
     """Event → convert → register: the whole reference job, end to end.
 
-    Returns the distinct (dt, account) partition keys written. Events with
-    no interpretable records are a no-op, not an error (main.go:119-123).
+    Returns the distinct partition keys written — ``(dt, account)``, plus a
+    trailing ``src`` element with ``config.src_partition``. Events with no
+    interpretable records are a no-op, not an error (main.go:119-123).
+
+    Strict mode is single-pass (convert_flowlogs docstring): a parse error
+    surfaces AFTER the write, so the failing batch's valid rows are already
+    on disk. To keep that partial state queryable rather than invisible,
+    the keys the write observed are registered in the catalog *before* the
+    error propagates; the corrected re-run overwrites the same partitions
+    idempotently.
     """
     targets = targets_from_event(event)
     if not targets:
         return []
-    keys = convert_flowlogs(
-        spark,
-        [t.path for t in targets],
-        config.dst_path,
-        strict=config.strict,
-        src_partition=config.src_partition,
-    )
+    try:
+        keys = convert_flowlogs(
+            spark,
+            [t.path for t in targets],
+            config.dst_path,
+            strict=config.strict,
+            src_partition=config.src_partition,
+        )
+    except FlowLogParseError as err:
+        written = getattr(err, "partition_keys", None)
+        if config.table and written:
+            register_flowlog_table(
+                spark,
+                config.table,
+                config.dst_path,
+                partitions=written,
+                src_partitioned=config.src_partition,
+            )
+        raise
     if config.table:
         register_flowlog_table(
             spark,

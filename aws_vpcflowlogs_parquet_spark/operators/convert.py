@@ -40,7 +40,11 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..schema import PARTITION_COLUMNS
-from ..sources.flowlog import parse_flowlog_lines_observed, raise_if_malformed
+from ..sources.flowlog import (
+    FlowLogParseError,
+    parse_flowlog_lines_observed,
+    raise_if_malformed,
+)
 
 # per-source-file partition column (src_partition mode): short content-free
 # hash of the input file path, the analogue of the reference's
@@ -62,11 +66,13 @@ def convert_flowlogs(
     strict: bool = True,
     overwrite_partitions: bool = True,
     src_partition: bool = False,
-) -> list[tuple[str, str]]:
+) -> list[tuple[str, ...]]:
     """Convert raw flow-log text files into the partitioned Parquet table.
 
     Returns the distinct partition keys written, mirroring the reference's
-    result{partitionKeys} (convert.go:37-39, main.go:169-172).
+    result{partitionKeys} (convert.go:37-39, main.go:169-172): ``(dt,
+    account)`` tuples, or ``(dt, account, src)`` with ``src_partition=True``
+    so they register cleanly against the 3-level table.
 
     Re-run granularity (reference R14, convert.go:86): with the default
     layout, dynamic overwrite replaces the *whole* (dt, account) partition
@@ -101,11 +107,14 @@ def convert_flowlogs(
         part_cols.append(SRC_COLUMN)
 
     # distinct partition-key set (reference pkeySet, main.go:153,169-172)
-    # collected as an observation: bounded metadata (days × accounts), no
-    # second scan of the source
+    # collected as an observation: bounded metadata (days × accounts[× src
+    # files]), no second scan of the source. The observed struct carries
+    # the FULL key — with src_partition the table is 3-level partitioned
+    # and ALTER TABLE rejects partial (dt, account) specs, so registration
+    # needs (dt, account, src) tuples.
     key_obs = Observation()
     partitioned = partitioned.observe(
-        key_obs, F.collect_set(F.struct(*PARTITION_COLUMNS)).alias("pkeys")
+        key_obs, F.collect_set(F.struct(*part_cols)).alias("pkeys")
     )
 
     mode = "overwrite" if overwrite_partitions else "append"
@@ -121,9 +130,19 @@ def convert_flowlogs(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    keys = sorted(tuple(r[c] for c in part_cols) for r in key_obs.get["pkeys"])
     if strict:
-        raise_if_malformed(parse_obs)
-    return sorted((r["dt"], r["account"]) for r in key_obs.get["pkeys"])
+        try:
+            raise_if_malformed(parse_obs)
+        except FlowLogParseError as err:
+            # Single-pass strict raises AFTER the write: valid rows of the
+            # failing batch are already on disk. Attach the written keys so
+            # callers (handler.run_event) can register them before
+            # propagating — otherwise the partial state is invisible until
+            # a corrected re-run.
+            err.partition_keys = keys
+            raise
+    return keys
 
 
 def compact_partitions(spark: SparkSession, src_path: str, dst_path: str) -> int:
@@ -176,7 +195,13 @@ def register_flowlog_table(
     (main.go:177) because its ``logs/{acct}/{Y}/{M}/{D}/`` layout is not
     Hive-discoverable; the explicit form keeps parity for externally-laid-
     out tables. ``src_partitioned`` matches tables written with
-    ``convert_flowlogs(..., src_partition=True)``.
+    ``convert_flowlogs(..., src_partition=True)``; its entries carry the
+    third key level — ``(dt, account, src)`` or ``(dt, account, src,
+    path)`` — because Spark rejects partial specs against a 3-level
+    table (``AnalysisException: spec (dt, account) must match (dt,
+    account, src)``). Entries missing the ``src`` element fall back to
+    one ``MSCK REPAIR`` for the whole table rather than failing after
+    the data is already written.
     """
     part_spec = "dt STRING, account STRING" + (
         f", {SRC_COLUMN} STRING" if src_partitioned else ""
@@ -197,11 +222,19 @@ def register_flowlog_table(
     if partitions is None:
         spark.sql(f"MSCK REPAIR TABLE {table}")
         return
+    key_len = 3 if src_partitioned else 2
+    if src_partitioned and any(len(e) < key_len for e in partitions):
+        # partial specs can't register against the 3-level table; data is
+        # already written, so recover everything via metadata listing
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+        return
     for entry in partitions:
         # one DDL per distinct key, exactly the reference's statement shape
-        dt, account = entry[0], entry[1]
-        loc = f" LOCATION '{entry[2]}'" if len(entry) > 2 else ""
+        spec = ", ".join(
+            f"{col}='{val}'"
+            for col, val in zip(("dt", "account", SRC_COLUMN), entry[:key_len])
+        )
+        loc = f" LOCATION '{entry[key_len]}'" if len(entry) > key_len else ""
         spark.sql(
-            f"ALTER TABLE {table} ADD IF NOT EXISTS "
-            f"PARTITION (dt='{dt}', account='{account}'){loc}"
+            f"ALTER TABLE {table} ADD IF NOT EXISTS PARTITION ({spec}){loc}"
         )

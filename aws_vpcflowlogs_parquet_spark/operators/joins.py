@@ -82,3 +82,27 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def ensure_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> str:
+    """Idempotent :func:`write_bucketed`: write once per session, reuse after.
+
+    Bucketing's whole point is paying the layout shuffle ONCE for a
+    repeated-join workload — a query that re-writes its bucket tables on
+    every invocation (round-2 ``q_join_bucketed``) times the write, not
+    the join, and churns the warehouse. The bucketed table is an
+    immutable function of (input data, layout), so an existing table
+    with this name is reused; a fresh session (fresh in-memory catalog)
+    rewrites it. Callers key ``table`` by the input (e.g. a hash of the
+    source directory) so different datasets never alias. Returns the
+    table name for chaining.
+    """
+    if not df.sparkSession.catalog.tableExists(table):
+        write_bucketed(df, table, bucket_cols, n_buckets, sort_cols)
+    return table

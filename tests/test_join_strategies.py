@@ -9,7 +9,11 @@ from __future__ import annotations
 
 import pytest
 
-from aws_vpcflowlogs_parquet_spark.operators.joins import salted_join, write_bucketed
+from aws_vpcflowlogs_parquet_spark.operators.joins import (
+    ensure_bucketed,
+    salted_join,
+    write_bucketed,
+)
 from aws_vpcflowlogs_parquet_spark.sources.tables import load_table
 
 from .conftest import SF_DIR, canon_rows
@@ -84,6 +88,31 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         lineitem, orders.o_orderkey == lineitem.l_orderkey
     ).count()
     assert joined.count() == expected
+
+
+def test_ensure_bucketed_writes_once_per_session(spark):
+    # round-3 fix: q_join_bucketed's layout write must amortize — a second
+    # invocation reuses the existing table instead of rewriting it
+    import glob
+    import os
+
+    orders = load_table(spark, SF_DIR, "orders")
+    try:
+        ensure_bucketed(
+            orders.withColumnRenamed("o_orderkey", "okey"), "orders_eb", ["okey"], 4
+        )
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        files = sorted(glob.glob(os.path.join(wh, "orders_eb", "*.parquet")))
+        assert files
+        mtimes = [os.path.getmtime(f) for f in files]
+        ensure_bucketed(
+            orders.withColumnRenamed("o_orderkey", "okey"), "orders_eb", ["okey"], 4
+        )
+        files2 = sorted(glob.glob(os.path.join(wh, "orders_eb", "*.parquet")))
+        assert files2 == files
+        assert [os.path.getmtime(f) for f in files2] == mtimes
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_eb")
 
 
 def test_aqe_splits_skewed_join(spark):

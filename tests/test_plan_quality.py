@@ -199,6 +199,18 @@ def test_per_group_topk_gets_window_group_limit(spark):
     assert "WindowGroupLimit" in plan, plan
 
 
+def test_decile_approx_windows_only_the_histogram(spark):
+    # the scale-safe decile bucketing must never sort the fact table: the
+    # only Window in the plan runs over the bucket histogram (its input
+    # columns exist only post-aggregation), and the bin→decile map joins
+    # back by broadcast
+    plan = _executed(QUERIES["q_decile_stats_approx"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "ntile" not in plan, plan
+    assert "Window [sum(n_b" in plan, plan  # window input is the histogram
+    assert "SortMergeJoin" not in plan, plan
+
+
 def test_keep_best_is_aggregate_argmax(spark):
     # canonical selection must be a partial+final max_by aggregate (one
     # candidate per cluster per task crosses the shuffle) — not a
