@@ -79,3 +79,43 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = PR_DAMPING) -> 
             )
         )
     return ranks.select("node", "rank")
+
+
+def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
+    """(node, label) after ``n_iter`` synchronous majority-vote rounds —
+    community detection, the third iterative-graph surface beside
+    connected components (min-label) and PageRank (weighted sums).
+
+    ``edges`` is a directed (src, dst) DataFrame; the graph is treated as
+    undirected (symmetrized + distinct). Labels start as node ids; each
+    round every node adopts the most frequent label among its neighbors,
+    ties broken by the SMALLEST label — the tie-break plus synchronous
+    updates make the algorithm fully deterministic (plain LPA's
+    random-order updates are not), so an unrolled-CTE oracle can verify
+    it exactly. Per round: one join (neighbor labels), one count
+    aggregation, one ``max_by`` argmax — all hash-partitioned by node id;
+    nothing is ordered globally and no state lives on the driver."""
+    sym = (
+        edges.select("src", "dst")
+        .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(n_iter):
+        votes = (
+            sym.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy("src", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        # argmax by (cnt DESC, label ASC): max_by over (cnt, -label)
+        labels = votes.groupBy(F.col("src").alias("node")).agg(
+            F.max_by(
+                "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
+            ).alias("label")
+        )
+    return labels.select("node", "label")

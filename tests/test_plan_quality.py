@@ -211,6 +211,52 @@ def test_decile_approx_windows_only_the_histogram(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_bloom_join_prefilters_before_broadcast_join(spark):
+    # the bloom probe must be an expression test against the broadcast
+    # one-row bitmap (Catalyst folds it into the BroadcastNestedLoopJoin
+    # condition: bit shift + mask, rendered '>> … & 1'), upstream of the
+    # member broadcast join — never a shuffle join
+    plan = _executed(QUERIES["q_bloom_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "& 1) = 1" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sketch_queries_broadcast_and_stay_jvm(spark):
+    # sketch tables (1536-cell CMS, 16-register HLL) are constants at any
+    # scale: they must broadcast, and the whole pipeline is codegen'd
+    # expressions — no Python evaluation anywhere
+    for name in ("q_cms_heavy_hitters", "q_sketch_hll"):
+        plan = _executed(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        assert "ArrowEvalPython" not in plan, (name, plan)
+
+
+def test_new_ranked_feeds_use_take_ordered(spark):
+    for name in ("q_seq_bigrams", "q_cms_heavy_hitters", "q_event_rate_alert"):
+        plan = _executed(QUERIES[name](spark, SF_DIR))
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+
+
+def test_group_quartiles_has_no_single_partition_exchange(spark):
+    # the per-group histogram quartiles are the FULLY distributed
+    # approx-percentile form: every window is partitioned by group, so
+    # nothing in the plan may funnel through one partition
+    plan = _executed(QUERIES["q_group_quartiles_approx"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "ntile" not in plan, plan
+
+
+def test_event_rate_alert_windows_preaggregated_counts(spark):
+    # the trailing-baseline window must consume per-minute counts (its
+    # input columns exist only post-aggregation), never raw events
+    plan = _executed(QUERIES["q_event_rate_alert"](spark, SF_DIR))
+    assert "Window [count(1)" in plan or "Window [sum(n" in plan, plan
+
+
 def test_keep_best_is_aggregate_argmax(spark):
     # canonical selection must be a partial+final max_by aggregate (one
     # candidate per cluster per task crosses the shuffle) — not a
