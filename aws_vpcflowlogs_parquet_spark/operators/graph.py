@@ -33,12 +33,20 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = PR_DAMPING) -> 
     variant, matched exactly by the oracle); in-degree-0 nodes keep the
     teleport term via the left join + coalesce.
     """
+    # Iterative dataflow hygiene: without lineage truncation every round
+    # nests the previous round's plan, so round k re-analyzes and
+    # RE-EXECUTES rounds 1..k-1 (3 rounds = ~3x redundant work at sf0.1,
+    # unbounded at 100 TB). Persist the loop-invariant inputs once and
+    # checkpoint ranks each round — the same discipline GraphX/Pregel
+    # apply (periodic checkpointing of the iterative RDD).
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
     nn = nodes.agg(F.count("*").alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
@@ -78,7 +86,13 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = PR_DAMPING) -> 
                 ).alias("rank"),
             )
         )
-    return ranks.select("node", "rank")
+        # Truncate lineage: the next round (and the final action) start
+        # from materialized ranks, not a re-execution of this round.
+        ranks = ranks.localCheckpoint(eager=True)
+    out = ranks.select("node", "rank")
+    for df in (edges, nodes, outdeg):
+        df.unpersist()
+    return out
 
 
 def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
@@ -100,6 +114,7 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
         .union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+        .persist()  # loop-invariant; scanned once per round, not re-derived
     )
     labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -118,4 +133,7 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
                 "label", F.struct(F.col("cnt"), (-F.col("label")).alias("nl"))
             ).alias("label")
         )
-    return labels.select("node", "label")
+        labels = labels.localCheckpoint(eager=True)  # truncate round lineage
+    out = labels.select("node", "label")
+    sym.unpersist()
+    return out

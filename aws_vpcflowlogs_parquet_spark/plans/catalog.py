@@ -5612,6 +5612,182 @@ def q_event_rate_alert(spark, sf_dir):
     )
 
 
+@register(
+    "q_entropy",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id % 16 AS cohort, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT cohort, SUM(n) AS total, COUNT(*) AS n_types
+      FROM counts GROUP BY cohort
+    )
+    SELECT c.cohort,
+           CAST(t.total AS BIGINT) AS n_events,
+           CAST(t.n_types AS BIGINT) AS n_types,
+           CAST(SUM(CAST(floor(
+             -(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+               * ln(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             / CAST(1000000.0 AS DOUBLE) AS entropy_nats
+    FROM counts c JOIN totals t ON c.cohort = t.cohort
+    GROUP BY c.cohort, t.total, t.n_types
+    """,
+)
+def q_entropy(spark, sf_dir):
+    """Shannon entropy of the event-type distribution per user cohort —
+    the information-theoretic diversity score LLM-corpus pipelines use
+    to flag degenerate sources (near-zero entropy = one dominant
+    category). Two bounded hash aggregations (counts, then totals) and a
+    broadcast join back; the -p·ln(p) terms are quantized to 1e-6 bigint
+    units before summation (same trick as q_pagerank) so the reduction
+    is exact integer arithmetic — order- and partition-count-independent,
+    hence oracle hash-exact. At 100 TB both aggs are map-side-partial on
+    tiny keys; nothing driver-side."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        (F.col("user_id") % 16).alias("cohort"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    totals = counts.groupBy("cohort").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_types")
+    )
+    p = F.col("n").cast("double") / F.col("total").cast("double")
+    term_q = F.floor(-p * F.log(p) * F.lit(1000000.0) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return (
+        counts.join(F.broadcast(totals), "cohort")
+        .groupBy("cohort", "total", "n_types")
+        .agg(
+            (F.sum(term_q).cast("bigint") / F.lit(1000000.0)).alias(
+                "entropy_nats"
+            )
+        )
+        .select(
+            "cohort",
+            F.col("total").alias("n_events"),
+            "n_types",
+            "entropy_nats",
+        )
+    )
+
+
+@register(
+    "q_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    cells AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+    FROM cells
+    """,
+)
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next | prev) = n(prev,next) / n(prev,·). The lag window
+    is per-user (parallel, no global order); cells are then one bounded
+    hash agg (k² rows for k event types) and the row-normalizing total
+    is a window over those k² pre-aggregated cells — at 100 TB the
+    window input is the transition matrix, not the event stream. Counts
+    are exact bigints, so each probability is one deterministic double
+    division. This matrix is the input to next-event prediction
+    baselines and to behavioral-drift monitoring (compare matrices
+    across weeks)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    cells = seq.groupBy("prev_type", "next_type").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("prev_type")
+    return cells.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wt).cast("double")).alias(
+            "p"
+        ),
+    )
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_linestatus, l_extendedprice, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS wt,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_linestatus
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cumw,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_linestatus
+             ) AS totw
+      FROM lineitem
+    ),
+    hits AS (
+      SELECT l_linestatus, l_extendedprice, totw,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_linestatus
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ) AS rn
+      FROM w WHERE 2 * cumw >= totw
+    )
+    SELECT l_linestatus, l_extendedprice AS w_median_price,
+           CAST(totw AS BIGINT) AS total_weight
+    FROM hits WHERE rn = 1
+    """,
+)
+def q_weighted_median(spark, sf_dir):
+    """Weighted median (lower weighted median: the smallest value whose
+    cumulative weight reaches half the total) of extended price weighted
+    by quantity, per line status. Weights are exact bigints, so the
+    cumulative and total sums are exact and the selection — first row in
+    the total (price, orderkey, linenumber) order with 2·cum ≥ total —
+    is fully deterministic; no float comparison anywhere. Per group this
+    is one sort-window; with only a handful of statuses the 100 TB form
+    replaces the per-group sort with the histogram-cutpoint scheme of
+    q_decile_stats_approx (exact selection within the one candidate
+    bin) — documented in SCALE.md; the exact form here doubles as that
+    variant's oracle kernel."""
+    li = _t(spark, sf_dir, "lineitem")
+    order_cols = ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    wcum = (
+        Window.partitionBy("l_linestatus")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_linestatus")
+    wt = F.col("l_quantity").cast("bigint")
+    scored = li.select(
+        "l_linestatus",
+        *order_cols,
+        F.sum(wt).over(wcum).alias("cumw"),
+        F.sum(wt).over(wtot).alias("totw"),
+    )
+    wrn = Window.partitionBy("l_linestatus").orderBy(*order_cols)
+    hits = scored.filter(2 * F.col("cumw") >= F.col("totw")).withColumn(
+        "rn", F.row_number().over(wrn)
+    )
+    return hits.filter(F.col("rn") == 1).select(
+        "l_linestatus",
+        F.col("l_extendedprice").alias("w_median_price"),
+        F.col("totw").alias("total_weight"),
+    )
+
+
 # =====================================================================
 
 
