@@ -5788,6 +5788,634 @@ def q_weighted_median(spark, sf_dir):
     )
 
 
+@register(
+    "q_chi2_assoc",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN value < 1.0 THEN 'lo'
+                  WHEN value < 10.0 THEN 'mid' ELSE 'hi' END AS bucket
+      FROM events
+    ),
+    cells AS (SELECT event_type, bucket, COUNT(*) AS o FROM b GROUP BY 1, 2),
+    rowt AS (SELECT event_type, SUM(o) AS r FROM cells GROUP BY 1),
+    colt AS (SELECT bucket, SUM(o) AS c FROM cells GROUP BY 1),
+    nt AS (SELECT SUM(o) AS n FROM cells),
+    terms AS (
+      SELECT cells.event_type,
+             CAST(floor(
+               (CAST(o AS DOUBLE)
+                  - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS tq,
+             r
+      FROM cells JOIN rowt USING (event_type) JOIN colt USING (bucket)
+      CROSS JOIN nt
+    ),
+    contrib AS (
+      SELECT event_type, CAST(MAX(r) AS BIGINT) AS row_n,
+             CAST(SUM(tq) AS BIGINT) AS cq
+      FROM terms GROUP BY event_type
+    )
+    SELECT event_type, row_n,
+           CAST(cq AS DOUBLE) / 1000000.0 AS chi2_contrib,
+           CAST(SUM(cq) OVER () AS DOUBLE) / 1000000.0 AS chi2_total,
+           CAST((COUNT(*) OVER () - 1) * 2 AS BIGINT) AS dof
+    FROM contrib
+    """,
+)
+def q_chi2_assoc(spark, sf_dir):
+    """Chi-square test of independence between event type and a value
+    band — the association screen feature-selection and drift-detection
+    pipelines run over categorical pairs. The contingency table is one
+    hash agg (R×C cells); row/column/grand totals re-aggregate those
+    cells (tiny, broadcast-joined back); each (O−E)²/E term is quantized
+    to 1e-6 bigint units so the chi-square sum is exact integer
+    arithmetic — deterministic across engines and partitionings. Output
+    is per-row contribution plus the global statistic and degrees of
+    freedom; the final window runs over R pre-aggregated rows, never
+    the event stream."""
+    ev = _t(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.when(F.col("value") < 1.0, "lo")
+        .when(F.col("value") < 10.0, "mid")
+        .otherwise("hi")
+        .alias("bucket"),
+    )
+    cells = b.groupBy("event_type", "bucket").agg(F.count("*").alias("o"))
+    rowt = cells.groupBy("event_type").agg(F.sum("o").alias("r"))
+    colt = cells.groupBy("bucket").agg(F.sum("o").alias("c"))
+    nt = cells.agg(F.sum("o").alias("n"))
+    e = (
+        F.col("r").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n").cast("double")
+    )
+    tq = F.floor(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    contrib = (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "bucket")
+        .crossJoin(F.broadcast(nt))
+        .select("event_type", "r", tq.alias("tq"))
+        .groupBy("event_type")
+        .agg(F.max("r").alias("row_n"), F.sum("tq").cast("bigint").alias("cq"))
+    )
+    wall = Window.partitionBy()
+    return contrib.select(
+        "event_type",
+        "row_n",
+        (F.col("cq").cast("double") / F.lit(1000000.0)).alias("chi2_contrib"),
+        (F.sum("cq").over(wall).cast("double") / F.lit(1000000.0)).alias(
+            "chi2_total"
+        ),
+        ((F.count("*").over(wall) - 1) * 2).alias("dof"),
+    )
+
+
+@register(
+    "q_rollup_hierarchy",
+    oracle=f"""
+    WITH minutes AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             date_trunc('hour', ts) AS hour,
+             date_trunc('minute', ts) AS minute,
+             COUNT(*) AS n,
+             SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS sv
+      FROM events GROUP BY 1, 2, 3
+    ),
+    hours AS (
+      SELECT day, hour, SUM(n) AS n, SUM(sv) AS sv, COUNT(*) AS n_minutes
+      FROM minutes GROUP BY 1, 2
+    )
+    SELECT day, CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(sv) AS BIGINT) AS DOUBLE) / 1000000.0 AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(n_minutes) AS BIGINT) AS n_minutes
+    FROM hours GROUP BY day
+    """,
+)
+def q_rollup_hierarchy(spark, sf_dir):
+    """Hierarchical time rollup with partial-aggregate REUSE: minute
+    sums feed the hour level, hour partials feed the day level — the
+    hypertable/continuous-aggregate pattern, where each coarser tier
+    aggregates the tier below instead of rescanning raw events. The
+    per-row quantization (scaled-long sums, functions/casts.py) is what
+    makes the partials mergeable EXACTLY: integer partial sums re-sum to
+    the identical result regardless of grouping level, so the day tier
+    is bit-equal to a direct day aggregation. At 100 TB only the minute
+    agg touches raw data; the hour and day tiers run over ~1e4× fewer
+    rows and in an incremental deployment are updated from stored
+    partials alone."""
+    ev = _t(spark, sf_dir, "events")
+    sv = F.sum(
+        F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    )
+    minutes = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.date_trunc("minute", "ts").alias("minute"),
+    ).agg(F.count("*").alias("n"), sv.alias("sv"))
+    hours = minutes.groupBy("day", "hour").agg(
+        F.sum("n").alias("n"),
+        F.sum("sv").alias("sv"),
+        F.count("*").alias("n_minutes"),
+    )
+    return hours.groupBy("day").agg(
+        F.sum("n").alias("n_events"),
+        (F.sum("sv").cast("bigint").cast("double") / F.lit(1000000.0)).alias(
+            "sum_value"
+        ),
+        F.count("*").alias("n_hours"),
+        F.sum("n_minutes").alias("n_minutes"),
+    )
+
+
+@register(
+    "q_sketch_hll_merge",
+    oracle=f"""
+    WITH h AS (
+      SELECT o_orderpriority, o_orderkey % 8 AS shard,
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM orders
+    ),
+    shard_regs AS (
+      SELECT o_orderpriority, shard, hv & 15 AS reg,
+             MAX({_rho_case_sql('(hv >> 4)')}) AS m
+      FROM h GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT o_orderpriority, reg, MAX(m) AS m,
+             COUNT(DISTINCT shard) AS n_shards
+      FROM shard_regs GROUP BY 1, 2
+    ),
+    sums AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(56 - m AS INT)) AS BIGINT)
+               + (16 - COUNT(*)) * (CAST(1 AS BIGINT) << 56) AS s,
+             MAX(n_shards) AS n_shards
+      FROM merged GROUP BY 1
+    )
+    SELECT o_orderpriority,
+           CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+             * CAST(72057594037927936.0 AS DOUBLE) / CAST(s AS DOUBLE)
+             AS est_distinct,
+           CAST(n_shards AS BIGINT) AS n_shards
+    FROM sums
+    """,
+)
+def q_sketch_hll_merge(spark, sf_dir):
+    """HLL sketch MERGE across shards — the property that makes the
+    sketch worth carrying at 100 TB: per-shard register vectors (built
+    independently, e.g. one per ingest day or per partition file) union
+    into the global sketch by an elementwise register MAX, no re-scan of
+    raw data. Level 1 builds 16-register sketches per (priority, shard);
+    level 2 merges the 8 shard sketches with MAX per register; the
+    harmonic estimate over merged registers is bit-identical to the
+    unsharded q_sketch_hll sketch by construction (max is associative).
+    Both levels are map-side-partial hash aggs over fixed-size state."""
+    o = _t(spark, sf_dir, "orders")
+    hv = F.conv(
+        F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = F.shiftright(F.col("hv"), 4)
+    bbit = w.bitwiseAND(-w)
+    rho = F.when(w == 0, F.lit(21))
+    for k in range(20):
+        rho = rho.when(bbit == (1 << k), F.lit(k + 1))
+    rho = rho.otherwise(F.lit(21))
+    shard_regs = (
+        o.select(
+            "o_orderpriority",
+            (F.col("o_orderkey") % 8).alias("shard"),
+            hv.alias("hv"),
+        )
+        .select(
+            "o_orderpriority",
+            "shard",
+            F.col("hv").bitwiseAND(F.lit(15)).alias("reg"),
+            rho.alias("rho"),
+        )
+        .groupBy("o_orderpriority", "shard", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    merged = shard_regs.groupBy("o_orderpriority", "reg").agg(
+        F.max("m").alias("m"), F.countDistinct("shard").alias("n_shards")
+    )
+    sums = merged.groupBy("o_orderpriority").agg(
+        (
+            F.sum(F.expr("shiftleft(cast(1 as bigint), cast(56 - m as int))"))
+            .cast("bigint")
+            + (F.lit(16) - F.count("*")) * F.lit(1 << 56).cast("bigint")
+        ).alias("s"),
+        F.max("n_shards").alias("n_shards"),
+    )
+    return sums.select(
+        "o_orderpriority",
+        (
+            F.lit(0.673) * F.lit(256.0) * F.lit(72057594037927936.0)
+            / F.col("s").cast("double")
+        ).alias("est_distinct"),
+        "n_shards",
+    )
+
+
+@register(
+    "q_anomaly_mad",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ),
+    med AS (
+      SELECT event_type, value AS med, n
+      FROM ranked WHERE rn = (n + 1) // 2
+    ),
+    devs AS (
+      SELECT e.event_type, abs(e.value - m.med) AS dev, e.event_id, m.med, m.n
+      FROM events e JOIN med m ON e.event_type = m.event_type
+    ),
+    dranked AS (
+      SELECT event_type, dev, med, n,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY dev, event_id) AS rn
+      FROM devs
+    ),
+    mad AS (
+      SELECT event_type, med, dev AS mad, n
+      FROM dranked WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, CAST(m.n AS BIGINT) AS n, m.med, m.mad,
+           CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM devs d JOIN mad m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.n, m.med, m.mad
+    """,
+)
+def q_anomaly_mad(spark, sf_dir):
+    """Robust outlier detection via median absolute deviation — the
+    quality gate that survives heavy-tailed value distributions where
+    z-scores (q_anomaly_zscore) blow up. Both medians are the LOWER
+    median selected by integer rank over a total (value, event_id)
+    order — pure row selection, no float interpolation, so the result
+    is engine-exact. Flags rows with |v − med| > 3·MAD. Two ranked
+    windows partitioned by event_type plus two broadcast joins of the
+    per-type scalars; for the low-cardinality-group case at 100 TB the
+    per-group sort swaps for the histogram-bin selection of
+    q_decile_stats_approx, with this exact form as its oracle kernel."""
+    ev = _t(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type", "value", "event_id",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    med = ranked.filter(
+        F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint")
+    ).select("event_type", F.col("value").alias("med"), "n")
+    devs = ev.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("value") - F.col("med")).alias("dev"),
+        "event_id", "med", "n",
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = devs.select(
+        "event_type", "dev", "med", "n", F.row_number().over(wd).alias("rn")
+    ).filter(F.col("rn") == ((F.col("n") + 1) / 2).cast("bigint")).select(
+        "event_type", "med", F.col("dev").alias("mad"), "n"
+    )
+    return (
+        devs.select("event_type", "dev")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(F.col("dev") > 3.0 * F.col("mad"), 1).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .select("event_type", "n", "med", "mad", "n_outliers")
+    )
+
+
+@register(
+    "q_dataset_mixture",
+    oracle="""
+    WITH per_src AS (
+      SELECT source, COUNT(*) AS n_docs,
+             SUM(len(list_filter(string_split(lower(text), ' '),
+                                 t -> t != ''))) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT SUM(n_tokens) AS t_total,
+             SUM(CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+                      AS BIGINT)) AS zq
+      FROM per_src
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(t_total AS DOUBLE) AS actual_frac,
+           CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+                AS DOUBLE) / CAST(zq AS DOUBLE) AS target_frac,
+           (CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0 + 0.5)
+                 AS DOUBLE) / CAST(zq AS DOUBLE))
+             / (CAST(n_tokens AS DOUBLE) / CAST(t_total AS DOUBLE))
+             AS sample_weight
+    FROM per_src CROSS JOIN tot
+    """,
+)
+def q_dataset_mixture(spark, sf_dir):
+    """Training-mixture reweighting: temperature-sampled source mixture
+    (target share ∝ actual_share^0.5, the multilingual/corpus-balancing
+    convention) and the per-source sampling weight that achieves it —
+    the arithmetic behind 'upsample small sources, downsample the
+    dominant one'. One token-count aggregation per source, one broadcast
+    scalar join; the normalizer Σ√tᵢ sums √ terms quantized to 1e-6
+    bigint units (sqrt is IEEE correctly-rounded, the quantized sum is
+    order-exact). Every downstream frac/weight is a deterministic double
+    division. At 100 TB the heavy agg is the map-side token count; the
+    mixture table is k rows."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(dd.tokens_col("text"))).alias("n_tokens"),
+    )
+    sq = F.floor(
+        F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("bigint")
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("t_total"), F.sum(sq).alias("zq")
+    )
+    actual = F.col("n_tokens").cast("double") / F.col("t_total").cast("double")
+    target = sq.cast("double") / F.col("zq").cast("double")
+    return per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        actual.alias("actual_frac"),
+        target.alias("target_frac"),
+        (target / actual).alias("sample_weight"),
+    )
+
+
+@register(
+    "q_subnet_rollup",
+    oracle="""
+    WITH f AS (
+      SELECT user_id % 256 AS o2, (user_id // 256) % 256 AS o3,
+             CAST(floor(value * 10.0) AS BIGINT) AS bytes
+      FROM events
+    )
+    SELECT CASE WHEN GROUPING(o3) = 1
+                THEN concat('10.', CAST(o2 AS VARCHAR), '.0.0/16')
+                ELSE concat('10.', CAST(o2 AS VARCHAR), '.',
+                            CAST(o3 AS VARCHAR), '.0/24') END AS subnet,
+           CAST(CASE WHEN GROUPING(o3) = 1 THEN 16 ELSE 24 END AS INT)
+             AS prefix_len,
+           COUNT(*) AS n_flows,
+           CAST(SUM(bytes) AS BIGINT) AS total_bytes
+    FROM f
+    GROUP BY GROUPING SETS ((o2), (o2, o3))
+    """,
+)
+def q_subnet_rollup(spark, sf_dir):
+    """Hierarchical subnet traffic rollup — the /24 and /16 views a VPC
+    flow-log analyst pivots between (the reference's Athena table is
+    exactly this query's source layout, template.yml:116-168). Synthetic
+    octets derive from user_id; both levels come out of ONE scan via
+    rollup + Expand (a single shuffle carries both granularities, vs two
+    scans for two GROUP BYs), with grouping_id() distinguishing the /16
+    subtotal rows. Byte sums are exact bigints. At 100 TB the Expand
+    doubles shuffle rows but halves scans — the right trade for a
+    source-dominated workload."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.select(
+        (F.col("user_id") % 256).alias("o2"),
+        F.expr("(user_id div 256) % 256").alias("o3"),
+        F.floor(F.col("value") * 10.0).cast("bigint").alias("bytes"),
+    )
+    agg = (
+        f.rollup("o2", "o3")
+        .agg(
+            F.count("*").alias("n_flows"),
+            F.sum("bytes").alias("total_bytes"),
+            F.grouping_id().alias("gid"),
+        )
+        .filter(F.col("gid") != 3)
+    )
+    return agg.select(
+        F.when(
+            F.col("gid") == 1,
+            F.concat(F.lit("10."), F.col("o2").cast("string"), F.lit(".0.0/16")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("10."), F.col("o2").cast("string"), F.lit("."),
+                F.col("o3").cast("string"), F.lit(".0/24"),
+            )
+        )
+        .alias("subnet"),
+        F.when(F.col("gid") == 1, 16).otherwise(24).cast("int").alias(
+            "prefix_len"
+        ),
+        "n_flows",
+        "total_bytes",
+    )
+
+
+@register(
+    "q_nearest_event_join",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, ts, event_id, 0 AS is_p,
+             epoch_us(ts) AS click_us, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS is_p, NULL, NULL
+      FROM events WHERE event_type = 'purchase'
+    ),
+    carried AS (
+      SELECT user_id, ts, event_id, is_p,
+             last_value(click_id IGNORE NULLS) OVER wb AS back_id,
+             last_value(click_us IGNORE NULLS) OVER wb AS back_us,
+             first_value(click_id IGNORE NULLS) OVER wf AS fwd_id,
+             first_value(click_us IGNORE NULLS) OVER wf AS fwd_us
+      FROM u
+      WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CASE WHEN back_id IS NOT NULL AND (fwd_id IS NULL
+                     OR epoch_us(ts) - back_us <= fwd_us - epoch_us(ts))
+                THEN back_id ELSE fwd_id END AS nearest_click_id,
+           CASE WHEN back_id IS NOT NULL AND (fwd_id IS NULL
+                     OR epoch_us(ts) - back_us <= fwd_us - epoch_us(ts))
+                THEN back_us - epoch_us(ts) ELSE fwd_us - epoch_us(ts)
+                END AS dt_us
+    FROM carried WHERE is_p = 1
+    """,
+)
+def q_nearest_event_join(spark, sf_dir):
+    """Nearest-neighbor temporal join, both directions: each purchase
+    pairs with its closest click in absolute time (ties → the earlier,
+    i.e. backward, click) — the attribution variant q_asof_join's
+    backward-only carry can't express. Same scalable union+window-carry
+    pattern (one shuffle on user_id, no range explosion): a backward
+    last-non-null carry and a forward first-non-null carry over the one
+    sorted stream, then a deterministic pick on exact microsecond
+    deltas. Purchases with no click at all keep NULLs (left-join
+    semantics)."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", F.lit(0).alias("is_p"),
+        F.unix_micros("ts").alias("click_us"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("is_p"),
+        F.lit(None).cast("long").alias("click_us"),
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    base = Window.partitionBy("user_id").orderBy("ts", "is_p", "event_id")
+    wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    carried = clicks.unionByName(purchases).select(
+        "user_id", "ts", "event_id", "is_p",
+        F.last("click_id", ignorenulls=True).over(wb).alias("back_id"),
+        F.last("click_us", ignorenulls=True).over(wb).alias("back_us"),
+        F.first("click_id", ignorenulls=True).over(wf).alias("fwd_id"),
+        F.first("click_us", ignorenulls=True).over(wf).alias("fwd_us"),
+    )
+    p_us = F.unix_micros("ts")
+    take_back = F.col("back_id").isNotNull() & (
+        F.col("fwd_id").isNull()
+        | (p_us - F.col("back_us") <= F.col("fwd_us") - p_us)
+    )
+    return carried.filter(F.col("is_p") == 1).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(take_back, F.col("back_id")).otherwise(F.col("fwd_id")).alias(
+            "nearest_click_id"
+        ),
+        F.when(take_back, F.col("back_us") - p_us)
+        .otherwise(F.col("fwd_us") - p_us)
+        .alias("dt_us"),
+    )
+
+
+@register(
+    "q_minhash_est_error",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+            WHERE doc_id < 300)
+    ),
+    sigs AS (SELECT doc_id, sh FROM toks WHERE len(sh) > 0),
+    hs AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(s), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(s), 9, 8))::BIGINT AS h2
+      FROM (SELECT doc_id, unnest(sh) AS s FROM sigs)
+    ),
+    mins AS (SELECT doc_id, {_DUCK_MINS} FROM hs GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band FROM mins
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(({" + ".join(f"CASE WHEN ma.mh{j} = mb.mh{j} THEN 1 ELSE 0 END" for j in range(dd.MINHASH_PERMS))})
+                AS DOUBLE) / {dd.MINHASH_PERMS}.0 AS est_jaccard,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+             AS exact_jaccard,
+           abs(CAST(({" + ".join(f"CASE WHEN ma.mh{j} = mb.mh{j} THEN 1 ELSE 0 END" for j in range(dd.MINHASH_PERMS))})
+                    AS DOUBLE) / {dd.MINHASH_PERMS}.0
+               - CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                 / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+             AS abs_err
+    FROM cand
+    JOIN mins ma ON ma.doc_id = cand.doc_a
+    JOIN mins mb ON mb.doc_id = cand.doc_b
+    JOIN sigs sa ON sa.doc_id = cand.doc_a
+    JOIN sigs sb ON sb.doc_id = cand.doc_b
+    """,
+)
+def q_minhash_est_error(spark, sf_dir):
+    """Sketch-accuracy audit: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (matching signature components / 16) next to the
+    exact shingle-set Jaccard and the absolute error — the measurement
+    that justifies (or vetoes) replacing the exact verify join with the
+    signature-only estimate at 100 TB, where shipping shingle sets
+    dominates the dedup cost. Candidates come from the same band
+    equi-join as q_dedup_minhash (sub-quadratic); the estimate join
+    ships only 16×8-byte signatures. Exact integer component matches
+    and set sizes → every output is a deterministic double division."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    sigs = dd.shingled(docs).persist()
+    sigs.count()
+    mins = dd.minhash_signatures(sigs)
+    bands = dd.band_keys(mins)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ma = mins.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(dd.MINHASH_PERMS)],
+    )
+    mb = mins.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(dd.MINHASH_PERMS)],
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(dd.MINHASH_PERMS)
+    )
+    est = matches.cast("double") / F.lit(float(dd.MINHASH_PERMS))
+    exact = F.col("inter").cast("double") / F.col("uni")
+    return (
+        cand.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .withColumn("uni", F.expr("size(sh_a) + size(sh_b) - inter"))
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )
+
+
 # =====================================================================
 
 

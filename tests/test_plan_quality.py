@@ -283,3 +283,71 @@ def test_split_assign_and_gate_are_single_agg_scans(spark):
         n_exchanges = plan.count("Exchange hashpartitioning")
         assert n_exchanges == 1, (name, n_exchanges, plan)
         assert "BatchEvalPython" not in plan, (name, plan)
+
+
+def test_round3_stats_broadcast_and_stay_jvm(spark):
+    # entropy/chi2/mixture/MAD join tiny per-group scalar tables back to
+    # cell- or row-level data: those joins must broadcast (never SMJ) and
+    # the whole pipeline is built-in expressions — no Python evaluation
+    for name in ("q_entropy", "q_chi2_assoc", "q_dataset_mixture",
+                 "q_anomaly_mad"):
+        plan = _executed(QUERIES[name](spark, SF_DIR))
+        # keyed joins → BroadcastHashJoin; the one-row scalar cross join
+        # in q_dataset_mixture → BroadcastNestedLoopJoin
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+            name, plan,
+        )
+        assert "SortMergeJoin" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+        assert "ArrowEvalPython" not in plan, (name, plan)
+
+
+def test_rollup_hierarchy_single_scan(spark):
+    # the three tiers must reuse partials from ONE events scan — a second
+    # FileScan would mean a tier recomputed from raw data
+    plan = _executed(QUERIES["q_rollup_hierarchy"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_subnet_rollup_is_one_expand_one_shuffle(spark):
+    # both prefix granularities ride one Expand + one hash shuffle
+    plan = _executed(QUERIES["q_subnet_rollup"](spark, SF_DIR))
+    assert "Expand" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_markov_window_runs_over_cells(spark):
+    # the row-normalizing window consumes pre-aggregated transition cells
+    # (sum over n), never the raw event stream
+    plan = _executed(QUERIES["q_markov_transitions"](spark, SF_DIR))
+    assert "Window [sum(n" in plan, plan
+
+
+def test_nearest_join_is_one_union_one_shuffle(spark):
+    # both direction carries share one sorted shuffle on user_id — the
+    # whole point of the union+carry pattern vs a range join
+    plan = _executed(QUERIES["q_nearest_event_join"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pagerank_plan_depth_is_constant_in_iterations(spark):
+    # localCheckpoint per round must truncate lineage: the returned plan
+    # starts from the materialized final round (a scan of checkpointed
+    # rows), not a 3-round join chain re-deriving everything
+    from aws_vpcflowlogs_parquet_spark.operators.graph import pagerank
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pyspark.sql import functions as F
+
+    e = (
+        ev.select(
+            (F.col("user_id") % 64).alias("src"),
+            ((F.col("user_id") + F.col("event_id")) % 64).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    plan = _optimized(pagerank(e, n_iter=3))
+    assert "Join" not in plan, plan
+    assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan, plan
