@@ -6416,6 +6416,367 @@ def q_minhash_est_error(spark, sf_dir):
     )
 
 
+@register(
+    "q_kmeans_step",
+    oracle=f"""
+    WITH emb AS ({_DUCK_EMB}),
+    cents AS (SELECT vec_id AS cid, e AS c FROM emb WHERE vec_id < 4),
+    pairs AS (
+      SELECT emb.vec_id, emb.e, cents.cid,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(emb.e, (x, i) -> (x - cents.c[i]) * (x - cents.c[i]))),
+               (p, v) -> p + v) AS d
+      FROM emb CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, e, cid AS cluster_id
+      FROM (SELECT vec_id, e, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM pairs)
+      WHERE rn = 1
+    ),
+    fan AS (
+      SELECT cluster_id, UNNEST(generate_series(1, len(e))) AS i, e
+      FROM assign
+    ),
+    dims AS (
+      SELECT cluster_id, CAST(i - 1 AS INT) AS dim, e[i] AS x FROM fan
+    )
+    SELECT cluster_id, dim,
+           CAST(CAST(SUM(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                AS DOUBLE) / 1000000.0 / COUNT(*) AS centroid_val,
+           COUNT(*) AS n_members
+    FROM dims GROUP BY cluster_id, dim
+    """,
+)
+def q_kmeans_step(spark, sf_dir):
+    """One Lloyd iteration of k-means over the embedding corpus (k=4,
+    seeds = the first four vectors) — the training step behind IVF cell
+    assignment (q_ann_ivf consumes exactly such centroids). Assignment:
+    broadcast the k centroids, 4× fan-out, squared-L2 via the sequential
+    zip-fold (bit-identical to the oracle's list_reduce), argmin as a
+    ``min_by`` over the total (distance, cid) order — partial+final
+    aggregable, one candidate per vector per task crosses the shuffle.
+    Update: posexplode dims → per-(cluster, dim) mean with per-value
+    1e-6 quantization so the new centroids are order-exact. At 100 TB
+    each further iteration is the same two shuffles; centroids stay
+    broadcast-size by construction (k·dims doubles)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("c")
+    )
+    d = F.expr(
+        "aggregate(zip_with(e, c, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    assign = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "e", "cid", d.alias("d"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("cid", F.struct(F.col("d"), F.col("cid"))).alias(
+                "cluster_id"
+            ),
+            F.first("e").alias("e"),
+        )
+    )
+    dims = assign.select(
+        "cluster_id", F.posexplode("e").alias("dim", "x")
+    )
+    return dims.groupBy("cluster_id", "dim").agg(
+        (
+            F.sum(
+                F.floor(F.col("x") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .cast("double")
+            / F.lit(1000000.0)
+            / F.count("*")
+        ).alias("centroid_val"),
+        F.count("*").alias("n_members"),
+    )
+
+
+@register(
+    "q_cumulative_distinct",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS d0
+      FROM events GROUP BY user_id
+    ),
+    new_per_day AS (
+      SELECT d0 AS day, COUNT(*) AS n_new FROM first_seen GROUP BY d0
+    ),
+    active AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS n_active
+      FROM events GROUP BY 1
+    )
+    SELECT a.day, COALESCE(n.n_new, 0) AS n_new, a.n_active,
+           CAST(SUM(COALESCE(n.n_new, 0)) OVER (
+             ORDER BY a.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS cum_users
+    FROM active a LEFT JOIN new_per_day n ON a.day = n.day
+    """,
+)
+def q_cumulative_distinct(spark, sf_dir):
+    """Cumulative distinct users per day via the FIRST-SEEN transform —
+    the trick that turns an O(days × users) running COUNT(DISTINCT)
+    window (unbounded distinct state per frame) into two plain hash
+    aggs: min-day per user, count per first-day, then a running sum over
+    the tiny per-day series. n_active (per-day distinct) rides along as
+    the contrast metric. The only window runs over ~days rows; at 100 TB
+    the heavy lifting is two map-side-partial aggs on user_id/day — this
+    is how growth-accounting dashboards stay O(data) instead of
+    O(data × horizon)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    first_seen = ev.groupBy("user_id").agg(F.min(day).alias("d0"))
+    new_per_day = first_seen.groupBy(F.col("d0").alias("day")).agg(
+        F.count("*").alias("n_new")
+    )
+    active = ev.groupBy(day.alias("day")).agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        active.join(F.broadcast(new_per_day), "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            "n_active",
+        )
+        .withColumn("cum_users", F.sum("n_new").over(w).cast("bigint"))
+    )
+
+
+_Z_SPARK = " + ".join(
+    f"(shiftleft(cast((x >> {i}) & 1 as bigint), {2 * i})"
+    f" + shiftleft(cast((y >> {i}) & 1 as bigint), {2 * i + 1}))"
+    for i in range(8)
+)
+_Z_DUCK = " + ".join(
+    f"((CAST((x >> {i}) & 1 AS BIGINT) << {2 * i})"
+    f" + (CAST((y >> {i}) & 1 AS BIGINT) << {2 * i + 1}))"
+    for i in range(8)
+)
+_UNZ_X_SPARK = " + ".join(
+    f"shiftleft(cast((z >> {2 * i}) & 1 as bigint), {i})" for i in range(8)
+)
+_UNZ_Y_SPARK = " + ".join(
+    f"shiftleft(cast((z >> {2 * i + 1}) & 1 as bigint), {i})" for i in range(8)
+)
+_UNZ_X_DUCK = " + ".join(
+    f"(CAST((z >> {2 * i}) & 1 AS BIGINT) << {i})" for i in range(8)
+)
+_UNZ_Y_DUCK = " + ".join(
+    f"(CAST((z >> {2 * i + 1}) & 1 AS BIGINT) << {i})" for i in range(8)
+)
+
+
+@register(
+    "q_zorder_cells",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id % 256 AS x, event_id % 256 AS y FROM events
+    ),
+    cells AS (
+      SELECT {_Z_DUCK} AS z, COUNT(*) AS n FROM pts GROUP BY 1
+    )
+    SELECT z, CAST({_UNZ_X_DUCK} AS BIGINT) AS cell_x,
+           CAST({_UNZ_Y_DUCK} AS BIGINT) AS cell_y, n
+    FROM cells ORDER BY n DESC, z LIMIT 20
+    """,
+)
+def q_zorder_cells(spark, sf_dir):
+    """Z-order (Morton) spatial binning: interleave the bits of two
+    8-bit coordinates into one curve position, aggregate per cell,
+    decode the top cells back to (x, y) to prove invertibility. The
+    space-filling curve is the standard trick for making 2-D locality
+    range-partitionable on ONE key — a z-range scan touches a compact
+    2-D block, which is how Delta/Iceberg data-skip on two columns and
+    how a 100 TB spatial table clusters without a spatial index. Pure
+    integer bit arithmetic (identical in both engines), one hash agg,
+    top-k via TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        (F.col("user_id") % 256).alias("x"), (F.col("event_id") % 256).alias("y")
+    )
+    cells = pts.select(F.expr(_Z_SPARK).alias("z")).groupBy("z").agg(
+        F.count("*").alias("n")
+    )
+    return (
+        cells.select(
+            "z",
+            F.expr(_UNZ_X_SPARK).alias("cell_x"),
+            F.expr(_UNZ_Y_SPARK).alias("cell_y"),
+            "n",
+        )
+        .orderBy(F.desc("n"), F.asc("z"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_skyline",
+    oracle="""
+    WITH o AS (
+      SELECT c.c_mktsegment, o.o_orderkey,
+             CAST(epoch(CAST(o.o_orderdate AS TIMESTAMP)) // 86400 AS BIGINT)
+               AS date_i,
+             o.o_totalprice
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    scored AS (
+      SELECT c_mktsegment, o_orderkey, date_i, o_totalprice,
+             MAX(o_totalprice) OVER (
+               PARTITION BY c_mktsegment ORDER BY date_i DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS best_later
+      FROM o
+    )
+    SELECT c_mktsegment, o_orderkey,
+           CAST(date_i AS BIGINT) AS date_i, o_totalprice
+    FROM scored
+    WHERE best_later IS NULL OR best_later <= o_totalprice
+    """,
+)
+def q_skyline(spark, sf_dir):
+    """Pareto frontier (skyline) per market segment over (order recency,
+    order value): an order survives iff no strictly-later order in its
+    segment has a strictly higher price — the sort-scan skyline, with
+    'strictly later' expressed as a RANGE frame over the integer day key
+    (desc order, offset 1), so same-day ties never dominate each other.
+    The frontier is a deterministic SET (no ranking), hence hash-exact.
+    One sort-window per segment; at 100 TB the distributed form computes
+    a per-partition local frontier first (skyline is distributive:
+    global = skyline of the union of local frontiers), shrinking the
+    sorted shuffle to frontier candidates — the standard block-partition
+    skyline scheme."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    base = o.join(
+        F.broadcast(c.select("c_custkey", "c_mktsegment")),
+        o.o_custkey == c.c_custkey,
+    ).select(
+        "c_mktsegment",
+        "o_orderkey",
+        F.floor(
+            F.unix_timestamp(F.col("o_orderdate").cast("timestamp")) / 86400
+        )
+        .cast("bigint")
+        .alias("date_i"),
+        "o_totalprice",
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("date_i").desc())
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    scored = base.withColumn("best_later", F.max("o_totalprice").over(w))
+    return scored.filter(
+        F.col("best_later").isNull()
+        | (F.col("best_later") <= F.col("o_totalprice"))
+    ).select("c_mktsegment", "o_orderkey", "date_i", "o_totalprice")
+
+
+_STREAM_HLL_REGS = 16
+
+
+@register(
+    "q_stream_hll",
+    oracle=f"""
+    WITH h AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+      FROM events
+    ),
+    regs AS (
+      SELECT window_start,
+             {", ".join(
+                 f"MAX(CASE WHEN (hv & 15) = {j} THEN {_rho_case_sql('(hv >> 4)')} END) AS m{j}"
+                 for j in range(_STREAM_HLL_REGS)
+             )},
+             COUNT(*) AS n_events
+      FROM h GROUP BY window_start
+    )
+    SELECT window_start, n_events,
+           CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+             * CAST(72057594037927936.0 AS DOUBLE)
+             / CAST(({" + ".join(
+                 f"COALESCE(CAST(1 AS BIGINT) << CAST(56 - m{j} AS INT), CAST(1 AS BIGINT) << 56)"
+                 for j in range(_STREAM_HLL_REGS)
+             )}) AS DOUBLE) AS est_distinct
+    FROM regs
+    """,
+)
+def q_stream_hll(spark, sf_dir):
+    """Streaming distinct-user estimation: the SAME integer-deterministic
+    HLL registers as q_sketch_hll, maintained inside a watermarked
+    streaming aggregation — 16 conditional MAX columns in ONE groupBy
+    (streaming allows a single aggregation; the conditional-max encoding
+    is how a register vector fits that constraint). State per window is
+    16 small ints + a count — bounded regardless of user cardinality,
+    which is the entire reason to stream a sketch instead of a
+    COUNT(DISTINCT) (whose streaming state grows with keys). Driven to
+    completion with availableNow; the batch oracle reproduces the
+    registers bit-for-bit (Kappa check)."""
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    w = F.shiftright(F.col("hv"), 4)
+    bbit = w.bitwiseAND(-w)
+    rho = F.when(w == 0, F.lit(21))
+    for k in range(20):
+        rho = rho.when(bbit == (1 << k), F.lit(k + 1))
+    rho = rho.otherwise(F.lit(21))
+
+    stream = _staged_event_stream(spark, sf_dir, "q_stream_hll")
+    hashed = (
+        stream.withWatermark("ts", "30 minutes")
+        .select("ts", hv.alias("hv"))
+        .select(
+            "ts", F.col("hv").bitwiseAND(F.lit(15)).alias("reg"), rho.alias("rho")
+        )
+    )
+    agg = hashed.groupBy(F.window("ts", "1 hour").alias("win")).agg(
+        *[
+            F.max(F.when(F.col("reg") == j, F.col("rho"))).alias(f"m{j}")
+            for j in range(_STREAM_HLL_REGS)
+        ],
+        F.count("*").alias("n_events"),
+    )
+    flat = agg.select(
+        F.col("win.start").alias("window_start"),
+        *[f"m{j}" for j in range(_STREAM_HLL_REGS)],
+        "n_events",
+    )
+    out = _run_stream_to_parquet(spark, flat, "q_stream_hll", mode="complete")
+    denom = sum(
+        F.coalesce(
+            F.expr(f"shiftleft(cast(1 as bigint), cast(56 - m{j} as int))"),
+            F.lit(1 << 56).cast("bigint"),
+        )
+        for j in range(_STREAM_HLL_REGS)
+    )
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        "n_events",
+        (
+            F.lit(0.673) * F.lit(256.0) * F.lit(72057594037927936.0)
+            / denom.cast("double")
+        ).alias("est_distinct"),
+    )
+
+
 # =====================================================================
 
 

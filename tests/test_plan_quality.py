@@ -351,3 +351,34 @@ def test_pagerank_plan_depth_is_constant_in_iterations(spark):
     plan = _optimized(pagerank(e, n_iter=3))
     assert "Join" not in plan, plan
     assert "Scan ExistingRDD" in plan or "LogicalRDD" in plan, plan
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    # the k-centroid fan-out must broadcast (centroids are tiny by
+    # construction) and the argmin must be a partial+final min_by
+    # aggregate — one candidate per vector per task crosses the shuffle
+    plan = _executed(QUERIES["q_kmeans_step"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "partial_min_by" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_zorder_topk_uses_take_ordered(spark):
+    plan = _executed(QUERIES["q_zorder_cells"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_skyline_window_is_partitioned(spark):
+    # the sort-scan skyline window partitions by segment — nothing in the
+    # plan may funnel the fact table through one partition
+    plan = _executed(QUERIES["q_skyline"](spark, SF_DIR))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_cumulative_distinct_window_over_days(spark):
+    # the running sum must consume the per-day aggregate (days-sized),
+    # never a per-event stream: its input column n_new exists only
+    # post-aggregation
+    plan = _executed(QUERIES["q_cumulative_distinct"](spark, SF_DIR))
+    assert "Window [sum(n_new" in plan, plan
