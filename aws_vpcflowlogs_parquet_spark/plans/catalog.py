@@ -6778,6 +6778,122 @@ def q_stream_hll(spark, sf_dir):
 
 
 # =====================================================================
+# Classic TPC-H shapes (adapted to the testdata's column subset) — the
+# canonical multi-join/agg benchmarks, run as ONE SQL text on both
+# engines (modulo the shared exact-sum expression).
+# =====================================================================
+
+_TPCH_Q3 = f"""
+    SELECT l_orderkey,
+           {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate
+    FROM customer{{s}} JOIN orders{{s}} ON c_custkey = o_custkey
+    JOIN lineitem{{s}} ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, orderdate, l_orderkey
+    LIMIT 10
+"""
+
+_TPCH_Q5 = f"""
+    SELECT n_name,
+           {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer{{s}} JOIN orders{{s}} ON c_custkey = o_custkey
+    JOIN lineitem{{s}} ON l_orderkey = o_orderkey
+    JOIN supplier{{s}} ON l_suppkey = s_suppkey
+                      AND c_nationkey = s_nationkey
+    JOIN nation{{s}} ON s_nationkey = n_nationkey
+    JOIN region{{s}} ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+"""
+
+_TPCH_Q10 = f"""
+    SELECT c_custkey, c_name,
+           {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           c_acctbal, n_name
+    FROM customer{{s}} JOIN orders{{s}} ON c_custkey = o_custkey
+    JOIN lineitem{{s}} ON l_orderkey = o_orderkey
+    JOIN nation{{s}} ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+_TPCH_Q18 = f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate, o_totalprice,
+           {exact_sum_sql('l_quantity')} AS sum_qty
+    FROM customer{{s}} JOIN orders{{s}} ON c_custkey = o_custkey
+    JOIN lineitem{{s}} ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem{{s}}
+      GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+"""
+
+_TPCH_TABLES = {
+    "q3": ("customer", "orders", "lineitem"),
+    "q5": ("customer", "orders", "lineitem", "supplier", "nation", "region"),
+    "q10": ("customer", "orders", "lineitem", "nation"),
+    "q18": ("customer", "orders", "lineitem"),
+}
+
+
+def _tpch(spark: SparkSession, sf_dir: str, tag: str, sql: str) -> DataFrame:
+    for name in _TPCH_TABLES[tag]:
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_{tag}")
+    return spark.sql(sql.format(s=f"_{tag}"))
+
+
+@register("q_tpch_q3", oracle=_TPCH_Q3.format(s=""))
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 (shipping priority), adapted to the column subset: the
+    canonical 3-way join + agg + top-k. Catalyst broadcasts the filtered
+    customer dim, pushes both date predicates into the parquet scans, and
+    the LIMIT compiles to TakeOrderedAndProject. Revenue goes through the
+    exact-decimal sum so the hash compare is bit-exact."""
+    return _tpch(spark, sf_dir, "q3", _TPCH_Q3)
+
+
+@register("q_tpch_q5", oracle=_TPCH_Q5.format(s=""))
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): the 6-way snowflake join with
+    the extra c_nationkey = s_nationkey co-location constraint. Region/
+    nation/supplier broadcast; AQE reorders the remaining fact joins.
+    The shape that proves join planning, not just join execution."""
+    return _tpch(spark, sf_dir, "q5", _TPCH_Q5)
+
+
+@register("q_tpch_q10", oracle=_TPCH_Q10.format(s=""))
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 (returned items): quarter-windowed orders × returned
+    lineitems × customer × nation, top-20 accounts by lost revenue —
+    the classic 'who do I call' report."""
+    return _tpch(spark, sf_dir, "q10", _TPCH_Q10)
+
+
+@register("q_tpch_q18", oracle=_TPCH_Q18.format(s=""))
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): the HAVING-subquery shape —
+    an aggregated IN-subquery Catalyst plans as agg → semi join ahead of
+    the main 3-way join, then a re-aggregation. Exact decimal quantity
+    sums; total order on (o_totalprice, o_orderkey) for the top-20."""
+    return _tpch(spark, sf_dir, "q18", _TPCH_Q18)
+
+
+# =====================================================================
 
 
 def flagship(spark: SparkSession) -> DataFrame:
