@@ -6893,6 +6893,147 @@ def q_tpch_q18(spark, sf_dir):
     return _tpch(spark, sf_dir, "q18", _TPCH_Q18)
 
 
+_TPCH_Q7 = f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INT) AS l_year,
+           {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem{{s}} JOIN orders{{s}} ON l_orderkey = o_orderkey
+    JOIN supplier{{s}} ON l_suppkey = s_suppkey
+    JOIN customer{{s}} ON o_custkey = c_custkey
+    JOIN nation{{s}} n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation{{s}} n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+"""
+
+_TPCH_TABLES["q7"] = (
+    "lineitem", "orders", "supplier", "customer", "nation",
+)
+
+
+@register("q_tpch_q7", oracle=_TPCH_Q7.format(s=""))
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 (volume shipping): the self-referenced-dimension shape —
+    nation joins TWICE under different aliases with a disjunctive
+    cross-nation predicate. Both nation legs broadcast; the OR predicate
+    stays above the joins (it references both legs) while the date range
+    pushes into the lineitem scan."""
+    return _tpch(spark, sf_dir, "q7", _TPCH_Q7)
+
+
+_NESTED_REBUILD = """
+    WITH g AS (
+      SELECT l_orderkey,
+             {LIST_AGG} AS items
+      FROM lineitem{s} GROUP BY l_orderkey
+    ),
+    r AS (
+      SELECT l_orderkey, items,
+             {FILTER_BIG} AS big
+      FROM g
+    )
+    SELECT l_orderkey,
+           CAST({LEN}(items) AS INT) AS n_items,
+           CAST({LEN}(big) AS INT) AS n_big,
+           {SUM_BIG} AS sum_big_v,
+           big[1].ln AS first_big_ln
+    FROM r
+"""
+
+
+@register(
+    "q_nested_rebuild",
+    oracle=_NESTED_REBUILD.format(
+        s="",
+        LIST_AGG=(
+            "list(struct_pack(ln := CAST(l_linenumber AS INT), "
+            "qty := l_quantity, "
+            "v := l_extendedprice * (1 - l_discount)) "
+            "ORDER BY l_linenumber, l_quantity, "
+            "l_extendedprice * (1 - l_discount))"
+        ),
+        FILTER_BIG="list_filter(items, x -> x.qty > 25)",
+        LEN="len",
+        SUM_BIG=(
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            "list_transform(big, x -> x.v)), (p, y) -> p + y)"
+        ),
+    ),
+)
+def q_nested_rebuild(spark, sf_dir):
+    """Nested-data reshaping — the arrays-of-structs round trip every
+    lakehouse event schema needs: per order, assemble the line items
+    into a SORTED array of structs (total (ln, qty, v) order, so the
+    assembly is deterministic despite collect_list's partition order),
+    then filter/transform/fold the nested array with higher-order
+    functions and emit flat scalars. The whole nested pipeline is
+    codegen'd expressions over one shuffle (the groupBy); no explode
+    round-trip, no Python. The sequential fold over the sorted array is
+    bit-identical to the oracle's list_reduce."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linenumber").cast("int").alias("ln"),
+                    F.col("l_quantity").alias("qty"),
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    ).alias("v"),
+                )
+            )
+        ).alias("items")
+    )
+    r = items.withColumn("big", F.expr("filter(items, x -> x.qty > 25)"))
+    return r.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.size("big").alias("n_big"),
+        F.expr(
+            "aggregate(transform(big, x -> x.v), cast(0.0 as double), "
+            "(p, y) -> p + y)"
+        ).alias("sum_big_v"),
+        F.try_element_at("big", F.lit(1))["ln"].alias("first_big_ln"),
+    )
+
+
+_RECURSIVE_BFS = """
+    WITH RECURSIVE walk(node, hops) AS (
+      SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+      UNION ALL
+      SELECT e.dst, w.hops + 1
+      FROM walk w JOIN (
+        SELECT DISTINCT user_id % 64 AS src, (user_id + event_id) % 64 AS dst
+        FROM events{s} WHERE user_id % 64 != (user_id + event_id) % 64
+      ) e ON w.node = e.src
+      WHERE w.hops < 3
+    )
+    SELECT node, CAST(MIN(hops) AS INT) AS hops,
+           CAST(COUNT(*) AS BIGINT) AS n_paths
+    FROM walk GROUP BY node
+"""
+
+
+@register("q_recursive_bfs", oracle=_RECURSIVE_BFS.format(s=""))
+def q_recursive_bfs(spark, sf_dir):
+    """Native recursive CTE (Spark 4.x WITH RECURSIVE): bounded BFS from
+    node 0 over the event-derived graph — min-hops reachability plus the
+    ≤3-hop path count, ONE SQL text on both engines. Spark's recursion
+    supports UNION ALL only, so termination comes from the hop bound
+    (cycles would otherwise diverge) and dedup happens in the final MIN
+    aggregation — the same bounded-unrolling semantics the q_pagerank /
+    q_label_propagation oracles hand-roll, now expressed natively. Each
+    recursive step is planned as a join against the persisted step
+    frontier; the DataFrame loop in operators/graph.py remains the
+    production form (checkpointed lineage, arbitrary convergence
+    predicates), this is the declarative twin."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_rbfs")
+    return spark.sql(_RECURSIVE_BFS.format(s="_rbfs"))
+
+
 # =====================================================================
 
 

@@ -264,3 +264,55 @@ def test_stream_stream_join_buffers_state_across_batches(spark, tmp_path):
         assert want.exceptAll(got).count() == 0
     finally:
         q.stop()
+
+
+def test_stateful_agg_recovers_state_across_restart(spark, tmp_path):
+    # the state-store recovery property the converter restart test can't
+    # exercise (its file sink is stateless): a windowed COUNT must
+    # aggregate rows seen BEFORE a restart with rows seen after it —
+    # i.e. the second run restores per-window state from the checkpoint
+    # and resumes, rather than recounting or double-counting
+    import glob
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    batch = load_table(spark, SF_DIR, "events")
+    half_a = batch.filter(F.col("event_id") % 2 == 0)
+    half_b = batch.filter(F.col("event_id") % 2 == 1)
+
+    def stage(df, name):
+        # the file-stream source wants flat files in one dir (and the
+        # schema probe wants one named events.parquet)
+        tmp = str(tmp_path / f"_w_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], str(src / name))
+
+    stage(half_a, "events.parquet")
+
+    def run_once():
+        stream = stream_events(spark, str(src))
+        agg = tumbling_agg(stream, "1 hour", "30 minutes")
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("restart_out")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    n_after_a = spark.sql("SELECT SUM(n) FROM restart_out").collect()[0][0]
+    assert n_after_a == half_a.count()
+
+    stage(half_b, "b.parquet")
+    run_once()  # restart: must process ONLY b, merging into restored state
+    got = spark.sql("SELECT window_start, event_type, n, sum_value FROM restart_out")
+    expected = tumbling_agg(batch, "1 hour", "30 minutes").select(
+        "window_start", "event_type", "n", "sum_value"
+    )
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
