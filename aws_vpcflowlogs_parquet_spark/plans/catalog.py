@@ -7034,6 +7034,168 @@ def q_recursive_bfs(spark, sf_dir):
     return spark.sql(_RECURSIVE_BFS.format(s="_rbfs"))
 
 
+@register(
+    "q_pii_scrub",
+    oracle="""
+    WITH lines AS (
+      SELECT event_type,
+             concat('user', CAST(user_id AS VARCHAR),
+                    ' email u', CAST(user_id AS VARCHAR), '@example.com',
+                    CASE WHEN event_id % 3 = 0
+                         THEN concat(' phone 555-',
+                                     lpad(CAST(event_id % 10000 AS VARCHAR), 4, '0'))
+                         ELSE '' END,
+                    ' did ', event_type) AS line
+      FROM events
+    ),
+    scrubbed AS (
+      SELECT event_type, line,
+             len(regexp_extract_all(line, '[a-z0-9]+@[a-z]+\\.com')) AS n_email,
+             len(regexp_extract_all(line, '555-[0-9]{4}')) AS n_phone,
+             regexp_replace(
+               regexp_replace(line, '[a-z0-9]+@[a-z]+\\.com', '[EMAIL]', 'g'),
+               '555-[0-9]{4}', '[PHONE]', 'g') AS clean
+      FROM lines
+    )
+    SELECT event_type,
+           COUNT(*) AS n_lines,
+           CAST(SUM(n_email) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+           CAST(SUM(len(line) - len(clean)) AS BIGINT) AS chars_removed,
+           CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lines_touched
+    FROM scrubbed GROUP BY event_type
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction with audit accounting — the mandatory scrub pass a
+    training-corpus pipeline runs before anything else: detect + mask
+    email/phone patterns, and report per-category hit counts, touched
+    lines, and bytes removed (the numbers a privacy review asks for).
+    Input lines are synthesized deterministically from events (the
+    corpus tables contain no PII by construction — same pattern as
+    q_flowlog_parse). Pure regexp_extract_all/regexp_replace expression
+    pipeline + one rollup: per-row, embarrassingly parallel, map-side
+    partial aggregation; at 100 TB this is scan-bound, exactly what a
+    scrub pass should be."""
+    ev = _t(spark, sf_dir, "events")
+    line = F.concat(
+        F.lit("user"), F.col("user_id").cast("string"),
+        F.lit(" email u"), F.col("user_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(
+                F.lit(" phone 555-"),
+                F.lpad((F.col("event_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" did "), F.col("event_type"),
+    )
+    email_re = "[a-z0-9]+@[a-z]+\\.com"
+    phone_re = "555-[0-9]{4}"
+    scrubbed = ev.select("event_type", line.alias("line")).select(
+        "event_type",
+        "line",
+        F.size(F.expr(f"regexp_extract_all(line, '{email_re}', 0)")).alias(
+            "n_email"
+        ),
+        F.size(F.expr(f"regexp_extract_all(line, '{phone_re}', 0)")).alias(
+            "n_phone"
+        ),
+        F.regexp_replace(
+            F.regexp_replace("line", email_re, "[EMAIL]"),
+            phone_re,
+            "[PHONE]",
+        ).alias("clean"),
+    )
+    return scrubbed.groupBy("event_type").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("n_email").alias("n_emails"),
+        F.sum("n_phone").alias("n_phones"),
+        F.sum(F.length("line") - F.length("clean")).alias("chars_removed"),
+        F.sum(
+            F.when(F.col("n_email") + F.col("n_phone") > 0, 1).otherwise(0)
+        ).alias("n_lines_touched"),
+    )
+
+
+@register(
+    "q_corpus_build",
+    oracle="""
+    WITH gated AS (
+      SELECT doc_id, source, text, n_chars,
+             len(list_filter(string_split(lower(text), ' '), t -> t != ''))
+               AS n_tokens
+      FROM documents
+      WHERE n_chars >= 100
+        AND len(list_filter(string_split(lower(text), ' '), t -> t != '')) >= 20
+    ),
+    deduped AS (
+      SELECT doc_id, source, n_chars, n_tokens
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                     ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ),
+    split AS (
+      SELECT source, n_chars, n_tokens,
+             CASE WHEN b < 18 THEN 'train' WHEN b = 18 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *,
+               ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 20 AS b
+        FROM deduped
+      )
+    )
+    SELECT split, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM split GROUP BY split, source
+    """,
+)
+def q_corpus_build(spark, sf_dir):
+    """The end-to-end corpus-build pipeline as ONE dataflow — the
+    capstone composition: quality gate (length + token floor) → exact
+    dedup keep-first (16-byte content hash, total doc_id order) →
+    deterministic hash split (train/val/test 90/5/5) → per-(split,
+    source) census. This is what 'build the training set' compiles to:
+    a scan with pushed predicates, one shuffle for the dedup hash, and a
+    map-side-combined rollup — no stage touches more than it must, and
+    re-running yields byte-identical membership (hash split, not
+    random). The census output is the go/no-go artifact reviewed before
+    a training run."""
+    docs = _t(spark, sf_dir, "documents")
+    gated = docs.select(
+        "doc_id", "source", "text", "n_chars",
+        F.size(dd.tokens_col("text")).alias("n_tokens"),
+    ).filter((F.col("n_chars") >= 100) & (F.col("n_tokens") >= 20))
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 20
+    )
+    split = deduped.select(
+        "source", "n_chars", "n_tokens",
+        F.when(b < 18, "train").when(b == 18, "val").otherwise("test").alias(
+            "split"
+        ),
+    )
+    return split.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+
+
 # =====================================================================
 
 

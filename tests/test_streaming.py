@@ -316,3 +316,57 @@ def test_stateful_agg_recovers_state_across_restart(spark, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_incremental_dedup_stream_forever_state(spark, tmp_path):
+    # forever-dedup via foreachBatch + lake-resident key state: keys seen
+    # in run 1 stay deduped in run 2 (beyond any watermark horizon), and
+    # the result equals the batch keep-first over all data when arrival
+    # order follows event time
+    import glob
+
+    from aws_vpcflowlogs_parquet_spark.operators.dedup import keep_first_dedup
+    from aws_vpcflowlogs_parquet_spark.streaming.upsert import (
+        start_incremental_dedup_stream,
+    )
+
+    src = tmp_path / "inc_src"
+    src.mkdir()
+    out, state, ckpt = (
+        str(tmp_path / "out"), str(tmp_path / "state"), str(tmp_path / "ckpt")
+    )
+    batch = load_table(spark, SF_DIR, "events")
+    cut = batch.approxQuantile("event_id", [0.5], 0.0)[0]
+    early = batch.filter(F.col("ts") < F.lit("2022-06-01").cast("timestamp"))
+    if early.count() == 0 or early.count() == batch.count():
+        # fall back to an id split if the ts range doesn't straddle the cut
+        early = batch.filter(F.col("event_id") <= cut)
+    late = batch.exceptAll(early)
+
+    def stage(df, name):
+        tmp = str(tmp_path / f"_iw_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], str(src / name))
+
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    stage(early.orderBy(*order), "events.parquet")
+    q = start_incremental_dedup_stream(
+        spark, stream_events(spark, str(src)), out, state, ckpt, keys, order
+    )
+    q.awaitTermination()
+    n_run1 = spark.read.parquet(out).count()
+    assert n_run1 == early.select(*keys).distinct().count()
+
+    stage(late.orderBy(*order), "late.parquet")
+    q2 = start_incremental_dedup_stream(
+        spark, stream_events(spark, str(src)), out, state, ckpt, keys, order
+    )
+    q2.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == batch.select(*keys).distinct().count()
+    # arrival order == event-time order here, so the incremental result
+    # must equal the global batch keep-first row-for-row
+    expected = keep_first_dedup(batch, keys, order).select(
+        "event_id", *keys
+    )
+    assert got.select("event_id", *keys).exceptAll(expected).count() == 0
