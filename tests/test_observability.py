@@ -1,0 +1,46 @@
+"""Metric-level scale assertions: beyond plan TEXT (test_plan_quality),
+the executed SQLMetrics must show the data volumes we claim — map-side
+combine actually combining, scans actually pruning, nothing spilling."""
+
+from __future__ import annotations
+
+from aws_vpcflowlogs_parquet_spark.observability import profile
+from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
+
+from .conftest import SF_DIR
+
+
+def test_mapside_combine_shrinks_shuffle(spark):
+    # TPC-H Q1 shape: thousands of rows scanned, but only one partial
+    # row per (group × task) may cross the wire
+    d = profile(QUERIES["q_agg_sum_group"](spark, SF_DIR))
+    assert d["scan_rows"] >= 5000, d
+    assert 0 < d["shuffle_records"] <= 64, d
+    assert d["spill_bytes"] == 0, d
+
+
+def test_topk_ships_only_heap_contents(spark):
+    # TakeOrderedAndProject: per-partition heaps of k rows, so shuffle
+    # records are bounded by k × partitions, never the corpus
+    d = profile(QUERIES["q_topk"](spark, SF_DIR))
+    assert d["rows_out"] == 10, d
+    assert d["shuffle_records"] < d["scan_rows"] / 10, d
+
+
+def test_broadcast_join_shuffles_only_agg_partials(spark):
+    # dims broadcast, so the only records crossing the wire are the
+    # downstream aggregation's partials — never the joined fact rows
+    d = profile(QUERIES["q_join_broadcast"](spark, SF_DIR))
+    assert d["rows_out"] > 0, d
+    # partial-agg rows are bounded by groups × tasks, independent of the
+    # joined row count
+    assert d["shuffle_records"] <= 64, d
+
+
+def test_corpus_gate_filters_before_dedup_shuffle(spark):
+    # the quality gate must drop rows BEFORE the dedup shuffle: records
+    # shuffled < the documents table's 500 rows at sf0.001. (Row-group
+    # stats can't prune a single-row-group file, so the scan still
+    # produces 500 — the gate's effect shows at the exchange.)
+    d = profile(QUERIES["q_corpus_build"](spark, SF_DIR))
+    assert 0 < d["shuffle_records"] < 500, d

@@ -382,3 +382,41 @@ def test_cumulative_distinct_window_over_days(spark):
     # post-aggregation
     plan = _executed(QUERIES["q_cumulative_distinct"](spark, SF_DIR))
     assert "Window [sum(n_new" in plan, plan
+
+
+def test_tpch_plans_broadcast_and_take_ordered(spark):
+    # the benchmark shapes must get the planner's best: filtered dims
+    # broadcast, top-k limits compile to TakeOrderedAndProject, and date
+    # predicates reach the parquet readers
+    for name in ("q_tpch_q3", "q_tpch_q10"):
+        plan = _executed(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, (name, plan)
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+        assert "PushedFilters: [" in plan, (name, plan)
+    plan = _executed(QUERIES["q_tpch_q5"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_pii_scrub_is_single_agg_scan(spark):
+    # scrub + audit must stay one scan + one aggregation shuffle, all
+    # JVM expressions
+    plan = _executed(QUERIES["q_pii_scrub"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_corpus_build_pushes_gate_into_scan(spark):
+    # the n_chars floor must reach the parquet reader so gated-out docs
+    # are never materialized
+    plan = _executed(QUERIES["q_corpus_build"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "n_chars" in pushed, plan
+
+
+def test_nested_rebuild_is_one_shuffle_no_explode(spark):
+    # the nested pipeline must ride the one groupBy shuffle; an explode
+    # round-trip would add a Generate + second aggregation
+    plan = _executed(QUERIES["q_nested_rebuild"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Generate explode" not in plan, plan
