@@ -74,6 +74,51 @@ def optimize_layout(
     )
 
 
+def compact(
+    spark,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+    preserve_sort: str | None = None,
+) -> dict:
+    """Small-file compaction: rewrite ``path`` into ⌈size/target⌉ files.
+
+    The small-files problem is the slow killer of streaming/incremental
+    sinks (every micro-batch appends a few files; a year later the
+    driver spends minutes listing and each task reads kilobytes). This
+    rewrites to size-targeted files — `coalesce` (no shuffle) when only
+    merging, or a range repartition on ``preserve_sort`` to keep a
+    clustered layout's skipping property through the rewrite. Writes to
+    a temp sibling then swaps, so readers never see a half-compacted
+    table. Returns {files_before, files_after, bytes}."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total // target_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    if preserve_sort:
+        (
+            df.repartitionByRange(n_out, preserve_sort)
+            .sortWithinPartitions(preserve_sort)
+            .write.parquet(tmp)
+        )
+    else:
+        df.coalesce(n_out).write.parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(files),
+        "files_after": len(glob.glob(os.path.join(path, "*.parquet"))),
+        "bytes": total,
+    }
+
+
 def file_skip_fraction(path: str, col: str, lo, hi) -> float:
     """Fraction of parquet row groups a ``col BETWEEN lo AND hi`` scan
     can SKIP from footer min-max stats alone (1.0 = everything skipped).

@@ -7196,6 +7196,163 @@ def q_corpus_build(spark, sf_dir):
     )
 
 
+@register(
+    "q_histogram_merge",
+    oracle="""
+    WITH shard_hist AS (
+      SELECT o_orderpriority, o_orderkey % 4 AS shard,
+             CAST(floor(o_totalprice / CAST(5000.0 AS DOUBLE)) AS BIGINT) AS bin,
+             COUNT(*) AS n
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT o_orderpriority, bin, SUM(n) AS n
+      FROM shard_hist GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT o_orderpriority, bin, n,
+             SUM(n) OVER (PARTITION BY o_orderpriority ORDER BY bin
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c,
+             SUM(n) OVER (PARTITION BY o_orderpriority) AS total
+      FROM merged
+    ),
+    med AS (
+      SELECT o_orderpriority, MIN(bin) AS med_bin
+      FROM cum WHERE 2 * c >= total GROUP BY o_orderpriority
+    )
+    SELECT m.o_orderpriority,
+           CAST(t.total AS BIGINT) AS n_orders,
+           m.med_bin * CAST(5000.0 AS DOUBLE) AS approx_median_lo,
+           (m.med_bin + 1) * CAST(5000.0 AS DOUBLE) AS approx_median_hi
+    FROM med m JOIN (SELECT o_orderpriority, MAX(total) AS total
+                     FROM cum GROUP BY 1) t
+      ON m.o_orderpriority = t.o_orderpriority
+    """,
+)
+def q_histogram_merge(spark, sf_dir):
+    """Mergeable quantiles via equi-width histograms: shard-local bin
+    counts merge by plain bin-sum (like the HLL register MAX, this is
+    the property that matters — per-day/per-file histograms recombine
+    into the global one without rescans), then the approx median is the
+    bin where cumulative count crosses half. All integer arithmetic;
+    the bracketing [lo, hi) answer is honest about the method's ±binwidth
+    resolution. The cumulative window runs over bins, not orders. This
+    is the deterministic stand-in for approx_percentile's KLL sketch,
+    with the identical two-level merge dataflow."""
+    o = _t(spark, sf_dir, "orders")
+    shard_hist = o.groupBy(
+        "o_orderpriority",
+        (F.col("o_orderkey") % 4).alias("shard"),
+        F.floor(F.col("o_totalprice") / 5000.0).cast("bigint").alias("bin"),
+    ).agg(F.count("*").alias("n"))
+    merged = shard_hist.groupBy("o_orderpriority", "bin").agg(
+        F.sum("n").alias("n")
+    )
+    wcum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("o_orderpriority")
+    cum = merged.select(
+        "o_orderpriority", "bin", "n",
+        F.sum("n").over(wcum).alias("c"),
+        F.sum("n").over(wtot).alias("total"),
+    )
+    med = (
+        cum.filter(2 * F.col("c") >= F.col("total"))
+        .groupBy("o_orderpriority")
+        .agg(F.min("bin").alias("med_bin"))
+    )
+    totals = cum.groupBy("o_orderpriority").agg(F.max("total").alias("total"))
+    return med.join(totals, "o_orderpriority").select(
+        "o_orderpriority",
+        F.col("total").alias("n_orders"),
+        (F.col("med_bin") * 5000.0).alias("approx_median_lo"),
+        ((F.col("med_bin") + 1) * 5000.0).alias("approx_median_hi"),
+    )
+
+
+@register(
+    "q_attribution",
+    oracle="""
+    WITH clicks_day AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    purchases AS (
+      SELECT event_id AS purchase_id, user_id,
+             CAST(date_trunc('day', ts) AS DATE) AS pday, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+      SELECT p.purchase_id, p.value, c.day, c.n_clicks,
+             SUM(c.n_clicks) OVER (PARTITION BY p.purchase_id) AS n_win
+      FROM purchases p
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 7)) AS off) o
+      JOIN clicks_day c
+        ON c.user_id = p.user_id AND c.day = p.pday - CAST(o.off AS INT)
+    )
+    SELECT day,
+           COUNT(*) AS n_touches,
+           CAST(CAST(SUM(CAST(floor(
+             value * n_clicks / n_win * 1000000.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS DOUBLE) / 1000000.0 AS attributed_value
+    FROM touches GROUP BY day
+    """,
+)
+def q_attribution(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's value splits
+    across the user's click-days in the trailing 7-day window,
+    proportional to clicks — the marketing-science answer to 'which day
+    earned this revenue'. The time-window pairing is NOT a range join:
+    purchases fan out over the 8 fixed day-offsets and equi-join the
+    per-(user, day) click rollup — bounded 8× expansion, hash joins
+    only, the standard trick for bounded-horizon interval joins at
+    scale. Per-purchase normalization is a window over ≤8 touch rows;
+    attributed credits quantize to 1e-6 bigints before the final
+    day-level sum (order-exact)."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    clicks_day = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", day.alias("day"))
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        day.alias("pday"), "value",
+    )
+    fan = purchases.crossJoin(
+        F.broadcast(
+            purchases.sparkSession.range(8).select(
+                F.col("id").cast("int").alias("off")
+            )
+        )
+    ).select(
+        "purchase_id", "user_id", "value",
+        F.date_sub(F.col("pday"), F.col("off")).alias("day"),
+    )
+    touches = fan.join(clicks_day, ["user_id", "day"]).select(
+        "purchase_id", "value", "day", "n_clicks",
+        F.sum("n_clicks")
+        .over(Window.partitionBy("purchase_id"))
+        .alias("n_win"),
+    )
+    credit_q = F.floor(
+        F.col("value") * F.col("n_clicks") / F.col("n_win") * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return touches.groupBy("day").agg(
+        F.count("*").alias("n_touches"),
+        (F.sum(credit_q).cast("bigint").cast("double") / F.lit(1000000.0)).alias(
+            "attributed_value"
+        ),
+    )
+
+
 # =====================================================================
 
 

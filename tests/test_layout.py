@@ -68,3 +68,32 @@ def test_zorder_write_is_single_shuffle_and_schema_stable(spark, tmp_path):
         .toString()
     )
     assert plan.count("Exchange") == 1, plan
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    from aws_vpcflowlogs_parquet_spark.operators.layout import compact
+
+    pts = _pts(spark)
+    path = str(tmp_path / "frag")
+    pts.repartition(32).write.parquet(path)  # fragmented sink output
+    before = spark.read.parquet(path)
+    n_rows, checksum = before.count(), before.agg(F.sum("event_id")).collect()[0][0]
+    stats = compact(spark, path, target_bytes=10 * 1024 * 1024)
+    assert stats["files_before"] == 32
+    assert stats["files_after"] <= 2
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert after.agg(F.sum("event_id")).collect()[0][0] == checksum
+
+
+def test_compact_preserves_clustering(spark, tmp_path):
+    from aws_vpcflowlogs_parquet_spark.operators.layout import compact
+
+    pts = _pts(spark)
+    path = str(tmp_path / "clustered")
+    optimize_layout(pts, path, cluster_by=["x"], n_files=16)
+    assert file_skip_fraction(path, "x", 10, 20) > 0.5
+    compact(spark, path, target_bytes=20 * 1024, preserve_sort="x")
+    # the rewrite must keep the layout's skipping property (fewer, larger
+    # files → each covers a wider range, so the bar is lower than above)
+    assert file_skip_fraction(path, "x", 10, 20) >= 0.5
