@@ -7353,6 +7353,179 @@ def q_attribution(spark, sf_dir):
     )
 
 
+@register(
+    "q_scd2",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type AS status, ts, event_id
+      FROM events WHERE event_type IN ('signup', 'purchase', 'error')
+    ),
+    versioned AS (
+      SELECT user_id, status,
+             strftime(ts, '%Y-%m-%d %H:%M:%S') AS effective_from,
+             strftime(LEAD(ts) OVER w, '%Y-%m-%d %H:%M:%S') AS effective_to,
+             CASE WHEN LEAD(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+             ROW_NUMBER() OVER w AS version
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, status, effective_from, effective_to,
+           CAST(is_current AS INT) AS is_current, CAST(version AS INT) AS version
+    FROM versioned
+    """,
+)
+def q_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build: change events become
+    versioned rows with [effective_from, effective_to) validity —
+    effective_to is the NEXT change's timestamp (lead window over the
+    total (ts, event_id) order), open-ended for the current version.
+    This is the warehouse-standard history table every dimension feed
+    compiles to; the companion point-in-time lookup is a plain
+    `from <= T < to` filter (partition-prunable when the table is
+    written partitioned by from-date). One shuffle on the business key;
+    version numbers ride the same window."""
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.filter(
+        F.col("event_type").isin("signup", "purchase", "error")
+    ).select("user_id", F.col("event_type").alias("status"), "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "status",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("effective_from"),
+        F.date_format(F.lead("ts").over(w), "yyyy-MM-dd HH:mm:ss").alias(
+            "effective_to"
+        ),
+        F.when(F.lead("ts").over(w).isNull(), 1).otherwise(0).cast("int").alias(
+            "is_current"
+        ),
+        F.row_number().over(w).cast("int").alias("version"),
+    )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice", "CAST(o_totalprice AS VARCHAR)"),
+    ("o_orderpriority", "o_orderpriority"),
+]
+
+
+@register(
+    "q_table_profile",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{c}' AS col_name, COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           MIN({expr}) AS min_str, MAX({expr}) AS max_str
+    FROM orders"""
+        for c, expr in _PROFILE_COLS
+    ),
+)
+def q_table_profile(spark, sf_dir):
+    """Schema-wide data profiling — the first query run against any new
+    table: per column, null count, distinct cardinality, and min/max
+    (stringified so one long-format frame covers mixed types). All five
+    column profiles compute in ONE pass over the table: a single
+    aggregation with per-column count/min/max plus per-column distinct
+    aggregates, unpivoted to long form afterward — Spark plans multiple
+    COUNT(DISTINCT x) columns via one Expand (same mechanism as grouping
+    sets), so the table is still scanned once, vs the naive
+    one-query-per-column profiler's N scans. At 100 TB the exact
+    distincts swap for the HLL sketch (q_sketch_hll) — same shape, fixed
+    state."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for c, _ in _PROFILE_COLS:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__rows").alias("n_rows"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                F.col(f"{c}__distinct").alias("n_distinct"),
+                F.col(f"{c}__min").alias("min_str"),
+                F.col(f"{c}__max").alias("max_str"),
+            )
+            for c, _ in _PROFILE_COLS
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+
+@register(
+    "q_degree_stats",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT user_id % 64 AS src, (user_id + event_id) % 64 AS dst
+      FROM events WHERE user_id % 64 != (user_id + event_id) % 64
+    ),
+    outd AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+    ind AS (SELECT dst AS node, COUNT(*) AS indeg FROM edges GROUP BY 1),
+    deg AS (
+      SELECT COALESCE(o.node, i.node) AS node,
+             COALESCE(outdeg, 0) AS outdeg, COALESCE(indeg, 0) AS indeg
+      FROM outd o FULL OUTER JOIN ind i ON o.node = i.node
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(outdeg) AS BIGINT) AS n_edges,
+           CAST(MAX(outdeg) AS BIGINT) AS max_outdeg,
+           CAST(MAX(indeg) AS BIGINT) AS max_indeg,
+           CAST(SUM(outdeg * indeg) AS BIGINT) AS sum_oi,
+           CAST(SUM(outdeg * outdeg) AS BIGINT) AS sum_oo
+    FROM deg
+    """,
+)
+def q_degree_stats(spark, sf_dir):
+    """Graph degree census: per-node in/out degrees (two aggs + one
+    full-outer merge on node id) rolled into the whole-graph moments —
+    node/edge counts, maxima, and the Σ(out·in) / Σ(out²) cross-moments
+    that feed assortativity and super-node detection (the pre-flight
+    check before any join-based graph algorithm: a max-degree hub
+    predicts the skew). Exact integer arithmetic throughout; the final
+    rollup is a handful of longs."""
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.select(
+            (F.col("user_id") % 64).alias("src"),
+            ((F.col("user_id") + F.col("event_id")) % 64).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    outd = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("outdeg")
+    )
+    ind = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count("*").alias("indeg")
+    )
+    deg = (
+        outd.join(ind, "node", "full_outer")
+        .select(
+            F.coalesce("outdeg", F.lit(0)).alias("outdeg"),
+            F.coalesce("indeg", F.lit(0)).alias("indeg"),
+        )
+    )
+    return deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum("outdeg").alias("n_edges"),
+        F.max("outdeg").alias("max_outdeg"),
+        F.max("indeg").alias("max_indeg"),
+        F.sum(F.col("outdeg") * F.col("indeg")).alias("sum_oi"),
+        F.sum(F.col("outdeg") * F.col("outdeg")).alias("sum_oo"),
+    )
+
+
 # =====================================================================
 
 
