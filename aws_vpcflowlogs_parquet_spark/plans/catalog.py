@@ -7526,6 +7526,141 @@ def q_degree_stats(spark, sf_dir):
     )
 
 
+@register(
+    "q_range_join_bucketed",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(floor(epoch(ts)) AS BIGINT) // 600 AS eb
+      FROM events
+    ),
+    counts AS (SELECT eb AS b, COUNT(*) AS n FROM ev GROUP BY eb),
+    thresh AS (
+      SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) * 1.3 AS cut FROM counts
+    ),
+    alerts AS (
+      SELECT b, b * 600 - 450 AS lo, b * 600 + 1050 AS hi
+      FROM counts CROSS JOIN thresh WHERE CAST(n AS DOUBLE) > cut
+    ),
+    fan AS (
+      SELECT b, lo, hi, UNNEST(generate_series(b - 1, b + 1)) AS jb
+      FROM alerts
+    )
+    SELECT f.b AS alert_bucket, CAST(f.lo AS BIGINT) AS lo,
+           CAST(f.hi AS BIGINT) AS hi,
+           COUNT(*) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM fan f JOIN ev e ON e.eb = f.jb
+    WHERE e.es >= f.lo AND e.es < f.hi
+    GROUP BY f.b, f.lo, f.hi
+    """,
+)
+def q_range_join_bucketed(spark, sf_dir):
+    """LARGE×LARGE interval join via bucket fan-out — the scalable form
+    of the range join (q_interval_overlap's broadcast form assumes one
+    small side; this one assumes neither is). Hot 10-minute buckets
+    become ±-padded alert intervals; each interval fans out to the ≤3
+    time buckets it overlaps and EQUI-joins the event stream on the
+    bucket id, with the exact ts∈[lo,hi) predicate as a post-join
+    refinement. The shuffle is hash-partitioned on the bucket key — both
+    sides scale out — and the fan-out factor is bounded by
+    interval_len/bucket_len, never data-dependent. This is how
+    Databricks' range-join optimization and every production
+    time-overlap join actually execute."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        F.expr("unix_timestamp(ts) div 600").alias("eb"),
+    )
+    counts = ev.groupBy(F.col("eb").alias("b")).agg(F.count("*").alias("n"))
+    thresh = counts.agg(
+        (F.sum("n").cast("double") / F.count("*") * 1.3).alias("cut")
+    )
+    alerts = counts.crossJoin(F.broadcast(thresh)).filter(
+        F.col("n").cast("double") > F.col("cut")
+    ).select(
+        "b",
+        (F.col("b") * 600 - 450).alias("lo"),
+        (F.col("b") * 600 + 1050).alias("hi"),
+    )
+    fan = alerts.select(
+        "b", "lo", "hi",
+        F.explode(F.sequence(F.col("b") - 1, F.col("b") + 1)).alias("jb"),
+    )
+    joined = fan.join(ev, fan.jb == ev.eb).filter(
+        (F.col("es") >= F.col("lo")) & (F.col("es") < F.col("hi"))
+    )
+    return joined.groupBy(F.col("b").alias("alert_bucket"), "lo", "hi").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_TPCH_Q14 = f"""
+    SELECT CAST(100.0 AS DOUBLE)
+             * ({exact_sum_sql(
+                 "CASE WHEN p_type = 'PROMO' "
+                 "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")})
+             / ({exact_sum_sql('l_extendedprice * (1 - l_discount)')})
+             AS promo_revenue
+    FROM lineitem{{s}} JOIN part{{s}} ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+_TPCH_TABLES["q14"] = ("lineitem", "part")
+
+
+@register("q_tpch_q14", oracle=_TPCH_Q14.format(s=""))
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 (promotion effect): conditional-vs-total revenue ratio
+    in one aggregation pass — both sums are exact-decimal (order-free),
+    the final ratio one deterministic double division. The part dim
+    broadcasts; the month predicate pushes into the lineitem scan."""
+    return _tpch(spark, sf_dir, "q14", _TPCH_Q14)
+
+
+@register(
+    "q_sql_udf",
+    oracle="""
+    SELECT o_orderpriority,
+           CASE WHEN o_totalprice < 50000.0 THEN 'low'
+                WHEN o_totalprice < 200000.0 THEN 'mid' ELSE 'high' END AS band,
+           COUNT(*) AS n,
+           MIN(o_totalprice * (1.0 - 0.04)) AS min_net
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_sql_udf(spark, sf_dir):
+    """Declarative SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN expr):
+    reusable business logic — a price-band classifier and a net-price
+    formula — defined ONCE as catalog functions and used like builtins.
+    Unlike Python UDFs these INLINE into the Catalyst plan (pure
+    expression substitution: codegen, pushdown, and vectorization all
+    still apply — asserted UDF-eval-free in the plan tests), so shared
+    logic no longer costs the serialization wall. The oracle inlines the
+    same expressions, which is exactly what the engine does internally."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) "
+        "RETURNS STRING RETURN "
+        "CASE WHEN p < 50000.0 THEN 'low' "
+        "WHEN p < 200000.0 THEN 'mid' ELSE 'high' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - 0.04)"
+    )
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_udf")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, price_band(o_totalprice) AS band,
+               COUNT(*) AS n, MIN(net_price(o_totalprice)) AS min_net
+        FROM orders_udf GROUP BY 1, 2
+        """
+    )
+
+
 # =====================================================================
 
 

@@ -420,3 +420,41 @@ def test_nested_rebuild_is_one_shuffle_no_explode(spark):
     plan = _executed(QUERIES["q_nested_rebuild"](spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Generate explode" not in plan, plan
+
+
+def test_table_profile_single_scan(spark):
+    # five per-column profiles must come from ONE pass (multi-distinct
+    # Expand), not a scan per column
+    plan = _executed(QUERIES["q_table_profile"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan, plan
+
+
+def test_histogram_merge_windows_over_bins(spark):
+    # the cumulative window consumes merged bins, never orders
+    plan = _executed(QUERIES["q_histogram_merge"](spark, SF_DIR))
+    assert "Window [sum(n" in plan, plan
+
+
+def test_attribution_fanout_is_broadcast(spark):
+    # the 8-row day-offset table must broadcast into the fan-out; the
+    # touch pairing stays a hash equi-join (no range-join explosion)
+    plan = _executed(QUERIES["q_attribution"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_sql_udf_inlines_no_python(spark):
+    # CREATE FUNCTION ... RETURN expr must substitute into the plan as
+    # pure expressions — no Python evaluation operator anywhere
+    plan = _executed(QUERIES["q_sql_udf"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+
+
+def test_range_join_bucketed_is_hash_join(spark):
+    # the interval pairing must execute as an equi-join on the bucket id
+    # (+ refine filter), never a nested-loop/cartesian range join
+    plan = _executed(QUERIES["q_range_join_bucketed"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan
