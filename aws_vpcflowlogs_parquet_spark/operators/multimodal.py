@@ -145,3 +145,44 @@ def sample_frames(documents: DataFrame, n_frames: int = 3) -> DataFrame:
     return with_binary_payload(documents).mapInPandas(
         frame_batches, schema=FRAME_SCHEMA
     )
+
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, window_idx int, n_samples int, energy bigint, peak int"
+)
+
+
+def audio_energy(documents: DataFrame, window: int = 256) -> DataFrame:
+    """Windowed audio-energy extraction over binary payloads: treat the
+    payload as 8-bit PCM samples, emit per-window sum-of-squares energy
+    and peak amplitude — the VAD/silence-detection front end of an audio
+    pipeline. Another 1:N Arrow-batched mapInPandas fan-out (like
+    sample_frames): windows materialize executor-side, no explode, no
+    shuffle, and the vectorized numpy inner loop is the production shape
+    a real decoder would slot into. Integer outputs → oracle-exact
+    (the ASCII corpus makes byte values equal character codes, so DuckDB
+    replays them from the text)."""
+
+    def energy_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            out = {
+                "doc_id": [], "window_idx": [],
+                "n_samples": [], "energy": [], "peak": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = _np.frombuffer(bytes(payload), dtype=_np.uint8)
+                for w in range(0, max(len(samples), 1), window):
+                    chunk = samples[w : w + window].astype(_np.int64)
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(w // window)
+                    out["n_samples"].append(int(chunk.size))
+                    out["energy"].append(int((chunk * chunk).sum()))
+                    out["peak"].append(int(chunk.max()) if chunk.size else 0)
+            yield _pd.DataFrame(out)
+
+    return with_binary_payload(documents).mapInPandas(
+        energy_batches, schema=AUDIO_SCHEMA
+    )

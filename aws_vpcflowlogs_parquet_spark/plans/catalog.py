@@ -7661,6 +7661,42 @@ def q_sql_udf(spark, sf_dir):
     )
 
 
+@register(
+    "q_audio_energy",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text,
+             UNNEST(generate_series(0,
+               (octet_length(encode(text)) - 1) // 256)) AS widx
+      FROM documents
+    ),
+    chunk AS (
+      SELECT doc_id, CAST(widx AS INT) AS window_idx,
+             substring(text, widx * 256 + 1, 256) AS c
+      FROM w
+    )
+    SELECT doc_id, window_idx,
+           CAST(len(c) AS INT) AS n_samples,
+           CAST(list_sum(list_transform(generate_series(1, len(c)),
+                 i -> ascii(substring(c, i, 1)) * ascii(substring(c, i, 1))))
+             AS BIGINT) AS energy,
+           CAST(list_max(list_transform(generate_series(1, len(c)),
+                 i -> ascii(substring(c, i, 1)))) AS INT) AS peak
+    FROM chunk
+    """,
+)
+def q_audio_energy(spark, sf_dir):
+    """Audio front end (operators/multimodal.py audio_energy): payload
+    bytes as 8-bit PCM, per-256-sample window sum-of-squares energy and
+    peak — the silence/VAD screen of an audio-corpus pipeline,
+    completing the image (resize) / video (frames) / audio triad. Same
+    1:N Arrow-batched mapInPandas fan-out: windows materialize on
+    executors with no shuffle; the numpy inner loop is where a real
+    decoder slots in. Integer outputs replay exactly from the ASCII
+    corpus in DuckDB (byte == char code)."""
+    return mm.audio_energy(_t(spark, sf_dir, "documents"), window=256)
+
+
 # =====================================================================
 
 
