@@ -7661,6 +7661,127 @@ def q_sql_udf(spark, sf_dir):
     )
 
 
+_SKETCH_PROFILE_COLS = [
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)", "cast(o_orderkey as string)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)", "cast(o_custkey as string)"),
+    ("o_orderstatus", "o_orderstatus", "o_orderstatus"),
+    (
+        "o_totalprice",
+        "CAST(CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
+        "cast(cast(floor(o_totalprice * 100) as bigint) as string)",
+    ),
+    ("o_orderpriority", "o_orderpriority", "o_orderpriority"),
+]
+
+
+def _duck_profile_sketch_sql() -> str:
+    parts = []
+    for c, duck_expr, _ in _SKETCH_PROFILE_COLS:
+        parts.append(f"""
+    SELECT '{c}' AS col_name,
+           (SELECT CAST(COUNT(*) - COUNT({c}) AS BIGINT) FROM orders)
+             AS n_nulls,
+           CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+             * CAST(72057594037927936.0 AS DOUBLE) / CAST(s AS DOUBLE)
+             AS est_distinct
+    FROM (
+      SELECT CAST(SUM(CAST(1 AS BIGINT) << CAST(56 - m AS INT)) AS BIGINT)
+               + (16 - COUNT(*)) * (CAST(1 AS BIGINT) << 56) AS s
+      FROM (
+        SELECT hv & 15 AS reg, MAX({_rho_case_sql('(hv >> 4)')}) AS m
+        FROM (
+          SELECT ('0x' || substring(md5({duck_expr}), 1, 15))::BIGINT AS hv
+          FROM orders WHERE {c} IS NOT NULL
+        ) GROUP BY 1
+      )
+    )""")
+    return " UNION ALL ".join(parts)
+
+
+@register("q_table_profile_sketch", oracle=_duck_profile_sketch_sql())
+def q_table_profile_sketch(spark, sf_dir):
+    """The 100 TB form of q_table_profile: per-column distinct counts as
+    HLL REGISTER VECTORS instead of exact multi-distinct. The exact form
+    Expands the scan N+1× and shuffles every distinct key (~2× row count
+    at sf0.1); this one keeps ONE aggregation whose state is 16 small
+    ints per column — 80 conditional MAXes total — so the shuffle is one
+    row of partials per task regardless of cardinality, and the same
+    registers merge across partitions/days for free (q_sketch_hll_merge).
+    Estimates use the engine-deterministic integer-rho arithmetic, so
+    even the approximation is oracle-exact. q_table_profile remains the
+    accuracy yardstick; this is what actually runs on the wide table.
+    Honest cost note: per-row md5+conv (oracle-replayable) dominates at
+    small SF, so locally this only ties the exact form — a production
+    build swaps xxhash64 (native bigint hash, no string hop) and keeps
+    the identical plan; the sketch's shuffle advantage (one fixed-size
+    row per task vs every distinct key) is what compounds at 100 TB."""
+    o = _t(spark, sf_dir, "orders")
+    # Two staged projections, for expression-evaluation hygiene:
+    # 1. hash once per column (md5+conv is the expensive part);
+    # 2. derive (reg, rho) from the hash ATTRIBUTE. Building rho
+    #    directly on the hash EXPRESSION would re-inline md5+conv into
+    #    all ~21 conditional branches — conditional subexpressions are
+    #    not eliminated, measured ~5× slower. Same reason the maxes
+    #    reference (reg, rho) columns, not the chains (another ~4×).
+    hashed = o.select(
+        *[F.col(c) for c, _, _ in _SKETCH_PROFILE_COLS],
+        *[
+            F.conv(F.substring(F.md5(F.expr(spark_expr)), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias(f"{c}__hv")
+            for c, _, spark_expr in _SKETCH_PROFILE_COLS
+        ],
+    )
+    proj_cols = []
+    for c, _, _ in _SKETCH_PROFILE_COLS:
+        hv = F.col(f"{c}__hv")
+        w = F.shiftright(hv, 4)
+        bbit = w.bitwiseAND(-w)
+        rho = F.when(F.col(c).isNull(), F.lit(None))
+        rho = rho.when(w == 0, F.lit(21))
+        for k in range(20):
+            rho = rho.when(bbit == (1 << k), F.lit(k + 1))
+        rho = rho.otherwise(F.lit(21))
+        proj_cols += [
+            hv.bitwiseAND(F.lit(15)).alias(f"{c}__reg"),
+            rho.alias(f"{c}__rho"),
+            F.col(c),
+        ]
+    proj = hashed.select(*proj_cols)
+    agg_cols = []
+    for c, _, _ in _SKETCH_PROFILE_COLS:
+        for j in range(16):
+            agg_cols.append(
+                F.max(
+                    F.when(F.col(f"{c}__reg") == j, F.col(f"{c}__rho"))
+                ).alias(f"{c}__m{j}")
+            )
+        agg_cols.append((F.count("*") - F.count(c)).alias(f"{c}__nulls"))
+    wide = proj.agg(*agg_cols)
+    structs = []
+    for c, _, _ in _SKETCH_PROFILE_COLS:
+        denom = sum(
+            F.coalesce(
+                F.expr(
+                    f"shiftleft(cast(1 as bigint), cast(56 - {c}__m{j} as int))"
+                ),
+                F.lit(1 << 56).cast("bigint"),
+            )
+            for j in range(16)
+        )
+        structs.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"{c}__nulls").alias("n_nulls"),
+                (
+                    F.lit(0.673) * F.lit(256.0) * F.lit(72057594037927936.0)
+                    / denom.cast("double")
+                ).alias("est_distinct"),
+            )
+        )
+    return wide.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
 @register(
     "q_audio_energy",
     oracle="""
