@@ -162,3 +162,35 @@ def test_ngram_pairs_guard_rejects_unbounded_input(spark):
         dd.ngram_jaccard_pairs(wide, max_id=dd.NGRAM_PAIRS_MAX_INPUT + 1)
     # bounded form still works
     assert dd.ngram_jaccard_pairs(docs, max_id=50).count() >= 0
+
+
+def test_parquet_aggregate_pushdown_available(spark):
+    # footer-stats MIN/MAX/COUNT answering — the scan never materializes
+    # rows. Requires the V2 parquet reader; the engine documents this as
+    # an opt-in posture (V1 remains the default for source stability),
+    # and this test pins that the capability actually engages when opted
+    # into: plan shows PushedAggregation and results match the row path.
+    import pyspark.sql.functions as F
+
+    base = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    expected = base.agg(
+        F.count("*").alias("n"), F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+    ).collect()[0]
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try:
+        q = spark.read.parquet(f"{SF_DIR}/orders.parquet").agg(
+            F.count("*").alias("n"), F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+        )
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedAggregation" in plan, plan
+        got = q.collect()[0]
+        assert tuple(got) == tuple(expected)
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.useV1SourceList",
+            "avro,csv,json,kafka,orc,parquet,text",
+        )
+        spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")

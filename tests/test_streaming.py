@@ -370,3 +370,63 @@ def test_incremental_dedup_stream_forever_state(spark, tmp_path):
         "event_id", *keys
     )
     assert got.select("event_id", *keys).exceptAll(expected).count() == 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    # the negative Kappa case: rows arriving with event times older than
+    # the watermark horizon must be DROPPED by the streaming aggregation
+    # (append mode), while the batch twin would count them — this is the
+    # boundedness contract that keeps streaming state finite
+    import glob
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    batch = load_table(spark, SF_DIR, "events")
+    t_max = batch.agg(F.max("ts")).collect()[0][0]
+    on_time = batch
+    # late file: everything shifted 10 days BEFORE the data's start, so
+    # after batch 1 sets the watermark near t_max, batch 2's rows are
+    # far behind the horizon
+    late = batch.withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 100 DAYS")
+    ).filter(F.col("event_id") % 10 == 0)
+
+    def stage(df, name):
+        tmp = str(tmp_path / f"_lw_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], str(src / name))
+
+    stage(on_time, "events.parquet")
+
+    out_dir = str(tmp_path / "late_out")
+
+    def run_once():
+        stream = stream_events(spark, str(src))
+        agg = tumbling_agg(stream, "1 hour", "30 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def total():
+        return (
+            spark.read.parquet(out_dir)
+            .agg(F.coalesce(F.sum("n"), F.lit(0)))
+            .collect()[0][0]
+        )
+
+    run_once()
+    n1 = total()
+    stage(late, "late.parquet")
+    run_once()
+    n2 = total()
+    # append mode emits each closed window once; the late rows fall in
+    # windows already finalized far behind the watermark → contribute 0
+    assert n2 == n1
+    assert late.count() > 0  # the dropped data existed
