@@ -7818,6 +7818,171 @@ def q_audio_energy(spark, sf_dir):
     return mm.audio_energy(_t(spark, sf_dir, "documents"), window=256)
 
 
+_EXPECTATIONS = [
+    ("totalprice_positive", "o_totalprice > 0"),
+    ("orderdate_in_range",
+     "o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' "
+     "AND o_orderdate < TIMESTAMP '2002-01-01 00:00:00'"),
+    ("custkey_not_null", "o_custkey IS NOT NULL"),
+    ("status_known", "o_orderstatus IN ('O', 'F', 'P')"),
+    ("priority_prefixed", "o_orderpriority LIKE '%-%'"),
+]
+
+
+@register(
+    "q_expectations",
+    oracle=" UNION ALL ".join(
+        f"""
+    SELECT '{name}' AS expectation,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {cond} THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_violations,
+           CAST(SUM(CASE WHEN {cond} THEN 0 ELSE 1 END) AS DOUBLE)
+             / COUNT(*) AS violation_rate
+    FROM orders"""
+        for name, cond in _EXPECTATIONS
+    ),
+)
+def q_expectations(spark, sf_dir):
+    """Data-quality expectations — the DLT-expectations / Great-
+    Expectations primitive: named boolean contracts evaluated in ONE
+    scan (every rule is a conditional sum in a single aggregation, not a
+    query per rule), reported as violation counts and rates. This is the
+    gate a pipeline checks before publishing a table; rules compile to
+    plain expressions so the whole audit is codegen'd and map-side-
+    partial. The quarantine variant is the same predicate used as a
+    filter split (q_filter_gate's why-dropped accounting)."""
+    o = _t(spark, sf_dir, "orders")
+    aggs = []
+    for name, cond in _EXPECTATIONS:
+        bad = F.when(F.expr(cond), 0).otherwise(1)
+        aggs += [
+            F.count("*").alias(f"{name}__rows"),
+            F.sum(bad).alias(f"{name}__viol"),
+        ]
+    wide = o.agg(*aggs)
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("expectation"),
+                F.col(f"{name}__rows").alias("n_rows"),
+                F.col(f"{name}__viol").cast("bigint").alias("n_violations"),
+                (
+                    F.col(f"{name}__viol").cast("double")
+                    / F.col(f"{name}__rows")
+                ).alias("violation_rate"),
+            )
+            for name, _ in _EXPECTATIONS
+        ]
+    )
+    return wide.select(F.explode(structs).alias("p")).select("p.*")
+
+
+@register(
+    "q_benford",
+    oracle="""
+    WITH d AS (
+      SELECT substring(CAST(CAST(o_totalprice * 100 AS BIGINT) AS VARCHAR),
+                       1, 1) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS frac,
+           ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0) AS benford_frac
+    FROM c CROSS JOIN t
+    """,
+)
+def q_benford(spark, sf_dir):
+    """Benford's-law first-digit screen — the classic fraud/synthetic-
+    data detector over monetary amounts. The leading digit comes from
+    exact integer string rendering (price×100 as BIGINT — never a
+    double→string format, which engines render differently), one bounded
+    hash agg, and the observed fraction sits next to the analytic
+    Benford expectation ln(1+1/d)/ln(10) (shared deterministic ln).
+    A drift test between the two columns is the caller's chi-square
+    (q_chi2_assoc provides the kernel)."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            (F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count("*").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+            "frac"
+        ),
+        (
+            F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+            / F.log(F.lit(10.0))
+        ).alias("benford_frac"),
+    )
+
+
+@register(
+    "q_ewma",
+    oracle="""
+    WITH buckets AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS bucket_start,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+      SELECT event_type, bucket_start, n,
+             LAG(n, 1) OVER w AS l1, LAG(n, 2) OVER w AS l2,
+             LAG(n, 3) OVER w AS l3, LAG(n, 4) OVER w AS l4,
+             LAG(n, 5) OVER w AS l5, LAG(n, 6) OVER w AS l6,
+             LAG(n, 7) OVER w AS l7
+      FROM buckets
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_start)
+    )
+    SELECT event_type, bucket_start, n,
+           CAST(0.300000 AS DOUBLE) * n
+           + CAST(0.210000 AS DOUBLE) * COALESCE(l1, n)
+           + CAST(0.147000 AS DOUBLE) * COALESCE(l2, n)
+           + CAST(0.102900 AS DOUBLE) * COALESCE(l3, n)
+           + CAST(0.072030 AS DOUBLE) * COALESCE(l4, n)
+           + CAST(0.050421 AS DOUBLE) * COALESCE(l5, n)
+           + CAST(0.035295 AS DOUBLE) * COALESCE(l6, n)
+           + CAST(0.082354 AS DOUBLE) * COALESCE(l7, n) AS ewma
+    FROM lagged
+    """,
+)
+def q_ewma(spark, sf_dir):
+    """Truncated EWMA (α=0.3, 8 taps, tail mass folded into the last
+    tap so weights sum to 1) over 10-minute event-rate buckets — the
+    smoothing baseline behind alerting and forecast residuals. True EWMA
+    is a sequential recurrence (unbounded lookback, hostile to
+    parallelism); the K-tap truncation turns it into K lag columns over
+    pre-aggregated buckets + one fixed-order linear combination per row
+    — embarrassingly parallel, deterministic (fixed left-to-right sum of
+    8 doubles, identical literals both engines), and within (1-α)^8 ≈ 6%
+    weight of the exact filter. Missing history coalesces to the current
+    value (warm-up convention)."""
+    ev = _t(spark, sf_dir, "events")
+    buckets = ev.groupBy(
+        "event_type",
+        (F.expr("unix_timestamp(ts) div 600") * 600).alias("bucket_start"),
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("bucket_start")
+    lags = buckets.select(
+        "event_type", "bucket_start", "n",
+        *[F.lag("n", k).over(w).alias(f"l{k}") for k in range(1, 8)],
+    )
+    weights = [0.3, 0.21, 0.147, 0.1029, 0.07203, 0.050421, 0.035295,
+               0.082354]
+    ewma = F.lit(weights[0]) * F.col("n")
+    for k in range(1, 8):
+        ewma = ewma + F.lit(weights[k]) * F.coalesce(F.col(f"l{k}"), F.col("n"))
+    return lags.select("event_type", "bucket_start", "n", ewma.alias("ewma"))
+
+
 # =====================================================================
 
 
