@@ -458,3 +458,24 @@ def test_range_join_bucketed_is_hash_join(spark):
     plan = _executed(QUERIES["q_range_join_bucketed"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan, plan
+
+
+def test_expectations_single_scan_single_agg(spark):
+    # N data-quality rules must audit in ONE scan + one aggregation
+    plan = _executed(QUERIES["q_expectations"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_profile_sketch_single_scan_fixed_state(spark):
+    # the sketch profiler must keep one scan and carry only register
+    # partials across its exchange (no Expand — that's the exact form)
+    plan = _executed(QUERIES["q_table_profile_sketch"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" not in plan, plan
+
+
+def test_ewma_window_over_buckets(spark):
+    # the 8-tap lag window consumes pre-aggregated buckets, not events
+    plan = _executed(QUERIES["q_ewma"](spark, SF_DIR))
+    assert "Window [lag(n" in plan, plan
