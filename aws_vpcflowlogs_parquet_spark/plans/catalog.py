@@ -7983,6 +7983,178 @@ def q_ewma(spark, sf_dir):
     return lags.select("event_type", "bucket_start", "n", ewma.alias("ewma"))
 
 
+_TPCH_Q8 = f"""
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           ({exact_sum_sql(
+               "CASE WHEN n2.n_name = 'NATION_3' "
+               "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")})
+             / ({exact_sum_sql('l_extendedprice * (1 - l_discount)')})
+             AS mkt_share
+    FROM lineitem{{s}}
+    JOIN orders{{s}} ON l_orderkey = o_orderkey
+    JOIN customer{{s}} ON o_custkey = c_custkey
+    JOIN nation{{s}} n1 ON c_nationkey = n1.n_nationkey
+    JOIN region{{s}} ON n1.n_regionkey = r_regionkey
+    JOIN supplier{{s}} ON l_suppkey = s_suppkey
+    JOIN nation{{s}} n2 ON s_nationkey = n2.n_nationkey
+    JOIN part{{s}} ON l_partkey = p_partkey
+    WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY year(o_orderdate)
+"""
+
+_TPCH_TABLES["q8"] = (
+    "lineitem", "orders", "customer", "nation", "region", "supplier", "part",
+)
+
+
+@register("q_tpch_q8", oracle=_TPCH_Q8.format(s=""))
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8 (national market share): the 8-way join with nation
+    referenced twice in different roles (customer region gate, supplier
+    share numerator) and a conditional/total revenue ratio per year.
+    Exact conditional sums make the share deterministic; every dim leg
+    broadcasts and AQE orders the fact joins."""
+    return _tpch(spark, sf_dir, "q8", _TPCH_Q8)
+
+
+_TPCH_Q19 = f"""
+    SELECT {exact_sum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem{{s}} JOIN part{{s}} ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+
+@register("q_tpch_q19", oracle=_TPCH_Q19.format(s=""))
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19 shape (discounted revenue under a disjunction of
+    brand/size/quantity conjunctions — adapted to the column subset):
+    the DNF-predicate stress test. Catalyst extracts the common
+    join key, pushes the per-side conjuncts below the join where legal,
+    and the whole filter stays in codegen — the case that separates
+    planners that handle OR-of-ANDs from ones that give up and scan."""
+    return _tpch(spark, sf_dir, "q19", _TPCH_Q19)
+
+
+_TPCH_TABLES["q19"] = ("lineitem", "part")
+
+
+@register(
+    "q_ab_test",
+    oracle="""
+    WITH assign AS (
+      SELECT user_id,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2 AS arm
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    outcome AS (
+      SELECT a.user_id, a.arm,
+             MAX(CASE WHEN e.event_type = 'purchase'
+                       AND CAST(floor(e.value * 1000) AS BIGINT) % 7 = 0
+                  THEN 1 ELSE 0 END) AS converted
+      FROM assign a JOIN events e ON a.user_id = e.user_id
+      GROUP BY a.user_id, a.arm
+    ),
+    arms AS (
+      SELECT arm, COUNT(*) AS n, SUM(converted) AS conv
+      FROM outcome GROUP BY arm
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN conv END) AS c0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN conv END) AS c1
+      FROM arms
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_a, CAST(c0 AS BIGINT) AS conv_a,
+           CAST(n1 AS BIGINT) AS n_b, CAST(c1 AS BIGINT) AS conv_b,
+           CAST(c0 AS DOUBLE) / n0 AS p_a,
+           CAST(c1 AS DOUBLE) / n1 AS p_b,
+           CASE WHEN c0 + c1 > 0 AND c0 + c1 < n0 + n1 THEN
+             (CAST(c0 AS DOUBLE) / n0 - CAST(c1 AS DOUBLE) / n1)
+             / sqrt((CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (1.0 - CAST(c0 + c1 AS DOUBLE) / (n0 + n1))
+                    * (CAST(1.0 AS DOUBLE) / n0 + CAST(1.0 AS DOUBLE) / n1))
+           END AS z_score
+    FROM wide
+    """,
+)
+def q_ab_test(spark, sf_dir):
+    """A/B experiment readout: deterministic hash assignment of users to
+    arms (the same persistent-bucketing idea as q_split_assign — no
+    random state, re-runs agree), per-user conversion, and the pooled
+    two-proportion z-test. Counts are exact ints so the z-score is a
+    fixed double-expression tree; sqrt is correctly rounded in both
+    engines. Dataflow: distinct users → hash arm → one join + two
+    bounded aggs; at 100 TB the per-user outcome agg is the only real
+    shuffle (user-keyed), and the final stats are a 2-row rollup."""
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.select("user_id").distinct().select(
+        "user_id",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16, 10,
+            ).cast("bigint")
+            % 2
+        ).alias("arm"),
+    )
+    outcome = (
+        assign.join(ev, "user_id")
+        .groupBy("user_id", "arm")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.floor(F.col("value") * 1000).cast("bigint") % 7 == 0),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+    )
+    arms = outcome.groupBy("arm").agg(
+        F.count("*").alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0").cast("double") / F.col("n0")
+    p1 = F.col("c1").cast("double") / F.col("n1")
+    pp = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    conv_total = F.col("c0") + F.col("c1")
+    z = F.when(
+        (conv_total > 0) & (conv_total < F.col("n0") + F.col("n1")),
+        (p0 - p1)
+        / F.sqrt(
+            pp
+            * (F.lit(1.0) - pp)
+            * (F.lit(1.0).cast("double") / F.col("n0")
+               + F.lit(1.0).cast("double") / F.col("n1"))
+        ),
+    )
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n_a"),
+        F.col("c0").cast("bigint").alias("conv_a"),
+        F.col("n1").cast("bigint").alias("n_b"),
+        F.col("c1").cast("bigint").alias("conv_b"),
+        p0.alias("p_a"),
+        p1.alias("p_b"),
+        z.alias("z_score"),
+    )
+
+
 # =====================================================================
 
 
