@@ -8155,6 +8155,123 @@ def q_ab_test(spark, sf_dir):
     )
 
 
+@register(
+    "q_rfm",
+    oracle="""
+    WITH maxd AS (
+      SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS t_ref FROM events
+    ),
+    per_user AS (
+      SELECT user_id,
+             MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS last_ts,
+             COUNT(*) AS freq,
+             SUM(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS mon_q
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    scored AS (
+      SELECT user_id,
+             CASE WHEN t_ref - last_ts <= 7 * 86400 THEN 3
+                  WHEN t_ref - last_ts <= 30 * 86400 THEN 2 ELSE 1 END AS r,
+             CASE WHEN freq >= 50 THEN 3 WHEN freq >= 10 THEN 2 ELSE 1 END AS f,
+             CASE WHEN mon_q >= 500000000 THEN 3
+                  WHEN mon_q >= 100000000 THEN 2 ELSE 1 END AS m
+      FROM per_user CROSS JOIN maxd
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           COUNT(*) AS n_users,
+           CAST(r * 100 + f * 10 + m AS INT) AS segment_code
+    FROM scored GROUP BY r, f, m
+    """,
+)
+def q_rfm(spark, sf_dir):
+    """RFM customer segmentation — the classic warehouse marketing
+    rollup: per user, Recency (days since last purchase, vs the data's
+    reference instant), Frequency (purchase count), Monetary (quantized
+    exact spend), each banded 1-3, then the 27-cell segment census. One
+    user-keyed aggregation (map-side-partial), a broadcast scalar for
+    the reference time, and a bounded final rollup. Fixed thresholds
+    keep it deterministic; the data-driven variant swaps thresholds for
+    q_decile_stats_approx cut points — same dataflow."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    maxd = ev.agg(F.max(F.unix_timestamp("ts")).alias("t_ref"))
+    per_user = purchases.groupBy("user_id").agg(
+        F.max(F.unix_timestamp("ts")).alias("last_ts"),
+        F.count("*").alias("freq"),
+        F.sum(
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                "bigint"
+            )
+        ).alias("mon_q"),
+    )
+    age = F.col("t_ref") - F.col("last_ts")
+    scored = per_user.crossJoin(F.broadcast(maxd)).select(
+        F.when(age <= 7 * 86400, 3).when(age <= 30 * 86400, 2).otherwise(1)
+        .alias("r"),
+        F.when(F.col("freq") >= 50, 3).when(F.col("freq") >= 10, 2).otherwise(1)
+        .alias("f"),
+        F.when(F.col("mon_q") >= 500000000, 3)
+        .when(F.col("mon_q") >= 100000000, 2)
+        .otherwise(1)
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_users"),
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m"))
+        .cast("int")
+        .alias("segment_code"),
+    ).select("r", "f", "m", "n_users", "segment_code")
+
+
+@register(
+    "q_seasonal_baseline",
+    oracle="""
+    WITH hourly AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS h_start,
+             CAST(extract(hour FROM ts) AS INT) AS hod,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    baseline AS (
+      SELECT hod,
+             CAST(CAST(SUM(n) AS BIGINT) AS DOUBLE) / COUNT(*) AS expected_n,
+             COUNT(*) AS n_hours
+      FROM hourly GROUP BY hod
+    )
+    SELECT h.h_start, h.hod, h.n, b.expected_n,
+           CAST(h.n AS DOUBLE) - b.expected_n AS residual
+    FROM hourly h JOIN baseline b ON h.hod = b.hod
+    WHERE abs(CAST(h.n AS DOUBLE) - b.expected_n) > 2.0 * sqrt(b.expected_n)
+    """,
+)
+def q_seasonal_baseline(spark, sf_dir):
+    """Seasonal decomposition, the operational form: an hour-of-day
+    baseline (the daily cycle) learned from the series itself, then a
+    residual screen flagging hours more than 2·√expected off their
+    seasonal norm (Poisson-scaled, the right null for counts). Two
+    aggregations over hourly pre-counts + one broadcast join of the
+    24-row baseline — the event stream is touched once. This is the
+    deseasonalized twin of q_event_rate_alert's trailing-window z-score:
+    that one catches level shifts, this one catches
+    wrong-for-the-time-of-day."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.expr("unix_timestamp(ts) div 3600") * 3600).alias("h_start"),
+        F.hour("ts").cast("int").alias("hod"),
+    ).agg(F.count("*").alias("n"))
+    baseline = hourly.groupBy("hod").agg(
+        (F.sum("n").cast("bigint").cast("double") / F.count("*")).alias(
+            "expected_n"
+        ),
+        F.count("*").alias("n_hours"),
+    )
+    joined = hourly.join(F.broadcast(baseline.drop("n_hours")), "hod")
+    resid = F.col("n").cast("double") - F.col("expected_n")
+    return joined.filter(
+        F.abs(resid) > 2.0 * F.sqrt(F.col("expected_n"))
+    ).select("h_start", "hod", "n", "expected_n", resid.alias("residual"))
+
+
 # =====================================================================
 
 
