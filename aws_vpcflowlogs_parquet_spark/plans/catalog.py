@@ -8272,6 +8272,113 @@ def q_seasonal_baseline(spark, sf_dir):
     ).select("h_start", "hod", "n", "expected_n", resid.alias("residual"))
 
 
+@register(
+    "q_gaps_islands",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS is_new_run
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id,
+             SUM(is_new_run) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS run_id
+      FROM seq
+    ),
+    islands AS (
+      SELECT user_id, run_id, COUNT(*) AS run_len
+      FROM runs GROUP BY user_id, run_id
+    )
+    SELECT CAST(run_len AS BIGINT) AS run_len,
+           COUNT(*) AS n_runs,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM islands GROUP BY run_len
+    """,
+)
+def q_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: contiguous runs of the same event type per user
+    via change-point detection + running sum — is_new_run =
+    (type ≠ lag(type)), run_id = cumulative Σ is_new_run. Both window
+    functions share ONE partitioning (user_id), so the whole derivation
+    rides a single shuffle (the two-row_number difference trick needs a
+    second, (user, type)-keyed exchange). Run lengths then roll up to
+    the streak-length distribution; consecutive-active-days and
+    consecutive-failure analytics are this exact plan with a different
+    run key."""
+    ev = _t(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_all.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    seq = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            ~F.lag("event_type").over(w_all).eqNullSafe(F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_run"),
+    )
+    runs = seq.select(
+        "user_id", F.sum("is_new_run").over(w_run).alias("run_id")
+    )
+    islands = runs.groupBy("user_id", "run_id").agg(
+        F.count("*").alias("run_len")
+    )
+    return islands.groupBy("run_len").agg(
+        F.count("*").alias("n_runs"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_CLAMPED_BALANCE = """
+    WITH RECURSIVE deltas AS (
+      SELECT account, rn, d FROM (
+        SELECT user_id % 8 AS account,
+               ROW_NUMBER() OVER (PARTITION BY user_id % 8
+                                  ORDER BY ts, event_id) AS rn,
+               CASE WHEN event_id % 2 = 0
+                    THEN CAST(floor(value * 10) AS BIGINT)
+                    ELSE -CAST(floor(value * 10) AS BIGINT) END AS d
+        FROM events{s}
+      ) t WHERE rn <= 8
+    ),
+    bal(account, rn, b, n_clamps) AS (
+      SELECT DISTINCT account, 0, CAST(0 AS BIGINT), 0 FROM deltas
+      UNION ALL
+      SELECT d.account, r.rn + 1,
+             GREATEST(CAST(0 AS BIGINT), r.b + d.d),
+             r.n_clamps + CASE WHEN r.b + d.d < 0 THEN 1 ELSE 0 END
+      FROM bal r JOIN deltas d ON d.account = r.account AND d.rn = r.rn + 1
+      WHERE r.rn < 8
+    )
+    SELECT account, CAST(b AS BIGINT) AS final_balance,
+           CAST(n_clamps AS INT) AS n_clamps
+    FROM bal WHERE rn = 8
+"""
+
+
+@register("q_clamped_balance", oracle=_CLAMPED_BALANCE.format(s=""))
+def q_clamped_balance(spark, sf_dir):
+    """Clamped running balance (inventory/ledger semantics: balance
+    never goes below zero) — the canonical NON-associative recurrence:
+    b_k = max(0, b_{k-1} + d_k) has no prefix-sum decomposition, so no
+    window frame computes it. The recursive CTE does: one step per
+    sequence position, all accounts advancing IN PARALLEL within each
+    step (the join is per-account), with the clamp-event count carried
+    through the recursion. Bounded to the first 8 movements per
+    account (each recursion step is a full Spark job — step count, not
+    data volume, is the local cost driver); at scale the same recurrence runs as the checkpointed
+    DataFrame loop (operators/graph.py discipline) or per-key
+    `transformWithState` in streaming — this is the declarative bounded
+    form, oracle-exact."""
+    _t(spark, sf_dir, "events").createOrReplaceTempView("events_clamp")
+    return spark.sql(_CLAMPED_BALANCE.format(s="_clamp"))
+
+
 # =====================================================================
 
 

@@ -479,3 +479,11 @@ def test_ewma_window_over_buckets(spark):
     # the 8-tap lag window consumes pre-aggregated buckets, not events
     plan = _executed(QUERIES["q_ewma"](spark, SF_DIR))
     assert "Window [lag(n" in plan, plan
+
+
+def test_gaps_islands_windows_share_one_shuffle(spark):
+    # lag + running-sum chain on the same user_id partitioning: exactly
+    # one exchange feeds both window steps (before the final rollups)
+    plan = _executed(QUERIES["q_gaps_islands"](spark, SF_DIR))
+    upstream = plan.split("Window", 1)[-1]  # everything below first Window
+    assert upstream.count("Exchange hashpartitioning") == 1, plan
