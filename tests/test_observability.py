@@ -44,3 +44,20 @@ def test_corpus_gate_filters_before_dedup_shuffle(spark):
     # produces 500 — the gate's effect shows at the exchange.)
     d = profile(QUERIES["q_corpus_build"](spark, SF_DIR))
     assert 0 < d["shuffle_records"] < 500, d
+
+
+def test_sketch_profiler_state_is_fixed_size(spark):
+    # the whole point of the sketch profiler: the exact form shuffles
+    # every distinct key, the sketch form ships one fixed-size register
+    # row per task — metric-level proof, not just plan text
+    exact = profile(QUERIES["q_table_profile"](spark, SF_DIR))
+    sketch = profile(QUERIES["q_table_profile_sketch"](spark, SF_DIR))
+    assert exact["shuffle_records"] > 1000, exact
+    assert sketch["shuffle_records"] <= 32, sketch
+
+
+def test_audio_energy_no_shuffle(spark):
+    # 1:N mapInPandas fan-out stays partition-local: zero exchanges
+    d = profile(QUERIES["q_audio_energy"](spark, SF_DIR))
+    assert d["n_exchanges"] == 0, d
+    assert d["rows_out"] > 0, d
