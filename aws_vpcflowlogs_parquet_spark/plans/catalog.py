@@ -8379,6 +8379,210 @@ def q_clamped_balance(spark, sf_dir):
     return spark.sql(_CLAMPED_BALANCE.format(s="_clamp"))
 
 
+_PQ_BLOCKS = 4
+_PQ_SUB = 16  # 64 dims / 4 blocks
+_PQ_CODES = 4
+
+
+def _duck_pq_prefix() -> str:
+    """Shared DuckDB CTEs: sub-vector table + per-block codebooks
+    (codes = the first 4 vectors' sub-vectors, mirroring the k-means
+    seeding convention) + per-vector block code assignment."""
+    return f"""
+    WITH emb AS ({_DUCK_EMB}),
+    blocks AS (
+      SELECT vec_id, b.b AS blk,
+             list_slice(e, b.b * {_PQ_SUB} + 1, (b.b + 1) * {_PQ_SUB}) AS sv
+      FROM emb CROSS JOIN (SELECT UNNEST(generate_series(0, {_PQ_BLOCKS - 1})) AS b) b
+    ),
+    codebook AS (
+      SELECT blk, vec_id AS code, sv AS cv FROM blocks WHERE vec_id < {_PQ_CODES}
+    ),
+    dists AS (
+      SELECT bl.vec_id, bl.blk, cb.code,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(bl.sv, (x, i) -> (x - cb.cv[i]) * (x - cb.cv[i]))),
+               (p, v) -> p + v) AS d
+      FROM blocks bl JOIN codebook cb ON bl.blk = cb.blk
+    ),
+    assign AS (
+      SELECT vec_id, blk, code, d FROM (
+        SELECT vec_id, blk, code, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, blk
+                                  ORDER BY d, code) AS rn
+        FROM dists
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "q_pq_encode",
+    oracle=_duck_pq_prefix()
+    + """
+    SELECT blk, CAST(code AS BIGINT) AS code,
+           COUNT(*) AS n_vectors,
+           CAST(CAST(SUM(CAST(floor(d * 1000000.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS total_sq_err
+    FROM assign GROUP BY blk, code
+    """,
+)
+def q_pq_encode(spark, sf_dir):
+    """Product quantization ENCODE — the vector-DB compression step: the
+    64-dim embedding splits into 4 sub-vectors, each assigned to its
+    nearest of 4 codebook entries (seeds = the first vectors' blocks,
+    the k-means seeding convention), compressing 256 B of floats to
+    4 small codes. Per (block, code): population and total quantized
+    reconstruction error — the codebook-quality report. Dataflow:
+    4× block fan-out, broadcast codebook, min_by argmin per (vector,
+    block), bounded rollup; at 100 TB this is one scan + one shuffle of
+    code assignments, and the codes table is what q_ann_pq_search scans
+    INSTEAD of raw vectors."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    blocks = emb.crossJoin(
+        F.broadcast(
+            emb.sparkSession.range(_PQ_BLOCKS).select(
+                F.col("id").cast("int").alias("blk")
+            )
+        )
+    ).select(
+        "vec_id", "blk",
+        F.expr(f"slice(e, blk * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
+    )
+    codebook = blocks.filter(F.col("vec_id") < _PQ_CODES).select(
+        "blk", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    d = F.expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (p, v) -> p + v)"
+    )
+    assign = (
+        blocks.join(F.broadcast(codebook), "blk")
+        .select("vec_id", "blk", "code", d.alias("d"))
+        .groupBy("vec_id", "blk")
+        .agg(
+            F.min_by("code", F.struct(F.col("d"), F.col("code"))).alias("code"),
+            F.min(F.struct(F.col("d"), F.col("code"))).getField("d").alias("d"),
+        )
+    )
+    return assign.groupBy("blk", "code").agg(
+        F.count("*").alias("n_vectors"),
+        (
+            F.sum(
+                F.floor(F.col("d") * F.lit(1000000.0) + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            .cast("bigint")
+            .cast("double")
+            / F.lit(1000000.0)
+        ).alias("total_sq_err"),
+    )
+
+
+@register(
+    "q_ann_pq_search",
+    oracle=_duck_pq_prefix()
+    + f""",
+    qblocks AS (
+      SELECT vec_id AS query_id, blk, sv AS qv FROM blocks
+      WHERE vec_id >= 8 AND vec_id < 12
+    ),
+    dtable AS (
+      SELECT q.query_id, q.blk, cb.code,
+             CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(q.qv, (x, i) -> (x - cb.cv[i]) * (x - cb.cv[i]))),
+               (p, v) -> p + v) * 1000000.0 + 0.5) AS BIGINT) AS dq
+      FROM qblocks q JOIN codebook cb ON q.blk = cb.blk
+    ),
+    approx AS (
+      SELECT t.query_id, a.vec_id,
+             CAST(SUM(t.dq) AS BIGINT) AS adc_q
+      FROM assign a JOIN dtable t ON a.blk = t.blk AND a.code = t.code
+      WHERE a.vec_id != t.query_id
+      GROUP BY t.query_id, a.vec_id
+    )
+    SELECT query_id, vec_id,
+           CAST(adc_q AS DOUBLE) / 1000000.0 AS adc_dist,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT query_id, vec_id, adc_q,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc_q, vec_id) AS rk
+      FROM approx
+    ) WHERE rk <= 3
+    """,
+)
+def q_ann_pq_search(spark, sf_dir):
+    """PQ asymmetric-distance search (ADC) — how compressed vector
+    search actually works: each query precomputes a tiny distance table
+    (4 blocks × 4 codes) against the codebook, and a corpus vector's
+    approximate distance is FOUR TABLE LOOKUPS summed — the corpus is
+    scanned as codes (4 small ints/vector), never as floats. Per-block
+    lookup distances quantize to 1e-6 bigints so the cross-block sum is
+    order-exact; top-3 per query via WindowGroupLimit. At 100 TB the
+    distance-table side is broadcast (queries × 16 cells) and the scan
+    side is ~64× smaller than raw embeddings — the bandwidth win that
+    makes PQ the standard billion-vector layout (complementing
+    q_ann_lsh/q_ann_ivf, which prune CANDIDATES; PQ compresses the
+    scan itself)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    blocks = emb.crossJoin(
+        F.broadcast(
+            emb.sparkSession.range(_PQ_BLOCKS).select(
+                F.col("id").cast("int").alias("blk")
+            )
+        )
+    ).select(
+        "vec_id", "blk",
+        F.expr(f"slice(e, blk * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
+    )
+    codebook = blocks.filter(F.col("vec_id") < _PQ_CODES).select(
+        "blk", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    )
+    d = F.expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (p, v) -> p + v)"
+    )
+    assign = (
+        blocks.join(F.broadcast(codebook), "blk")
+        .select("vec_id", "blk", "code", d.alias("d"))
+        .groupBy("vec_id", "blk")
+        .agg(F.min_by("code", F.struct(F.col("d"), F.col("code"))).alias("code"))
+    )
+    qblocks = blocks.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 12)
+    ).select(F.col("vec_id").alias("query_id"), "blk", F.col("sv").alias("qv"))
+    dq = F.expr(
+        "cast(floor(aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), "
+        "cast(0.0 as double), (p, v) -> p + v) * 1000000.0 + 0.5) as bigint)"
+    )
+    dtable = qblocks.join(F.broadcast(codebook), "blk").select(
+        "query_id", "blk", "code", dq.alias("dq")
+    )
+    approx = (
+        assign.join(F.broadcast(dtable), ["blk", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dq").cast("bigint").alias("adc_q"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_q", "vec_id")
+    return (
+        approx.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "query_id", "vec_id",
+            (F.col("adc_q").cast("double") / F.lit(1000000.0)).alias(
+                "adc_dist"
+            ),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
 # =====================================================================
 
 
