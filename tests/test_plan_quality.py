@@ -487,3 +487,12 @@ def test_gaps_islands_windows_share_one_shuffle(spark):
     plan = _executed(QUERIES["q_gaps_islands"](spark, SF_DIR))
     upstream = plan.split("Window", 1)[-1]  # everything below first Window
     assert upstream.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pq_search_broadcasts_and_window_limits(spark):
+    # the distance table broadcasts (queries x 16 cells at any scale)
+    # and the per-query top-3 must hit the WindowGroupLimit rewrite
+    plan = _executed(QUERIES["q_ann_pq_search"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
