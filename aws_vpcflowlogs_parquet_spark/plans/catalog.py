@@ -8583,6 +8583,179 @@ def q_ann_pq_search(spark, sf_dir):
     )
 
 
+@register(
+    "q_kmv_intersection",
+    oracle="""
+    WITH ha AS (
+      SELECT DISTINCT
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM orders WHERE o_orderstatus = 'O'
+    ),
+    hb AS (
+      SELECT DISTINCT
+             ('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM orders WHERE o_orderstatus = 'F'
+    ),
+    sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                          FROM ha) t WHERE rn <= 64),
+    sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn
+                          FROM hb) t WHERE rn <= 64),
+    uk AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS rn
+        FROM (SELECT h FROM sa UNION SELECT h FROM sb) u
+      ) t WHERE rn <= 64
+    ),
+    stats AS (
+      SELECT (SELECT MAX(h) FROM uk) AS kth,
+             (SELECT COUNT(*) FROM uk) AS n_u,
+             (SELECT COUNT(*) FROM uk
+              WHERE h IN (SELECT h FROM sa)
+                AND h IN (SELECT h FROM sb)) AS m
+    ),
+    exact AS (
+      SELECT COUNT(*) AS n_exact FROM (
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      )
+    )
+    SELECT CAST(n_u AS BIGINT) AS n_union_sketch,
+           CAST(m AS BIGINT) AS n_matches,
+           CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+                ELSE 17732923532771328.0 / CAST(kth AS DOUBLE) END AS est_union,
+           CAST(m AS DOUBLE) / CAST(n_u AS DOUBLE) AS est_jaccard,
+           (CAST(m AS DOUBLE) / CAST(n_u AS DOUBLE))
+             * (CASE WHEN n_u < 64 THEN CAST(n_u AS DOUBLE)
+                     ELSE 17732923532771328.0 / CAST(kth AS DOUBLE) END)
+             AS est_intersection,
+           CAST(n_exact AS BIGINT) AS n_exact_intersection
+    FROM stats CROSS JOIN exact
+    """,
+)
+def q_kmv_intersection(spark, sf_dir):
+    """KMV set-OPERATION estimation — the capability HLL lacks: from two
+    64-minimum-value sketches (open-order vs fulfilled-order customer
+    sets), estimate |A∪B| (kth min of the merged sketch), Jaccard
+    (matching fraction within the union sketch), and |A∩B| (their
+    product) — next to the exact intersection as the audit column. This
+    is how sketch-based set algebra answers 'how many customers appear
+    in both segments' without ever shuffling the raw key sets: each
+    sketch is ≤64 longs regardless of cardinality, and merges are set
+    unions of those 64 values. Pure shared md5 arithmetic → an exact
+    oracle for an approximate algorithm."""
+    o = _t(spark, sf_dir, "orders")
+
+    def sketch(status: str) -> DataFrame:
+        # k-min via orderBy().limit(k): compiles to TakeOrderedAndProject
+        # (per-partition 64-row heaps + merge) — the scalable k-min
+        # selection, vs a single-partition row_number window
+        h = o.filter(F.col("o_orderstatus") == status).select(
+            F.conv(
+                F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12),
+                16, 10,
+            )
+            .cast("bigint")
+            .alias("h")
+        ).distinct()
+        return h.orderBy("h").limit(64)
+
+    sa, sb = sketch("O"), sketch("F")
+    uk = sa.unionByName(sb).distinct().orderBy("h").limit(64)
+    marked = (
+        uk.join(sa.withColumn("in_a", F.lit(1)), "h", "left")
+        .join(sb.withColumn("in_b", F.lit(1)), "h", "left")
+    )
+    stats = marked.agg(
+        F.max("h").alias("kth"),
+        F.count("*").alias("n_u"),
+        F.sum(
+            F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("m"),
+    )
+    a_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    b_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    exact = (
+        a_keys.intersect(b_keys).agg(F.count("*").alias("n_exact"))
+    )
+    est_union = F.when(
+        F.col("n_u") < 64, F.col("n_u").cast("double")
+    ).otherwise(F.lit(17732923532771328.0) / F.col("kth").cast("double"))
+    est_j = F.col("m").cast("double") / F.col("n_u").cast("double")
+    return stats.crossJoin(F.broadcast(exact)).select(
+        F.col("n_u").cast("bigint").alias("n_union_sketch"),
+        F.col("m").cast("bigint").alias("n_matches"),
+        est_union.alias("est_union"),
+        est_j.alias("est_jaccard"),
+        (est_j * est_union).alias("est_intersection"),
+        F.col("n_exact").cast("bigint").alias("n_exact_intersection"),
+    )
+
+
+@register(
+    "q_trending",
+    oracle="""
+    WITH ref AS (
+      SELECT MAX(CAST(date_trunc('day', ts) AS DATE)) AS ref_day FROM events
+    ),
+    daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, n,
+             CAST(floor(CAST(n AS DOUBLE)
+                        * power(CAST(0.5 AS DOUBLE),
+                                CAST(ref_day - day AS BIGINT))
+                        * 1000000.0 + 0.5) AS BIGINT) AS tq
+      FROM daily CROSS JOIN ref
+    )
+    SELECT event_type,
+           CAST(SUM(n) AS BIGINT) AS n_total,
+           CAST(CAST(SUM(tq) AS BIGINT) AS DOUBLE) / 1000000.0
+             AS trend_score
+    FROM scored GROUP BY event_type
+    """,
+)
+def q_trending(spark, sf_dir):
+    """Time-decayed trending score (half-life 1 day): each day's count
+    weights by 0.5^age before summing — recent activity dominates, the
+    ranking behind 'trending now' feeds. Determinism comes from two
+    choices: integer-day ages make 0.5^age an EXACT power of two (pow
+    with integer exponents is correctly rounded in both engines, unlike
+    fractional exponents), and the weighted terms quantize to 1e-6
+    bigints so the cross-day sum is order-free. The decay applies to
+    per-day PRE-COUNTS (365 rows/type/year), never per event, and the
+    reference day broadcasts — at 100 TB this costs one map-side-combined
+    daily rollup. An incremental deployment just multiplies yesterday's
+    score by 0.5 and adds today's count — the recurrence the closed form
+    here unrolls."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").cast("date")
+    ref = ev.agg(F.max(day).alias("ref_day"))
+    daily = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    age = F.datediff(F.col("ref_day"), F.col("day")).cast("bigint")
+    tq = F.floor(
+        F.col("n").cast("double") * F.pow(F.lit(0.5), age) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        daily.crossJoin(F.broadcast(ref))
+        .select("event_type", "n", tq.alias("tq"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n_total"),
+            (F.sum("tq").cast("bigint").cast("double") / F.lit(1000000.0)).alias(
+                "trend_score"
+            ),
+        )
+    )
+
+
 # =====================================================================
 
 
