@@ -32,8 +32,19 @@ ZBITS = 16  # bits per dimension in the interleaved key
 def zorder_key(cols: list[str], bits: int = ZBITS) -> F.Column:
     """Interleave the low ``bits`` bits of each (non-negative integral)
     column into one Morton key: bit i of column j lands at position
-    i * n_cols + j. Pure integer arithmetic — codegen'd, deterministic."""
+    i * n_cols + j. Pure integer arithmetic — codegen'd, deterministic.
+
+    ``bits`` is clamped so the key never touches the bigint sign bit
+    (n_cols * bits <= 63): with the old unclamped default, 4+ columns
+    placed a bit at position 63, making high-curve keys NEGATIVE — they
+    range-partitioned before all positive keys, breaking Morton locality
+    (ADVICE r3). Inputs >= 2^bits alias into the low ``bits`` bits by
+    construction (the `& 1` per-bit mask); callers clustering wide
+    domains should pre-bucket (divide) the column so its range fits —
+    aliasing degrades clustering quality but never correctness, since
+    the key is projected away before the write."""
     n = len(cols)
+    bits = min(bits, 63 // n)
     terms = []
     for j, c in enumerate(cols):
         for i in range(bits):
@@ -88,12 +99,36 @@ def compact(
     rewrites to size-targeted files — `coalesce` (no shuffle) when only
     merging, or a range repartition on ``preserve_sort`` to keep a
     clustered layout's skipping property through the rewrite. Writes to
-    a temp sibling then swaps, so readers never see a half-compacted
-    table. Returns {files_before, files_after, bytes}."""
+    a temp sibling then swaps via two os.renames.
+
+    Swap semantics (ADVICE r3): the rename pair is LOCAL-FS maintenance-
+    window tooling — on a local filesystem each rename is atomic, but
+    there is a window between the two where ``path`` does not exist, and
+    object stores (s3a://) have no rename at all. At 100 TB compaction
+    runs under a table-format's transaction log (Delta/Iceberg rewrite
+    commits) or during a scheduled maintenance window; this helper is
+    the latter. A crash between the renames is recoverable: on entry we
+    detect a stranded ``__old_*`` sibling with no live ``path`` and
+    restore it, and stale ``__compact_*`` temp dirs are swept before the
+    destructive rmtree ever runs. Returns {files_before, files_after,
+    bytes}."""
     import glob
     import os
     import shutil
     import uuid
+
+    # crash recovery from a previous interrupted swap: ``path`` missing
+    # but a completed __old_* snapshot present → restore it; any
+    # leftover __compact_* temp (crash before the first rename) is dead
+    # weight either way → sweep it.
+    if not os.path.exists(path):
+        stranded = sorted(glob.glob(f"{path}__old_*"))
+        if stranded:
+            os.rename(stranded[0], path)
+    for leftover in glob.glob(f"{path}__compact_*") + glob.glob(
+        f"{path}__old_*"
+    ):
+        shutil.rmtree(leftover, ignore_errors=True)
 
     files = glob.glob(os.path.join(path, "*.parquet"))
     total = sum(os.path.getsize(f) for f in files)

@@ -3751,18 +3751,19 @@ def q_split_assign(spark, sf_dir):
 @register(
     "q_filter_gate",
     oracle=f"""
-    WITH t AS (
-      SELECT source, n_chars,
-             len({_DUCK_TOKENS}) AS n_tok,
-             len(list_distinct({_DUCK_TOKENS})) AS n_uniq
-      FROM documents
+    WITH base AS (
+      SELECT doc_id, source, n_chars, {_DUCK_TOKENS} AS toks FROM documents
+    ),
+    tok AS (SELECT doc_id, unnest(toks) AS t FROM base),
+    uniq AS (
+      SELECT doc_id, COUNT(DISTINCT t) AS n_uniq FROM tok GROUP BY doc_id
     ),
     flags AS (
-      SELECT source,
-             (n_chars BETWEEN 100 AND 5000) AS len_ok,
-             (n_tok >= 20) AS tok_ok,
-             (n_uniq * 10 >= n_tok * 3) AS div_ok
-      FROM t
+      SELECT b.source,
+             (b.n_chars BETWEEN 100 AND 5000) AS len_ok,
+             (len(b.toks) >= 20) AS tok_ok,
+             (COALESCE(u.n_uniq, 0) * 10 >= len(b.toks) * 3) AS div_ok
+      FROM base b LEFT JOIN uniq u ON b.doc_id = u.doc_id
     )
     SELECT source,
            COUNT(*) AS n_docs,
@@ -3779,7 +3780,14 @@ def q_filter_gate(spark, sf_dir):
     is "which rule is eating my data, per source". Flags are pure integer
     comparisons (token diversity as a cross-multiplied int inequality, no
     float ratio), all inside one codegen'd projection; the per-source
-    rollup is a single map-side-combined aggregation."""
+    rollup is a single map-side-combined aggregation.
+
+    Round-4 oracle hardening after the CORRECTNESS_r03 hash FAIL (VERDICT
+    r3 item 1): the distinct-token count no longer uses DuckDB's
+    ``list_distinct`` (whose NULL/dedup semantics have shifted across
+    DuckDB releases) — it is now bedrock SQL: unnest → COUNT(DISTINCT)
+    → left join back (COALESCE 0 for token-less docs, matching Spark's
+    ``size(array_distinct(...)) = 0``). The Spark side is unchanged."""
     t = _t(spark, sf_dir, "documents").select(
         "source",
         "n_chars",
@@ -5470,7 +5478,7 @@ def q_fuzzy_join(spark, sf_dir):
     oracle="""
     WITH h AS (
       SELECT o_orderpriority AS grp,
-             CAST(FLOOR(o_totalprice / 500.0) AS BIGINT) AS b, COUNT(*) AS n_b
+             CAST(FLOOR(o_totalprice) AS BIGINT) // 500 AS b, COUNT(*) AS n_b
       FROM orders GROUP BY 1, 2
     ),
     c AS (
@@ -5481,12 +5489,10 @@ def q_fuzzy_join(spark, sf_dir):
       FROM h
     )
     SELECT grp,
-           MIN(CASE WHEN cum_n >= CAST(CEIL(0.25 * total_n) AS BIGINT)
-                    THEN b END) * CAST(500.0 AS DOUBLE) AS q1_approx,
-           MIN(CASE WHEN cum_n >= CAST(CEIL(0.5 * total_n) AS BIGINT)
-                    THEN b END) * CAST(500.0 AS DOUBLE) AS q2_approx,
-           MIN(CASE WHEN cum_n >= CAST(CEIL(0.75 * total_n) AS BIGINT)
-                    THEN b END) * CAST(500.0 AS DOUBLE) AS q3_approx,
+           MIN(CASE WHEN 4 * cum_n >= total_n THEN b END) * 500 AS q1_approx,
+           MIN(CASE WHEN 2 * cum_n >= total_n THEN b END) * 500 AS q2_approx,
+           MIN(CASE WHEN 4 * cum_n >= 3 * total_n THEN b END) * 500
+             AS q3_approx,
            MIN(total_n) AS n
     FROM c GROUP BY grp
     """,
@@ -5499,13 +5505,20 @@ def q_group_quartiles_approx(spark, sf_dir):
     by group. One hash agg builds per-(group, bin) counts; per-group
     windows over the tiny histogram find the first bin crossing each
     quartile rank; quartile value = bin lower edge (error ≤ bin width).
-    The rank targets use ceil(q·N) where 0.25/0.5/0.75 products are
-    exact in binary floating point, so both engines pick identical bins
-    and the oracle hash-matches exactly. This is the shape
-    approx_percentile implements internally (GK summaries); expressed
-    relationally it stays oracle-checkable."""
+
+    Round-4 hardening after the CORRECTNESS_r03 hash FAIL (VERDICT r3
+    item 2, the decimal-literal trap): the whole query is now INTEGER
+    arithmetic end to end — binning is ``floor(price) div 500`` (equal
+    to ``floor(price/500)`` for the non-negative price domain by the
+    floor-division identity), the rank test ``cum_n >= ceil(q·N)`` is
+    cross-multiplied to ``4·cum_n >= N`` / ``2·cum_n >= N`` /
+    ``4·cum_n >= 3·N`` (equivalent for integers since ``c >= ceil(r)``
+    iff ``c >= r``), and the quartile edges are BIGINT ``b*500``. No
+    float, no decimal literal, nothing an engine version can re-bind.
+    This is the shape approx_percentile implements internally (GK
+    summaries); expressed relationally it stays oracle-checkable."""
     o = _t(spark, sf_dir, "orders")
-    b = F.floor(F.col("o_totalprice") / F.lit(500.0)).cast("long")
+    b = F.expr("CAST(floor(o_totalprice) AS BIGINT) div 500")
     hist = o.groupBy(
         F.col("o_orderpriority").alias("grp"), b.alias("b")
     ).agg(F.count("*").alias("n_b"))
@@ -5521,14 +5534,14 @@ def q_group_quartiles_approx(spark, sf_dir):
         F.sum("n_b").over(Window.partitionBy("grp")).alias("total_n"),
     )
 
-    def q_bin(q: float):
-        target = F.ceil(F.lit(q) * F.col("total_n")).cast("bigint")
-        return F.min(F.when(F.col("cum_n") >= target, F.col("b")))
+    def q_bin(mult: int, rhs_mult: int):
+        hit = F.col("cum_n") * mult >= F.col("total_n") * rhs_mult
+        return F.min(F.when(hit, F.col("b")))
 
     return c.groupBy("grp").agg(
-        (q_bin(0.25) * F.lit(500.0)).alias("q1_approx"),
-        (q_bin(0.5) * F.lit(500.0)).alias("q2_approx"),
-        (q_bin(0.75) * F.lit(500.0)).alias("q3_approx"),
+        (q_bin(4, 1) * F.lit(500)).alias("q1_approx"),
+        (q_bin(2, 1) * F.lit(500)).alias("q2_approx"),
+        (q_bin(4, 3) * F.lit(500)).alias("q3_approx"),
         F.min("total_n").alias("n"),
     )
 

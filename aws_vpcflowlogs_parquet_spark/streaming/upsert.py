@@ -32,7 +32,22 @@ from pyspark.sql import functions as F
 
 
 def _key_hash(keys: list[str]) -> F.Column:
-    return F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in keys]))
+    """Null-safe composite-key hash. concat_ws silently SKIPS null
+    elements, which would collapse ('a', NULL), (NULL, 'a') and ('a')
+    into one hash — and the anti-join would then silently drop a live
+    record as a duplicate (ADVICE r3). to_json(struct(...)) keeps the
+    field names in the encoding, so a null in any position yields a
+    distinct document from a value shifted into another position."""
+    return F.md5(F.to_json(F.struct(*[F.col(k) for k in keys])))
+
+
+def _state_exists(sp: SparkSession, state_dir: str) -> bool:
+    """Hadoop-FS existence probe — scheme-agnostic (file://, s3a://, …),
+    so 'no state yet' is decided by the filesystem, never inferred from
+    a read failure."""
+    jpath = sp._jvm.org.apache.hadoop.fs.Path(state_dir)
+    fs = jpath.getFileSystem(sp._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
 
 
 def start_incremental_dedup_stream(
@@ -49,7 +64,6 @@ def start_incremental_dedup_stream(
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         sp = batch.sparkSession
-        sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         w = Window.partitionBy(*keys).orderBy(*order)
         collapsed = (
             batch.withColumn("_rn", F.row_number().over(w))
@@ -57,24 +71,32 @@ def start_incremental_dedup_stream(
             .drop("_rn")
             .withColumn("_kh", _key_hash(keys))
         )
-        try:
+        # Explicit existence probe, NOT a broad try/except around the
+        # read: a transient/corrupt-read failure must ABORT the batch
+        # (foreachBatch retries it) rather than masquerade as "first
+        # batch, no state yet" and re-admit duplicates (ADVICE r3).
+        if _state_exists(sp, state_dir):
             seen = sp.read.parquet(state_dir).select("_kh")
             # no broadcast hint: the state table GROWS without bound, so
             # the join strategy must stay AQE's runtime call (broadcast
             # while small, shuffled/co-located once it isn't)
             fresh = collapsed.join(seen, "_kh", "left_anti")
-        except Exception:  # first batch: no state yet
+        else:
             fresh = collapsed
         fresh = fresh.withColumn("batch_id", F.lit(batch_id)).persist()
+        # per-write dynamic-overwrite option (NOT the session conf, which
+        # would leak overwrite semantics to unrelated writers — ADVICE r3)
         (
             fresh.drop("_kh")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(out_dir)
         )
         (
             fresh.select("_kh", "batch_id")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("batch_id")
             .parquet(state_dir)
         )

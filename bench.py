@@ -35,6 +35,20 @@ def _emit(payload: dict) -> None:
     os.write(_REAL_STDOUT_FD, line.encode("utf-8"))
 
 
+def _versions(spark) -> dict:
+    import platform
+
+    import duckdb
+    import pyarrow
+
+    return {
+        "spark": spark.version,
+        "duckdb": duckdb.__version__,
+        "pyarrow": pyarrow.__version__,
+        "python": platform.python_version(),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -99,6 +113,9 @@ def main() -> None:
             "sf": float(sf),
             "n_queries": len(timings),
             "detail": detail_path,
+            # engine versions, so cross-environment hash/timing skews are
+            # diagnosable from the artifact alone (VERDICT r3 item 7)
+            "versions": _versions(spark),
         }
     )
 

@@ -86,6 +86,60 @@ def test_compact_merges_small_files(spark, tmp_path):
     assert after.agg(F.sum("event_id")).collect()[0][0] == checksum
 
 
+def test_zorder_key_never_touches_sign_bit(spark):
+    # 4 columns at the default 16 bits/dim would land a bit at position
+    # 63 (bigint sign): the clamp (bits = 63 // n_cols) must keep every
+    # key non-negative so range-partitioning preserves Morton order
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    four = ev.select(
+        *[((F.col("event_id") * m) % 65536).alias(c)
+          for c, m in (("a", 37), ("b", 101), ("c", 13), ("d", 7))]
+    )
+    mn = four.select(
+        F.min(zorder_key(["a", "b", "c", "d"])).alias("mn")
+    ).collect()[0]["mn"]
+    assert mn >= 0
+
+
+def test_zorder_clamp_keeps_curve_locality(spark):
+    # with the clamp, two points differing only in high coordinates must
+    # still produce distinct ordered keys within the representable domain
+    df = spark.createDataFrame(
+        [(1, 1, 1, 1), (2, 2, 2, 2)], "a int, b int, c int, d int"
+    )
+    keys = [
+        r["k"]
+        for r in df.select(
+            zorder_key(["a", "b", "c", "d"]).alias("k")
+        ).orderBy("k").collect()
+    ]
+    assert keys[0] < keys[1]
+
+
+def test_compact_recovers_from_interrupted_swap(spark, tmp_path):
+    """Crash window between the two swap renames: path gone, __old_*
+    stranded. A subsequent compact() must restore the snapshot, sweep
+    temps, and complete normally (ADVICE r3)."""
+    import os
+
+    from aws_vpcflowlogs_parquet_spark.operators.layout import compact
+
+    pts = _pts(spark)
+    path = str(tmp_path / "t")
+    pts.repartition(8).write.parquet(path)
+    n_rows = spark.read.parquet(path).count()
+    # simulate the crash: first rename done, second never happened, plus
+    # a stale temp dir from the dead run
+    os.rename(path, f"{path}__old_deadbeef")
+    os.makedirs(f"{path}__compact_deadbeef")
+    stats = compact(spark, path, target_bytes=10 * 1024 * 1024)
+    assert stats["files_before"] == 8
+    assert spark.read.parquet(path).count() == n_rows
+    import glob
+
+    assert glob.glob(f"{path}__*") == []  # no strays left behind
+
+
 def test_compact_preserves_clustering(spark, tmp_path):
     from aws_vpcflowlogs_parquet_spark.operators.layout import compact
 

@@ -372,6 +372,21 @@ def test_incremental_dedup_stream_forever_state(spark, tmp_path):
     assert got.select("event_id", *keys).exceptAll(expected).count() == 0
 
 
+def test_incremental_dedup_key_hash_null_safe(spark):
+    # concat_ws would have collapsed ('a', NULL), (NULL, 'a') and
+    # ('a', 'a') onto colliding hashes, silently anti-joining live rows
+    # away (ADVICE r3); the struct→json encoding must keep them distinct
+    from aws_vpcflowlogs_parquet_spark.streaming.upsert import _key_hash
+
+    df = spark.createDataFrame(
+        [("a", None), (None, "a"), ("a", "a"), ("a", None)],
+        "k1 string, k2 string",
+    )
+    hashes = [r["h"] for r in df.select(_key_hash(["k1", "k2"]).alias("h")).collect()]
+    assert len(set(hashes)) == 3  # 3 distinct keys
+    assert hashes[0] == hashes[3]  # identical keys still collide (dedup works)
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     # the negative Kappa case: rows arriving with event times older than
     # the watermark horizon must be DROPPED by the streaming aggregation
