@@ -3373,10 +3373,17 @@ def _run_stream_to_parquet(spark, df, tag: str, mode: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix=f"{tag}_out_")
     ckpt = tempfile.mkdtemp(prefix=f"{tag}_ckpt_")
     batch_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prior_retain = spark.conf.get("spark.sql.streaming.minBatchesToRetain")
     spark.conf.set(
         "spark.sql.shuffle.partitions",
         os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "6"),
     )
+    # Checkpoint GC retention, not semantics: the default keeps 100
+    # batches of offset/commit/state files alive, which for these
+    # single-batch availableNow runs is pure metadata churn (~0.12 s per
+    # query measured at sf0.1). Long-lived production streams should keep
+    # a real retention window for rollback.
+    spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
     try:
         if mode in ("complete", "update"):
             q = (
@@ -3403,6 +3410,7 @@ def _run_stream_to_parquet(spark, df, tag: str, mode: str) -> DataFrame:
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
+        spark.conf.set("spark.sql.streaming.minBatchesToRetain", prior_retain)
     return spark.read.parquet(out_dir)
 
 
