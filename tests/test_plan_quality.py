@@ -496,3 +496,45 @@ def test_pq_search_broadcasts_and_window_limits(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "WindowGroupLimit" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_q6_pushes_all_predicates_and_prunes(spark):
+    # zero-join Q6: all three value predicates reach the parquet reader
+    # and the scan reads exactly the 4 referenced columns
+    plan = _executed(QUERIES["q_tpch_q6"](spark, SF_DIR))
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, plan
+    schema = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
+    assert schema.count(":") == 4, schema  # 4 columns only
+
+
+def test_tpch_q9_joins_all_broadcast(spark):
+    # the 5-way snowflake: every dimension leg (part LIKE-filtered,
+    # supplier, orders, nation) broadcasts — no sort-merge exchange of
+    # the fact table at this dim/fact ratio
+    plan = _executed(QUERIES["q_tpch_q9"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_tpch_q4_exists_decorrelates_to_semi_join(spark):
+    # the non-equi correlated EXISTS must become a (broadcast) left-semi
+    # join, never a per-row subquery
+    plan = _executed(QUERIES["q_tpch_q4"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+
+
+def test_tpch_q16_and_q22_plan_anti_joins(spark):
+    for q in ("q_tpch_q16", "q_tpch_q22"):
+        plan = _executed(QUERIES[q](spark, SF_DIR))
+        assert "Anti" in plan, (q, plan)
+
+
+def test_tpch_q15_single_fact_scan(spark):
+    # the revenue CTE is consumed twice semantically (join input + its
+    # own MAX); the window-max form must cost exactly ONE lineitem scan
+    # (+ the supplier dim) — a scalar subquery would scan lineitem twice
+    plan = _executed(QUERIES["q_tpch_q15"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 2, plan
+    assert "Window" in plan, plan
