@@ -8392,10 +8392,14 @@ def q_clamped_balance(spark, sf_dir):
     step (the join is per-account), with the clamp-event count carried
     through the recursion. Bounded to the first 8 movements per
     account (each recursion step is a full Spark job — step count, not
-    data volume, is the local cost driver); at scale the same recurrence runs as the checkpointed
-    DataFrame loop (operators/graph.py discipline) or per-key
-    `transformWithState` in streaming — this is the declarative bounded
-    form, oracle-exact."""
+    data volume, is the local cost driver); at scale the same recurrence
+    runs as the checkpointed DataFrame loop (operators/graph.py
+    discipline) or CONTINUOUSLY via streaming/stateful.py's
+    start_clamped_balance_stream — a real per-key stateful operator
+    (transformWithState where available, applyInPandasWithState twin
+    otherwise) sharing a vectorized reflected-walk kernel, restart-
+    tested in tests/test_transform_with_state.py. This is the
+    declarative bounded form, oracle-exact."""
     _t(spark, sf_dir, "events").createOrReplaceTempView("events_clamp")
     return spark.sql(_CLAMPED_BALANCE.format(s="_clamp"))
 
