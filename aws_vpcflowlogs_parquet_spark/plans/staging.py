@@ -1,0 +1,365 @@
+"""Round-5 staging catalog — implemented, oracle-paired, pytest-verified
+queries that are NOT yet in ``queries()``.
+
+The external driver verifies at most 50 pending queries per round, and
+round 4's pending queue is exactly at that cap (VERDICT r3 item 1:
+"add nothing that would push pending past 50"). These entries are built
+and proven now — the identical oracle-replica gate runs over them in
+tests/test_staging_oracle.py — and promote to plans/catalog.py the
+moment the queue drains: promotion is moving the @register blocks (the
+decorator, `_t`, and conventions are identical by construction).
+
+Contents: the three TPC-H queries whose canonical forms need columns the
+synthetic schema lacks, adapted like the round-4 set (completing all 22
+shapes); plus three pipeline analytics — CUSUM changepoint detection,
+Heaps-law vocabulary growth, and token burstiness (VMR).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..session import ensure_session_posture
+from .catalog import _DUCK_TOKENS, _t
+
+STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+STAGED_ORACLES: dict[str, str] = {}
+
+
+def staged(name: str, oracle: str):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_session_posture(spark)
+            return fn(spark, sf_dir)
+
+        STAGED_QUERIES[name] = wrapped
+        STAGED_ORACLES[name] = oracle
+        return wrapped
+
+    return deco
+
+
+# ------------------------------------------------------- TPC-H Q2/Q20/Q21
+
+_TPCH_TABLES_STAGED: dict[str, tuple[str, ...]] = {}
+
+
+def _tpch(spark: SparkSession, sf_dir: str, tag: str, sql: str) -> DataFrame:
+    for name in _TPCH_TABLES_STAGED[tag]:
+        _t(spark, sf_dir, name).createOrReplaceTempView(f"{name}_{tag}")
+    return spark.sql(sql.format(s=f"_{tag}"))
+
+
+_TPCH_Q2 = """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem{s} GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type, supplycost
+    FROM part{s}
+    JOIN ps ON p_partkey = l_partkey
+    JOIN supplier{s} ON s_suppkey = l_suppkey
+    JOIN nation{s} ON s_nationkey = n_nationkey
+    JOIN region{s} ON n_regionkey = r_regionkey
+    WHERE p_size = 15 AND r_name = 'ASIA'
+      AND supplycost = (
+        SELECT MIN(ps2.supplycost)
+        FROM ps ps2
+        JOIN supplier{s} s2 ON s2.s_suppkey = ps2.l_suppkey
+        JOIN nation{s} n2 ON s2.s_nationkey = n2.n_nationkey
+        JOIN region{s} r2 ON n2.n_regionkey = r2.r_regionkey
+        WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'ASIA'
+      )
+"""
+_TPCH_TABLES_STAGED["q2"] = (
+    "lineitem", "part", "supplier", "nation", "region",
+)
+
+
+@staged("q_tpch_q2", oracle=_TPCH_Q2.format(s=""))
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2 (minimum-cost supplier), adapted: the supply relation
+    derives from shipped lines (no partsupp), with per-(part, supplier)
+    cost = MIN observed unit price — a deterministic double (single
+    division per row, MIN picks one; no accumulation). Shape intact:
+    the 5-way snowflake plus the famous CORRELATED MIN subquery over
+    the same relation, decorrelated by Catalyst into a per-part
+    min-aggregate join. The region filter applies inside both the
+    outer block and the subquery, exactly as in the spec."""
+    return _tpch(spark, sf_dir, "q2", _TPCH_Q2)
+
+
+_TPCH_Q20 = """
+    SELECT s_name, s_nationkey
+    FROM supplier{s}
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem{s}
+      WHERE l_partkey IN (
+        SELECT p_partkey FROM part{s} WHERE p_name LIKE 'small%'
+      )
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 50
+    )
+"""
+_TPCH_TABLES_STAGED["q20"] = ("supplier", "lineitem", "part")
+
+
+@staged("q_tpch_q20", oracle=_TPCH_Q20.format(s=""))
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20 (potential part promotion), adapted: 'excess stock'
+    becomes 'shipped more than 50 units of a small* part in the year'
+    (no partsupp availqty). The defining shape survives: a two-level
+    nested IN chain (supplier ← grouped lineitem ← filtered part) with
+    a HAVING threshold, planned as semi joins all the way down;
+    quantity sums are exact BIGINTs."""
+    return _tpch(spark, sf_dir, "q20", _TPCH_Q20)
+
+
+_TPCH_Q21 = """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier{s}
+    JOIN lineitem{s} l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders{s} ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem{s} l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem{s} l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY s_name
+"""
+_TPCH_TABLES_STAGED["q21"] = ("supplier", "lineitem", "orders")
+
+
+@staged("q_tpch_q21", oracle=_TPCH_Q21.format(s=""))
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: lateness
+    is ship-lag > 90 days against the order date (no commit/receipt
+    dates). The hardest subquery shape in the suite survives intact —
+    EXISTS (another supplier contributed to the order) AND NOT EXISTS
+    (any OTHER supplier was also late, with the lateness predicate
+    correlated to the OUTER order's date): one positive and one negated
+    correlated semi join over the same fact table, both non-equi on the
+    outer date. Counts are exact."""
+    return _tpch(spark, sf_dir, "q21", _TPCH_Q21)
+
+
+# ------------------------------------------------- pipeline analytics
+
+
+@staged(
+    "q_changepoint_cusum",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(floor(CAST(SUM(n) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5)
+                  AS BIGINT) AS mean_scaled
+      FROM daily GROUP BY event_type
+    ),
+    c AS (
+      SELECT d.event_type, d.day,
+             SUM(d.n * 1000000 - mean_scaled) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cusum_scaled
+      FROM daily d JOIN stats ON d.event_type = stats.event_type
+    )
+    SELECT event_type, day AS changepoint_day,
+           CAST(cusum_scaled AS DOUBLE) / 1000000.0 AS peak_cusum
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY abs(cusum_scaled) DESC, day
+      ) AS rk
+      FROM c
+    ) t WHERE rk = 1
+    """,
+)
+def q_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint detection per event type: cumulative sum of
+    (daily count − series mean), whose |peak| marks the most likely
+    level-shift day — the standard drift screen for event-rate
+    monitoring. Everything after the daily rollup runs on the exact
+    integer lattice: deviations are (n·1e6 − quantized mean), so the
+    running window sum is bigint arithmetic and the argmax (with a day
+    tie-break) can never flip between engines. Costs one daily
+    pre-aggregation; the windows run over days-per-type rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    stats = daily.groupBy("event_type").agg(
+        F.floor(
+            F.sum("n").cast("double") / F.count("*") * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("mean_scaled")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        F.sum(F.col("n") * 1000000 - F.col("mean_scaled"))
+        .over(w_cum)
+        .alias("cusum_scaled"),
+    )
+    w_rk = Window.partitionBy("event_type").orderBy(
+        F.abs("cusum_scaled").desc(), "day"
+    )
+    return (
+        c.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            (F.col("cusum_scaled").cast("double") / F.lit(1000000.0)).alias(
+                "peak_cusum"
+            ),
+        )
+    )
+
+
+@staged(
+    "q_vocab_growth",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents
+    ),
+    firsts AS (SELECT t, MIN(doc_id) AS first_doc FROM tok GROUP BY t),
+    nw AS (
+      SELECT CAST(first_doc // 100 AS BIGINT) AS bucket, COUNT(*) AS new_types
+      FROM firsts GROUP BY 1
+    ),
+    tk AS (
+      SELECT CAST(doc_id // 100 AS BIGINT) AS bucket, COUNT(*) AS n_tokens
+      FROM tok GROUP BY 1
+    )
+    SELECT tk.bucket, tk.n_tokens, COALESCE(nw.new_types, 0) AS new_types,
+           SUM(tk.n_tokens) OVER (ORDER BY tk.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens,
+           SUM(COALESCE(nw.new_types, 0)) OVER (ORDER BY tk.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_vocab
+    FROM tk LEFT JOIN nw ON tk.bucket = nw.bucket
+    """,
+)
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary growth: per 100-document bucket, how many
+    token TYPES appear for the first time, plus cumulative token and
+    vocab counts — the curve that tells a corpus builder when new data
+    stops adding vocabulary (dedup/diversity health at ingest). A type's
+    first appearance is MIN(doc_id) over the exploded token stream (one
+    shuffle keyed by token; the later rollups are bucket-cardinality).
+    All-integer output; the cumulative windows run over ≤ n_docs/100
+    rows on a single partition — driver-scale by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    import aws_vpcflowlogs_parquet_spark.operators.dedup as dd
+
+    tok = docs.select("doc_id", F.explode(dd.tokens_col("text")).alias("t"))
+    firsts = tok.groupBy("t").agg(F.min("doc_id").alias("first_doc"))
+    nw = firsts.groupBy(
+        F.expr("CAST(first_doc div 100 AS BIGINT)").alias("bucket")
+    ).agg(F.count("*").alias("new_types"))
+    tk = tok.groupBy(
+        F.expr("CAST(doc_id div 100 AS BIGINT)").alias("bucket")
+    ).agg(F.count("*").alias("n_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = tk.join(nw, "bucket", "left").select(
+        "bucket",
+        "n_tokens",
+        F.coalesce("new_types", F.lit(0)).alias("new_types"),
+    )
+    return joined.select(
+        "bucket",
+        "n_tokens",
+        "new_types",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+        F.sum("new_types").over(w).alias("cum_vocab"),
+    )
+
+
+@staged(
+    "q_burstiness",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents
+    ),
+    per_doc AS (
+      SELECT t, doc_id, COUNT(*) AS c FROM tok GROUP BY t, doc_id
+    ),
+    stats AS (
+      SELECT t, COUNT(*) AS n_docs,
+             SUM(c) AS sc, SUM(c * c) AS sc2
+      FROM per_doc GROUP BY t
+    )
+    SELECT t, CAST(n_docs AS BIGINT) AS n_docs, CAST(sc AS BIGINT) AS total,
+           CAST(n_docs * sc2 - sc * sc AS DOUBLE)
+             / CAST(n_docs * sc AS DOUBLE) AS vmr
+    FROM stats
+    WHERE n_docs >= 20
+    ORDER BY CAST(n_docs * sc2 - sc * sc AS DOUBLE)
+               / CAST(n_docs * sc AS DOUBLE) DESC, t
+    LIMIT 25
+    """,
+)
+def q_burstiness(spark, sf_dir):
+    """Token burstiness — the variance-to-mean ratio of a token's
+    per-document counts (over documents containing it). Bursty tokens
+    (VMR >> 1) concentrate in few documents (topical/boilerplate);
+    VMR ≈ 1 is Poisson background — a standard corpus-quality and
+    keyword-extraction signal. The statistic is computed on the exact
+    integer lattice: per-token (n, Σc, Σc²) are bigints, and
+    VMR = (n·Σc² − (Σc)²) / (n·Σc) is ONE double division of exact
+    integers — deterministic, so even the ORDER BY on the ratio is
+    engine-stable (plus a token tie-break). Two shuffles — (token, doc)
+    then token — both count-carrying, map-side combined."""
+    docs = _t(spark, sf_dir, "documents")
+    import aws_vpcflowlogs_parquet_spark.operators.dedup as dd
+
+    tok = docs.select("doc_id", F.explode(dd.tokens_col("text")).alias("t"))
+    per_doc = tok.groupBy("t", "doc_id").agg(F.count("*").alias("c"))
+    stats = per_doc.groupBy("t").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    vmr = (
+        (F.col("n_docs") * F.col("sc2") - F.col("sc") * F.col("sc")).cast(
+            "double"
+        )
+        / (F.col("n_docs") * F.col("sc")).cast("double")
+    )
+    return (
+        stats.filter(F.col("n_docs") >= 20)
+        .select(
+            "t",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("sc").cast("bigint").alias("total"),
+            vmr.alias("vmr"),
+        )
+        .orderBy(F.col("vmr").desc(), "t")
+        .limit(25)
+    )

@@ -4,9 +4,17 @@ Creates a PLAIN SparkSession (no engine-side tuning — the driver won't use
 our factory), imports the contract module, runs entry(), then every
 queries()[name] at sf0.01 against oracle_sql()[name] via DuckDB with
 row-count + column + exact value comparison.
+
+Usage: python scripts/drive_contract.py [--shuffle SEED]
+  --shuffle SEED runs the catalog in a seeded RANDOM order instead of
+  sorted — an order-dependence sweep: any query whose result depends on
+  session state another query leaves behind (conf churn, temp views,
+  cached plans, state stores) fails under some permutation. The r3
+  driver-only hash mismatches motivated making this a one-flag check.
 """
 
 import math
+import random
 import sys
 import time
 
@@ -48,8 +56,13 @@ def canon(v):
 
 qs = contract.queries()
 oracles = contract.oracle_sql()
+names = sorted(qs)
+if "--shuffle" in sys.argv:
+    seed = int(sys.argv[sys.argv.index("--shuffle") + 1])
+    random.Random(seed).shuffle(names)
+    print(f"order: shuffled (seed={seed})")
 fail = 0
-for name in sorted(qs):
+for name in names:
     t0 = time.time()
     try:
         sdf = qs[name](spark, SF_DIR)

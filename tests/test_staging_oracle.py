@@ -1,0 +1,33 @@
+"""Round-5 staging gate: every staged query passes the SAME oracle
+replica the catalog queries do, at sf0.001 — so promotion next round is
+a move, not a build. See plans/staging.py for why these are staged
+(the driver's 50-pending-per-round cap, VERDICT r3 item 1)."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
+from aws_vpcflowlogs_parquet_spark.plans.staging import (
+    STAGED_ORACLES,
+    STAGED_QUERIES,
+)
+
+from .conftest import SF_DIR, compare_spark_duck
+
+
+def test_staged_names_do_not_collide_with_catalog():
+    assert not set(STAGED_QUERIES) & set(QUERIES)
+    assert set(STAGED_QUERIES) == set(STAGED_ORACLES)
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_query_matches_oracle(spark, duck, name):
+    sdf = STAGED_QUERIES[name](spark, SF_DIR)
+    ok, msg = compare_spark_duck(sdf, duck, STAGED_ORACLES[name])
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_query_nonempty(spark, name):
+    assert STAGED_QUERIES[name](spark, SF_DIR).limit(1).count() == 1, name
