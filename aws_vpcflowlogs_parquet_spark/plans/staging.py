@@ -363,3 +363,235 @@ def q_burstiness(spark, sf_dir):
         .orderBy(F.col("vmr").desc(), "t")
         .limit(25)
     )
+
+
+@staged(
+    "q_conversion_lag",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT (CAST(floor(epoch(first_purchase)) AS BIGINT)
+            - CAST(floor(epoch(first_view)) AS BIGINT)) // 86400 AS lag_days,
+           COUNT(*) AS n_users
+    FROM f
+    WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+      AND first_purchase >= first_view
+    GROUP BY 1
+    """,
+)
+def q_conversion_lag(spark, sf_dir):
+    """Time-to-conversion distribution: per user, days between FIRST
+    view and FIRST purchase (conversion funnels report steps, this
+    reports the latency between them — the survival-analysis front
+    end). One conditional-MIN aggregation per user, then an integer
+    day-bucket histogram; epoch subtraction and floor-div stay on the
+    integer lattice, so the buckets are engine-exact. Negative lags
+    (purchase-first users) are excluded by contract."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("first_purchase"),
+    )
+    lag_days = F.expr(
+        "(CAST(floor(unix_timestamp(first_purchase)) AS BIGINT)"
+        " - CAST(floor(unix_timestamp(first_view)) AS BIGINT)) div 86400"
+    )
+    return (
+        f.filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        )
+        .groupBy(lag_days.alias("lag_days"))
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+@staged(
+    "q_segment_overlap",
+    oracle="""
+    WITH s AS (SELECT DISTINCT event_type AS t, user_id FROM events),
+    sizes AS (SELECT t, COUNT(*) AS n FROM s GROUP BY t),
+    inter AS (
+      SELECT a.t AS t1, b.t AS t2, COUNT(*) AS n_inter
+      FROM s a JOIN s b ON a.user_id = b.user_id AND a.t < b.t
+      GROUP BY a.t, b.t
+    )
+    SELECT t1, t2, n_inter, na.n AS n1, nb.n AS n2,
+           CAST(n_inter AS DOUBLE)
+             / CAST(na.n + nb.n - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes na ON na.t = t1
+    JOIN sizes nb ON nb.t = t2
+    """,
+)
+def q_segment_overlap(spark, sf_dir):
+    """Exact pairwise segment overlap: Jaccard of the user sets behind
+    every event-type pair — the audience-overlap matrix (and the exact
+    audit twin of q_kmv_intersection's sketch algebra). Dedup to
+    (type, user), self-join on user with t1 < t2 (each pair once), then
+    broadcast the tiny per-type sizes; Jaccard is one double division
+    of exact integers. At 100 TB the self-join shuffles only deduped
+    (type, user) pairs — bounded by users × segments, not events."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(F.col("event_type").alias("t"), "user_id").distinct()
+    sizes = s.groupBy("t").agg(F.count("*").alias("n"))
+    a = s.select(F.col("t").alias("t1"), "user_id")
+    b = s.select(F.col("t").alias("t2"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na = sizes.select(F.col("t").alias("t1"), F.col("n").alias("n1"))
+    nb = sizes.select(F.col("t").alias("t2"), F.col("n").alias("n2"))
+    return (
+        inter.join(F.broadcast(na), "t1")
+        .join(F.broadcast(nb), "t2")
+        .select(
+            "t1", "t2", "n_inter", "n1", "n2",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n1") + F.col("n2") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+@staged(
+    "q_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM spend
+    )
+    SELECT COUNT(*) AS n_customers,
+           CAST(2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x) AS DOUBLE)
+             / CAST(COUNT(*) * SUM(x) AS DOUBLE) AS gini
+    FROM ranked
+    """,
+)
+def q_gini(spark, sf_dir):
+    """Gini coefficient of customer spend concentration — the standard
+    inequality measure ('do 20% of customers drive 80% of revenue'),
+    equally used to audit dataset source balance. Spend lands on the
+    cents lattice, the classic rank formula
+    G = (2·Σ i·x(i) − (n+1)·Σx) / (n·Σx) runs in pure bigints with ONE
+    final double division, and equal-spend ties can't perturb it
+    (swapping ranks among equal x leaves Σ i·x unchanged). The global
+    rank is a window over PER-CUSTOMER aggregates — cardinality
+    customers, not orders; at larger scale the same formula runs on a
+    quantile-bucketed Lorenz curve (q_decile_stats' machinery)."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+        ).alias("x")
+    )
+    ranked = spend.select(
+        "x", F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i")
+    )
+    return ranked.agg(
+        F.count("*").alias("n_customers"),
+        (
+            (
+                2 * F.sum(F.col("i") * F.col("x"))
+                - (F.count("*") + 1) * F.sum("x")
+            ).cast("double")
+            / (F.count("*") * F.sum("x")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@staged(
+    "q_sax_symbolize",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+             (ROW_NUMBER() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1) // 8 AS widx
+      FROM events
+    ),
+    paa AS (
+      SELECT user_id, widx, SUM(v) AS sv, COUNT(*) AS cnt
+      FROM seq GROUP BY user_id, widx
+    ),
+    bounds AS (
+      SELECT user_id, MIN(v) AS lo, MAX(v) AS hi FROM seq GROUP BY user_id
+    ),
+    sym AS (
+      SELECT p.user_id, p.widx,
+             CASE
+               WHEN 4 * sv >= cnt * (lo + 3 * hi) THEN 'd'
+               WHEN 4 * sv >= cnt * (2 * lo + 2 * hi) THEN 'c'
+               WHEN 4 * sv >= cnt * (3 * lo + hi) THEN 'b'
+               ELSE 'a'
+             END AS s
+      FROM paa p JOIN bounds b ON p.user_id = b.user_id
+    )
+    SELECT user_id, COUNT(*) AS n_windows,
+           string_agg(s, '' ORDER BY widx) AS sax
+    FROM sym GROUP BY user_id
+    """,
+)
+def q_sax_symbolize(spark, sf_dir):
+    """SAX (Symbolic Aggregate approXimation) of each user's value
+    series: piecewise-aggregate means over 8-event windows, quantized
+    into 4 symbols spanning the user's own [min, max] — the string form
+    that makes time-series motif search a substring problem. Everything
+    is exact: values on the cents lattice, and each breakpoint test
+    'paa >= lo + q·(hi−lo)/4' cross-multiplied to
+    '4·Σv >= cnt·((4−q)·lo + q·hi)' in bigints, so symbols can never
+    flip between engines. One shuffle for the (ts, event_id)-ordered
+    windowing; the per-user string assembles from an ordered array —
+    deterministic, no collect_list order dependence."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint").alias("v"),
+        ((F.row_number().over(w) - 1) / 8).cast("bigint").alias("widx"),
+    )
+    paa = seq.groupBy("user_id", "widx").agg(
+        F.sum("v").alias("sv"), F.count("*").alias("cnt")
+    )
+    bounds = seq.groupBy("user_id").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    sv, cnt, lo, hi = (F.col(c) for c in ("sv", "cnt", "lo", "hi"))
+    sym = paa.join(bounds, "user_id").select(
+        "user_id",
+        "widx",
+        F.when(4 * sv >= cnt * (lo + 3 * hi), F.lit("d"))
+        .when(4 * sv >= cnt * (2 * lo + 2 * hi), F.lit("c"))
+        .when(4 * sv >= cnt * (3 * lo + hi), F.lit("b"))
+        .otherwise(F.lit("a"))
+        .alias("s"),
+    )
+    return sym.groupBy("user_id").agg(
+        F.count("*").alias("n_windows"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("widx", "s"))),
+                lambda x: x["s"],
+            ),
+            "",
+        ).alias("sax"),
+    )
