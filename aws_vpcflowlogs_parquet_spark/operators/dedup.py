@@ -341,3 +341,86 @@ def keep_first_dedup(df: DataFrame, keys: list[str], order: list[str]) -> DataFr
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def prefix_filtered_pairs(
+    documents: DataFrame,
+    threshold_num: int = 1,
+    threshold_den: int = 5,
+) -> DataFrame:
+    """Exact Jaccard >= t pair join WITHOUT the quadratic all-pairs step
+    or :func:`ngram_jaccard_pairs`'s input bound — the prefix-filtering
+    scheme of Chaudhuri et al. / Bayardo et al. (AllPairs/PPJoin):
+
+    1. impose ONE global canonical order on shingles — rarest first
+       (corpus frequency asc, shingle asc as the total tie-break);
+    2. each doc keeps only its PREFIX under that order, of length
+       |x| - ceil(t*|x|) + 1. Theorem: two sets with Jaccard >= t must
+       share at least one prefix element — so the equi-join on prefix
+       shingles loses NO qualifying pair;
+    3. equi-join prefixes -> candidate (a, b) pairs; pair count is
+       sum of per-shingle prefix-frequency squared, and because rare
+       shingles lead the order, prefix frequencies are the SMALLEST in
+       the corpus — this is what kills the n^2;
+    4. verify candidates exactly: |A /\\ B| from a join of the FULL
+       shingle sets restricted to candidates, accepted iff
+       o * (td + tn) >= tn * (|A| + |B|)  — the Jaccard inequality
+       cross-multiplied onto the integer lattice (t = tn/td).
+
+    Returns (doc_a, doc_b, jaccard) — the same relation the all-pairs
+    kernel produces, proven equal in tests/test_dedup_prefix_filter.py.
+    At 100 TB: two shuffles keyed on shingles (prefix join + verify
+    join) and one on pairs; no step is quadratic in documents, and the
+    rare-first order is ONE broadcastable frequency table."""
+    tn, td = threshold_num, threshold_den
+    rows = shingle_rows(documents)  # (doc_id, s) distinct
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    freq = rows.groupBy("s").agg(F.count("*").alias("df"))
+    ranked = (
+        rows.join(freq, "s")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "s")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix length |x| - ceil(t|x|) + 1, with ceil on the int lattice
+    plen = F.col("sz") - F.expr(f"(sz * {tn} + {td} - 1) div {td}") + 1
+    prefix = ranked.filter(F.col("pos") <= plen).select("doc_id", "s")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact overlap of candidates from the full shingle relation
+    inter = (
+        cand.join(rows.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
+        .join(
+            rows.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2")),
+            "doc_b",
+        )
+        .filter(F.col("s") == F.col("s2"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("o"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("o") * (td + tn) >= tn * (F.col("sza") + F.col("szb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("o").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("o")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
