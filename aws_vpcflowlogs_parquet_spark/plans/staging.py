@@ -640,3 +640,245 @@ def q_dedup_prefix_filter(spark, sf_dir):
     return dd.prefix_filtered_pairs(
         _t(spark, sf_dir, "documents"), threshold_num=1, threshold_den=5
     )
+
+
+# k-core oracle: the peel loop unrolled into chained CTEs — both engines
+# run the SAME bounded number of rounds, so parity holds even before the
+# fixpoint (the Spark loop matches round-for-round).
+_KCORE_K = 3
+_KCORE_ROUNDS = 8
+_EDGE_SQL = """
+      SELECT DISTINCT least(user_id % 41, (2 * user_id + event_id) % 41) AS lo,
+             greatest(user_id % 41, (2 * user_id + event_id) % 41) AS hi
+      FROM events
+      WHERE user_id % 41 != (2 * user_id + event_id) % 41
+"""
+
+
+def _kcore_oracle() -> str:
+    parts = [f"WITH e0 AS MATERIALIZED ({_EDGE_SQL})"]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+    k{r} AS MATERIALIZED (
+      SELECT n FROM (
+        SELECT lo AS n FROM e{r - 1} UNION ALL SELECT hi FROM e{r - 1}
+      ) u GROUP BY n HAVING COUNT(*) >= {_KCORE_K}
+    ),
+    e{r} AS MATERIALIZED (
+      SELECT e.lo, e.hi FROM e{r - 1} e
+      JOIN k{r} a ON e.lo = a.n JOIN k{r} b ON e.hi = b.n
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT n AS node, COUNT(*) AS core_degree
+    FROM (SELECT lo AS n FROM e{_KCORE_ROUNDS}
+          UNION ALL SELECT hi FROM e{_KCORE_ROUNDS}) u
+    GROUP BY n"""
+    )
+    return "".join(parts)
+
+
+@staged("q_kcore", oracle=_kcore_oracle())
+def q_kcore(spark, sf_dir):
+    """k-core decomposition (k=3) by iterative peeling: repeatedly drop
+    nodes with degree < k and their incident edges; survivors form the
+    3-core — the dense-subgraph screen behind community seeding and
+    spam-ring detection. Both engines run the SAME bounded peel count
+    (8 rounds; the oracle is the loop unrolled into chained CTEs), so
+    parity holds round-for-round even before the fixpoint; at scale the
+    loop adds a convergence probe (edge count unchanged → stop) and
+    checkpoints per round exactly like operators/graph.py's PageRank
+    discipline. Per round: one degree aggregation + one semi join —
+    both keyed on node ids only."""
+    ev = _t(spark, sf_dir, "events")
+    lo = F.least(
+        F.col("user_id") % 41, (2 * F.col("user_id") + F.col("event_id")) % 41
+    )
+    hi = F.greatest(
+        F.col("user_id") % 41, (2 * F.col("user_id") + F.col("event_id")) % 41
+    )
+    edges = (
+        ev.select(lo.alias("lo"), hi.alias("hi"))
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("lo").alias("n"))
+            .unionAll(edges.select(F.col("hi").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("n")
+        )
+        edges = (
+            edges.join(deg.withColumnRenamed("n", "lo"), "lo", "left_semi")
+            .join(deg.withColumnRenamed("n", "hi"), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+    return (
+        edges.select(F.col("lo").alias("node"))
+        .unionAll(edges.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+    )
+
+
+@staged(
+    "q_lorenz_curve",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    deciled AS (
+      SELECT x, NTILE(10) OVER (ORDER BY x, o_custkey) AS decile FROM spend
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n_customers, SUM(x) AS dx
+      FROM deciled GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           CAST(SUM(dx) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(dx) OVER () AS DOUBLE) AS cum_share
+    FROM per
+    """,
+)
+def q_lorenz_curve(spark, sf_dir):
+    """Lorenz curve of customer spend: cumulative revenue share per
+    spend decile — the plot q_gini summarizes into one number ('the top
+    decile holds X% of revenue'). Spend on the cents lattice, NTILE
+    with a total (x, custkey) order, then per-decile bigint sums whose
+    10-row cumulative window is driver-scale; each share is one double
+    division of exact integers. The global NTILE runs over per-customer
+    AGGREGATES (cardinality customers, not orders) — at larger scale
+    the decile boundaries come from q_decile_stats' distributed
+    histogram instead of a global sort."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+        ).alias("x")
+    )
+    deciled = spend.select(
+        "x",
+        F.ntile(10).over(Window.orderBy("x", "o_custkey")).alias("decile"),
+    )
+    per = deciled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"), F.sum("x").alias("dx")
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "decile",
+        "n_customers",
+        (
+            F.sum("dx").over(w_cum).cast("double")
+            / F.sum("dx").over(Window.partitionBy()).cast("double")
+        ).alias("cum_share"),
+    )
+
+
+@staged(
+    "q_top_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, d,
+             string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM seq WHERE rn <= 5 GROUP BY user_id, d
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT 20
+    """,
+)
+def q_top_paths(spark, sf_dir):
+    """Top user journey prefixes: each (user, day) session's first five
+    event types as an ordered path string, ranked by frequency — the
+    path-analysis query behind funnel discovery (q_funnel checks ONE
+    known path; this FINDS the paths). The path assembles from an
+    ordered array (sort by the explicit (rn) key inside the group), not
+    raw collect_list order — deterministic under any partitioning. One
+    shuffle for the per-session window, one for the path count; top-20
+    via TakeOrderedAndProject."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("day", "ts")
+    ).orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.date_trunc("day", "ts").cast("date").alias("d"),
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= 5)
+    paths = seq.groupBy("user_id", "d").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(20)
+    )
+
+
+@staged(
+    "q_pop_change",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n, prev_n,
+           CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE) AS pct_change
+    FROM (
+      SELECT event_type, day, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n
+      FROM daily
+    ) t WHERE prev_n IS NOT NULL
+    """,
+)
+def q_pop_change(spark, sf_dir):
+    """Period-over-period change: day-over-day count delta per event
+    type as a percentage — the default trend panel of any operational
+    dashboard. Day counts are exact integers; the lag window shares the
+    daily rollup's (event_type) keying; pct_change is one double
+    division of exact ints, so every row is engine-identical. First day
+    per series drops (no prior period) by contract."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return (
+        daily.withColumn("prev_n", F.lag("n").over(w))
+        .filter(F.col("prev_n").isNotNull())
+        .select(
+            "event_type", "day", "n", "prev_n",
+            (
+                (F.col("n") - F.col("prev_n")).cast("double")
+                / F.col("prev_n").cast("double")
+            ).alias("pct_change"),
+        )
+    )
