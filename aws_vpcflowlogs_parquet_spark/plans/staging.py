@@ -882,3 +882,237 @@ def q_pop_change(spark, sf_dir):
             ).alias("pct_change"),
         )
     )
+
+
+@staged(
+    "q_percentile_disc",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS q,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY CAST(l_quantity AS BIGINT),
+                                         l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    )
+    SELECT grp,
+           MIN(CASE WHEN 4 * rn >= n THEN q END) AS p25,
+           MIN(CASE WHEN 2 * rn >= n THEN q END) AS p50,
+           MIN(CASE WHEN 4 * rn >= 3 * n THEN q END) AS p75,
+           MIN(CASE WHEN 20 * rn >= 19 * n THEN q END) AS p95,
+           MIN(n) AS n
+    FROM v GROUP BY grp
+    """,
+)
+def q_percentile_disc(spark, sf_dir):
+    """Discrete percentiles (percentile_disc semantics: the SMALLEST
+    actual value whose rank reaches ceil(q*n)) — the twin of
+    q_percentiles' interpolated percentile_cont, needed wherever the
+    answer must be a value that exists in the data (latency SLOs,
+    size-class cutoffs). The rank test 'rn >= ceil(q*n)' is
+    cross-multiplied to integers (4rn >= n, 2rn >= n, 4rn >= 3n,
+    20rn >= 19n) and quantities are exact bigints — not a float
+    anywhere. One (grp)-keyed window; the 100 TB form swaps the exact
+    sort for q_decile_stats_approx's histogram ranks, same selection
+    arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").cast("bigint"), "l_orderkey", "l_linenumber"
+    )
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*")
+        .over(Window.partitionBy("l_returnflag"))
+        .alias("n"),
+    )
+
+    def pick(mult: int, rhs: int, name: str):
+        return F.min(
+            F.when(F.col("rn") * mult >= F.col("n") * rhs, F.col("q"))
+        ).alias(name)
+
+    return v.groupBy("grp").agg(
+        pick(4, 1, "p25"),
+        pick(2, 1, "p50"),
+        pick(4, 3, "p75"),
+        pick(20, 19, "p95"),
+        F.min("n").alias("n"),
+    )
+
+
+@staged(
+    "q_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT grp, v, cnt,
+             ROW_NUMBER() OVER (PARTITION BY grp
+                                ORDER BY cnt DESC, v) AS rk,
+             MAX(cnt) OVER (PARTITION BY grp) AS max_cnt
+      FROM c
+    )
+    SELECT grp, MIN(CASE WHEN rk = 1 THEN v END) AS mode_value,
+           MIN(max_cnt) AS mode_count,
+           SUM(CASE WHEN cnt = max_cnt THEN 1 ELSE 0 END) AS n_tied
+    FROM r GROUP BY grp
+    """,
+)
+def q_mode(spark, sf_dir):
+    """Mode aggregate: the most frequent value per group with an
+    explicit smallest-value tie-break, plus how many values tie at the
+    top — the argmax-over-COUNTS twin of q_argmax (which is argmax over
+    a measure). Two hash aggs — (grp, value) counts, then the grp
+    rollup — with a window only over the distinct-value table; every
+    column is an exact integer. n_tied matters operationally: a mode
+    with 50 ties is not a mode."""
+    li = _t(spark, sf_dir, "lineitem")
+    c = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    ).agg(F.count("*").alias("cnt"))
+    wg = Window.partitionBy("grp")
+    r = c.select(
+        "grp", "v", "cnt",
+        F.row_number()
+        .over(wg.orderBy(F.col("cnt").desc(), "v"))
+        .alias("rk"),
+        F.max("cnt").over(wg).alias("max_cnt"),
+    )
+    return r.groupBy("grp").agg(
+        F.min(F.when(F.col("rk") == 1, F.col("v"))).alias("mode_value"),
+        F.min("max_cnt").alias("mode_count"),
+        F.sum(
+            F.when(F.col("cnt") == F.col("max_cnt"), 1).otherwise(0)
+        ).alias("n_tied"),
+    )
+
+
+@staged(
+    "q_rolling_active",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    contrib AS (
+      SELECT du.day + CAST(o.o AS INT) AS window_day, du.user_id
+      FROM du CROSS JOIN (
+        SELECT UNNEST(generate_series(0, 6)) AS o
+      ) o
+    )
+    SELECT window_day, COUNT(DISTINCT user_id) AS active_7d
+    FROM contrib GROUP BY window_day
+    """,
+)
+def q_rolling_active(spark, sf_dir):
+    """Rolling 7-day active users — THE engagement metric, and the
+    shape that breaks naive windowing: COUNT(DISTINCT) over a sliding
+    range has no mergeable frame form. The scalable rewrite: dedup to
+    (day, user), fan each out to the 7 window-ends it contributes to
+    (a constant 7x on the ALREADY-DEDUPED day-user table, not on
+    events), then one distinct-count per window day. Compare
+    q_cumulative_distinct (all-history prefix) — this is the bounded-
+    horizon version. Leading/trailing partial windows are kept by
+    contract (identical in both engines); all integers."""
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    offsets = ev.sparkSession.range(7).select(
+        F.col("id").cast("int").alias("o")
+    )
+    contrib = du.crossJoin(F.broadcast(offsets)).select(
+        F.date_add("day", F.col("o")).alias("window_day"), "user_id"
+    )
+    return contrib.groupBy("window_day").agg(
+        F.countDistinct("user_id").alias("active_7d")
+    )
+
+
+@staged(
+    "q_theilsen",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+               AS d,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.event_type,
+             CAST(b.n - a.n AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS slope,
+             a.d AS d1, b.d AS d2
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope, d1, d2) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM slopes
+    )
+    SELECT event_type,
+           MIN(CASE WHEN 2 * rn >= m THEN slope END) AS ts_slope,
+           MIN(m) AS n_pairs
+    FROM ranked GROUP BY event_type
+    """,
+)
+def q_theilsen(spark, sf_dir):
+    """Theil–Sen robust trend: the MEDIAN of all pairwise day-count
+    slopes per event type — outlier-days move OLS arbitrarily but shift
+    a median slope by one rank at most. The pairwise join is over DAILY
+    PRE-AGGREGATES, so its size is C(days, 2) per type — bounded by the
+    time range, NOT by event volume; at 100 TB the daily rollup absorbs
+    the data scale and this stays a ~10^4-row computation. Each slope
+    is one double division of exact integers (identical in both
+    engines), the median is the discrete rank pick 2rn >= m under a
+    total (slope, d1, d2) order — no averaging of middle elements, no
+    float accumulation."""
+    ev = _t(spark, sf_dir, "events")
+    day_idx = F.expr(
+        "CAST(floor(unix_timestamp(date_trunc('day', ts))) AS BIGINT)"
+        " div 86400"
+    )
+    daily = ev.groupBy(
+        "event_type", day_idx.alias("d")
+    ).agg(F.count("*").alias("n"))
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("n").alias("n1")
+    )
+    b = daily.select(
+        "event_type", F.col("d").alias("d2"), F.col("n").alias("n2")
+    )
+    slopes = (
+        a.join(b, "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "event_type",
+            (
+                (F.col("n2") - F.col("n1")).cast("double")
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("slope"),
+            "d1",
+            "d2",
+        )
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(wt.orderBy("slope", "d1", "d2")).alias("rn"),
+        F.count("*").over(wt).alias("m"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(2 * F.col("rn") >= F.col("m"), F.col("slope"))
+        ).alias("ts_slope"),
+        F.min("m").alias("n_pairs"),
+    )
