@@ -9,10 +9,14 @@ tests/test_staging_oracle.py — and promote to plans/catalog.py the
 moment the queue drains: promotion is moving the @register blocks (the
 decorator, `_t`, and conventions are identical by construction).
 
-Contents: the three TPC-H queries whose canonical forms need columns the
-synthetic schema lacks, adapted like the round-4 set (completing all 22
-shapes); plus three pipeline analytics — CUSUM changepoint detection,
-Heaps-law vocabulary growth, and token burstiness (VMR).
+Contents (20, inventoried in SURVEY.md §2.5): the three TPC-H queries
+whose canonical forms need columns the synthetic schema lacks, adapted
+like the round-4 set (completing all 22 shapes), plus seventeen
+pipeline/analytic operators — changepoint detection, vocabulary growth,
+burstiness, prefix-filtered exact near-dup join, conversion lag, segment
+overlap, Gini + Lorenz, SAX symbolization, k-core, top paths,
+period-over-period change, discrete percentiles, mode, rolling distinct
+actives (exact and HLL-sketched), and Theil-Sen robust trend.
 """
 
 from __future__ import annotations
@@ -1115,4 +1119,132 @@ def q_theilsen(spark, sf_dir):
             F.when(2 * F.col("rn") >= F.col("m"), F.col("slope"))
         ).alias("ts_slope"),
         F.min("m").alias("n_pairs"),
+    )
+
+
+@staged(
+    "q_rolling_hll",
+    oracle="""
+    WITH h AS (
+      SELECT CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+               AS d,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               AS hv
+      FROM events
+    ),
+    day_regs AS (
+      SELECT d, hv & 15 AS reg,
+             MAX(CASE
+               WHEN (hv >> 4) = 0 THEN 21
+               WHEN ((hv >> 4) & -(hv >> 4)) = 1 THEN 1
+               WHEN ((hv >> 4) & -(hv >> 4)) = 2 THEN 2
+               WHEN ((hv >> 4) & -(hv >> 4)) = 4 THEN 3
+               WHEN ((hv >> 4) & -(hv >> 4)) = 8 THEN 4
+               WHEN ((hv >> 4) & -(hv >> 4)) = 16 THEN 5
+               WHEN ((hv >> 4) & -(hv >> 4)) = 32 THEN 6
+               WHEN ((hv >> 4) & -(hv >> 4)) = 64 THEN 7
+               WHEN ((hv >> 4) & -(hv >> 4)) = 128 THEN 8
+               WHEN ((hv >> 4) & -(hv >> 4)) = 256 THEN 9
+               WHEN ((hv >> 4) & -(hv >> 4)) = 512 THEN 10
+               WHEN ((hv >> 4) & -(hv >> 4)) = 1024 THEN 11
+               WHEN ((hv >> 4) & -(hv >> 4)) = 2048 THEN 12
+               WHEN ((hv >> 4) & -(hv >> 4)) = 4096 THEN 13
+               WHEN ((hv >> 4) & -(hv >> 4)) = 8192 THEN 14
+               WHEN ((hv >> 4) & -(hv >> 4)) = 16384 THEN 15
+               WHEN ((hv >> 4) & -(hv >> 4)) = 32768 THEN 16
+               WHEN ((hv >> 4) & -(hv >> 4)) = 65536 THEN 17
+               WHEN ((hv >> 4) & -(hv >> 4)) = 131072 THEN 18
+               WHEN ((hv >> 4) & -(hv >> 4)) = 262144 THEN 19
+               WHEN ((hv >> 4) & -(hv >> 4)) = 524288 THEN 20
+               ELSE 21 END) AS m
+      FROM h GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT dd.d, r.reg
+      FROM (SELECT DISTINCT d FROM day_regs) dd
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS reg) r
+    ),
+    dense AS (
+      SELECT g.d, g.reg, dr.m
+      FROM grid g LEFT JOIN day_regs dr ON g.d = dr.d AND g.reg = dr.reg
+    ),
+    rolled AS (
+      SELECT d, reg,
+             MAX(m) OVER (PARTITION BY reg ORDER BY d
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS m7
+      FROM dense
+    ),
+    sums AS (
+      SELECT d,
+             SUM(CASE WHEN m7 IS NULL THEN CAST(1 AS BIGINT) << 56
+                 ELSE CAST(1 AS BIGINT) << CAST(56 - m7 AS INT) END) AS s
+      FROM rolled GROUP BY d
+    )
+    SELECT d AS day_idx,
+           CAST(0.673 AS DOUBLE) * CAST(256.0 AS DOUBLE)
+             * CAST(72057594037927936.0 AS DOUBLE) / CAST(s AS DOUBLE)
+             AS est_active_7d
+    FROM sums
+    """,
+)
+def q_rolling_hll(spark, sf_dir):
+    """Rolling 7-day distinct actives, SKETCHED — the approximate twin
+    of q_rolling_active that survives any window length at 100 TB: per
+    day, a 16-register HLL of user hashes (fixed-size state, map-side
+    combined); the trailing-week sketch is an elementwise register MAX
+    over a RANGE frame on the day index — merging sketches, never
+    touching users again. Days × 16 registers are densified on a grid
+    first (a register absent on a day has no row, and a row-less
+    partition day would silently drop from the frame); absent registers
+    contribute the 2^56 zero-register term. Integer-rho arithmetic
+    throughout (same trick as q_sketch_hll), so the approximation
+    itself is oracle-exact. Cost: daily rollup + a days×16 window —
+    compare q_rolling_active's (day,user)×7 fan-out, which grows with
+    user count; this one never does."""
+    ev = _t(spark, sf_dir, "events")
+    day_idx = F.expr(
+        "CAST(floor(unix_timestamp(date_trunc('day', ts))) AS BIGINT)"
+        " div 86400"
+    )
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    h = ev.select(day_idx.alias("d"), hv.alias("hv"))
+    w = F.shiftright(F.col("hv"), 4)
+    bbit = w.bitwiseAND(-w)
+    rho = F.when(w == 0, F.lit(21))
+    for k in range(20):
+        rho = rho.when(bbit == (1 << k), F.lit(k + 1))
+    rho = rho.otherwise(F.lit(21))
+    day_regs = (
+        h.select("d", F.col("hv").bitwiseAND(F.lit(15)).alias("reg"), rho.alias("rho"))
+        .groupBy("d", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    days = day_regs.select("d").distinct()
+    regs = ev.sparkSession.range(16).select(F.col("id").cast("int").alias("reg"))
+    dense = days.crossJoin(F.broadcast(regs)).join(
+        day_regs, ["d", "reg"], "left"
+    )
+    w7 = (
+        Window.partitionBy("reg").orderBy("d").rangeBetween(-6, 0)
+    )
+    rolled = dense.select(
+        "d", "reg", F.max("m").over(w7).alias("m7")
+    )
+    sums = rolled.groupBy("d").agg(
+        F.sum(
+            F.when(
+                F.col("m7").isNull(), F.lit(1 << 56).cast("bigint")
+            ).otherwise(
+                F.expr("shiftleft(cast(1 as bigint), cast(56 - m7 as int))")
+            )
+        ).alias("s")
+    )
+    return sums.select(
+        F.col("d").alias("day_idx"),
+        (
+            F.lit(0.673) * F.lit(256.0) * F.lit(72057594037927936.0)
+            / F.col("s").cast("double")
+        ).alias("est_active_7d"),
     )
