@@ -9,14 +9,15 @@ tests/test_staging_oracle.py — and promote to plans/catalog.py the
 moment the queue drains: promotion is moving the @register blocks (the
 decorator, `_t`, and conventions are identical by construction).
 
-Contents (20, inventoried in SURVEY.md §2.5): the three TPC-H queries
+Contents (22, inventoried in SURVEY.md §2.5): the three TPC-H queries
 whose canonical forms need columns the synthetic schema lacks, adapted
 like the round-4 set (completing all 22 shapes), plus seventeen
 pipeline/analytic operators — changepoint detection, vocabulary growth,
 burstiness, prefix-filtered exact near-dup join, conversion lag, segment
 overlap, Gini + Lorenz, SAX symbolization, k-core, top paths,
 period-over-period change, discrete percentiles, mode, rolling distinct
-actives (exact and HLL-sketched), and Theil-Sen robust trend.
+actives (exact and HLL-sketched), Theil-Sen robust trend, the
+time-windowed funnel, and an on-engine evaluation confusion matrix.
 """
 
 from __future__ import annotations
@@ -1247,4 +1248,145 @@ def q_rolling_hll(spark, sf_dir):
             F.lit(0.673) * F.lit(256.0) * F.lit(72057594037927936.0)
             / F.col("s").cast("double")
         ).alias("est_active_7d"),
+    )
+
+
+@staged(
+    "q_window_funnel",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    v AS (SELECT user_id, ts AS t1 FROM events WHERE event_type = 'view'),
+    c AS (
+      SELECT v.user_id, v.t1, MIN(e.ts) AS t2
+      FROM v JOIN events e
+        ON e.user_id = v.user_id AND e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY v.user_id, v.t1
+    ),
+    p AS (
+      SELECT c.user_id, c.t1, MIN(e.ts) AS t3
+      FROM c JOIN events e
+        ON e.user_id = c.user_id AND e.event_type = 'purchase'
+           AND e.ts > c.t2
+      GROUP BY c.user_id, c.t1
+    ),
+    lvl AS (
+      SELECT u.user_id,
+             CASE
+               WHEN EXISTS (SELECT 1 FROM p WHERE p.user_id = u.user_id
+                            AND p.t3 <= p.t1 + INTERVAL 24 HOUR) THEN 3
+               WHEN EXISTS (SELECT 1 FROM c WHERE c.user_id = u.user_id
+                            AND c.t2 <= c.t1 + INTERVAL 24 HOUR) THEN 2
+               WHEN EXISTS (SELECT 1 FROM v WHERE v.user_id = u.user_id)
+                 THEN 1
+               ELSE 0
+             END AS level
+      FROM u
+    )
+    SELECT level, COUNT(*) AS n_users FROM lvl GROUP BY level
+    """,
+)
+def q_window_funnel(spark, sf_dir):
+    """Time-WINDOWED funnel (the windowFunnel of product analytics):
+    the deepest view→click→purchase chain completing within 24 h of its
+    OWN first step — unlike q_funnel, which only orders stages, the
+    clock restarts at every candidate view, so a user converts if ANY
+    view anchors a fast-enough chain. Exactness requires evaluating
+    every anchor: each view takes its first subsequent click, then the
+    first purchase after that click (greedy-first is optimal per
+    anchor), and the per-user level is the best anchor's depth. The
+    anchor×event join is bounded by per-user activity — at 100 TB the
+    standard prelude is sessionization (q_sessionize), which caps
+    anchors per session. All timestamp comparisons, zero floats."""
+    ev = _t(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("t1")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("tc")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("tp")
+    )
+    c = (
+        v.join(clicks, "user_id")
+        .filter(F.col("tc") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("tc").alias("t2"))
+    )
+    p = (
+        c.join(purchases, "user_id")
+        .filter(F.col("tp") > F.col("t2"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("tp").alias("t3"))
+    )
+    day = F.expr("INTERVAL 24 HOURS")
+    l3 = (
+        p.filter(F.col("t3") <= F.col("t1") + day)
+        .select("user_id")
+        .distinct()
+        .withColumn("l3", F.lit(1))
+    )
+    l2 = (
+        c.filter(F.col("t2") <= F.col("t1") + day)
+        .select("user_id")
+        .distinct()
+        .withColumn("l2", F.lit(1))
+    )
+    l1 = v.select("user_id").distinct().withColumn("l1", F.lit(1))
+    lvl = (
+        u.join(l3, "user_id", "left")
+        .join(l2, "user_id", "left")
+        .join(l1, "user_id", "left")
+        .select(
+            F.when(F.col("l3").isNotNull(), 3)
+            .when(F.col("l2").isNotNull(), 2)
+            .when(F.col("l1").isNotNull(), 1)
+            .otherwise(0)
+            .alias("level")
+        )
+    )
+    return lvl.groupBy("level").agg(F.count("*").alias("n_users"))
+
+
+def _confusion_oracle() -> str:
+    from .catalog import _duck_lang_id
+
+    return f"""
+    WITH base AS ({_duck_lang_id()})
+    SELECT lang, pred_lang, COUNT(*) AS n,
+           CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS BIGINT)
+             AS class_total,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE)
+             AS cell_rate
+    FROM base GROUP BY lang, pred_lang
+    """
+
+
+@staged("q_eval_confusion", oracle=_confusion_oracle())
+def q_eval_confusion(spark, sf_dir):
+    """Model-evaluation confusion matrix ON the engine: true language ×
+    predicted language cell counts with per-true-class rates (the
+    diagonal rate is recall) — training pipelines score quality
+    classifiers and lang-id at corpus scale exactly like this, and
+    shipping the evaluation to the data beats exporting predictions.
+    Reuses q_lang_id's deterministic argmax; the matrix is one hash agg
+    over (true, pred) and the class totals are a window over the ≤
+    |langs|² cells. cell_rate is one double division of exact
+    integers."""
+    import aws_vpcflowlogs_parquet_spark.operators.text as tx
+
+    base = tx.lang_id(_t(spark, sf_dir, "documents"))
+    cells = base.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    wl = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.sum("n").over(wl).cast("bigint").alias("class_total"),
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wl).cast("double")
+        ).alias("cell_rate"),
     )
