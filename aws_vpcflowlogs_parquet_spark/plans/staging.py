@@ -1194,10 +1194,12 @@ def q_rolling_hll(spark, sf_dir):
     day, a 16-register HLL of user hashes (fixed-size state, map-side
     combined); the trailing-week sketch is an elementwise register MAX
     over a RANGE frame on the day index — merging sketches, never
-    touching users again. Days × 16 registers are densified on a grid
-    first (a register absent on a day has no row, and a row-less
-    partition day would silently drop from the frame); absent registers
-    contribute the 2^56 zero-register term. Integer-rho arithmetic
+    touching users again. Densification is single-pass: the per-day agg
+    emits all 16 registers as conditional-max columns (absent ones
+    NULL) and stack() unpivots to (day, reg) rows — a register-day with
+    no row would silently drop from the window frame, and a grid join
+    would scan events twice; absent registers contribute the 2^56
+    zero-register term. Integer-rho arithmetic
     throughout (same trick as q_sketch_hll), so the approximation
     itself is oracle-exact. Cost: daily rollup + a days×16 window —
     compare q_rolling_active's (day,user)×7 fan-out, which grows with
@@ -1217,16 +1219,22 @@ def q_rolling_hll(spark, sf_dir):
     for k in range(20):
         rho = rho.when(bbit == (1 << k), F.lit(k + 1))
     rho = rho.otherwise(F.lit(21))
-    day_regs = (
-        h.select("d", F.col("hv").bitwiseAND(F.lit(15)).alias("reg"), rho.alias("rho"))
-        .groupBy("d", "reg")
-        .agg(F.max("rho").alias("m"))
+    # ONE scan: per-day row with 16 conditional register maxes (absent
+    # registers stay NULL), then stack() back to (d, reg, m) — dense by
+    # construction, no grid join, no second pass over events
+    tagged = h.select(
+        "d", F.col("hv").bitwiseAND(F.lit(15)).alias("reg"), rho.alias("rho")
     )
-    days = day_regs.select("d").distinct()
-    regs = ev.sparkSession.range(16).select(F.col("id").cast("int").alias("reg"))
-    dense = days.crossJoin(F.broadcast(regs)).join(
-        day_regs, ["d", "reg"], "left"
+    day_row = tagged.groupBy("d").agg(
+        *[
+            F.max(F.when(F.col("reg") == j, F.col("rho"))).alias(f"m{j}")
+            for j in range(16)
+        ]
     )
+    stack_expr = "stack(16, " + ", ".join(
+        f"{j}, m{j}" for j in range(16)
+    ) + ") AS (reg, m)"
+    dense = day_row.selectExpr("d", stack_expr)
     w7 = (
         Window.partitionBy("reg").orderBy("d").rangeBetween(-6, 0)
     )

@@ -133,3 +133,49 @@ def test_percentile_disc_values_exist_and_rank_correctly(spark):
             rank = -(-q_num * n // q_den)  # ceil(q*n)
             assert got == vals[rank - 1], (r.grp, q_num, q_den)
             assert got in vals
+
+
+# --------------------------------------------------- staged plan shapes
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_staged_tpch_q2_decorrelates_min_subquery(spark):
+    # the correlated MIN must plan as an aggregate + join, not a
+    # per-row subquery execution
+    plan = _executed(STAGED_QUERIES["q_tpch_q2"](spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_staged_tpch_q21_plans_semi_and_anti(spark):
+    plan = _executed(STAGED_QUERIES["q_tpch_q21"](spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "Anti" in plan, plan
+
+
+def test_staged_prefix_filter_has_no_quadratic_join(spark):
+    # the entire point: no cartesian/nested-loop pair generation
+    docs = load_table(spark, SF_DIR, "documents")
+    from aws_vpcflowlogs_parquet_spark.operators.dedup import (
+        prefix_filtered_pairs,
+    )
+
+    plan = _executed(prefix_filtered_pairs(docs, 1, 5))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_staged_rolling_active_broadcasts_offsets(spark):
+    plan = _executed(STAGED_QUERIES["q_rolling_active"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the fan-out factor is constant: exactly one scan of events
+    assert plan.count("FileScan parquet") == 1, plan
+
+
+def test_staged_rolling_hll_single_scan(spark):
+    plan = _executed(STAGED_QUERIES["q_rolling_hll"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Window" in plan
