@@ -9,7 +9,7 @@ tests/test_staging_oracle.py — and promote to plans/catalog.py the
 moment the queue drains: promotion is moving the @register blocks (the
 decorator, `_t`, and conventions are identical by construction).
 
-Contents (22, inventoried in SURVEY.md §2.5): the three TPC-H queries
+Contents (23, inventoried in SURVEY.md §2.5): the three TPC-H queries
 whose canonical forms need columns the synthetic schema lacks, adapted
 like the round-4 set (completing all 22 shapes), plus seventeen
 pipeline/analytic operators — changepoint detection, vocabulary growth,
@@ -17,7 +17,8 @@ burstiness, prefix-filtered exact near-dup join, conversion lag, segment
 overlap, Gini + Lorenz, SAX symbolization, k-core, top paths,
 period-over-period change, discrete percentiles, mode, rolling distinct
 actives (exact and HLL-sketched), Theil-Sen robust trend, the
-time-windowed funnel, and an on-engine evaluation confusion matrix.
+time-windowed funnel, an on-engine evaluation confusion matrix, and
+the LSH candidate-set recall/precision audit.
 """
 
 from __future__ import annotations
@@ -1397,4 +1398,115 @@ def q_eval_confusion(spark, sf_dir):
             F.col("n").cast("double")
             / F.sum("n").over(wl).cast("double")
         ).alias("cell_rate"),
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    from .catalog import _DUCK_BANDS, _DUCK_MINS, _DUCK_SHINGLES, _DUCK_TOKENS
+
+    return f"""
+    WITH sigs AS MATERIALIZED (
+      SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
+      FROM (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents)
+    ),
+    nonempty AS MATERIALIZED (
+      SELECT doc_id, sh FROM sigs WHERE len(sh) > 0
+    ),
+    exact AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM nonempty a JOIN nonempty b ON a.doc_id < b.doc_id
+      WHERE 6 * len(list_intersect(a.sh, b.sh)) >= len(a.sh) + len(b.sh)
+    ),
+    hs AS MATERIALIZED (
+      SELECT doc_id,
+             ('0x' || substring(md5(s), 1, 8))::BIGINT AS h1,
+             ('0x' || substring(md5(s), 9, 8))::BIGINT AS h2
+      FROM (SELECT doc_id, unnest(sh) AS s FROM nonempty)
+    ),
+    mins AS MATERIALIZED (SELECT doc_id, {_DUCK_MINS} FROM hs GROUP BY doc_id),
+    bands AS MATERIALIZED (
+      SELECT doc_id, unnest([{_DUCK_BANDS}]) AS band FROM mins
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    caught AS (
+      SELECT e.doc_a, e.doc_b FROM exact e
+      JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+    )
+    SELECT (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           (SELECT COUNT(*) FROM caught) AS n_caught,
+           CASE WHEN (SELECT COUNT(*) FROM exact) = 0 THEN NULL
+                ELSE CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+                     / CAST((SELECT COUNT(*) FROM exact) AS DOUBLE) END
+             AS recall,
+           CASE WHEN (SELECT COUNT(*) FROM cand) = 0 THEN NULL
+                ELSE CAST((SELECT COUNT(*) FROM caught) AS DOUBLE)
+                     / CAST((SELECT COUNT(*) FROM cand) AS DOUBLE) END
+             AS precision
+    """
+
+
+@staged("q_lsh_recall", oracle=_lsh_recall_oracle())
+def q_lsh_recall(spark, sf_dir):
+    """LSH quality audit ON the engine: recall and precision of the
+    MinHash band-bucket CANDIDATE pairs against the exact Jaccard >= 0.2
+    pair relation over the WHOLE corpus — the measurement that sizes
+    bands x rows before anyone trusts sketch-only dedup at 100 TB
+    (q_minhash_est_error audits the per-pair ESTIMATE; this audits the
+    CANDIDATE SET). The exact side runs the prefix-filtered join (no
+    quadratic step); the candidate side is the standard banding
+    pipeline; both shuffle ids/signatures only. The oracle replays both
+    pipelines in SQL — brute force for the exact side — so the whole
+    evaluation is value-verified. Counts exact, ratios one division
+    each."""
+    import aws_vpcflowlogs_parquet_spark.operators.dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = dd.prefix_filtered_pairs(docs, 1, 5).select("doc_a", "doc_b")
+    sigs = dd.shingled(docs).persist()
+    sigs.count()
+    bands = dd.band_keys(dd.minhash_signatures(sigs))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    caught = exact.join(cand, ["doc_a", "doc_b"])
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_cand = cand.agg(F.count("*").alias("n_candidates"))
+    n_caught = caught.agg(F.count("*").alias("n_caught"))
+    row = (
+        n_exact.crossJoin(F.broadcast(n_cand)).crossJoin(
+            F.broadcast(n_caught)
+        )
+    )
+    return row.select(
+        "n_exact",
+        "n_candidates",
+        "n_caught",
+        F.when(
+            F.col("n_exact") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.col("n_caught").cast("double") / F.col("n_exact").cast("double")
+        )
+        .alias("recall"),
+        F.when(
+            F.col("n_candidates") == 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.col("n_caught").cast("double")
+            / F.col("n_candidates").cast("double")
+        )
+        .alias("precision"),
     )
