@@ -9,7 +9,7 @@ tests/test_staging_oracle.py — and promote to plans/catalog.py the
 moment the queue drains: promotion is moving the @register blocks (the
 decorator, `_t`, and conventions are identical by construction).
 
-Contents (23, inventoried in SURVEY.md §2.5): the three TPC-H queries
+Contents (24, inventoried in SURVEY.md §2.5): the three TPC-H queries
 whose canonical forms need columns the synthetic schema lacks, adapted
 like the round-4 set (completing all 22 shapes), plus seventeen
 pipeline/analytic operators — changepoint detection, vocabulary growth,
@@ -18,7 +18,8 @@ overlap, Gini + Lorenz, SAX symbolization, k-core, top paths,
 period-over-period change, discrete percentiles, mode, rolling distinct
 actives (exact and HLL-sketched), Theil-Sen robust trend, the
 time-windowed funnel, an on-engine evaluation confusion matrix, and
-the LSH candidate-set recall/precision audit.
+the LSH candidate-set recall/precision audit plus per-source
+near-duplication rates.
 """
 
 from __future__ import annotations
@@ -1509,4 +1510,80 @@ def q_lsh_recall(spark, sf_dir):
             / F.col("n_candidates").cast("double")
         )
         .alias("precision"),
+    )
+
+
+@staged(
+    "q_near_dup_rate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
+      FROM documents
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+             ELSE [] END) AS sh
+      FROM t
+    ),
+    ne AS MATERIALIZED (SELECT doc_id, source, sh FROM sigs WHERE len(sh) > 0),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+      WHERE 6 * len(list_intersect(a.sh, b.sh)) >= len(a.sh) + len(b.sh)
+    ),
+    dupped AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION SELECT doc_b FROM pairs
+    )
+    SELECT s.source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_near_dup,
+           CAST(SUM(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS dup_rate
+    FROM sigs s LEFT JOIN dupped d ON s.doc_id = d.doc_id
+    GROUP BY s.source
+    """,
+)
+def q_near_dup_rate(spark, sf_dir):
+    """Near-duplication health per source: the fraction of each
+    source's documents participating in ANY Jaccard >= 0.2 pair — the
+    number a dataset card reports ('source X is 40% internally
+    redundant') and the trigger for targeted re-crawling or dedup
+    policy. Pair discovery is the prefix-filtered exact join (no
+    quadratic step); participants reduce to a distinct doc set, and the
+    per-source rollup is one left-join + hash agg. Counts exact,
+    dup_rate one division. The oracle replays it with the brute-force
+    pair relation, so the pruning's losslessness is re-certified
+    through a second consumer."""
+    import aws_vpcflowlogs_parquet_spark.operators.dedup as dd
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.prefix_filtered_pairs(docs, 1, 5)
+    dupped = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(dupped, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)
+            ).alias("n_near_dup"),
+            (
+                F.sum(
+                    F.when(F.col("is_dup").isNotNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count("*")
+            ).alias("dup_rate"),
+        )
     )
