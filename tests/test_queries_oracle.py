@@ -25,6 +25,26 @@ def test_query_matches_oracle(spark, duck, name):
     assert ok, f"{name}: {msg}"
 
 
+def test_no_hugeint_in_oracle_results(duck):
+    """Round-5 regression guard for the r3/r4 driver-only hash failures:
+    DuckDB HUGEINT (e.g. a bare integer SUM) round-trips exactly through
+    fetchall() — so every local replica passes — but becomes float64 /
+    decimal128 through the pandas/Arrow fetch path, silently breaking the
+    driver's value hash. Ban it from every oracle's result schema. The
+    one exemption is q_probe_sum_bare, whose HUGEINT output is the
+    deliberate diagnostic (catalog.py probe family docstring)."""
+    exempt = {"q_probe_sum_bare"}
+    offenders = {}
+    for name, sql in ORACLES.items():
+        if name in exempt:
+            continue
+        types = [str(t) for t in duck.sql(sql).types]
+        bad = [t for t in types if "HUGEINT" in t]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, offenders
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_nonempty(spark, name):
     # every query should exercise real rows at sf0.001 except the
