@@ -79,6 +79,25 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "q_rollup_hierarchy", "q_sketch_hll_merge", "q_anomaly_mad",
     "q_dataset_mixture", "q_subnet_rollup", "q_nearest_event_join",
     "q_minhash_est_error", "q_kmeans_step",
+    # round 4 (CORRECTNESS_r04.json): 47/50 pass. The 3 hash-fails
+    # (q_filter_gate, q_group_quartiles_approx, q_tpch_q12) stay out:
+    # round 5 found and fixed the root cause (DuckDB HUGEINT output
+    # columns breaking the driver's pandas/Arrow value hash — see the
+    # q_filter_gate docstring in plans/catalog.py) so they re-verify in
+    # round 5 along with the 24 promoted staging queries and the 8
+    # q_probe_* diagnostics (35 pending, under the 50 cap).
+    "q_ab_test", "q_ann_pq_search", "q_attribution", "q_audio_energy",
+    "q_benford", "q_clamped_balance", "q_corpus_build",
+    "q_cumulative_distinct", "q_degree_stats", "q_ewma", "q_expectations",
+    "q_gaps_islands", "q_histogram_merge", "q_kmv_intersection",
+    "q_nested_rebuild", "q_pii_scrub", "q_pq_encode",
+    "q_range_join_bucketed", "q_recursive_bfs", "q_rfm", "q_scd2",
+    "q_seasonal_baseline", "q_skyline", "q_sql_udf", "q_stream_hll",
+    "q_table_profile", "q_table_profile_sketch", "q_tpch_q1",
+    "q_tpch_q10", "q_tpch_q11", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q22",
+    "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
+    "q_tpch_q8", "q_tpch_q9", "q_trending", "q_zorder_cells",
 })
 
 

@@ -1,7 +1,8 @@
-"""Round-5 staging gate: every staged query passes the SAME oracle
-replica the catalog queries do, at sf0.001 — so promotion next round is
-a move, not a build. See plans/staging.py for why these are staged
-(the driver's 50-pending-per-round cap, VERDICT r3 item 1)."""
+"""Staging gate: every staged query passes the SAME oracle replica the
+catalog queries do, at sf0.001 — so promotion is a move, not a build.
+Round-5 status: the staging area is EMPTY (the 24 round-4-staged queries
+were promoted to plans/catalog.py and are covered by
+test_queries_oracle.py); the gate stays armed for future staging."""
 
 from __future__ import annotations
 

@@ -1,7 +1,7 @@
-"""Independent-witness properties for the staged catalog — each staged
-query is already oracle-replicated (test_staging_oracle.py); these tests
-check the SEMANTICS against a second, independent implementation or a
-mathematical invariant, the way SURVEY §5 does for the older families."""
+"""Independent-witness properties for the round-4-staged, round-5-promoted
+queries — each is oracle-replicated (test_queries_oracle.py, post-promotion);
+these tests check the SEMANTICS against a second, independent implementation
+or a mathematical invariant, the way SURVEY §5 does for the older families."""
 
 from __future__ import annotations
 
@@ -9,7 +9,7 @@ from fractions import Fraction
 
 from pyspark.sql import functions as F
 
-from aws_vpcflowlogs_parquet_spark.plans.staging import STAGED_QUERIES
+from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES as STAGED_QUERIES
 from aws_vpcflowlogs_parquet_spark.sources.tables import load_table
 
 from .conftest import SF_DIR
