@@ -110,25 +110,76 @@ def compact(
     the latter. A crash between the renames is recoverable: on entry we
     detect a stranded ``__old_*`` sibling with no live ``path`` and
     restore it, and stale ``__compact_*`` temp dirs are swept before the
-    destructive rmtree ever runs. Returns {files_before, files_after,
-    bytes}."""
+    destructive rmtree ever runs.
+
+    SINGLE-WRITER PRECONDITION (ADVICE r4): at most one compact() may
+    run against a given ``path`` at a time — the recovery sweep removes
+    leftover temp/backup siblings, which under a concurrent compactor
+    would be the OTHER run's live state. A ``__compact_lock`` file
+    enforces this: entry raises RuntimeError if the lock is held and
+    fresh; locks older than ``stale_lock_seconds`` (default 24 h —
+    longer than any plausible rewrite, so only a crashed run leaves one)
+    are broken, preserving crash recovery. Returns {files_before,
+    files_after, bytes}."""
+    import glob
+    import os
+    import shutil
+    import time
+    import uuid
+
+    lock = f"{path}__compact_lock"
+    stale_lock_seconds = 24 * 3600
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.write(fd, str(os.getpid()).encode())
+        os.close(fd)
+    except FileExistsError:
+        try:
+            age = time.time() - os.path.getmtime(lock)
+        except OSError:  # lock vanished between the open and the stat
+            age = float("inf")
+        if age < stale_lock_seconds:
+            raise RuntimeError(
+                f"compact() already running on {path} (lock {lock}, "
+                f"{age:.0f}s old); single-writer required — see docstring"
+            )
+        # stale lock from a crashed run: take it over
+        with open(lock, "w") as f:
+            f.write(str(os.getpid()))
+
+    try:
+        # crash recovery from a previous interrupted swap: ``path``
+        # missing but a completed __old_* snapshot present → restore it;
+        # any leftover __compact_* temp (crash before the first rename)
+        # is dead weight either way → sweep it. Safe under the lock: no
+        # other compactor can own these siblings now.
+        if not os.path.exists(path):
+            stranded = sorted(glob.glob(f"{path}__old_*"))
+            if stranded:
+                os.rename(stranded[0], path)
+        for leftover in glob.glob(f"{path}__compact_*") + glob.glob(
+            f"{path}__old_*"
+        ):
+            if leftover != lock:
+                shutil.rmtree(leftover, ignore_errors=True)
+        return _compact_locked(spark, path, target_bytes, preserve_sort)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def _compact_locked(
+    spark,
+    path: str,
+    target_bytes: int,
+    preserve_sort: str | None,
+) -> dict:
     import glob
     import os
     import shutil
     import uuid
-
-    # crash recovery from a previous interrupted swap: ``path`` missing
-    # but a completed __old_* snapshot present → restore it; any
-    # leftover __compact_* temp (crash before the first rename) is dead
-    # weight either way → sweep it.
-    if not os.path.exists(path):
-        stranded = sorted(glob.glob(f"{path}__old_*"))
-        if stranded:
-            os.rename(stranded[0], path)
-    for leftover in glob.glob(f"{path}__compact_*") + glob.glob(
-        f"{path}__old_*"
-    ):
-        shutil.rmtree(leftover, ignore_errors=True)
 
     files = glob.glob(os.path.join(path, "*.parquet"))
     total = sum(os.path.getsize(f) for f in files)

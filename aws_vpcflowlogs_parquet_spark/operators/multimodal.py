@@ -76,34 +76,53 @@ def _decode_pnm(payload: bytes) -> DecodedImage:
 
 def _decode_bmp(payload: bytes) -> DecodedImage:
     """Uncompressed (BI_RGB) 8-bit or 24-bit Windows BMP: little-endian
-    BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER; rows padded to 4-byte
-    multiples and stored bottom-up (top-down when height < 0); 24-bit
-    pixel order is BGR, flipped to RGB."""
+    BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (40 bytes, the only
+    supported info header); rows padded to 4-byte multiples and stored
+    bottom-up (top-down when height < 0). 24-bit pixel order is BGR,
+    flipped to RGB. 8-bit pixels are palette INDICES: they are mapped
+    through the BGRA color table that follows the info header (biClrUsed
+    entries, 256 when zero), yielding 3-channel RGB — an index is not an
+    intensity unless the palette happens to be the identity gray ramp
+    (ADVICE r4)."""
     import struct
 
     import numpy as np
 
     data_offset = struct.unpack_from("<I", payload, 10)[0]
+    info_size = struct.unpack_from("<I", payload, 14)[0]
     width, raw_h = struct.unpack_from("<ii", payload, 18)
     bpp, compression = struct.unpack_from("<HI", payload, 28)
     planes = struct.unpack_from("<H", payload, 26)[0]
-    if compression != 0 or bpp not in (8, 24) or planes != 1:
-        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    if info_size != 40 or compression != 0 or bpp not in (8, 24) or planes != 1:
+        raise ValueError(
+            f"unsupported BMP (info={info_size}, bpp={bpp}, "
+            f"compression={compression})"
+        )
     height, bottom_up = abs(raw_h), raw_h > 0
-    channels = bpp // 8
-    row_bytes = (width * channels + 3) & ~3  # 4-byte aligned stride
+    in_channels = bpp // 8
+    row_bytes = (width * in_channels + 3) & ~3  # 4-byte aligned stride
     rows = (
         np.frombuffer(
             payload, dtype=np.uint8, count=row_bytes * height, offset=data_offset
         )
-        .reshape(height, row_bytes)[:, : width * channels]
-        .reshape(height, width, channels)
+        .reshape(height, row_bytes)[:, : width * in_channels]
+        .reshape(height, width, in_channels)
     )
     if bottom_up:
         rows = rows[::-1]
-    if channels == 3:
+    if bpp == 24:
         rows = rows[:, :, ::-1]  # BGR → RGB
-    return DecodedImage(width, height, channels, np.ascontiguousarray(rows))
+        return DecodedImage(width, height, 3, np.ascontiguousarray(rows))
+    # 8-bit: resolve indices through the color table (BGRA quads)
+    n_colors = struct.unpack_from("<I", payload, 46)[0] or 256
+    palette = (
+        np.frombuffer(payload, dtype=np.uint8, count=n_colors * 4, offset=54)
+        .reshape(n_colors, 4)[:, 2::-1]  # BGR(A) → RGB
+    )
+    idx = rows[:, :, 0]
+    if int(idx.max(initial=0)) >= n_colors:
+        raise ValueError("BMP palette index out of range")
+    return DecodedImage(width, height, 3, np.ascontiguousarray(palette[idx]))
 
 
 def decode_image(payload: bytes) -> DecodedImage:
@@ -206,7 +225,7 @@ def resize_images(documents: DataFrame, target_max: int = 64) -> DataFrame:
         # that can't import the engine package
         def pnm_dims(p: bytes) -> tuple[int, int]:
             pos, fields = 2, []
-            while len(fields) < 2:
+            while len(fields) < 3:
                 while p[pos : pos + 1].isspace():
                     pos += 1
                 if p[pos : pos + 1] == b"#":
@@ -217,18 +236,47 @@ def resize_images(documents: DataFrame, target_max: int = 64) -> DataFrame:
                 while not p[pos : pos + 1].isspace():
                     pos += 1
                 fields.append(int(p[start:pos]))
-            return fields[0], fields[1]
+            w, h, maxval = fields
+            # the declared raster must actually be present — text that
+            # merely starts "P6 .." and parses as numbers is not an image
+            channels = 3 if p[:2] == b"P6" else 1
+            if maxval > 255 or pos + 1 + w * h * channels > len(p):
+                raise ValueError("not a complete PNM raster")
+            return w, h
 
         def dims(payload: bytes) -> tuple[int, int]:
+            # Header dims are trusted ONLY for payloads that validate as
+            # real images; arbitrary bytes that merely start with a magic
+            # (e.g. text beginning "BM") must NOT be parsed into garbage
+            # dims (ADVICE r4). BMP validation: BITMAPINFOHEADER, the
+            # file-size field must equal the actual payload length, and
+            # the declared raster must fit inside the payload — a text
+            # payload cannot satisfy these by accident.
             p = bytes(payload)
             try:
                 if p[:2] in (b"P6", b"P5"):
-                    return pnm_dims(p)
-                if p[:2] == b"BM":
+                    w, h = pnm_dims(p)
+                    if w > 0 and h > 0:
+                        return w, h
+                if p[:2] == b"BM" and len(p) >= 54:
                     import struct as _struct
 
+                    file_size = _struct.unpack_from("<I", p, 2)[0]
+                    data_offset = _struct.unpack_from("<I", p, 10)[0]
+                    info_size = _struct.unpack_from("<I", p, 14)[0]
                     w, h = _struct.unpack_from("<ii", p, 18)
-                    return w, abs(h)
+                    bpp = _struct.unpack_from("<H", p, 28)[0]
+                    stride = (w * (bpp // 8) + 3) & ~3
+                    if (
+                        file_size == len(p)
+                        and info_size == 40
+                        and bpp in (8, 24)
+                        and w > 0
+                        and h != 0
+                        and 54 <= data_offset <= len(p)
+                        and data_offset + stride * abs(h) <= len(p)
+                    ):
+                        return w, abs(h)
             except Exception:
                 pass  # malformed header → length-derived fallback
             n = len(p)

@@ -1354,13 +1354,19 @@ def q_multimodal_meta(spark, sf_dir):
 )
 def q_multimodal_resize(spark, sf_dir):
     """Image-resize planning over opaque binary payloads
-    (operators/multimodal.py resize_images): the codec probe is a
-    deterministic stub (dims from payload length — no image libs in this
-    container) but the dataflow is the production one: binary column in,
-    Arrow-batched mapInPandas, scalar metadata out, one pass, no shuffle.
-    The aspect-preserving scale arithmetic (double divide → multiply →
-    truncate) is replayed exactly by the oracle, so even the stubbed
-    pipeline is value-verified end to end."""
+    (operators/multimodal.py resize_images): payloads that VALIDATE as
+    real PNM/BMP images (complete raster present; BMP file-size field
+    equals the payload length — so arbitrary text can't parse as an
+    image by accident, ADVICE r4) get true header dims; everything else
+    gets deterministic length-derived dims. The test corpus is UTF-8
+    text, none of which validates — enforced implicitly every run by
+    this very oracle compare (one accidental header parse would hash-
+    mismatch) — so the length-derived
+    branch, INCLUDING the aspect-preserving scale arithmetic (double
+    divide → multiply → truncate), is replayed exactly by the oracle and
+    the pipeline is value-verified end to end. Dataflow is the
+    production one either way: binary column in, Arrow-batched
+    mapInPandas, scalar metadata out, one pass, no shuffle."""
     return mm.resize_images(_t(spark, sf_dir, "documents"), target_max=64)
 
 

@@ -31,13 +31,25 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
+# Bumped whenever _key_hash's encoding changes: a state table written
+# under one scheme is UNREADABLE garbage to another (every historical key
+# hashes differently, so one batch of old duplicates would be silently
+# re-admitted — ADVICE r4). v1 = md5(concat_ws) (round ≤3, retired);
+# v2 = md5(to_json(struct)) (null-safe, round 4+).
+_KEY_SCHEME = "v2-md5-to_json-struct"
+
+
 def _key_hash(keys: list[str]) -> F.Column:
     """Null-safe composite-key hash. concat_ws silently SKIPS null
     elements, which would collapse ('a', NULL), (NULL, 'a') and ('a')
     into one hash — and the anti-join would then silently drop a live
     record as a duplicate (ADVICE r3). to_json(struct(...)) keeps the
     field names in the encoding, so a null in any position yields a
-    distinct document from a value shifted into another position."""
+    distinct document from a value shifted into another position.
+
+    Changing this encoding REQUIRES bumping ``_KEY_SCHEME``: the scheme
+    marker persisted next to the state table makes a mismatched upgrade
+    fail fast instead of silently re-admitting duplicates."""
     return F.md5(F.to_json(F.struct(*[F.col(k) for k in keys])))
 
 
@@ -48,6 +60,41 @@ def _state_exists(sp: SparkSession, state_dir: str) -> bool:
     jpath = sp._jvm.org.apache.hadoop.fs.Path(state_dir)
     fs = jpath.getFileSystem(sp._jsc.hadoopConfiguration())
     return bool(fs.exists(jpath))
+
+
+def _check_and_stamp_scheme(sp: SparkSession, state_dir: str) -> None:
+    """Fail fast on a key-scheme mismatch (ADVICE r4). The marker file
+    ``_key_scheme`` lives INSIDE the state dir (underscore prefix →
+    invisible to parquet discovery). A state dir with a DIFFERENT marker
+    aborts the stream: continuing would hash every historical key
+    differently and silently re-admit one batch of old duplicates. A
+    state dir with NO marker predates versioning (round ≤4); those were
+    all written under the current scheme, so it is stamped in place —
+    any future scheme bump then trips the check for them too."""
+    jvm = sp._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(state_dir + "/_key_scheme")
+    fs = marker.getFileSystem(sp._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        stream = fs.open(marker)
+        try:
+            found = bytes(
+                stream.readAllBytes()
+            ).decode("utf-8").strip()
+        finally:
+            stream.close()
+        if found != _KEY_SCHEME:
+            raise RuntimeError(
+                f"incremental-dedup state at {state_dir} was written under "
+                f"key scheme {found!r} but this engine uses "
+                f"{_KEY_SCHEME!r}; rebuild the state table (or run the "
+                f"old engine) — continuing would re-admit duplicates"
+            )
+        return
+    out = fs.create(marker, True)
+    try:
+        out.write(bytearray(_KEY_SCHEME.encode("utf-8")))
+    finally:
+        out.close()
 
 
 def start_incremental_dedup_stream(
@@ -76,6 +123,7 @@ def start_incremental_dedup_stream(
         # (foreachBatch retries it) rather than masquerade as "first
         # batch, no state yet" and re-admit duplicates (ADVICE r3).
         if _state_exists(sp, state_dir):
+            _check_and_stamp_scheme(sp, state_dir)
             seen = sp.read.parquet(state_dir).select("_kh")
             # no broadcast hint: the state table GROWS without bound, so
             # the join strategy must stay AQE's runtime call (broadcast

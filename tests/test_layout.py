@@ -151,3 +151,35 @@ def test_compact_preserves_clustering(spark, tmp_path):
     # the rewrite must keep the layout's skipping property (fewer, larger
     # files → each covers a wider range, so the bar is lower than above)
     assert file_skip_fraction(path, "x", 10, 20) >= 0.5
+
+
+def test_compact_rejects_concurrent_run_and_breaks_stale_lock(spark, tmp_path):
+    """ADVICE r4: the startup sweep deletes __compact_*/__old_* siblings,
+    which under a concurrent compactor would be the other run's live
+    state — so compact() must be single-writer. A fresh lock file makes
+    a second invocation fail fast; a stale lock (crashed run) is broken
+    and the compaction proceeds."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from aws_vpcflowlogs_parquet_spark.operators.layout import compact
+
+    pts = _pts(spark)
+    path = str(tmp_path / "locked")
+    pts.repartition(4).write.parquet(path)
+
+    lock = f"{path}__compact_lock"
+    with open(lock, "w") as f:
+        f.write("12345")
+    with _pytest.raises(RuntimeError, match="already running"):
+        compact(spark, path, target_bytes=10 * 1024 * 1024)
+    assert os.path.exists(lock)  # a held lock is NOT cleaned up by the loser
+
+    # age the lock past the staleness threshold → broken and taken over
+    old = time.time() - 25 * 3600
+    os.utime(lock, (old, old))
+    stats = compact(spark, path, target_bytes=10 * 1024 * 1024)
+    assert stats["files_before"] == 4
+    assert not os.path.exists(lock)  # released after a successful run

@@ -30,10 +30,21 @@ def _ppm_bytes(w: int, h: int, channels: int = 3, comment: bool = False) -> byte
     return header + raster
 
 
-def _bmp_bytes(w: int, h: int, bpp: int = 24, top_down: bool = False) -> bytes:
+def _gray_ramp_palette() -> bytes:
+    # identity grayscale BGRA table: entry i = (i, i, i, 0)
+    return bytes(b for i in range(256) for b in (i, i, i, 0))
+
+
+def _bmp_bytes(
+    w: int,
+    h: int,
+    bpp: int = 24,
+    top_down: bool = False,
+    palette: bytes | None = None,
+) -> bytes:
     channels = bpp // 8
     stride = (w * channels + 3) & ~3
-    palette = b"" if bpp == 24 else b"\x00" * 1024  # 256-entry palette
+    palette = b"" if bpp == 24 else (palette or _gray_ramp_palette())
     data_offset = 14 + 40 + len(palette)
     raster = bytearray()
     pix = np.arange(w * h * channels, dtype=np.uint8).reshape(h, w, channels)
@@ -74,10 +85,31 @@ def test_bmp24_decode_bottom_up_padded():
     assert np.array_equal(img.pixels, want)
 
 
-def test_bmp_top_down_and_8bit():
+def test_bmp_top_down_and_8bit_gray_ramp():
+    # identity gray-ramp palette: index i resolves to RGB (i, i, i)
     img = decode_image(_bmp_bytes(4, 3, bpp=8, top_down=True))
-    assert (img.width, img.height, img.channels) == (4, 3, 1)
-    want = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    assert (img.width, img.height, img.channels) == (4, 3, 3)
+    idx = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    want = np.stack([idx, idx, idx], axis=-1)
+    assert np.array_equal(img.pixels, want)
+
+
+def test_bmp_8bit_nontrivial_palette_resolves_colors():
+    # a palette that is NOT the gray ramp: index i → BGRA (3i, 2i, i, 0),
+    # so RGB must come out (i, 2i, 3i) — indices are not intensities
+    # (ADVICE r4: color table must be honored)
+    pal = bytes(
+        b
+        for i in range(256)
+        for b in ((3 * i) % 256, (2 * i) % 256, i, 0)
+    )
+    img = decode_image(_bmp_bytes(4, 2, bpp=8, palette=pal))
+    assert img.channels == 3
+    idx = np.arange(8, dtype=np.uint8).reshape(2, 4)
+    want = np.stack(
+        [idx, (2 * idx.astype(np.int64)) % 256, (3 * idx.astype(np.int64)) % 256],
+        axis=-1,
+    ).astype(np.uint8)
     assert np.array_equal(img.pixels, want)
 
 
@@ -113,6 +145,28 @@ def test_resize_images_uses_real_header_dims(spark):
     # unrecognized payload → deterministic length-derived dims (oracle path)
     n = len("plain text document")
     assert (rows[1].width, rows[1].height) == (16 + n % 241, 16 + (n * 7) % 241)
+
+
+def test_resize_images_rejects_fake_bm_text(spark):
+    # A TEXT payload that merely starts with "BM" and is long enough to
+    # unpack header fields must NOT be parsed into garbage dims — the
+    # file-size field (bytes 2-5) won't equal the payload length, so it
+    # falls back to length-derived dims (ADVICE r4, medium).
+    fake = "BM" + "x" * 200  # 202 bytes, passes no validation
+    docs = spark.createDataFrame([(0, fake)], "doc_id long, text string")
+    row = resize_images(docs, target_max=16).collect()[0]
+    n = len(fake)
+    assert (row.width, row.height) == (16 + n % 241, 16 + (n * 7) % 241)
+
+
+def test_resize_images_rejects_truncated_pnm_header(spark):
+    # "P6 12 34 255 " with no raster parses numerically but the declared
+    # raster is absent — must fall back to length-derived dims.
+    fake = "P6\n12 34\n255\nshort"
+    docs = spark.createDataFrame([(0, fake)], "doc_id long, text string")
+    row = resize_images(docs, target_max=16).collect()[0]
+    n = len(fake)
+    assert (row.width, row.height) == (16 + n % 241, 16 + (n * 7) % 241)
 
 
 def test_resize_nearest_matches_plan(spark):

@@ -372,6 +372,67 @@ def test_incremental_dedup_stream_forever_state(spark, tmp_path):
     assert got.select("event_id", *keys).exceptAll(expected).count() == 0
 
 
+def test_incremental_dedup_state_scheme_versioned(spark, tmp_path):
+    # ADVICE r4: a state table written under an older key-hash scheme
+    # must make the stream FAIL FAST, not silently re-admit duplicates.
+    # Run 1 stamps the marker; a forged older marker aborts run 2; the
+    # current marker lets run 2 proceed.
+    import glob
+    import os
+
+    from aws_vpcflowlogs_parquet_spark.streaming.upsert import (
+        _KEY_SCHEME,
+        start_incremental_dedup_stream,
+    )
+
+    src = tmp_path / "scheme_src"
+    src.mkdir()
+    out, state, ckpt = (
+        str(tmp_path / "s_out"), str(tmp_path / "s_state"), str(tmp_path / "s_ckpt")
+    )
+    batch = load_table(spark, SF_DIR, "events").limit(200)
+
+    def stage(df, name):
+        tmp = str(tmp_path / f"_sw_{name}")
+        df.coalesce(1).write.parquet(tmp)
+        shutil.move(glob.glob(f"{tmp}/part-*.parquet")[0], str(src / name))
+
+    keys, order = ["user_id", "event_type"], ["ts", "event_id"]
+    stage(batch, "events.parquet")
+    q = start_incremental_dedup_stream(
+        spark, stream_events(spark, str(src)), out, state, ckpt, keys, order
+    )
+    q.awaitTermination()
+
+    marker = os.path.join(state, "_key_scheme")
+    # lazily stamped on the NEXT state read; force it now via a 2nd batch
+    stage(batch, "b.parquet")
+    q2 = start_incremental_dedup_stream(
+        spark, stream_events(spark, str(src)), out, state, ckpt, keys, order
+    )
+    q2.awaitTermination()
+    assert open(marker).read().strip() == _KEY_SCHEME
+
+    # forge an older scheme → the stream must abort, not re-admit
+    # (drop the Hadoop LocalFS checksum sidecar our out-of-band write
+    # just invalidated; a real old-engine state would have a matching one)
+    with open(marker, "w") as f:
+        f.write("v1-md5-concat_ws")
+    crc = os.path.join(state, "._key_scheme.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stage(batch, "c.parquet")
+    q3 = start_incremental_dedup_stream(
+        spark, stream_events(spark, str(src)), out, state, ckpt, keys, order
+    )
+    import pytest as _pytest
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with _pytest.raises(StreamingQueryException, match="key scheme"):
+        q3.awaitTermination()
+
+
 def test_incremental_dedup_key_hash_null_safe(spark):
     # concat_ws would have collapsed ('a', NULL), (NULL, 'a') and
     # ('a', 'a') onto colliding hashes, silently anti-joining live rows

@@ -104,3 +104,20 @@ def test_q15_ties_return_identical_sets_cross_engine(spark, seed):
     )
     assert got == want
     assert [s for s, _ in got] == [1, 2]  # the engineered tie, both rows
+
+
+def test_tpch_suite_complete_22_of_22():
+    """The full adapted TPC-H suite is registered in the driver-verified
+    catalog — one inventory assertion so completeness cannot silently
+    regress (r4 VERDICT item 4). Adaptations that diverge from the spec
+    columns (all because the synthetic schema has no partsupp relation,
+    no l_shipmode/commit/receipt dates, no c_phone/o_comment, and
+    c_mktsegment/p_brand analogues are key-derived) are documented
+    per-query in the catalog docstrings and summarized in SURVEY §2.3."""
+    from aws_vpcflowlogs_parquet_spark.plans.catalog import ORACLES, QUERIES
+
+    expected = {f"q_tpch_q{i}" for i in range(1, 23)}
+    registered = {n for n in QUERIES if n.startswith("q_tpch_q")}
+    assert registered == expected, sorted(expected ^ registered)
+    # every one is oracle-paired (no rows-only weak checks)
+    assert expected <= set(ORACLES)
