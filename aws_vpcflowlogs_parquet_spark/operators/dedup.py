@@ -362,18 +362,31 @@ def prefix_filtered_pairs(
        sum of per-shingle prefix-frequency squared, and because rare
        shingles lead the order, prefix frequencies are the SMALLEST in
        the corpus — this is what kills the n^2;
-    4. verify candidates exactly: |A /\\ B| from a join of the FULL
-       shingle sets restricted to candidates, accepted iff
-       o * (td + tn) >= tn * (|A| + |B|)  — the Jaccard inequality
+    4. verify candidates exactly: each doc's full shingle set is
+       collected ONCE into a sorted array (unique elements by
+       construction — shingle_rows is distinct), candidates pick up
+       both arrays via two doc-id equi-joins, and the overlap is
+       ``size(array_intersect(...))`` inside codegen — accepted iff
+       o * (td + tn) >= tn * (|A| + |B|), the Jaccard inequality
        cross-multiplied onto the integer lattice (t = tn/td).
 
     Returns (doc_a, doc_b, jaccard) — the same relation the all-pairs
     kernel produces, proven equal in tests/test_dedup_prefix_filter.py.
-    At 100 TB: two shuffles keyed on shingles (prefix join + verify
-    join) and one on pairs; no step is quadratic in documents, and the
-    rare-first order is ONE broadcastable frequency table."""
+    At 100 TB: one shuffle keyed on prefix shingles, one on pairs, and
+    two doc-id joins against a per-document array table whose row count
+    is |docs| (not |shingle rows|) — broadcastable while small, plain
+    shuffled equi-joins beyond. No step is quadratic in documents, no
+    step fans a candidate out by its shingle count (the previous verify
+    expanded every candidate ×|A| before re-aggregating — measured 7 s
+    of the 10 s total at sf0.1; the array verify removes that shuffle
+    and the re-aggregation entirely), and the rare-first order is ONE
+    broadcastable frequency table."""
     tn, td = threshold_num, threshold_den
-    rows = shingle_rows(documents)  # (doc_id, s) distinct
+    # the shingle relation feeds four consumers (doc sizes, corpus
+    # frequencies, the ranked prefix, and the verify arrays); persist it
+    # so the explode+distinct shuffle runs once, not once per consumer —
+    # same pattern as the pagerank invariants (operators/graph.py)
+    rows = shingle_rows(documents).persist()  # (doc_id, s) distinct
     sizes = rows.groupBy("doc_id").agg(F.count("*").alias("sz"))
     freq = rows.groupBy("s").agg(F.count("*").alias("df"))
     ranked = (
@@ -396,31 +409,44 @@ def prefix_filtered_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact overlap of candidates from the full shingle relation
-    inter = (
-        cand.join(rows.select(F.col("doc_id").alias("doc_a"), "s"), "doc_a")
-        .join(
-            rows.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s2")),
-            "doc_b",
-        )
-        .filter(F.col("s") == F.col("s2"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("o"))
+    # exact overlap via per-doc shingle ARRAYS: one row per document,
+    # overlap computed in codegen — no per-candidate fan-out shuffle
+    arrs = rows.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("sh"),
+        F.count("*").alias("sz"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            F.col("o") * (td + tn) >= tn * (F.col("sza") + F.col("szb"))
+    verified = (
+        cand.join(
+            arrs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("sh").alias("sh_a"),
+                F.col("sz").alias("sza"),
+            ),
+            "doc_a",
+        )
+        .join(
+            arrs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("sh").alias("sh_b"),
+                F.col("sz").alias("szb"),
+            ),
+            "doc_b",
         )
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.col("o").cast("double")
-                / (F.col("sza") + F.col("szb") - F.col("o")).cast("double")
-            ).alias("jaccard"),
+            "sza",
+            "szb",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("o"),
         )
+    )
+    return verified.filter(
+        F.col("o") * (td + tn) >= tn * (F.col("sza") + F.col("szb"))
+    ).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("o").cast("double")
+            / (F.col("sza") + F.col("szb") - F.col("o")).cast("double")
+        ).alias("jaccard"),
     )

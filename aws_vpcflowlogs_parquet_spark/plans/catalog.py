@@ -10582,7 +10582,12 @@ def q_lsh_recall(spark, sf_dir):
     each."""
 
     docs = _t(spark, sf_dir, "documents")
-    exact = dd.prefix_filtered_pairs(docs, 1, 5).select("doc_a", "doc_b")
+    # exact pairs and band candidates each feed TWO consumers (the
+    # caught-join and their own count); persist both so neither pair
+    # pipeline re-runs per consumer
+    exact = (
+        dd.prefix_filtered_pairs(docs, 1, 5).select("doc_a", "doc_b").persist()
+    )
     sigs = dd.shingled(docs).persist()
     sigs.count()
     bands = dd.band_keys(dd.minhash_signatures(sigs))
@@ -10597,6 +10602,7 @@ def q_lsh_recall(spark, sf_dir):
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .persist()
     )
     caught = exact.join(cand, ["doc_a", "doc_b"])
     n_exact = exact.agg(F.count("*").alias("n_exact"))
@@ -10678,7 +10684,9 @@ def q_near_dup_rate(spark, sf_dir):
     through a second consumer."""
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dd.prefix_filtered_pairs(docs, 1, 5)
+    # both union branches consume the pair relation; persist so the
+    # prefix-filter pipeline runs once, not once per branch
+    pairs = dd.prefix_filtered_pairs(docs, 1, 5).persist()
     dupped = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))

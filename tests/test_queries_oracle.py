@@ -45,6 +45,54 @@ def test_no_hugeint_in_oracle_results(duck):
     assert not offenders, offenders
 
 
+def _type_family(t: str) -> str:
+    t = str(t).upper()
+    if "HUGEINT" in t:
+        return "hugeint"
+    if "DECIMAL" in t:
+        return "dec"
+    for k in ("TINYINT", "SMALLINT", "UINTEGER", "UBIGINT", "BIGINT",
+              "INTEGER", "INT", "LONG", "SHORT", "BYTE"):
+        if k in t:
+            return "int"
+    for k in ("DOUBLE", "FLOAT", "REAL"):
+        if k in t:
+            return "float"
+    if "BOOL" in t:
+        return "bool"
+    for k in ("VARCHAR", "STRING", "CHAR", "JSON"):
+        if k in t:
+            return "str"
+    if "TIMESTAMP" in t or "DATE" in t:
+        return "ts"
+    return "other:" + t
+
+
+def test_no_cross_engine_dtype_family_mismatch(spark, duck):
+    """Broader form of the HUGEINT ban: for every query, each output
+    column's Spark type and DuckDB type must be in the same rendering
+    family (int/float/str/…). A family mismatch (e.g. DuckDB DECIMAL vs
+    Spark double) survives a fetchall() value compare but can render
+    differently through the driver's pandas/Arrow fetch path — the
+    round-5 root-cause class. Schema analysis only, nothing executes.
+    DuckDB JSON is classed with strings: it is VARCHAR-backed and
+    renders identically (driver-proven green on q_json_funcs since
+    r2)."""
+    exempt = {"q_probe_sum_bare"}  # deliberate HUGEINT diagnostic
+    offenders = []
+    for name in sorted(QUERIES):
+        if name in exempt:
+            continue
+        rel = duck.sql(ORACLES[name])
+        duck_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+        spark_types = dict(QUERIES[name](spark, SF_DIR).dtypes)
+        for col, st in spark_types.items():
+            dt = duck_types.get(col)
+            if dt is not None and _type_family(st) != _type_family(dt):
+                offenders.append((name, col, st, dt))
+    assert not offenders, offenders
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_nonempty(spark, name):
     # every query should exercise real rows at sf0.001 except the
