@@ -64,6 +64,8 @@ def _decode_pnm(payload: bytes) -> DecodedImage:
             pos += 1
         fields.append(int(payload[start:pos]))
     width, height, maxval = fields
+    if width <= 0 or height <= 0:
+        raise ValueError("non-positive PNM dimensions")
     if maxval > 255:
         raise ValueError("16-bit PNM not supported")
     pos += 1  # single whitespace byte after maxval, then the raster
@@ -98,6 +100,8 @@ def _decode_bmp(payload: bytes) -> DecodedImage:
             f"unsupported BMP (info={info_size}, bpp={bpp}, "
             f"compression={compression})"
         )
+    if width <= 0 or raw_h == 0:
+        raise ValueError("non-positive BMP dimensions")
     height, bottom_up = abs(raw_h), raw_h > 0
     in_channels = bpp // 8
     row_bytes = (width * in_channels + 3) & ~3  # 4-byte aligned stride

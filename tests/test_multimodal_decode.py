@@ -175,3 +175,30 @@ def test_resize_nearest_matches_plan(spark):
     out = resize_nearest(img, 16, 4)
     assert out.pixels.dtype == np.uint8
     assert isinstance(out, DecodedImage)
+
+
+from hypothesis import example, given, settings
+from hypothesis import strategies as st
+
+
+@example(payload=b"P5\n0 0\n255\n")  # zero-dim PNM must raise
+@example(payload=b"P6\n0 5\n255\n")
+@example(payload=b"P5\n3 0\n255\n")
+@example(payload=b"BM" + b"\x00" * 60)  # zero-dim/garbage BMP header
+@given(payload=st.binary(min_size=0, max_size=400))
+@settings(max_examples=300, deadline=None)
+def test_decode_image_never_returns_nonsense(payload):
+    """Property behind resize_images' totality: over arbitrary bytes,
+    decode_image either raises (any exception is caught by the dims
+    closure and becomes the length-derived fallback) or returns a
+    structurally sane raster — positive dims and a pixels array whose
+    shape matches them. It must never 'succeed' with garbage geometry,
+    which is what would silently diverge a header-parsed payload from
+    the oracle (ADVICE r4)."""
+    try:
+        img = decode_image(payload)
+    except Exception:
+        return  # fallback path — fine
+    assert img.width > 0 and img.height > 0
+    assert img.channels in (1, 3)
+    assert img.pixels.shape == (img.height, img.width, img.channels)
