@@ -166,6 +166,11 @@ def test_staged_prefix_filter_has_no_quadratic_join(spark):
     plan = _executed(prefix_filtered_pairs(docs, 1, 5))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # round-5 verify rewrite: overlap comes from a codegen'd
+    # array_intersect over per-doc arrays, not a per-candidate fan-out
+    # join + re-aggregation (the arrays ride broadcast/shuffled
+    # EQUI-joins on doc ids only)
+    assert "array_intersect" in plan, plan
 
 
 def test_staged_rolling_active_broadcasts_offsets(spark):
