@@ -77,14 +77,19 @@ def shingle_rows(
     )
 
 
-def shingled(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def shingled(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rows: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, sh) with the distinct shingle set as an array; docs with
-    fewer than k tokens drop out (no shingles)."""
-    return (
-        shingle_rows(documents, id_col, text_col)
-        .groupBy(id_col)
-        .agg(F.collect_list("s").alias("sh"))
-    )
+    fewer than k tokens drop out (no shingles). Pass a precomputed
+    (persisted) ``rows`` relation to share the explode+distinct shuffle
+    with another consumer (e.g. the prefix-filtered join in
+    q_lsh_recall)."""
+    base = rows if rows is not None else shingle_rows(documents, id_col, text_col)
+    return base.groupBy(id_col).agg(F.collect_list("s").alias("sh"))
 
 
 # ---------------------------------------------------------------- operators
@@ -347,6 +352,7 @@ def prefix_filtered_pairs(
     documents: DataFrame,
     threshold_num: int = 1,
     threshold_den: int = 5,
+    rows: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard >= t pair join WITHOUT the quadratic all-pairs step
     or :func:`ngram_jaccard_pairs`'s input bound — the prefix-filtering
@@ -385,8 +391,12 @@ def prefix_filtered_pairs(
     # the shingle relation feeds four consumers (doc sizes, corpus
     # frequencies, the ranked prefix, and the verify arrays); persist it
     # so the explode+distinct shuffle runs once, not once per consumer —
-    # same pattern as the pagerank invariants (operators/graph.py)
-    rows = shingle_rows(documents).persist()  # (doc_id, s) distinct
+    # same pattern as the pagerank invariants (operators/graph.py).
+    # Callers that ALSO consume shingles (q_lsh_recall's banding side)
+    # pass their own persisted relation via ``rows``.
+    if rows is None:
+        rows = shingle_rows(documents)  # (doc_id, s) distinct
+    rows = rows.persist()
     sizes = rows.groupBy("doc_id").agg(F.count("*").alias("sz"))
     freq = rows.groupBy("s").agg(F.count("*").alias("df"))
     ranked = (

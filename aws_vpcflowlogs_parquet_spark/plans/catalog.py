@@ -10582,13 +10582,18 @@ def q_lsh_recall(spark, sf_dir):
     each."""
 
     docs = _t(spark, sf_dir, "documents")
-    # exact pairs and band candidates each feed TWO consumers (the
-    # caught-join and their own count); persist both so neither pair
-    # pipeline re-runs per consumer
+    # ONE shingle relation feeds both pipelines (the prefix-filtered
+    # exact join AND the minhash banding side); exact pairs and band
+    # candidates each feed TWO consumers (the caught-join and their own
+    # count) — persist all three shared frames so nothing re-runs per
+    # consumer
+    rows = dd.shingle_rows(docs).persist()
     exact = (
-        dd.prefix_filtered_pairs(docs, 1, 5).select("doc_a", "doc_b").persist()
+        dd.prefix_filtered_pairs(docs, 1, 5, rows=rows)
+        .select("doc_a", "doc_b")
+        .persist()
     )
-    sigs = dd.shingled(docs).persist()
+    sigs = dd.shingled(docs, rows=rows).persist()
     sigs.count()
     bands = dd.band_keys(dd.minhash_signatures(sigs))
     a, b = bands.alias("a"), bands.alias("b")
