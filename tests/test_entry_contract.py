@@ -26,3 +26,13 @@ def test_unverified_first_partitions_and_preserves():
 
 def test_queries_and_oracles_same_order():
     assert list(entrymod.queries()) == list(entrymod.oracle_sql())
+
+
+def test_pending_count_within_driver_cap():
+    """The external driver verifies at most 50 queries per round in
+    queries() order; more pending than that means some queries would get
+    no CORRECTNESS row this round. Round-5 pending = 3 re-verifies + 24
+    promotions + 8 probes = 35."""
+    qs = entrymod.queries()
+    pending = [n for n in qs if n not in entrymod._VERIFIED_PRIOR_ROUNDS]
+    assert len(pending) <= 50, (len(pending), pending)
