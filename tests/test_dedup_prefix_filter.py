@@ -110,3 +110,63 @@ def test_prefix_join_is_smaller_than_all_pairs(spark):
         .count()
     )
     assert cand < n * (n - 1) / 2 * 0.5, (cand, n)
+
+
+def _brute_force_pairs(spark, docs, tn, td):
+    """Quadratic reference: engine tokenization (shingle_rows) + pure
+    Python set algebra — the same IEEE division the operator performs."""
+    sh = {}
+    for r in shingle_rows(docs).collect():
+        sh.setdefault(r.doc_id, set()).add(r.s)
+    out = {}
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            o = len(sh[a] & sh[b])
+            if o * (td + tn) >= tn * (len(sh[a]) + len(sh[b])):
+                out[(a, b)] = o / (len(sh[a]) + len(sh[b]) - o)
+    return out
+
+
+def test_exact_dup_collapse_expands_clone_pairs_correctly(spark):
+    """Round-5 scale guard: exact-duplicate texts are collapsed before
+    the prefix join and expanded afterwards. Pin the expansion semantics
+    against brute force on a clone-heavy corpus: (a) within-group clone
+    pairs appear with jaccard exactly 1.0; (b) cross-group pairs appear
+    once per clone combination with the representatives' jaccard;
+    (c) clones of a shingle-less text (fewer than k tokens) produce NO
+    pairs, matching the brute force which never pairs docs without
+    shingles."""
+    base = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+        (2, "one two"),  # < k tokens → no shingles
+    ]
+    rows = []
+    for doc_id, text in base:
+        for c in range(3):  # 3 exact clones of every text
+            rows.append((doc_id + 100 * c, text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in prefix_filtered_pairs(docs, 1, 5).collect()
+    }
+    brute = _brute_force_pairs(spark, docs, 1, 5)
+    assert got == brute
+    # shape spot-checks on top of the equality:
+    clone_pairs = [(0, 100), (0, 200), (100, 200)]
+    for p in clone_pairs:
+        assert got[p] == 1.0  # (a)
+    assert all(
+        (2 + 100 * i, 2 + 100 * j) not in got
+        for i in range(3)
+        for j in range(3)
+        if i < j
+    )  # (c)
+    # (b): every (clone-of-0, clone-of-1) combination carries the same
+    # jaccard as the representative pair (0, 1)
+    j01 = got[(0, 1)]
+    for a in (0, 100, 200):
+        for b in (1, 101, 201):
+            key = (min(a, b), max(a, b))
+            assert got[key] == j01
