@@ -5,12 +5,16 @@ our factory), imports the contract module, runs entry(), then every
 queries()[name] at sf0.01 against oracle_sql()[name] via DuckDB with
 row-count + column + exact value comparison.
 
-Usage: python scripts/drive_contract.py [--shuffle SEED]
+Usage: python scripts/drive_contract.py [--shuffle SEED] [--sf DIR]
   --shuffle SEED runs the catalog in a seeded RANDOM order instead of
   sorted — an order-dependence sweep: any query whose result depends on
   session state another query leaves behind (conf churn, temp views,
   cached plans, state stores) fails under some permutation. The r3
   driver-only hash mismatches motivated making this a one-flag check.
+  --sf DIR compares at a different scale factor (default sf0.01, the
+  driver's gate); sf0.1 is the 10x stress form — quadratic brute-force
+  oracles take minutes there, so it is an occasional artifact run, not
+  the per-change gate.
 """
 
 import math
@@ -25,6 +29,8 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as contract
 
 SF_DIR = "/root/testdata/sf0.01"
+if "--sf" in sys.argv:
+    SF_DIR = sys.argv[sys.argv.index("--sf") + 1]
 
 # driver-like session: defaults, no engine posture
 spark = (
