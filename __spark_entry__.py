@@ -79,13 +79,7 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "q_rollup_hierarchy", "q_sketch_hll_merge", "q_anomaly_mad",
     "q_dataset_mixture", "q_subnet_rollup", "q_nearest_event_join",
     "q_minhash_est_error", "q_kmeans_step",
-    # round 4 (CORRECTNESS_r04.json): 47/50 pass. The 3 hash-fails
-    # (q_filter_gate, q_group_quartiles_approx, q_tpch_q12) stay out:
-    # round 5 found and fixed the root cause (DuckDB HUGEINT output
-    # columns breaking the driver's pandas/Arrow value hash — see the
-    # q_filter_gate docstring in plans/catalog.py) so they re-verify in
-    # round 5 along with the 24 promoted staging queries and the 8
-    # q_probe_* diagnostics (35 pending, under the 50 cap).
+    # round 4 (CORRECTNESS_r04.json): 47/50 pass.
     "q_ab_test", "q_ann_pq_search", "q_attribution", "q_audio_energy",
     "q_benford", "q_clamped_balance", "q_corpus_build",
     "q_cumulative_distinct", "q_degree_stats", "q_ewma", "q_expectations",
@@ -98,6 +92,20 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q22",
     "q_tpch_q3", "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7",
     "q_tpch_q8", "q_tpch_q9", "q_trending", "q_zorder_cells",
+    # round 5 (CORRECTNESS_r05.json): 49/50 pass — the only red row was
+    # the DELIBERATE q_probe_sum_bare diagnostic (bare integer SUM →
+    # DuckDB HUGEINT), which confirmed the r3/r4 hash-divergence
+    # mechanism and retired the whole probe family in round 6. The 3
+    # lattice-hardened re-verifies and all 24 promoted staging queries
+    # went green.
+    "q_filter_gate", "q_group_quartiles_approx", "q_tpch_q12",
+    "q_tpch_q2", "q_tpch_q20", "q_tpch_q21", "q_changepoint_cusum",
+    "q_vocab_growth", "q_burstiness", "q_conversion_lag",
+    "q_segment_overlap", "q_gini", "q_sax_symbolize",
+    "q_dedup_prefix_filter", "q_kcore", "q_lorenz_curve", "q_top_paths",
+    "q_pop_change", "q_percentile_disc", "q_mode", "q_rolling_active",
+    "q_theilsen", "q_rolling_hll", "q_window_funnel", "q_eval_confusion",
+    "q_lsh_recall", "q_near_dup_rate",
 })
 
 

@@ -3819,8 +3819,10 @@ def q_filter_gate(spark, sf_dir):
     the 3 hash-failing queries and zero passing ones (every green
     ``SUM(CASE…)`` was already CAST to BIGINT). Fix: CAST every integer
     SUM to BIGINT; tests/test_queries_oracle.py now bans HUGEINT in any
-    oracle result schema, and the q_probe_* family (end of this file)
-    confirms the mechanism in-band via CORRECTNESS_r05."""
+    oracle result schema, and the q_probe_* family confirmed the
+    mechanism in-band (CORRECTNESS_r05: q_probe_sum_bare the single red
+    row, its BIGINT-cast twin green; family retired round 6 — see the
+    retirement note at the end of this file)."""
     t = _t(spark, sf_dir, "documents").select(
         "source",
         "n_chars",
@@ -9003,7 +9005,8 @@ def q_tpch_q12(spark, sf_dir):
     See the q_filter_gate docstring for the systematic audit (HUGEINT in
     exactly the 3 failing oracles, zero passing ones). The INTERVAL form
     is kept — it is value-correct in both dialects — and the interval
-    construct is separately probed in-band by q_probe_interval."""
+    construct was exonerated in-band by the retired q_probe_interval
+    (green in CORRECTNESS_r05)."""
     return _tpch(spark, sf_dir, "q12", _TPCH_Q12)
 
 
@@ -10718,188 +10721,25 @@ def q_near_dup_rate(spark, sf_dir):
 
 
 # =====================================================================
-# Driver-divergence probe family (VERDICT r4 item 1)
+# Driver-divergence probe family — RETIRED (round 6).
 #
-# Three queries hash-FAILED driver-side in r3/r4 while passing every
-# local replica (all SFs, driver session order, shifted TZ, identical
-# engine versions). Round-5 diagnosis: all three — and only those
-# three — produced DuckDB HUGEINT output columns (bare integer SUMs),
-# which round-trip exactly through fetchall() (every local replica)
-# but become float64 / decimal128 through the pandas / Arrow fetch
-# path, breaking a value hash while row counts and column names still
-# match. These probes make the driver confirm or refute that mechanism
-# in-band, one construct each, on tiny deterministic integer outputs:
-#
-#   q_probe_control          SELECT 1                     expect green
-#   q_probe_sum_bare         bare SUM(int) → HUGEINT      expect RED iff
-#                                                         hypothesis holds
-#   q_probe_sum_cast         same value CAST AS BIGINT    expect green
-#   q_probe_interval         ts + INTERVAL comparison     expect green
-#   q_probe_unnest_distinct  unnest → COUNT(DISTINCT)     expect green
-#   q_probe_intdiv           integer div binning          expect green
-#   q_probe_tokenize         split/lower token arity      expect green
-#   q_probe_window_sum       window SUM CAST AS BIGINT    expect green
-#
-# The (sum_bare RED, sum_cast GREEN) pair is the discriminator: it
-# isolates the *result dtype* as the only difference (identical value,
-# identical query shape). The remaining probes cover every other
-# construct the r4 verdict listed as a suspect; green rows eliminate
-# them. q_probe_sum_bare is the one catalog entry whose driver row is
-# EXPECTED red under the confirmed-mechanism hypothesis — it is a
-# diagnostic, excluded from the green-rate denominator rationale in
-# SURVEY §5, and will be retired once the mechanism is confirmed.
+# Rounds 3-4 saw three stable driver-only hash failures that passed
+# every local replica. Round 5 registered eight single-construct probe
+# queries; CORRECTNESS_r05.json returned exactly the predicted pattern:
+# q_probe_sum_bare (bare integer SUM -> DuckDB HUGEINT output column)
+# was the ONLY red row, its CAST-AS-BIGINT twin and every other suspect
+# construct (interval arithmetic, unnest+distinct, integer div,
+# tokenization, window sums, a constant control) green. Mechanism
+# confirmed: DuckDB HUGEINT (int128) result columns round-trip exactly
+# through fetchall() but not through the driver's pandas/Arrow value-
+# hash path. Rule (enforced by tests/test_queries_oracle.py::
+# test_no_hugeint_oracle_outputs): every integer aggregate in an oracle
+# is CAST to BIGINT. The probes were diagnostics, not surface; with the
+# mechanism confirmed they are deleted from the catalog (round-6 plan,
+# SURVEY SS8). Full history: SURVEY SS5 and the q_filter_gate docstring.
 # =====================================================================
 
 
-@register("q_probe_control", oracle="SELECT CAST(1 AS INT) AS x")
-def q_probe_control(spark, sf_dir):
-    """Probe (f): pure constant — if THIS fails, the divergence is in the
-    harness itself, not any SQL construct."""
-    return spark.sql("SELECT CAST(1 AS INT) AS x")
-
-
-@register(
-    "q_probe_sum_bare",
-    oracle="SELECT SUM(r_regionkey) AS s, SUM(n_nationkey) AS t FROM region, nation WHERE n_regionkey = r_regionkey",
-)
-def q_probe_sum_bare(spark, sf_dir):
-    """Probe (a-bare): DELIBERATE bare integer SUM — DuckDB types it
-    HUGEINT. Identical values to q_probe_sum_cast; the only difference
-    is the oracle result dtype. RED here + GREEN on q_probe_sum_cast
-    confirms the HUGEINT fetch-path mechanism; GREEN here refutes it."""
-    r = _t(spark, sf_dir, "region")
-    n = _t(spark, sf_dir, "nation")
-    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    return j.agg(
-        F.sum("r_regionkey").alias("s"), F.sum("n_nationkey").alias("t")
-    )
-
-
-@register(
-    "q_probe_sum_cast",
-    oracle="SELECT CAST(SUM(r_regionkey) AS BIGINT) AS s, CAST(SUM(n_nationkey) AS BIGINT) AS t FROM region, nation WHERE n_regionkey = r_regionkey",
-)
-def q_probe_sum_cast(spark, sf_dir):
-    """Probe (a-cast): the exact same join/aggregate as q_probe_sum_bare
-    with the sums CAST to BIGINT — the control arm of the discriminator
-    pair."""
-    r = _t(spark, sf_dir, "region")
-    n = _t(spark, sf_dir, "nation")
-    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-    return j.agg(
-        F.sum("r_regionkey").alias("s"), F.sum("n_nationkey").alias("t")
-    )
-
-
-_PROBE_INTERVAL_SQL = """
-    SELECT COUNT(*) AS n_late
-    FROM orders{s} JOIN lineitem{s} ON o_orderkey = l_orderkey
-    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
-"""
-_TPCH_TABLES["probe_interval"] = ("orders", "lineitem")
-
-
-@register("q_probe_interval", oracle=_PROBE_INTERVAL_SQL.format(s=""))
-def q_probe_interval(spark, sf_dir):
-    """Probe (d): the exact timestamp + INTERVAL comparison from
-    q_tpch_q12, reduced to a single COUNT (BIGINT in both engines, no
-    HUGEINT). GREEN exonerates interval/timestamp coercion — the r4
-    verdict's lead suspect for q12."""
-    return _tpch(spark, sf_dir, "probe_interval", _PROBE_INTERVAL_SQL)
-
-
-@register(
-    "q_probe_unnest_distinct",
-    oracle=f"""
-    WITH base AS (
-      SELECT doc_id, source, {_DUCK_TOKENS} AS toks FROM documents
-    ),
-    tok AS (SELECT doc_id, source, unnest(toks) AS t FROM base)
-    SELECT source, COUNT(DISTINCT t) AS n_uniq_tokens,
-           COUNT(*) AS n_token_rows
-    FROM tok GROUP BY source
-    """,
-)
-def q_probe_unnest_distinct(spark, sf_dir):
-    """Probe (b): unnest → COUNT(DISTINCT) — the q_filter_gate oracle
-    skeleton minus the SUM(CASE) counters (COUNT is BIGINT in DuckDB,
-    so no HUGEINT in the output). GREEN exonerates tokenize + unnest +
-    distinct-count semantics."""
-    base = _t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.explode(dd.tokens_col("text")).alias("t")
-    )
-    return base.groupBy("source").agg(
-        F.count_distinct("t").alias("n_uniq_tokens"),
-        F.count("*").alias("n_token_rows"),
-    )
-
-
-@register(
-    "q_probe_intdiv",
-    oracle="""
-    SELECT CAST(FLOOR(o_totalprice) AS BIGINT) // 500 AS b, COUNT(*) AS n
-    FROM orders GROUP BY 1
-    """,
-)
-def q_probe_intdiv(spark, sf_dir):
-    """Probe (c): the exact integer-division binning from
-    q_group_quartiles_approx, output as plain (BIGINT bin, BIGINT count).
-    GREEN exonerates `//` vs `div` floor-division semantics."""
-    o = _t(spark, sf_dir, "orders")
-    return o.groupBy(
-        F.expr("CAST(floor(o_totalprice) AS BIGINT) div 500").alias("b")
-    ).agg(F.count("*").alias("n"))
-
-
-@register(
-    "q_probe_tokenize",
-    oracle=f"""
-    SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS INT) AS n_tok
-    FROM documents
-    """,
-)
-def q_probe_tokenize(spark, sf_dir):
-    """Probe (e): split/lower tokenization arity of every document —
-    INT per-row outputs, no aggregation at all. GREEN exonerates the
-    tokenizer (empty-string filtering, lowercasing, split semantics)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", F.size(dd.tokens_col("text")).alias("n_tok"))
-
-
-@register(
-    "q_probe_window_sum",
-    oracle="""
-    WITH h AS (
-      SELECT o_orderpriority AS grp,
-             CAST(FLOOR(o_totalprice) AS BIGINT) // 500 AS b, COUNT(*) AS n_b
-      FROM orders GROUP BY 1, 2
-    )
-    SELECT grp, b,
-           CAST(SUM(n_b) OVER (PARTITION BY grp ORDER BY b
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-             AS cum_n
-    FROM h
-    """,
-)
-def q_probe_window_sum(spark, sf_dir):
-    """Probe (g): the cumulative window SUM from q_group_quartiles_approx,
-    CAST to BIGINT at the output boundary. GREEN (together with a green
-    q_probe_intdiv) pins the quartile query's r3/r4 failures entirely on
-    the one HUGEINT output column."""
-    o = _t(spark, sf_dir, "orders")
-    hist = o.groupBy(
-        F.col("o_orderpriority").alias("grp"),
-        F.expr("CAST(floor(o_totalprice) AS BIGINT) div 500").alias("b"),
-    ).agg(F.count("*").alias("n_b"))
-    w_cum = (
-        Window.partitionBy("grp")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return hist.select("grp", "b", F.sum("n_b").over(w_cum).alias("cum_n"))
-
-
-# =====================================================================
 
 
 def flagship(spark: SparkSession) -> DataFrame:

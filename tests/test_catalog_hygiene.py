@@ -12,15 +12,15 @@ def test_registry_consistent():
 
 
 def test_every_oracle_is_substantive():
-    # q_probe_control is exempt: its whole point is to be the trivial
-    # constant control of the driver-divergence probe family (r4 VERDICT
-    # item 1; see the probe docstrings in plans/catalog.py).
-    trivial = [
-        n
-        for n, sql in ORACLES.items()
-        if len(sql.strip()) < 30 and n != "q_probe_control"
-    ]
+    trivial = [n for n, sql in ORACLES.items() if len(sql.strip()) < 30]
     assert not trivial, trivial
+
+
+def test_probe_family_retired():
+    # The round-5 driver-divergence diagnostics confirmed the HUGEINT
+    # mechanism (CORRECTNESS_r05: q_probe_sum_bare the single red row)
+    # and were deleted in round 6 — they are diagnostics, not surface.
+    assert not [n for n in QUERIES if n.startswith("q_probe")]
 
 
 def test_query_names_are_stable_identifiers():

@@ -30,14 +30,11 @@ def test_no_hugeint_in_oracle_results(duck):
     DuckDB HUGEINT (e.g. a bare integer SUM) round-trips exactly through
     fetchall() — so every local replica passes — but becomes float64 /
     decimal128 through the pandas/Arrow fetch path, silently breaking the
-    driver's value hash. Ban it from every oracle's result schema. The
-    one exemption is q_probe_sum_bare, whose HUGEINT output is the
-    deliberate diagnostic (catalog.py probe family docstring)."""
-    exempt = {"q_probe_sum_bare"}
+    driver's value hash. Ban it from every oracle's result schema.
+    (The deliberate q_probe_sum_bare diagnostic carried the one
+    exemption until the probe family was retired in round 6.)"""
     offenders = {}
     for name, sql in ORACLES.items():
-        if name in exempt:
-            continue
         types = [str(t) for t in duck.sql(sql).types]
         bad = [t for t in types if "HUGEINT" in t]
         if bad:
@@ -78,11 +75,8 @@ def test_no_cross_engine_dtype_family_mismatch(spark, duck):
     DuckDB JSON is classed with strings: it is VARCHAR-backed and
     renders identically (driver-proven green on q_json_funcs since
     r2)."""
-    exempt = {"q_probe_sum_bare"}  # deliberate HUGEINT diagnostic
     offenders = []
     for name in sorted(QUERIES):
-        if name in exempt:
-            continue
         rel = duck.sql(ORACLES[name])
         duck_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
         spark_types = dict(QUERIES[name](spark, SF_DIR).dtypes)
