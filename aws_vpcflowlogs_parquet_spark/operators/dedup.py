@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from aws_vpcflowlogs_parquet_spark.caching import track_persist
+
 MINHASH_PERMS = 16
 MINHASH_BANDS = 4
 MINHASH_ROWS_PER_BAND = MINHASH_PERMS // MINHASH_BANDS
@@ -172,7 +174,7 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     100 TB this stage materializes to a parquet staging table instead of
     executor memory; the plan shape is identical.
     """
-    sigs = shingled(documents).persist()
+    sigs = track_persist(shingled(documents))
     sigs.count()  # settle the cache before concurrent first-touch
     bands = band_keys(minhash_signatures(sigs))
     a, b = bands.alias("a"), bands.alias("b")
@@ -265,7 +267,7 @@ def ngram_jaccard_pairs(documents: DataFrame, max_id: int = 200) -> DataFrame:
             f"{n} rows > bound {NGRAM_PAIRS_MAX_INPUT}. Generate candidates with "
             f"minhash_lsh_pairs and verify those pairs instead."
         )
-    sigs = shingled(docs).persist()  # referenced by both join sides
+    sigs = track_persist(shingled(docs))  # referenced by both join sides
     sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     pairs = sa.join(sb, F.col("doc_a") < F.col("doc_b"))
@@ -410,8 +412,8 @@ def prefix_filtered_pairs(
     marked = (
         documents.select("doc_id", "text", F.md5("text").alias("_th"))
         .withColumn("rep", F.min("doc_id").over(Window.partitionBy("_th")))
-        .persist()
     )
+    marked = track_persist(marked)
     members = marked.select("rep", "doc_id")
     rep_rows = marked.filter(F.col("doc_id") == F.col("rep"))
     # Callers that ALSO consume shingles (q_lsh_recall's banding side)
@@ -425,7 +427,7 @@ def prefix_filtered_pairs(
     # frequencies, the ranked prefix, and the verify arrays); persist it
     # so the explode+distinct shuffle runs once, not once per consumer —
     # same pattern as the pagerank invariants (operators/graph.py).
-    rows = rows.persist()
+    rows = track_persist(rows)
     core = _prefix_pairs_core(rows, tn, td)
     # --- expand the representative pairs back to all clones -----------
     ma = members.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ia"))
@@ -457,7 +459,18 @@ def prefix_filtered_pairs(
 def _prefix_pairs_core(rows: DataFrame, tn: int, td: int) -> DataFrame:
     """Steps 1-4 of :func:`prefix_filtered_pairs` over an
     already-persisted, exact-dup-free (doc_id, s) shingle relation."""
-    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # ONE doc_id aggregation serves both the prefix-length sizes and the
+    # verify arrays (sz is just the array length) — the split form ran
+    # the shingle-relation shuffle twice. Persisted (tracked): it has
+    # two consumers and is |docs|-sized, far smaller than the shingle
+    # relation it aggregates.
+    arrs = track_persist(
+        rows.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("s")).alias("sh"),
+            F.count("*").alias("sz"),
+        )
+    )
+    sizes = arrs.select("doc_id", "sz")
     freq = rows.groupBy("s").agg(F.count("*").alias("df"))
     ranked = (
         rows.join(freq, "s")
@@ -479,12 +492,9 @@ def _prefix_pairs_core(rows: DataFrame, tn: int, td: int) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact overlap via per-doc shingle ARRAYS: one row per document,
-    # overlap computed in codegen — no per-candidate fan-out shuffle
-    arrs = rows.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("s")).alias("sh"),
-        F.count("*").alias("sz"),
-    )
+    # exact overlap via the per-doc shingle ARRAYS aggregated above: one
+    # row per document, overlap computed in codegen — no per-candidate
+    # fan-out shuffle
     verified = (
         cand.join(
             arrs.select(

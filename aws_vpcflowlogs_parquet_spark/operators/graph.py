@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from aws_vpcflowlogs_parquet_spark.caching import track_persist
+
 PR_SCALE = 1_000_000_000_000  # 1e-12 quantization of per-edge contributions
 PR_DAMPING = 0.85
 
@@ -39,14 +41,16 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = PR_DAMPING) -> 
     # unbounded at 100 TB). Persist the loop-invariant inputs once and
     # checkpoint ranks each round — the same discipline GraphX/Pregel
     # apply (periodic checkpointing of the iterative RDD).
-    edges = edges.persist()
+    edges = track_persist(edges)
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).persist()
+    nodes = track_persist(nodes)
+    outdeg = track_persist(
+        edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    )
     nn = nodes.agg(F.count("*").alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(nn)).select(
         "node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")

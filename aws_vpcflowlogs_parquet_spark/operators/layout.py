@@ -129,23 +129,40 @@ def compact(
 
     lock = f"{path}__compact_lock"
     stale_lock_seconds = 24 * 3600
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
-    except FileExistsError:
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            break
+        except FileExistsError:
+            pass
         try:
             age = time.time() - os.path.getmtime(lock)
         except OSError:  # lock vanished between the open and the stat
-            age = float("inf")
+            continue  # re-contend the O_EXCL create
         if age < stale_lock_seconds:
             raise RuntimeError(
                 f"compact() already running on {path} (lock {lock}, "
                 f"{age:.0f}s old); single-writer required — see docstring"
             )
-        # stale lock from a crashed run: take it over
-        with open(lock, "w") as f:
-            f.write(str(os.getpid()))
+        # Stale lock from a crashed run: break it ATOMICALLY (ADVICE
+        # r5 — a plain rewrite lets two breakers both proceed into the
+        # recovery sweep). rename() is the one-winner step: exactly one
+        # breaker moves the stale lock aside (the loser's rename raises
+        # FileNotFoundError); everyone then re-contends the O_EXCL
+        # create above, so a losing breaker sees the winner's FRESH
+        # lock and raises RuntimeError on the next pass.
+        try:
+            os.rename(lock, f"{lock}.broken_{uuid.uuid4().hex}")
+        except FileNotFoundError:
+            pass
+        # winner or loser, sweep any broken-lock husks we own the name of
+        for husk in glob.glob(f"{lock}.broken_*"):
+            try:
+                os.remove(husk)
+            except OSError:
+                pass
 
     try:
         # crash recovery from a previous interrupted swap: ``path``

@@ -228,16 +228,20 @@ def resize_images(documents: DataFrame, target_max: int = 64) -> DataFrame:
         # serialize this closure by module path, which breaks on workers
         # that can't import the engine package
         def pnm_dims(p: bytes) -> tuple[int, int]:
+            # mirrors _decode_pnm including its bounds guards: a header
+            # scan that reaches end-of-buffer must raise (int(b'') →
+            # ValueError, caught in dims()), never spin — slicing past
+            # the end yields b'', which is not whitespace (ADVICE r5)
             pos, fields = 2, []
             while len(fields) < 3:
-                while p[pos : pos + 1].isspace():
+                while pos < len(p) and p[pos : pos + 1].isspace():
                     pos += 1
                 if p[pos : pos + 1] == b"#":
-                    while p[pos] != 0x0A:
+                    while pos < len(p) and p[pos] != 0x0A:
                         pos += 1
                     continue
                 start = pos
-                while not p[pos : pos + 1].isspace():
+                while pos < len(p) and not p[pos : pos + 1].isspace():
                     pos += 1
                 fields.append(int(p[start:pos]))
             w, h, maxval = fields

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from aws_vpcflowlogs_parquet_spark.caching import track_persist
+
 SIM_ROUND = 6
 LSH_BITS = 8
 
@@ -137,7 +139,7 @@ def ivf_topk(
     touch one partition per query. nprobe=1 here; production raises nprobe
     by joining on the query's top-p cells instead of its argmax cell.
     """
-    assigned = ivf_assign(embeddings, n_centroids).persist()
+    assigned = track_persist(ivf_assign(embeddings, n_centroids))
     queries = assigned.filter(
         (F.col("vec_id") >= n_centroids) & (F.col("vec_id") < n_centroids + n_queries)
     ).select(

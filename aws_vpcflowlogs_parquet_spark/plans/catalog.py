@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..caching import release_cached_intermediates, track_persist
 from ..functions.casts import exact_avg, exact_avg_sql, exact_sum, exact_sum_sql
 from ..operators import dedup as dd
 from ..operators import multimodal as mm
@@ -39,6 +40,13 @@ def register(name: str, oracle: str | None = None):
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_session_posture(spark)
+            # building a query marks the PREVIOUS query's tracked
+            # persists (shingle tables, dup-collapse frames, pagerank
+            # invariants, ...) dead: every harness builds and
+            # materializes sequentially. Release them here so cached
+            # intermediates never accumulate past one query's working
+            # set over a long session (ADVICE r5).
+            release_cached_intermediates()
             return fn(spark, sf_dir)
 
         QUERIES[name] = wrapped
@@ -4683,7 +4691,7 @@ def q_containment(spark, sf_dir):
     both (a in b) and (b in a) rows can appear. Integer intersection
     sizes divided once in double — exact oracle."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    sets = dd.shingled(docs).persist()
+    sets = track_persist(dd.shingled(docs))
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     pairs = (
@@ -6425,7 +6433,7 @@ def q_minhash_est_error(spark, sf_dir):
     ships only 16×8-byte signatures. Exact integer component matches
     and set sizes → every output is a deterministic double division."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
-    sigs = dd.shingled(docs).persist()
+    sigs = track_persist(dd.shingled(docs))
     sigs.count()
     mins = dd.minhash_signatures(sigs)
     bands = dd.band_keys(mins)
@@ -10590,13 +10598,13 @@ def q_lsh_recall(spark, sf_dir):
     # candidates each feed TWO consumers (the caught-join and their own
     # count) — persist all three shared frames so nothing re-runs per
     # consumer
-    rows = dd.shingle_rows(docs).persist()
-    exact = (
-        dd.prefix_filtered_pairs(docs, 1, 5, rows=rows)
-        .select("doc_a", "doc_b")
-        .persist()
+    rows = track_persist(dd.shingle_rows(docs))
+    exact = track_persist(
+        dd.prefix_filtered_pairs(docs, 1, 5, rows=rows).select(
+            "doc_a", "doc_b"
+        )
     )
-    sigs = dd.shingled(docs, rows=rows).persist()
+    sigs = track_persist(dd.shingled(docs, rows=rows))
     sigs.count()
     bands = dd.band_keys(dd.minhash_signatures(sigs))
     a, b = bands.alias("a"), bands.alias("b")
@@ -10610,8 +10618,8 @@ def q_lsh_recall(spark, sf_dir):
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .persist()
     )
+    cand = track_persist(cand)
     caught = exact.join(cand, ["doc_a", "doc_b"])
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_cand = cand.agg(F.count("*").alias("n_candidates"))
@@ -10694,7 +10702,7 @@ def q_near_dup_rate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     # both union branches consume the pair relation; persist so the
     # prefix-filter pipeline runs once, not once per branch
-    pairs = dd.prefix_filtered_pairs(docs, 1, 5).persist()
+    pairs = track_persist(dd.prefix_filtered_pairs(docs, 1, 5))
     dupped = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))

@@ -183,3 +183,45 @@ def test_compact_rejects_concurrent_run_and_breaks_stale_lock(spark, tmp_path):
     stats = compact(spark, path, target_bytes=10 * 1024 * 1024)
     assert stats["files_before"] == 4
     assert not os.path.exists(lock)  # released after a successful run
+
+
+def test_compact_stale_lock_takeover_is_atomic(spark, tmp_path):
+    """ADVICE r5: breaking a stale lock must be a one-winner operation.
+    The breaker renames the stale lock to a unique husk (atomic — a
+    second breaker's rename raises) and re-contends the O_EXCL create,
+    so a racing breaker sees the winner's FRESH lock and raises instead
+    of both proceeding into the destructive recovery sweep. Husks left
+    by a breaker that crashed post-rename are swept on the next run."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from aws_vpcflowlogs_parquet_spark.operators.layout import compact
+
+    pts = _pts(spark)
+    path = str(tmp_path / "atomic")
+    pts.repartition(4).write.parquet(path)
+    lock = f"{path}__compact_lock"
+
+    # a crashed breaker's husk + a stale lock: both must be cleaned up
+    old = time.time() - 25 * 3600
+    with open(lock, "w") as f:
+        f.write("999")
+    os.utime(lock, (old, old))
+    husk = f"{lock}.broken_deadbeef"
+    with open(husk, "w") as f:
+        f.write("998")
+    stats = compact(spark, path, target_bytes=10 * 1024 * 1024)
+    assert stats["files_before"] == 4
+    assert not os.path.exists(lock)
+    assert not os.path.exists(husk)
+
+    # the loser path: a FRESH lock (what a losing breaker observes after
+    # the winner re-creates) fails fast and leaves the winner's lock
+    with open(lock, "w") as f:
+        f.write("win")
+    with _pytest.raises(RuntimeError, match="already running"):
+        compact(spark, path, target_bytes=10 * 1024 * 1024)
+    assert os.path.exists(lock)
+    os.remove(lock)

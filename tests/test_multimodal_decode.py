@@ -159,10 +159,24 @@ def test_resize_images_rejects_fake_bm_text(spark):
     assert (row.width, row.height) == (16 + n % 241, 16 + (n * 7) % 241)
 
 
-def test_resize_images_rejects_truncated_pnm_header(spark):
-    # "P6 12 34 255 " with no raster parses numerically but the declared
-    # raster is absent — must fall back to length-derived dims.
-    fake = "P6\n12 34\n255\nshort"
+@pytest.mark.parametrize(
+    "fake",
+    [
+        # "P6 12 34 255 " with no raster parses numerically but the
+        # declared raster is absent — must fall back to length dims.
+        "P6\n12 34\n255\nshort",
+        # Header scans that reach end-of-buffer mid-token: before the
+        # ADVICE-r5 bounds guards these spun the executor forever
+        # (b''.isspace() is False, so `while not ...isspace()` never
+        # exits). Must fall back, not hang.
+        "P6",
+        "P6 abc",
+        "P6 1 2 3",
+        "P6 12 34",
+        "P5 #comment-with-no-newline",
+    ],
+)
+def test_resize_images_rejects_truncated_pnm_header(spark, fake):
     docs = spark.createDataFrame([(0, fake)], "doc_id long, text string")
     row = resize_images(docs, target_max=16).collect()[0]
     n = len(fake)

@@ -61,3 +61,26 @@ def test_audio_energy_no_shuffle(spark):
     d = profile(QUERIES["q_audio_energy"](spark, SF_DIR))
     assert d["n_exchanges"] == 0, d
     assert d["rows_out"] > 0, d
+
+
+def test_tracked_caches_released_at_query_boundary(spark):
+    """ADVICE r5: prefix_filtered_pairs (and pagerank/IVF/shingle
+    builders) persist multi-consumer intermediates they cannot unpersist
+    themselves. The @register wrapper releases the registry when the
+    NEXT query is built, so cached intermediates never accumulate past
+    one query's working set over a 220-query session."""
+    from aws_vpcflowlogs_parquet_spark.caching import tracked_cache_count
+
+    QUERIES["q_near_dup_rate"](spark, SF_DIR).collect()
+    after_dedup = tracked_cache_count()
+    assert after_dedup >= 3  # marked + shingle rows + pair relation
+
+    QUERIES["q_pagerank"](spark, SF_DIR).collect()
+    after_pagerank = tracked_cache_count()
+    # the dedup query's caches were released; only pagerank's three
+    # loop invariants (edges, nodes, outdeg) remain live
+    assert after_pagerank == 3, (after_dedup, after_pagerank)
+
+    # a query with no tracked persists empties the registry entirely
+    QUERIES["q_topk"](spark, SF_DIR).collect()
+    assert tracked_cache_count() == 0
