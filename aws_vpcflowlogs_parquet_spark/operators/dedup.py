@@ -459,18 +459,14 @@ def prefix_filtered_pairs(
 def _prefix_pairs_core(rows: DataFrame, tn: int, td: int) -> DataFrame:
     """Steps 1-4 of :func:`prefix_filtered_pairs` over an
     already-persisted, exact-dup-free (doc_id, s) shingle relation."""
-    # ONE doc_id aggregation serves both the prefix-length sizes and the
-    # verify arrays (sz is just the array length) — the split form ran
-    # the shingle-relation shuffle twice. Persisted (tracked): it has
-    # two consumers and is |docs|-sized, far smaller than the shingle
-    # relation it aggregates.
-    arrs = track_persist(
-        rows.groupBy("doc_id").agg(
-            F.sort_array(F.collect_list("s")).alias("sh"),
-            F.count("*").alias("sz"),
-        )
-    )
-    sizes = arrs.select("doc_id", "sz")
+    # sizes and the verify arrays are DELIBERATELY separate aggregations
+    # over the (persisted) shingle relation: the sizes branch is a
+    # count-only hash agg with map-side combine, while folding it into
+    # the array aggregate and caching that (tried round 6) forces the
+    # sorted per-doc arrays to materialize for the cheap branch too —
+    # Catalyst can no longer prune collect_list out of the sizes path —
+    # and measured 4.8 s → 7.6 s at sf0.1.
+    sizes = rows.groupBy("doc_id").agg(F.count("*").alias("sz"))
     freq = rows.groupBy("s").agg(F.count("*").alias("df"))
     ranked = (
         rows.join(freq, "s")
@@ -492,9 +488,12 @@ def _prefix_pairs_core(rows: DataFrame, tn: int, td: int) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact overlap via the per-doc shingle ARRAYS aggregated above: one
-    # row per document, overlap computed in codegen — no per-candidate
-    # fan-out shuffle
+    # exact overlap via per-doc shingle ARRAYS: one row per document,
+    # overlap computed in codegen — no per-candidate fan-out shuffle
+    arrs = rows.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("sh"),
+        F.count("*").alias("sz"),
+    )
     verified = (
         cand.join(
             arrs.select(
