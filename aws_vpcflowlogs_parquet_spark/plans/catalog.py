@@ -10735,6 +10735,382 @@ def q_near_dup_rate(spark, sf_dir):
 
 
 # =====================================================================
+# Round-6 additions: corpus-curation operators (SURVEY §2.4 growth).
+# Six first-class training-data-pipeline queries on the empty
+# verification queue — novelty accounting, deterministic shard layout,
+# embedding QC, budget waterfilling, vocabulary fit. All integer-lattice
+# or single-division outputs (HUGEINT-safe oracles, SURVEY §5).
+# =====================================================================
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_DUCK_TOKENS} AS tk FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, source, unnest(list_distinct(
+        CASE WHEN len(tk) >= 3 THEN
+          list_transform(generate_series(1, len(tk) - 2),
+            i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+        ELSE [] END)) AS s
+      FROM t
+    ),
+    m AS (
+      SELECT source, doc_id,
+             MIN(doc_id) OVER (PARTITION BY s) AS first_doc
+      FROM sh
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_shingle_rows,
+           CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS novelty_rate
+    FROM m GROUP BY source
+    """,
+)
+def q_ngram_novelty(spark, sf_dir):
+    """Per-source n-gram novelty: the fraction of a source's distinct
+    shingle occurrences that are FIRST introductions to the corpus
+    (doc_id as ingest order) — the redundancy curve behind 'is new data
+    still adding information', the curation-side complement of the
+    near-dup rate (a shingle can be stale corpus-wide without any single document pairing).
+
+    Spark-first: the engine shingle relation (one explode + distinct),
+    a min() window keyed on the shingle — one shuffle on the shingle,
+    the same key the prefix-filter frequency table uses — then a
+    broadcast-sized doc→source join and a hash agg. Counts integer,
+    one division. At 100 TB: no step beyond the existing shingle
+    shuffle; the window is an agg-join in disguise and AQE handles the
+    skewed head shingles (the min is insensitive to order)."""
+    docs = _t(spark, sf_dir, "documents")
+    rows = dd.shingle_rows(docs)
+    first = F.min("doc_id").over(Window.partitionBy("s"))
+    marked = rows.select(
+        "doc_id", (F.col("doc_id") == first).cast("int").alias("novel")
+    )
+    return (
+        marked.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_shingle_rows"),
+            F.sum("novel").alias("n_novel"),
+            (F.sum("novel").cast("double") / F.count("*")).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+N_SHARDS = 16
+
+
+@register(
+    "q_shard_assign",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {N_SHARDS} AS shard
+      FROM documents
+    ),
+    p AS (
+      SELECT shard, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY hx, doc_id)
+               AS pos
+      FROM h
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           CAST(SUM(pos * doc_id) AS BIGINT) AS order_checksum
+    FROM p GROUP BY shard
+    """,
+)
+def q_shard_assign(spark, sf_dir):
+    """Deterministic training-shard layout: every document is assigned a
+    shard by key hash and a position WITHIN its shard by hash order —
+    the global seeded shuffle + sharding step every pretraining run
+    performs before writing webdataset/arrow shards. Both assignments
+    are pure functions of doc_id (md5, engine-portable like
+    q_sample_hash), so the layout is reproducible across runs, engines,
+    and partitionings — resume-safe data order. Output: per-shard doc
+    and char totals (the balance proof — 100 TB shards must be even or
+    stragglers dominate) plus a position-weighted checksum that pins the
+    exact within-shard order, not just membership.
+
+    One shuffle on the shard key (the window), one hash agg. At scale
+    this is exactly the physical write: repartition(shard) +
+    sortWithinPartitions(hash) — the query's plan IS the layout job."""
+    docs = _t(spark, sf_dir, "documents")
+    hx = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint") % N_SHARDS
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    p = docs.select(
+        "doc_id", "n_chars", hx.alias("hx"), shard.alias("shard")
+    ).withColumn("pos", F.row_number().over(w))
+    return p.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"),
+        F.sum(F.col("pos") * F.col("doc_id")).alias("order_checksum"),
+    )
+
+
+@register(
+    "q_embedding_qc",
+    oracle="""
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(len(embedding)) AS INT) AS min_dim,
+           CAST(MAX(len(embedding)) AS INT) AS max_dim,
+           CAST(SUM(CASE WHEN len(list_filter(embedding, x -> x != 0)) = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vecs,
+           CAST(SUM(CASE WHEN len(list_filter(embedding,
+                      x -> isnan(x) OR isinf(x))) > 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite_vecs,
+           CAST(MIN(list_min(embedding)) AS DOUBLE) AS min_val,
+           CAST(MAX(list_max(embedding)) AS DOUBLE) AS max_val
+    FROM embeddings GROUP BY label
+    """,
+)
+def q_embedding_qc(spark, sf_dir):
+    """Embedding-table health check before any ANN/dedup consumes it:
+    per-label vector counts, dimensionality min/max (a ragged dim is a
+    pipeline bug), zero-vector and non-finite counts (dead or corrupted
+    encoder outputs poison cosine math silently), and the global value
+    range. The per-row probes are array higher-order functions (filter /
+    array_min / array_max) inside codegen — order-independent, so no
+    float-sum nondeterminism — and the rollup is one hash agg with
+    map-side combine: at 100 TB this is a single scan, no shuffle
+    beyond |labels| partial rows. Counts integer; extrema are exact
+    float→double widenings."""
+    e = _t(spark, sf_dir, "embeddings")
+    nonzero = F.expr("size(filter(embedding, x -> x != 0))")
+    nonfinite = F.expr(
+        "size(filter(embedding, x -> isnan(x) OR abs(x) = cast('Infinity' as float)))"
+    )
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.min(F.size("embedding")).alias("min_dim"),
+        F.max(F.size("embedding")).alias("max_dim"),
+        F.sum((nonzero == 0).cast("int")).alias("n_zero_vecs"),
+        F.sum((nonfinite > 0).cast("int")).alias("n_nonfinite_vecs"),
+        F.min(F.array_min("embedding")).cast("double").alias("min_val"),
+        F.max(F.array_max("embedding")).cast("double").alias("max_val"),
+    )
+
+
+@register(
+    "q_token_budget",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                      t -> t != ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM per
+    ),
+    ranked AS (
+      SELECT source, n_tokens, total, n_src, (total * 3) // 5 AS budget,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS k,
+             SUM(n_tokens) OVER (ORDER BY n_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pk
+      FROM per, tot
+    ),
+    cand AS (
+      SELECT k, n_tokens,
+             (budget - (pk - n_tokens)) // (n_src - k + 1) AS lam_k
+      FROM ranked
+    ),
+    lvl AS (
+      SELECT CAST(arg_min(lam_k, k) AS BIGINT) AS water_level
+      FROM cand WHERE lam_k < n_tokens
+    )
+    SELECT r.source, r.n_tokens,
+           CAST(CASE WHEN l.water_level IS NULL THEN r.n_tokens
+                ELSE LEAST(r.n_tokens, l.water_level) END AS BIGINT)
+             AS allocation,
+           CAST(CASE WHEN l.water_level IS NOT NULL
+                      AND r.n_tokens > l.water_level
+                THEN 1 ELSE 0 END AS INT) AS capped,
+           l.water_level
+    FROM ranked r CROSS JOIN lvl l
+    """,
+)
+def q_token_budget(spark, sf_dir):
+    """Integer waterfilling of a global token budget across sources: cap
+    every source at a common water level λ so that Σ min(tokens, λ)
+    fits the budget (here 60% of the corpus), small sources fully
+    funded — the cap-constrained companion of q_dataset_mixture's
+    temperature mixture (that one reweights proportionally; this one
+    answers 'each source may contribute at most λ tokens, what is λ').
+    λ is found closed-form on the integer lattice: sort sources
+    ascending, and for each rank k the candidate level
+    (B - P_{k-1}) div (n-k+1) assumes sources ≥ k are capped; the FIRST
+    rank whose candidate falls below its own size is the true cap point
+    (min_by, no iteration). Everything after the per-source token count
+    — the only heavy agg, map-side combined — runs on an n_sources-row
+    frame, so the global windows are driver-scale by construction.
+    Properties (feasibility, tightness, monotonicity) are pinned in
+    tests/test_token_budget_properties.py."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.sum(F.size(dd.tokens_col("text"))).alias("n_tokens")
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("total"), F.count("*").alias("n_src")
+    )
+    w = Window.orderBy("n_tokens", "source")
+    ranked = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn("budget", F.expr("(total * 3) div 5"))
+        .withColumn("k", F.row_number().over(w))
+        .withColumn(
+            "pk",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    cand = ranked.withColumn(
+        "lam_k", F.expr("(budget - (pk - n_tokens)) div (n_src - k + 1)")
+    )
+    lvl = cand.filter(F.col("lam_k") < F.col("n_tokens")).agg(
+        F.min_by("lam_k", "k").alias("water_level")
+    )
+    return ranked.crossJoin(F.broadcast(lvl)).select(
+        "source",
+        "n_tokens",
+        F.when(F.col("water_level").isNull(), F.col("n_tokens"))
+        .otherwise(F.least("n_tokens", "water_level"))
+        .alias("allocation"),
+        (
+            F.col("water_level").isNotNull()
+            & (F.col("n_tokens") > F.col("water_level"))
+        )
+        .cast("int")
+        .alias("capped"),
+        "water_level",
+    )
+
+
+VOCAB_TOP = 50
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH occ AS (
+      SELECT source, unnest({_DUCK_TOKENS}) AS t FROM documents
+    ),
+    vocab AS (
+      SELECT t FROM (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS freq FROM occ GROUP BY t
+        ORDER BY freq DESC, t LIMIT {VOCAB_TOP}
+      )
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           CAST(SUM(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS oov_rate
+    FROM occ o LEFT JOIN vocab v ON o.t = v.t
+    GROUP BY source
+    """,
+)
+def q_vocab_coverage(spark, sf_dir):
+    """Vocabulary fit per source: build the corpus top-V vocabulary by
+    occurrence frequency (deterministic tie-break on the token), then
+    measure each source's out-of-vocabulary token rate — the
+    tokenizer-coverage check run before committing a vocab/merges file
+    to a pretraining corpus. The explode is shared by both passes; the
+    vocabulary is V rows and rides a broadcast left join, so the
+    per-source rollup adds no shuffle beyond the frequency agg it
+    already owns. Counts integer, one division; at 100 TB the heavy
+    aggs are map-side combined token counts, and the top-V is a
+    TakeOrdered on |vocab| candidates, never a global sort of the
+    corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = track_persist(
+        docs.select(
+            "source", F.explode(dd.tokens_col("text")).alias("t")
+        )
+    )
+    vocab = (
+        occ.groupBy("t")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), "t")
+        .limit(VOCAB_TOP)
+        .select("t")
+    )
+    return (
+        occ.join(
+            F.broadcast(vocab.withColumn("in_v", F.lit(1))), "t", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.col("in_v").isNull().cast("int")).alias("n_oov"),
+            (
+                F.sum(F.col("in_v").isNull().cast("int")).cast("double")
+                / F.count("*")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@register(
+    "q_doc_stopwords",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, unnest(list_distinct({_DUCK_TOKENS})) AS t
+      FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT t, df, CAST(df AS DOUBLE) / n_docs AS df_ratio
+    FROM (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM d GROUP BY t
+      ORDER BY df DESC, t LIMIT 20
+    ), n
+    """,
+)
+def q_doc_stopwords(spark, sf_dir):
+    """Stopword candidates by DOCUMENT frequency: the 20 tokens present
+    in the most documents, with their df ratio — the signal behind
+    stopword lists and df-based vocabulary pruning (q_explode_wordcount
+    ranks by occurrence count; a token repeated heavily in few docs
+    ranks high there and low here). distinct-per-doc explode → hash agg
+    → TakeOrdered(20) with a total tie-break, then one broadcast scalar
+    join for the ratio. At 100 TB: one shuffle on the token, map-side
+    combined; the top-k never sorts the full vocabulary globally."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.explode(F.array_distinct(dd.tokens_col("text"))).alias("t")
+    )
+    n = docs.agg(F.count("*").alias("n_docs"))
+    top = (
+        d.groupBy("t")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.col("df").desc(), "t")
+        .limit(20)
+    )
+    return top.crossJoin(F.broadcast(n)).select(
+        "t",
+        "df",
+        (F.col("df").cast("double") / F.col("n_docs")).alias("df_ratio"),
+    )
+
+
+# =====================================================================
 # Driver-divergence probe family — RETIRED (round 6).
 #
 # Rounds 3-4 saw three stable driver-only hash failures that passed

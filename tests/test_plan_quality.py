@@ -538,3 +538,34 @@ def test_tpch_q15_single_fact_scan(spark):
     plan = _executed(QUERIES["q_tpch_q15"](spark, SF_DIR))
     assert plan.count("FileScan parquet") == 2, plan
     assert "Window" in plan, plan
+
+
+def test_embedding_qc_single_scan_one_exchange(spark):
+    # per-row array HOF probes + one partial/final hash agg pair: a
+    # single parquet scan and exactly one shuffle of |labels| partials
+    plan = _executed(QUERIES["q_embedding_qc"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("HashAggregate") >= 2, plan  # map-side combine
+
+
+def test_shard_assign_shuffles_on_shard_key(spark):
+    # the layout query's one data shuffle is the shard repartition; the
+    # rollup rides the same partitioning (partial/final agg pair)
+    plan = _executed(QUERIES["q_shard_assign"](spark, SF_DIR))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "hashpartitioning(shard" in plan, plan
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    # the top-V vocabulary is V rows: it must ride a broadcast join,
+    # and the top-V itself is a TakeOrdered, not a global sort
+    plan = _executed(QUERIES["q_vocab_coverage"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_doc_stopwords_topk_is_take_ordered(spark):
+    plan = _executed(QUERIES["q_doc_stopwords"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
