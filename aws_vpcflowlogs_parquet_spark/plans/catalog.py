@@ -11110,6 +11110,280 @@ def q_doc_stopwords(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Round-6 batch 2: quality filtering / drift / agreement analytics.
+# Transcendental-free by construction: surprisal uses the exact integer
+# floor(log2) lattice (length(bin(m))-1 — identical in both engines),
+# the chi-squared drift uses only +,-,*,/ on integer-derived doubles
+# (IEEE correctly-rounded, bit-identical cross-engine) quantized to
+# bigint before the order-sensitive sum, and kappa reduces to single
+# divisions of exact integers. A log()-based formulation was rejected:
+# transcendentals are NOT correctly-rounded, so JVM Math.log vs DuckDB
+# libm could differ in the last ulp and flip a quantization bucket.
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q_unigram_surprisal",
+    oracle=f"""
+    WITH occ AS (
+      SELECT source, doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents
+    ),
+    freq AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY t),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM occ),
+    scored AS (
+      SELECT o.source, o.doc_id,
+             length(bin(n_total // c)) - 1 AS k
+      FROM occ o JOIN freq USING (t) CROSS JOIN tot
+    ),
+    per_doc AS (
+      SELECT source, doc_id, CAST(SUM(k) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_tok
+      FROM scored GROUP BY source, doc_id
+    )
+    SELECT source, s // n_tok AS bits_per_token,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM per_doc GROUP BY source, s // n_tok
+    """,
+)
+def q_unigram_surprisal(spark, sf_dir):
+    """Perplexity-proxy quality filter ON the engine: score every
+    document by its mean unigram surprisal under the corpus's own
+    distribution and histogram the scores per source — the shape of the
+    CCNet/KenLM perplexity gate, with the LM replaced by the corpus
+    unigram model the engine can build in one aggregation. Surprisal is
+    EXACT-integer: a token with corpus count c out of N carries
+    floor(log2(N div c)) bits via ``length(bin(m)) - 1`` — no
+    transcendental, so both engines sit on the identical lattice and
+    per-doc sums are order-exact bigints. At 100 TB: one explode
+    (shared, persisted), one token-keyed frequency agg (map-side
+    combined; the frequency table is |vocab| rows and broadcastable),
+    one doc-keyed agg, one (source, bucket) agg — all hash aggs, no
+    windows, no quadratic step."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = track_persist(
+        docs.select(
+            "source", "doc_id", F.explode(dd.tokens_col("text")).alias("t")
+        )
+    )
+    freq = occ.groupBy("t").agg(F.count("*").alias("c"))
+    tot = occ.agg(F.count("*").alias("n_total"))
+    scored = (
+        occ.join(freq, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "doc_id",
+            F.expr("length(bin(n_total div c)) - 1").alias("k"),
+        )
+    )
+    per_doc = scored.groupBy("source", "doc_id").agg(
+        F.sum("k").alias("s"), F.count("*").alias("n_tok")
+    )
+    return per_doc.groupBy(
+        "source", F.expr("s div n_tok").alias("bits_per_token")
+    ).agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+
+
+DRIFT_VOCAB_TOP = 50
+
+
+@register(
+    "q_source_drift",
+    oracle=f"""
+    WITH occ AS (
+      SELECT source, unnest({_DUCK_TOKENS}) AS t FROM documents
+    ),
+    vocab AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY t
+      ORDER BY c DESC, t LIMIT {DRIFT_VOCAB_TOP}
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM occ),
+    src AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM occ GROUP BY source
+    ),
+    obs AS (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS o
+      FROM occ JOIN vocab USING (t) GROUP BY source, t
+    ),
+    grid AS (
+      SELECT s.source, s.n_src, v.t, v.c, COALESCE(b.o, 0) AS o
+      FROM src s CROSS JOIN vocab v
+      LEFT JOIN obs b ON b.source = s.source AND b.t = v.t
+    ),
+    terms AS (
+      SELECT source, n_src,
+             CAST(FLOOR(
+               (CAST(o AS DOUBLE)
+                  - CAST(n_src AS DOUBLE) * CAST(c AS DOUBLE)
+                    / CAST(n_corpus AS DOUBLE))
+               * (CAST(o AS DOUBLE)
+                  - CAST(n_src AS DOUBLE) * CAST(c AS DOUBLE)
+                    / CAST(n_corpus AS DOUBLE))
+               / (CAST(n_src AS DOUBLE) * CAST(c AS DOUBLE)
+                    / CAST(n_corpus AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM grid CROSS JOIN tot
+    )
+    SELECT source, MAX(n_src) AS n_tokens,
+           CAST(SUM(q) AS BIGINT) AS chi2_micro,
+           CAST(SUM(q) AS DOUBLE) / 1000000.0 AS chi2
+    FROM terms GROUP BY source
+    """,
+)
+def q_source_drift(spark, sf_dir):
+    """Per-source distribution drift: the chi-squared statistic of each
+    source's token counts against the corpus-wide expectation over the
+    top-V vocabulary — the domain-shift monitor a pipeline runs when a
+    new crawl lands ('does source X still look like the corpus?').
+    Zero cells count (a source MISSING a head token is drift), so the
+    source × vocab grid is completed by a tiny cross join (|sources| ×
+    V rows) before the left join of observed counts. Each term uses
+    only +,-,*,/ on integer-derived doubles — IEEE correctly-rounded,
+    bit-identical across engines — and is quantized to 1e-6 bigint
+    units before the order-sensitive sum (the q_dataset_mixture
+    pattern); a log-based divergence (KL/JS) was rejected because
+    transcendentals are not correctly-rounded. At 100 TB the only
+    corpus-scale work is the shared explode + two map-side-combined
+    aggs; everything after runs on |sources| × V rows."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = track_persist(
+        docs.select("source", F.explode(dd.tokens_col("text")).alias("t"))
+    )
+    vocab = (
+        occ.groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(DRIFT_VOCAB_TOP)
+    )
+    tot = occ.agg(F.count("*").alias("n_corpus"))
+    src = occ.groupBy("source").agg(F.count("*").alias("n_src"))
+    obs = (
+        occ.join(F.broadcast(vocab.select("t")), "t")
+        .groupBy("source", "t")
+        .agg(F.count("*").alias("o"))
+    )
+    grid = (
+        src.crossJoin(F.broadcast(vocab))
+        .join(obs, ["source", "t"], "left")
+        .withColumn("o", F.coalesce("o", F.lit(0)))
+    )
+    e = (
+        F.col("n_src").cast("double")
+        * F.col("c").cast("double")
+        / F.col("n_corpus").cast("double")
+    )
+    d = F.col("o").cast("double") - e
+    terms = grid.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_src",
+        F.floor(d * d / e * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    return terms.groupBy("source").agg(
+        F.max("n_src").alias("n_tokens"),
+        F.sum("q").alias("chi2_micro"),
+        (F.sum("q").cast("double") / F.lit(1000000.0)).alias("chi2"),
+    )
+
+
+@register(
+    "q_judge_kappa",
+    oracle=f"""
+    WITH base AS ({_duck_lang_id()}),
+    cells AS (
+      SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM base GROUP BY lang, pred_lang
+    ),
+    g AS (SELECT lang AS cls, CAST(SUM(n) AS BIGINT) AS gold_c
+          FROM cells GROUP BY lang),
+    p AS (SELECT pred_lang AS cls, CAST(SUM(n) AS BIGINT) AS pred_c
+          FROM cells GROUP BY pred_lang),
+    pe AS (
+      SELECT CAST(SUM(COALESCE(g.gold_c, 0) * COALESCE(p.pred_c, 0))
+                  AS BIGINT) AS pe_num
+      FROM g FULL OUTER JOIN p USING (cls)
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(SUM(CASE WHEN lang = pred_lang THEN n ELSE 0 END)
+                  AS BIGINT) AS n_agree
+      FROM cells
+    )
+    SELECT n_total, n_agree, pe_num,
+           CAST(n_agree AS DOUBLE) / n_total AS po,
+           CAST(pe_num AS DOUBLE) / (n_total * n_total) AS pe,
+           CAST(n_agree * n_total - pe_num AS DOUBLE)
+             / (n_total * n_total - pe_num) AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+)
+def q_judge_kappa(spark, sf_dir):
+    """Inter-rater agreement ON the engine: Cohen's kappa between the
+    gold ``lang`` label and the heuristic lang-id prediction — the
+    chance-corrected agreement statistic behind 'do two LLM judges /
+    a judge and a human actually agree', computed where the labels
+    live. q_eval_confusion reports the full matrix; kappa compresses it
+    to the one decision number. Exact-integer reduction: kappa =
+    (n·agree − Σ gold_c·pred_c) / (n² − Σ gold_c·pred_c), so the only
+    floating point is three final divisions of exact bigints. At
+    100 TB the corpus-scale work is one (gold, pred) hash agg; the
+    marginals, products, and the scalar are |classes|-row frames."""
+    docs = _t(spark, sf_dir, "documents")
+    base = tx.lang_id(docs).select("lang", "pred_lang")
+    # the confusion cells feed three consumers (marginals g/p and the
+    # totals); persist the <= |langs|^2-row aggregate so the corpus
+    # scan + lang-id scoring run once, not three times
+    cells = track_persist(
+        base.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
+    )
+    g = cells.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("n").alias("gold_c")
+    )
+    p = cells.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").alias("pred_c")
+    )
+    pe = (
+        g.join(p, "cls", "full_outer")
+        .select(
+            (
+                F.coalesce("gold_c", F.lit(0))
+                * F.coalesce("pred_c", F.lit(0))
+            ).alias("gp")
+        )
+        .agg(F.sum("gp").alias("pe_num"))
+    )
+    tot = cells.agg(
+        F.sum("n").alias("n_total"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred_lang"), F.col("n")).otherwise(
+                0
+            )
+        ).alias("n_agree"),
+    )
+    return tot.crossJoin(F.broadcast(pe)).select(
+        "n_total",
+        "n_agree",
+        "pe_num",
+        (F.col("n_agree").cast("double") / F.col("n_total")).alias("po"),
+        (
+            F.col("pe_num").cast("double")
+            / (F.col("n_total") * F.col("n_total"))
+        ).alias("pe"),
+        (
+            (F.col("n_agree") * F.col("n_total") - F.col("pe_num")).cast(
+                "double"
+            )
+            / (F.col("n_total") * F.col("n_total") - F.col("pe_num"))
+        ).alias("kappa"),
+    )
+
+
 # =====================================================================
 # Driver-divergence probe family — RETIRED (round 6).
 #
