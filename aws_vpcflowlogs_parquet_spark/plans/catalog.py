@@ -11384,6 +11384,182 @@ def q_judge_kappa(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Round-6 batch 3: retrieval scoring + graph reach.
+# ---------------------------------------------------------------------
+
+BM25_TERMS = ("spark", "table", "join", "scan")
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@register(
+    "q_bm25_topk",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, len({_DUCK_TOKENS}) AS dl FROM documents
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS total_tok
+      FROM d
+    ),
+    occ AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS t FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM occ WHERE t IN ({_BM25_IN}) GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY t),
+    terms AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               CAST(length(bin(n_docs // df)) - 1 AS DOUBLE)
+               * ((CAST(tf AS DOUBLE) * 2.25)
+                  / (CAST(tf AS DOUBLE)
+                     + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE)
+                         / (CAST(total_tok AS DOUBLE)
+                            / CAST(n_docs AS DOUBLE))))))
+               * 1000000.0 + 0.5) AS BIGINT) AS q
+      FROM tf JOIN df USING (t) JOIN d ON tf.doc_id = d.doc_id
+      CROSS JOIN stats
+    ),
+    scored AS (
+      SELECT doc_id, CAST(SUM(q) AS BIGINT) AS score_micro
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, score_micro,
+           CAST(score_micro AS DOUBLE) / 1000000.0 AS score
+    FROM scored ORDER BY score_micro DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_topk(spark, sf_dir):
+    """BM25 retrieval ON the engine: top-10 documents for a fixed query
+    ('spark table join scan') under Okapi BM25 — the lexical-retrieval
+    kernel contamination checks and RAG-corpus probes run at corpus
+    scale. Hash-exact across engines by construction: IDF uses the
+    integer floor(log2) lattice (``length(bin(N div df)) - 1``, no
+    transcendental), k1 = 1.25 and b = 0.75 are exactly-representable
+    doubles, every remaining operation is IEEE-exact +,-,*,/ and each
+    term quantizes to 1e-6 bigint units before the per-doc sum. At
+    100 TB: the posting lists for the query terms are ONE filtered
+    explode (predicate on the token, pushed before the tf agg), df and
+    corpus stats are broadcast scalars, scoring is codegen arithmetic,
+    and the top-10 is a TakeOrdered — never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select("doc_id", F.size(dd.tokens_col("text")).alias("dl"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_tok")
+    )
+    occ = docs.select(
+        "doc_id", F.explode(dd.tokens_col("text")).alias("t")
+    ).filter(F.col("t").isin(*BM25_TERMS))
+    tf = occ.groupBy("doc_id", "t").agg(F.count("*").alias("tf"))
+    dft = tf.groupBy("t").agg(F.count("*").alias("df"))
+    joined = (
+        tf.join(F.broadcast(dft), "t")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf_d = F.expr("CAST(length(bin(n_docs div df)) - 1 AS DOUBLE)")
+    tf_d = F.col("tf").cast("double")
+    dl_d = F.col("dl").cast("double")
+    avgdl = F.col("total_tok").cast("double") / F.col("n_docs").cast(
+        "double"
+    )
+    term = idf_d * (
+        (tf_d * F.lit(2.25))
+        / (tf_d + F.lit(1.25) * (F.lit(0.25) + F.lit(0.75) * (dl_d / avgdl)))
+    )
+    terms = joined.select(
+        "doc_id",
+        F.floor(term * F.lit(1000000.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("q"),
+    )
+    scored = terms.groupBy("doc_id").agg(F.sum("q").alias("score_micro"))
+    return (
+        scored.orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id",
+            "score_micro",
+            (F.col("score_micro").cast("double") / F.lit(1000000.0)).alias(
+                "score"
+            ),
+        )
+    )
+
+
+@register(
+    "q_graph_2hop",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT
+             LEAST(user_id % 41, (2 * user_id + event_id) % 41) AS lo,
+             GREATEST(user_id % 41, (2 * user_id + event_id) % 41) AS hi
+      FROM events
+      WHERE user_id % 41 != (2 * user_id + event_id) % 41
+    ),
+    sym AS (
+      SELECT lo AS a, hi AS b FROM raw
+      UNION ALL SELECT hi, lo FROM raw
+    ),
+    two AS (
+      SELECT DISTINCT e1.a, e2.b AS c
+      FROM sym e1 JOIN sym e2 ON e1.b = e2.a
+      WHERE e1.a != e2.b
+    ),
+    strict2 AS (
+      SELECT t.a, t.c FROM two t
+      LEFT JOIN sym s ON s.a = t.a AND s.b = t.c
+      WHERE s.a IS NULL
+    )
+    SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS n_two_hop
+    FROM strict2 GROUP BY a
+    """,
+)
+def q_graph_2hop(spark, sf_dir):
+    """Strict 2-hop reach per node (friend-of-friend, excluding self and
+    direct neighbors) over the events-derived mod-41 graph the other
+    graph operators share — the neighborhood-expansion primitive behind
+    recommendation candidates and graph features. One wedge equi-join on
+    the middle node, a distinct, and a left-anti join against the
+    direct-edge relation — all hash-partitioned on node ids. At 100 TB
+    the wedge join's fan-out is Σ degree² — the same bound as triangle
+    counting — and the standard mitigation (orient from lower- to
+    higher-degree endpoints, cap hub degrees) changes the edge
+    canonicalization, not this plan shape."""
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("user_id") % 41
+    bcol = (F.lit(2) * F.col("user_id") + F.col("event_id")) % 41
+    raw = (
+        ev.select(
+            F.least(a, bcol).alias("lo"), F.greatest(a, bcol).alias("hi")
+        )
+        .filter(a != bcol)
+        .distinct()
+    )
+    sym = raw.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionAll(
+        raw.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    )
+    e2 = sym.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    two = (
+        sym.join(e2, "b")
+        .filter(F.col("a") != F.col("c"))
+        .select("a", "c")
+        .distinct()
+    )
+    strict2 = two.join(
+        sym.select("a", F.col("b").alias("c")),
+        ["a", "c"],
+        "left_anti",
+    )
+    return strict2.groupBy(F.col("a").alias("node")).agg(
+        F.count("*").alias("n_two_hop")
+    )
+
+
 # =====================================================================
 # Driver-divergence probe family — RETIRED (round 6).
 #

@@ -596,3 +596,18 @@ def test_judge_kappa_scans_corpus_once(spark):
     # cached-relation description, but execution materializes it once)
     plan = _executed(QUERIES["q_judge_kappa"](spark, SF_DIR))
     assert plan.count("InMemoryTableScan") == 3, plan
+
+
+def test_bm25_filters_postings_before_tf_agg(spark):
+    # the token predicate must reach the scan side of the tf agg (the
+    # posting explode is filtered, not the whole corpus aggregated) and
+    # the top-10 must be a TakeOrdered, not a global sort
+    plan = _executed(QUERIES["q_bm25_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_graph_2hop_all_equi_joins(spark):
+    plan = _executed(QUERIES["q_graph_2hop"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
