@@ -11560,6 +11560,108 @@ def q_graph_2hop(spark, sf_dir):
     )
 
 
+@register(
+    "q_label_noise",
+    oracle=f"""
+    WITH emb AS ({_DUCK_EMB}),
+    q AS (
+      SELECT vec_id AS query_id, label AS qlabel, e AS qv
+      FROM emb WHERE vec_id % 5 = 0
+    ),
+    pairs AS (
+      SELECT q.query_id, q.qlabel, emb.vec_id, emb.label,
+             {_duck_cosine('q.qv', 'emb.e')} AS sim
+      FROM emb, q WHERE emb.vec_id != q.query_id
+    ),
+    nn AS (
+      SELECT query_id, qlabel, label FROM (
+        SELECT query_id, qlabel, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY sim DESC, vec_id) AS rk
+        FROM pairs
+      ) WHERE rk <= 5
+    ),
+    votes AS (
+      SELECT query_id, qlabel, label, COUNT(*) AS nv
+      FROM nn GROUP BY query_id, qlabel, label
+    ),
+    verdict AS (
+      SELECT query_id, qlabel, label AS voted FROM (
+        SELECT query_id, qlabel, label, nv,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY nv DESC, label) AS vrk
+        FROM votes
+      ) WHERE vrk = 1
+    )
+    SELECT qlabel AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(SUM(CASE WHEN qlabel != voted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN qlabel != voted THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS flag_rate
+    FROM verdict GROUP BY qlabel
+    """,
+)
+def q_label_noise(spark, sf_dir):
+    """KNN label-noise audit (the confident-learning / cleanlab shape):
+    for a deterministic sample of vectors, take the 5 nearest neighbors
+    by cosine, majority-vote their labels (count desc, label asc
+    tie-break), and flag vectors whose own label loses the vote —
+    per-label flag rates are the 'which classes are mislabeled'
+    dashboard a curation pipeline runs before training on weak labels.
+    The audit kernel is the engine's established bounded brute-force
+    pattern (q_similarity_topk): the corpus is scanned ONCE and the
+    sampled queries broadcast, so comparisons are n·q with no corpus
+    shuffle; at full-corpus 100 TB scale the candidate generation swaps
+    to the IVF cell join (q_ann_ivf) or sign-LSH buckets (q_ann_lsh)
+    with this voting tail unchanged. Cosines ride the shared rounded
+    kernel; counts are exact integers, one division."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("e")
+    )
+    queries = emb.filter(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qv"),
+    )
+    pairs = emb.join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).withColumn(
+        "sim", F.round(F.expr(sim.cosine_expr("qv", "e")), sim.SIM_ROUND)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    nn = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "qlabel", "label")
+    )
+    votes = nn.groupBy("query_id", "qlabel", "label").agg(
+        F.count("*").alias("nv")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("nv"), F.asc("label")
+    )
+    verdict = (
+        votes.withColumn("vrk", F.row_number().over(wv))
+        .filter(F.col("vrk") == 1)
+        .select("query_id", "qlabel", F.col("label").alias("voted"))
+    )
+    return verdict.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count("*").alias("n_checked"),
+        F.sum(
+            (F.col("qlabel") != F.col("voted")).cast("int")
+        ).alias("n_flagged"),
+        (
+            F.sum((F.col("qlabel") != F.col("voted")).cast("int")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("flag_rate"),
+    )
+
+
 # =====================================================================
 # Driver-divergence probe family — RETIRED (round 6).
 #

@@ -611,3 +611,30 @@ def test_graph_2hop_all_equi_joins(spark):
     plan = _executed(QUERIES["q_graph_2hop"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ngram_novelty_shuffles_on_shingle_only(spark):
+    # the first-introduction marker is a min() window keyed on the
+    # shingle — the same key class the prefix-filter frequency table
+    # pays; no Python, no cartesian
+    plan = _executed(QUERIES["q_ngram_novelty"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "hashpartitioning(s" in plan, plan
+
+
+def test_token_budget_heavy_agg_then_tiny_frames(spark):
+    # the only corpus-scale work is the per-source token count (partial/
+    # final pair); the waterfill runs on an n_sources-row frame whose
+    # scalar joins broadcast
+    plan = _executed(QUERIES["q_token_budget"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_label_noise_broadcasts_queries(spark):
+    # the sampled query set broadcasts; the corpus is scanned, never
+    # shuffled, for the n*q comparison kernel
+    plan = _executed(QUERIES["q_label_noise"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

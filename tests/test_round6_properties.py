@@ -265,3 +265,37 @@ def test_graph_2hop_matches_python(spark):
     rows = QUERIES["q_graph_2hop"](spark, SF_DIR).collect()
     got = {r.node: r.n_two_hop for r in rows}
     assert got == want
+
+
+def test_label_noise_matches_python(spark):
+    vecs = duckdb.sql(
+        f"SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) "
+        f"FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    import math as _m
+
+    def cos(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = _m.sqrt(sum(x * x for x in a))
+        nb = _m.sqrt(sum(x * x for x in b))
+        return round(dot / (na * nb), 6)
+
+    by_id = {v: (l, e) for v, l, e in vecs}
+    flagged = Counter()
+    checked = Counter()
+    for qid, (qlabel, qv) in by_id.items():
+        if qid % 5 != 0:
+            continue
+        sims = sorted(
+            ((-cos(qv, e), v) for v, (_l, e) in by_id.items() if v != qid)
+        )[:5]
+        votes = Counter(by_id[v][0] for _s, v in sims)
+        voted = sorted(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        checked[qlabel] += 1
+        flagged[qlabel] += int(voted != qlabel)
+    rows = QUERIES["q_label_noise"](spark, SF_DIR).collect()
+    got = {r.label: (r.n_checked, r.n_flagged) for r in rows}
+    want = {l: (checked[l], flagged[l]) for l in checked}
+    assert got == want
