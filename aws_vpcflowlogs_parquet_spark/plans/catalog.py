@@ -11662,6 +11662,840 @@ def q_label_noise(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Round-6 batch 4: distribution-drift & robust statistics on integer
+# lattices (rank tests, KS, total-variation), OLAP classics (OHLC bars,
+# ABC/Pareto, bitmap rollups), graph link-prediction features, and
+# intra-document dedup. Every oracle stays on BIGINT until one final
+# double division with an identical expression tree on both sides.
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q_rank_sum",
+    oracle="""
+    WITH grp AS (
+      SELECT n_chars,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_a
+      FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT *,
+             COALESCE(SUM(cnt) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS below
+      FROM grp
+    ),
+    agg AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+             CAST(SUM(cnt) - SUM(cnt_a) AS BIGINT) AS n_b,
+             CAST(SUM(cnt_a * (2 * below + cnt + 1)) AS BIGINT)
+               AS two_rank_sum_a
+      FROM cum
+    )
+    SELECT n_a, n_b, two_rank_sum_a,
+           CAST(two_rank_sum_a - n_a * (n_a + 1) AS BIGINT) AS two_u_a,
+           CAST(two_rank_sum_a - n_a * (n_a + 1) AS DOUBLE)
+             / CAST(2 * n_a * n_b AS DOUBLE) AS auc
+    FROM agg
+    """,
+)
+def q_rank_sum(spark, sf_dir):
+    """Mann-Whitney rank-sum test statistic comparing the document-length
+    distribution of English documents against all other languages — the
+    standard nonparametric 'did this corpus slice drift?' test a data
+    pipeline runs between crawl snapshots. Entirely on the integer
+    lattice: ties use midranks doubled (2R = Σ n_a(v)·(2·below(v) +
+    cnt(v) + 1)), so 2R and 2U are exact BIGINTs; the common-language
+    effect size AUC = U/(n_a·n_b) is one final double division with an
+    identical expression tree on both sides. At 100 TB the value
+    histogram (GROUP BY n_chars) is the only shuffle; the cumulative
+    window runs over the aggregated histogram (hundreds of rows, not
+    raw data), the same two-level pattern as q_decile_stats."""
+    docs = _t(spark, sf_dir, "documents")
+    grp = docs.groupBy("n_chars").agg(
+        F.count("*").alias("cnt"),
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("cnt_a"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = grp.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    agg = cum.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        (F.sum("cnt") - F.sum("cnt_a")).cast("bigint").alias("n_b"),
+        F.sum(
+            F.col("cnt_a") * (F.lit(2) * F.col("below") + F.col("cnt") + 1)
+        )
+        .cast("bigint")
+        .alias("two_rank_sum_a"),
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        "two_rank_sum_a",
+        (F.col("two_rank_sum_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .cast("bigint")
+        .alias("two_u_a"),
+        (
+            (F.col("two_rank_sum_a") - F.col("n_a") * (F.col("n_a") + 1))
+            .cast("bigint")
+            .cast("double")
+            / (F.lit(2) * F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("auc"),
+    )
+
+
+@register(
+    "q_ks_drift",
+    oracle="""
+    WITH grp AS (
+      SELECT n_chars,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cnt_a
+      FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT n_chars,
+             CAST(SUM(cnt_a) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_a,
+             CAST(SUM(cnt) OVER (ORDER BY n_chars
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_all
+      FROM grp
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+             CAST(SUM(cnt) - SUM(cnt_a) AS BIGINT) AS n_b
+      FROM grp
+    ),
+    d AS (
+      SELECT CAST(MAX(ABS(cum_a * n_b - (cum_all - cum_a) * n_a))
+                  AS BIGINT) AS d_num
+      FROM cum CROSS JOIN tot
+    )
+    SELECT n_a, n_b, d_num,
+           CAST(d_num AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS ks
+    FROM d CROSS JOIN tot
+    """,
+)
+def q_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift statistic between the
+    English and non-English document-length distributions — the other
+    half of the drift dashboard next to q_rank_sum (KS is sensitive to
+    shape, rank-sum to location). Cross-multiplied onto the integer
+    lattice: D = max|F_a - F_b| becomes max|cum_a·n_b - cum_b·n_a|,
+    an exact BIGINT; the final KS value is one double division. Same
+    scale posture as q_rank_sum: one histogram shuffle, cumulative
+    windows over the tiny aggregated histogram, totals broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    grp = docs.groupBy("n_chars").agg(
+        F.count("*").alias("cnt"),
+        F.sum((F.col("lang") == "en").cast("bigint")).alias("cnt_a"),
+    )
+    wi = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        "n_chars",
+        F.sum("cnt_a").over(wi).cast("bigint").alias("cum_a"),
+        F.sum("cnt").over(wi).cast("bigint").alias("cum_all"),
+    )
+    tot = grp.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        (F.sum("cnt") - F.sum("cnt_a")).cast("bigint").alias("n_b"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - (F.col("cum_all") - F.col("cum_a")) * F.col("n_a")
+                )
+            )
+            .cast("bigint")
+            .alias("d_num")
+        )
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n_a",
+        "n_b",
+        "d_num",
+        (
+            F.col("d_num").cast("double")
+            / (F.col("n_a") * F.col("n_b")).cast("double")
+        ).alias("ks"),
+    )
+
+
+@register(
+    "q_tv_distance",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest({_DUCK_TOKENS}) AS tok,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_a
+      FROM documents
+    ),
+    tok AS (
+      SELECT tok,
+             CAST(SUM(is_a) AS BIGINT) AS c_a,
+             CAST(SUM(1 - is_a) AS BIGINT) AS c_b
+      FROM occ GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_a) AS BIGINT) AS n_tok_a,
+             CAST(SUM(c_b) AS BIGINT) AS n_tok_b
+      FROM tok
+    ),
+    d AS (
+      SELECT CAST(SUM(ABS(c_a * n_tok_b - c_b * n_tok_a)) AS BIGINT)
+               AS tv_num,
+             CAST(COUNT(*) AS BIGINT) AS n_types
+      FROM tok CROSS JOIN tot
+    )
+    SELECT n_tok_a, n_tok_b, n_types, tv_num,
+           CAST(tv_num AS DOUBLE)
+             / CAST(2 * n_tok_a * n_tok_b AS DOUBLE) AS tv
+    FROM d CROSS JOIN tot
+    """,
+)
+def q_tv_distance(spark, sf_dir):
+    """Total-variation distance between the unigram distributions of
+    English vs non-English documents — the bounded, transcendental-free
+    alternative to KL/JS divergence for corpus-mixture drift (TV = ½
+    Σ|p - q| ∈ [0,1]). Cross-multiplied: Σ|c_a·N_b - c_b·N_a| is an
+    exact BIGINT, divided once by 2·N_a·N_b. At 100 TB: one explode →
+    hash-agg on token (map-side combined), corpus totals broadcast as
+    a one-row frame, and the distance itself a second tiny agg — the
+    same shape as q_tfidf's document-frequency pass."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select(
+        F.explode(dd.tokens_col("text")).alias("tok"),
+        (F.col("lang") == "en").cast("bigint").alias("is_a"),
+    )
+    tok = occ.groupBy("tok").agg(
+        F.sum("is_a").cast("bigint").alias("c_a"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("bigint").alias("c_b"),
+    )
+    tot = tok.agg(
+        F.sum("c_a").cast("bigint").alias("n_tok_a"),
+        F.sum("c_b").cast("bigint").alias("n_tok_b"),
+    )
+    d = tok.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.abs(
+                F.col("c_a") * F.col("n_tok_b")
+                - F.col("c_b") * F.col("n_tok_a")
+            )
+        )
+        .cast("bigint")
+        .alias("tv_num"),
+        F.count("*").cast("bigint").alias("n_types"),
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        "n_tok_a",
+        "n_tok_b",
+        "n_types",
+        "tv_num",
+        (
+            F.col("tv_num").cast("double")
+            / (F.lit(2) * F.col("n_tok_a") * F.col("n_tok_b")).cast(
+                "double"
+            )
+        ).alias("tv"),
+    )
+
+
+@register(
+    "q_hhi_concentration",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_nationkey, o.o_custkey,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey, o.o_custkey
+    ),
+    per_nation AS (
+      SELECT c_nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_cust,
+             CAST(SUM(cnt) AS BIGINT) AS n_orders,
+             CAST(SUM(cnt * cnt) AS BIGINT) AS hhi_num
+      FROM per_cust GROUP BY c_nationkey
+    )
+    SELECT n.n_name, n_cust, n_orders, hhi_num,
+           CAST(hhi_num AS DOUBLE)
+             / CAST(n_orders * n_orders AS DOUBLE) AS hhi
+    FROM per_nation p JOIN nation n ON p.c_nationkey = n.n_nationkey
+    """,
+)
+def q_hhi_concentration(spark, sf_dir):
+    """Herfindahl-Hirschman concentration index of order volume across
+    customers, per nation — the standard 'is this slice dominated by a
+    few heavy hitters?' diagnostic, used identically for source-domain
+    concentration in a training corpus (a high-HHI source is one
+    crawler or one template). HHI = Σ share² = Σcnt²/(Σcnt)², kept as
+    an exact BIGINT numerator over a BIGINT square, one double
+    division at the end. Two hash aggregations (customer then nation)
+    with map-side partial combine, then a broadcast join to the
+    25-row nation dim — no other shuffle at any scale."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    per_cust = (
+        orders.join(
+            cust.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    per_nation = per_cust.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_cust"),
+        F.sum("cnt").cast("bigint").alias("n_orders"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("hhi_num"),
+    )
+    return per_nation.join(
+        F.broadcast(nation),
+        per_nation.c_nationkey == nation.n_nationkey,
+    ).select(
+        "n_name",
+        "n_cust",
+        "n_orders",
+        "hhi_num",
+        (
+            F.col("hhi_num").cast("double")
+            / (F.col("n_orders") * F.col("n_orders")).cast("double")
+        ).alias("hhi"),
+    )
+
+
+@register(
+    "q_target_encode",
+    oracle="""
+    WITH base AS (
+      SELECT c.c_mktsegment AS segment,
+             CASE WHEN o.o_orderpriority LIKE '1%' THEN 1 ELSE 0 END
+               AS is_urgent
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    gl AS (
+      SELECT CAST(SUM(is_urgent) AS BIGINT) AS g_pos,
+             CAST(COUNT(*) AS BIGINT) AS g_tot
+      FROM base
+    ),
+    seg AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(is_urgent) AS BIGINT) AS pos
+      FROM base GROUP BY segment
+    )
+    SELECT segment, cnt, pos,
+           CAST(pos * g_tot + 10 * g_pos AS BIGINT) AS enc_num,
+           CAST(g_tot * (cnt + 10) AS BIGINT) AS enc_den,
+           CAST(pos * g_tot + 10 * g_pos AS DOUBLE)
+             / CAST(g_tot * (cnt + 10) AS DOUBLE) AS encoded
+    FROM seg CROSS JOIN gl
+    """,
+)
+def q_target_encode(spark, sf_dir):
+    """Smoothed target encoding (the category → leave-in mean-target
+    feature of every tabular-ML pipeline): per market segment, the
+    urgent-order rate shrunk toward the global prior with pseudo-count
+    m = 10, i.e. (pos + m·p̂)/(cnt + m). Cross-multiplied onto the
+    integer lattice — numerator pos·g_tot + 10·g_pos and denominator
+    g_tot·(cnt + 10) are exact BIGINTs, one double division at the
+    end. One fact-side hash agg; the global prior is a broadcast
+    one-row frame. At extreme corpus scale the cross-product pos·g_tot
+    approaches 2^63 — the documented escape is the same decimal
+    accumulator functions/casts.py already provides for exact sums."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    base = orders.join(
+        cust.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == cust.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_orderpriority").startswith("1").cast("bigint").alias(
+            "is_urgent"
+        ),
+    )
+    glob = base.agg(
+        F.sum("is_urgent").cast("bigint").alias("g_pos"),
+        F.count("*").cast("bigint").alias("g_tot"),
+    )
+    seg = base.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("is_urgent").cast("bigint").alias("pos"),
+    )
+    num = F.col("pos") * F.col("g_tot") + F.lit(10) * F.col("g_pos")
+    den = F.col("g_tot") * (F.col("cnt") + F.lit(10))
+    return seg.crossJoin(F.broadcast(glob)).select(
+        "segment",
+        "cnt",
+        "pos",
+        num.cast("bigint").alias("enc_num"),
+        den.cast("bigint").alias("enc_den"),
+        (num.cast("double") / den.cast("double")).alias("encoded"),
+    )
+
+
+@register(
+    "q_trend_ols",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT)
+               AS min_ep
+      FROM events
+    ),
+    pts AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts)) AS BIGINT) - min_ep) // 60 AS x,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      FROM events CROSS JOIN m
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_min
+    FROM agg
+    """,
+)
+def q_trend_ols(spark, sf_dir):
+    """Closed-form OLS trend per event type: the least-squares slope of
+    event value (in exact cents) against minutes-since-corpus-start —
+    'is this metric drifting up?' as a single distributed aggregation,
+    the same moments trick as q_stats_moments. The five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx²) are exact BIGINTs on the
+    cents × minutes lattice (bounded: 30 days × 49k cents keeps
+    n·Σxy < 2^63 through sf1), the slope numerator/denominator exact
+    integers, and the slope itself one double division. One map-side-
+    combined hash agg after a broadcast of the single-row min-epoch
+    frame; nothing else shuffles at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.agg(
+        F.min(F.unix_timestamp("ts")).cast("bigint").alias("min_ep")
+    )
+    pts = ev.crossJoin(F.broadcast(m)).select(
+        "event_type",
+        F.expr(
+            "(CAST(unix_timestamp(ts) AS BIGINT) - min_ep) div 60"
+        ).alias("x"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    agg = pts.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "event_type",
+        "n",
+        num.cast("bigint").alias("slope_num"),
+        den.cast("bigint").alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias(
+            "slope_cents_per_min"
+        ),
+    )
+
+
+@register(
+    "q_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS bar,
+             value,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+               date_trunc('hour', ts) ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type,
+               date_trunc('hour', ts) ORDER BY ts DESC, event_id DESC)
+               AS rn_d
+      FROM events
+    )
+    SELECT event_type, bar,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close
+    FROM ranked GROUP BY event_type, bar
+    """,
+)
+def q_ohlc_bars(spark, sf_dir):
+    """OHLC candlestick bars (open/high/low/close per hour per event
+    type) — the time-series downsampling primitive of every financial /
+    metrics OLAP store, and the reduction that turns raw tick streams
+    into chartable series. Open/close are selected (not computed) via
+    row_number over the total (ts, event_id) order within each bar, so
+    the doubles pass through untouched — bit-identical across engines;
+    high/low are plain MIN/MAX. The windows partition by (type, hour):
+    fully parallel, bounded per-bar state, and at 100 TB this is the
+    canonical pre-aggregation that runs incrementally per arriving
+    partition (same keys as q_time_bucket's streaming twin)."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", "ts")
+    wa = Window.partitionBy("event_type", hour).orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", hour).orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    ranked = ev.select(
+        "event_type",
+        F.date_format(hour, "yyyy-MM-dd HH").alias("bar"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return ranked.groupBy("event_type", "bar").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+    )
+
+
+@register(
+    "q_abc_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+               * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total_cents FROM rev),
+    cum AS (
+      SELECT l_partkey, cents,
+             CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cents
+      FROM rev
+    ),
+    cls AS (
+      SELECT CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
+                  WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             cents
+      FROM cum CROSS JOIN tot
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(cents) AS BIGINT) AS class_cents,
+           CAST(SUM(cents) AS DOUBLE)
+             / CAST(MAX(total_cents) AS DOUBLE) AS revenue_share
+    FROM cls CROSS JOIN tot GROUP BY abc_class
+    """,
+)
+def q_abc_pareto(spark, sf_dir):
+    """ABC / Pareto classification: parts ranked by revenue, split at
+    the classic 80 % / 95 % cumulative-share boundaries into A/B/C
+    classes — inventory analytics' bread and butter, and the exact
+    shape of 'which 20 % of sources produce 80 % of tokens' corpus
+    triage. Revenue is quantized to exact integer cents (floor(x·100
+    + 0.5), identical IEEE tree both sides) so the cumulative sums and
+    the boundary tests (cum·5 ≤ total·4) are pure BIGINT comparisons —
+    no float boundary flicker. The cumulative window runs over the
+    per-part AGGREGATE (one row per part, not per lineitem); at 100 TB
+    the documented scale path is the two-pass prefix sum (per-range
+    partial totals broadcast back), same as SCALE.md's cumulative
+    family."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents_expr = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(cents_expr).cast("bigint").alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("total_cents"))
+    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.select(
+        "cents", F.sum("cents").over(w).cast("bigint").alias("cum_cents")
+    )
+    cls = cum.crossJoin(F.broadcast(tot)).select(
+        F.when(
+            F.col("cum_cents") * 5 <= F.col("total_cents") * 4, "A"
+        )
+        .when(F.col("cum_cents") * 20 <= F.col("total_cents") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "cents",
+    )
+    return (
+        cls.crossJoin(F.broadcast(tot))
+        .groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("class_cents"),
+            (
+                F.sum("cents").cast("double")
+                / F.max("total_cents").cast("double")
+            ).alias("revenue_share"),
+        )
+    )
+
+
+@register(
+    "q_bitmap_rollup",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(bit_or(CAST(1 AS BIGINT)
+               << CAST(date_part('doy', ts) % 60 AS INT)) AS BIGINT)
+               AS day_mask
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(bit_count(day_mask) AS INT) AS active_days,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(bit_or(day_mask) AS BIGINT) AS union_mask
+    FROM per_user GROUP BY active_days
+    """,
+)
+def q_bitmap_rollup(spark, sf_dir):
+    """Bitmap-index rollup (the roaring-bitmap pattern relationally):
+    each user's active days compress to one BIGINT bitmask via an
+    aggregate bitwise OR, popcount gives exact days-active, and masks
+    re-merge upward with another OR — set cardinality and set union as
+    pure integer ops, no distinct-shuffle per level. This is how
+    engagement cubes answer 'users active ≥ k days' at interactive
+    speed, and how a curation pipeline tracks per-shard day coverage.
+    Both aggregation levels are map-side-combinable (OR is associative
+    and commutative); state per key is exactly 8 bytes regardless of
+    event count — the ideal 100 TB aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    mask = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(dayofyear(ts) % 60 AS INT))"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.bit_or(mask).cast("bigint").alias("day_mask")
+    )
+    return per_user.groupBy(
+        F.bit_count("day_mask").cast("int").alias("active_days")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.bit_or("day_mask").cast("bigint").alias("union_mask"),
+    )
+
+
+@register(
+    "q_node_jaccard",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT
+             LEAST(user_id % 41, (2 * user_id + event_id) % 41) AS lo,
+             GREATEST(user_id % 41, (2 * user_id + event_id) % 41) AS hi
+      FROM events
+      WHERE user_id % 41 != (2 * user_id + event_id) % 41
+    ),
+    sym AS (
+      SELECT lo AS a, hi AS b FROM raw
+      UNION ALL SELECT hi, lo FROM raw
+    ),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    wedge AS (
+      SELECT e1.a, e2.b AS c, CAST(COUNT(*) AS BIGINT) AS common
+      FROM sym e1 JOIN sym e2 ON e1.b = e2.a
+      WHERE e1.a < e2.b
+      GROUP BY e1.a, e2.b
+    ),
+    cand AS (
+      SELECT w.a, w.c, w.common
+      FROM wedge w
+      LEFT JOIN sym s ON s.a = w.a AND s.b = w.c
+      WHERE s.a IS NULL
+    ),
+    scored AS (
+      SELECT cand.a, cand.c, common, da.d AS deg_a, dc.d AS deg_c,
+             CAST(da.d + dc.d - common AS BIGINT) AS uni
+      FROM cand JOIN deg da ON cand.a = da.a
+                JOIN deg dc ON cand.c = dc.a
+    )
+    SELECT a, c, common, deg_a, deg_c, uni,
+           CAST((common * 1000000) // uni AS BIGINT) AS score_micro,
+           CAST(common AS DOUBLE) / CAST(uni AS DOUBLE) AS jaccard
+    FROM scored
+    ORDER BY score_micro DESC, a, c LIMIT 20
+    """,
+)
+def q_node_jaccard(spark, sf_dir):
+    """Link prediction by neighborhood Jaccard: for every non-adjacent
+    node pair at distance 2 in the shared mod-41 graph, the
+    common-neighbor count over the neighborhood union — the classic
+    'people you may know' / related-entity candidate scorer. Common
+    neighbors come from the same wedge join as q_graph_2hop (grouped
+    instead of distinct'd), degrees are one hash agg joined twice, and
+    non-adjacency is a left-anti against the edge list. The top-20
+    orders on an exact integer lattice (score_micro = common·10⁶ div
+    union) so ranking never compares floats. At 100 TB the wedge
+    fan-out is the standard Σdeg² bound with hub-capping as the
+    documented mitigation; everything downstream is hash joins on node
+    ids."""
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("user_id") % 41
+    bcol = (F.lit(2) * F.col("user_id") + F.col("event_id")) % 41
+    raw = (
+        ev.select(
+            F.least(a, bcol).alias("lo"), F.greatest(a, bcol).alias("hi")
+        )
+        .filter(a != bcol)
+        .distinct()
+    )
+    sym = raw.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionAll(
+        raw.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    e2 = sym.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedge = (
+        sym.join(e2, "b")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count("*").cast("bigint").alias("common"))
+    )
+    cand = wedge.join(
+        sym.select("a", F.col("b").alias("c")), ["a", "c"], "left_anti"
+    )
+    da = deg.select(F.col("a"), F.col("d").alias("deg_a"))
+    dc = deg.select(F.col("a").alias("c"), F.col("d").alias("deg_c"))
+    scored = (
+        cand.join(F.broadcast(da), "a")
+        .join(F.broadcast(dc), "c")
+        .withColumn(
+            "uni",
+            (F.col("deg_a") + F.col("deg_c") - F.col("common")).cast(
+                "bigint"
+            ),
+        )
+    )
+    return (
+        scored.select(
+            "a",
+            "c",
+            "common",
+            "deg_a",
+            "deg_c",
+            "uni",
+            F.expr("CAST((common * 1000000) div uni AS BIGINT)").alias(
+                "score_micro"
+            ),
+            (F.col("common").cast("double") / F.col("uni").cast("double"))
+            .alias("jaccard"),
+        )
+        .orderBy(F.desc("score_micro"), "a", "c")
+        .limit(20)
+    )
+
+
+@register(
+    "q_intradoc_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest({_DUCK_TOKENS}) AS tok,
+             generate_subscripts({_DUCK_TOKENS}, 1) AS pos
+      FROM documents
+    ),
+    first AS (
+      SELECT doc_id, tok, pos FROM (
+        SELECT doc_id, tok, pos,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, tok
+                 ORDER BY pos) AS rn
+        FROM toks
+      ) WHERE rn = 1
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+      FROM first GROUP BY doc_id
+    ),
+    tot AS (
+      SELECT doc_id, CAST(len({_DUCK_TOKENS}) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT t.doc_id, n_tok, n_kept,
+           CAST(n_kept AS DOUBLE) / CAST(n_tok AS DOUBLE) AS keep_ratio,
+           fp
+    FROM agg a JOIN tot t ON a.doc_id = t.doc_id
+    """,
+)
+def q_intradoc_dedup(spark, sf_dir):
+    """Intra-document repetition removal: keep only the FIRST occurrence
+    of each token within a document, preserving original order, and
+    fingerprint the rewritten text — the within-doc half of corpus
+    dedup (boilerplate menus, repeated headers, k-fold template spam)
+    that inter-doc MinHash can't see. Order-preserving dedup is
+    expressed relationally: posexplode → row_number over (doc, token)
+    ordered by position → keep rank 1 → re-assemble by sorting the
+    (pos, tok) structs per doc. The md5 over the rebuilt string proves
+    byte-exact reconstruction across engines. All windows partition by
+    doc_id — embarrassingly parallel, no cross-doc state, the ideal
+    100 TB per-document transform (mapInPandas would also express it,
+    but the relational form keeps it in whole-stage codegen)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(dd.tokens_col("text")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w = Window.partitionBy("doc_id", "tok").orderBy("pos")
+    first = (
+        toks.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "tok", "pos")
+    )
+    agg = first.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s.tok,
+                ),
+            )
+        ).alias("fp"),
+    )
+    tot = docs.select(
+        "doc_id", F.size(dd.tokens_col("text")).cast("bigint").alias("n_tok")
+    )
+    return agg.join(tot, "doc_id").select(
+        "doc_id",
+        "n_tok",
+        "n_kept",
+        (F.col("n_kept").cast("double") / F.col("n_tok").cast("double"))
+        .alias("keep_ratio"),
+        "fp",
+    )
+
+
 # =====================================================================
 # Driver-divergence probe family — RETIRED (round 6).
 #
