@@ -12518,6 +12518,709 @@ def q_intradoc_dedup(spark, sf_dir):
 
 
 
+@register(
+    "q_cross_corr",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY hr
+    ),
+    lags AS (SELECT unnest([0, 1, 2, 3]) AS lag),
+    paired AS (
+      SELECT l.lag, a.x, b.y
+      FROM lags l
+      JOIN hourly a ON TRUE
+      JOIN hourly b ON b.hr = a.hr + l.lag
+    ),
+    stats AS (
+      SELECT lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM paired GROUP BY lag
+    )
+    SELECT CAST(lag AS INT) AS lag, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+    FROM stats ORDER BY lag
+    """,
+)
+def q_cross_corr(spark, sf_dir):
+    """Lagged cross-correlation between two hourly event-rate series
+    (clicks leading purchases at lags 0-3h) — the lead/lag-detection
+    primitive behind metric-causality dashboards and feature/label
+    alignment checks in training pipelines. The hour key is the epoch
+    integer div 3600 (no calendar, no interval arithmetic — the r5
+    HUGEINT/interval lesson), so the lag shift is BIGINT addition and
+    the lagged pairing an equi-join. Pearson terms come from the five
+    sufficient statistics (n, Σx, Σy, Σx², Σy², Σxy) as exact BIGINTs
+    (num = n·Σxy − Σx·Σy, cross-multiplied, order-independent); only
+    the final corr divides, with the identical IEEE expression tree on
+    both sides. At 100 TB: the raw scan collapses to |hours| rows via
+    one map-side-combinable agg; the 4-lag fan-out and self-join run
+    on the aggregate, broadcast-sized."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_timestamp(ts) div 3600").cast("bigint").alias("hr")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    lags = spark.range(0, 4).select(F.col("id").cast("bigint").alias("lag"))
+    shifted = (
+        hourly.select("hr", "x")
+        .crossJoin(F.broadcast(lags))
+        .select("lag", "x", (F.col("hr") + F.col("lag")).alias("hr_b"))
+    )
+    paired = shifted.join(
+        F.broadcast(hourly.select(F.col("hr").alias("hr_b"), "y")), "hr_b"
+    )
+    stats = paired.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.select(
+        F.col("lag").cast("int").alias("lag"),
+        "n",
+        num.cast("bigint").alias("num"),
+        den_x.cast("bigint").alias("den_x"),
+        den_y.cast("bigint").alias("den_y"),
+        (
+            num.cast("double")
+            / (
+                F.sqrt(den_x.cast("double"))
+                * F.sqrt(den_y.cast("double"))
+            )
+        ).alias("corr"),
+    ).orderBy("lag")
+
+
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+]
+
+_FK_EDGE_SQL = """
+      SELECT '{child}.{key}' AS edge,
+             CAST(SUM(k.cnt) AS BIGINT) AS child_rows,
+             CAST(COUNT(*) AS BIGINT) AS child_keys,
+             CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS orphan_keys,
+             CAST(SUM(CASE WHEN p.k IS NULL THEN k.cnt ELSE 0 END)
+                  AS BIGINT) AS orphan_rows
+      FROM (SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM {child} GROUP BY {key}) k
+      LEFT JOIN (SELECT DISTINCT {pkey} AS k FROM {parent}) p ON k.k = p.k
+"""
+
+
+@register(
+    "q_ref_integrity",
+    oracle=" UNION ALL ".join(
+        _FK_EDGE_SQL.format(child=c, key=k, parent=p, pkey=pk)
+        for c, k, p, pk in _FK_EDGES
+    )
+    + " ORDER BY edge",
+)
+def q_ref_integrity(spark, sf_dir):
+    """Referential-integrity audit over every foreign-key edge of the
+    warehouse schema — the data-quality gate a pipeline runs before
+    publishing a snapshot (orphan lineitems after a bad partition
+    backfill are the classic silent-corruption mode). Each edge
+    collapses the child to distinct keys first (one map-side-combined
+    agg), probes the parent's key set with a left join, and reduces to
+    a one-row summary: rows, keys, orphan keys, orphan rows. The five
+    one-row frames union to the report. At 100 TB the child agg is the
+    only large shuffle per edge; the parent key-set probe is the same
+    join the warehouse needs for the FK's semantics anyway, and dim
+    parents (nation) broadcast."""
+    out = None
+    for child, key, parent, pkey in _FK_EDGES:
+        ch = _t(spark, sf_dir, child)
+        pa = _t(spark, sf_dir, parent).select(F.col(pkey).alias("k")).distinct()
+        if parent in ("nation", "region", "part", "customer"):
+            pa = F.broadcast(pa)
+        keys = ch.groupBy(F.col(key).alias("k")).agg(
+            F.count("*").cast("bigint").alias("cnt")
+        )
+        joined = keys.join(
+            pa.withColumn("hit", F.lit(1)), "k", "left"
+        )
+        edge = joined.agg(
+            F.lit(f"{child}.{key}").alias("edge"),
+            F.sum("cnt").cast("bigint").alias("child_rows"),
+            F.count("*").cast("bigint").alias("child_keys"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("orphan_keys"),
+            F.sum(F.when(F.col("hit").isNull(), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("orphan_rows"),
+        )
+        out = edge if out is None else out.unionAll(edge)
+    return out.orderBy("edge")
+
+
+@register(
+    "q_itemcf",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM baskets GROUP BY l_partkey
+    ),
+    co AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS co_cnt
+      FROM baskets a
+      JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY item_a, item_b
+    )
+    SELECT item_a, item_b, co_cnt,
+           fa.n AS n_a, fb.n AS n_b,
+           CAST((co_cnt * co_cnt * 1000000) // (fa.n * fb.n) AS BIGINT)
+             AS cos2_micro,
+           CAST(co_cnt AS DOUBLE)
+             / (sqrt(CAST(fa.n AS DOUBLE)) * sqrt(CAST(fb.n AS DOUBLE)))
+             AS cosine
+    FROM co
+    JOIN freq fa ON co.item_a = fa.l_partkey
+    JOIN freq fb ON co.item_b = fb.l_partkey
+    ORDER BY cos2_micro DESC, item_a, item_b LIMIT 15
+    """,
+)
+def q_itemcf(spark, sf_dir):
+    """Item-item collaborative filtering (the classic Amazon/Spark
+    MLlib shape) over order baskets: co-occurrence counts from a
+    within-basket self-join, cosine similarity against each item's
+    basket frequency, top-15 related pairs. Ranking runs on the exact
+    integer lattice (cos2_micro = co²·10⁶ div n_a·n_b) so the limit
+    boundary never compares floats; the reported cosine keeps the
+    identical √n_a·√n_b expression tree on both sides. At 100 TB the
+    self-join fans out Σ per-basket k² — bounded by basket size (~4
+    here), the standard market-basket bound, with hub-capping for
+    pathological baskets; everything else is hash aggs and two
+    broadcast-sized frequency joins."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = li.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    a = li.select("l_orderkey", F.col("l_partkey").alias("item_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("item_b"))
+    co = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("bigint").alias("co_cnt"))
+    )
+    fa = freq.select(F.col("l_partkey").alias("item_a"), F.col("n").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("item_b"), F.col("n").alias("n_b"))
+    scored = co.join(F.broadcast(fa), "item_a").join(F.broadcast(fb), "item_b")
+    return (
+        scored.select(
+            "item_a",
+            "item_b",
+            "co_cnt",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST((co_cnt * co_cnt * 1000000) div (n_a * n_b) AS BIGINT)"
+            ).alias("cos2_micro"),
+            (
+                F.col("co_cnt").cast("double")
+                / (
+                    F.sqrt(F.col("n_a").cast("double"))
+                    * F.sqrt(F.col("n_b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .orderBy(F.desc("cos2_micro"), "item_a", "item_b")
+        .limit(15)
+    )
+
+
+@register(
+    "q_cep_pattern",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             lag(value, 2) OVER w AS v2,
+             lag(value, 1) OVER w AS v1,
+             lead(value, 1) OVER w AS v_next
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    peaks AS (
+      SELECT user_id, event_type FROM seq
+      WHERE v2 IS NOT NULL AND v1 IS NOT NULL AND v_next IS NOT NULL
+        AND v2 < v1 AND v1 < value AND v_next < value
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_peaks,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM peaks GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_cep_pattern(spark, sf_dir):
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE /
+    Flink CEP shape Spark lacks natively): per user-ordered stream,
+    detect rise-rise-peak-fall — two strictly increasing steps into a
+    local maximum — and report peak counts per event type. The pattern
+    compiles to a lag/lead chain over one (user, time) window: one
+    shuffle on user_id, sequential scan per partition, no joins and no
+    state machine UDF. The total window order (ts, event_id) makes the
+    match set deterministic under timestamp ties. At 100 TB this is
+    the cheapest possible sequence scan — each row carries exactly
+    three neighbor values, and the per-user partition streams through
+    the window operator without materializing the sequence."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        "value",
+        F.lag("value", 2).over(w).alias("v2"),
+        F.lag("value", 1).over(w).alias("v1"),
+        F.lead("value", 1).over(w).alias("v_next"),
+    )
+    peaks = seq.filter(
+        F.col("v2").isNotNull()
+        & F.col("v1").isNotNull()
+        & F.col("v_next").isNotNull()
+        & (F.col("v2") < F.col("v1"))
+        & (F.col("v1") < F.col("value"))
+        & (F.col("v_next") < F.col("value"))
+    )
+    return (
+        peaks.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_peaks"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_calibration",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(event_id % 100 AS BIGINT) AS p100,
+             CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                  AS BIGINT) AS y
+      FROM events
+    )
+    SELECT CAST(p100 // 10 AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS positives,
+           CAST((SUM(p100) * 10000) // COUNT(*) AS BIGINT)
+             AS mean_pred_micro,
+           CAST(SUM((p100 - 100 * y) * (p100 - 100 * y)) AS BIGINT)
+             AS brier_num,
+           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS obs_rate
+    FROM scored GROUP BY bin ORDER BY bin
+    """,
+)
+def q_calibration(spark, sf_dir):
+    """Model-calibration reliability table (the other half of
+    eval-on-engine next to q_eval_confusion): bucket a predicted
+    probability into deciles and compare mean prediction against the
+    observed positive rate, with the per-bin Brier numerator as the
+    exact squared-error mass. The synthetic score is the deterministic
+    event_id % 100 in hundredths, so every statistic lives on the
+    integer lattice: mean_pred_micro = Σp100·10⁴ div n and
+    brier_num = Σ(p100 − 100y)² are BIGINTs; only obs_rate divides,
+    identically on both sides. One map-side-combinable hash agg over
+    ten groups — at 100 TB this is a single scan with constant-size
+    aggregation state, the cheapest eval artifact a pipeline can
+    emit."""
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        (F.col("event_id") % 100).cast("bigint").alias("p100"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    err = F.col("p100") - F.lit(100) * F.col("y")
+    return (
+        scored.groupBy(
+            F.expr("CAST(p100 div 10 AS INT)").alias("bin")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("positives"),
+            F.expr(
+                "CAST((SUM(p100) * 10000) div COUNT(*) AS BIGINT)"
+            ).alias("mean_pred_micro"),
+            F.sum(err * err).cast("bigint").alias("brier_num"),
+            (
+                F.sum("y").cast("double") / F.count("*").cast("double")
+            ).alias("obs_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "q_bpe_merge",
+    oracle=f"""
+    WITH tok AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    prs AS (
+      SELECT substring(tok, CAST(i AS INT), 2) AS pair, freq
+      FROM (SELECT tok, freq,
+                   unnest(range(1, length(tok))) AS i
+            FROM tok WHERE length(tok) > 1)
+    )
+    SELECT pair, CAST(SUM(freq) AS BIGINT) AS merge_count
+    FROM prs GROUP BY pair
+    ORDER BY merge_count DESC, pair LIMIT 20
+    """,
+)
+def q_bpe_merge(spark, sf_dir):
+    """One BPE tokenizer-training merge step: count every adjacent
+    character-pair occurrence across the corpus (weighted by token
+    frequency) and rank the top-20 merge candidates — the inner loop
+    of byte-pair-encoding vocabulary construction, run engine-side so
+    tokenizer training reads aggregated pair counts instead of raw
+    text. The corpus first collapses to (token type, freq) — the
+    standard BPE working set, orders of magnitude smaller than the
+    token stream — then each type fans out to its |len|−1 pairs via a
+    codegen'd sequence/substring transform (no Python). Both aggs are
+    map-side combinable; the pair agg keys on 2-char strings (tiny
+    state). At 100 TB the type table is the only shuffle of corpus
+    magnitude and the pair table is bounded by alphabet², i.e.
+    constant."""
+    docs = _t(spark, sf_dir, "documents")
+    tok = (
+        docs.select(F.explode(dd.tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    pairs = tok.filter(F.length("tok") > 1).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1),"
+                " i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), "pair")
+        .limit(20)
+    )
+
+
+@register(
+    "q_ngram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest({_DUCK_TOKENS}) AS tok,
+             generate_subscripts({_DUCK_TOKENS}, 1) AS pos
+      FROM documents
+    ),
+    tri AS (
+      SELECT concat(tok, ' ',
+                    lead(tok, 1) OVER w) AS context,
+             lead(tok, 2) OVER w AS next_tok
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    cnt AS (
+      SELECT context, next_tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tri WHERE next_tok IS NOT NULL
+      GROUP BY context, next_tok
+    ),
+    ranked AS (
+      SELECT context, next_tok, c,
+             CAST(SUM(c) OVER (PARTITION BY context) AS BIGINT) AS ctx_total,
+             ROW_NUMBER() OVER (PARTITION BY context
+                                ORDER BY c DESC, next_tok) AS rk
+      FROM cnt
+    )
+    SELECT context, ctx_total, next_tok AS top_next, c AS top_cnt,
+           CAST(c AS DOUBLE) / CAST(ctx_total AS DOUBLE) AS p_top
+    FROM ranked WHERE rk = 1 AND ctx_total >= 5
+    ORDER BY ctx_total DESC, context LIMIT 20
+    """,
+)
+def q_ngram_lm(spark, sf_dir):
+    """Trigram language-model estimation: for each two-token context,
+    the maximum-likelihood top continuation and its conditional count
+    — the count-based LM primitive behind perplexity filters, MoE
+    routing heuristics, and contamination-resistant corpus stats. The
+    token stream becomes (context, next) pairs with two lead() calls
+    over one (doc, pos) window — no self-joins — then a hash agg on
+    the pair, a context-partitioned sum window over the *aggregate*,
+    and a deterministic top-1 (count desc, token asc). p_top divides
+    the two BIGINTs identically on both sides. At 100 TB: one shuffle
+    to the (doc, pos) window (co-partitioned with every other per-doc
+    pass), one to the pair agg keyed by context — both map-side
+    combinable; the ranked frame is |distinct contexts| not corpus
+    size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(dd.tokens_col("text")).alias("pos", "tok")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        F.concat(F.col("tok"), F.lit(" "), F.lead("tok", 1).over(w)).alias(
+            "context"
+        ),
+        F.lead("tok", 2).over(w).alias("next_tok"),
+    )
+    cnt = (
+        tri.filter(F.col("next_tok").isNotNull())
+        .groupBy("context", "next_tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    wc = Window.partitionBy("context")
+    wr = Window.partitionBy("context").orderBy(F.desc("c"), "next_tok")
+    ranked = cnt.select(
+        "context",
+        "next_tok",
+        "c",
+        F.sum("c").over(wc).cast("bigint").alias("ctx_total"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    return (
+        ranked.filter((F.col("rk") == 1) & (F.col("ctx_total") >= 5))
+        .select(
+            "context",
+            "ctx_total",
+            F.col("next_tok").alias("top_next"),
+            F.col("c").alias("top_cnt"),
+            (F.col("c").cast("double") / F.col("ctx_total").cast("double"))
+            .alias("p_top"),
+        )
+        .orderBy(F.desc("ctx_total"), "context")
+        .limit(20)
+    )
+
+
+@register(
+    "q_inverted_index",
+    oracle=f"""
+    WITH occ AS (
+      SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+    ),
+    posting AS (
+      SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM occ GROUP BY tok, doc_id
+    ),
+    gapped AS (
+      SELECT tok, tf,
+             COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY tok
+                                                 ORDER BY doc_id),
+                      doc_id) AS gap
+      FROM posting
+    )
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS tf_total,
+           CAST(SUM(CASE WHEN gap < 128 THEN 1
+                         WHEN gap < 16384 THEN 2
+                         WHEN gap < 2097152 THEN 3
+                         ELSE 4 END) AS BIGINT) AS postings_bytes
+    FROM gapped GROUP BY tok
+    ORDER BY df DESC, tok LIMIT 20
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build with a physical storage estimate: per
+    token, document frequency, total term frequency, and the byte
+    size of the delta-varint-encoded postings list (gap = doc_id −
+    previous doc_id, varint width by pure integer thresholds — the
+    Lucene/PForDelta arithmetic without any log). This is the search
+    'indexing' stage as a query: one explode → (token, doc) hash agg
+    (map-side combined), one token-partitioned window for the gaps —
+    both shuffles key on the token, so the agg and the window share a
+    single exchange at scale. The result ranks by df with a total
+    (df, token) order. At 100 TB the posting agg is the corpus-scale
+    shuffle; gap encoding adds zero extra exchange, which is exactly
+    why real indexers pipeline it the same way."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(dd.tokens_col("text")).alias("tok"))
+    posting = occ.groupBy("tok", "doc_id").agg(
+        F.count("*").cast("bigint").alias("tf")
+    )
+    wg = Window.partitionBy("tok").orderBy("doc_id")
+    gapped = posting.select(
+        "tok",
+        "tf",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(wg), F.col("doc_id")
+        ).alias("gap"),
+    )
+    vbytes = (
+        F.when(F.col("gap") < 128, 1)
+        .when(F.col("gap") < 16384, 2)
+        .when(F.col("gap") < 2097152, 3)
+        .otherwise(4)
+    )
+    return (
+        gapped.groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("df"),
+            F.sum("tf").cast("bigint").alias("tf_total"),
+            F.sum(vbytes).cast("bigint").alias("postings_bytes"),
+        )
+        .orderBy(F.desc("df"), "tok")
+        .limit(20)
+    )
+
+
+@register(
+    "q_event_precedence",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS us
+      FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS pair_cnt,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM ev a
+    JOIN ev b
+      ON a.user_id = b.user_id
+     AND b.us > a.us
+     AND b.us <= a.us + 3600000000
+    GROUP BY type_a, type_b
+    ORDER BY type_a, type_b
+    """,
+)
+def q_event_precedence(spark, sf_dir):
+    """Temporal-precedence matrix: for every ordered pair of events by
+    the same user within one hour, count (earlier type → later type)
+    transitions — the gap-allowed generalization of q_markov_transitions
+    (which only sees adjacent steps) and the evidence table behind
+    'A precedes B' causal screening. Time is compared on the exact
+    epoch-microsecond integer lattice, so the one-hour bound is BIGINT
+    arithmetic and ties are excluded identically in both engines. The
+    pairing is a per-user band self-join: at 100 TB it shuffles once
+    on user_id and fans out Σ per-user-per-hour k² — the bounded band
+    form of a range join (same posture as q_range_join_bucketed, where
+    the epoch-hour bucket key caps the probe width); the final matrix
+    agg is |types|² rows."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+    )
+    a = ev.select(
+        "user_id", F.col("event_type").alias("type_a"), F.col("us").alias("us_a")
+    )
+    b = ev.select(
+        "user_id", F.col("event_type").alias("type_b"), F.col("us").alias("us_b")
+    )
+    pairs = a.join(b, "user_id").filter(
+        (F.col("us_b") > F.col("us_a"))
+        & (F.col("us_b") <= F.col("us_a") + F.lit(3600000000))
+    )
+    return (
+        pairs.groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").cast("bigint").alias("pair_cnt"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@register(
+    "q_simpson_diversity",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+      GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c * (c - 1)) AS BIGINT) AS simpson_num,
+           CAST(SUM(c) * (SUM(c) - 1) AS BIGINT) AS simpson_den,
+           CAST(SUM(c * (c - 1)) AS DOUBLE)
+             / CAST(SUM(c) * (SUM(c) - 1) AS DOUBLE) AS simpson
+    FROM cnt GROUP BY source ORDER BY source
+    """,
+)
+def q_simpson_diversity(spark, sf_dir):
+    """Per-source lexical diversity via the unbiased Simpson index
+    D = Σc(c−1) / N(N−1) — the transcendental-free complement to
+    Shannon entropy for corpus-mixture monitoring (low D = diverse
+    vocabulary, high D = repetitive source worth down-weighting).
+    Both numerator and denominator are exact BIGINTs from one
+    (source, token) hash agg followed by one per-source agg — the
+    identical two-level shape as q_vocab_coverage, map-side combined
+    at both levels, constant state per key. Only the final index
+    divides, with the same expression tree in both engines. At 100 TB
+    the (source, token) agg is the corpus-scale shuffle; everything
+    after is |sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("source", F.explode(dd.tokens_col("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    n = F.sum("c").cast("bigint")
+    num = F.sum(F.col("c") * (F.col("c") - 1)).cast("bigint")
+    return (
+        cnt.groupBy("source")
+        .agg(
+            n.alias("n_tokens"),
+            F.count("*").cast("bigint").alias("n_types"),
+            num.alias("simpson_num"),
+            (n * (n - F.lit(1))).cast("bigint").alias("simpson_den"),
+            (num.cast("double") / (n * (n - F.lit(1))).cast("double")).alias(
+                "simpson"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,137 @@
+"""Plan-shape pins for the round-6 batch-4/5 queries: `.explain`-level
+proof that each compiles to the physical strategy its docstring claims
+for the 100 TB posture — broadcast joins where a side is bounded, no
+cartesian products, no Python eval in any hot path, map-side-combinable
+hash aggregation (partial/final pairs), and windows sharing exchanges
+with the aggregations they follow."""
+
+from __future__ import annotations
+
+from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
+
+from .conftest import SF_DIR
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _no_python(plan: str) -> bool:
+    return "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bitmap_rollup_two_hash_aggs_no_window(spark):
+    # both rollup levels are OR-combinable hash aggs (8-byte state);
+    # partial/final pairs, no window, no join
+    plan = _executed(QUERIES["q_bitmap_rollup"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4, plan  # 2 levels x partial/final
+    assert "Window" not in plan and "Join" not in plan, plan
+    assert _no_python(plan), plan
+
+
+def test_node_jaccard_equi_joins_broadcast_degrees(spark):
+    # wedge + anti + degree joins are all equi-keyed; degree frames
+    # broadcast; the top-20 is a TakeOrdered, not a global sort
+    plan = _executed(QUERIES["q_node_jaccard"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ohlc_bars_windows_and_agg_share_bar_key(spark):
+    # open/close rank windows and the OHLC agg all key on the bar; one
+    # exchange family, no join
+    plan = _executed(QUERIES["q_ohlc_bars"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert _no_python(plan), plan
+
+
+def test_abc_pareto_window_runs_over_aggregate(spark):
+    # the cumulative window sorts the per-part aggregate (|parts| rows),
+    # never raw lineitem; class totals broadcast
+    plan = _executed(QUERIES["q_abc_pareto"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert plan.index("HashAggregate") < plan.index("Window"), plan
+
+
+def test_cross_corr_lag_join_broadcasts_aggregate(spark):
+    # the 4-lag pairing joins two derivations of the hourly AGGREGATE
+    # (|hours| rows) — broadcast, never a sort-merge over raw events
+    plan = _executed(QUERIES["q_cross_corr"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ref_integrity_no_cartesian_no_python(spark):
+    plan = _executed(QUERIES["q_ref_integrity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert _no_python(plan), plan
+
+
+def test_itemcf_broadcasts_frequencies(spark):
+    # the within-basket self-join is equi-keyed on the order; both item
+    # frequency joins broadcast; top-15 is a TakeOrdered
+    plan = _executed(QUERIES["q_itemcf"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_cep_pattern_single_window_no_join(spark):
+    # the lag/lead chain compiles to ONE window operator over one
+    # (user) exchange — the whole pattern is a sequential partition scan
+    plan = _executed(QUERIES["q_cep_pattern"](spark, SF_DIR))
+    assert plan.count("Window") == 1, plan
+    assert "Join" not in plan, plan
+    assert _no_python(plan), plan
+
+
+def test_calibration_single_scan_one_agg_pair(spark):
+    plan = _executed(QUERIES["q_calibration"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan  # partial + final
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_bpe_merge_two_agg_levels_no_python(spark):
+    # corpus -> token-type agg -> pair agg; the substring fan-out is a
+    # codegen'd generator, not Python
+    plan = _executed(QUERIES["q_bpe_merge"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4, plan
+    assert _no_python(plan), plan
+    assert "Join" not in plan, plan
+
+
+def test_inverted_index_gap_window_shares_token_key(spark):
+    # the posting agg and the gap window both key on the token: the
+    # window must not introduce a second corpus-scale exchange class
+    plan = _executed(QUERIES["q_inverted_index"](spark, SF_DIR))
+    assert "hashpartitioning(tok" in plan, plan
+    assert _no_python(plan), plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_event_precedence_band_join_is_equi_keyed(spark):
+    # the 1-hour band self-join hashes on user_id with the time band as
+    # a post-join filter — never a nested-loop over all pairs
+    plan = _executed(QUERIES["q_event_precedence"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert _no_python(plan), plan
+
+
+def test_ngram_lm_windows_after_pair_agg(spark):
+    # the context-total and top-1 windows run over the (context, next)
+    # AGGREGATE, not the token stream
+    plan = _executed(QUERIES["q_ngram_lm"](spark, SF_DIR))
+    assert plan.index("HashAggregate") < plan.index("Window", plan.index("HashAggregate")), plan
+    assert _no_python(plan), plan
+
+
+def test_simpson_diversity_two_level_agg_only(spark):
+    plan = _executed(QUERIES["q_simpson_diversity"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 4, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert _no_python(plan), plan
