@@ -11624,10 +11624,18 @@ def q_label_noise(spark, sf_dir):
         F.col("label").alias("qlabel"),
         F.col("e").alias("qv"),
     )
-    pairs = emb.join(
-        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
-    ).withColumn(
-        "sim", F.round(F.expr(sim.cosine_expr("qv", "e")), sim.SIM_ROUND)
+    # the corpus parquet is a single split at test scale — without an
+    # explicit fan-out the whole n·q kernel (cosine eval + partial
+    # top-5) runs in ONE task. Repartitioning the probe side is a
+    # ~|corpus| row shuffle that buys full-cluster parallelism for the
+    # expensive stage; at 100 TB the scan has natural splits and AQE
+    # coalesces this to a no-op-sized exchange.
+    pairs = (
+        emb.repartition(32, F.col("vec_id"))
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "sim", F.round(F.expr(sim.cosine_expr("qv", "e")), sim.SIM_ROUND)
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("vec_id")
