@@ -13229,6 +13229,779 @@ def q_simpson_diversity(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------
+# Round-6 batch 6: corpus law checks (Zipf), graph mixing metrics
+# (assortativity, reciprocity), engine-ops diagnostics (join-key skew,
+# join-cardinality q-error, SLO burn rate), business statistics
+# (price-quantity correlation, hazard rates, dispersion), and
+# cross-source similarity. Same lattice discipline as batches 1-5.
+# ---------------------------------------------------------------------
+
+
+@register(
+    "q_zipf_check",
+    oracle=f"""
+    WITH freq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS BIGINT)
+               AS rank
+      FROM freq
+    ),
+    top1 AS (SELECT CAST(MAX(freq) AS BIGINT) AS f1 FROM freq)
+    SELECT rank, tok, freq,
+           CAST(rank * freq AS BIGINT) AS rank_freq,
+           CAST((rank * freq * 1000000) // f1 AS BIGINT) AS zipf_micro
+    FROM ranked, top1
+    WHERE rank <= 30 ORDER BY rank
+    """,
+)
+def q_zipf_check(spark, sf_dir):
+    """Zipf's-law conformance check: rank tokens by frequency and
+    report rank·frequency for the head — under Zipf, r·f(r) ≈ f(1),
+    so zipf_micro = r·f(r)·10⁶ div f(1) hovering near 10⁶ is the
+    one-glance test. Corpus-health dashboards use the deviation to
+    spot boilerplate floods (head too flat) or template spam (head
+    too steep). The ranking window and the top-1 broadcast both run
+    over the VOCABULARY aggregate (|types| rows, already reduced by
+    the map-side-combined token agg), never the token stream; the
+    global order is total (freq desc, token asc). All arithmetic is
+    BIGINT."""
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(dd.tokens_col("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), "tok")
+    ranked = freq.select(
+        "tok", "freq", F.row_number().over(w).cast("bigint").alias("rank")
+    ).filter(F.col("rank") <= 30)
+    top1 = freq.agg(F.max("freq").cast("bigint").alias("f1"))
+    return (
+        ranked.crossJoin(F.broadcast(top1))
+        .select(
+            "rank",
+            "tok",
+            "freq",
+            (F.col("rank") * F.col("freq")).cast("bigint").alias("rank_freq"),
+            F.expr(
+                "CAST((rank * freq * 1000000) div f1 AS BIGINT)"
+            ).alias("zipf_micro"),
+        )
+        .orderBy("rank")
+    )
+
+
+_DUCK_SYM_EDGES_499 = """
+      SELECT DISTINCT
+             LEAST(user_id % 499, (2 * user_id + event_id) % 499) AS lo,
+             GREATEST(user_id % 499, (2 * user_id + event_id) % 499) AS hi
+      FROM events
+      WHERE user_id % 499 != (2 * user_id + event_id) % 499
+"""
+
+
+@register(
+    "q_assortativity",
+    oracle=f"""
+    WITH raw AS ({_DUCK_SYM_EDGES_499}),
+    sym AS (
+      SELECT lo AS a, hi AS b FROM raw
+      UNION ALL SELECT hi, lo FROM raw
+    ),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    joined AS (
+      SELECT da.d AS x, db.d AS y
+      FROM sym JOIN deg da ON sym.a = da.a JOIN deg db ON sym.b = db.a
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM joined
+    )
+    SELECT n AS n_half_edges,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                      * sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0.0)
+             AS assortativity
+    FROM stats
+    """,
+)
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity of the mod-499 interaction graph (sparser
+    than the wedge queries' mod-41 graph, which saturates to complete
+    — and thus degenerate zero degree-variance — at test scale): the
+    Newman mixing coefficient (do hubs attach to hubs?), the
+    one-number summary that predicts whether hub-capping is needed
+    before the wedge joins (q_node_jaccard, q_graph_2hop) blow up.
+    It is exactly the Pearson correlation of endpoint degrees over
+    the symmetrized edge list, so the whole metric reduces to six
+    BIGINT sufficient statistics gathered in one agg over edges
+    joined twice to the degree table (broadcast — |nodes| rows); the
+    final coefficient divides once with the identical IEEE tree on
+    both sides, NULLIF-guarded so a degenerate regular graph yields
+    NULL rather than an engine-dependent division error. At 100 TB:
+    one distinct-edge shuffle, one degree agg, two broadcast joins,
+    one scalar row."""
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("user_id") % 499
+    bcol = (F.lit(2) * F.col("user_id") + F.col("event_id")) % 499
+    raw = (
+        ev.select(
+            F.least(a, bcol).alias("lo"), F.greatest(a, bcol).alias("hi")
+        )
+        .filter(a != bcol)
+        .distinct()
+    )
+    sym = raw.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionAll(
+        raw.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    joined = sym.join(
+        F.broadcast(deg.select("a", F.col("d").alias("x"))), "a"
+    ).join(
+        F.broadcast(
+            deg.select(F.col("a").alias("b"), F.col("d").alias("y"))
+        ),
+        "b",
+    )
+    stats = joined.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.select(
+        F.col("n").alias("n_half_edges"),
+        num.cast("bigint").alias("num"),
+        den_x.cast("bigint").alias("den_x"),
+        den_y.cast("bigint").alias("den_y"),
+        (
+            num.cast("double")
+            / F.nullif(
+                F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "q_reciprocity",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT user_id % 97 AS src,
+             (2 * user_id + event_id) % 97 AS dst
+      FROM events
+      WHERE user_id % 97 != (2 * user_id + event_id) % 97
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN r.src IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_recip,
+           CAST((SUM(CASE WHEN r.src IS NULL THEN 0 ELSE 1 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS recip_micro,
+           CAST(SUM(CASE WHEN r.src IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS reciprocity
+    FROM edges e
+    LEFT JOIN edges r ON e.src = r.dst AND e.dst = r.src
+    """,
+)
+def q_reciprocity(spark, sf_dir):
+    """Directed-graph reciprocity (what fraction of follows are
+    mutual) over the mod-97 directed interaction graph: one distinct
+    edge list, one self-join probing each edge's reverse, one scalar
+    row. Reciprocity separates broadcast-shaped graphs (~0) from
+    conversation-shaped ones (~1) and calibrates whether symmetrizing
+    (as the wedge queries do) loses information. The reverse probe is
+    an equi-join on the (dst, src) key pair — at 100 TB it
+    co-partitions with the edge list itself (hash both sides on the
+    sorted key pair), no fan-out, output bounded by |E|. Ratios ride
+    the integer-micro lattice plus one identical double division."""
+    ev = _t(spark, sf_dir, "events")
+    src = F.col("user_id") % 97
+    dst = (F.lit(2) * F.col("user_id") + F.col("event_id")) % 97
+    edges = (
+        ev.select(src.alias("src"), dst.alias("dst"))
+        .filter(src != dst)
+        .distinct()
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(1).alias("hit")
+    )
+    probed = edges.join(rev, ["src", "dst"], "left")
+    return probed.agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_recip"),
+        F.expr(
+            "CAST((SUM(CASE WHEN hit IS NULL THEN 0 ELSE 1 END) * 1000000)"
+            " div COUNT(*) AS BIGINT)"
+        ).alias("recip_micro"),
+        (
+            F.sum(F.when(F.col("hit").isNull(), 0).otherwise(1)).cast("double")
+            / F.count("*").cast("double")
+        ).alias("reciprocity"),
+    )
+
+
+@register(
+    "q_key_skew",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM per_key
+    ),
+    ranked AS (
+      SELECT key, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY cnt DESC, key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk
+      FROM per_key
+    )
+    SELECT key, cnt,
+           CAST((cnt * 1000000) // total_rows AS BIGINT) AS share_micro,
+           CAST((cum_cnt * 1000000) // total_rows AS BIGINT)
+             AS cum_share_micro,
+           CAST((cnt * n_keys * 1000000) // total_rows AS BIGINT)
+             AS over_avg_micro,
+           n_keys, total_rows
+    FROM ranked, tot WHERE rk <= 10 ORDER BY cnt DESC, key
+    """,
+)
+def q_key_skew(spark, sf_dir):
+    """Join-key skew diagnosis — the report this engine's own salting
+    path (q_join_salted) is predicated on: the top-10 heaviest keys
+    with their share, cumulative share, and over-average factor
+    (cnt·n_keys/total, >10⁶ means hotter than uniform). Operators run
+    this before choosing broadcast vs salt vs AQE skew-join. The
+    per-key agg is the only data-scale pass (map-side combined); the
+    ranking and cumulative windows run over the |keys| aggregate with
+    a total (cnt desc, key) order, and the corpus totals broadcast as
+    one row. Everything is BIGINT; shares are micro-lattice
+    divisions."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    tot = per_key.agg(
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    w = Window.orderBy(F.desc("cnt"), "key")
+    ranked = per_key.select(
+        "key",
+        "cnt",
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("cum_cnt"),
+        F.row_number().over(w).alias("rk"),
+    ).filter(F.col("rk") <= 10)
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "cnt",
+            F.expr("CAST((cnt * 1000000) div total_rows AS BIGINT)").alias(
+                "share_micro"
+            ),
+            F.expr(
+                "CAST((cum_cnt * 1000000) div total_rows AS BIGINT)"
+            ).alias("cum_share_micro"),
+            F.expr(
+                "CAST((cnt * n_keys * 1000000) div total_rows AS BIGINT)"
+            ).alias("over_avg_micro"),
+            "n_keys",
+            "total_rows",
+        )
+        .orderBy(F.desc("cnt"), "key")
+    )
+
+
+@register(
+    "q_join_card_est",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM orders GROUP BY o_orderkey
+    ),
+    s AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    rb AS (
+      SELECT k % 64 AS bucket, CAST(SUM(c) AS BIGINT) AS n_r,
+             CAST(COUNT(*) AS BIGINT) AS d_r
+      FROM r GROUP BY bucket
+    ),
+    sb AS (
+      SELECT k % 64 AS bucket, CAST(SUM(c) AS BIGINT) AS n_s,
+             CAST(COUNT(*) AS BIGINT) AS d_s
+      FROM s GROUP BY bucket
+    ),
+    act AS (
+      SELECT r.k % 64 AS bucket, CAST(SUM(r.c * s.c) AS BIGINT) AS actual
+      FROM r JOIN s ON r.k = s.k GROUP BY bucket
+    )
+    SELECT rb.bucket, n_r, d_r, n_s, d_s,
+           COALESCE(actual, 0) AS actual,
+           CAST(n_r * n_s AS BIGINT) AS est_num,
+           CAST(GREATEST(d_r, d_s) AS BIGINT) AS est_den,
+           CAST(GREATEST(
+             (n_r * n_s * 1000000)
+               // (GREATEST(d_r, d_s) * GREATEST(actual, 1)),
+             (GREATEST(d_r, d_s) * actual * 1000000) // (n_r * n_s)
+           ) AS BIGINT) AS qerr_micro
+    FROM rb JOIN sb ON rb.bucket = sb.bucket
+    LEFT JOIN act ON rb.bucket = act.bucket
+    ORDER BY rb.bucket
+    """,
+)
+def q_join_card_est(spark, sf_dir):
+    """Join-cardinality estimation audit — the optimizer-statistics
+    validation loop run as a query: per 64-bucket key histogram,
+    compare the textbook containment estimate n_r·n_s / max(d_r, d_s)
+    against the TRUE equi-join cardinality Σ c_r(k)·c_s(k), and report
+    the q-error (max of the two ratios) on the micro lattice. This is
+    how an engine decides whether its histograms are good enough to
+    plan by — and precisely the statistic Spark's CBO consumes. All
+    three inputs reduce to per-key count tables first (the same agg
+    the join itself would need); the bucket rollups and the true
+    per-key product are map-side-combinable aggs over those, and the
+    bucket-level frames (64 rows) join broadcast-sized. Pure BIGINT
+    throughout — the q-error never touches floats."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    r = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    s = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    rb = r.groupBy((F.col("k") % 64).alias("bucket")).agg(
+        F.sum("c").cast("bigint").alias("n_r"),
+        F.count("*").cast("bigint").alias("d_r"),
+    )
+    sb = s.groupBy((F.col("k") % 64).alias("bucket")).agg(
+        F.sum("c").cast("bigint").alias("n_s"),
+        F.count("*").cast("bigint").alias("d_s"),
+    )
+    act = (
+        r.join(s.select(F.col("k"), F.col("c").alias("c_s")), "k")
+        .groupBy((F.col("k") % 64).alias("bucket"))
+        .agg(F.sum(F.col("c") * F.col("c_s")).cast("bigint").alias("actual"))
+    )
+    out = (
+        rb.join(sb, "bucket")
+        .join(act, "bucket", "left")
+        .withColumn("actual", F.coalesce(F.col("actual"), F.lit(0)))
+    )
+    return out.select(
+        "bucket",
+        "n_r",
+        "d_r",
+        "n_s",
+        "d_s",
+        "actual",
+        (F.col("n_r") * F.col("n_s")).cast("bigint").alias("est_num"),
+        F.greatest("d_r", "d_s").cast("bigint").alias("est_den"),
+        F.expr(
+            "CAST(GREATEST("
+            " (n_r * n_s * 1000000)"
+            "   div (GREATEST(d_r, d_s) * GREATEST(actual, 1)),"
+            " (GREATEST(d_r, d_s) * actual * 1000000) div (n_r * n_s)"
+            ") AS BIGINT)"
+        ).alias("qerr_micro"),
+    ).orderBy("bucket")
+
+
+@register(
+    "q_slo_burn",
+    oracle="""
+    WITH win AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 21600 AS win,
+             CAST(COUNT(*) AS BIGINT) AS total,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS err
+      FROM events GROUP BY win
+    )
+    SELECT win, total, err,
+           CAST((err * 100000000) // (total * 22) AS BIGINT) AS burn_micro,
+           CAST(CASE WHEN err * 100 > total * 22 THEN 1 ELSE 0 END AS INT)
+             AS breach,
+           CAST(CASE WHEN err * 100 > 2 * total * 22 THEN 1 ELSE 0 END
+                AS INT) AS fast_burn
+    FROM win ORDER BY win
+    """,
+)
+def q_slo_burn(spark, sf_dir):
+    """SLO error-budget burn rate per 6-hour window — the SRE
+    multiwindow alert shape (Google SRE workbook) on the engine:
+    burn = error_rate / SLO(22 %), with breach and 2× fast-burn flags
+    as pure integer comparisons (err·100 > total·22 — no float
+    thresholds, no rate rounding). The window key is the epoch
+    integer div 21600, so the whole query is ONE map-side-combinable
+    hash agg over the scan followed by constant-per-row flag math —
+    the cheapest possible continuous-audit query at 100 TB, and the
+    batch twin of the streaming rate alert (q_event_rate_alert)."""
+    ev = _t(spark, sf_dir, "events")
+    win = ev.groupBy(
+        F.expr("unix_timestamp(ts) div 21600").cast("bigint").alias("win")
+    ).agg(
+        F.count("*").cast("bigint").alias("total"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("err"),
+    )
+    return win.select(
+        "win",
+        "total",
+        "err",
+        F.expr(
+            "CAST((err * 100000000) div (total * 22) AS BIGINT)"
+        ).alias("burn_micro"),
+        F.when(F.col("err") * 100 > F.col("total") * 22, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("breach"),
+        F.when(F.col("err") * 100 > 2 * F.col("total") * 22, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("fast_burn"),
+    ).orderBy("win")
+
+
+@register(
+    "q_elasticity",
+    oracle="""
+    WITH obs AS (
+      SELECT p_brand,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice + 0.5) AS BIGINT) // 100 AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    stats AS (
+      SELECT p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM obs GROUP BY p_brand
+    )
+    SELECT p_brand, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(n * syy - sy * sy AS BIGINT) AS den_y,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             AS price_qty_corr
+    FROM stats ORDER BY p_brand
+    """,
+)
+def q_elasticity(spark, sf_dir):
+    """Price-quantity correlation screen per brand — the first-pass
+    elasticity signal category managers pull before fitting a demand
+    model (a strongly negative correlation flags elastic brands).
+    Quantity is already integral; price quantizes to exact
+    hundred-dollar units (floor(x+0.5) div 100 — sized so that
+    n·Σy² stays in BIGINT at 100× this scale), and the per-brand
+    Pearson reduces to six sufficient statistics in ONE hash agg
+    after a broadcast join to the part dimension. The correlation
+    divides once with the identical IEEE tree. At 100 TB: one
+    broadcast join, one map-side-combinable agg, 25 output rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = li.join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    ).select(
+        "p_brand",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.expr(
+            "CAST(floor(l_extendedprice + 0.5) AS BIGINT) div 100"
+        ).alias("y"),
+    )
+    stats = obs.groupBy("p_brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return stats.select(
+        "p_brand",
+        "n",
+        num.cast("bigint").alias("num"),
+        den_x.cast("bigint").alias("den_x"),
+        den_y.cast("bigint").alias("den_y"),
+        (
+            num.cast("double")
+            / (F.sqrt(den_x.cast("double")) * F.sqrt(den_y.cast("double")))
+        ).alias("price_qty_corr"),
+    ).orderBy("p_brand")
+
+
+@register(
+    "q_hazard_rate",
+    oracle="""
+    WITH tenure AS (
+      SELECT user_id,
+             (CAST(floor(epoch(MAX(ts))) AS BIGINT)
+              - CAST(floor(epoch(MIN(ts))) AS BIGINT)) // 604800 AS week
+      FROM events GROUP BY user_id
+    ),
+    hist AS (
+      SELECT week, CAST(COUNT(*) AS BIGINT) AS churned
+      FROM tenure GROUP BY week
+    ),
+    risk AS (
+      SELECT week, churned,
+             CAST(SUM(churned) OVER (ORDER BY week DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS at_risk
+      FROM hist
+    )
+    SELECT week, churned, at_risk,
+           CAST((churned * 1000000) // at_risk AS BIGINT) AS hazard_micro,
+           CAST(churned AS DOUBLE) / CAST(at_risk AS DOUBLE) AS hazard
+    FROM risk ORDER BY week
+    """,
+)
+def q_hazard_rate(spark, sf_dir):
+    """Discrete-time survival hazard table (the life-table /
+    Kaplan-Meier numerator): per tenure week, the fraction of
+    still-active users whose observed span ends that week —
+    churn-risk-by-age, the retention team's core curve. Tenure is the
+    epoch-second difference of each user's first and last event,
+    integer-div'd into weeks (one per-user min/max agg — map-side
+    combined, constant state). The at-risk denominator is a reversed
+    cumulative sum over the |weeks| histogram — a window over the
+    AGGREGATE, not over users. hazard_micro keeps the rate exact on
+    the integer lattice; the double divides identically. At 100 TB:
+    one user-keyed agg, one tiny histogram, one 5-row window."""
+    ev = _t(spark, sf_dir, "events")
+    tenure = ev.groupBy("user_id").agg(
+        F.expr(
+            "CAST((MAX(unix_timestamp(ts)) - MIN(unix_timestamp(ts)))"
+            " div 604800 AS BIGINT)"
+        ).alias("week")
+    )
+    hist = tenure.groupBy("week").agg(
+        F.count("*").cast("bigint").alias("churned")
+    )
+    w = Window.orderBy(F.desc("week")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = hist.select(
+        "week",
+        "churned",
+        F.sum("churned").over(w).cast("bigint").alias("at_risk"),
+    )
+    return risk.select(
+        "week",
+        "churned",
+        "at_risk",
+        F.expr("CAST((churned * 1000000) div at_risk AS BIGINT)").alias(
+            "hazard_micro"
+        ),
+        (F.col("churned").cast("double") / F.col("at_risk").cast("double"))
+        .alias("hazard"),
+    ).orderBy("week")
+
+
+@register(
+    "q_source_similarity",
+    oracle=f"""
+    WITH tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+      GROUP BY source, tok
+    ),
+    norms AS (
+      SELECT source, CAST(SUM(c * c) AS BIGINT) AS n2
+      FROM tf GROUP BY source
+    ),
+    dots AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY src_a, src_b
+    )
+    SELECT src_a, src_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+             AS cosine
+    FROM dots
+    JOIN norms na ON dots.src_a = na.source
+    JOIN norms nb ON dots.src_b = nb.source
+    ORDER BY src_a, src_b
+    """,
+)
+def q_source_similarity(spark, sf_dir):
+    """Cross-source corpus-similarity matrix: cosine between each
+    source pair's term-frequency vectors — the dataset-mixture
+    design tool ('are src3 and src7 near-duplicates of the same
+    crawl?') that decides merge/down-weight decisions upstream of
+    training. The token equi-join on the (source, token) AGGREGATE
+    computes all pairwise dots in one pass — the sparse Gram matrix
+    as a self-join, Σ per-token |sources-containing|² candidate
+    bound, never |docs|². Dots and norms are exact BIGINTs; the
+    cosine divides with the identical √·√ expression tree. At 100 TB
+    the tf agg is the corpus-scale shuffle (shared with q_tfidf's
+    shape); the dot join keys on token with source-count-squared
+    fan-out — the hub mitigation (drop ubiquitous tokens) is the
+    standard stopword cut documented in SCALE.md."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(dd.tokens_col("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    norms = tf.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("n2")
+    )
+    a = tf.select(
+        F.col("source").alias("src_a"), "tok", F.col("c").alias("c_a")
+    )
+    b = tf.select(
+        F.col("source").alias("src_b"), "tok", F.col("c").alias("c_b")
+    )
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.sum(F.col("c_a") * F.col("c_b")).cast("bigint").alias("dot"))
+    )
+    na = norms.select(F.col("source").alias("src_a"), F.col("n2").alias("n2_a"))
+    nb = norms.select(F.col("source").alias("src_b"), F.col("n2").alias("n2_b"))
+    return (
+        dots.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "dot",
+            "n2_a",
+            "n2_b",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("n2_a").cast("double"))
+                    * F.sqrt(F.col("n2_b").cast("double"))
+                )
+            ).alias("cosine"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@register(
+    "q_dispersion",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view_
+      FROM events GROUP BY hr
+    ),
+    long AS (
+      SELECT 'click' AS event_type, click AS x FROM hourly
+      UNION ALL SELECT 'error', error FROM hourly
+      UNION ALL SELECT 'purchase', purchase FROM hourly
+      UNION ALL SELECT 'signup', signup FROM hourly
+      UNION ALL SELECT 'view', view_ FROM hourly
+    ),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM long GROUP BY event_type
+    )
+    SELECT event_type, n_hours, sx AS n_events,
+           CAST(n_hours * sxx - sx * sx AS BIGINT) AS disp_num,
+           CAST(n_hours * sx AS BIGINT) AS disp_den,
+           CAST(n_hours * sxx - sx * sx AS DOUBLE)
+             / CAST(n_hours * sx AS DOUBLE) AS dispersion
+    FROM stats ORDER BY event_type
+    """,
+)
+def q_dispersion(spark, sf_dir):
+    """Index of dispersion (variance-to-mean ratio) of hourly arrival
+    counts per event type — the Poisson-ness test: ≈1 means memoryless
+    arrivals, >1 means bursty (and q_burstiness's sessions will
+    cluster), <1 means throttled/paced. The hourly series INCLUDES
+    zero-count hours for each type (the series frame is every hour
+    with any event — same pitfall q_cross_corr documents), built as
+    one conditional-sum hash agg then unpivoted with a codegen'd
+    stack(). D = (n·Σx² − (Σx)²) / (n·Σx) stays a ratio of exact
+    BIGINTs; one identical double division at the end. At 100 TB:
+    one map-side-combinable agg to |hours| rows; the stack and the
+    per-type agg run over that aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    conds = {
+        t: F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+        .cast("bigint")
+        .alias(t if t != "view" else "view_")
+        for t in ["click", "error", "purchase", "signup", "view"]
+    }
+    hourly = ev.groupBy(
+        F.expr("unix_timestamp(ts) div 3600").cast("bigint").alias("hr")
+    ).agg(*conds.values())
+    long = hourly.select(
+        F.expr(
+            "stack(5, 'click', click, 'error', error,"
+            " 'purchase', purchase, 'signup', signup, 'view', view_)"
+        ).alias("event_type", "x")
+    )
+    stats = long.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n_hours") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den = F.col("n_hours") * F.col("sx")
+    return stats.select(
+        "event_type",
+        "n_hours",
+        F.col("sx").alias("n_events"),
+        num.cast("bigint").alias("disp_num"),
+        den.cast("bigint").alias("disp_den"),
+        (num.cast("double") / den.cast("double")).alias("dispersion"),
+    ).orderBy("event_type")
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

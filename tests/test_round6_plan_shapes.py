@@ -135,3 +135,81 @@ def test_simpson_diversity_two_level_agg_only(spark):
     assert plan.count("HashAggregate") >= 4, plan
     assert "Join" not in plan and "Window" not in plan, plan
     assert _no_python(plan), plan
+
+
+def test_zipf_rank_window_over_vocab_aggregate(spark):
+    # the global rank window sorts the VOCAB aggregate, never the token
+    # stream; top-1 broadcasts as a one-row frame
+    plan = _executed(QUERIES["q_zipf_check"](spark, SF_DIR))
+    # the rank window's spec keys on the AGG's freq column, proving it
+    # ranks |types| rows, not tokens
+    assert "windowspecdefinition(freq" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_assortativity_broadcasts_degrees(spark):
+    plan = _executed(QUERIES["q_assortativity"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_reciprocity_reverse_probe_is_equi_join(spark):
+    plan = _executed(QUERIES["q_reciprocity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_key_skew_windows_over_key_aggregate(spark):
+    plan = _executed(QUERIES["q_key_skew"](spark, SF_DIR))
+    # the rank/cum window's input Sort keys on the per-key AGG's cnt
+    # column — |keys| rows, never raw lineitem
+    assert "Sort [cnt" in plan, plan
+    assert _no_python(plan), plan
+
+
+def test_join_card_est_all_equi_joins(spark):
+    plan = _executed(QUERIES["q_join_card_est"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("HashAggregate") >= 6, plan  # r, s, rb, sb, act
+
+
+def test_slo_burn_single_scan_one_agg_pair(spark):
+    plan = _executed(QUERIES["q_slo_burn"](spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("HashAggregate") == 2, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+
+
+def test_elasticity_broadcasts_part_dim(spark):
+    plan = _executed(QUERIES["q_elasticity"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hazard_cumulative_over_histogram(spark):
+    # the reversed cumulative runs over the |weeks| histogram, after
+    # the per-user agg pair
+    plan = _executed(QUERIES["q_hazard_rate"](spark, SF_DIR))
+    # the reversed-cumulative window sorts the histogram's week column
+    # (|weeks| rows); the only corpus-scale exchange keys on user_id
+    assert "Sort [week" in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_source_similarity_gram_is_token_equi_join(spark):
+    # the pairwise dots come from a token equi-join on the tf AGGREGATE
+    # with broadcast norms — never a |docs|^2 comparison
+    plan = _executed(QUERIES["q_source_similarity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert _no_python(plan), plan
+
+
+def test_dispersion_stack_after_hourly_agg(spark):
+    # the unpivot generator runs over the |hours| aggregate; one
+    # corpus-scale agg only
+    plan = _executed(QUERIES["q_dispersion"](spark, SF_DIR))
+    assert "Generate stack" in plan or "Generate" in plan, plan
+    assert plan.index("HashAggregate") < plan.index("Generate"), plan
+    assert "Join" not in plan, plan
