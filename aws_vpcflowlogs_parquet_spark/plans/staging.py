@@ -2,22 +2,35 @@
 50-pending-per-round verification capacity, held out of ``queries()``
 until the queue drains.
 
-Round-5 status: EMPTY. The 24 queries staged here during round 4
-(SURVEY §2.5 history) were promoted verbatim into plans/catalog.py in
-round 5 (r4 VERDICT item 3) — see the "Round-5 promotions" section
-there. The machinery stays so any future round that overruns the
-pending cap can stage again: decorate with ``@staged(name, oracle)``,
-gate with tests/test_staging_oracle.py, and promote by moving the block
-to catalog.py with ``@register``.
+Round-6 status: EIGHT queries staged for round-7 promotion (the round-6
+catalog closed at 263 with 43 pending — the cap leaves no safe headroom,
+so this batch waits out the round fully built and gated). The 24 queries
+staged during round 4 were promoted verbatim in round 5; the same
+promotion path applies: move the ``@staged`` block to catalog.py, switch
+the decorator to ``@register``, add the SURVEY §2.3 row, confirm pending
+≤ 50, re-run the sf0.01 drive.
+
+Staged set (SURVEY §2.5): q_resource_alloc (link prediction on the
+integer-quantized resource-allocation index), q_rolling_regression
+(24-observation rolling OLS slope), q_conversion_curve (signup→purchase
+conversion by horizon), q_negative_sampling (deterministic negative
+pairs for recommender training), q_weighted_jaccard (multiset Jaccard
+source matrix), q_snapshot_diff (dataset-version reconciliation),
+q_lag_features (leakage-safe lag/rolling feature matrix),
+q_calendar_dim (generated date dimension with zero-filled activity).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from ..operators import dedup as dd
 from ..session import ensure_session_posture
+from ..sources.tables import load_table
+from .catalog import _DUCK_TOKENS
 
 STAGED_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 STAGED_ORACLES: dict[str, str] = {}
@@ -34,3 +47,608 @@ def staged(name: str, oracle: str):
         return wrapped
 
     return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@staged(
+    "q_resource_alloc",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT
+             LEAST(user_id % 499, (2 * user_id + event_id) % 499) AS lo,
+             GREATEST(user_id % 499, (2 * user_id + event_id) % 499) AS hi
+      FROM events
+      WHERE user_id % 499 != (2 * user_id + event_id) % 499
+    ),
+    sym AS (
+      SELECT lo AS a, hi AS b FROM raw
+      UNION ALL SELECT hi, lo FROM raw
+    ),
+    deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+    wedge AS (
+      SELECT e1.a, e1.b AS z, e2.b AS c
+      FROM sym e1 JOIN sym e2 ON e1.b = e2.a
+      WHERE e1.a < e2.b
+    ),
+    cand AS (
+      SELECT w.a, w.z, w.c
+      FROM wedge w
+      LEFT JOIN sym s ON s.a = w.a AND s.b = w.c
+      WHERE s.a IS NULL
+    ),
+    scored AS (
+      SELECT cand.a, cand.c,
+             CAST(COUNT(*) AS BIGINT) AS common,
+             CAST(SUM(1000000 // dz.d) AS BIGINT) AS ra_micro
+      FROM cand JOIN deg dz ON cand.z = dz.a
+      GROUP BY cand.a, cand.c
+    )
+    SELECT a, c, common, ra_micro
+    FROM scored ORDER BY ra_micro DESC, a, c LIMIT 20
+    """,
+)
+def q_resource_alloc(spark, sf_dir):
+    """Link prediction by the resource-allocation index RA(a,c) =
+    Σ_z∈Γ(a)∩Γ(c) 1/deg(z), on the sparse mod-499 graph (the
+    mod-41 wedge graph saturates to complete at sf0.01, leaving no
+    non-adjacent pairs) — the strongest of the classic local
+    similarity indices (Zhou et al. 2009), which down-weights hub
+    intermediaries where q_node_jaccard's common-neighbor count does
+    not. Each wedge contributes the exact integer 10⁶ div deg(z), so
+    the score is a BIGINT sum — no rational arithmetic, no floats,
+    and the identical quantization on both engines. Same physical
+    shape as the other wedge queries: one distinct-edge shuffle, the
+    wedge equi-join (Σdeg² bound, hub-capping documented), a left-anti
+    for non-adjacency, one broadcast degree join keyed on the
+    intermediate node, one grouped sum, TakeOrdered(20) on the
+    (ra_micro, a, c) total order."""
+    ev = _t(spark, sf_dir, "events")
+    a = F.col("user_id") % 499
+    bcol = (F.lit(2) * F.col("user_id") + F.col("event_id")) % 499
+    raw = (
+        ev.select(
+            F.least(a, bcol).alias("lo"), F.greatest(a, bcol).alias("hi")
+        )
+        .filter(a != bcol)
+        .distinct()
+    )
+    sym = raw.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionAll(
+        raw.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    )
+    deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
+    e2 = sym.select(F.col("a").alias("z"), F.col("b").alias("c"))
+    wedge = (
+        sym.select("a", F.col("b").alias("z"))
+        .join(e2, "z")
+        .filter(F.col("a") < F.col("c"))
+    )
+    cand = wedge.join(
+        sym.select("a", F.col("b").alias("c")), ["a", "c"], "left_anti"
+    )
+    dz = deg.select(F.col("a").alias("z"), F.col("d").alias("dz"))
+    scored = (
+        cand.join(F.broadcast(dz), "z")
+        .groupBy("a", "c")
+        .agg(
+            F.count("*").cast("bigint").alias("common"),
+            F.sum(F.expr("1000000 div dz")).cast("bigint").alias("ra_micro"),
+        )
+    )
+    return (
+        scored.select("a", "c", "common", "ra_micro")
+        .orderBy(F.desc("ra_micro"), "a", "c")
+        .limit(20)
+    )
+
+
+@staged(
+    "q_rolling_regression",
+    oracle="""
+    WITH hourly AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hr,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS y
+      FROM events GROUP BY hr
+    ),
+    rolled AS (
+      SELECT hr,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n_w,
+             CAST(SUM(hr) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(hr * hr) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(hr * y) OVER w AS BIGINT) AS sxy
+      FROM hourly
+      WINDOW w AS (ORDER BY hr ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT hr,
+           CAST(n_w * sxy - sx * sy AS BIGINT) AS num,
+           CAST(n_w * sxx - sx * sx AS BIGINT) AS den,
+           CAST(n_w * sxy - sx * sy AS DOUBLE)
+             / CAST(n_w * sxx - sx * sx AS DOUBLE) AS slope
+    FROM rolled WHERE n_w = 24 ORDER BY hr
+    """,
+)
+def q_rolling_regression(spark, sf_dir):
+    """Rolling 24-observation OLS trend of the hourly click rate — the
+    windowed generalization of q_trend_ols, i.e. the 'is this metric
+    accelerating right now' sparkline behind ops and growth
+    dashboards. The corpus collapses to the hourly aggregate first;
+    the five sufficient statistics then come from ONE window pass
+    (ROWS 23 PRECEDING) over |hours| rows, so no self-joins and no
+    per-window recomputation. Slope numerator and denominator are
+    exact BIGINTs on the epoch-hour lattice (magnitudes sized to stay
+    in range at 100× test scale); partial head windows are excluded
+    by the exact n_w = 24 predicate. One identical double division."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.expr("unix_timestamp(ts) div 3600").cast("bigint").alias("hr")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y")
+    )
+    w = Window.orderBy("hr").rowsBetween(-23, Window.currentRow)
+    rolled = hourly.select(
+        "hr",
+        F.count("*").over(w).cast("bigint").alias("n_w"),
+        F.sum("hr").over(w).cast("bigint").alias("sx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("hr") * F.col("hr")).over(w).cast("bigint").alias("sxx"),
+        F.sum(F.col("hr") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n_w") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_w") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        rolled.filter(F.col("n_w") == 24)
+        .select(
+            "hr",
+            num.cast("bigint").alias("num"),
+            den.cast("bigint").alias("den"),
+            (num.cast("double") / den.cast("double")).alias("slope"),
+        )
+        .orderBy("hr")
+    )
+
+
+@staged(
+    "q_conversion_curve",
+    oracle="""
+    WITH signup AS (
+      SELECT user_id,
+             CAST(MIN(floor(epoch(ts))) AS BIGINT) AS s
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT signup.user_id, s,
+             CAST(MIN(CASE WHEN floor(epoch(e.ts)) >= s
+                           THEN floor(epoch(e.ts)) END) AS BIGINT) AS p
+      FROM signup
+      LEFT JOIN events e
+        ON e.user_id = signup.user_id AND e.event_type = 'purchase'
+      GROUP BY signup.user_id, s
+    ),
+    horizons AS (SELECT unnest([1, 3, 7, 14]) AS k)
+    SELECT CAST(k AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_cohort,
+           CAST(SUM(CASE WHEN p IS NOT NULL AND p - s <= k * 86400
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_conv,
+           CAST((SUM(CASE WHEN p IS NOT NULL AND p - s <= k * 86400
+                          THEN 1 ELSE 0 END) * 1000000) // COUNT(*)
+                AS BIGINT) AS rate_micro,
+           CAST(SUM(CASE WHEN p IS NOT NULL AND p - s <= k * 86400
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS rate
+    FROM conv, horizons GROUP BY k ORDER BY k
+    """,
+)
+def q_conversion_curve(spark, sf_dir):
+    """Signup→purchase conversion curve by horizon (1/3/7/14 days) —
+    the growth team's activation curve, and the label-generation
+    query for a churn/conversion model (the k-day label is exactly
+    the n_conv predicate). First-signup and first-purchase-after-
+    signup reduce to per-user aggs on the epoch-second lattice (the
+    purchase probe is a user-keyed equi-join — co-partitioned with
+    the signup agg at scale); the horizon grid is a 4-row broadcast
+    and each rate is one integer comparison away. No calendar
+    arithmetic — k·86400 on BIGINTs."""
+    ev = _t(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_timestamp("ts")).cast("bigint").alias("s"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_timestamp("ts").cast("bigint").alias("pe")
+    )
+    conv = (
+        signup.join(purchases, "user_id", "left")
+        .groupBy("user_id", "s")
+        .agg(
+            F.min(F.when(F.col("pe") >= F.col("s"), F.col("pe")))
+            .cast("bigint")
+            .alias("p")
+        )
+    )
+    horizons = spark.range(0, 4).select(
+        F.element_at(F.array(F.lit(1), F.lit(3), F.lit(7), F.lit(14)),
+                     (F.col("id") + 1).cast("int")).alias("k")
+    )
+    converted = F.when(
+        F.col("p").isNotNull()
+        & (F.col("p") - F.col("s") <= F.col("k") * 86400),
+        1,
+    ).otherwise(0)
+    return (
+        conv.crossJoin(F.broadcast(horizons))
+        .groupBy(F.col("k").cast("int").alias("k"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_cohort"),
+            F.sum(converted).cast("bigint").alias("n_conv"),
+            F.expr(
+                "CAST((SUM(CASE WHEN p IS NOT NULL AND p - s <= k * 86400"
+                " THEN 1 ELSE 0 END) * 1000000) div COUNT(*) AS BIGINT)"
+            ).alias("rate_micro"),
+            (
+                F.sum(converted).cast("double") / F.count("*").cast("double")
+            ).alias("rate"),
+        )
+        .orderBy("k")
+    )
+
+
+@staged(
+    "q_negative_sampling",
+    oracle="""
+    WITH pos AS (
+      SELECT DISTINCT user_id, event_id % 1000 AS item FROM events
+    ),
+    users AS (SELECT DISTINCT user_id FROM events),
+    items AS (SELECT DISTINCT event_id % 1000 AS item FROM events),
+    neg AS (
+      SELECT u.user_id, i.item
+      FROM users u CROSS JOIN items i
+      LEFT JOIN pos p ON p.user_id = u.user_id AND p.item = i.item
+      WHERE p.user_id IS NULL
+    ),
+    chosen AS (
+      SELECT user_id, CAST(MIN(item) AS BIGINT) AS neg_item
+      FROM neg GROUP BY user_id
+    )
+    SELECT CAST(neg_item % 10 AS BIGINT) AS item_band,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(neg_item) AS BIGINT) AS min_item,
+           CAST(MAX(neg_item) AS BIGINT) AS max_item
+    FROM chosen GROUP BY item_band ORDER BY item_band
+    """,
+)
+def q_negative_sampling(spark, sf_dir):
+    """Deterministic negative sampling for recommender / contrastive
+    training: for each user, the smallest item (the event_id mod-1000
+    pseudo-catalog) they have NEVER interacted with — the
+    reproducible analogue of random negative sampling
+    (training-data pipelines need the deterministic form for
+    replayable builds). The positives relation is one distinct agg;
+    the user × item grid is a broadcast cross join against the
+    |items| dimension; negatives fall out of a left-anti probe and
+    the per-user pick is a MIN agg (total order, no randomness).
+    Users who touched the full catalog produce no negative and drop
+    out identically on both sides; the report buckets chosen
+    negatives into 10 item bands. At 100 TB the grid is
+    |users|·|items| rows streamed through one co-partitioned
+    anti-join — never materialized — and the real-catalog variant
+    swaps the broadcast for the bucketed-grid join."""
+    ev = _t(spark, sf_dir, "events")
+    pos = ev.select(
+        "user_id", (F.col("event_id") % 1000).alias("item")
+    ).distinct()
+    users = ev.select("user_id").distinct()
+    items = ev.select((F.col("event_id") % 1000).alias("item")).distinct()
+    grid = users.crossJoin(F.broadcast(items))
+    neg = grid.join(pos, ["user_id", "item"], "left_anti")
+    chosen = neg.groupBy("user_id").agg(
+        F.min("item").cast("bigint").alias("neg_item")
+    )
+    return (
+        chosen.groupBy((F.col("neg_item") % 10).alias("item_band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.min("neg_item").cast("bigint").alias("min_item"),
+            F.max("neg_item").cast("bigint").alias("max_item"),
+        )
+        .orderBy("item_band")
+    )
+
+
+@staged(
+    "q_weighted_jaccard",
+    oracle=f"""
+    WITH tf AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT source, unnest({_DUCK_TOKENS}) AS tok FROM documents)
+      GROUP BY source, tok
+    ),
+    totals AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM tf GROUP BY source
+    ),
+    mins AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS sum_min
+      FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY src_a, src_b
+    )
+    SELECT src_a, src_b, sum_min,
+           CAST(na.n + nb.n - sum_min AS BIGINT) AS sum_max,
+           CAST((sum_min * 1000000) // (na.n + nb.n - sum_min) AS BIGINT)
+             AS wj_micro,
+           CAST(sum_min AS DOUBLE)
+             / CAST(na.n + nb.n - sum_min AS DOUBLE) AS weighted_jaccard
+    FROM mins
+    JOIN totals na ON mins.src_a = na.source
+    JOIN totals nb ON mins.src_b = nb.source
+    ORDER BY src_a, src_b
+    """,
+)
+def q_weighted_jaccard(spark, sf_dir):
+    """Multiset (weighted) Jaccard similarity between every source
+    pair's token bags — the duplication-aware complement to
+    q_source_similarity's cosine: Σmin(cₐ,c_b) / Σmax(cₐ,c_b), where
+    the max-sum needs NO outer join because Σmax = Nₐ + N_b − Σmin
+    (multiset identity) — so the whole matrix is the same inner
+    token equi-join as the cosine Gram plus two broadcast totals.
+    All numerators/denominators are exact BIGINTs; wj_micro ranks on
+    the integer lattice and one identical double division reports
+    the ratio. Same 100 TB posture as q_source_similarity: one
+    (source, token) corpus-scale agg, token-keyed join with the
+    stopword-cut hub mitigation."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(dd.tokens_col("text")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    totals = tf.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    a = tf.select(F.col("source").alias("src_a"), "tok", F.col("c").alias("c_a"))
+    b = tf.select(F.col("source").alias("src_b"), "tok", F.col("c").alias("c_b"))
+    mins = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(F.least(F.col("c_a"), F.col("c_b")))
+            .cast("bigint")
+            .alias("sum_min")
+        )
+    )
+    na = totals.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = totals.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    smax = F.col("n_a") + F.col("n_b") - F.col("sum_min")
+    return (
+        mins.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "sum_min",
+            smax.cast("bigint").alias("sum_max"),
+            F.expr(
+                "CAST((sum_min * 1000000) div (n_a + n_b - sum_min)"
+                " AS BIGINT)"
+            ).alias("wj_micro"),
+            (F.col("sum_min").cast("double") / smax.cast("double")).alias(
+                "weighted_jaccard"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+@staged(
+    "q_snapshot_diff",
+    oracle="""
+    WITH base AS (
+      SELECT event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    v1 AS (SELECT * FROM base WHERE event_id % 13 != 0),
+    v2 AS (
+      SELECT event_id,
+             cents + CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS cents
+      FROM base WHERE event_id % 11 != 0
+    ),
+    diff AS (
+      SELECT COALESCE(v1.event_id, v2.event_id) AS event_id,
+             v1.cents AS c1, v2.cents AS c2,
+             CASE WHEN v1.event_id IS NULL THEN 'added'
+                  WHEN v2.event_id IS NULL THEN 'removed'
+                  WHEN v1.cents != v2.cents THEN 'changed'
+                  ELSE 'same' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.event_id = v2.event_id
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(COALESCE(c1, 0)) AS BIGINT) AS cents_v1,
+           CAST(SUM(COALESCE(c2, 0)) AS BIGINT) AS cents_v2
+    FROM diff GROUP BY status ORDER BY status
+    """,
+)
+def q_snapshot_diff(spark, sf_dir):
+    """Dataset-version reconciliation: a full-outer key join between
+    two snapshot views (deterministically derived from events — v2
+    drops the mod-11 rows, adds the mod-13 rows v1 lacks, and
+    perturbs the mod-7 values) classifying every key as
+    added / removed / changed / same with per-class row counts and
+    value mass. This is the diff report every pipeline publishes
+    between snapshot publishes (and the CDC-validation twin of
+    q_cdc_merge). The join is key-equi and co-partitioned; values
+    compare on the exact cent lattice (floor(x·100 + 0.5), identical
+    IEEE tree). At 100 TB: one full-outer shuffle on the key plus a
+    4-group agg — the minimal reconciliation cost."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").alias("cents"),
+    )
+    v1 = base.filter(F.col("event_id") % 13 != 0).select(
+        F.col("event_id").alias("k1"), F.col("cents").alias("c1")
+    )
+    v2 = (
+        base.filter(F.col("event_id") % 11 != 0)
+        .select(
+            F.col("event_id").alias("k2"),
+            (
+                F.col("cents")
+                + F.when(F.col("event_id") % 7 == 0, 1).otherwise(0)
+            ).alias("c2"),
+        )
+    )
+    diff = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer").select(
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("c1") != F.col("c2"), "changed")
+        .otherwise("same")
+        .alias("status"),
+        "c1",
+        "c2",
+    )
+    return (
+        diff.groupBy("status")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(F.coalesce(F.col("c1"), F.lit(0)))
+            .cast("bigint")
+            .alias("cents_v1"),
+            F.sum(F.coalesce(F.col("c2"), F.lit(0)))
+            .cast("bigint")
+            .alias("cents_v2"),
+        )
+        .orderBy("status")
+    )
+
+
+@staged(
+    "q_lag_features",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             event_type, ts
+      FROM events
+    )
+    SELECT event_id, user_id, cents,
+           lag(cents, 1) OVER w AS lag1,
+           lag(cents, 2) OVER w AS lag2,
+           CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum3,
+           CAST(CASE WHEN lead(event_type, 1) OVER w = 'purchase'
+                     THEN 1 ELSE 0 END AS INT) AS next_purchase
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def q_lag_features(spark, sf_dir):
+    """Leakage-safe lag/rolling feature matrix — the canonical
+    training-data transform for sequential models: per user-ordered
+    stream, the two previous values, a trailing 3-row sum, and the
+    one-step-ahead purchase label (lead — the only column allowed to
+    look forward, because it IS the label). Everything computes in
+    ONE (user, time) window pass with a total order (ts, event_id),
+    so the matrix is reproducible row-for-row; values ride the exact
+    cent lattice and nulls at sequence edges are preserved (models
+    see true missingness, not imputed zeros). At 100 TB this is one
+    shuffle on user_id shared by all four features — the reason
+    feature stores batch lag features together."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("CAST(floor(value * 100.0D + 0.5D) AS BIGINT)").alias("cents"),
+        "event_type",
+        "ts",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        base.select(
+            "event_id",
+            "user_id",
+            "cents",
+            F.lag("cents", 1).over(w).alias("lag1"),
+            F.lag("cents", 2).over(w).alias("lag2"),
+            F.sum("cents")
+            .over(w.rowsBetween(-2, Window.currentRow))
+            .cast("bigint")
+            .alias("sum3"),
+            F.when(F.lead("event_type", 1).over(w) == "purchase", 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("next_purchase"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@staged(
+    "q_calendar_dim",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+      FROM events
+    ),
+    days AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    )
+    SELECT strftime(days.day, '%Y-%m-%d') AS day,
+           CAST(isodow(days.day) - 1 AS INT) AS dow,
+           CAST(month(days.day) AS INT) AS month,
+           CAST(CASE WHEN isodow(days.day) >= 6 THEN 1 ELSE 0 END AS INT)
+             AS is_weekend,
+           CAST(COALESCE(daily.n, 0) AS BIGINT) AS n_events
+    FROM days LEFT JOIN daily ON days.day = daily.day
+    ORDER BY day
+    """,
+)
+def q_calendar_dim(spark, sf_dir):
+    """Generated date dimension over the observed event span with
+    zero-filled daily activity — the dim-table every warehouse
+    derives rather than stores, and the gap-free axis reporting
+    layers join against (q_gap_fill's calendar twin). The span comes
+    from one min/max agg; the day axis is a codegen'd sequence()
+    explode of that one row (never a stored table); daily counts are
+    a map-side-combined agg left-joined with COALESCE(0). Weekday
+    uses the Monday=0 convention on both engines (Spark weekday ↔
+    DuckDB isodow−1 — the documented cross-engine calendar trap;
+    ISO week numbers are avoided entirely). At 100 TB the only
+    data-scale work is the daily agg; the dimension itself is
+    |days| rows."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    return (
+        days.join(daily, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.weekday("day").cast("int").alias("dow"),
+            F.month("day").cast("int").alias("month"),
+            F.when(F.weekday("day") >= 5, 1).otherwise(0).cast("int").alias(
+                "is_weekend"
+            ),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        )
+        .orderBy("day")
+    )

@@ -184,3 +184,243 @@ def test_staged_rolling_hll_single_scan(spark):
     plan = _executed(STAGED_QUERIES["q_rolling_hll"](spark, SF_DIR))
     assert plan.count("FileScan parquet") == 1, plan
     assert "Window" in plan
+
+
+# ---------------------------------------------------------------------
+# Round-6-staged batch (plans/staging.py, awaiting round-7 promotion):
+# independent pure-Python witnesses recomputed from raw parquet rows.
+# ---------------------------------------------------------------------
+
+import math
+from collections import Counter, defaultdict
+from datetime import datetime
+
+import duckdb
+
+from aws_vpcflowlogs_parquet_spark.plans.staging import (
+    STAGED_QUERIES as R6_STAGED,
+)
+
+_EPOCH0 = datetime(1970, 1, 1)
+
+
+def _sec(ts):
+    d = ts - _EPOCH0
+    return d.days * 86400 + d.seconds
+
+
+def _raw_events():
+    return duckdb.sql(
+        f"SELECT event_id, ts, user_id, event_type, value "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+
+
+def _raw_docs():
+    return duckdb.sql(
+        f"SELECT doc_id, source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+
+
+def test_staged_resource_alloc_matches_python(spark):
+    edges = set()
+    for eid, _ts, uid, _t, _v in _raw_events():
+        x, y = uid % 499, (2 * uid + eid) % 499
+        if x != y:
+            edges.add((min(x, y), max(x, y)))
+    adj = defaultdict(set)
+    for x, y in edges:
+        adj[x].add(y)
+        adj[y].add(x)
+    scores = {}
+    for a in adj:
+        for c in adj:
+            if a < c and c not in adj[a]:
+                common = adj[a] & adj[c]
+                if common:
+                    scores[(a, c)] = (
+                        len(common),
+                        sum(1_000_000 // len(adj[z]) for z in common),
+                    )
+    expect = sorted(
+        ((-ra, a, c, cm) for (a, c), (cm, ra) in scores.items())
+    )[:20]
+    rows = R6_STAGED["q_resource_alloc"](spark, SF_DIR).collect()
+    assert [(r.a, r.c, r.common, r.ra_micro) for r in rows] == [
+        (a, c, cm, -nra) for nra, a, c, cm in expect
+    ]
+
+
+def test_staged_rolling_regression_matches_python(spark):
+    hourly = Counter()
+    hours = set()
+    for _e, ts, _u, typ, _v in _raw_events():
+        hr = _sec(ts) // 3600
+        hours.add(hr)
+        if typ == "click":
+            hourly[hr] += 1
+    series = sorted((h, hourly[h]) for h in hours)
+    rows = R6_STAGED["q_rolling_regression"](spark, SF_DIR).collect()
+    expect = []
+    for i in range(23, len(series)):
+        win = series[i - 23 : i + 1]
+        n = 24
+        sx = sum(h for h, _ in win)
+        sy = sum(y for _, y in win)
+        sxx = sum(h * h for h, _ in win)
+        sxy = sum(h * y for h, y in win)
+        expect.append((series[i][0], n * sxy - sx * sy, n * sxx - sx * sx))
+    assert [(r.hr, r.num, r.den) for r in rows] == expect
+    for r in rows:
+        assert abs(r.slope - r.num / r.den) < 1e-12
+
+
+def test_staged_conversion_curve_matches_python(spark):
+    signup = {}
+    purchases = defaultdict(list)
+    for _e, ts, uid, typ, _v in _raw_events():
+        s = _sec(ts)
+        if typ == "signup":
+            signup[uid] = min(signup.get(uid, s), s)
+        elif typ == "purchase":
+            purchases[uid].append(s)
+    conv = {}
+    for uid, s in signup.items():
+        after = [p for p in purchases.get(uid, []) if p >= s]
+        conv[uid] = (s, min(after) if after else None)
+    rows = R6_STAGED["q_conversion_curve"](spark, SF_DIR).collect()
+    assert [r.k for r in rows] == [1, 3, 7, 14]
+    for r in rows:
+        n_conv = sum(
+            1
+            for s, p in conv.values()
+            if p is not None and p - s <= r.k * 86400
+        )
+        assert (r.n_cohort, r.n_conv, r.rate_micro) == (
+            len(conv),
+            n_conv,
+            (n_conv * 1_000_000) // len(conv),
+        )
+
+
+def test_staged_negative_sampling_matches_python(spark):
+    pos = defaultdict(set)
+    items = set()
+    users = set()
+    for eid, _ts, uid, _t, _v in _raw_events():
+        pos[uid].add(eid % 1000)
+        items.add(eid % 1000)
+        users.add(uid)
+    chosen = {}
+    for uid in users:
+        neg = items - pos[uid]
+        if neg:
+            chosen[uid] = min(neg)
+    bands = defaultdict(list)
+    for item in chosen.values():
+        bands[item % 10].append(item)
+    rows = R6_STAGED["q_negative_sampling"](spark, SF_DIR).collect()
+    assert [r.item_band for r in rows] == sorted(bands)
+    for r in rows:
+        xs = bands[r.item_band]
+        assert (r.n_users, r.min_item, r.max_item) == (
+            len(xs),
+            min(xs),
+            max(xs),
+        )
+
+
+def test_staged_weighted_jaccard_matches_python(spark):
+    tf = defaultdict(Counter)
+    for _d, src, text in _raw_docs():
+        tf[src].update(t for t in text.lower().split(" ") if t)
+    totals = {s: sum(c.values()) for s, c in tf.items()}
+    rows = R6_STAGED["q_weighted_jaccard"](spark, SF_DIR).collect()
+    for r in rows:
+        smin = sum(
+            min(tf[r.src_a][t], tf[r.src_b][t]) for t in tf[r.src_a]
+        )
+        smax = totals[r.src_a] + totals[r.src_b] - smin
+        assert (r.sum_min, r.sum_max, r.wj_micro) == (
+            smin,
+            smax,
+            (smin * 1_000_000) // smax,
+        )
+        assert abs(r.weighted_jaccard - smin / smax) < 1e-12
+
+
+def test_staged_snapshot_diff_matches_python(spark):
+    base = {
+        eid: math.floor(v * 100.0 + 0.5)
+        for eid, _ts, _u, _t, v in _raw_events()
+    }
+    v1 = {k: c for k, c in base.items() if k % 13 != 0}
+    v2 = {
+        k: c + (1 if k % 7 == 0 else 0)
+        for k, c in base.items()
+        if k % 11 != 0
+    }
+    agg = defaultdict(lambda: [0, 0, 0])
+    for k in set(v1) | set(v2):
+        if k not in v1:
+            st = "added"
+        elif k not in v2:
+            st = "removed"
+        elif v1[k] != v2[k]:
+            st = "changed"
+        else:
+            st = "same"
+        a = agg[st]
+        a[0] += 1
+        a[1] += v1.get(k, 0)
+        a[2] += v2.get(k, 0)
+    rows = R6_STAGED["q_snapshot_diff"](spark, SF_DIR).collect()
+    assert {r.status: (r.n, r.cents_v1, r.cents_v2) for r in rows} == {
+        st: tuple(a) for st, a in agg.items()
+    }
+
+
+def test_staged_lag_features_matches_python(spark):
+    per_user = defaultdict(list)
+    for eid, ts, uid, typ, v in _raw_events():
+        per_user[uid].append(
+            (_sec(ts) * 1_000_000 + (ts.microsecond), eid, typ,
+             math.floor(v * 100.0 + 0.5))
+        )
+    expect = {}
+    for uid, seq in per_user.items():
+        seq.sort()
+        for i, (_us, eid, _typ, cents) in enumerate(seq):
+            lag1 = seq[i - 1][3] if i >= 1 else None
+            lag2 = seq[i - 2][3] if i >= 2 else None
+            sum3 = sum(s[3] for s in seq[max(0, i - 2) : i + 1])
+            nxt = 1 if i + 1 < len(seq) and seq[i + 1][2] == "purchase" else 0
+            expect[eid] = (uid, cents, lag1, lag2, sum3, nxt)
+    rows = R6_STAGED["q_lag_features"](spark, SF_DIR).collect()
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert (
+            r.user_id,
+            r.cents,
+            r.lag1,
+            r.lag2,
+            r.sum3,
+            r.next_purchase,
+        ) == expect[r.event_id]
+
+
+def test_staged_calendar_dim_matches_python(spark):
+    days = Counter()
+    for _e, ts, _u, _t, _v in _raw_events():
+        days[ts.date()] += 1
+    d0, d1 = min(days), max(days)
+    rows = R6_STAGED["q_calendar_dim"](spark, SF_DIR).collect()
+    from datetime import timedelta
+
+    span = [(d0 + timedelta(days=i)) for i in range((d1 - d0).days + 1)]
+    assert [r.day for r in rows] == [d.strftime("%Y-%m-%d") for d in span]
+    for r, d in zip(rows, span):
+        assert r.dow == d.weekday()
+        assert r.month == d.month
+        assert r.is_weekend == (1 if d.weekday() >= 5 else 0)
+        assert r.n_events == days.get(d, 0)
