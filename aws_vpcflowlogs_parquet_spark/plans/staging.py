@@ -2,7 +2,7 @@
 50-pending-per-round verification capacity, held out of ``queries()``
 until the queue drains.
 
-Round-6 status: EIGHT queries staged for round-7 promotion (the round-6
+Round-6 status: NINE queries staged for round-7 promotion (the round-6
 catalog closed at 263 with 43 pending — the cap leaves no safe headroom,
 so this batch waits out the round fully built and gated). The 24 queries
 staged during round 4 were promoted verbatim in round 5; the same
@@ -17,7 +17,9 @@ conversion by horizon), q_negative_sampling (deterministic negative
 pairs for recommender training), q_weighted_jaccard (multiset Jaccard
 source matrix), q_snapshot_diff (dataset-version reconciliation),
 q_lag_features (leakage-safe lag/rolling feature matrix),
-q_calendar_dim (generated date dimension with zero-filled activity).
+q_calendar_dim (generated date dimension with zero-filled activity),
+q_stream_cep (streaming CEP pattern match with O(1)-per-key suffix
+state, the Flink-CEP shape).
 """
 
 from __future__ import annotations
@@ -651,4 +653,56 @@ def q_calendar_dim(spark, sf_dir):
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
         )
         .orderBy("day")
+    )
+
+
+@staged(
+    "q_stream_cep",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             lag(value, 2) OVER w AS v2,
+             lag(value, 1) OVER w AS v1,
+             lead(value, 1) OVER w AS v_next
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    peaks AS (
+      SELECT user_id, event_type FROM seq
+      WHERE v2 IS NOT NULL AND v1 IS NOT NULL AND v_next IS NOT NULL
+        AND v2 < v1 AND v1 < value AND v_next < value
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_peaks,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM peaks GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_stream_cep(spark, sf_dir):
+    """Streaming CEP: the rise-rise-peak pattern of q_cep_pattern run
+    as a STREAM through the custom stateful operator
+    (streaming/windows.py stream_cep_peaks, applyInPandasWithState) —
+    the Flink-CEP capability Spark lacks natively, expressed with an
+    O(1)-per-key suffix state that survives micro-batch boundaries
+    (cross-batch confirmation is unit-tested in
+    tests/test_streaming.py with a time-split two-batch feed). One
+    availableNow pass over the staged events file emits per-user
+    per-type peak deltas to the parquet sink; the returned frame
+    aggregates them to the per-type totals, which equal the batch
+    window query — the oracle. At 100 TB/day: state is 3 floats + a
+    tag per user, partitioned by the groupBy hash; the sink carries
+    only confirmed-peak deltas, not events."""
+    from .catalog import _run_stream_to_parquet, _staged_event_stream
+    from ..streaming.windows import stream_cep_peaks
+
+    stream = _staged_event_stream(spark, sf_dir, "q_stream_cep")
+    peaks = stream_cep_peaks(stream)
+    emitted = _run_stream_to_parquet(spark, peaks, "q_stream_cep", mode="update")
+    return (
+        emitted.groupBy("event_type")
+        .agg(
+            F.sum("n_peaks").cast("bigint").alias("n_peaks"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
     )

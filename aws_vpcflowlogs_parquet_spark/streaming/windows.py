@@ -198,3 +198,96 @@ def streaming_dedup(
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys + [ts_col]
     )
+
+
+def stream_cep_peaks(
+    events: DataFrame,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming CEP pattern match (the Flink-CEP / MATCH_RECOGNIZE
+    shape) via ``applyInPandasWithState``: per user, detect
+    rise-rise-peak-fall — two strictly increasing steps into a local
+    maximum, confirmed by the NEXT event falling — and emit per-batch
+    DELTA counts of confirmed peaks per event type.
+
+    The state is the minimal suffix the pattern needs: the last ≤ 3
+    (value, type) pairs plus how many are real. A peak at position p is
+    decidable only when p+1 arrives, so the final element of every
+    micro-batch stays pending in the tail and is confirmed (or not) by
+    the first element of the next batch — exactly the batch operator's
+    lead()-null semantics at end-of-stream (q_cep_pattern,
+    plans/catalog.py). Within a batch the group's rows are sorted by the
+    total (ts, event_id) order; the detection itself is three vectorized
+    shifted comparisons over the prefixed series — no row-at-a-time
+    Python. State is O(1) per user (3 floats + a tag), so at 100 TB/day
+    the store is bounded by key cardinality, hashed across executors by
+    the groupBy."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, event_type string, n_peaks bigint"
+    state_schema = (
+        "v2 double, v1 double, v0 double, t0 string, have int"
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            v2, v1, v0, t0, have = state.get
+        else:
+            v2 = v1 = v0 = None
+            t0 = None
+            have = 0
+        frames = [
+            pdf[[ts_col, "event_id", "event_type", "value"]]
+            for pdf in pdf_iter
+        ]
+        counts: dict[str, int] = {}
+        if frames:
+            batch = pd.concat(frames).sort_values([ts_col, "event_id"])
+            tail_vals = [v for v in (v2, v1, v0)[3 - have :] if True] if have else []
+            tail_types = ([None] * max(0, have - 1) + [t0]) if have else []
+            s = pd.Series(
+                tail_vals + [float(x) for x in batch["value"]],
+                dtype="float64",
+            )
+            t = pd.Series(tail_types + list(batch["event_type"]))
+            m = (
+                (s.shift(2) < s.shift(1))
+                & (s.shift(1) < s)
+                & (s.shift(-1) < s)
+            ).fillna(False)
+            first_decidable = max(2, have - 1)
+            for p in m.index[m]:
+                if p >= first_decidable:
+                    typ = t.iloc[p]
+                    counts[typ] = counts.get(typ, 0) + 1
+            n = len(s)
+            new_have = min(have + len(batch), 3)
+            vals3 = [None, None, None]
+            for i in range(min(3, n)):
+                vals3[2 - i] = float(s.iloc[n - 1 - i])
+            v2, v1, v0 = vals3
+            t0 = t.iloc[n - 1] if n else t0
+            have = new_have
+        state.update((v2, v1, v0, t0, have))
+        if counts:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(counts),
+                    "event_type": list(counts),
+                    "n_peaks": list(counts.values()),
+                }
+            )
+        else:
+            yield pd.DataFrame(
+                {"user_id": [], "event_type": [], "n_peaks": []}
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )

@@ -506,3 +506,49 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # windows already finalized far behind the watermark → contribute 0
     assert n2 == n1
     assert late.count() > 0  # the dropped data existed
+
+
+def test_stream_cep_confirms_peaks_across_batches(spark, tmp_path):
+    # the CEP suffix state must confirm a batch-1-final peak from the
+    # FIRST batch-2 event: feed the events table split by TIME (so each
+    # user's stream stays ordered across the boundary) and check the
+    # summed per-type deltas equal the batch window query
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
+    from aws_vpcflowlogs_parquet_spark.streaming.windows import stream_cep_peaks
+
+    src = tmp_path / "cep_src"
+    src.mkdir()
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    ts = tbl.column("ts")
+    cut = pc.quantile(ts.cast("int64"), q=0.5).to_pylist()[0]
+    mask = pc.less(ts.cast("int64"), int(cut))
+    pq.write_table(tbl.filter(mask), src / "events.parquet")
+    stream = stream_events(spark, str(src))
+    out = stream_cep_peaks(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cep_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batch1 = spark.sql("SELECT count(*) AS n FROM cep_out").collect()[0]["n"]
+        pq.write_table(tbl.filter(pc.invert(mask)), src / "events2.parquet")
+        q.processAllAvailable()
+        got = spark.sql(
+            "SELECT event_type, CAST(sum(n_peaks) AS BIGINT) AS n_peaks"
+            " FROM cep_out GROUP BY event_type"
+        )
+        batch = (
+            QUERIES["q_cep_pattern"](spark, SF_DIR)
+            .select("event_type", "n_peaks")
+        )
+        assert n_batch1 > 0  # batch 1 already confirms some peaks
+        assert got.exceptAll(batch).count() == 0
+        assert batch.exceptAll(got).count() == 0
+    finally:
+        q.stop()
