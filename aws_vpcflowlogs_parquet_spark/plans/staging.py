@@ -2,7 +2,7 @@
 50-pending-per-round verification capacity, held out of ``queries()``
 until the queue drains.
 
-Round-6 status: NINE queries staged for round-7 promotion (the round-6
+Round-6 status: THIRTEEN queries staged for round-7 promotion (the round-6
 catalog closed at 263 with 43 pending — the cap leaves no safe headroom,
 so this batch waits out the round fully built and gated). The 24 queries
 staged during round 4 were promoted verbatim in round 5; the same
@@ -19,7 +19,10 @@ source matrix), q_snapshot_diff (dataset-version reconciliation),
 q_lag_features (leakage-safe lag/rolling feature matrix),
 q_calendar_dim (generated date dimension with zero-filled activity),
 q_stream_cep (streaming CEP pattern match with O(1)-per-key suffix
-state, the Flink-CEP shape).
+state, the Flink-CEP shape), q_dim_stats (per-dimension embedding
+profile on exact decimal means), q_pit_audit (point-in-time leakage
+audit), q_compaction_plan (greedy bin-packed table maintenance),
+q_tokenizer_fertility (per-language tokenizer evaluation).
 """
 
 from __future__ import annotations
@@ -705,4 +708,296 @@ def q_stream_cep(spark, sf_dir):
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
         .orderBy("event_type")
+    )
+
+
+@staged(
+    "q_dim_stats",
+    oracle="""
+    WITH vals AS (
+      SELECT generate_subscripts(embedding, 1) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT CAST(dim AS INT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(v) AS min_v, MAX(v) AS max_v,
+           CAST(CAST(SUM(CAST(FLOOR(v * 1000000.0 + 0.5) AS BIGINT)
+                 ::DECIMAL(38,0)) AS BIGINT) AS DOUBLE) / 1000000.0
+             / COUNT(*) AS mean_v,
+           CAST(SUM(CASE WHEN v < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+    FROM vals GROUP BY dim ORDER BY dim
+    """,
+)
+def q_dim_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (the PCA-prep / whitening
+    profile): min, max, exact order-independent mean, and the negative
+    count for every one of the 64 dimensions — the feature-store
+    normalization table a training pipeline computes before
+    standardizing vectors, and the complement of q_embedding_qc's
+    per-VECTOR audit. The mean rides the engine's exact decimal
+    summation (functions/casts.py): values quantize to micro units
+    before the sum, so the aggregate is order-independent and
+    bit-identical across engines and partitionings — a plain double
+    SUM over millions of float32s would be neither. One posexplode →
+    (dim) hash agg, map-side combined, 64 output rows; at 100 TB the
+    explode fans out ×64 but the agg state is constant per dim."""
+    from ..functions.casts import exact_avg
+
+    emb = _t(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim0", "v"
+        )
+    ).select((F.col("dim0") + 1).cast("int").alias("dim"), "v")
+    return (
+        vals.groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+            exact_avg("v", 6).alias("mean_v"),
+            F.sum(F.when(F.col("v") < 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_neg"),
+        )
+        .orderBy("dim")
+    )
+
+
+@staged(
+    "q_pit_audit",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_label,
+             CASE WHEN event_type = 'view'
+                  THEN CAST(floor(epoch(ts)) AS BIGINT) END AS feat_t
+      FROM events
+      WHERE event_type IN ('purchase', 'view')
+    ),
+    carried AS (
+      SELECT user_id, t, is_label,
+             LAST_VALUE(feat_t IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY t, is_label, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS ft
+      FROM tagged
+    ),
+    labels AS (
+      SELECT CASE WHEN ft IS NULL THEN 'missing'
+                  WHEN ft > t THEN 'leak'
+                  WHEN t - ft <= 3600 THEN 'fresh_1h'
+                  WHEN t - ft <= 86400 THEN 'fresh_1d'
+                  ELSE 'stale' END AS bucket
+      FROM carried WHERE is_label = 1
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_labels
+    FROM labels GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_pit_audit(spark, sf_dir):
+    """Point-in-time correctness audit for feature-store joins: for
+    every label event (purchase), the as-of feature timestamp (latest
+    view at or before the label) and its staleness bucket — fresh
+    within the hour, within the day, stale, missing, or LEAK (feature
+    from the future, which a correct as-of join makes structurally
+    impossible; the audit proves it stays zero). This is the check ML
+    platforms run before training to guarantee no target leakage. The
+    as-of carry is one last-non-null window over the union of labels
+    and features — the same single-pass shape as q_asof_join, with the
+    total (t, is_label, event_id) order making same-second
+    feature-before-label deterministic in both engines. Time lives on
+    the epoch-second lattice; one shuffle on user_id; bucket math is
+    integer comparisons."""
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.filter(
+        F.col("event_type").isin("purchase", "view")
+    ).select(
+        "user_id",
+        F.unix_timestamp("ts").cast("bigint").alias("t"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "is_label"
+        ),
+        F.when(
+            F.col("event_type") == "view",
+            F.unix_timestamp("ts").cast("bigint"),
+        ).alias("feat_t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_label", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "t",
+        "is_label",
+        F.last("feat_t", ignorenulls=True).over(w).alias("ft"),
+    )
+    labels = carried.filter(F.col("is_label") == 1).select(
+        F.when(F.col("ft").isNull(), "missing")
+        .when(F.col("ft") > F.col("t"), "leak")
+        .when(F.col("t") - F.col("ft") <= 3600, "fresh_1h")
+        .when(F.col("t") - F.col("ft") <= 86400, "fresh_1d")
+        .otherwise("stale")
+        .alias("bucket")
+    )
+    return (
+        labels.groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n_labels"))
+        .orderBy("bucket")
+    )
+
+
+@staged(
+    "q_compaction_plan",
+    oracle="""
+    WITH files AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             o_orderkey % 16 AS slot,
+             CAST(SUM(CAST(floor(o_totalprice + 0.5) AS BIGINT))
+                  AS BIGINT) AS bytes
+      FROM orders GROUP BY month, slot
+    ),
+    packed AS (
+      SELECT month, slot, bytes,
+             CAST((CAST(SUM(bytes) OVER (PARTITION BY month ORDER BY slot
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) - bytes) // 25000000 AS BIGINT) AS grp
+      FROM files
+    ),
+    groups AS (
+      SELECT month, grp, CAST(SUM(bytes) AS BIGINT) AS grp_bytes,
+             CAST(COUNT(*) AS BIGINT) AS grp_files
+      FROM packed GROUP BY month, grp
+    )
+    SELECT month,
+           CAST(SUM(grp_files) AS BIGINT) AS n_files,
+           CAST(SUM(grp_bytes) AS BIGINT) AS total_bytes,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MAX(grp_bytes) AS BIGINT) AS max_group_bytes
+    FROM groups GROUP BY month ORDER BY month
+    """,
+)
+def q_compaction_plan(spark, sf_dir):
+    """Small-file compaction planning as a query — the analytic twin
+    of operators/layout.py's compact(): a synthetic per-partition file
+    inventory (month × 16 write slots, byte sizes from the exact
+    order-value lattice) is greedily packed into ~25 MB output groups
+    by a running-sum window (group = prefix_bytes div target, the
+    sequential first-fit every table-maintenance service uses), and
+    the plan report gives per-month file counts, group counts, and
+    the largest output group. The inventory agg is the only
+    data-scale pass; the packing window runs over |files| rows
+    partitioned by month. Everything is BIGINT — no float sizes. At
+    100 TB the real inventory comes from the transaction log, and
+    this exact plan shape (agg → per-partition cumulative window →
+    rollup) is unchanged."""
+    orders = _t(spark, sf_dir, "orders")
+    files = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.col("o_orderkey") % 16).alias("slot"),
+    ).agg(
+        F.sum(F.expr("CAST(floor(o_totalprice + 0.5) AS BIGINT)"))
+        .cast("bigint")
+        .alias("bytes")
+    )
+    w = (
+        Window.partitionBy("month")
+        .orderBy("slot")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = files.select(
+        "month",
+        "bytes",
+        F.expr(
+            "CAST((SUM(bytes) OVER (PARTITION BY month ORDER BY slot"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes)"
+            " div 25000000 AS BIGINT)"
+        ).alias("grp"),
+    )
+    groups = packed.groupBy("month", "grp").agg(
+        F.sum("bytes").cast("bigint").alias("grp_bytes"),
+        F.count("*").cast("bigint").alias("grp_files"),
+    )
+    return (
+        groups.groupBy("month")
+        .agg(
+            F.sum("grp_files").cast("bigint").alias("n_files"),
+            F.sum("grp_bytes").cast("bigint").alias("total_bytes"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.max("grp_bytes").cast("bigint").alias("max_group_bytes"),
+        )
+        .orderBy("month")
+    )
+
+
+@staged(
+    "q_tokenizer_fertility",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len({_DUCK_TOKENS}) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(lower(text),
+                  '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS subtoks,
+             CAST(len(replace(text, ' ', '')) AS BIGINT) AS chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS n_words,
+           CAST(SUM(subtoks) AS BIGINT) AS n_subtoks,
+           CAST(SUM(chars) AS BIGINT) AS n_chars,
+           CAST((SUM(subtoks) * 1000000) // SUM(words) AS BIGINT)
+             AS fertility_micro,
+           CAST((SUM(chars) * 1000000) // SUM(subtoks) AS BIGINT)
+             AS chars_per_subtok_micro
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by language — the standard multilingual
+    tokenizer-evaluation metric (subword tokens per whitespace word;
+    high fertility = the language is over-fragmented and
+    under-represented per compute budget) plus bytes-per-token, both
+    on the micro lattice from three exact integer sums. Uses the
+    engine's two tokenizers against each other: the whitespace word
+    splitter and the BPE-style pre-tokenization regex
+    (q_tokenize_regex), evaluated per document inside codegen (array
+    lengths only — the token arrays never explode). One scan, one
+    per-lang hash agg with constant state. This is the report that
+    decides per-language sampling weights in a multilingual corpus
+    mix."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang",
+        F.size(dd.tokens_col("text")).cast("bigint").alias("words"),
+        F.size(
+            F.expr(
+                "regexp_extract_all(lower(text),"
+                " '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"
+            )
+        )
+        .cast("bigint")
+        .alias("subtoks"),
+        F.length(F.regexp_replace("text", " ", "")).cast("bigint").alias(
+            "chars"
+        ),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("words").cast("bigint").alias("n_words"),
+            F.sum("subtoks").cast("bigint").alias("n_subtoks"),
+            F.sum("chars").cast("bigint").alias("n_chars"),
+            F.expr(
+                "CAST((SUM(subtoks) * 1000000) div SUM(words) AS BIGINT)"
+            ).alias("fertility_micro"),
+            F.expr(
+                "CAST((SUM(chars) * 1000000) div SUM(subtoks) AS BIGINT)"
+            ).alias("chars_per_subtok_micro"),
+        )
+        .orderBy("lang")
     )

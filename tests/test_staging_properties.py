@@ -424,3 +424,106 @@ def test_staged_calendar_dim_matches_python(spark):
         assert r.month == d.month
         assert r.is_weekend == (1 if d.weekday() >= 5 else 0)
         assert r.n_events == days.get(d, 0)
+
+
+def test_staged_dim_stats_matches_python(spark):
+    vecs = duckdb.sql(
+        f"SELECT embedding FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    dims = defaultdict(list)
+    for (v,) in vecs:
+        for i, x in enumerate(v):
+            dims[i + 1].append(float(x))
+    rows = R6_STAGED["q_dim_stats"](spark, SF_DIR).collect()
+    assert [r.dim for r in rows] == sorted(dims)
+    for r in rows:
+        xs = dims[r.dim]
+        scaled = sum(math.floor(x * 1_000_000.0 + 0.5) for x in xs)
+        assert (r.n, r.min_v, r.max_v, r.n_neg) == (
+            len(xs),
+            min(xs),
+            max(xs),
+            sum(1 for x in xs if x < 0),
+        )
+        assert abs(r.mean_v - (scaled / 1_000_000.0) / len(xs)) < 1e-12
+
+
+def test_staged_pit_audit_matches_python(spark):
+    per_user = defaultdict(list)
+    for eid, ts, uid, typ, _v in _raw_events():
+        if typ in ("purchase", "view"):
+            per_user[uid].append((_sec(ts), 0 if typ == "view" else 1, eid))
+    buckets = Counter()
+    for uid, seq in per_user.items():
+        seq.sort()
+        ft = None
+        for t, is_label, _eid in seq:
+            if is_label == 0:
+                ft = t
+            else:
+                if ft is None:
+                    buckets["missing"] += 1
+                elif t - ft <= 3600:
+                    buckets["fresh_1h"] += 1
+                elif t - ft <= 86400:
+                    buckets["fresh_1d"] += 1
+                else:
+                    buckets["stale"] += 1
+    rows = R6_STAGED["q_pit_audit"](spark, SF_DIR).collect()
+    assert {r.bucket: r.n_labels for r in rows} == dict(buckets)
+    assert "leak" not in {r.bucket for r in rows}  # as-of never leaks
+
+
+def test_staged_compaction_plan_matches_python(spark):
+    orders = duckdb.sql(
+        f"SELECT o_orderkey, o_orderdate, o_totalprice "
+        f"FROM '{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    files = defaultdict(int)
+    for ok, od, tp in orders:
+        files[(od.strftime("%Y-%m"), ok % 16)] += math.floor(tp + 0.5)
+    months = defaultdict(list)
+    for (m, slot), b in files.items():
+        months[m].append((slot, b))
+    rows = R6_STAGED["q_compaction_plan"](spark, SF_DIR).collect()
+    assert [r.month for r in rows] == sorted(months)
+    for r in rows:
+        fs = sorted(months[r.month])
+        groups = defaultdict(int)
+        cum = 0
+        for _slot, b in fs:
+            groups[cum // 25_000_000] += b
+            cum += b
+        assert (r.n_files, r.total_bytes, r.n_groups, r.max_group_bytes) == (
+            len(fs),
+            sum(b for _s, b in fs),
+            len(groups),
+            max(groups.values()),
+        )
+
+
+def test_staged_tokenizer_fertility_matches_python(spark):
+    import re
+
+    pat = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9 ]")
+    stats = defaultdict(lambda: [0, 0, 0, 0])
+    for lang, text in duckdb.sql(
+        f"SELECT lang, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall():
+        st = stats[lang]
+        st[0] += 1
+        st[1] += len([t for t in text.lower().split(" ") if t])
+        st[2] += len(pat.findall(text.lower()))
+        st[3] += len(text.replace(" ", ""))
+    rows = R6_STAGED["q_tokenizer_fertility"](spark, SF_DIR).collect()
+    assert [r.lang for r in rows] == sorted(stats)
+    for r in rows:
+        n, words, subtoks, chars = stats[r.lang]
+        assert (r.n_docs, r.n_words, r.n_subtoks, r.n_chars) == (
+            n,
+            words,
+            subtoks,
+            chars,
+        )
+        assert r.fertility_micro == (subtoks * 1_000_000) // words
+        assert r.chars_per_subtok_micro == (chars * 1_000_000) // subtoks
