@@ -13146,23 +13146,32 @@ def q_event_precedence(spark, sf_dir):
     'A precedes B' causal screening. Time is compared on the exact
     epoch-microsecond integer lattice, so the one-hour bound is BIGINT
     arithmetic and ties are excluded identically in both engines. The
-    pairing is a per-user band self-join: at 100 TB it shuffles once
-    on user_id and fans out Σ per-user-per-hour k² — the bounded band
-    form of a range join (same posture as q_range_join_bucketed, where
-    the epoch-hour bucket key caps the probe width); the final matrix
-    agg is |types|² rows."""
+    pairing is a BUCKETED band self-join (the q_range_join_bucketed
+    posture, actually enforced in the join key): a one-hour-later
+    partner lives in at most two epoch-hour buckets, so the earlier
+    side fans out to exactly two (user, hour) probes and the join keys
+    on (user_id, bucket) — per-task work is bounded by
+    per-user-per-2-hour density, never the user's full history, which
+    is what survives a power-law user at 100 TB. The exact band is a
+    post-join filter; the final matrix agg is |types|² rows."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
         F.unix_micros(F.col("ts")).alias("us"),
-    )
-    a = ev.select(
-        "user_id", F.col("event_type").alias("type_a"), F.col("us").alias("us_a")
+    ).withColumn("hr", F.expr("us div 3600000000"))
+    probes = ev.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("us").alias("us_a"),
+        F.explode(F.array(F.col("hr"), F.col("hr") + 1)).alias("probe_hr"),
     )
     b = ev.select(
-        "user_id", F.col("event_type").alias("type_b"), F.col("us").alias("us_b")
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("us").alias("us_b"),
+        F.col("hr").alias("probe_hr"),
     )
-    pairs = a.join(b, "user_id").filter(
+    pairs = probes.join(b, ["user_id", "probe_hr"]).filter(
         (F.col("us_b") > F.col("us_a"))
         & (F.col("us_b") <= F.col("us_a") + F.lit(3600000000))
     )

@@ -113,12 +113,14 @@ def test_inverted_index_gap_window_shares_token_key(spark):
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_event_precedence_band_join_is_equi_keyed(spark):
-    # the 1-hour band self-join hashes on user_id with the time band as
-    # a post-join filter — never a nested-loop over all pairs
+def test_event_precedence_band_join_is_bucket_keyed(spark):
+    # the 1-hour band self-join must key on (user, epoch-hour bucket) —
+    # per-task work bounded by per-user-per-2h density, not the user's
+    # full history — with the exact band as a post-join filter
     plan = _executed(QUERIES["q_event_precedence"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "probe_hr" in plan, plan
     assert _no_python(plan), plan
 
 
