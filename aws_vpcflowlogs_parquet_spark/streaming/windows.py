@@ -245,8 +245,8 @@ def stream_cep_peaks(
         counts: dict[str, int] = {}
         if frames:
             batch = pd.concat(frames).sort_values([ts_col, "event_id"])
-            tail_vals = [v for v in (v2, v1, v0)[3 - have :] if True] if have else []
-            tail_types = ([None] * max(0, have - 1) + [t0]) if have else []
+            tail_vals = list((v2, v1, v0)[3 - have :]) if have else []
+            tail_types = ([None] * (have - 1) + [t0]) if have else []
             s = pd.Series(
                 tail_vals + [float(x) for x in batch["value"]],
                 dtype="float64",
