@@ -13287,9 +13287,17 @@ def q_zipf_check(spark, sf_dir):
         .agg(F.count("*").cast("bigint").alias("freq"))
     )
     w = Window.orderBy(F.desc("freq"), "tok")
-    ranked = freq.select(
-        "tok", "freq", F.row_number().over(w).cast("bigint").alias("rank")
-    ).filter(F.col("rank") <= 30)
+    # filter the RAW row_number (no cast in between): that is the
+    # pattern Spark's limit-through-window rewrite matches, turning the
+    # global rank into TakeOrderedAndProject(30) (per-partition heaps)
+    # feeding a 30-row window — scalable at real-corpus vocabulary
+    # sizes, where a full single-partition vocab sort would not be
+    # (plan-pinned in test_round6_plan_shapes.py)
+    ranked = (
+        freq.select("tok", "freq", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 30)
+        .select("tok", "freq", F.col("rk").cast("bigint").alias("rank"))
+    )
     top1 = freq.agg(F.max("freq").cast("bigint").alias("f1"))
     return (
         ranked.crossJoin(F.broadcast(top1))

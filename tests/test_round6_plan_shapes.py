@@ -143,8 +143,10 @@ def test_zipf_rank_window_over_vocab_aggregate(spark):
     # the global rank window sorts the VOCAB aggregate, never the token
     # stream; top-1 broadcasts as a one-row frame
     plan = _executed(QUERIES["q_zipf_check"](spark, SF_DIR))
-    # the rank window's spec keys on the AGG's freq column, proving it
-    # ranks |types| rows, not tokens
+    # the raw-row_number filter lets Spark rewrite the global rank to
+    # TakeOrderedAndProject(30) (per-partition heaps) feeding a 30-row
+    # window — no full vocab sort ever materializes
+    assert "TakeOrderedAndProject(limit=30" in plan, plan
     assert "windowspecdefinition(freq" in plan, plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
