@@ -43,15 +43,33 @@ def track_persist(df: DataFrame) -> DataFrame:
 
 
 def release_cached_intermediates() -> int:
-    """Unpersist every tracked intermediate; returns how many released."""
+    """Unpersist every tracked intermediate; returns how many released.
+
+    Teardown must stay safe when the owning SparkSession is already
+    stopped (nothing left to free), but a swallowed failure on a LIVE
+    session would silently re-introduce the block-manager leak this
+    module exists to prevent — so that case is logged, not hidden.
+    """
+    import warnings
+
     n = 0
     while _TRACKED_CACHES:
         df = _TRACKED_CACHES.pop()
         try:
             df.unpersist()
             n += 1
-        except Exception:
-            pass  # session already stopped — nothing left to free
+        except Exception as exc:
+            try:
+                stopped = df.sparkSession.sparkContext._jsc is None
+            except Exception:
+                stopped = True
+            if not stopped:
+                warnings.warn(
+                    f"unpersist failed on a live session; cached block "
+                    f"may leak: {type(exc).__name__}: {exc}",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
     return n
 
 

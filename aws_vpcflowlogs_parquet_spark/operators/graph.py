@@ -141,3 +141,29 @@ def label_propagation(edges: DataFrame, n_iter: int = 3) -> DataFrame:
     out = labels.select("node", "label")
     sym.unpersist()
     return out
+
+
+def sym_edges(events: DataFrame, mod: int) -> DataFrame:
+    """Symmetric (a, b) edge list of the shared deterministic
+    interaction graph: nodes are ``user_id % mod``, each event
+    contributes the undirected edge to ``(2*user_id + event_id) % mod``
+    (self-loops dropped), canonicalized (lo, hi) + distinct and then
+    symmetrized — every undirected edge appears once per direction, the
+    form the wedge/degree queries consume. One distinct-edge shuffle;
+    |E| ≤ mod² regardless of event count.
+
+    Shared by q_graph_2hop / q_node_jaccard (mod 41), q_assortativity
+    (mod 499, sparse so degree variance is non-degenerate) and the
+    staged q_resource_alloc — a single definition so edge
+    canonicalization (and any future hub-capping) changes in one
+    place."""
+    a = F.col("user_id") % mod
+    b = (F.lit(2) * F.col("user_id") + F.col("event_id")) % mod
+    raw = (
+        events.select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .filter(a != b)
+        .distinct()
+    )
+    return raw.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionAll(
+        raw.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    )

@@ -146,23 +146,50 @@ def compact(
                 f"compact() already running on {path} (lock {lock}, "
                 f"{age:.0f}s old); single-writer required — see docstring"
             )
-        # Stale lock from a crashed run: break it ATOMICALLY (ADVICE
-        # r5 — a plain rewrite lets two breakers both proceed into the
-        # recovery sweep). rename() is the one-winner step: exactly one
-        # breaker moves the stale lock aside (the loser's rename raises
-        # FileNotFoundError); everyone then re-contends the O_EXCL
-        # create above, so a losing breaker sees the winner's FRESH
-        # lock and raises RuntimeError on the next pass.
+        # Stale lock from a crashed run: break it with ONE winner.
+        # The r5 rename-aside protocol had a TOCTOU hole: rename() moves
+        # whatever is at the path, not the inode that was stat'ed, so a
+        # breaker descheduled between getmtime() and rename() could move
+        # a competitor's FRESH lock aside and both would proceed into
+        # the destructive recovery sweep. The serialization point is now
+        # a separate O_EXCL claim file: exactly one breaker holds the
+        # claim; while the stale lock still exists no competitor can
+        # create a new lock (the O_EXCL create above fails on the stale
+        # file), and no competitor can remove it (removal requires the
+        # claim) — so the claim holder's re-stat + remove is race-free.
+        claim = f"{lock}.breaking"
         try:
-            os.rename(lock, f"{lock}.broken_{uuid.uuid4().hex}")
-        except FileNotFoundError:
+            if time.time() - os.path.getmtime(claim) >= stale_lock_seconds:
+                os.remove(claim)  # a breaker crashed mid-takeover
+        except OSError:
             pass
-        # winner or loser, sweep any broken-lock husks we own the name of
-        for husk in glob.glob(f"{lock}.broken_*"):
+        try:
+            cfd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise RuntimeError(
+                f"compact() stale-lock takeover already in progress on "
+                f"{path} (claim {claim}); single-writer required"
+            )
+        try:
+            os.close(cfd)
             try:
-                os.remove(husk)
+                still_stale = (
+                    time.time() - os.path.getmtime(lock)
+                ) >= stale_lock_seconds
+            except OSError:
+                still_stale = False  # lock vanished; nothing to break
+            if still_stale:
+                try:
+                    os.remove(lock)
+                except FileNotFoundError:
+                    pass
+        finally:
+            try:
+                os.remove(claim)
             except OSError:
                 pass
+        # re-contend the O_EXCL create: a losing racer now sees either
+        # the winner's fresh lock (RuntimeError) or an open field
 
     try:
         # crash recovery from a previous interrupted swap: ``path``

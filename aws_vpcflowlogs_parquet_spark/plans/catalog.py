@@ -11530,19 +11530,9 @@ def q_graph_2hop(spark, sf_dir):
     counting — and the standard mitigation (orient from lower- to
     higher-degree endpoints, cap hub degrees) changes the edge
     canonicalization, not this plan shape."""
-    ev = _t(spark, sf_dir, "events")
-    a = F.col("user_id") % 41
-    bcol = (F.lit(2) * F.col("user_id") + F.col("event_id")) % 41
-    raw = (
-        ev.select(
-            F.least(a, bcol).alias("lo"), F.greatest(a, bcol).alias("hi")
-        )
-        .filter(a != bcol)
-        .distinct()
-    )
-    sym = raw.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionAll(
-        raw.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
-    )
+    from ..operators.graph import sym_edges
+
+    sym = sym_edges(_t(spark, sf_dir, "events"), 41)
     e2 = sym.select(F.col("a").alias("b"), F.col("b").alias("c"))
     two = (
         sym.join(e2, "b")
@@ -12365,19 +12355,9 @@ def q_node_jaccard(spark, sf_dir):
     fan-out is the standard Σdeg² bound with hub-capping as the
     documented mitigation; everything downstream is hash joins on node
     ids."""
-    ev = _t(spark, sf_dir, "events")
-    a = F.col("user_id") % 41
-    bcol = (F.lit(2) * F.col("user_id") + F.col("event_id")) % 41
-    raw = (
-        ev.select(
-            F.least(a, bcol).alias("lo"), F.greatest(a, bcol).alias("hi")
-        )
-        .filter(a != bcol)
-        .distinct()
-    )
-    sym = raw.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionAll(
-        raw.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
-    )
+    from ..operators.graph import sym_edges
+
+    sym = sym_edges(_t(spark, sf_dir, "events"), 41)
     deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
     e2 = sym.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedge = (
@@ -13371,19 +13351,9 @@ def q_assortativity(spark, sf_dir):
     NULL rather than an engine-dependent division error. At 100 TB:
     one distinct-edge shuffle, one degree agg, two broadcast joins,
     one scalar row."""
-    ev = _t(spark, sf_dir, "events")
-    a = F.col("user_id") % 499
-    bcol = (F.lit(2) * F.col("user_id") + F.col("event_id")) % 499
-    raw = (
-        ev.select(
-            F.least(a, bcol).alias("lo"), F.greatest(a, bcol).alias("hi")
-        )
-        .filter(a != bcol)
-        .distinct()
-    )
-    sym = raw.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionAll(
-        raw.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
-    )
+    from ..operators.graph import sym_edges
+
+    sym = sym_edges(_t(spark, sf_dir, "events"), 499)
     deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
     joined = sym.join(
         F.broadcast(deg.select("a", F.col("d").alias("x"))), "a"

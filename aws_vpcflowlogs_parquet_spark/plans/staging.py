@@ -110,19 +110,9 @@ def q_resource_alloc(spark, sf_dir):
     for non-adjacency, one broadcast degree join keyed on the
     intermediate node, one grouped sum, TakeOrdered(20) on the
     (ra_micro, a, c) total order."""
-    ev = _t(spark, sf_dir, "events")
-    a = F.col("user_id") % 499
-    bcol = (F.lit(2) * F.col("user_id") + F.col("event_id")) % 499
-    raw = (
-        ev.select(
-            F.least(a, bcol).alias("lo"), F.greatest(a, bcol).alias("hi")
-        )
-        .filter(a != bcol)
-        .distinct()
-    )
-    sym = raw.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionAll(
-        raw.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
-    )
+    from ..operators.graph import sym_edges
+
+    sym = sym_edges(_t(spark, sf_dir, "events"), 499)
     deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
     e2 = sym.select(F.col("a").alias("z"), F.col("b").alias("c"))
     wedge = (

@@ -211,6 +211,18 @@ def stream_cep_peaks(
     maximum, confirmed by the NEXT event falling — and emit per-batch
     DELTA counts of confirmed peaks per event type.
 
+    ORDERING PRECONDITION: batch-equivalence holds when each key's
+    events arrive batch-monotonically — every event in batch N+1 is
+    (ts, event_id)-after that key's events in batch N (true for file
+    replays, ordered logs, and the availableNow single-batch harness).
+    Rows ARE sorted within each batch, but a within-watermark late row
+    landing in a later batch is appended after the stored suffix, so
+    its neighborhood is evaluated out of order — the standard CEP
+    trade-off; the fully late-tolerant form buffers each key's rows
+    until the watermark passes them (a timer + sorted-buffer variant of
+    this same operator) at the cost of O(watermark-span) state per key
+    instead of O(1).
+
     The state is the minimal suffix the pattern needs: the last ≤ 3
     (value, type) pairs plus how many are real. A peak at position p is
     decidable only when p+1 arrives, so the final element of every

@@ -186,12 +186,13 @@ def test_compact_rejects_concurrent_run_and_breaks_stale_lock(spark, tmp_path):
 
 
 def test_compact_stale_lock_takeover_is_atomic(spark, tmp_path):
-    """ADVICE r5: breaking a stale lock must be a one-winner operation.
-    The breaker renames the stale lock to a unique husk (atomic — a
-    second breaker's rename raises) and re-contends the O_EXCL create,
-    so a racing breaker sees the winner's FRESH lock and raises instead
-    of both proceeding into the destructive recovery sweep. Husks left
-    by a breaker that crashed post-rename are swept on the next run."""
+    """ADVICE r5 (+ r6 hardening): breaking a stale lock must be a
+    one-winner operation. The serialization point is an O_EXCL
+    ``.breaking`` claim file — only the claim holder may remove the
+    stale lock (rename-by-path had a TOCTOU hole: a descheduled breaker
+    could rename a competitor's FRESH lock aside). A fresh claim makes
+    a racing breaker fail fast; a stale claim (crashed breaker) is
+    swept and the takeover proceeds."""
     import os
     import time
 
@@ -203,19 +204,34 @@ def test_compact_stale_lock_takeover_is_atomic(spark, tmp_path):
     path = str(tmp_path / "atomic")
     pts.repartition(4).write.parquet(path)
     lock = f"{path}__compact_lock"
+    claim = f"{lock}.breaking"
 
-    # a crashed breaker's husk + a stale lock: both must be cleaned up
+    # a crashed breaker's stale claim + a stale lock: both cleaned up,
+    # takeover proceeds
     old = time.time() - 25 * 3600
     with open(lock, "w") as f:
         f.write("999")
     os.utime(lock, (old, old))
-    husk = f"{lock}.broken_deadbeef"
-    with open(husk, "w") as f:
+    with open(claim, "w") as f:
         f.write("998")
+    os.utime(claim, (old, old))
     stats = compact(spark, path, target_bytes=10 * 1024 * 1024)
     assert stats["files_before"] == 4
     assert not os.path.exists(lock)
-    assert not os.path.exists(husk)
+    assert not os.path.exists(claim)
+
+    # an ACTIVE breaker (fresh claim + stale lock): the racer must fail
+    # fast and leave both files for the claim holder
+    with open(lock, "w") as f:
+        f.write("999")
+    os.utime(lock, (old, old))
+    with open(claim, "w") as f:
+        f.write("winner")
+    with _pytest.raises(RuntimeError, match="takeover already in progress"):
+        compact(spark, path, target_bytes=10 * 1024 * 1024)
+    assert os.path.exists(lock) and os.path.exists(claim)
+    os.remove(claim)
+    os.remove(lock)
 
     # the loser path: a FRESH lock (what a losing breaker observes after
     # the winner re-creates) fails fast and leaves the winner's lock

@@ -52,7 +52,9 @@ def test_abc_pareto_window_runs_over_aggregate(spark):
     # never raw lineitem; class totals broadcast
     plan = _executed(QUERIES["q_abc_pareto"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
-    assert plan.index("HashAggregate") < plan.index("Window"), plan
+    # plans print root-first: a HashAggregate BELOW the window (printed
+    # after it) proves the window consumes aggregated rows, not raw scan
+    assert plan.index("Window") < plan.rindex("HashAggregate"), plan
 
 
 def test_cross_corr_lag_join_broadcasts_aggregate(spark):
@@ -128,7 +130,9 @@ def test_ngram_lm_windows_after_pair_agg(spark):
     # the context-total and top-1 windows run over the (context, next)
     # AGGREGATE, not the token stream
     plan = _executed(QUERIES["q_ngram_lm"](spark, SF_DIR))
-    assert plan.index("HashAggregate") < plan.index("Window", plan.index("HashAggregate")), plan
+    # root-first print: the agg-side windows (ctx_total / top-1) must
+    # have the pair-count HashAggregate BELOW them in the tree
+    assert plan.index("Window") < plan.rindex("HashAggregate"), plan
     assert _no_python(plan), plan
 
 
@@ -214,6 +218,8 @@ def test_dispersion_stack_after_hourly_agg(spark):
     # the unpivot generator runs over the |hours| aggregate; one
     # corpus-scale agg only
     plan = _executed(QUERIES["q_dispersion"](spark, SF_DIR))
-    assert "Generate stack" in plan or "Generate" in plan, plan
-    assert plan.index("HashAggregate") < plan.index("Generate"), plan
+    assert "Generate" in plan, plan
+    # root-first print: the hourly conditional agg sits BELOW the stack
+    # generator, i.e. the unpivot runs over |hours| aggregated rows
+    assert plan.index("Generate") < plan.rindex("HashAggregate"), plan
     assert "Join" not in plan, plan
