@@ -552,3 +552,92 @@ def test_stream_cep_confirms_peaks_across_batches(spark, tmp_path):
         assert batch.exceptAll(got).count() == 0
     finally:
         q.stop()
+
+
+def test_stream_cep_buffered_reorders_late_rows(spark, tmp_path):
+    # the watermark-buffered CEP must produce the BATCH answer even when
+    # a peak-deciding row arrives a batch late and out of order — the
+    # case the O(1)-state variant documents as its precondition limit.
+    # user 1's true series (minute, value): (0,1) (1,2) (2,5) (3,3)
+    # (4,4) (5,6) (6,2) → peaks at minute 2 (type A) and minute 5 (B).
+    # The minute-2 row is DELIVERED LATE (second file), inside the
+    # 30-minute watermark; sentinel user 99 events only push the
+    # watermark (flat values → never a peak).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_vpcflowlogs_parquet_spark.streaming.windows import (
+        stream_cep_peaks_buffered,
+    )
+
+    base_us = 1_700_000_000_000_000
+
+    def events_table(rows):
+        # rows: (event_id, minute, user_id, event_type, value)
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base_us + r[1] * 60_000_000 for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+
+    src = tmp_path / "cepb_src"
+    src.mkdir()
+    pq.write_table(
+        events_table(
+            [
+                (10, 0, 1, "A", 1.0),
+                (11, 1, 1, "A", 2.0),
+                # minute-2 row missing — arrives in file 2
+                (13, 3, 1, "A", 3.0),
+                (14, 4, 1, "B", 4.0),
+                (15, 5, 1, "B", 6.0),
+                (16, 6, 1, "A", 2.0),
+                (90, 31, 99, "Z", 0.0),  # watermark pusher (wm → 1 min)
+            ]
+        ),
+        src / "events.parquet",
+    )
+    stream = stream_events(spark, str(src))
+    out = stream_cep_peaks_buffered(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cepb_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # late but within-watermark: the first peak's own row
+        pq.write_table(
+            events_table(
+                [
+                    (12, 2, 1, "A", 5.0),
+                    (91, 37, 99, "Z", 0.0),  # wm → 7 min
+                ]
+            ),
+            src / "events2.parquet",
+        )
+        q.processAllAvailable()
+        # final pusher: wm passes every real row → all peaks confirmed
+        pq.write_table(
+            events_table([(92, 80, 99, "Z", 0.0)]), src / "events3.parquet"
+        )
+        q.processAllAvailable()
+        got = {
+            (r.event_type, r.n_peaks)
+            for r in spark.sql(
+                "SELECT event_type, CAST(sum(n_peaks) AS BIGINT) AS n_peaks"
+                " FROM cepb_out WHERE user_id = 1 GROUP BY event_type"
+            ).collect()
+        }
+        assert got == {("A", 1), ("B", 1)}
+    finally:
+        q.stop()
