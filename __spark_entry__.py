@@ -106,6 +106,22 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "q_pop_change", "q_percentile_disc", "q_mode", "q_rolling_active",
     "q_theilsen", "q_rolling_hll", "q_window_funnel", "q_eval_confusion",
     "q_lsh_recall", "q_near_dup_rate",
+    # round 6 (CORRECTNESS_r06.json): 50/50 pass — the 43 new round-6
+    # queries (all green, rows+schema+hash) plus 7 standing re-checks
+    # already listed above.
+    "q_ngram_novelty", "q_shard_assign", "q_embedding_qc",
+    "q_token_budget", "q_vocab_coverage", "q_doc_stopwords",
+    "q_unigram_surprisal", "q_source_drift", "q_judge_kappa",
+    "q_bm25_topk", "q_graph_2hop", "q_label_noise", "q_rank_sum",
+    "q_ks_drift", "q_tv_distance", "q_hhi_concentration",
+    "q_target_encode", "q_trend_ols", "q_ohlc_bars", "q_abc_pareto",
+    "q_bitmap_rollup", "q_node_jaccard", "q_intradoc_dedup",
+    "q_cross_corr", "q_ref_integrity", "q_itemcf", "q_cep_pattern",
+    "q_calibration", "q_bpe_merge", "q_ngram_lm", "q_inverted_index",
+    "q_event_precedence", "q_simpson_diversity", "q_zipf_check",
+    "q_assortativity", "q_reciprocity", "q_key_skew", "q_join_card_est",
+    "q_slo_burn", "q_elasticity", "q_hazard_rate", "q_source_similarity",
+    "q_dispersion",
 })
 
 

@@ -242,6 +242,7 @@ def stream_cep_peaks(
     state_schema = (
         "v2 double, v1 double, v0 double, t0 string, have int"
     )
+    cep_advance, cep_out_frame = _cep_kernel()
 
     def update(key, pdf_iter, state: GroupState):
         tail = state.get if state.exists else (None, None, None, None, 0)
@@ -252,13 +253,13 @@ def stream_cep_peaks(
         counts: dict[str, int] = {}
         if frames:
             batch = pd.concat(frames).sort_values([ts_col, "event_id"])
-            counts, tail = _cep_advance(
+            counts, tail = cep_advance(
                 tail,
                 [float(x) for x in batch["value"]],
                 list(batch["event_type"]),
             )
         state.update(tail)
-        yield _cep_out_frame(pd, key[0], counts)
+        yield cep_out_frame(pd, key[0], counts)
 
     return (
         events.withWatermark(ts_col, watermark)
@@ -269,56 +270,65 @@ def stream_cep_peaks(
     )
 
 
-def _cep_advance(tail, vals, types):
-    """Advance the rise-rise-peak suffix automaton over a key's next
-    in-order values. ``tail`` is (v2, v1, v0, t0, have) — the last ≤ 3
-    seen values, the type at the last one, and how many are real.
-    Returns (delta counts by type, new tail). A peak at position p is
-    counted only when its successor is fed, so the final value ever fed
-    stays pending — the batch operator's lead()-null semantics. Shared
-    by the O(1)-state operator (in-order feeds) and the
-    watermark-buffered one (which feeds only finalized rows)."""
-    import pandas as pd
+def _cep_kernel():
+    """Build the shared rise-rise-peak automaton as NESTED functions so
+    cloudpickle serializes them BY VALUE into the state-update closures
+    (module-level functions pickle by reference, and the driver's
+    harness runs workers without this package on their PYTHONPATH —
+    the same by-value-closure rule every other worker-side kernel in
+    this package follows, see stateful.py)."""
 
-    v2, v1, v0, t0, have = tail
-    if not vals:
-        return {}, tail
-    tail_vals = list((v2, v1, v0)[3 - have :]) if have else []
-    tail_types = ([None] * (have - 1) + [t0]) if have else []
-    s = pd.Series(tail_vals + vals, dtype="float64")
-    t = pd.Series(tail_types + types)
-    m = (
-        (s.shift(2) < s.shift(1)) & (s.shift(1) < s) & (s.shift(-1) < s)
-    ).fillna(False)
-    first_decidable = max(2, have - 1)
-    counts: dict[str, int] = {}
-    for p in m.index[m]:
-        if p >= first_decidable:
-            typ = t.iloc[p]
-            counts[typ] = counts.get(typ, 0) + 1
-    n = len(s)
-    vals3 = [None, None, None]
-    for i in range(min(3, n)):
-        vals3[2 - i] = float(s.iloc[n - 1 - i])
-    return counts, (
-        vals3[0],
-        vals3[1],
-        vals3[2],
-        t.iloc[n - 1],
-        min(have + len(vals), 3),
-    )
+    def cep_advance(tail, vals, types):
+        # Advance the automaton over a key's next in-order values.
+        # ``tail`` is (v2, v1, v0, t0, have) — the last ≤ 3 seen values,
+        # the type at the last one, and how many are real. Returns
+        # (delta counts by type, new tail). A peak at position p is
+        # counted only when its successor is fed, so the final value
+        # ever fed stays pending — the batch operator's lead()-null
+        # semantics. Shared by the O(1)-state operator (in-order feeds)
+        # and the watermark-buffered one (finalized-row feeds).
+        import pandas as pd
 
-
-def _cep_out_frame(pd, user_id, counts):
-    if counts:
-        return pd.DataFrame(
-            {
-                "user_id": [user_id] * len(counts),
-                "event_type": list(counts),
-                "n_peaks": list(counts.values()),
-            }
+        v2, v1, v0, t0, have = tail
+        if not vals:
+            return {}, tail
+        tail_vals = list((v2, v1, v0)[3 - have :]) if have else []
+        tail_types = ([None] * (have - 1) + [t0]) if have else []
+        s = pd.Series(tail_vals + vals, dtype="float64")
+        t = pd.Series(tail_types + types)
+        m = (
+            (s.shift(2) < s.shift(1)) & (s.shift(1) < s) & (s.shift(-1) < s)
+        ).fillna(False)
+        first_decidable = max(2, have - 1)
+        counts: dict[str, int] = {}
+        for p in m.index[m]:
+            if p >= first_decidable:
+                typ = t.iloc[p]
+                counts[typ] = counts.get(typ, 0) + 1
+        n = len(s)
+        vals3 = [None, None, None]
+        for i in range(min(3, n)):
+            vals3[2 - i] = float(s.iloc[n - 1 - i])
+        return counts, (
+            vals3[0],
+            vals3[1],
+            vals3[2],
+            t.iloc[n - 1],
+            min(have + len(vals), 3),
         )
-    return pd.DataFrame({"user_id": [], "event_type": [], "n_peaks": []})
+
+    def cep_out_frame(pd, user_id, counts):
+        if counts:
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(counts),
+                    "event_type": list(counts),
+                    "n_peaks": list(counts.values()),
+                }
+            )
+        return pd.DataFrame({"user_id": [], "event_type": [], "n_peaks": []})
+
+    return cep_advance, cep_out_frame
 
 
 def stream_cep_peaks_buffered(
@@ -359,6 +369,7 @@ def stream_cep_peaks_buffered(
         " v2 double, v1 double, v0 double, t0 string, have int,"
         " f_us bigint, f_eid bigint"
     )
+    cep_advance, cep_out_frame = _cep_kernel()
 
     def update(key, pdf_iter, state: GroupState):
         if state.exists:
@@ -393,7 +404,7 @@ def stream_cep_peaks_buffered(
         ready, buf = buf[:k], buf[k:]
         counts: dict[str, int] = {}
         if ready:
-            counts, tail = _cep_advance(
+            counts, tail = cep_advance(
                 tail, [r[3] for r in ready], [r[2] for r in ready]
             )
             f_us, f_eid = ready[-1][0], ready[-1][1]
@@ -419,7 +430,7 @@ def stream_cep_peaks_buffered(
             state.setTimeoutTimestamp(
                 max(buf[0][0] // 1000, wm_us // 1000 + 1)
             )
-        yield _cep_out_frame(pd, key[0], counts)
+        yield cep_out_frame(pd, key[0], counts)
 
     return (
         events.withWatermark(ts_col, watermark)

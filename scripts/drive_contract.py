@@ -63,6 +63,11 @@ def canon(v):
 qs = contract.queries()
 oracles = contract.oracle_sql()
 names = sorted(qs)
+if "--only" in sys.argv:
+    only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    missing = only - set(names)
+    assert not missing, f"--only names not in catalog: {sorted(missing)}"
+    names = [n for n in names if n in only]
 if "--shuffle" in sys.argv:
     seed = int(sys.argv[sys.argv.index("--shuffle") + 1])
     random.Random(seed).shuffle(names)

@@ -187,7 +187,7 @@ def test_staged_rolling_hll_single_scan(spark):
 
 
 # ---------------------------------------------------------------------
-# Round-6-staged batch (plans/staging.py, awaiting round-7 promotion):
+# Round-6-staged batch (promoted into plans/catalog.py in round 7):
 # independent pure-Python witnesses recomputed from raw parquet rows.
 # ---------------------------------------------------------------------
 
@@ -197,8 +197,8 @@ from datetime import datetime
 
 import duckdb
 
-from aws_vpcflowlogs_parquet_spark.plans.staging import (
-    STAGED_QUERIES as R6_STAGED,
+from aws_vpcflowlogs_parquet_spark.plans.catalog import (
+    QUERIES as R6_STAGED,
 )
 
 _EPOCH0 = datetime(1970, 1, 1)
