@@ -16,13 +16,22 @@ The contract here:
   any persist they cannot balance with an in-scope ``unpersist()``;
 - the query catalog's ``@register`` wrapper calls
   :func:`release_cached_intermediates` when the NEXT query is built,
-  bounding live tracked caches to one query's working set (every
-  harness — driver, pytest, bench, CLI — builds and materializes
-  queries sequentially, so the previous query's caches are dead by
-  then; unpersist is safe regardless — Spark recomputes);
+  bounding live tracked caches to one query's working set;
 - bench.py additionally ``spark.catalog.clearCache()``s between timed
   runs, and long-lived embedders can call
   :func:`release_cached_intermediates` explicitly at any boundary.
+
+SEQUENTIAL BUILD-THEN-MATERIALIZE CONTRACT (ADVICE r6): the registry is
+process-global, so the release-on-next-build scheme assumes the harness
+materializes query N before building query N+1 — true of every harness
+this repo ships (driver, pytest, bench, CLI, all sequential). A harness
+that interleaves builds would get its still-pending intermediates
+unpersisted early: results stay CORRECT (Spark recomputes from lineage),
+but the shared shuffles this module de-duplicates would silently re-run.
+To make the contract observable rather than assumed, the release path
+logs (DEBUG) every nonzero release with the count, and all registry
+mutation is serialized by a lock so even a misbehaving multi-threaded
+builder cannot corrupt the list itself — it can only pay the recompute.
 
 Balanced persists (an iterative loop that unpersists its previous
 round, e.g. dedup_clusters / label_propagation) stay untracked — they
@@ -31,14 +40,21 @@ already free themselves.
 
 from __future__ import annotations
 
+import logging
+import threading
+
 from pyspark.sql import DataFrame
 
 _TRACKED_CACHES: list[DataFrame] = []
+_TRACKED_LOCK = threading.Lock()
+_log = logging.getLogger(__name__)
 
 
 def track_persist(df: DataFrame) -> DataFrame:
     """``persist()`` + enrol for the next release_cached_intermediates()."""
-    _TRACKED_CACHES.append(df.persist())
+    persisted = df.persist()
+    with _TRACKED_LOCK:
+        _TRACKED_CACHES.append(persisted)
     return df
 
 
@@ -52,9 +68,18 @@ def release_cached_intermediates() -> int:
     """
     import warnings
 
+    with _TRACKED_LOCK:
+        drained = list(_TRACKED_CACHES)
+        _TRACKED_CACHES.clear()
+    if drained:
+        # Visible trace of the sequential contract doing its job — and
+        # of a violation: a release firing while another query's build
+        # is still pending shows up here as an unexpected nonzero drain.
+        _log.debug(
+            "releasing %d tracked cached intermediate(s)", len(drained)
+        )
     n = 0
-    while _TRACKED_CACHES:
-        df = _TRACKED_CACHES.pop()
+    for df in drained:
         try:
             df.unpersist()
             n += 1
@@ -75,4 +100,5 @@ def release_cached_intermediates() -> int:
 
 def tracked_cache_count() -> int:
     """How many tracked intermediates are currently live (test hook)."""
-    return len(_TRACKED_CACHES)
+    with _TRACKED_LOCK:
+        return len(_TRACKED_CACHES)

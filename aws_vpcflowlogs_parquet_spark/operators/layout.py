@@ -119,13 +119,16 @@ def compact(
     enforces this: entry raises RuntimeError if the lock is held and
     fresh; locks older than ``stale_lock_seconds`` (default 24 h —
     longer than any plausible rewrite, so only a crashed run leaves one)
-    are broken, preserving crash recovery. Returns {files_before,
-    files_after, bytes}."""
+    are broken, preserving crash recovery. Breaking is one-winner via an
+    O_EXCL ``.breaking`` claim file; a STALE claim (a breaker crashed
+    inside the claim window) is never auto-swept and needs one manual rm
+    — the raised error says which file and why (ADVICE r6: remove-by-path
+    of a shared claim path cannot be made one-winner). Returns
+    {files_before, files_after, bytes}."""
     import glob
     import os
     import shutil
     import time
-    import uuid
 
     lock = f"{path}__compact_lock"
     stale_lock_seconds = 24 * 3600
@@ -158,14 +161,35 @@ def compact(
         # file), and no competitor can remove it (removal requires the
         # claim) — so the claim holder's re-stat + remove is race-free.
         claim = f"{lock}.breaking"
-        try:
-            if time.time() - os.path.getmtime(claim) >= stale_lock_seconds:
-                os.remove(claim)  # a breaker crashed mid-takeover
-        except OSError:
-            pass
+        # A stale claim means a breaker crashed inside the claim window
+        # (milliseconds wide, and only reachable after a compactor crash
+        # in the first place). It is NEVER auto-swept: any remove-by-path
+        # of a competitor's claim reopens the stat-then-remove TOCTOU
+        # this protocol exists to close — two sweepers stat the same
+        # >24h claim, the slower remove() deletes the faster one's FRESH
+        # replacement claim, and with two concurrent claim holders the
+        # holder-only lock removal below stops being holder-only (the
+        # ADVICE r6 double-writer interleaving). Rename-aside doesn't
+        # help either: once the winner re-creates a claim at the same
+        # path, a descheduled loser's rename captures the fresh file.
+        # The only race-free acquisition is the bare O_EXCL create, so a
+        # crashed takeover requires one manual rm — the error says so.
         try:
             cfd = os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         except FileExistsError:
+            try:
+                claim_age = time.time() - os.path.getmtime(claim)
+            except OSError:
+                continue  # claim vanished; re-contend from the top
+            if claim_age >= stale_lock_seconds:
+                raise RuntimeError(
+                    f"compact() found a stale takeover claim on {path} "
+                    f"({claim}, {claim_age:.0f}s old) — a previous "
+                    f"stale-lock takeover crashed mid-flight. Verify no "
+                    f"compactor is running, then remove the claim file "
+                    f"manually and retry; it is never auto-swept because "
+                    f"remove-by-path cannot be made one-winner"
+                )
             raise RuntimeError(
                 f"compact() stale-lock takeover already in progress on "
                 f"{path} (claim {claim}); single-writer required"
@@ -204,7 +228,10 @@ def compact(
         for leftover in glob.glob(f"{path}__compact_*") + glob.glob(
             f"{path}__old_*"
         ):
-            if leftover != lock:
+            # lock-protocol files (the lock itself, a racer's transient
+            # .breaking claim) are NEVER ours to sweep — a crashed
+            # breaker's stale claim is manual-cleanup-only by design
+            if not leftover.startswith(lock):
                 shutil.rmtree(leftover, ignore_errors=True)
         return _compact_locked(spark, path, target_bytes, preserve_sort)
     finally:

@@ -191,8 +191,10 @@ def test_compact_stale_lock_takeover_is_atomic(spark, tmp_path):
     ``.breaking`` claim file — only the claim holder may remove the
     stale lock (rename-by-path had a TOCTOU hole: a descheduled breaker
     could rename a competitor's FRESH lock aside). A fresh claim makes
-    a racing breaker fail fast; a stale claim (crashed breaker) is
-    swept and the takeover proceeds."""
+    a racing breaker fail fast; a STALE claim (crashed breaker) is
+    never auto-swept — remove-by-path of the shared claim path cannot
+    be made one-winner (ADVICE r6) — so it demands one manual rm, and
+    the takeover proceeds after that cleanup."""
     import os
     import time
 
@@ -206,8 +208,8 @@ def test_compact_stale_lock_takeover_is_atomic(spark, tmp_path):
     lock = f"{path}__compact_lock"
     claim = f"{lock}.breaking"
 
-    # a crashed breaker's stale claim + a stale lock: both cleaned up,
-    # takeover proceeds
+    # a crashed breaker's stale claim + a stale lock: fail fast with
+    # the manual-cleanup instruction, touching NEITHER file
     old = time.time() - 25 * 3600
     with open(lock, "w") as f:
         f.write("999")
@@ -215,6 +217,12 @@ def test_compact_stale_lock_takeover_is_atomic(spark, tmp_path):
     with open(claim, "w") as f:
         f.write("998")
     os.utime(claim, (old, old))
+    with _pytest.raises(RuntimeError, match="remove the claim file"):
+        compact(spark, path, target_bytes=10 * 1024 * 1024)
+    assert os.path.exists(lock) and os.path.exists(claim)
+
+    # after the manual rm the error demanded, the takeover proceeds
+    os.remove(claim)
     stats = compact(spark, path, target_bytes=10 * 1024 * 1024)
     assert stats["files_before"] == 4
     assert not os.path.exists(lock)
