@@ -14928,6 +14928,285 @@ def q_tokenizer_fertility(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Distributed twins for the exact-quantile family (r6 VERDICT item 2):
+# the four queries graded `weak` at 100× all carry a single-partition
+# rank/ntile window over unbounded-cardinality per-entity aggregates.
+# These twins re-express each on q_decile_stats_approx's histogram
+# machinery — the only single-partition step touches BINS (bounded by
+# value-domain / bin-width, never by entity count), and every number is
+# still exact integer arithmetic the oracle replays bit-identically.
+# The exact forms stay in-catalog as audit twins, the same pairing as
+# q_table_profile / q_table_profile_sketch.
+# =====================================================================
+
+@register(
+    "q_gini_bucketed",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    hist AS (
+      SELECT x // 100000 AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(x) AS BIGINT) AS s_b
+      FROM spend GROUP BY b
+    ),
+    cum AS (
+      SELECT n_b, s_b,
+             CAST(SUM(s_b) OVER (ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cums
+      FROM hist
+    )
+    SELECT CAST(SUM(n_b) AS BIGINT) AS n_customers,
+           CAST(SUM(n_b) * SUM(s_b) - SUM(n_b * (2 * cums - s_b))
+                AS BIGINT) AS gini_num,
+           CAST(SUM(n_b) * SUM(s_b) AS BIGINT) AS gini_den,
+           CAST(SUM(n_b) * SUM(s_b) - SUM(n_b * (2 * cums - s_b)) AS DOUBLE)
+             / CAST(SUM(n_b) * SUM(s_b) AS DOUBLE) AS gini
+    FROM cum
+    """,
+)
+def q_gini_bucketed(spark, sf_dir):
+    """The 100 TB twin of q_gini (r6 VERDICT weak #2): Gini coefficient
+    of customer spend WITHOUT the global per-customer rank window.
+
+    The exact form's Σ i·x needs a total order over |customers| rows in
+    one partition. Here per-customer spend (cents, the data-scale hash
+    agg both forms share) collapses to a fixed-width histogram — bin =
+    spend div $1000, so bin count is bounded by the spend DOMAIN, not
+    the customer count — and the trapezoidal grouped-data Gini runs on
+    bin sums: G = (N·S − Σ_b n_b·(2·cums_b − s_b)) / (N·S), the
+    piecewise-linear Lorenz identity with all terms exact BIGINTs
+    (within-bin inequality is the one thing it cannot see — Gini is
+    under-read by at most one bin width; the exact audit twin measures
+    it). The only window is the cumulative sum over BINS; the oracle
+    replays the identical integer arithmetic, so the driver
+    hash-compares exactly. num/den ship alongside the one double
+    division."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    hist = spend.groupBy(F.expr("x div 100000").alias("b")).agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum("x").cast("bigint").alias("s_b"),
+    )
+    w_cum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "n_b", "s_b", F.sum("s_b").over(w_cum).cast("bigint").alias("cums")
+    )
+    num = F.sum("n_b") * F.sum("s_b") - F.sum(
+        F.col("n_b") * (2 * F.col("cums") - F.col("s_b"))
+    )
+    den = F.sum("n_b") * F.sum("s_b")
+    return cum.agg(
+        F.sum("n_b").cast("bigint").alias("n_customers"),
+        num.cast("bigint").alias("gini_num"),
+        den.cast("bigint").alias("gini_den"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
+    )
+
+
+@register(
+    "q_lorenz_bucketed",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    hist AS (
+      SELECT x // 100000 AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(x) AS BIGINT) AS s_b
+      FROM spend GROUP BY b
+    ),
+    m AS (
+      SELECT b, n_b, s_b,
+             CAST(LEAST(9.0, FLOOR(10.0 * CAST(SUM(n_b) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_b
+                 AS DOUBLE) / CAST(SUM(n_b) OVER () AS DOUBLE))) AS INT) + 1
+               AS decile
+      FROM hist
+    ),
+    per AS (
+      SELECT decile,
+             CAST(SUM(n_b) AS BIGINT) AS n_customers,
+             CAST(SUM(s_b) AS BIGINT) AS dx
+      FROM m GROUP BY decile
+    )
+    SELECT decile, n_customers,
+           CAST(SUM(dx) OVER (ORDER BY decile
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(dx) OVER () AS DOUBLE) AS cum_share
+    FROM per
+    """,
+)
+def q_lorenz_bucketed(spark, sf_dir):
+    """The 100 TB twin of q_lorenz_curve (r6 VERDICT weak #3): the
+    cumulative-revenue-share curve with decile boundaries from
+    q_decile_stats_approx's histogram cut-point machinery instead of a
+    global NTILE. Per-customer spend → fixed-width histogram (bins
+    bounded by the spend domain); each bin's decile is
+    floor(10 · customers-before-bin / N) clamped to 9 — identical
+    arithmetic on both engines, so assignment is bucket-granular but
+    exact and hash-stable. The per-decile sums then come straight from
+    the HISTOGRAM (no join back to the fact — n_b and s_b already
+    carry counts and mass), and the cumulative share is the 10-row
+    window of the exact twin. Windows touch bins and deciles only;
+    nothing single-partition scales with |customers|."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("x")
+    )
+    hist = spend.groupBy(F.expr("x div 100000").alias("b")).agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum("x").cast("bigint").alias("s_b"),
+    )
+    w_cum = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    m = hist.select(
+        "n_b",
+        "s_b",
+        (
+            F.least(
+                F.lit(9.0),
+                F.floor(
+                    F.lit(10.0)
+                    * (F.sum("n_b").over(w_cum) - F.col("n_b")).cast("double")
+                    / F.sum("n_b").over(Window.partitionBy()).cast("double")
+                ),
+            ).cast("int")
+            + F.lit(1)
+        ).alias("decile"),
+    )
+    per = m.groupBy("decile").agg(
+        F.sum("n_b").cast("bigint").alias("n_customers"),
+        F.sum("s_b").cast("bigint").alias("dx"),
+    )
+    w_dec = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "decile",
+        "n_customers",
+        (
+            F.sum("dx").over(w_dec).cast("double")
+            / F.sum("dx").over(Window.partitionBy()).cast("double")
+        ).alias("cum_share"),
+    )
+
+
+@register(
+    "q_abc_pareto_bucketed",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1.0 - l_discount)
+               * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM lineitem GROUP BY l_partkey
+    ),
+    hist AS (
+      SELECT cents // 1000000 AS b,
+             CAST(COUNT(*) AS BIGINT) AS n_b,
+             CAST(SUM(cents) AS BIGINT) AS s_b
+      FROM rev GROUP BY b
+    ),
+    cum AS (
+      SELECT b, n_b, s_b,
+             CAST(SUM(s_b) OVER (ORDER BY b DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_cents,
+             CAST(SUM(s_b) OVER () AS BIGINT) AS total_cents
+      FROM hist
+    ),
+    cls AS (
+      SELECT CASE WHEN cum_cents * 5 <= total_cents * 4 THEN 'A'
+                  WHEN cum_cents * 20 <= total_cents * 19 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             n_b, s_b, total_cents
+      FROM cum
+    )
+    SELECT abc_class,
+           CAST(SUM(n_b) AS BIGINT) AS n_parts,
+           CAST(SUM(s_b) AS BIGINT) AS class_cents,
+           CAST(SUM(s_b) AS DOUBLE)
+             / CAST(MAX(total_cents) AS DOUBLE) AS revenue_share
+    FROM cls GROUP BY abc_class
+    """,
+)
+def q_abc_pareto_bucketed(spark, sf_dir):
+    """The 100 TB twin of q_abc_pareto (r6 VERDICT weak #4): ABC /
+    Pareto classes from a revenue histogram instead of a global
+    per-part cumulative rank. Per-part revenue cents (the shared
+    data-scale agg) bins at $10k width; the top-down cumulative runs
+    over BINS in descending value order, so every part in a bin shares
+    its class (boundary granularity = one bin width — the audit twin
+    measures the drift) and the 80 % / 95 % tests stay the exact
+    BIGINT comparisons cum·5 ≤ total·4 / cum·20 ≤ total·19. Class
+    counts and mass come straight from the histogram — no second pass
+    over parts, no join back. At any scale the only single-partition
+    work is |bins| rows, bounded by the revenue domain."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents_expr = F.floor(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(cents_expr).cast("bigint").alias("cents")
+    )
+    hist = rev.groupBy(F.expr("cents div 1000000").alias("b")).agg(
+        F.count("*").cast("bigint").alias("n_b"),
+        F.sum("cents").cast("bigint").alias("s_b"),
+    )
+    w_desc = Window.orderBy(F.desc("b")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.select(
+        "n_b",
+        "s_b",
+        F.sum("s_b").over(w_desc).cast("bigint").alias("cum_cents"),
+        F.sum("s_b").over(Window.partitionBy()).cast("bigint").alias(
+            "total_cents"
+        ),
+    )
+    cls = cum.select(
+        F.when(F.col("cum_cents") * 5 <= F.col("total_cents") * 4, "A")
+        .when(F.col("cum_cents") * 20 <= F.col("total_cents") * 19, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "n_b",
+        "s_b",
+        "total_cents",
+    )
+    return cls.groupBy("abc_class").agg(
+        F.sum("n_b").cast("bigint").alias("n_parts"),
+        F.sum("s_b").cast("bigint").alias("class_cents"),
+        (
+            F.sum("s_b").cast("double") / F.max("total_cents").cast("double")
+        ).alias("revenue_share"),
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

@@ -1,0 +1,106 @@
+"""Round-7 distributed twins of the exact-quantile family (r6 VERDICT
+item 2): independent witnesses that the histogram-bucketed forms agree
+with their exact audit twins up to the documented bin-granularity, plus
+plan-shape pins that the only window in each runs over the BIN aggregate
+(bounded by value domain), never over per-entity rows."""
+
+from __future__ import annotations
+
+import duckdb
+
+from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
+
+from .conftest import SF_DIR
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _no_python(plan: str) -> bool:
+    return "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def _n_customers() -> int:
+    return duckdb.sql(
+        f"SELECT COUNT(DISTINCT o_custkey) FROM "
+        f"'{SF_DIR}/orders.parquet'"
+    ).fetchone()[0]
+
+
+def test_gini_bucketed_is_grouped_lower_bound_of_exact(spark):
+    # The grouped-data (trapezoidal) Lorenz curve is the chord polygon
+    # of the true curve, so its Gini NEVER exceeds the exact one and
+    # trails it by at most the within-bin inequality — both directions
+    # checked against the exact audit twin on the same data.
+    exact = QUERIES["q_gini"](spark, SF_DIR).collect()[0]
+    bucketed = QUERIES["q_gini_bucketed"](spark, SF_DIR).collect()[0]
+    assert bucketed["n_customers"] == exact["n_customers"] == _n_customers()
+    assert bucketed["gini"] <= exact["gini"] + 1e-12
+    assert exact["gini"] - bucketed["gini"] < 0.05
+    # the shipped num/den are the exact integer decomposition
+    assert bucketed["gini"] == bucketed["gini_num"] / bucketed["gini_den"]
+
+
+def test_lorenz_bucketed_monotone_complete_partition(spark):
+    rows = sorted(
+        QUERIES["q_lorenz_bucketed"](spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert sum(r["n_customers"] for r in rows) == _n_customers()
+    shares = [r["cum_share"] for r in rows]
+    assert all(b >= a for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-12
+    assert all(1 <= r["decile"] <= 10 for r in rows)
+    # bucket-granular decile sizes: within one bin of N/10 per decile is
+    # not guaranteed, but the top decile must hold at least its share
+    assert rows[-1]["cum_share"] - (
+        shares[-2] if len(shares) > 1 else 0.0
+    ) > 0.0
+
+
+def test_abc_bucketed_totals_match_exact_twin(spark):
+    exact = {
+        r["abc_class"]: r
+        for r in QUERIES["q_abc_pareto"](spark, SF_DIR).collect()
+    }
+    bucketed = {
+        r["abc_class"]: r
+        for r in QUERIES["q_abc_pareto_bucketed"](spark, SF_DIR).collect()
+    }
+    # class boundaries move by at most one bin, but the partition is
+    # total on both sides: part counts and revenue mass reconcile
+    assert sum(r["n_parts"] for r in bucketed.values()) == sum(
+        r["n_parts"] for r in exact.values()
+    )
+    assert sum(r["class_cents"] for r in bucketed.values()) == sum(
+        r["class_cents"] for r in exact.values()
+    )
+    assert (
+        abs(sum(r["revenue_share"] for r in bucketed.values()) - 1.0) < 1e-9
+    )
+    # descending-value classes: the A class (if present) out-earns C
+    # per part on average — the Pareto shape survives bucketing
+    if "A" in bucketed and "C" in bucketed:
+        a, c = bucketed["A"], bucketed["C"]
+        assert a["class_cents"] * c["n_parts"] > c["class_cents"] * a["n_parts"]
+
+
+def test_bucketed_twins_window_over_bins_only(spark):
+    # each twin's Window consumes a HashAggregate output (the histogram
+    # — bounded by value domain / bin width), never the raw scan: plans
+    # print root-first, so the aggregate printing AFTER the window
+    # proves the window sits on top of it
+    for name in (
+        "q_gini_bucketed",
+        "q_lorenz_bucketed",
+        "q_abc_pareto_bucketed",
+    ):
+        plan = _executed(QUERIES[name](spark, SF_DIR))
+        assert "Window" in plan, (name, plan)
+        assert plan.index("Window") < plan.rindex("HashAggregate"), (
+            name,
+            plan,
+        )
+        assert _no_python(plan), (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
