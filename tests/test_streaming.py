@@ -641,3 +641,83 @@ def test_stream_cep_buffered_reorders_late_rows(spark, tmp_path):
         assert got == {("A", 1), ("B", 1)}
     finally:
         q.stop()
+
+
+def test_stream_cep_unbuffered_documents_late_row_miss(spark, tmp_path):
+    # the O(1)-state CEP's stated PRECONDITION (windows.py docstring):
+    # batch-equivalence requires per-key batch-monotone arrival. This
+    # pins what happens when that precondition is VIOLATED with the
+    # exact feed the buffered twin resolves correctly above: the
+    # minute-2 row delivered a batch late is appended after the stored
+    # suffix, so its true peak (1<2<5, next 3<5) is never evaluated in
+    # order — the A peak is MISSED (and the out-of-order evaluation
+    # creates no false positive either: 6,2,5 is not a rise-rise-peak).
+    # If this test ever fails, the operator's ordering contract changed
+    # and the docstring must change with it.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_vpcflowlogs_parquet_spark.streaming.windows import stream_cep_peaks
+
+    base_us = 1_700_000_000_000_000
+
+    def events_table(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base_us + r[1] * 60_000_000 for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([float(r[4]) for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+
+    src = tmp_path / "cepu_src"
+    src.mkdir()
+    pq.write_table(
+        events_table(
+            [
+                (10, 0, 1, "A", 1.0),
+                (11, 1, 1, "A", 2.0),
+                # minute-2 row missing — arrives late in file 2
+                (13, 3, 1, "A", 3.0),
+                (14, 4, 1, "B", 4.0),
+                (15, 5, 1, "B", 6.0),
+                (16, 6, 1, "A", 2.0),
+                (90, 31, 99, "Z", 0.0),
+            ]
+        ),
+        src / "events.parquet",
+    )
+    stream = stream_events(spark, str(src))
+    out = stream_cep_peaks(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("cepu_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pq.write_table(
+            events_table([(12, 2, 1, "A", 5.0), (91, 37, 99, "Z", 0.0)]),
+            src / "events2.parquet",
+        )
+        q.processAllAvailable()
+        got = {
+            (r.event_type, r.n_peaks)
+            for r in spark.sql(
+                "SELECT event_type, CAST(sum(n_peaks) AS BIGINT) AS n_peaks"
+                " FROM cepu_out WHERE user_id = 1 GROUP BY event_type"
+            ).collect()
+        }
+        # the in-order B peak (3<4<6, then 2) is found; the A peak whose
+        # deciding row arrived late is missed — the precondition's cost.
+        # The buffered twin recovers BOTH on this feed (test above).
+        assert got == {("B", 1)}
+    finally:
+        q.stop()
