@@ -3377,9 +3377,15 @@ def _run_stream_to_parquet(spark, df, tag: str, mode: str) -> DataFrame:
     batch posture: each state partition costs an HDFSBackedStateStore
     instance plus per-batch delta/commit files, so over-partitioning a
     modest-cardinality stream multiplies filesystem traffic (~2× on this
-    harness, measured 32 → 6 partitions). ``SPARK_GRAFT_STREAM_PARTITIONS``
-    overrides for real deployments, where the right number is ≥ total
-    executor slots sized to key cardinality × throughput.
+    harness, measured 32 → 6 partitions; re-measured in r7 specifically
+    for the Python-stateful entries on the theory that more partitions
+    would parallelize the Arrow/Python work — negative result: 16 and 32
+    partitions were net SLOWER than 6 across q_stream_cep /
+    q_stream_stateful / q_stream_time_bucket, the state-file traffic
+    outweighing the extra parallelism at this key cardinality).
+    ``SPARK_GRAFT_STREAM_PARTITIONS`` overrides for real deployments,
+    where the right number is ≥ total executor slots sized to key
+    cardinality × throughput.
     """
     import os
     import tempfile
