@@ -167,3 +167,58 @@ def sym_edges(events: DataFrame, mod: int) -> DataFrame:
     return raw.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionAll(
         raw.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
     )
+
+
+WEDGE_HUB_THRESHOLD = 10_000  # max center degree before the salted path
+WEDGE_SALTS = 8
+
+
+def wedges(
+    edges: DataFrame,
+    hub_threshold: int = WEDGE_HUB_THRESHOLD,
+    n_salts: int = WEDGE_SALTS,
+) -> DataFrame:
+    """All length-2 paths ``(a, z, c)`` (``a—z—c``, ``a != c``) of a
+    symmetric edge list, with an explicit super-node guard (r6 VERDICT
+    item 5).
+
+    The wedge self-join keys on the CENTER node z, so its fan-out is
+    Σ deg(z)² and a single hub serializes deg(z)² pair generation onto
+    one shuffle task — the skew q_join_salted guards against for
+    equi-joins, recurring here in self-join form. The guard runs the
+    q_degree_stats pre-flight inline (one max-degree aggregate over the
+    edge relation — bounded metadata, the repo's one sanctioned collect
+    shape) and picks the physical strategy:
+
+    - max degree ≤ ``hub_threshold``: the plain equi-self-join — one
+      co-partitioned shuffle on z, zero overhead;
+    - above it: the SALTED self-join — the (a → z) side gets a
+      deterministic salt ``pmod(hash(a), n_salts)``, the (z → c) side is
+      replicated across all salts, and the join keys on (z, _salt), so
+      one hub's wedge generation spreads over ``n_salts`` tasks. Output
+      is provably identical (salting changes partitioning, never the
+      pair set — pinned by tests/test_round7_properties.py against the
+      plain path on the same graph).
+
+    This is a cap on per-TASK work, not on the Σ deg² total: a true
+    degree CAP (dropping or sampling hub wedges) changes results and so
+    lives with the caller, not here. Consumers: q_graph_2hop,
+    q_node_jaccard, q_resource_alloc.
+    """
+    e1 = edges.select("a", F.col("b").alias("z"))
+    e2 = edges.select(F.col("a").alias("z"), F.col("b").alias("c"))
+    max_deg = (
+        edges.groupBy("a")
+        .agg(F.count("*").alias("d"))
+        .agg(F.max("d").alias("m"))
+        .collect()[0]["m"]
+    )
+    if max_deg is not None and max_deg > hub_threshold:
+        e1 = e1.withColumn("_salt", F.pmod(F.hash("a"), F.lit(n_salts)))
+        e2 = e2.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        )
+        joined = e1.join(e2, ["z", "_salt"])
+    else:
+        joined = e1.join(e2, "z")
+    return joined.filter(F.col("a") != F.col("c")).select("a", "z", "c")

@@ -11533,19 +11533,15 @@ def q_graph_2hop(spark, sf_dir):
     the middle node, a distinct, and a left-anti join against the
     direct-edge relation — all hash-partitioned on node ids. At 100 TB
     the wedge join's fan-out is Σ degree² — the same bound as triangle
-    counting — and the standard mitigation (orient from lower- to
-    higher-degree endpoints, cap hub degrees) changes the edge
-    canonicalization, not this plan shape."""
-    from ..operators.graph import sym_edges
+    counting — and the wedge relation comes from the shared
+    degree-guarded primitive (operators/graph.py wedges): a max-degree
+    pre-flight picks the plain co-partitioned self-join or, past the
+    hub threshold, the salted form that spreads one hub's deg² pair
+    generation over 8 tasks with an identical pair set."""
+    from ..operators.graph import sym_edges, wedges
 
     sym = sym_edges(_t(spark, sf_dir, "events"), 41)
-    e2 = sym.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    two = (
-        sym.join(e2, "b")
-        .filter(F.col("a") != F.col("c"))
-        .select("a", "c")
-        .distinct()
-    )
+    two = wedges(sym).select("a", "c").distinct()
     strict2 = two.join(
         sym.select("a", F.col("b").alias("c")),
         ["a", "c"],
@@ -12358,16 +12354,16 @@ def q_node_jaccard(spark, sf_dir):
     non-adjacency is a left-anti against the edge list. The top-20
     orders on an exact integer lattice (score_micro = common·10⁶ div
     union) so ranking never compares floats. At 100 TB the wedge
-    fan-out is the standard Σdeg² bound with hub-capping as the
-    documented mitigation; everything downstream is hash joins on node
-    ids."""
-    from ..operators.graph import sym_edges
+    fan-out is the standard Σdeg² bound, mitigated per-task by the
+    shared degree-guarded wedge primitive (operators/graph.py wedges —
+    salted self-join past the hub threshold); everything downstream is
+    hash joins on node ids."""
+    from ..operators.graph import sym_edges, wedges
 
     sym = sym_edges(_t(spark, sf_dir, "events"), 41)
     deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
-    e2 = sym.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedge = (
-        sym.join(e2, "b")
+        wedges(sym)
         .filter(F.col("a") < F.col("c"))
         .groupBy("a", "c")
         .agg(F.count("*").cast("bigint").alias("common"))
@@ -14048,20 +14044,16 @@ def q_resource_alloc(spark, sf_dir):
     the score is a BIGINT sum — no rational arithmetic, no floats,
     and the identical quantization on both engines. Same physical
     shape as the other wedge queries: one distinct-edge shuffle, the
-    wedge equi-join (Σdeg² bound, hub-capping documented), a left-anti
-    for non-adjacency, one broadcast degree join keyed on the
+    degree-guarded wedge join (operators/graph.py wedges — Σdeg² bound,
+    salted self-join past the hub threshold), a left-anti for
+    non-adjacency, one broadcast degree join keyed on the
     intermediate node, one grouped sum, TakeOrdered(20) on the
     (ra_micro, a, c) total order."""
-    from ..operators.graph import sym_edges
+    from ..operators.graph import sym_edges, wedges
 
     sym = sym_edges(_t(spark, sf_dir, "events"), 499)
     deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
-    e2 = sym.select(F.col("a").alias("z"), F.col("b").alias("c"))
-    wedge = (
-        sym.select("a", F.col("b").alias("z"))
-        .join(e2, "z")
-        .filter(F.col("a") < F.col("c"))
-    )
+    wedge = wedges(sym).filter(F.col("a") < F.col("c"))
     cand = wedge.join(
         sym.select("a", F.col("b").alias("c")), ["a", "c"], "left_anti"
     )
