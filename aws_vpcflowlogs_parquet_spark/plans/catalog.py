@@ -15205,6 +15205,381 @@ def q_abc_pareto_bucketed(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Round-7 new mechanisms: partition-local matrix accumulation
+# (distributed BLAS via mapInArrow), single-pass Poisson-bootstrap
+# error bars, weighted priority sampling, and semi-naive transitive
+# closure (datalog) for strongly connected components.
+# =====================================================================
+
+@register(
+    "q_embedding_covariance",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(generate_subscripts(embedding, 1) AS INT) AS d,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    SELECT a.d AS dim_i, b.d AS dim_j,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(a.v * b.v * 1000000000000.0 + 0.5)
+                AS BIGINT)) AS BIGINT) AS gram_q,
+           CAST(SUM(CAST(floor(a.v * b.v * 1000000000000.0 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 1000000000000.0 / COUNT(*) AS gram
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.d <= b.d
+    GROUP BY dim_i, dim_j
+    ORDER BY dim_i, dim_j
+    """,
+)
+def q_embedding_covariance(spark, sf_dir):
+    """Second-moment (Gram / covariance-prep) matrix of the embedding
+    corpus — the X^T X every whitening, PCA, or linear-probe pipeline
+    computes first, and the canonical *distributed BLAS* shape: each
+    partition accumulates a local 64×64 matrix over its vectors inside
+    one Arrow-batched kernel (``mapInArrow`` — numpy outer products,
+    zero per-row Python), emits the 2080 upper-triangle cells, and one
+    tiny hash-agg merges the per-partition partials. The corpus never
+    shuffles — only |partitions|·2080 cell rows do, the map-side-combine
+    pattern applied to a matrix-valued accumulator. Exactness: every
+    pairwise product quantizes to the 1e-12 lattice BEFORE summation
+    (floor(v_i·v_j·1e12 + 0.5) in float64 — the identical IEEE tree
+    DuckDB runs), so the int64 partials are order- and
+    partitioning-independent and the driver hash-compares exactly.
+    The explicit repartition(32) fans the single test-scale parquet
+    split across cores (the q_label_noise lesson); at 100 TB the scan
+    has natural splits and each emits one matrix."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def partial_gram(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        iu_i, iu_j = np.triu_indices(64)
+        for batch in batches:
+            col = batch.column("embedding")
+            n = len(col)
+            if n == 0:
+                continue
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            x = flat.astype(np.float64, copy=False).reshape(n, 64)
+            acc = np.zeros((64, 64), dtype=np.int64)
+            for lo in range(0, n, 512):  # bound the (chunk, 64, 64) tensor
+                chunk = x[lo : lo + 512]
+                outer = chunk[:, :, None] * chunk[:, None, :]
+                acc += np.floor(outer * 1e12 + 0.5).astype(np.int64).sum(
+                    axis=0
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array((iu_i + 1).astype("int32")),
+                    pa.array((iu_j + 1).astype("int32")),
+                    pa.array(acc[iu_i, iu_j]),
+                    pa.array(np.full(len(iu_i), n, dtype=np.int64)),
+                ],
+                names=["dim_i", "dim_j", "s_q", "n_part"],
+            )
+
+    partials = emb.repartition(32, "vec_id").mapInArrow(
+        partial_gram, "dim_i int, dim_j int, s_q long, n_part long"
+    )
+    return (
+        partials.groupBy("dim_i", "dim_j")
+        .agg(
+            F.sum("n_part").cast("bigint").alias("n"),
+            F.sum("s_q").cast("bigint").alias("gram_q"),
+        )
+        .select(
+            "dim_i",
+            "dim_j",
+            "n",
+            "gram_q",
+            (
+                F.col("gram_q").cast("double")
+                / F.lit(1000000000000.0)
+                / F.col("n")
+            ).alias("gram"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    reps AS (SELECT CAST(unnest(generate_series(0, 31)) AS INT) AS rep),
+    drawn AS (
+      SELECT rep, cents,
+             ('0x' || substring(md5(CAST(o_orderkey * 37 + rep AS VARCHAR)),
+                                1, 4))::BIGINT % 65536 AS u
+      FROM base CROSS JOIN reps
+    ),
+    weighted AS (
+      SELECT rep, cents,
+             CAST(CASE WHEN u < 24109 THEN 0 WHEN u < 48218 THEN 1
+                       WHEN u < 60272 THEN 2 WHEN u < 64291 THEN 3
+                       WHEN u < 65296 THEN 4 WHEN u < 65497 THEN 5
+                       WHEN u < 65531 THEN 6 ELSE 7 END AS BIGINT) AS w
+      FROM drawn
+    ),
+    means AS (
+      SELECT rep,
+             CAST((SUM(w * cents) * 1000) // SUM(w) AS BIGINT) AS m_milli
+      FROM weighted GROUP BY rep
+    ),
+    ranked AS (
+      SELECT m_milli, ROW_NUMBER() OVER (ORDER BY m_milli, rep) AS rnk
+      FROM means
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM base) AS n_orders,
+      (SELECT CAST((SUM(cents) * 1000) // COUNT(*) AS BIGINT) FROM base)
+        AS mean_milli,
+      CAST(MIN(CASE WHEN rnk = 2 THEN m_milli END) AS BIGINT) AS ci_lo_milli,
+      CAST(MIN(CASE WHEN rnk = 31 THEN m_milli END) AS BIGINT) AS ci_hi_milli
+    FROM ranked
+    """,
+)
+def q_bootstrap_ci(spark, sf_dir):
+    """Error bars on a corpus mean via the POISSON BOOTSTRAP — the
+    at-scale bootstrap (Chamandy et al.): instead of materializing B
+    resamples, each row draws an independent pseudo-Poisson(1) weight
+    per replicate, so all 32 resample means come from ONE pass over a
+    32×-fanned scan with a single (rep) hash-agg — no per-resample
+    shuffles, no driver-side data. Determinism end to end: the weight
+    is the Poisson(1) inverse-CDF applied to a 16-bit md5 slice of
+    (orderkey·37 + rep) with fixed integer thresholds (⌊CDF·65536⌋ —
+    identical CASE ladder both engines), resample means live on the
+    exact milli-cent lattice, and the 90 % CI is rank-2 / rank-31 of
+    the 32 means (a 32-row window). The replicate grid is a broadcast;
+    at 100 TB the only cost over the plain mean is the 32× map-side
+    fan-out — the reason this beats resample-and-recompute by B×."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    reps = spark.range(32).select(F.col("id").cast("int").alias("rep"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    (F.col("o_orderkey") * 37 + F.col("rep")).cast("string")
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 65536
+    )
+    w = (
+        F.when(u < 24109, 0)
+        .when(u < 48218, 1)
+        .when(u < 60272, 2)
+        .when(u < 64291, 3)
+        .when(u < 65296, 4)
+        .when(u < 65497, 5)
+        .when(u < 65531, 6)
+        .otherwise(7)
+        .cast("bigint")
+    )
+    means = (
+        base.crossJoin(F.broadcast(reps))
+        .select("rep", "cents", w.alias("w"))
+        .groupBy("rep")
+        .agg(
+            F.expr(
+                "CAST((SUM(w * cents) * 1000) div SUM(w) AS BIGINT)"
+            ).alias("m_milli")
+        )
+    )
+    ranked = means.select(
+        "m_milli",
+        F.row_number().over(Window.orderBy("m_milli", "rep")).alias("rnk"),
+    )
+    ci = ranked.agg(
+        F.min(F.when(F.col("rnk") == 2, F.col("m_milli")))
+        .cast("bigint")
+        .alias("ci_lo_milli"),
+        F.min(F.when(F.col("rnk") == 31, F.col("m_milli")))
+        .cast("bigint")
+        .alias("ci_hi_milli"),
+    )
+    point = base.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.expr("CAST((SUM(cents) * 1000) div COUNT(*) AS BIGINT)").alias(
+            "mean_milli"
+        ),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n_orders", "mean_milli", "ci_lo_milli", "ci_hi_milli"
+    )
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+    WITH pr AS (
+      SELECT doc_id, n_chars,
+             CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT * 1000000) // GREATEST(n_chars, 1) AS BIGINT)
+               AS priority
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, priority
+    FROM pr ORDER BY priority, doc_id LIMIT 20
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted priority sampling: pick 20 documents with
+    inclusion preference proportional to size (n_chars) — the
+    reproducible analogue of Efraimidis–Spirakis reservoir sampling
+    (keys u^(1/w)) used for weighted corpus subsampling in replayable
+    training-data builds. Each document's priority is a pure integer
+    function of its id: a 32-bit md5 slice scaled by 10⁶ and divided
+    by its weight, so heavier documents get systematically smaller
+    priorities; selection is the global bottom-20 of (priority,
+    doc_id) — TakeOrderedAndProject, never a full sort. Fully
+    deterministic (same corpus → same sample, byte for byte), exact
+    on the integer lattice, and at 100 TB it is one scan + a top-k:
+    the cheapest possible weighted sample, and the reason pipelines
+    prefer priority sampling over per-row Bernoulli draws when the
+    output size must be exact."""
+    docs = _t(spark, sf_dir, "documents")
+    # conv() returns STRING — cast to BIGINT before any arithmetic so
+    # the priority never round-trips through a double
+    return (
+        docs.select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("weight"),
+            F.expr(
+                "CAST((CAST(conv(substring(md5(CAST(doc_id AS STRING)),"
+                " 1, 8), 16, 10) AS BIGINT) * 1000000)"
+                " div GREATEST(n_chars, 1) AS BIGINT)"
+            ).alias("priority"),
+        )
+        .orderBy("priority", "doc_id")
+        .limit(20)
+    )
+
+
+@register(
+    "q_scc",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT DISTINCT s, d FROM (
+        SELECT user_id % 1999 AS s, (3 * user_id + event_id) % 1999 AS d
+        FROM events
+        WHERE event_id % 101 = 0
+          AND user_id % 1999 != (3 * user_id + event_id) % 1999
+        UNION ALL
+        SELECT i AS s, (i + 1) % 50 AS d
+        FROM (SELECT unnest(generate_series(0, 49)) AS i)
+      )
+    ),
+    reach AS (
+      SELECT s AS v, d AS r FROM edges
+      UNION
+      SELECT e.s AS v, reach.r FROM edges e JOIN reach ON e.d = reach.v
+    ),
+    nodes AS (SELECT s AS v FROM edges UNION SELECT d FROM edges),
+    mutual AS (
+      SELECT f.v, f.r AS w
+      FROM reach f JOIN reach b ON f.v = b.r AND f.r = b.v
+    ),
+    comp AS (
+      SELECT n.v,
+             CAST(LEAST(n.v, COALESCE(MIN(m.w), n.v)) AS BIGINT) AS scc
+      FROM nodes n LEFT JOIN mutual m ON m.v = n.v
+      GROUP BY n.v
+    )
+    SELECT scc, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM comp GROUP BY scc
+    ORDER BY n_nodes DESC, scc
+    """,
+)
+def q_scc(spark, sf_dir):
+    """Strongly connected components of a DIRECTED graph — the
+    condensation step behind dependency analysis and cycle detection,
+    and the one graph primitive the undirected family (connected
+    components, k-core, label propagation) cannot express. The closure
+    is computed by PATH DOUBLING (reach ∘ reach each round, new pairs
+    only, lineage truncated per round — the log-step transitive-closure
+    strategy): ⌈log₂ diameter⌉ + 1 rounds instead of diameter rounds,
+    which is what makes the deterministic 50-ring below converge in ~7
+    rounds where frontier BFS would take 50. SCC(v) is then the least
+    w with v→*w and w→*v (one intersect of the closure with its
+    transpose), and the report is component sizes. Graph design keeps
+    the closure bounded at EVERY sf: the event-derived part is
+    subcritical (mod-1999 domain, 1-in-101 event filter → mean
+    out-degree < 1, so random components stay tiny instead of
+    saturating into one giant SCC the way a denser derivation did —
+    measured 17.5 s/1 row at sf0.1 before this redesign), and a
+    deterministic 50-node ring guarantees one nontrivial SCC at every
+    scale. Full transitive closure is only tractable on such
+    bounded/condensed domains — at 100 TB you run exactly this on the
+    contracted graph after the cheap undirected CC pass, which is how
+    production graph engines sequence it. The DuckDB oracle is the
+    same fixpoint via WITH RECURSIVE (doubling and BFS reach the same
+    closure)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    s = F.col("user_id") % 1999
+    d = (F.lit(3) * F.col("user_id") + F.col("event_id")) % 1999
+    ring = spark.range(50).select(
+        F.col("id").alias("s"), ((F.col("id") + 1) % 50).alias("d")
+    )
+    edges = (
+        ev.select(s.alias("s"), d.alias("d"))
+        .filter(F.col("s") != F.col("d"))
+        .unionAll(ring)
+        .distinct()
+    )
+    edges = track_persist(edges)
+    reach = edges.select(F.col("s").alias("v"), F.col("d").alias("r"))
+    reach = reach.localCheckpoint(eager=True)
+    while True:
+        rhs = reach.select(F.col("v").alias("m"), F.col("r").alias("r2"))
+        grown = (
+            reach.join(rhs, reach["r"] == rhs["m"])
+            .select("v", F.col("r2").alias("r"))
+            .distinct()
+        )
+        new = grown.subtract(reach).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        reach = reach.union(new).distinct().localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("s").alias("v"))
+        .union(edges.select(F.col("d").alias("v")))
+        .distinct()
+    )
+    fwd = reach
+    bwd = reach.select(F.col("r").alias("v"), F.col("v").alias("r"))
+    mutual = fwd.intersect(bwd).select("v", F.col("r").alias("w"))
+    comp = (
+        nodes.join(mutual, "v", "left")
+        .groupBy("v")
+        .agg(
+            F.least(F.col("v"), F.coalesce(F.min("w"), F.col("v")))
+            .cast("bigint")
+            .alias("scc")
+        )
+    )
+    return (
+        comp.groupBy("scc")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .orderBy(F.desc("n_nodes"), "scc")
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

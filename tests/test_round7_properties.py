@@ -163,3 +163,100 @@ def test_wedge_consumers_ride_the_guarded_primitive():
         m = re.search(rf"\ndef {q}\(.*?(?=\n@register|\ndef )", src, re.S)
         assert m, q
         assert "wedges(" in m.group(0), q
+
+
+# ---------------------------------------------------------------------
+# Round-7 new mechanisms: independent pure-Python witnesses recomputed
+# from the raw parquet, plus plan/behavior pins.
+# ---------------------------------------------------------------------
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    # ground truth straight from the parquet with numpy, same lattice
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    x = np.asarray(
+        tbl.column("embedding").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False
+        ),
+        dtype=np.float64,
+    ).reshape(len(tbl), 64)
+    outer = x[:, :, None] * x[:, None, :]
+    want = np.floor(outer * 1e12 + 0.5).astype(np.int64).sum(axis=0)
+    rows = QUERIES["q_embedding_covariance"](spark, SF_DIR).collect()
+    assert len(rows) == 64 * 65 // 2
+    for r in rows[:200]:
+        assert r["gram_q"] == want[r["dim_i"] - 1, r["dim_j"] - 1], (
+            r["dim_i"],
+            r["dim_j"],
+        )
+    assert all(r["n"] == len(tbl) for r in rows)
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    r1 = QUERIES["q_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    r2 = QUERIES["q_bootstrap_ci"](spark, SF_DIR).collect()[0]
+    assert tuple(r1) == tuple(r2)  # pure function of the data
+    assert r1["ci_lo_milli"] <= r1["ci_hi_milli"]
+    # a 90% bootstrap CI on n>1000 rows should bracket the point mean
+    assert r1["ci_lo_milli"] <= r1["mean_milli"] <= r1["ci_hi_milli"]
+    # and be TIGHT relative to the mean at this n (width < 20% of mean)
+    assert (r1["ci_hi_milli"] - r1["ci_lo_milli"]) < 0.2 * r1["mean_milli"]
+
+
+def test_weighted_sample_favors_heavy_documents(spark):
+    import duckdb as dk
+
+    rows = QUERIES["q_weighted_sample"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    med_all = dk.sql(
+        f"SELECT median(n_chars) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    med_sample = sorted(r["weight"] for r in rows)[10]
+    # size-biased inclusion: the sample median length exceeds the corpus's
+    assert med_sample > med_all
+    # priorities are the selection key: returned rows are the global min-20
+    worst = max(r["priority"] for r in rows)
+    n_better = dk.sql(
+        f"""SELECT COUNT(*) FROM (
+          SELECT CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 ::BIGINT * 1000000) // GREATEST(n_chars, 1) AS BIGINT) AS p
+          FROM '{SF_DIR}/documents.parquet') WHERE p < {worst}"""
+    ).fetchone()[0]
+    assert n_better < 20
+
+
+def test_scc_ring_is_one_component_and_partition_is_total(spark):
+    rows = QUERIES["q_scc"](spark, SF_DIR).collect()
+    by_scc = {r["scc"]: r["n_nodes"] for r in rows}
+    # the deterministic 50-ring collapses to ONE component labeled by its
+    # least node (0) with all 50 members (plus any event-derived nodes
+    # that fell into a cycle through it)
+    assert by_scc.get(0, 0) >= 50
+    # component sizes partition the node set
+    import duckdb as dk
+
+    n_nodes = dk.sql(
+        f"""WITH e AS (
+          SELECT DISTINCT s, d FROM (
+            SELECT user_id % 1999 AS s, (3*user_id + event_id) % 1999 AS d
+            FROM '{SF_DIR}/events.parquet'
+            WHERE event_id % 101 = 0
+              AND user_id % 1999 != (3*user_id + event_id) % 1999
+            UNION ALL
+            SELECT i, (i + 1) % 50 FROM (SELECT unnest(generate_series(0, 49)) AS i)
+          ))
+        SELECT COUNT(*) FROM (SELECT s FROM e UNION SELECT d FROM e)"""
+    ).fetchone()[0]
+    assert sum(by_scc.values()) == n_nodes
+
+
+def test_embedding_covariance_plan_is_arrow_partition_local(spark):
+    plan = _executed(QUERIES["q_embedding_covariance"](spark, SF_DIR))
+    # the corpus-side kernel is Arrow-batched (mapInArrow), and the only
+    # shuffle after it carries cell partials, merged by a hash agg
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
