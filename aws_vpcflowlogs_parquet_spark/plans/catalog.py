@@ -15357,7 +15357,16 @@ def q_bootstrap_ci(spark, sf_dir):
     exact milli-cent lattice, and the 90 % CI is rank-2 / rank-31 of
     the 32 means (a 32-row window). The replicate grid is a broadcast;
     at 100 TB the only cost over the plain mean is the 32× map-side
-    fan-out — the reason this beats resample-and-recompute by B×."""
+    fan-out — the reason this beats resample-and-recompute by B×.
+
+    Two tempting rewrites were MEASURED SLOWER at sf0.1 and rejected:
+    (a) hashing once per row (4 concatenated md5s) and slicing 16 bits
+    per replicate after the fan-out — Catalyst inlines the concat into
+    every consumer, recomputing the hashes per slice (3.7 → 9.5 s);
+    (b) building all 32 draws per row with a transform() lambda +
+    posexplode, even behind an exchange barrier — higher-order-function
+    lambdas evaluate interpreted, outside whole-stage codegen
+    (3.7 → 12.3 s). One codegen'd md5 per fanned row wins."""
     o = _t(spark, sf_dir, "orders")
     base = o.select(
         "o_orderkey",
@@ -15577,6 +15586,239 @@ def q_scc(spark, sf_dir):
         comp.groupBy("scc")
         .agg(F.count("*").cast("bigint").alias("n_nodes"))
         .orderBy(F.desc("n_nodes"), "scc")
+    )
+
+
+@register(
+    "q_bpe_train",
+    oracle=f"""
+    WITH tok0 AS (
+      SELECT tok AS seq, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    p1 AS (
+      SELECT substring(seq, CAST(i AS INT), 2) AS pair,
+             CAST(SUM(freq) AS BIGINT) AS c
+      FROM (SELECT seq, freq, unnest(range(1, length(seq))) AS i
+            FROM tok0 WHERE length(seq) > 1)
+      GROUP BY pair
+    ),
+    b1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair LIMIT 1),
+    tok1 AS (
+      SELECT replace(seq, (SELECT pair FROM b1), 'A') AS seq, freq FROM tok0
+    ),
+    p2 AS (
+      SELECT substring(seq, CAST(i AS INT), 2) AS pair,
+             CAST(SUM(freq) AS BIGINT) AS c
+      FROM (SELECT seq, freq, unnest(range(1, length(seq))) AS i
+            FROM tok1 WHERE length(seq) > 1)
+      GROUP BY pair
+    ),
+    b2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair LIMIT 1),
+    tok2 AS (
+      SELECT replace(seq, (SELECT pair FROM b2), 'B') AS seq, freq FROM tok1
+    ),
+    p3 AS (
+      SELECT substring(seq, CAST(i AS INT), 2) AS pair,
+             CAST(SUM(freq) AS BIGINT) AS c
+      FROM (SELECT seq, freq, unnest(range(1, length(seq))) AS i
+            FROM tok2 WHERE length(seq) > 1)
+      GROUP BY pair
+    ),
+    b3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1),
+    tok3 AS (
+      SELECT replace(seq, (SELECT pair FROM b3), 'C') AS seq, freq FROM tok2
+    )
+    SELECT step, best_pair, merge_count, corpus_symbols FROM (
+      SELECT 1 AS step, (SELECT pair FROM b1) AS best_pair,
+             (SELECT c FROM b1) AS merge_count,
+             (SELECT CAST(SUM(freq * length(seq)) AS BIGINT) FROM tok1)
+               AS corpus_symbols
+      UNION ALL
+      SELECT 2, (SELECT pair FROM b2), (SELECT c FROM b2),
+             (SELECT CAST(SUM(freq * length(seq)) AS BIGINT) FROM tok2)
+      UNION ALL
+      SELECT 3, (SELECT pair FROM b3), (SELECT c FROM b3),
+             (SELECT CAST(SUM(freq * length(seq)) AS BIGINT) FROM tok3)
+    ) ORDER BY step
+    """,
+)
+def q_bpe_train(spark, sf_dir):
+    """THREE rounds of BPE tokenizer training — the iterative vocab-
+    construction loop itself, where q_bpe_merge is its inner step: each
+    round counts adjacent symbol pairs over the (token type, freq)
+    working set, picks the argmax merge on the total (count DESC, pair)
+    order, APPLIES it to every sequence, and re-counts — so rounds 2-3
+    score pairs that only exist because of earlier merges (the part a
+    single-step query cannot show, and the reason BPE is a sequential
+    algorithm). Merged symbols become fresh single characters
+    ('A'/'B'/'C' — the lowercased corpus cannot contain them), which
+    keeps every symbol exactly one char: pair counting stays a codegen
+    substring fan-out and merge application is a plain leftmost
+    non-overlapping replace() with no cross-symbol false matches (the
+    classic space-delimited-replace BPE bug is structurally avoided,
+    and replace() semantics agree across engines). merge_count is the
+    standard all-adjacent-occurrences score; corpus_symbols tracks the
+    compression curve Σ freq·|seq| after each round. Per round: one
+    map-combined pair agg (alphabet² keys), one broadcast of the 1-row
+    argmax into the rewrite projection — the type table is the only
+    corpus-magnitude relation, exactly like production BPE trainers."""
+    docs = _t(spark, sf_dir, "documents")
+    seqs = (
+        docs.select(F.explode(dd.tokens_col("text")).alias("seq"))
+        .groupBy("seq")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+    )
+    seqs = track_persist(seqs)
+
+    def best_pair(frame):
+        pairs = frame.filter(F.length("seq") > 1).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(seq) - 1),"
+                    " i -> substring(seq, i, 2))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        return (
+            pairs.groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("c"))
+            .orderBy(F.desc("c"), "pair")
+            .limit(1)
+        )
+
+    rows = []
+    frame = seqs
+    for step, sym in ((1, "A"), (2, "B"), (3, "C")):
+        best = best_pair(frame)
+        merged = frame.crossJoin(F.broadcast(best)).select(
+            F.expr(f"replace(seq, pair, '{sym}')").alias("seq"), "freq"
+        )
+        # materialize the rewritten working set once per round: every
+        # later round (and the symbol count) reuses it, and the plan
+        # would otherwise re-run all prior rounds per consumer
+        merged = merged.localCheckpoint(eager=True)
+        stats = merged.agg(
+            F.sum(F.col("freq") * F.length("seq"))
+            .cast("bigint")
+            .alias("corpus_symbols")
+        )
+        rows.append(
+            best.crossJoin(F.broadcast(stats)).select(
+                F.lit(step).cast("int").alias("step"),
+                F.col("pair").alias("best_pair"),
+                F.col("c").alias("merge_count"),
+                "corpus_symbols",
+            )
+        )
+        frame = merged
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("step")
+
+
+@register(
+    "q_pruning_stats",
+    oracle="""
+    WITH files AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+             o_orderkey % 16 AS slot,
+             CAST(MIN(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS f_min,
+             CAST(MAX(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS f_max,
+             CAST(COUNT(*) AS BIGINT) AS f_rows
+      FROM orders GROUP BY month, slot
+    ),
+    g AS (
+      SELECT CAST(MIN(f_min) AS BIGINT) AS gmin,
+             CAST((MAX(f_max) - MIN(f_min)) // 10 + 1 AS BIGINT) AS w
+      FROM files
+    ),
+    bands AS (
+      SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS band
+    ),
+    probed AS (
+      SELECT band,
+             CASE WHEN f_max < gmin + band * w
+                    OR f_min > gmin + (band + 1) * w - 1
+                  THEN 1 ELSE 0 END AS pruned,
+             f_rows
+      FROM files CROSS JOIN g CROSS JOIN bands
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(pruned) AS BIGINT) AS n_pruned,
+           CAST((SUM(pruned) * 1000000) // COUNT(*) AS BIGINT)
+             AS prune_micro,
+           CAST(SUM(CASE WHEN pruned = 0 THEN f_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned
+    FROM probed GROUP BY band ORDER BY band
+    """,
+)
+def q_pruning_stats(spark, sf_dir):
+    """Zone-map effectiveness audit: how much of a table can min-max
+    footer statistics SKIP for a band-predicate workload — the
+    data-skipping arithmetic Spark's parquet scan and Delta/Iceberg
+    file pruning run, computed as a query over a synthetic file
+    inventory (month × 16 write slots, the q_compaction_plan
+    convention, with per-file min/max/rowcount on the exact cent
+    lattice). Ten equal-width value bands probe the layout; a file is
+    prunable iff its [min,max] interval misses the band — the exact
+    test layout.py's file_skip_fraction applies to real footers, here
+    oracle-checked end to end. The inventory agg is the only
+    corpus-scale pass; global range and the band grid are broadcast
+    one-row/ten-row frames; everything downstream is integer interval
+    arithmetic. This is the report that tells you whether a layout
+    rewrite (optimize_layout) is worth running — slot-sharded files
+    have near-full value ranges, so pruning fractions here are LOW,
+    exactly what the audit should reveal for an unclustered table."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.expr("CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)")
+    files = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.col("o_orderkey") % 16).alias("slot"),
+    ).agg(
+        F.min(cents).cast("bigint").alias("f_min"),
+        F.max(cents).cast("bigint").alias("f_max"),
+        F.count("*").cast("bigint").alias("f_rows"),
+    )
+    g = files.agg(
+        F.min("f_min").cast("bigint").alias("gmin"),
+        F.expr(
+            "CAST((MAX(f_max) - MIN(f_min)) div 10 + 1 AS BIGINT)"
+        ).alias("w"),
+    )
+    bands = spark.range(10).select(F.col("id").cast("int").alias("band"))
+    pruned = F.when(
+        (F.col("f_max") < F.col("gmin") + F.col("band") * F.col("w"))
+        | (
+            F.col("f_min")
+            > F.col("gmin") + (F.col("band") + 1) * F.col("w") - 1
+        ),
+        1,
+    ).otherwise(0)
+    probed = (
+        files.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(bands))
+        .select("band", pruned.alias("pruned"), "f_rows")
+    )
+    return (
+        probed.groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n_files"),
+            F.sum("pruned").cast("bigint").alias("n_pruned"),
+            F.expr(
+                "CAST((SUM(pruned) * 1000000) div COUNT(*) AS BIGINT)"
+            ).alias("prune_micro"),
+            F.sum(F.when(F.col("pruned") == 0, F.col("f_rows")).otherwise(0))
+            .cast("bigint")
+            .alias("rows_scanned"),
+        )
+        .orderBy("band")
     )
 
 

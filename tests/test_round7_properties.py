@@ -260,3 +260,54 @@ def test_embedding_covariance_plan_is_arrow_partition_local(spark):
     assert "MapInArrow" in plan or "ArrowEvalPython" in plan or "PythonMapInArrow" in plan, plan
     assert "HashAggregate" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_bpe_train_rounds_are_monotone_and_consistent(spark):
+    rows = sorted(
+        QUERIES["q_bpe_train"](spark, SF_DIR).collect(),
+        key=lambda r: r["step"],
+    )
+    assert [r["step"] for r in rows] == [1, 2, 3]
+    # merge scores are non-increasing across rounds: round k+1's best
+    # pair was available (or created) after round k picked the max
+    # (all-adjacent counts can only grow via NEW symbols, whose pair
+    # counts are bounded by the merged pair's own count)
+    counts = [r["merge_count"] for r in rows]
+    assert counts[0] >= counts[1] >= counts[2] > 0
+    # every merge shrinks the corpus by AT LEAST the number of applied
+    # (non-overlapping) occurrences and at most merge_count
+    sizes = [r["corpus_symbols"] for r in rows]
+    assert sizes[0] > sizes[1] > sizes[2] > 0
+    # merged symbols are fresh capitals, pairs are 2 chars
+    assert all(len(r["best_pair"]) == 2 for r in rows)
+
+
+def test_bpe_train_round1_pair_matches_single_step_query(spark):
+    # round 1 of the trainer IS q_bpe_merge's top-1 (same count, same
+    # tie-break) — the two queries must agree on it
+    top = QUERIES["q_bpe_merge"](spark, SF_DIR).collect()[0]
+    r1 = sorted(
+        QUERIES["q_bpe_train"](spark, SF_DIR).collect(),
+        key=lambda r: r["step"],
+    )[0]
+    assert r1["best_pair"] == top["pair"]
+    assert r1["merge_count"] == top["merge_count"]
+
+
+def test_pruning_stats_partitions_and_bounds(spark):
+    import duckdb as dk
+
+    rows = QUERIES["q_pruning_stats"](spark, SF_DIR).collect()
+    assert len(rows) == 10
+    n_files = rows[0]["n_files"]
+    assert all(r["n_files"] == n_files for r in rows)
+    total_rows = dk.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet'"
+    ).fetchone()[0]
+    for r in rows:
+        assert 0 <= r["n_pruned"] <= r["n_files"]
+        assert 0 <= r["rows_scanned"] <= total_rows
+        # pruned files contribute no scanned rows; if nothing is pruned
+        # the full table scans
+        if r["n_pruned"] == 0:
+            assert r["rows_scanned"] == total_rows
