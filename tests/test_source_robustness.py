@@ -85,3 +85,57 @@ def test_corrupt_parquet_file_skip_vs_fail(spark, tmp_path):
 
     with pytest.raises(Exception):
         spark.read.schema(schema).parquet(out).count()
+
+
+def test_parquet_schema_evolution_merge_vs_pinned(spark, tmp_path):
+    """Schema evolution across partitions: a Hive-layout table whose
+    later partitions carry a NEW column (the flow-log v3+ situation —
+    the reference hard-rejects other versions, flowlog.go:43-48; the
+    Spark engine's documented extension path is mergeSchema). Three
+    contracts: (a) mergeSchema=True unions the schemas and backfills
+    nulls for old partitions; (b) a pinned explicit schema keeps a
+    stable projection regardless of what newer files carry; (c) the
+    default single-footer inference is NOT guaranteed to see the new
+    column — which is why production readers must choose (a) or (b)
+    explicitly."""
+    base = str(tmp_path / "evolve")
+    spark.range(5).select(
+        F.col("id"), (F.col("id") * 2).alias("value")
+    ).write.parquet(f"{base}/dt=2024-01-01")
+    spark.range(5, 10).select(
+        F.col("id"),
+        (F.col("id") * 2).alias("value"),
+        F.lit("tcp").alias("proto"),
+    ).write.parquet(f"{base}/dt=2024-01-02")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "value", "proto", "dt"}
+    assert merged.count() == 10
+    # old partition rows surface the evolved column as NULL
+    assert (
+        merged.filter(F.col("dt") == "2024-01-01")
+        .filter(F.col("proto").isNull())
+        .count()
+        == 5
+    )
+    assert (
+        merged.filter(F.col("dt") == "2024-01-02")
+        .filter(F.col("proto") == "tcp")
+        .count()
+        == 5
+    )
+
+    from pyspark.sql import types as TT
+
+    pinned = TT.StructType(
+        [
+            TT.StructField("id", TT.LongType()),
+            TT.StructField("value", TT.LongType()),
+        ]
+    )
+    stable = spark.read.schema(pinned).parquet(base)
+    # the pinned schema governs DATA columns; partition discovery still
+    # appends the dt directory column — evolved data columns (proto)
+    # stay invisible, which is the stability contract
+    assert stable.columns == ["id", "value", "dt"]
+    assert stable.count() == 10
