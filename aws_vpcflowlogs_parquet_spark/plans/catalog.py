@@ -15822,6 +15822,115 @@ def q_pruning_stats(spark, sf_dir):
     )
 
 
+@register(
+    "q_stream_join_outer",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN r.event_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN r.event_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_unmatched
+    FROM l LEFT JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_join_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream join (streaming/windows.py
+    stream_stream_join_left_outer): every purchase paired with the
+    clicks that follow it within 10 minutes, or emitted once with
+    nulls if none ever will — the attribution query where "no click
+    followed" is itself the signal. The semantic load is in the null
+    rows: a streaming join may only declare a left row unmatched after
+    the right watermark passes ``l_ts + horizon``, so a TERMINATING
+    run must push the watermark past the data after the data — staged
+    here as two sentinel files (schema-cloned via pyarrow, key −1,
+    event times 1 h and 2 h past max) with ``maxFilesPerTrigger=1``,
+    giving three micro-batches: data, sentinel-1 (whose event time
+    becomes the watermark used by the NEXT batch — watermarks advance
+    between batches, not within one), sentinel-2 (runs with the raised
+    watermark and flushes every buffered unmatched left).
+
+    SENTINEL DESIGN CONSTRAINT (found the hard way): placing
+    ``withWatermark`` upstream of the event-type filter does NOT make
+    one neutral sentinel row reach both watermark nodes — Catalyst
+    pushes the filter BELOW EventTimeWatermark, so each side's
+    watermark sees only its own event type (first cut: the purchase
+    side's watermark stalled at max(purchase ts) − delay, pinning the
+    single latest purchase in state forever — 1 row short of the
+    oracle, and a neutral 'sentinel' type advanced nothing). Each
+    pusher file therefore carries one row of EACH joined type, keyed
+    user −1; the two sentinels pair with each other, and the final
+    aggregate excludes key −1. The emitted row set then equals the
+    batch left join — the oracle; counts aggregate it to a 1-row
+    report. State bounds are the inner join's: both buffers expire
+    against the opposing watermark plus the horizon, so this sustains
+    an unbounded feed."""
+    import datetime
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import convert_nanos_ts
+    from ..streaming.windows import stream_stream_join_left_outer
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="q_sjo_src_")
+    os.symlink(src, f"{src_dir}/events.parquet")
+    schema = pq.read_schema(src)
+    mx = pc.max(pq.read_table(src, columns=["ts"])["ts"]).as_py()
+    for i in (1, 2):
+        t = mx + datetime.timedelta(hours=i)
+        vals = {
+            "event_id": [-(2 * i), -(2 * i + 1)],
+            "ts": [t, t],
+            "user_id": [-1, -1],
+            "event_type": ["purchase", "click"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(vals[f.name], type=f.type) for f in schema],
+                schema=schema,
+            ),
+            f"{src_dir}/zz_sentinel_{i}.parquet",
+        )
+
+    def one_side(event_type):
+        raw = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        wm = convert_nanos_ts(raw).withWatermark("ts", "10 minutes")
+        return wm.filter(F.col("event_type") == event_type)
+
+    joined = stream_stream_join_left_outer(
+        one_side("purchase"), one_side("click"), horizon="10 minutes"
+    )
+    out = _run_stream_to_parquet(spark, joined, "q_sjo", mode="append")
+    return out.filter(F.col("l_key") >= 0).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("r_event_id").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("r_event_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unmatched"),
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

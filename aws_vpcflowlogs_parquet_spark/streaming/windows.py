@@ -478,3 +478,46 @@ def stream_cep_peaks_buffered(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_stream_join_left_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join within an event-time horizon:
+    matches emit immediately (the inner rows), and an UNMATCHED left
+    row emits once with nulls — but only after the watermark PROVES no
+    future right row can still match it (right watermark past
+    ``left.ts + horizon``), because until then "unmatched" is not a
+    fact, it's a race. This is the semantic difference from the inner
+    join above: correctness of the null rows depends entirely on the
+    event-time discipline, which is why a terminating (availableNow)
+    run needs watermark-pusher batches AFTER the data — the join emits
+    nothing for still-buffered lefts at end-of-stream otherwise (see
+    q_stream_join_outer's sentinel staging).
+
+    CONTRACT: both inputs must already carry event-time watermarks,
+    applied UPSTREAM of any filtering — a watermark node placed after
+    a filter never sees the pusher rows the filter drops. State stays
+    bounded exactly as in the inner join: each side's buffer expires
+    against the other side's watermark plus the horizon."""
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    )

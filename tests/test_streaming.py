@@ -721,3 +721,104 @@ def test_stream_cep_unbuffered_documents_late_row_miss(spark, tmp_path):
         assert got == {("B", 1)}
     finally:
         q.stop()
+
+
+def test_stream_outer_join_nulls_need_watermark_proof(spark, tmp_path):
+    # the left-outer stream-stream join's defining semantic: an
+    # unmatched left row emits its null row ONLY once the watermark
+    # proves no right row can still match — end-of-stream alone proves
+    # nothing, so without pusher batches the null row never appears,
+    # and with a two-batch pusher cascade it does (watermarks advance
+    # between batches: pusher-1's event time becomes the watermark the
+    # pusher-2 batch runs with).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_vpcflowlogs_parquet_spark.streaming.windows import (
+        stream_stream_join_left_outer,
+    )
+
+    base_us = 1_700_000_000_000_000
+
+    def events_table(rows):
+        # rows: (event_id, minute, user_id, event_type)
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base_us + r[1] * 60_000_000 for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+
+    def run(name, with_pushers):
+        src = tmp_path / name
+        src.mkdir()
+        pq.write_table(
+            events_table(
+                [
+                    (1, 0, 7, "purchase"),  # no click follows -> null row
+                    (2, 1, 8, "purchase"),
+                    (3, 2, 8, "click"),  # matches purchase 2
+                ]
+            ),
+            src / "events.parquet",
+        )
+        if with_pushers:
+            for i in (1, 2):
+                pq.write_table(
+                    events_table(
+                        [
+                            (-2 * i, 600 * i, -1, "purchase"),
+                            (-2 * i - 1, 600 * i, -1, "click"),
+                        ]
+                    ),
+                    src / f"zz_push_{i}.parquet",
+                )
+
+        def one_side(et):
+            from aws_vpcflowlogs_parquet_spark.sources.tables import (
+                convert_nanos_ts,
+            )
+
+            raw = (
+                spark.readStream.schema(
+                    spark.read.parquet(str(src / "events.parquet")).schema
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src))
+            )
+            return (
+                convert_nanos_ts(raw)
+                .withWatermark("ts", "10 minutes")
+                .filter(F.col("event_type") == et)
+            )
+
+        joined = stream_stream_join_left_outer(
+            one_side("purchase"), one_side("click"), horizon="10 minutes"
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.l_event_id, r.r_event_id)
+            for r in spark.sql(
+                f"SELECT l_event_id, r_event_id FROM {name}"
+                " WHERE l_key >= 0"
+            ).collect()
+        }
+
+    without = run("sjo_no_push", with_pushers=False)
+    assert without == {(2, 3)}  # the match emits; the null row CANNOT
+    with_p = run("sjo_push", with_pushers=True)
+    assert with_p == {(2, 3), (1, None)}  # watermark proof flushes it
