@@ -311,3 +311,22 @@ def test_pruning_stats_partitions_and_bounds(spark):
         # the full table scans
         if r["n_pruned"] == 0:
             assert r["rows_scanned"] == total_rows
+
+
+def test_new_mechanism_plan_shapes(spark):
+    # q_bootstrap_ci: the 32x fan-out is a broadcast nested-loop of a
+    # 32-row grid (no shuffle of the fact until the rep agg), and the
+    # CI rank runs over a 32-row frame
+    plan = _executed(QUERIES["q_bootstrap_ci"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert _no_python(plan), plan
+    # q_weighted_sample: global bottom-20 compiles to TakeOrdered, not
+    # a full sort
+    plan = _executed(QUERIES["q_weighted_sample"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _no_python(plan), plan
+    # q_pruning_stats: both the global range and the band grid broadcast
+    plan = _executed(QUERIES["q_pruning_stats"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert _no_python(plan), plan
+    assert "SortMergeJoin" not in plan, plan
