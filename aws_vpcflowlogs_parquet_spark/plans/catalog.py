@@ -15931,6 +15931,300 @@ def q_stream_join_outer(spark, sf_dir):
     )
 
 
+@register(
+    "q_auc",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(FLOOR(value * 2) AS BIGINT) AS score_bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_pos
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    bins AS (
+      SELECT score_bin,
+             CAST(SUM(is_pos) AS BIGINT) AS pos,
+             CAST(SUM(1 - is_pos) AS BIGINT) AS neg
+      FROM scored GROUP BY score_bin
+    ),
+    cum AS (
+      SELECT pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY score_bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM bins
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           CAST(2 * SUM(pos * neg_below) + SUM(pos * neg) AS BIGINT)
+             AS auc_num2,
+           CAST(2 * SUM(pos) * SUM(neg) AS BIGINT) AS auc_den2,
+           CAST(2 * SUM(pos * neg_below) + SUM(pos * neg) AS DOUBLE)
+             / CAST(2 * SUM(pos) * SUM(neg) AS DOUBLE) AS auc
+    FROM cum
+    """,
+)
+def q_auc(spark, sf_dir):
+    """Exact ROC AUC as a rank statistic — the Mann-Whitney identity
+    AUC = (#concordant pairs + ½·#tied pairs) / (P·N), evaluated
+    WITHOUT materializing pairs and WITHOUT a global sort over raw
+    rows: scores quantize onto a bounded half-unit lattice (value
+    spans [0, ~500] → ≤ ~1000 bins), per-bin positive/negative counts
+    hash-aggregate in one scan, and one cumulative window over the
+    BIN DOMAIN (bounded, never row-cardinality — the same posture as
+    q_ks_drift) turns pair counting into Σ pos_b · neg_below_b.
+    This is how AUC is computed at 100 TB: the O(P·N) pair space and
+    the O(n log n) sort both collapse to a bounded-domain sweep, and
+    classifier scores are finite-precision anyway so the lattice is
+    lossless for any fixed-point score. Ties contribute exactly ½ via
+    the 2·concordant + ties integer numerator, so auc_num2/auc_den2
+    are exact BIGINTs and the reported double is the one IEEE division
+    both engines evaluate identically. Labels: purchases are
+    positives, clicks negatives — "does event value separate
+    purchases from clicks"."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.floor(F.col("value") * 2).cast("bigint").alias("score_bin"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("is_pos"),
+        )
+    )
+    bins = ev.groupBy("score_bin").agg(
+        F.sum("is_pos").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("is_pos")).cast("bigint").alias("neg"),
+    )
+    w = (
+        Window.orderBy("score_bin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = bins.select(
+        "pos",
+        "neg",
+        F.coalesce(F.sum("neg").over(w), F.lit(0)).alias("neg_below"),
+    )
+    num2 = (
+        2 * F.sum(F.col("pos") * F.col("neg_below"))
+        + F.sum(F.col("pos") * F.col("neg"))
+    ).cast("bigint")
+    den2 = (2 * F.sum("pos") * F.sum("neg")).cast("bigint")
+    return cum.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+        num2.alias("auc_num2"),
+        den2.alias("auc_den2"),
+        (num2.cast("double") / den2.cast("double")).alias("auc"),
+    )
+
+
+@register(
+    "q_critical_path",
+    oracle="""
+    WITH ev_edges AS (
+      SELECT (event_id % 4) * 1000 + (user_id % 211) AS s,
+             ((event_id % 4) + 1) * 1000 + ((3 * user_id + event_id) % 211)
+               AS d,
+             event_id % 97 + 1 AS w
+      FROM events WHERE event_id % 101 = 0
+    ),
+    backbone AS (
+      SELECT l * 1000 + i AS s,
+             (l + 1) * 1000 + (i + 7) % 211 AS d,
+             50 + 10 * l + i % 5 AS w
+      FROM (SELECT unnest(generate_series(0, 3)) AS l),
+           (SELECT unnest(generate_series(0, 20)) AS i)
+    ),
+    b1 AS (
+      SELECT s, d, CAST(MAX(w) AS BIGINT) AS w
+      FROM (SELECT * FROM ev_edges UNION ALL SELECT * FROM backbone)
+      GROUP BY s, d
+    ),
+    b2 AS (
+      SELECT s, d, MAX(w) AS w FROM (
+        SELECT s, d, w FROM b1
+        UNION ALL
+        SELECT a.s, b.d, a.w + b.w FROM b1 a JOIN b1 b ON a.d = b.s
+      ) GROUP BY s, d
+    ),
+    b4 AS (
+      SELECT s, d, MAX(w) AS w FROM (
+        SELECT s, d, w FROM b2
+        UNION ALL
+        SELECT a.s, b.d, a.w + b.w FROM b2 a JOIN b2 b ON a.d = b.s
+      ) GROUP BY s, d
+    )
+    SELECT s AS src, d AS dst, w AS longest
+    FROM b4 ORDER BY longest DESC, src, dst LIMIT 20
+    """,
+)
+def q_critical_path(spark, sf_dir):
+    """Critical-path (longest-path) DP over a layered DAG — scheduling,
+    lineage-depth, and dependency-cost analysis, and the MAX-PLUS
+    SEMIRING twin of q_scc's boolean closure: where SCC asks "is there
+    a path", this asks "what is the heaviest path", so the per-round
+    combine is join-on-midpoint + MAX(w_left + w_right) instead of
+    set union. Path lengths double each round (b1 → ≤2 hops → ≤4
+    hops): ⌈log₂ L⌉ squarings cover an L-layer DAG, each one shuffle
+    on the bounded node domain with the max-aggregation collapsing
+    parallel paths BEFORE the next join — the fan-out never leaves the
+    round (the same reason matrix-power closures beat path
+    enumeration). The graph is acyclic BY CONSTRUCTION (edges go
+    layer l → l+1 on a 5-layer × 211-residue node grid: node id =
+    layer·1000 + residue), event-derived edges are subcritical
+    (1-in-101 filter), and a deterministic 21-lane backbone guarantees
+    nontrivial multi-hop paths at every sf. Longest path on general
+    graphs is NP-hard; on DAGs it is exactly this DP, and at 100 TB
+    the bounded condensed node domain (contract with q_scc first) is
+    what keeps the closure table finite. Output: top-20 (src, dst)
+    pairs by path weight, total tie-break."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 101 == 0)
+    layer = F.col("event_id") % 4
+    ev_edges = ev.select(
+        (layer * 1000 + F.col("user_id") % 211).alias("s"),
+        (
+            (layer + 1) * 1000
+            + (3 * F.col("user_id") + F.col("event_id")) % 211
+        ).alias("d"),
+        (F.col("event_id") % 97 + 1).alias("w"),
+    )
+    idx = spark.range(84)
+    backbone = idx.select(
+        ((F.col("id") / 21).cast("bigint") * 1000 + F.col("id") % 21).alias(
+            "s"
+        ),
+        (
+            ((F.col("id") / 21).cast("bigint") + 1) * 1000
+            + (F.col("id") % 21 + 7) % 211
+        ).alias("d"),
+        (
+            50
+            + 10 * (F.col("id") / 21).cast("bigint")
+            + (F.col("id") % 21) % 5
+        ).alias("w"),
+    )
+    best = (
+        ev_edges.unionAll(backbone)
+        .groupBy("s", "d")
+        .agg(F.max("w").cast("bigint").alias("w"))
+    )
+    for _ in range(2):  # ≤2 hops, then ≤4: covers the 5-layer DAG
+        rhs = best.select(
+            F.col("s").alias("m"), F.col("d").alias("d2"), F.col("w").alias("w2")
+        )
+        best = (
+            best.unionAll(
+                best.join(rhs, best["d"] == rhs["m"]).select(
+                    "s", F.col("d2").alias("d"), (F.col("w") + F.col("w2")).alias("w")
+                )
+            )
+            .groupBy("s", "d")
+            .agg(F.max("w").alias("w"))
+        )
+    return (
+        best.select(
+            F.col("s").alias("src"), F.col("d").alias("dst"), F.col("w").alias("longest")
+        )
+        .orderBy(F.desc("longest"), "src", "dst")
+        .limit(20)
+    )
+
+
+@register(
+    "q_misra_gries",
+    oracle="""
+    WITH items AS (
+      SELECT CASE WHEN event_id % 10 < 3 THEN event_id % 7
+                  ELSE 7 + event_id % 9973 END AS item
+      FROM events
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM items)
+    SELECT item, CAST(COUNT(*) AS BIGINT) AS cnt,
+           (SELECT n FROM tot) AS n,
+           CAST(COUNT(*) * 1000000 // (SELECT n FROM tot) AS BIGINT)
+             AS share_ppm
+    FROM items GROUP BY item
+    HAVING COUNT(*) * 50 > (SELECT n FROM tot)
+    ORDER BY cnt DESC, item
+    """,
+)
+def q_misra_gries(spark, sf_dir):
+    """Misra-Gries heavy hitters, the two-pass deterministic form that
+    makes a sketch answer EXACT: pass 1 runs a 64-counter MG summary
+    per partition inside one Arrow kernel (numpy unique per batch,
+    merge-and-prune on overflow — subtract the 65th-largest count,
+    drop the non-positive, the mergeable-summary operation) and emits
+    only each partition's surviving candidate ids; pass 2 broadcasts
+    the ≤ 64·P candidates back over the scan for exact counts and
+    keeps items with cnt·50 > n. Why the output is deterministic even
+    though MG counters are arrival-order-dependent: any item with
+    global frequency > n/50 has local frequency > n_p/65 in at least
+    one partition (pigeonhole), and MG with 64 counters never evicts
+    an item whose remaining true count exceeds n_p/65 — so the
+    candidate union is a guaranteed SUPERSET of the true heavy
+    hitters, and the exact second pass filters it to exactly
+    {item : cnt·50 > n} regardless of partitioning or order. At
+    100 TB this is the standard shape: the first pass moves only
+    O(k·partitions) rows instead of the full item domain, the second
+    is a broadcast semi-join — no shuffle ever carries the tail. The
+    item stream is deliberately skewed (7 head items at ~4.3% each
+    over a ~10k-item tail) so the 2% threshold selects exactly the
+    head. Integer-only thresholds (cnt·50 > n) and ppm shares keep
+    the oracle exact."""
+    item = F.when(
+        F.col("event_id") % 10 < 3, F.col("event_id") % 7
+    ).otherwise(7 + F.col("event_id") % 9973)
+    items = _t(spark, sf_dir, "events").select(item.alias("item"))
+
+    def mg_partition(batches):
+        # nested by VALUE: the driver's bare workers have no repo on
+        # PYTHONPATH, so module-level helpers pickled by reference fail
+        import numpy as np
+        import pyarrow as pa
+
+        counters: dict[int, int] = {}
+        for batch in batches:
+            vals, counts = np.unique(
+                batch.column("item").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            for v, c in zip(vals.tolist(), counts.tolist()):
+                counters[v] = counters.get(v, 0) + c
+            if len(counters) > 64:
+                # merge-and-prune: subtract the 65th-largest count from
+                # every counter; survivors are the strictly-above set
+                thresh = sorted(counters.values(), reverse=True)[64]
+                counters = {
+                    v: c - thresh for v, c in counters.items() if c > thresh
+                }
+        if counters:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(sorted(counters), type=pa.int64())], ["item"]
+            )
+
+    cand = (
+        items.repartition(32)
+        .mapInArrow(mg_partition, "item bigint")
+        .distinct()
+    )
+    exact = (
+        items.join(F.broadcast(cand), "item").groupBy("item").count()
+    )
+    tot = items.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("count") * 50 > F.col("n"))
+        .select(
+            "item",
+            F.col("count").cast("bigint").alias("cnt"),
+            "n",
+            F.expr("CAST(count * 1000000 div n AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "item")
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")
