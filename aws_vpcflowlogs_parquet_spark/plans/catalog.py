@@ -16225,6 +16225,341 @@ def q_misra_gries(spark, sf_dir):
     )
 
 
+@register(
+    "q_isotonic_pav",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bin,
+             CASE WHEN event_id % 100 <
+                       CAST(FLOOR(value / 25) AS BIGINT) * 4 + 10
+                  THEN 1 ELSE 0 END AS lab
+      FROM events
+    ),
+    b AS (
+      SELECT bin, CAST(SUM(lab) AS BIGINT) AS pos,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM scored GROUP BY bin
+    ),
+    blocks AS (
+      SELECT j.bin AS jb, k.bin AS kb,
+             CAST(SUM(m.pos) AS BIGINT) AS s, CAST(SUM(m.n) AS BIGINT) AS c
+      FROM b j JOIN b k ON k.bin >= j.bin
+      JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+      GROUP BY j.bin, k.bin
+    ),
+    mins AS (
+      SELECT jb, s, c FROM (
+        SELECT jb, s, c,
+               ROW_NUMBER() OVER (PARTITION BY jb
+                 ORDER BY CAST(s AS DOUBLE) / CAST(c AS DOUBLE), kb) AS rn
+        FROM blocks
+      ) WHERE rn = 1
+    ),
+    iso AS (
+      SELECT bin, pos, n, s, c FROM (
+        SELECT i.bin, i.pos, i.n, m.s, m.c,
+               ROW_NUMBER() OVER (PARTITION BY i.bin
+                 ORDER BY CAST(m.s AS DOUBLE) / CAST(m.c AS DOUBLE) DESC,
+                          m.jb) AS rn
+        FROM b i JOIN mins m ON m.jb <= i.bin
+      ) WHERE rn = 1
+    )
+    SELECT bin, pos, n,
+           CAST((2000000 * s + c) // (2 * c) AS BIGINT) AS iso_ppm
+    FROM iso ORDER BY bin
+    """,
+)
+def q_isotonic_pav(spark, sf_dir):
+    """Isotonic (order-constrained) regression by pool-adjacent-
+    violators — the standard probability-calibration step after
+    Platt/binning: fit the best NON-DECREASING response over score
+    bins. Distribution strategy: the raw rows hash-aggregate to
+    (bin, positives, count) — a ≤20-row frame bounded by the score
+    domain, never by data size — and PAV runs on that frame in one
+    bounded ``applyInPandas`` pass with EXACT integer (num, den)
+    block fractions (violator comparison by cross-multiplication, no
+    floats anywhere in the pooling). At 100 TB the shape is
+    unchanged: calibration bins are fixed-precision, so the iterative
+    kernel always sees a bounded input — the same bounded-frame
+    posture as q_table_profile's digest. The reported value is the
+    representation-invariant round-half-up ppm
+    (2·10⁶·num + den) div (2·den), exact for any (num, den) of the
+    same rational. The DuckDB oracle is PAV's MINIMAX
+    characterization — iso(i) = max_{j≤i} min_{k≥j} mean(y[j..k]) —
+    a genuinely independent evaluation strategy (no pooling loop);
+    its double-valued arg_min/arg_max comparisons are exact here
+    because distinct block means differ by ≥ 1/(c₁·c₂) ≥ 2⁻⁴⁰ while
+    one IEEE division errs by < 2⁻⁵³. Labels: a deterministic
+    event_id lattice whose hit-rate RISES with the bin in
+    expectation, so sampling noise creates real violations for PAV
+    to pool."""
+    import pandas as pd  # noqa: F401  (worker-side import by value)
+
+    bin_col = F.floor(F.col("value") / 25).cast("bigint")
+    scored = _t(spark, sf_dir, "events").select(
+        bin_col.alias("bin"),
+        F.when(
+            F.col("event_id") % 100 < bin_col * 4 + 10, 1
+        )
+        .otherwise(0)
+        .alias("lab"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.sum("lab").cast("bigint").alias("pos"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+    def pav(pdf):
+        # nested by VALUE (driver's bare workers have no repo on path)
+        import pandas as pd
+
+        rows = pdf.sort_values("bin").to_dict("records")
+        # stack of blocks [first_idx, num, den]; pool while the last
+        # block's mean EXCEEDS the incoming one (cross-multiplied —
+        # exact integers end to end)
+        stack: list[list[int]] = []
+        for i, r in enumerate(rows):
+            num, den = int(r["pos"]), int(r["n"])
+            start = i
+            while stack and stack[-1][1] * den > num * stack[-1][2]:
+                s, n2, d2 = stack.pop()
+                start, num, den = s, num + n2, den + d2
+            stack.append([start, num, den])
+        iso = [0] * len(rows)
+        bounds = [b[0] for b in stack] + [len(rows)]
+        for (s, num, den), e in zip(stack, bounds[1:]):
+            ppm = (2 * 10**6 * num + den) // (2 * den)
+            for i in range(s, e):
+                iso[i] = ppm
+        return pd.DataFrame(
+            {
+                "bin": [r["bin"] for r in rows],
+                "pos": [r["pos"] for r in rows],
+                "n": [r["n"] for r in rows],
+                "iso_ppm": iso,
+            }
+        )
+
+    return (
+        bins.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(pav, "bin bigint, pos bigint, n bigint, iso_ppm bigint")
+        .orderBy("bin")
+    )
+
+
+@register(
+    "q_apriori_pairs",
+    oracle="""
+    WITH bi AS (
+      SELECT DISTINCT user_id AS basket,
+             CASE WHEN event_id % 20 < 3 THEN event_id % 12
+                  ELSE 12 + event_id % 1999 END AS item
+      FROM events
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT basket) AS BIGINT) AS n_baskets
+           FROM bi),
+    freq AS (
+      SELECT item, CAST(COUNT(*) AS BIGINT) AS supp
+      FROM bi GROUP BY item
+      HAVING COUNT(*) * 10 >= (SELECT n_baskets FROM nb) * 3
+    ),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM bi a
+      JOIN freq fa ON fa.item = a.item
+      JOIN bi b ON a.basket = b.basket AND a.item < b.item
+      JOIN freq fb ON fb.item = b.item
+      GROUP BY a.item, b.item
+      HAVING COUNT(*) * 10 >= (SELECT n_baskets FROM nb) * 2
+    )
+    SELECT p.item_a, p.item_b, p.n_ab, fa.supp AS n_a, fb.supp AS n_b,
+           (SELECT n_baskets FROM nb) AS n_baskets,
+           CAST(p.n_ab * (SELECT n_baskets FROM nb) * 1000000
+                // (fa.supp * fb.supp) AS BIGINT) AS lift_ppm
+    FROM pairs p
+    JOIN freq fa ON fa.item = p.item_a
+    JOIN freq fb ON fb.item = p.item_b
+    ORDER BY n_ab DESC, item_a, item_b
+    """,
+)
+def q_apriori_pairs(spark, sf_dir):
+    """Frequent-pair mining with the A-PRIORI candidate prune — the
+    anti-monotonicity argument as a PLAN property: a pair can only be
+    frequent if both items are, so the basket-item relation is
+    semi-joined against the broadcast frequent-item list BEFORE the
+    pair self-join ever runs. Here ~2000 distinct items collapse to
+    the 9 frequent ones, so the per-basket pair fan-out is C(9,2)=36
+    candidates instead of ~2M item pairs — at 100 TB this prune is
+    the difference between a feasible pass and a quadratic blowup,
+    and it is exactly how distributed FP-growth/apriori systems stage
+    their first iteration. Pipeline: distinct (basket, item) →
+    frequent items at 30% basket support (broadcast both into the
+    pair join) → same-basket self-join with a < b → pairs at 20%
+    support, with exact integer thresholds (cnt·10 ≥ n·3) and
+    integer-lattice lift (n_ab·n_baskets·10⁶ div (n_a·n_b)). The
+    item popularity is deliberately two-tier (12 head items on 15%
+    of events, a ~2000-item tail) so the prune has real work at
+    every sf."""
+    item = F.when(
+        F.col("event_id") % 20 < 3, F.col("event_id") % 12
+    ).otherwise(12 + F.col("event_id") % 1999)
+    bi = track_persist(
+        _t(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("basket"), item.alias("item"))
+        .distinct()
+    )
+    nb = bi.agg(
+        F.countDistinct("basket").cast("bigint").alias("n_baskets")
+    )
+    freq = (
+        bi.groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("supp"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("supp") * 10 >= F.col("n_baskets") * 3)
+        .select("item", "supp", "n_baskets")
+    )
+    freq = track_persist(freq)
+    a = bi.join(
+        F.broadcast(freq.select(F.col("item"), F.col("supp").alias("n_a"))),
+        "item",
+    ).select("basket", F.col("item").alias("item_a"), "n_a")
+    b = bi.join(
+        F.broadcast(freq.select(F.col("item"), F.col("supp").alias("n_b"))),
+        "item",
+    ).select("basket", F.col("item").alias("item_b"), "n_b")
+    pairs = (
+        a.join(b, "basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b", "n_a", "n_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .crossJoin(F.broadcast(nb))
+        .filter(F.col("n_ab") * 10 >= F.col("n_baskets") * 2)
+    )
+    return pairs.select(
+        "item_a",
+        "item_b",
+        "n_ab",
+        "n_a",
+        "n_b",
+        "n_baskets",
+        F.expr(
+            "CAST(n_ab * n_baskets * 1000000 div (n_a * n_b) AS BIGINT)"
+        ).alias("lift_ppm"),
+    ).orderBy(F.desc("n_ab"), "item_a", "item_b")
+
+
+@register(
+    "q_stream_join_full_outer",
+    oracle="""
+    WITH l AS (
+      SELECT user_id, event_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    r AS (
+      SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l.event_id IS NOT NULL
+                          AND r.event_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           CAST(SUM(CASE WHEN r.event_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_click,
+           CAST(SUM(CASE WHEN l.event_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_no_purchase
+    FROM l FULL JOIN r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+)
+def q_stream_join_full_outer(spark, sf_dir):
+    """FULL OUTER stream-stream join (streaming/windows.py
+    stream_stream_join_full_outer): purchases and clicks paired within
+    a 10-minute horizon, with BOTH orphan classes emitted — purchases
+    no click followed, and clicks no purchase preceded. The two null
+    classes carry asymmetric watermark obligations (left-unmatched
+    needs the right watermark past l_ts + horizon; right-unmatched
+    needs the left watermark past r_ts only, since matching lefts can
+    never be later than their click), so this query is the proof that
+    the pusher staging advances BOTH watermark nodes: the dual-type
+    sentinel design inherited from q_stream_join_outer (each pusher
+    file carries one row of each joined type on key −1, because
+    Catalyst pushes the event-type filter below EventTimeWatermark and
+    a one-type sentinel starves the other side). Sentinel rows pair
+    with each other inside their own batch and are excluded by key;
+    unmatched rows surface the real key on whichever side is non-null,
+    so the filter is on COALESCE of the two keys. The emitted row set
+    then equals the batch FULL JOIN — the oracle. State bounds remain
+    the inner join's on both sides."""
+    import datetime
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources.tables import convert_nanos_ts
+    from ..streaming.windows import stream_stream_join_full_outer
+
+    src = os.path.abspath(f"{sf_dir}/events.parquet")
+    src_dir = tempfile.mkdtemp(prefix="q_sjfo_src_")
+    os.symlink(src, f"{src_dir}/events.parquet")
+    schema = pq.read_schema(src)
+    mx = pc.max(pq.read_table(src, columns=["ts"])["ts"]).as_py()
+    for i in (1, 2):
+        t = mx + datetime.timedelta(hours=i)
+        vals = {
+            "event_id": [-(2 * i), -(2 * i + 1)],
+            "ts": [t, t],
+            "user_id": [-1, -1],
+            "event_type": ["purchase", "click"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(vals[f.name], type=f.type) for f in schema],
+                schema=schema,
+            ),
+            f"{src_dir}/zz_sentinel_{i}.parquet",
+        )
+
+    def one_side(event_type):
+        raw = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src_dir)
+        )
+        wm = convert_nanos_ts(raw).withWatermark("ts", "10 minutes")
+        return wm.filter(F.col("event_type") == event_type)
+
+    joined = stream_stream_join_full_outer(
+        one_side("purchase"), one_side("click"), horizon="10 minutes"
+    )
+    out = _run_stream_to_parquet(spark, joined, "q_sjfo", mode="append")
+    return out.filter(
+        F.coalesce(F.col("l_key"), F.col("r_key")) >= 0
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(
+                F.col("l_event_id").isNotNull()
+                & F.col("r_event_id").isNotNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("r_event_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_no_click"),
+        F.sum(F.when(F.col("l_event_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_no_purchase"),
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

@@ -521,3 +521,44 @@ def stream_stream_join_left_outer(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
         "left_outer",
     )
+
+
+def stream_stream_join_full_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    horizon: str = "10 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """FULL OUTER stream-stream join within an event-time horizon — the
+    left-outer join's proof obligation applied to BOTH sides, and the
+    two obligations are asymmetric: an unmatched LEFT row needs the
+    right watermark past ``l_ts + horizon`` (a future right could
+    still land anywhere in the window ahead of it), while an unmatched
+    RIGHT row needs the left watermark past ``r_ts`` only (matching
+    lefts satisfy ``l_ts ∈ [r_ts − horizon, r_ts]``, all at or before
+    the right row). A terminating run therefore needs pusher batches
+    that advance BOTH sides' watermarks past the data — one side alone
+    flushes only its own nulls (see q_stream_join_full_outer).
+
+    CONTRACT: both inputs must carry event-time watermarks applied
+    UPSTREAM of any filtering (the q_stream_join_outer lesson — a
+    filter pushed below the watermark node starves it). State bounds
+    are the inner join's on both sides."""
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event_id"),
+        F.col(ts_col).alias("l_ts"),
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event_id"),
+        F.col(ts_col).alias("r_ts"),
+    )
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
+        "full_outer",
+    )

@@ -1,0 +1,256 @@
+"""Round-7 batch 3: witnesses and plan/semantic pins for isotonic PAV,
+A-priori frequent pairs, and the FULL OUTER stream-stream join."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import duckdb
+from pyspark.sql import functions as F
+
+from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
+
+from .conftest import SF_DIR
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _events():
+    return duckdb.sql(
+        f"SELECT event_id, user_id, event_type, value "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+
+
+# ------------------------------------------------------ isotonic / PAV
+
+def _bins_py():
+    agg: dict[int, list[int]] = {}
+    for eid, _, _, value in _events():
+        b = int(value / 25 // 1)
+        lab = 1 if eid % 100 < b * 4 + 10 else 0
+        cur = agg.setdefault(b, [0, 0])
+        cur[0] += lab
+        cur[1] += 1
+    return sorted((b, p, n) for b, (p, n) in agg.items())
+
+
+def test_isotonic_matches_minimax_brute_force(spark):
+    # iso(i) = max_{j<=i} min_{k>=j} mean(y[j..k]) with exact Fractions
+    # — the characterization, computed independently of both engines'
+    # strategies (Spark pools, DuckDB windows; this enumerates)
+    bins = _bins_py()
+    m = len(bins)
+    expect = []
+    for i in range(m):
+        best = None
+        for j in range(i + 1):
+            s = c = 0
+            worst = None
+            for k in range(j, m):
+                s += bins[k][1]
+                c += bins[k][2]
+                f = Fraction(s, c)
+                if worst is None or f < worst:
+                    worst = f
+            if best is None or worst > best:
+                best = worst
+        ppm = (2 * 10**6 * best.numerator + best.denominator) // (
+            2 * best.denominator
+        )
+        expect.append((bins[i][0], bins[i][1], bins[i][2], ppm))
+    rows = QUERIES["q_isotonic_pav"](spark, SF_DIR).collect()
+    got = [(r["bin"], r["pos"], r["n"], r["iso_ppm"]) for r in rows]
+    assert got == expect
+
+
+def test_isotonic_is_monotone_and_mass_preserving(spark):
+    rows = sorted(
+        QUERIES["q_isotonic_pav"](spark, SF_DIR).collect(),
+        key=lambda r: r["bin"],
+    )
+    iso = [r["iso_ppm"] for r in rows]
+    assert iso == sorted(iso)  # the order constraint itself
+    # PAV preserves the weighted mean exactly: sum n_i * iso_i ~ 1e6 *
+    # sum pos_i, up to the per-block half-ulp of the ppm rounding
+    tot_pos = sum(r["pos"] for r in rows)
+    tot_iso = sum(r["n"] * r["iso_ppm"] for r in rows)
+    assert abs(tot_iso - 10**6 * tot_pos) <= sum(r["n"] for r in rows)
+
+
+def test_isotonic_plan_is_bounded_pandas_over_aggregate(spark):
+    plan = _executed(QUERIES["q_isotonic_pav"](spark, SF_DIR))
+    # exactly one Python stage, and it consumes the bin AGGREGATE (the
+    # hash-agg must appear below the FlatMapGroupsInPandas node)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    body = plan[plan.index("FlatMapGroupsInPandas") :]
+    assert "HashAggregate" in body
+
+
+# --------------------------------------------------- a-priori pairs
+
+def _item(eid: int) -> int:
+    return eid % 12 if eid % 20 < 3 else 12 + eid % 1999
+
+
+def test_apriori_matches_brute_force_mining(spark):
+    from collections import defaultdict
+    from itertools import combinations
+
+    baskets: dict[int, set[int]] = defaultdict(set)
+    for eid, uid, _, _ in _events():
+        baskets[uid].add(_item(eid))
+    nb = len(baskets)
+    supp: dict[int, int] = defaultdict(int)
+    for items in baskets.values():
+        for it in items:
+            supp[it] += 1
+    freq = {it for it, s in supp.items() if s * 10 >= nb * 3}
+    co: dict[tuple[int, int], int] = defaultdict(int)
+    for items in baskets.values():
+        for a, b in combinations(sorted(items & freq), 2):
+            co[(a, b)] += 1
+    expect = sorted(
+        (
+            (
+                -n_ab,
+                a,
+                b,
+                n_ab,
+                supp[a],
+                supp[b],
+                nb,
+                n_ab * nb * 10**6 // (supp[a] * supp[b]),
+            )
+            for (a, b), n_ab in co.items()
+            if n_ab * 10 >= nb * 2
+        )
+    )
+    expect = [t[1:] for t in expect]
+    rows = QUERIES["q_apriori_pairs"](spark, SF_DIR).collect()
+    got = [
+        (
+            r["item_a"],
+            r["item_b"],
+            r["n_ab"],
+            r["n_a"],
+            r["n_b"],
+            r["n_baskets"],
+            r["lift_ppm"],
+        )
+        for r in rows
+    ]
+    assert got == expect
+    assert rows, "head items must produce frequent pairs at every sf"
+
+
+def test_apriori_prune_reaches_the_pair_join(spark):
+    # the a-priori property as a PLAN property: the frequent-item list
+    # is broadcast into BOTH pair-join inputs, so the basket self-join
+    # fans out only over pruned items; and the full item domain (~2k)
+    # is far larger than the surviving frequent set
+    plan = _executed(QUERIES["q_apriori_pairs"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    df = QUERIES["q_apriori_pairs"](spark, SF_DIR)
+    items = {r["item_a"] for r in df.collect()} | {
+        r["item_b"] for r in df.collect()
+    }
+    assert items <= set(range(12))  # only head items survive the prune
+
+
+# ------------------------------------- FULL OUTER stream-stream join
+
+def test_stream_full_outer_emits_both_orphan_classes(spark, tmp_path):
+    # the full-outer twin of the left-outer watermark-proof test: a
+    # purchase with no click AND a click with no purchase both need
+    # pusher batches; without them only the inner match emits
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from aws_vpcflowlogs_parquet_spark.sources.tables import convert_nanos_ts
+    from aws_vpcflowlogs_parquet_spark.streaming.windows import (
+        stream_stream_join_full_outer,
+    )
+
+    base_us = 1_700_000_000_000_000
+
+    def events_table(rows):
+        return pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [base_us + r[1] * 60_000_000 for r in rows],
+                    pa.timestamp("us"),
+                ),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([0.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        )
+
+    def run(name, with_pushers):
+        src = tmp_path / name
+        src.mkdir()
+        pq.write_table(
+            events_table(
+                [
+                    (1, 0, 7, "purchase"),  # no click -> left orphan
+                    (2, 1, 8, "purchase"),
+                    (3, 2, 8, "click"),  # matches purchase 2
+                    (4, 3, 9, "click"),  # no purchase -> right orphan
+                ]
+            ),
+            src / "events.parquet",
+        )
+        if with_pushers:
+            for i in (1, 2):
+                pq.write_table(
+                    events_table(
+                        [
+                            (-2 * i, 600 * i, -1, "purchase"),
+                            (-2 * i - 1, 600 * i, -1, "click"),
+                        ]
+                    ),
+                    src / f"zz_push_{i}.parquet",
+                )
+
+        def one_side(et):
+            raw = (
+                spark.readStream.schema(
+                    spark.read.parquet(str(src / "events.parquet")).schema
+                )
+                .option("maxFilesPerTrigger", "1")
+                .parquet(str(src))
+            )
+            return (
+                convert_nanos_ts(raw)
+                .withWatermark("ts", "10 minutes")
+                .filter(F.col("event_type") == et)
+            )
+
+        joined = stream_stream_join_full_outer(
+            one_side("purchase"), one_side("click"), horizon="10 minutes"
+        )
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r.l_event_id, r.r_event_id)
+            for r in spark.sql(
+                f"SELECT l_event_id, r_event_id FROM {name}"
+                " WHERE COALESCE(l_key, r_key) >= 0"
+            ).collect()
+        }
+
+    without = run("sjfo_no_push", with_pushers=False)
+    assert without == {(2, 3)}
+    with_p = run("sjfo_push", with_pushers=True)
+    assert with_p == {(2, 3), (1, None), (None, 4)}
