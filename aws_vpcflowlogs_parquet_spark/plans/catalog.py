@@ -16560,6 +16560,139 @@ def q_stream_join_full_outer(spark, sf_dir):
     )
 
 
+@register(
+    "q_decision_stump",
+    oracle="""
+    WITH labeled AS (
+      SELECT CAST(FLOOR(o_totalprice / 5000) AS BIGINT) AS bin,
+             CASE WHEN o_orderkey % 100 <
+                       CASE WHEN o_totalprice > 250000 THEN 70 ELSE 30 END
+                  THEN 1 ELSE 0 END AS lab
+      FROM orders
+    ),
+    b AS (
+      SELECT bin, CAST(SUM(lab) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(lab) AS BIGINT) AS n0
+      FROM labeled GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin,
+             CAST(SUM(n1) OVER w AS BIGINT) AS n1l,
+             CAST(SUM(n0) OVER w AS BIGINT) AS n0l,
+             CAST(SUM(n1) OVER () AS BIGINT) AS n1t,
+             CAST(SUM(n0) OVER () AS BIGINT) AS n0t
+      FROM b
+      WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW)
+    ),
+    scored AS (
+      SELECT bin AS split_bin, n1l, n0l,
+             n1t - n1l AS n1r, n0t - n0l AS n0r,
+             (CAST(n1l + n0l AS DOUBLE)
+              - (CAST(n1l AS DOUBLE) * CAST(n1l AS DOUBLE)
+                 + CAST(n0l AS DOUBLE) * CAST(n0l AS DOUBLE))
+                / CAST(n1l + n0l AS DOUBLE))
+             + (CAST(n1t - n1l + n0t - n0l AS DOUBLE)
+                - (CAST(n1t - n1l AS DOUBLE) * CAST(n1t - n1l AS DOUBLE)
+                   + CAST(n0t - n0l AS DOUBLE) * CAST(n0t - n0l AS DOUBLE))
+                  / CAST(n1t - n1l + n0t - n0l AS DOUBLE)) AS gini_cost,
+             CAST(n1t + n0t AS DOUBLE)
+             - (CAST(n1t AS DOUBLE) * CAST(n1t AS DOUBLE)
+                + CAST(n0t AS DOUBLE) * CAST(n0t AS DOUBLE))
+               / CAST(n1t + n0t AS DOUBLE) AS parent_cost
+      FROM cum
+      WHERE n1t - n1l + n0t - n0l > 0
+    )
+    SELECT split_bin, n1l, n0l, n1r, n0r, gini_cost,
+           parent_cost - gini_cost AS gain
+    FROM scored ORDER BY gini_cost, split_bin LIMIT 1
+    """,
+)
+def q_decision_stump(spark, sf_dir):
+    """Best-split search for a depth-1 decision tree — the inner loop
+    of every distributed tree learner (XGBoost/LightGBM histogram
+    method): bin the feature onto a bounded lattice, hash-aggregate
+    per-bin class counts IN ONE SCAN, sweep candidate splits with a
+    cumulative window over the BIN DOMAIN (≤100 bins — bounded by the
+    price range, never by row count), and take the impurity argmin.
+    This is precisely why histogram-based learners scale: the split
+    search never touches rows again after the one aggregation pass,
+    and the sweep's weighted-Gini cost
+    Σ_side (N_s − (n1_s² + n0_s²)/N_s) uses exact BIGINT counts with
+    the final doubles computed by the identical IEEE expression tree
+    on both engines (ties broken by split_bin, total order). The
+    label is a deterministic o_orderkey lattice whose positive rate
+    steps 30% → 70% at price 250 000, so the argmin must recover the
+    structural breakpoint (split_bin 49, the last bin left of the
+    250 000 boundary — the witness test pins it) rather than sampling
+    noise. Output: the chosen split with its left/right
+    class counts, cost, and gain over the parent impurity."""
+    lab = F.when(
+        F.col("o_orderkey") % 100
+        < F.when(F.col("o_totalprice") > 250000, 70).otherwise(30),
+        1,
+    ).otherwise(0)
+    b = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.floor(F.col("o_totalprice") / 5000).cast("bigint").alias("bin"),
+            lab.alias("lab"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("lab").cast("bigint").alias("n1"),
+            (F.count("*") - F.sum("lab")).cast("bigint").alias("n0"),
+        )
+    )
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = b.select(
+        "bin",
+        F.sum("n1").over(wcum).cast("bigint").alias("n1l"),
+        F.sum("n0").over(wcum).cast("bigint").alias("n0l"),
+        F.sum("n1").over(wtot).cast("bigint").alias("n1t"),
+        F.sum("n0").over(wtot).cast("bigint").alias("n0t"),
+    )
+
+    def side_cost(n1, n0):
+        tot = (n1 + n0).cast("double")
+        return tot - (
+            n1.cast("double") * n1.cast("double")
+            + n0.cast("double") * n0.cast("double")
+        ) / tot
+
+    n1r = F.col("n1t") - F.col("n1l")
+    n0r = F.col("n0t") - F.col("n0l")
+    scored = cum.filter(n1r + n0r > 0).select(
+        F.col("bin").alias("split_bin"),
+        "n1l",
+        "n0l",
+        n1r.alias("n1r"),
+        n0r.alias("n0r"),
+        (side_cost(F.col("n1l"), F.col("n0l")) + side_cost(n1r, n0r)).alias(
+            "gini_cost"
+        ),
+        side_cost(F.col("n1t"), F.col("n0t")).alias("parent_cost"),
+    )
+    return (
+        scored.select(
+            "split_bin",
+            "n1l",
+            "n0l",
+            "n1r",
+            "n0r",
+            "gini_cost",
+            (F.col("parent_cost") - F.col("gini_cost")).alias("gain"),
+        )
+        .orderBy("gini_cost", "split_bin")
+        .limit(1)
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

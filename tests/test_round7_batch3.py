@@ -254,3 +254,63 @@ def test_stream_full_outer_emits_both_orphan_classes(spark, tmp_path):
     assert without == {(2, 3)}
     with_p = run("sjfo_push", with_pushers=True)
     assert with_p == {(2, 3), (1, None), (None, 4)}
+
+
+# ------------------------------------------------------ decision stump
+
+def test_stump_recovers_structural_breakpoint(spark):
+    # the label's positive rate steps 30% -> 70% at price 250k (bin
+    # 50): any impurity-minimizing split must land there, and a pure-
+    # Python sweep over exact counts must agree on every output cell
+    import duckdb as d
+
+    rows = d.sql(
+        f"SELECT o_orderkey, o_totalprice FROM "
+        f"'{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    agg: dict[int, list[int]] = {}
+    for ok, price in rows:
+        b = int(price / 5000 // 1)
+        lab = 1 if ok % 100 < (70 if price > 250000 else 30) else 0
+        cur = agg.setdefault(b, [0, 0])
+        cur[lab] += 1  # [n0, n1]
+    bins = sorted(agg.items())
+    n1t = sum(v[1] for _, v in bins)
+    n0t = sum(v[0] for _, v in bins)
+
+    def cost(n1, n0):
+        tot = float(n1 + n0)
+        return tot - (float(n1) * float(n1) + float(n0) * float(n0)) / tot
+
+    best = None
+    n1l = n0l = 0
+    for b, (n0, n1) in bins:
+        n1l += n1
+        n0l += n0
+        n1r, n0r = n1t - n1l, n0t - n0l
+        if n1r + n0r == 0:
+            continue
+        c = cost(n1l, n0l) + cost(n1r, n0r)
+        key = (c, b)
+        if best is None or key < best[0]:
+            best = (key, (b, n1l, n0l, n1r, n0r, c))
+    row = QUERIES["q_decision_stump"](spark, SF_DIR).collect()[0]
+    eb, en1l, en0l, en1r, en0r, ec = best[1]
+    assert (
+        row["split_bin"],
+        row["n1l"],
+        row["n0l"],
+        row["n1r"],
+        row["n0r"],
+    ) == (eb, en1l, en0l, en1r, en0r)
+    assert row["gini_cost"] == ec
+    assert row["gain"] == cost(n1t, n0t) - ec
+    assert row["split_bin"] == 49  # last left bin: boundary at 250k
+    assert row["gain"] > 0
+
+
+def test_stump_plan_is_one_scan_plus_bin_sweep(spark):
+    plan = _executed(QUERIES["q_decision_stump"](spark, SF_DIR))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan  # the split sweep never re-touches rows
+    assert "TakeOrderedAndProject" in plan  # argmin, not a global sort
