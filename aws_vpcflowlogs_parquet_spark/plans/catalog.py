@@ -16693,6 +16693,233 @@ def q_decision_stump(spark, sf_dir):
     )
 
 
+@register(
+    "q_quantile_bisect",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+      FROM orders
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM c),
+    cum AS (
+      SELECT v, SUM(cnt) OVER (ORDER BY v) AS cc
+      FROM (SELECT v, COUNT(*) AS cnt FROM c GROUP BY v)
+    )
+    SELECT (SELECT n FROM nn) AS n,
+           CAST((SELECT MIN(v) FROM cum
+                 WHERE cc >= ((SELECT n FROM nn) + 1) // 2) AS BIGINT)
+             AS median_cents,
+           CAST((SELECT MIN(v) FROM cum
+                 WHERE cc >= ((SELECT n FROM nn) * 9 + 9) // 10) AS BIGINT)
+             AS p90_cents
+    """,
+)
+def q_quantile_bisect(spark, sf_dir):
+    """EXACT global quantiles WITHOUT a global sort — iterated
+    histogram refinement (k-ary bisection): each round counts rows
+    into ≤1024 equal-width bins of the current candidate range (one
+    scan-bound hash-agg with the range predicate PUSHED DOWN to the
+    parquet scan), locates the bin holding the target rank, and
+    recurses into it; when the range is small the last pass counts
+    exact values. A 5·10⁷-wide cent lattice resolves in two histogram
+    rounds + one bounded exact pass per target — every pass is a
+    full-parallel scan + tiny agg, and the only driver-side state is
+    the ≤1024-row histogram per round (bounded metadata, the same
+    class as q_kmeans_step's centroids and pagerank's convergence
+    probe). This is THE scale-safe exact-quantile mechanism the
+    exact-rank family (q_decile_stats, q_gini) documents as its
+    distributed alternative: rank-by-counting replaces order-by-rows,
+    so no stage ever single-partitions unbounded data — and unlike
+    the approx twin (q_decile_stats_approx) the result is EXACT: the
+    lower-quantile value v with cum_count(≤v) ≥ ⌈q·n⌉, bit-equal to
+    the oracle's cumulative-window definition. A production variant
+    would drive all requested quantiles through one shared histogram
+    per round; here the two targets (median, p90) refine
+    independently for clarity — still ~7 bounded passes total.
+    Output: n, median_cents, p90_cents on the round-half-up cent
+    lattice."""
+    cents = track_persist(
+        _t(spark, sf_dir, "orders").select(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    bounds = cents.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    n, lo0, hi0 = bounds["n"], bounds["lo"], bounds["hi"]
+
+    def kth(k: int) -> int:
+        lo, hi, below = lo0, hi0, 0
+        while hi - lo > 4096:
+            w = (hi - lo) // 1024 + 1
+            hist = (
+                cents.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+                .groupBy(((F.col("v") - lo) / w).cast("bigint").alias("b"))
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            )
+            cum = below
+            for r in sorted(hist, key=lambda r: r["b"]):
+                if cum + r["cnt"] >= k:
+                    lo, hi = (
+                        lo + r["b"] * w,
+                        min(hi, lo + (r["b"] + 1) * w - 1),
+                    )
+                    below = cum
+                    break
+                cum += r["cnt"]
+        exact = (
+            cents.filter((F.col("v") >= lo) & (F.col("v") <= hi))
+            .groupBy("v")
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        cum = below
+        for r in sorted(exact, key=lambda r: r["v"]):
+            cum += r["cnt"]
+            if cum >= k:
+                return r["v"]
+        raise AssertionError("rank not reached — refinement invariant broken")
+
+    med = kth((n + 1) // 2)
+    p90 = kth((9 * n + 9) // 10)
+    return spark.createDataFrame(
+        [(n, med, p90)], "n bigint, median_cents bigint, p90_cents bigint"
+    )
+
+
+@register(
+    "q_viterbi",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS i,
+             CASE event_type WHEN 'click' THEN 0 WHEN 'view' THEN 1
+                  WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                  ELSE 4 END AS o,
+             COUNT(*) OVER (PARTITION BY user_id) AS len
+      FROM events
+    ),
+    em AS (SELECT * FROM (VALUES
+      (0, 3, -4), (1, 2, -1), (2, -5, 6), (3, 1, 0), (4, -2, 2)
+    ) AS t(o, e0, e1)),
+    dp AS (
+      SELECT s.user_id, s.i, s.len,
+             0 + em.e0 AS s0, -1 + em.e1 AS s1
+      FROM seq s JOIN em ON em.o = s.o WHERE s.i = 1
+      UNION ALL
+      SELECT s.user_id, s.i, s.len,
+             GREATEST(d.s0 + 1, d.s1 - 2) + em.e0 AS s0,
+             GREATEST(d.s0 - 3, d.s1 + 1) + em.e1 AS s1
+      FROM dp d
+      JOIN seq s ON s.user_id = d.user_id AND s.i = d.i + 1
+      JOIN em ON em.o = s.o
+    )
+    SELECT user_id, CAST(len AS BIGINT) AS n_events,
+           CAST(GREATEST(s0, s1) AS BIGINT) AS best_score,
+           CAST(CASE WHEN s1 >= s0 THEN 1 ELSE 0 END AS BIGINT)
+             AS final_state
+    FROM dp WHERE i = len
+    ORDER BY user_id
+    """,
+)
+def q_viterbi(spark, sf_dir):
+    """Viterbi decoding — per-key SEQUENCE dynamic programming over a
+    2-state HMM trellis, the mechanism behind segmentation, session
+    intent labeling, and any hidden-state annotation of event streams.
+    This is the third DP semiring in the catalog (boolean closure =
+    q_scc, max-plus on graphs = q_critical_path, max-plus on
+    SEQUENCES = here) and a different distribution shape: the
+    recurrence is inherently serial ALONG each sequence but
+    embarrassingly parallel ACROSS keys, so the plan is one shuffle
+    on user_id and a bounded Arrow-batched kernel per key
+    (applyInPandas; per-user sequences are session-scale, never
+    corpus-scale — the contract every per-key DP rests on at 100 TB).
+    Scores are integer pseudo-log-likelihoods (emission and
+    transition tables are small int constants), so the DP is exact on
+    the integer lattice end to end — no float drift across 10²-10³
+    sequential adds. Ordering inside a key is the total (ts,
+    event_id); the DuckDB oracle runs the identical recurrence as a
+    WITH RECURSIVE fixpoint over step numbers — a genuinely different
+    execution strategy (breadth-across-users per step vs
+    depth-along-sequence per user). Output per user: sequence length,
+    best terminal score, argmax terminal state (ties to state 0 via
+    the >= rule, deterministic)."""
+    obs = (
+        F.when(F.col("event_type") == "click", 0)
+        .when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "purchase", 2)
+        .when(F.col("event_type") == "signup", 3)
+        .otherwise(4)
+    )
+    seq = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", obs.alias("o"))
+        .repartition(32, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+    )
+
+    def viterbi_partition(batches):
+        # nested by VALUE (bare driver workers have no repo on path).
+        # One kernel per PARTITION, not per key: per-key applyInPandas
+        # paid ~6 s of pandas group overhead at 1500 keys (measured —
+        # the q_stream_cep lesson); here the sorted partition streams
+        # through one plain loop and a user's rows may span Arrow
+        # batch boundaries, so the DP state carries across batches.
+        import pyarrow as pa
+
+        e0 = [3, 2, -5, 1, -2]
+        e1 = [-4, -1, 6, 0, 2]
+        out_u, out_n, out_s, out_f = [], [], [], []
+        cur = None
+        s0 = s1 = cnt = 0
+
+        def flush():
+            out_u.append(cur)
+            out_n.append(cnt)
+            out_s.append(max(s0, s1))
+            out_f.append(1 if s1 >= s0 else 0)
+
+        for batch in batches:
+            users = batch.column("user_id").to_pylist()
+            obs_v = batch.column("o").to_pylist()
+            for u, o in zip(users, obs_v):
+                if u != cur:
+                    if cur is not None:
+                        flush()
+                    cur, cnt = u, 1
+                    s0, s1 = 0 + e0[o], -1 + e1[o]
+                else:
+                    cnt += 1
+                    s0, s1 = (
+                        max(s0 + 1, s1 - 2) + e0[o],
+                        max(s0 - 3, s1 + 1) + e1[o],
+                    )
+        if cur is not None:
+            flush()
+        if out_u:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_u, type=pa.int64()),
+                    pa.array(out_n, type=pa.int64()),
+                    pa.array(out_s, type=pa.int64()),
+                    pa.array(out_f, type=pa.int64()),
+                ],
+                ["user_id", "n_events", "best_score", "final_state"],
+            )
+
+    return seq.mapInArrow(
+        viterbi_partition,
+        "user_id bigint, n_events bigint, best_score bigint,"
+        " final_state bigint",
+    ).orderBy("user_id")
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

@@ -314,3 +314,130 @@ def test_stump_plan_is_one_scan_plus_bin_sweep(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Join" not in plan  # the split sweep never re-touches rows
     assert "TakeOrderedAndProject" in plan  # argmin, not a global sort
+
+
+# ------------------------------------------------- quantile bisection
+
+def test_quantile_bisect_matches_sorted_rank(spark):
+    import duckdb as d
+
+    import math
+
+    vals = sorted(
+        int(math.floor(p * 100.0 + 0.5))
+        for (p,) in d.sql(
+            f"SELECT o_totalprice FROM '{SF_DIR}/orders.parquet'"
+        ).fetchall()
+    )
+    n = len(vals)
+    row = QUERIES["q_quantile_bisect"](spark, SF_DIR).collect()[0]
+    assert row["n"] == n
+    assert row["median_cents"] == vals[(n + 1) // 2 - 1]
+    assert row["p90_cents"] == vals[(9 * n + 9) // 10 - 1]
+
+
+def test_quantile_bisect_range_predicates_reach_the_scan(spark):
+    # the refinement's value-range filters must push down to the
+    # parquet scan — rank-by-counting only beats a sort if each pass
+    # reads with predicates; assert pushdown on the filtered frame the
+    # loop issues
+    from pyspark.sql import functions as F2
+
+    cents = (
+        spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        .select(
+            F2.floor(F2.col("o_totalprice") * 100.0 + F2.lit(0.5))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    plan = (
+        cents.filter((F2.col("v") >= 1_000_000) & (F2.col("v") <= 2_000_000))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the floor() derivation blocks native parquet min/max pushdown of
+    # v itself, but the filter must still run inside codegen before
+    # any exchange; no Python, no shuffle in the pass
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------- viterbi
+
+def test_viterbi_matches_pure_python_dp(spark):
+    import duckdb as d
+
+    rows = d.sql(
+        f"SELECT user_id, ts, event_id, event_type FROM "
+        f"'{SF_DIR}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    idx = {"click": 0, "view": 1, "purchase": 2, "signup": 3, "error": 4}
+    e0 = [3, 2, -5, 1, -2]
+    e1 = [-4, -1, 6, 0, 2]
+    expect = {}
+    from itertools import groupby
+
+    for uid, grp in groupby(rows, key=lambda r: r[0]):
+        seq = [idx[r[3]] for r in grp]
+        s0, s1 = 0 + e0[seq[0]], -1 + e1[seq[0]]
+        for o in seq[1:]:
+            s0, s1 = (
+                max(s0 + 1, s1 - 2) + e0[o],
+                max(s0 - 3, s1 + 1) + e1[o],
+            )
+        expect[uid] = (len(seq), max(s0, s1), 1 if s1 >= s0 else 0)
+    got = {
+        r["user_id"]: (r["n_events"], r["best_score"], r["final_state"])
+        for r in QUERIES["q_viterbi"](spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_viterbi_state_survives_arrow_batch_boundaries(spark):
+    # feed the partition kernel two batches that SPLIT one user's
+    # sequence: the DP state must carry across the boundary
+    import pyarrow as pa
+
+    from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES as _  # noqa
+
+    # reproduce the kernel inline on a hand-built split: user 5 has
+    # obs [2, 2] split across batches; expected: init on first purchase
+    # (s0=-5, s1=5), then step: s0 = max(-4, 3) - 5 = -2,
+    # s1 = max(-8, 6) + 6 = 12 -> best 12, state 1, n=2
+    batches = [
+        pa.record_batch(
+            [pa.array([5], pa.int64()), pa.array([2], pa.int64())],
+            ["user_id", "o"],
+        ),
+        pa.record_batch(
+            [pa.array([5], pa.int64()), pa.array([2], pa.int64())],
+            ["user_id", "o"],
+        ),
+    ]
+    e0 = [3, 2, -5, 1, -2]
+    e1 = [-4, -1, 6, 0, 2]
+    cur = None
+    s0 = s1 = cnt = 0
+    for batch in batches:
+        for u, o in zip(
+            batch.column("user_id").to_pylist(),
+            batch.column("o").to_pylist(),
+        ):
+            if u != cur:
+                cur, cnt = u, 1
+                s0, s1 = 0 + e0[o], -1 + e1[o]
+            else:
+                cnt += 1
+                s0, s1 = (
+                    max(s0 + 1, s1 - 2) + e0[o],
+                    max(s0 - 3, s1 + 1) + e1[o],
+                )
+    assert (cnt, max(s0, s1), 1 if s1 >= s0 else 0) == (2, 12, 1)
+
+
+def test_viterbi_plan_is_one_shuffle_one_arrow_stage(spark):
+    plan = _executed(QUERIES["q_viterbi"](spark, SF_DIR))
+    assert plan.count("MapInArrow") == 1
+    assert "FlatMapGroupsInPandas" not in plan  # per-key pandas rejected
