@@ -17095,6 +17095,123 @@ def q_semijoin_reduction(spark, sf_dir):
     )
 
 
+@register(
+    "q_bom_explosion",
+    oracle="""
+    WITH ev_edges AS (
+      SELECT (event_id % 4) * 1000 + (user_id % 101) AS s,
+             ((event_id % 4) + 1) * 1000 + ((2 * user_id + event_id) % 101)
+               AS d,
+             event_id % 3 + 1 AS q
+      FROM events WHERE event_id % 61 = 0
+    ),
+    backbone AS (
+      SELECT l * 1000 + i AS s,
+             (l + 1) * 1000 + (i + 3) % 101 AS d,
+             2 AS q
+      FROM (SELECT unnest(generate_series(0, 3)) AS l),
+           (SELECT unnest(generate_series(0, 10)) AS i)
+    ),
+    e AS (
+      SELECT s, d, CAST(SUM(q) AS BIGINT) AS q
+      FROM (SELECT * FROM ev_edges UNION ALL SELECT * FROM backbone)
+      GROUP BY s, d
+    ),
+    r1 AS (SELECT s, d, q FROM e),
+    r2 AS (
+      SELECT a.s, b.d, CAST(SUM(a.q * b.q) AS BIGINT) AS q
+      FROM r1 a JOIN e b ON a.d = b.s GROUP BY a.s, b.d
+    ),
+    r3 AS (
+      SELECT a.s, b.d, CAST(SUM(a.q * b.q) AS BIGINT) AS q
+      FROM r2 a JOIN e b ON a.d = b.s GROUP BY a.s, b.d
+    ),
+    r4 AS (
+      SELECT a.s, b.d, CAST(SUM(a.q * b.q) AS BIGINT) AS q
+      FROM r3 a JOIN e b ON a.d = b.s GROUP BY a.s, b.d
+    )
+    SELECT s AS assembly, d AS component, q AS total_qty
+    FROM (
+      SELECT s, d, q FROM r1 UNION ALL SELECT s, d, q FROM r2
+      UNION ALL SELECT s, d, q FROM r3 UNION ALL SELECT s, d, q FROM r4
+    )
+    ORDER BY total_qty DESC, assembly, component LIMIT 20
+    """,
+)
+def q_bom_explosion(spark, sf_dir):
+    """Bill-of-materials explosion — total requirement of every
+    component per assembly over a multi-level layered DAG:
+    Σ over paths Π edge quantities, the SUM-PRODUCT semiring that
+    completes the catalog's closure family (boolean = q_scc, max-plus
+    on graphs = q_critical_path, max-plus on sequences = q_viterbi).
+    The semiring choice changes the ALGORITHM, not just the combine:
+    boolean and max-plus are idempotent, so closure-by-squaring
+    (B ∪ B∘B) is correct — but sum-product is NOT idempotent, and
+    squaring would double-count every path reachable at two
+    decomposition splits. The correct distributed form is hop
+    stratification: frontier_{k+1} = frontier_k ∘ edges (join on the
+    midpoint + SUM of products — one bounded shuffle per level), and
+    because the DAG is LAYERED each (s, d) pair has a unique path
+    length, so the per-hop relations are disjoint and their union
+    needs no final re-aggregation. Depth equals the BOM level count
+    (4 here; real BOMs are ≤ ~20 deep), so hop-by-hop is the right
+    iteration — log-step squaring only pays in idempotent semirings.
+    Subcritical event edges (1-in-61) plus an 11-lane deterministic
+    backbone keep the closure bounded at every sf, parallel edges
+    collapse by quantity SUM before the first compose (both engines),
+    and all arithmetic is exact BIGINT. Output: top-20 (assembly,
+    component) requirements, total tie-break."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 61 == 0)
+    layer = F.col("event_id") % 4
+    ev_edges = ev.select(
+        (layer * 1000 + F.col("user_id") % 101).alias("s"),
+        (
+            (layer + 1) * 1000
+            + (2 * F.col("user_id") + F.col("event_id")) % 101
+        ).alias("d"),
+        (F.col("event_id") % 3 + 1).alias("q"),
+    )
+    idx = spark.range(44)
+    backbone = idx.select(
+        ((F.col("id") / 11).cast("bigint") * 1000 + F.col("id") % 11).alias(
+            "s"
+        ),
+        (
+            ((F.col("id") / 11).cast("bigint") + 1) * 1000
+            + (F.col("id") % 11 + 3) % 101
+        ).alias("d"),
+        F.lit(2).alias("q"),
+    )
+    edges = (
+        ev_edges.unionAll(backbone)
+        .groupBy("s", "d")
+        .agg(F.sum("q").cast("bigint").alias("q"))
+    )
+    edges = track_persist(edges)
+    closure = edges
+    frontier = edges
+    for _ in range(3):  # levels 2..4 of the layered DAG
+        rhs = edges.select(
+            F.col("s").alias("m"), F.col("d").alias("d2"), F.col("q").alias("q2")
+        )
+        frontier = (
+            frontier.join(rhs, frontier["d"] == rhs["m"])
+            .select("s", F.col("d2").alias("d"), (F.col("q") * F.col("q2")).alias("q"))
+            .groupBy("s", "d")
+            .agg(F.sum("q").cast("bigint").alias("q"))
+        )
+        closure = closure.unionAll(frontier)
+    return (
+        closure.select(
+            F.col("s").alias("assembly"),
+            F.col("d").alias("component"),
+            F.col("q").alias("total_qty"),
+        )
+        .orderBy(F.desc("total_qty"), "assembly", "component")
+        .limit(20)
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")
