@@ -17212,6 +17212,203 @@ def q_bom_explosion(spark, sf_dir):
     )
 
 
+@register(
+    "q_normal_equations",
+    oracle="""
+    WITH f AS (
+      SELECT CAST(o_orderkey % 7 AS HUGEINT) AS x1,
+             CAST(o_custkey % 5 AS HUGEINT) AS x2,
+             CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                  AS HUGEINT) AS y
+      FROM orders
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x1) AS s1, SUM(x2) AS s2,
+             SUM(x1 * x1) AS s11, SUM(x1 * x2) AS s12,
+             SUM(x2 * x2) AS s22,
+             SUM(y) AS sy, SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y
+      FROM f
+    ),
+    d AS (
+      SELECT n, s1, s2, s11, s12, s22, sy, s1y, s2y,
+             n * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS det,
+             sy * (s11 * s22 - s12 * s12)
+             - s1 * (s1y * s22 - s12 * s2y)
+             + s2 * (s1y * s12 - s11 * s2y) AS det0,
+             n * (s1y * s22 - s12 * s2y)
+             - sy * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s2y - s1y * s2) AS det1,
+             n * (s11 * s2y - s1y * s12)
+             - s1 * (s1 * s2y - s1y * s2)
+             + sy * (s1 * s12 - s11 * s2) AS det2
+      FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(CASE WHEN det0 * det < 0 THEN -1 ELSE 1 END
+                * (abs(det0) * 1000000 // abs(det)) AS BIGINT)
+             AS beta0_ppm,
+           CAST(CASE WHEN det1 * det < 0 THEN -1 ELSE 1 END
+                * (abs(det1) * 1000000 // abs(det)) AS BIGINT)
+             AS beta1_ppm,
+           CAST(CASE WHEN det2 * det < 0 THEN -1 ELSE 1 END
+                * (abs(det2) * 1000000 // abs(det)) AS BIGINT)
+             AS beta2_ppm
+    FROM d
+    """,
+)
+def q_normal_equations(spark, sf_dir):
+    """Closed-form multi-feature OLS by DISTRIBUTED NORMAL EQUATIONS —
+    the one-pass exact way to fit a linear model at any scale: the
+    scan reduces to the 3×3 moment matrix XᵀX and the vector Xᵀy
+    (nine exact BIGINT sums — the same matrix-valued map-side-combine
+    shape as q_embedding_covariance, here small enough for a single
+    agg row), and the solve is Cramer's rule on the collected moments
+    — bounded driver metadata, like q_kmeans_step's centroids. No
+    gradient loop, no row ever revisited: at 100 TB a linear model
+    with a handful of features costs exactly one scan. Exactness
+    discipline: the moment sums fit BIGINT, but the 3×3 determinants
+    multiply three of them (~10²⁷), so the driver solves with
+    Python's arbitrary-precision ints while the oracle CASTs to
+    HUGEINT — and the reported coefficients avoid the negative-
+    division trap (DuckDB ``//`` truncates toward zero, Python
+    floors) by dividing magnitudes and applying the sign explicitly,
+    identical on both sides. Features are small deterministic
+    lattices of the keys; y is the cent-lattice price; coefficients
+    are exact ppm rationals det_i/det."""
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    f = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 7).alias("x1"),
+        (F.col("o_custkey") % 5).alias("x2"),
+        cents.alias("y"),
+    )
+    m = f.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+    ).collect()[0]
+    n, s1, s2 = int(m["n"]), int(m["s1"]), int(m["s2"])
+    s11, s12, s22 = int(m["s11"]), int(m["s12"]), int(m["s22"])
+    sy, s1y, s2y = int(m["sy"]), int(m["s1y"]), int(m["s2y"])
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    det0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1 * (s1y * s22 - s12 * s2y)
+        + s2 * (s1y * s12 - s11 * s2y)
+    )
+    det1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - sy * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s2y - s1y * s2)
+    )
+    det2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s1y * s2)
+        + sy * (s1 * s12 - s11 * s2)
+    )
+
+    def ppm(num: int) -> int:
+        # truncate-toward-zero like DuckDB's // on magnitudes + sign
+        sign = -1 if (num < 0) != (det < 0) else 1
+        return sign * (abs(num) * 10**6 // abs(det))
+
+    return spark.createDataFrame(
+        [(n, ppm(det0), ppm(det1), ppm(det2))],
+        "n bigint, beta0_ppm bigint, beta1_ppm bigint, beta2_ppm bigint",
+    )
+
+
+@register(
+    "q_rank_overlap",
+    oracle="""
+    WITH ra AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id)
+               AS r
+      FROM documents
+    ),
+    rb AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY n_chars + (doc_id % 97) * 50 DESC, doc_id) AS r
+      FROM documents
+    ),
+    joint AS (
+      SELECT GREATEST(ra.r, rb.r) AS m
+      FROM ra JOIN rb ON ra.doc_id = rb.doc_id
+      WHERE ra.r <= 20 AND rb.r <= 20
+    ),
+    depths AS (SELECT unnest(generate_series(1, 20)) AS d)
+    SELECT d.d AS depth,
+           CAST(COALESCE(SUM(CASE WHEN j.m <= d.d THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS overlap,
+           CAST(COALESCE(SUM(CASE WHEN j.m <= d.d THEN 1 ELSE 0 END), 0)
+                * 1000000 // d.d AS BIGINT) AS agreement_ppm
+    FROM depths d LEFT JOIN joint j ON TRUE
+    GROUP BY d.d
+    ORDER BY depth
+    """,
+)
+def q_rank_overlap(spark, sf_dir):
+    """Prefix-overlap curve of two rankings — the exact backbone of
+    rank-biased overlap (RBO), Recall@k-vs-k, and every "did the new
+    ranker change the top?" regression check: for each depth d ≤ 20,
+    how many items sit in BOTH rankings' top-d. The trick that makes
+    it one bounded computation instead of 20 set intersections: an
+    item contributes to every depth d ≥ max(rank_A, rank_B), so join
+    the two rank relations once, keep m = GREATEST of the two ranks
+    for the ≤20∩≤20 survivors (≤20 rows), and the whole curve is a
+    cumulative count over the bounded depth domain. At 100 TB the
+    top-20 of each ranking comes from TakeOrdered (never a global
+    sort), the join carries ≤k rows, and the curve is O(k²) driver-
+    free arithmetic — rank-metric evaluation at fact-table scale.
+    Rankings: documents by size vs a deterministically perturbed
+    score (doc_id-lattice noise), so the curve is nontrivial at
+    every sf; integer agreement_ppm = overlap·10⁶ div d with total
+    tie-break orders making both rankings unique. The geometric RBO
+    weighting is a trivial reweighting of this curve — the curve is
+    the distributed part."""
+    docs = _t(spark, sf_dir, "documents")
+    wa = Window.orderBy(F.desc("n_chars"), "doc_id")
+    wb = Window.orderBy(
+        F.desc(F.col("n_chars") + (F.col("doc_id") % 97) * 50), "doc_id"
+    )
+    ra = docs.select("doc_id", F.row_number().over(wa).alias("ra")).filter(
+        F.col("ra") <= 20
+    )
+    rb = docs.select("doc_id", F.row_number().over(wb).alias("rb")).filter(
+        F.col("rb") <= 20
+    )
+    joint = ra.join(rb, "doc_id").select(
+        F.greatest("ra", "rb").alias("m")
+    )
+    depths = spark.range(1, 21).select(F.col("id").alias("depth"))
+    return (
+        depths.join(F.broadcast(joint), F.col("m") <= F.col("depth"), "left")
+        .groupBy("depth")
+        .agg(
+            F.count("m").cast("bigint").alias("overlap"),
+            F.expr("CAST(count(m) * 1000000 div depth AS BIGINT)").alias(
+                "agreement_ppm"
+            ),
+        )
+        .orderBy("depth")
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

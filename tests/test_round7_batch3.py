@@ -610,3 +610,125 @@ def test_bom_sum_product_is_not_idempotent_squaring(spark):
         frontier = compose(frontier, E)
         hop = add(hop, frontier)
     assert all(v == 1 for v in hop.values())
+
+
+# -------------------------------------------- normal equations (OLS)
+
+def test_normal_equations_match_fraction_cramer(spark):
+    import math
+    from fractions import Fraction
+
+    import duckdb as d
+
+    rows = d.sql(
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM "
+        f"'{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    n = len(rows)
+    s1 = s2 = s11 = s12 = s22 = sy = s1y = s2y = 0
+    for ok, ck, p in rows:
+        x1, x2 = ok % 7, ck % 5
+        y = int(math.floor(p * 100.0 + 0.5))
+        s1 += x1; s2 += x2; s11 += x1 * x1; s12 += x1 * x2
+        s22 += x2 * x2; sy += y; s1y += x1 * y; s2y += x2 * y
+    det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    det0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+    det1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+    det2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+    row = QUERIES["q_normal_equations"](spark, SF_DIR).collect()[0]
+    assert row["n"] == n
+
+    def ppm(num):
+        sign = -1 if (num < 0) != (det < 0) else 1
+        return sign * (abs(num) * 10**6 // abs(det))
+
+    assert row["beta0_ppm"] == ppm(det0)
+    assert row["beta1_ppm"] == ppm(det1)
+    assert row["beta2_ppm"] == ppm(det2)
+    # the solution really solves the system: S @ beta == b exactly
+    beta = [Fraction(det0, det), Fraction(det1, det), Fraction(det2, det)]
+    S = [[n, s1, s2], [s1, s11, s12], [s2, s12, s22]]
+    b = [sy, s1y, s2y]
+    for i in range(3):
+        assert sum(Fraction(S[i][j]) * beta[j] for j in range(3)) == b[i]
+
+
+def test_normal_equations_residual_orthogonality(spark):
+    # OLS defining property: residuals are orthogonal to every
+    # feature column (checked in exact Fractions at sf0.001)
+    import math
+    from fractions import Fraction
+
+    import duckdb as d
+
+    rows = d.sql(
+        f"SELECT o_orderkey, o_custkey, o_totalprice FROM "
+        f"'{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    n = len(rows)
+    s1 = s2 = s11 = s12 = s22 = sy = s1y = s2y = 0
+    for ok, ck, p in rows:
+        x1, x2 = ok % 7, ck % 5
+        y = int(math.floor(p * 100.0 + 0.5))
+        s1 += x1; s2 += x2; s11 += x1 * x1; s12 += x1 * x2
+        s22 += x2 * x2; sy += y; s1y += x1 * y; s2y += x2 * y
+    det = (n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2)
+           + s2 * (s1 * s12 - s11 * s2))
+    assert det != 0  # features + intercept are linearly independent
+    det0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y)
+            + s2 * (s1y * s12 - s11 * s2y))
+    det1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2)
+            + s2 * (s1 * s2y - s1y * s2))
+    det2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2)
+            + sy * (s1 * s12 - s11 * s2))
+    b0, b1, b2 = (Fraction(det0, det), Fraction(det1, det),
+                  Fraction(det2, det))
+    r_dot_1 = r_dot_x1 = r_dot_x2 = Fraction(0)
+    for ok, ck, p in rows:
+        x1, x2 = ok % 7, ck % 5
+        y = int(math.floor(p * 100.0 + 0.5))
+        resid = Fraction(y) - (b0 + b1 * x1 + b2 * x2)
+        r_dot_1 += resid
+        r_dot_x1 += resid * x1
+        r_dot_x2 += resid * x2
+    assert r_dot_1 == 0 and r_dot_x1 == 0 and r_dot_x2 == 0
+
+
+# ------------------------------------------------- rank overlap curve
+
+def test_rank_overlap_matches_set_intersections(spark):
+    import duckdb as d
+
+    docs = d.sql(
+        f"SELECT doc_id, n_chars FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    a = [i for i, _ in sorted(docs, key=lambda t: (-t[1], t[0]))[:20]]
+    b = [
+        i
+        for i, _ in sorted(
+            docs, key=lambda t: (-(t[1] + (t[0] % 97) * 50), t[0])
+        )[:20]
+    ]
+    rows = QUERIES["q_rank_overlap"](spark, SF_DIR).collect()
+    assert len(rows) == 20
+    for r in sorted(rows, key=lambda r: r["depth"]):
+        d_ = r["depth"]
+        ov = len(set(a[:d_]) & set(b[:d_]))
+        assert r["overlap"] == ov
+        assert r["agreement_ppm"] == ov * 10**6 // d_
+    # the perturbation must make the rankings genuinely different
+    assert a != b
+
+
+def test_rank_overlap_monotone_and_topk_plan(spark):
+    rows = sorted(
+        QUERIES["q_rank_overlap"](spark, SF_DIR).collect(),
+        key=lambda r: r["depth"],
+    )
+    ovs = [r["overlap"] for r in rows]
+    assert all(b2 >= a2 for a2, b2 in zip(ovs, ovs[1:]))  # cumulative
+    assert all(r["overlap"] <= r["depth"] for r in rows)
