@@ -17247,13 +17247,13 @@ def q_bom_explosion(spark, sf_dir):
       FROM m
     )
     SELECT CAST(n AS BIGINT) AS n,
-           CAST(CASE WHEN det0 * det < 0 THEN -1 ELSE 1 END
+           CAST(CASE WHEN (det0 < 0) <> (det < 0) THEN -1 ELSE 1 END
                 * (abs(det0) * 1000000 // abs(det)) AS BIGINT)
              AS beta0_ppm,
-           CAST(CASE WHEN det1 * det < 0 THEN -1 ELSE 1 END
+           CAST(CASE WHEN (det1 < 0) <> (det < 0) THEN -1 ELSE 1 END
                 * (abs(det1) * 1000000 // abs(det)) AS BIGINT)
              AS beta1_ppm,
-           CAST(CASE WHEN det2 * det < 0 THEN -1 ELSE 1 END
+           CAST(CASE WHEN (det2 < 0) <> (det < 0) THEN -1 ELSE 1 END
                 * (abs(det2) * 1000000 // abs(det)) AS BIGINT)
              AS beta2_ppm
     FROM d
@@ -17275,7 +17275,9 @@ def q_normal_equations(spark, sf_dir):
     HUGEINT — and the reported coefficients avoid the negative-
     division trap (DuckDB ``//`` truncates toward zero, Python
     floors) by dividing magnitudes and applying the sign explicitly,
-    identical on both sides. Features are small deterministic
+    identical on both sides — and the sign test compares signs
+    instead of multiplying (det_i · det overflows even INT128 at
+    sf0.1; found by the scale-stress drive). Features are small deterministic
     lattices of the keys; y is the cent-lattice price; coefficients
     are exact ppm rationals det_i/det."""
     cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
