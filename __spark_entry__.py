@@ -122,6 +122,21 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "q_assortativity", "q_reciprocity", "q_key_skew", "q_join_card_est",
     "q_slo_burn", "q_elasticity", "q_hazard_rate", "q_source_similarity",
     "q_dispersion",
+    # round 7 (CORRECTNESS_r07.json): 50/50 pass — the 13 round-6-staged
+    # promotions, 3 bucketed twins, and 21+13 new round-7 mechanisms
+    # (all green, rows+schema+hash).
+    "q_resource_alloc", "q_rolling_regression", "q_conversion_curve",
+    "q_negative_sampling", "q_weighted_jaccard", "q_snapshot_diff",
+    "q_lag_features", "q_calendar_dim", "q_stream_cep", "q_dim_stats",
+    "q_pit_audit", "q_compaction_plan", "q_tokenizer_fertility",
+    "q_gini_bucketed", "q_lorenz_bucketed", "q_abc_pareto_bucketed",
+    "q_embedding_covariance", "q_bootstrap_ci", "q_weighted_sample",
+    "q_scc", "q_bpe_train", "q_pruning_stats", "q_stream_join_outer",
+    "q_auc", "q_critical_path", "q_misra_gries", "q_isotonic_pav",
+    "q_apriori_pairs", "q_stream_join_full_outer", "q_decision_stump",
+    "q_quantile_bisect", "q_viterbi", "q_ivm_delta",
+    "q_semijoin_reduction", "q_bom_explosion", "q_normal_equations",
+    "q_rank_overlap",
 })
 
 
