@@ -137,6 +137,17 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "q_quantile_bisect", "q_viterbi", "q_ivm_delta",
     "q_semijoin_reduction", "q_bom_explosion", "q_normal_equations",
     "q_rank_overlap",
+}) - frozenset({
+    # round 8: the streaming harness was reworked (shared staged source
+    # dirs with exit cleanup, footer-stats sentinel timestamps, the
+    # single-sentinel no-data-batch outer-join staging replacing the
+    # 3-batch maxFilesPerTrigger design, pinned noDataMicroBatches) and
+    # q_ivm_delta's view dir moved onto the managed tmpdir — every
+    # implementation that changed goes back through the driver window.
+    "q_stream_sessionize", "q_stream_dedup", "q_stream_time_bucket",
+    "q_stream_sliding", "q_stream_static_join", "q_stream_stream_join",
+    "q_stream_stateful", "q_stream_hll", "q_stream_cep",
+    "q_stream_join_outer", "q_stream_join_full_outer", "q_ivm_delta",
 })
 
 

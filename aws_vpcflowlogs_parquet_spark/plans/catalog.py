@@ -3342,19 +3342,128 @@ def q_window_fill(spark, sf_dir):
 # Structured Streaming surface (batch-equivalent, oracle-checked)
 # =====================================================================
 
-def _staged_event_stream(spark: SparkSession, sf_dir: str, tag: str):
-    """events.parquet staged into a fresh directory (the file source wants
-    a dir; symlink, no data copy) and opened as an unbounded stream."""
-    import os
+#: every streaming temp dir this process creates, removed at exit —
+#: repeated drives were accumulating source/checkpoint/sink litter in
+#: $TMPDIR (ADVICE r7). In-run reuse is handled by _STAGED_DIR_CACHE.
+_STREAM_TMPDIRS: list = []
+
+
+def _stream_tmpdir(prefix: str) -> str:
+    """``tempfile.mkdtemp`` with process-exit cleanup registered once."""
+    import atexit
+    import shutil
     import tempfile
 
+    if not _STREAM_TMPDIRS:
+
+        def _sweep():
+            for p in _STREAM_TMPDIRS:
+                shutil.rmtree(p, ignore_errors=True)
+
+        atexit.register(_sweep)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _STREAM_TMPDIRS.append(d)
+    return d
+
+
+#: staged source directories, shared across queries and across the
+#: bench's best-of-2 reruns — the staging is pure source layout (symlink
+#: + optional sentinel file), so every consumer with its own checkpoint
+#: re-reads the same files independently. Keyed by (layout, sf_dir).
+_STAGED_DIR_CACHE: dict = {}
+
+
+def _staged_events_dir(sf_dir: str) -> str:
+    """events.parquet staged into a directory (the file source wants a
+    dir; symlink, no data copy), one per sf_dir per process."""
+    import os
+
+    key = ("plain", os.path.abspath(sf_dir))
+    if key not in _STAGED_DIR_CACHE:
+        src_dir = _stream_tmpdir("events_src_")
+        os.symlink(
+            os.path.abspath(f"{sf_dir}/events.parquet"),
+            f"{src_dir}/events.parquet",
+        )
+        _STAGED_DIR_CACHE[key] = src_dir
+    return _STAGED_DIR_CACHE[key]
+
+
+def _parquet_max_ts(path: str, column: str = "ts"):
+    """max(column) read from the parquet FOOTER's row-group statistics —
+    metadata-only, never loads a data page (ADVICE r7: the sentinel
+    staging was pulling the whole ts column to the driver)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    idx = pf.schema_arrow.get_field_index(column)
+    mx = None
+    for rg in range(pf.metadata.num_row_groups):
+        st = pf.metadata.row_group(rg).column(idx).statistics
+        if st is not None and st.has_min_max:
+            mx = st.max if mx is None or st.max > mx else mx
+    if mx is None:  # stats suppressed (never on our writers) — fall back
+        import pyarrow.compute as pc
+
+        mx = pc.max(pq.read_table(path, columns=[column])[column]).as_py()
+    return mx
+
+
+def _sentinel_staged_events_dir(sf_dir: str) -> str:
+    """events.parquet plus ONE watermark-pusher sentinel file, staged
+    for the terminating outer stream-stream joins and cached per sf_dir.
+
+    The sentinel carries one row of EACH joined event type (purchase +
+    click) on key −1 at max(ts) + 1 h: Catalyst pushes the event-type
+    filter below EventTimeWatermark, so a single neutral row would feed
+    only one side's watermark node (the q_stream_join_outer lesson).
+    One sentinel suffices — watermarks advance BETWEEN batches, and the
+    availableNow finalization runs a no-data micro-batch after the data
+    batch, which evaluates state eviction under the raised watermark
+    (max + 50 min, past every real row + horizon) and flushes all
+    proven-unmatched rows. The earlier 3-file maxFilesPerTrigger=1
+    staging paid two extra full micro-batch cycles for the same emitted
+    set (measured 4.6 → 2.5 s at sf0.1).
+
+    Kept SEPARATE from _staged_events_dir: plain stream consumers must
+    never see the key −1 sentinel rows."""
+    import datetime
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    key = ("sentinel", os.path.abspath(sf_dir))
+    if key not in _STAGED_DIR_CACHE:
+        src = os.path.abspath(f"{sf_dir}/events.parquet")
+        src_dir = _stream_tmpdir("events_sent_src_")
+        os.symlink(src, f"{src_dir}/events.parquet")
+        schema = pq.read_schema(src)
+        t = _parquet_max_ts(src) + datetime.timedelta(hours=1)
+        vals = {
+            "event_id": [-2, -3],
+            "ts": [t, t],
+            "user_id": [-1, -1],
+            "event_type": ["purchase", "click"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+        pq.write_table(
+            pa.Table.from_arrays(
+                [pa.array(vals[f.name], type=f.type) for f in schema],
+                schema=schema,
+            ),
+            f"{src_dir}/zz_sentinel.parquet",
+        )
+        _STAGED_DIR_CACHE[key] = src_dir
+    return _STAGED_DIR_CACHE[key]
+
+
+def _staged_event_stream(spark: SparkSession, sf_dir: str, tag: str):
+    """The staged events directory opened as an unbounded stream."""
     from ..sources.tables import stream_events
 
-    src_dir = tempfile.mkdtemp(prefix=f"{tag}_src_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
-    )
-    return stream_events(spark, src_dir)
+    return stream_events(spark, _staged_events_dir(sf_dir))
 
 
 def _run_stream_to_parquet(spark, df, tag: str, mode: str) -> DataFrame:
@@ -3388,10 +3497,9 @@ def _run_stream_to_parquet(spark, df, tag: str, mode: str) -> DataFrame:
     cardinality × throughput.
     """
     import os
-    import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix=f"{tag}_out_")
-    ckpt = tempfile.mkdtemp(prefix=f"{tag}_ckpt_")
+    out_dir = _stream_tmpdir(f"{tag}_out_")
+    ckpt = _stream_tmpdir(f"{tag}_ckpt_")
     batch_parts = spark.conf.get("spark.sql.shuffle.partitions")
     prior_retain = spark.conf.get("spark.sql.streaming.minBatchesToRetain")
     spark.conf.set(
@@ -3404,6 +3512,15 @@ def _run_stream_to_parquet(spark, df, tag: str, mode: str) -> DataFrame:
     # query measured at sf0.1). Long-lived production streams should keep
     # a real retention window for rollback.
     spark.conf.set("spark.sql.streaming.minBatchesToRetain", "2")
+    # pinned, not assumed: the outer stream-stream joins rely on the
+    # availableNow no-data finalization batch to evaluate state eviction
+    # under the post-data watermark and flush proven-unmatched rows
+    # (see _sentinel_staged_events_dir) — a session that disabled
+    # no-data micro-batches would silently drop every null row
+    prior_nodata = spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled"
+    )
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     try:
         if mode in ("complete", "update"):
             q = (
@@ -3431,6 +3548,9 @@ def _run_stream_to_parquet(spark, df, tag: str, mode: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
         spark.conf.set("spark.sql.streaming.minBatchesToRetain", prior_retain)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prior_nodata
+        )
     return spark.read.parquet(out_dir)
 
 
@@ -3628,15 +3748,9 @@ def q_stream_stream_join(spark, sf_dir):
 
     # one staged dir, two independent stream readers over it (each side
     # of a stream-stream join is its own source instance regardless)
-    import os
-    import tempfile
-
     from ..sources.tables import stream_events
 
-    src_dir = tempfile.mkdtemp(prefix="q_ssj_src_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{src_dir}/events.parquet"
-    )
+    src_dir = _staged_events_dir(sf_dir)
     clicks = stream_events(spark, src_dir).filter(F.col("event_type") == "click")
     purchases = stream_events(spark, src_dir).filter(
         F.col("event_type") == "purchase"
@@ -15851,12 +15965,15 @@ def q_stream_join_outer(spark, sf_dir):
     rows: a streaming join may only declare a left row unmatched after
     the right watermark passes ``l_ts + horizon``, so a TERMINATING
     run must push the watermark past the data after the data — staged
-    here as two sentinel files (schema-cloned via pyarrow, key −1,
-    event times 1 h and 2 h past max) with ``maxFilesPerTrigger=1``,
-    giving three micro-batches: data, sentinel-1 (whose event time
-    becomes the watermark used by the NEXT batch — watermarks advance
-    between batches, not within one), sentinel-2 (runs with the raised
-    watermark and flushes every buffered unmatched left).
+    as ONE sentinel file (schema-cloned via pyarrow, key −1, event
+    time 1 h past the footer-stats max; _sentinel_staged_events_dir)
+    read in the same micro-batch as the data. Watermarks advance
+    BETWEEN batches, and the availableNow no-data finalization batch
+    then runs under the raised watermark (max + 50 min — past every
+    real l_ts + horizon) and flushes every buffered unmatched left.
+    The earlier staging (two sentinel files, maxFilesPerTrigger=1,
+    three data batches) bought the same emitted set for two extra
+    micro-batch cycles — measured 4.6 → 2.5 s at sf0.1.
 
     SENTINEL DESIGN CONSTRAINT (found the hard way): placing
     ``withWatermark`` upstream of the event-type filter does NOT make
@@ -15865,54 +15982,26 @@ def q_stream_join_outer(spark, sf_dir):
     watermark sees only its own event type (first cut: the purchase
     side's watermark stalled at max(purchase ts) − delay, pinning the
     single latest purchase in state forever — 1 row short of the
-    oracle, and a neutral 'sentinel' type advanced nothing). Each
+    oracle, and a neutral 'sentinel' type advanced nothing). The
     pusher file therefore carries one row of EACH joined type, keyed
-    user −1; the two sentinels pair with each other, and the final
-    aggregate excludes key −1. The emitted row set then equals the
-    batch left join — the oracle; counts aggregate it to a 1-row
-    report. State bounds are the inner join's: both buffers expire
-    against the opposing watermark plus the horizon, so this sustains
-    an unbounded feed."""
-    import datetime
+    user −1; the sentinel pair matches itself inside the data batch,
+    and the final aggregate excludes key −1. The emitted row set then
+    equals the batch left join — the oracle; counts aggregate it to a
+    1-row report. State bounds are the inner join's: both buffers
+    expire against the opposing watermark plus the horizon, so this
+    sustains an unbounded feed."""
     import os
-    import tempfile
-
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from ..sources.tables import convert_nanos_ts
     from ..streaming.windows import stream_stream_join_left_outer
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
-    src_dir = tempfile.mkdtemp(prefix="q_sjo_src_")
-    os.symlink(src, f"{src_dir}/events.parquet")
-    schema = pq.read_schema(src)
-    mx = pc.max(pq.read_table(src, columns=["ts"])["ts"]).as_py()
-    for i in (1, 2):
-        t = mx + datetime.timedelta(hours=i)
-        vals = {
-            "event_id": [-(2 * i), -(2 * i + 1)],
-            "ts": [t, t],
-            "user_id": [-1, -1],
-            "event_type": ["purchase", "click"],
-            "value": [0.0, 0.0],
-            "props": ["{}", "{}"],
-        }
-        pq.write_table(
-            pa.Table.from_arrays(
-                [pa.array(vals[f.name], type=f.type) for f in schema],
-                schema=schema,
-            ),
-            f"{src_dir}/zz_sentinel_{i}.parquet",
-        )
+    src_dir = _sentinel_staged_events_dir(sf_dir)
 
     def one_side(event_type):
-        raw = (
-            spark.readStream.schema(spark.read.parquet(src).schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src_dir)
-        )
+        raw = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src_dir)
         wm = convert_nanos_ts(raw).withWatermark("ts", "10 minutes")
         return wm.filter(F.col("event_type") == event_type)
 
@@ -16482,55 +16571,29 @@ def q_stream_join_full_outer(spark, sf_dir):
     needs the left watermark past r_ts only, since matching lefts can
     never be later than their click), so this query is the proof that
     the pusher staging advances BOTH watermark nodes: the dual-type
-    sentinel design inherited from q_stream_join_outer (each pusher
-    file carries one row of each joined type on key −1, because
-    Catalyst pushes the event-type filter below EventTimeWatermark and
-    a one-type sentinel starves the other side). Sentinel rows pair
-    with each other inside their own batch and are excluded by key;
-    unmatched rows surface the real key on whichever side is non-null,
-    so the filter is on COALESCE of the two keys. The emitted row set
-    then equals the batch FULL JOIN — the oracle. State bounds remain
-    the inner join's on both sides."""
-    import datetime
+    sentinel design shared with q_stream_join_outer via
+    _sentinel_staged_events_dir (the ONE pusher file carries one row
+    of each joined type on key −1, because Catalyst pushes the
+    event-type filter below EventTimeWatermark and a one-type sentinel
+    starves the other side; the availableNow no-data finalization
+    batch then flushes both null classes under the raised watermark).
+    Sentinel rows pair with each other inside the data batch and are
+    excluded by key; unmatched rows surface the real key on whichever
+    side is non-null, so the filter is on COALESCE of the two keys.
+    The emitted row set then equals the batch FULL JOIN — the oracle.
+    State bounds remain the inner join's on both sides."""
     import os
-    import tempfile
-
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
 
     from ..sources.tables import convert_nanos_ts
     from ..streaming.windows import stream_stream_join_full_outer
 
     src = os.path.abspath(f"{sf_dir}/events.parquet")
-    src_dir = tempfile.mkdtemp(prefix="q_sjfo_src_")
-    os.symlink(src, f"{src_dir}/events.parquet")
-    schema = pq.read_schema(src)
-    mx = pc.max(pq.read_table(src, columns=["ts"])["ts"]).as_py()
-    for i in (1, 2):
-        t = mx + datetime.timedelta(hours=i)
-        vals = {
-            "event_id": [-(2 * i), -(2 * i + 1)],
-            "ts": [t, t],
-            "user_id": [-1, -1],
-            "event_type": ["purchase", "click"],
-            "value": [0.0, 0.0],
-            "props": ["{}", "{}"],
-        }
-        pq.write_table(
-            pa.Table.from_arrays(
-                [pa.array(vals[f.name], type=f.type) for f in schema],
-                schema=schema,
-            ),
-            f"{src_dir}/zz_sentinel_{i}.parquet",
-        )
+    src_dir = _sentinel_staged_events_dir(sf_dir)
 
     def one_side(event_type):
-        raw = (
-            spark.readStream.schema(spark.read.parquet(src).schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(src_dir)
-        )
+        raw = spark.readStream.schema(
+            spark.read.parquet(src).schema
+        ).parquet(src_dir)
         wm = convert_nanos_ts(raw).withWatermark("ts", "10 minutes")
         return wm.filter(F.col("event_type") == event_type)
 
@@ -16951,8 +17014,6 @@ def q_ivm_delta(spark, sf_dir):
     q_histogram_merge) covers the mergeable-summary generalization.
     Exact cent-lattice sums; the oracle is the full recompute over
     B ∪ Δ — the identity under test."""
-    import tempfile
-
     cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")
     ev = _t(spark, sf_dir, "events").select(
         (F.col("user_id") % 50).alias("user_bucket"),
@@ -16966,7 +17027,7 @@ def q_ivm_delta(spark, sf_dir):
             F.sum("cents").cast("bigint").alias("sum_cents"),
         )
 
-    view_dir = tempfile.mkdtemp(prefix="q_ivm_view_")
+    view_dir = _stream_tmpdir("q_ivm_view_")
     agg(ev.filter(F.col("event_id") % 10 != 0)).write.mode(
         "overwrite"
     ).parquet(view_dir)
