@@ -148,6 +148,10 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "q_stream_sliding", "q_stream_static_join", "q_stream_stream_join",
     "q_stream_stateful", "q_stream_hll", "q_stream_cep",
     "q_stream_join_outer", "q_stream_join_full_outer", "q_ivm_delta",
+    # round 8: the four exact audit twins were rewritten onto the
+    # distributed rank kernel (operators/ranks.py) — same oracles,
+    # new plans, so they re-enter the driver window too.
+    "q_decile_stats", "q_gini", "q_lorenz_curve", "q_abc_pareto",
 })
 
 

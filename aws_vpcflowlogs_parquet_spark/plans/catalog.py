@@ -4059,15 +4059,26 @@ def q_decile_stats(spark, sf_dir):
     """Curriculum-style difficulty bucketing: global deciles of a score
     column with per-bucket stats. ntile's tie-break is the full
     (price, orderkey) tuple so bucket assignment is total-order
-    deterministic. Stated honestly: a global ntile is a single-partition
-    sort — correct here, but at 100 TB the same query swaps to
-    approx_percentile cut points + a broadcast range join, which keeps the
-    bucketing distributed at the cost of the exact oracle."""
-    t = _t(spark, sf_dir, "orders").select(
+    deterministic. The exact global ntile is DISTRIBUTED: the
+    rank-by-counting kernel (operators/ranks.py with_bucketed_rank,
+    bucket = price/1000 — the same bins q_decile_stats_approx proves)
+    produces the exact global row number with no single-partition
+    sort, and ntile_from_rank reconstructs SQL ntile semantics (first
+    n%10 tiles one row larger) in exact integer arithmetic from
+    (rank, total) — same oracle, scale-safe plan."""
+    from ..operators.ranks import ntile_from_rank, with_bucketed_rank
+
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = with_bucketed_rank(
+        o,
+        F.floor(F.col("o_totalprice") / 1000.0).cast("bigint"),
+        [F.col("o_totalprice"), F.col("o_orderkey")],
+        rank_name="i",
+        total_name="_n_total",
+    )
+    t = ranked.select(
         "o_totalprice",
-        F.ntile(10)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("decile"),
+        ntile_from_rank(F.col("i"), F.col("_n_total"), 10).alias("decile"),
     )
     return t.groupBy("decile").agg(
         F.count("*").alias("n"),
@@ -9752,19 +9763,27 @@ def q_gini(spark, sf_dir):
     cents lattice, the classic rank formula
     G = (2·Σ i·x(i) − (n+1)·Σx) / (n·Σx) runs in pure bigints with ONE
     final double division, and equal-spend ties can't perturb it
-    (swapping ranks among equal x leaves Σ i·x unchanged). The global
-    rank is a window over PER-CUSTOMER aggregates — cardinality
-    customers, not orders; at larger scale the same formula runs on a
-    quantile-bucketed Lorenz curve (q_decile_stats' machinery)."""
+    (swapping ranks among equal x leaves Σ i·x unchanged). The exact
+    global rank comes from the distributed rank-by-counting kernel
+    (operators/ranks.py with_bucketed_rank: broadcast bin-count
+    offsets + in-bin windows, bucket = spend >> 20, ~1 KB-of-bins per
+    decade of spend) — no single-partition exchange over data rows,
+    so the exact form now scales like the bucketed twin
+    (q_gini_bucketed remains the histogram-domain variant)."""
+    from ..operators.ranks import with_bucketed_rank
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
         ).alias("x")
     )
-    ranked = spend.select(
-        "x", F.row_number().over(Window.orderBy("x", "o_custkey")).alias("i")
-    )
+    ranked = with_bucketed_rank(
+        spend,
+        F.shiftright("x", 20),
+        [F.col("x"), F.col("o_custkey")],
+        rank_name="i",
+    ).select("x", "i")
     return ranked.agg(
         F.count("*").alias("n_customers"),
         (
@@ -10014,18 +10033,29 @@ def q_lorenz_curve(spark, sf_dir):
     with a total (x, custkey) order, then per-decile bigint sums whose
     10-row cumulative window is driver-scale; each share is one double
     division of exact integers. The global NTILE runs over per-customer
-    AGGREGATES (cardinality customers, not orders) — at larger scale
-    the decile boundaries come from q_decile_stats' distributed
-    histogram instead of a global sort."""
+    AGGREGATES and is DISTRIBUTED via the rank-by-counting kernel +
+    exact ntile reconstruction (operators/ranks.py — the
+    q_decile_stats machinery, bucket = spend >> 20 as in q_gini); the
+    only unpartitioned window left is the 10-row decile rollup.
+    q_lorenz_bucketed remains the histogram-domain variant."""
+    from ..operators.ranks import ntile_from_rank, with_bucketed_rank
+
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(
             F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("bigint")
         ).alias("x")
     )
-    deciled = spend.select(
+    ranked = with_bucketed_rank(
+        spend,
+        F.shiftright("x", 20),
+        [F.col("x"), F.col("o_custkey")],
+        rank_name="i",
+        total_name="_n_total",
+    )
+    deciled = ranked.select(
         "x",
-        F.ntile(10).over(Window.orderBy("x", "o_custkey")).alias("decile"),
+        ntile_from_rank(F.col("i"), F.col("_n_total"), 10).alias("decile"),
     )
     per = deciled.groupBy("decile").agg(
         F.count("*").alias("n_customers"), F.sum("x").alias("dx")
@@ -12331,11 +12361,15 @@ def q_abc_pareto(spark, sf_dir):
     triage. Revenue is quantized to exact integer cents (floor(x·100
     + 0.5), identical IEEE tree both sides) so the cumulative sums and
     the boundary tests (cum·5 ≤ total·4) are pure BIGINT comparisons —
-    no float boundary flicker. The cumulative window runs over the
-    per-part AGGREGATE (one row per part, not per lineitem); at 100 TB
-    the documented scale path is the two-pass prefix sum (per-range
-    partial totals broadcast back), same as SCALE.md's cumulative
-    family."""
+    no float boundary flicker. The cumulative sum over the per-part
+    aggregate is the DISTRIBUTED two-pass prefix scan
+    (operators/ranks.py with_bucketed_prefix_sum: in-bin running sums
+    + broadcast lower-bin totals, bins = cents >> 16 descending) —
+    the 'documented scale path' of earlier rounds is now the shipped
+    plan, and no single-partition window remains.
+    q_abc_pareto_bucketed stays as the histogram-domain variant."""
+    from ..operators.ranks import with_bucketed_prefix_sum
+
     li = _t(spark, sf_dir, "lineitem")
     cents_expr = F.floor(
         F.col("l_extendedprice")
@@ -12347,12 +12381,14 @@ def q_abc_pareto(spark, sf_dir):
         F.sum(cents_expr).cast("bigint").alias("cents")
     )
     tot = rev.agg(F.sum("cents").cast("bigint").alias("total_cents"))
-    w = Window.orderBy(F.desc("cents"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = rev.select(
-        "cents", F.sum("cents").over(w).cast("bigint").alias("cum_cents")
-    )
+    cum = with_bucketed_prefix_sum(
+        rev,
+        F.shiftright("cents", 16),
+        [F.desc("cents"), F.asc("l_partkey")],
+        F.col("cents"),
+        sum_name="cum_cents",
+        descending=True,
+    ).select("cents", "cum_cents")
     cls = cum.crossJoin(F.broadcast(tot)).select(
         F.when(
             F.col("cum_cents") * 5 <= F.col("total_cents") * 4, "A"

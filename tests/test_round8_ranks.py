@@ -1,0 +1,204 @@
+"""Round-8 distributed exact-rank kernel (operators/ranks.py) pins:
+value parity with single-partition row_number()/running sums, exact
+ntile reconstruction, and the catalog-wide guarantee that every
+remaining unpartitioned window runs over a bounded domain (the round-7
+verdict item: the unpartitioned-window-over-raw/entity-rows set is
+EMPTY)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from aws_vpcflowlogs_parquet_spark.operators.ranks import (
+    ntile_from_rank,
+    with_bucketed_prefix_sum,
+    with_bucketed_rank,
+    with_global_rank,
+    with_prefix_sum,
+)
+
+
+def _sample(spark, n=5000):
+    # deterministic, tie-heavy in the lead key (v has ~50 distinct
+    # values) so the tuple tie-break is actually exercised, spread over
+    # several input partitions
+    return spark.range(n).repartition(8).select(
+        (F.col("id") * F.lit(2654435761) % 50).alias("v"),
+        F.col("id").alias("k"),
+    )
+
+
+def _expected_ranks(df):
+    w = Window.orderBy("v", "k")
+    return {
+        (r.v, r.k): r.i
+        for r in df.select("v", "k", F.row_number().over(w).alias("i")).collect()
+    }
+
+
+def test_with_global_rank_matches_row_number(spark):
+    df = _sample(spark)
+    want = _expected_ranks(df)
+    got = {
+        (r.v, r.k): r.i
+        for r in with_global_rank(
+            df, [F.col("v"), F.col("k")], num_ranges=7
+        ).collect()
+    }
+    assert got == want
+
+
+def test_with_bucketed_rank_matches_row_number(spark):
+    df = _sample(spark)
+    want = _expected_ranks(df)
+    got = {
+        (r.v, r.k): r.i
+        for r in with_bucketed_rank(
+            df, F.shiftright("v", 3), [F.col("v"), F.col("k")]
+        ).collect()
+    }
+    assert got == want
+
+
+def test_bucketed_rank_total_matches_count(spark):
+    df = _sample(spark, n=777)
+    rows = with_bucketed_rank(
+        df,
+        F.shiftright("v", 3),
+        [F.col("v"), F.col("k")],
+        total_name="t",
+    ).collect()
+    assert all(r.t == 777 for r in rows)
+
+
+def test_prefix_sums_match_window_running_sum(spark):
+    df = _sample(spark)
+    w = (
+        Window.orderBy("v", "k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.v, r.k): r.c
+        for r in df.select(
+            "v", "k", F.sum("k").over(w).cast("bigint").alias("c")
+        ).collect()
+    }
+    for got_df in (
+        with_prefix_sum(
+            df, [F.col("v"), F.col("k")], F.col("k"), sum_name="c",
+            num_ranges=7,
+        ),
+        with_bucketed_prefix_sum(
+            df, F.shiftright("v", 3), [F.col("v"), F.col("k")],
+            F.col("k"), sum_name="c",
+        ),
+    ):
+        got = {(r.v, r.k): r.c for r in got_df.collect()}
+        assert got == want
+
+
+def test_bucketed_prefix_sum_descending(spark):
+    df = _sample(spark, n=900)
+    w = (
+        Window.orderBy(F.desc("v"), F.asc("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want = {
+        (r.v, r.k): r.c
+        for r in df.select(
+            "v", "k", F.sum("k").over(w).cast("bigint").alias("c")
+        ).collect()
+    }
+    got = {
+        (r.v, r.k): r.c
+        for r in with_bucketed_prefix_sum(
+            df,
+            F.shiftright("v", 3),
+            [F.desc("v"), F.asc("k")],
+            F.col("k"),
+            sum_name="c",
+            descending=True,
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ntile_from_rank_matches_sql_ntile(spark):
+    # n % k == 0, < k-boundary, and the uneven cases either side
+    for n in (7, 95, 100, 101, 1234):
+        df = spark.range(1, n + 1).select(F.col("id").alias("k"))
+        w = Window.orderBy("k")
+        want = {
+            r.k: r.nt
+            for r in df.select(
+                "k", F.ntile(10).over(w).alias("nt")
+            ).collect()
+        }
+        got = {
+            r.k: r.nt
+            for r in df.select(
+                "k",
+                ntile_from_rank(
+                    F.col("k"), F.lit(n).cast("bigint"), 10
+                ).alias("nt"),
+            ).collect()
+        }
+        assert got == want, f"n={n}"
+
+
+# ------------------------------------------------- catalog-wide sweep
+
+#: Every catalog function still carrying an unpartitioned window, each
+#: justified bounded-domain (bins / deciles / top-k / replicate grids /
+#: sketch registers — never raw or per-entity rows). The four exact
+#: audit twins (q_decile_stats, q_gini, q_lorenz_curve, q_abc_pareto)
+#: were rewritten onto operators/ranks.py in round 8 and MUST stay out.
+BOUNDED_UNPARTITIONED_WINDOW_QUERIES = {
+    "q_abc_pareto_bucketed",   # revenue bins
+    "q_auc",                   # score bins
+    "q_bootstrap_ci",          # 32 replicate aggregates
+    "q_chi2_assoc",            # contingency cells
+    "q_class_balance",         # class rollup
+    "q_cumulative_distinct",   # per-day firsts rollup
+    "q_decile_stats_approx",   # price histogram bins
+    "q_decision_stump",        # feature bins
+    "q_gini_bucketed",         # spend bins
+    "q_hazard_rate",           # lifetime-day bins
+    "q_key_skew",              # top-k key counts
+    "q_ks_drift",              # value bins
+    "q_lorenz_bucketed",       # spend bins
+    "q_lorenz_curve",          # 10 deciles (rank itself is bucketed)
+    "q_rank_overlap",          # two bounded top-k lists
+    "q_rank_sum",              # value bins (rank-by-counting)
+    "q_rolling_regression",    # bounded day spine
+    "q_split_assign",          # 3 split rows
+    "q_token_budget",          # source aggregates capped by take
+    "q_vocab_growth",          # vocab-first-day bins
+    "q_zipf_check",            # top-30 tokens
+}
+
+
+def test_no_unpartitioned_window_over_unbounded_input():
+    """Source-level sweep: the set of catalog functions containing an
+    unpartitioned window (Window.orderBy(...) / Window.partitionBy())
+    equals the reviewed bounded-domain allowlist exactly — both
+    directions, so a new scale-weak window cannot land silently and a
+    stale allowlist entry cannot linger."""
+    import aws_vpcflowlogs_parquet_spark.plans.catalog as cat
+
+    src = open(cat.__file__.replace(".pyc", ".py")).read()
+    cur, sites = None, set()
+    for line in src.split("\n"):
+        m = re.match(r"^def (\w+)\(", line)
+        if m:
+            cur = m.group(1)
+        if re.search(r"Window\.orderBy\(|Window\.partitionBy\(\)", line):
+            sites.add(cur)
+    assert sites == BOUNDED_UNPARTITIONED_WINDOW_QUERIES
+    for retired in (
+        "q_decile_stats", "q_gini", "q_abc_pareto",
+    ):
+        assert retired not in sites
