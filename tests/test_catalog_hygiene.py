@@ -47,3 +47,16 @@ def test_survey_staged_inventory_matches_staging_exactly():
     sec25 = s.split("### 2.5", 1)[1].split("\n---", 1)[0]
     rows = set(re.findall(r"^\| `(q_\w+)`", sec25, re.M))
     assert rows == set(STAGED_QUERIES), sorted(rows ^ set(STAGED_QUERIES))
+
+
+def test_readme_query_count_matches_catalog():
+    # README is the repo's front door; its stated catalog size drifted
+    # twice (round-7 verdict: "298" vs 300 registered). Pin every
+    # "N queries"/"N-query" mention to len(QUERIES).
+    import re
+
+    text = open("/root/repo/README.md", encoding="utf-8").read()
+    counts = re.findall(r"(\d+)[- ]quer(?:y|ies)", text)
+    assert counts, "README should state the catalog size"
+    for c in counts:
+        assert int(c) == len(QUERIES), (c, len(QUERIES))
