@@ -152,6 +152,9 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     # distributed rank kernel (operators/ranks.py) — same oracles,
     # new plans, so they re-enter the driver window too.
     "q_decile_stats", "q_gini", "q_lorenz_curve", "q_abc_pareto",
+    # round 8: wedges() pre-flight reworked (caller-supplied degree
+    # bounds + call-site persist decisions) — the consumers re-verify.
+    "q_graph_2hop", "q_node_jaccard", "q_resource_alloc",
 })
 
 

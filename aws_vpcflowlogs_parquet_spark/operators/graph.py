@@ -177,6 +177,7 @@ def wedges(
     edges: DataFrame,
     hub_threshold: int = WEDGE_HUB_THRESHOLD,
     n_salts: int = WEDGE_SALTS,
+    max_degree: int | None = None,
 ) -> DataFrame:
     """All length-2 paths ``(a, z, c)`` (``a—z—c``, ``a != c``) of a
     symmetric edge list, with an explicit super-node guard (r6 VERDICT
@@ -204,15 +205,28 @@ def wedges(
     degree CAP (dropping or sampling hub wedges) changes results and so
     lives with the caller, not here. Consumers: q_graph_2hop,
     q_node_jaccard, q_resource_alloc.
+
+    Pre-flight cost (r7 ADVICE): the max-degree aggregate is an EAGER
+    job at DataFrame-construction time, and callers typically pass an
+    unpersisted distinct-edge derivation — so the edge relation is
+    persisted here first (one computation feeds both the pre-flight and
+    the self-join), unless the caller supplies ``max_degree`` from
+    stats it already has (q_degree_stats output, catalog statistics),
+    which skips the pre-flight job entirely.
     """
+    if max_degree is None:
+        from ..caching import track_persist
+
+        edges = track_persist(edges)
+        max_degree = (
+            edges.groupBy("a")
+            .agg(F.count("*").alias("d"))
+            .agg(F.max("d").alias("m"))
+            .collect()[0]["m"]
+        )
+    max_deg = max_degree
     e1 = edges.select("a", F.col("b").alias("z"))
     e2 = edges.select(F.col("a").alias("z"), F.col("b").alias("c"))
-    max_deg = (
-        edges.groupBy("a")
-        .agg(F.count("*").alias("d"))
-        .agg(F.max("d").alias("m"))
-        .collect()[0]["m"]
-    )
     if max_deg is not None and max_deg > hub_threshold:
         e1 = e1.withColumn("_salt", F.pmod(F.hash("a"), F.lit(n_salts)))
         e2 = e2.withColumn(

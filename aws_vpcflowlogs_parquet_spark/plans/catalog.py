@@ -11684,8 +11684,11 @@ def q_graph_2hop(spark, sf_dir):
     generation over 8 tasks with an identical pair set."""
     from ..operators.graph import sym_edges, wedges
 
+    # max degree provably ≤ mod − 1 = 40 (the graph has ≤ 41 nodes), so
+    # the guard takes the bound instead of running its pre-flight job
+    # (r7 ADVICE: the eager collect was re-deriving the edges twice)
     sym = sym_edges(_t(spark, sf_dir, "events"), 41)
-    two = wedges(sym).select("a", "c").distinct()
+    two = wedges(sym, max_degree=40).select("a", "c").distinct()
     strict2 = two.join(
         sym.select("a", F.col("b").alias("c")),
         ["a", "c"],
@@ -12510,10 +12513,15 @@ def q_node_jaccard(spark, sf_dir):
     hash joins on node ids."""
     from ..operators.graph import sym_edges, wedges
 
+    # max degree provably ≤ 40 (see q_graph_2hop) — pass the bound,
+    # skip the pre-flight; re-deriving the tiny edge relation per
+    # consumer measured FASTER than caching it (1.13 s vs 2.03 s at
+    # sf0.1: a 32-partition cached relation adds task scheduling that
+    # outweighs recomputing 1.6k edges)
     sym = sym_edges(_t(spark, sf_dir, "events"), 41)
     deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
     wedge = (
-        wedges(sym)
+        wedges(sym, max_degree=40)
         .filter(F.col("a") < F.col("c"))
         .groupBy("a", "c")
         .agg(F.count("*").cast("bigint").alias("common"))
@@ -14199,11 +14207,17 @@ def q_resource_alloc(spark, sf_dir):
     non-adjacency, one broadcast degree join keyed on the
     intermediate node, one grouped sum, TakeOrdered(20) on the
     (ra_micro, a, c) total order."""
+    from ..caching import track_persist
     from ..operators.graph import sym_edges, wedges
 
-    sym = sym_edges(_t(spark, sf_dir, "events"), 499)
+    # max degree provably ≤ mod − 1 = 498 < hub threshold — pass the
+    # bound instead of the pre-flight job; unlike the mod-41 queries
+    # this one PERSISTS the edge relation, because the saturated
+    # mod-499 derivation (~124k edges from the 2 M-event scan) feeds
+    # four consumers and caching it measured 5.8 → 3.4 s at sf0.1
+    sym = track_persist(sym_edges(_t(spark, sf_dir, "events"), 499))
     deg = sym.groupBy("a").agg(F.count("*").cast("bigint").alias("d"))
-    wedge = wedges(sym).filter(F.col("a") < F.col("c"))
+    wedge = wedges(sym, max_degree=498).filter(F.col("a") < F.col("c"))
     cand = wedge.join(
         sym.select("a", F.col("b").alias("c")), ["a", "c"], "left_anti"
     )
@@ -15135,7 +15149,17 @@ def q_gini_bucketed(spark, sf_dir):
     it). The only window is the cumulative sum over BINS; the oracle
     replays the identical integer arithmetic, so the driver
     hash-compares exactly. num/den ship alongside the one double
-    division."""
+    division.
+
+    MAGNITUDE BOUND (r7 ADVICE — Spark's non-ANSI bigint wraps
+    silently where DuckDB promotes to HUGEINT): the largest product is
+    N·S (customers × total spend cents) ≈ 1.5e5·sf × 2.3e13·sf, so
+    int64 headroom (9.2e18) holds through sf ≈ 1 and WRAPS beyond —
+    past that, move gini_num/gini_den onto DECIMAL(38,0) on BOTH
+    engines (exact to 1e38; same plan, partial aggregation kept since
+    decimal sums stay associative) rather than trusting a green
+    small-sf run. The sf0.1 stress drive exercises ~1e16 — 3 decades
+    of slack."""
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(
@@ -15311,7 +15335,13 @@ def q_abc_pareto_bucketed(spark, sf_dir):
     BIGINT comparisons cum·5 ≤ total·4 / cum·20 ≤ total·19. Class
     counts and mass come straight from the histogram — no second pass
     over parts, no join back. At any scale the only single-partition
-    work is |bins| rows, bounded by the revenue domain."""
+    work is |bins| rows, bounded by the revenue domain.
+
+    MAGNITUDE BOUND (r7 ADVICE): the largest product is total
+    cents × 20 ≈ 4.6e14·sf × 20 — int64 holds through sf ≈ 1000;
+    beyond that the boundary tests move to DECIMAL(38,0) on both
+    engines (q_gini_bucketed documents the same escape at its much
+    tighter sf ≈ 1 bound)."""
     li = _t(spark, sf_dir, "lineitem")
     cents_expr = F.floor(
         F.col("l_extendedprice")
@@ -15397,7 +15427,14 @@ def q_embedding_covariance(spark, sf_dir):
     partitioning-independent and the driver hash-compares exactly.
     The explicit repartition(32) fans the single test-scale parquet
     split across cores (the q_label_noise lesson); at 100 TB the scan
-    has natural splits and each emits one matrix."""
+    has natural splits and each emits one matrix.
+
+    MAGNITUDE BOUND (r7 ADVICE): each cell partial is Σ over vectors
+    of |v_i·v_j|·1e12 ≤ 1e12 per unit-normalized pair, so int64 wraps
+    past ~9.2e6·(1/sf-density) vectors per cell — ≈ 9 M vectors, i.e.
+    sf ≈ 150 here. Past that the cell lattice coarsens (1e-9) or the
+    partials move to DECIMAL(38,0); both are one-line swaps replayed
+    identically in the oracle."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def partial_gram(batches):
