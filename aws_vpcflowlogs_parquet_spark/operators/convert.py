@@ -66,6 +66,7 @@ def convert_flowlogs(
     strict: bool = True,
     overwrite_partitions: bool = True,
     src_partition: bool = False,
+    source: str = "text",
 ) -> list[tuple[str, ...]]:
     """Convert raw flow-log text files into the partitioned Parquet table.
 
@@ -92,11 +93,42 @@ def convert_flowlogs(
     corrected input overwrites them idempotently). This diverges from the
     reference's write-nothing abort (convert.go:48-50) in exchange for
     not scanning 100 TB of source twice.
+
+    ``source="datasource"`` runs the same conversion through the
+    pluggable Python DataSource (sources/flowlog_datasource.py — the
+    rlogs.Read contract as one registered format). There strict parsing
+    aborts the TASK, so the write commit protocol discards all output —
+    the reference's write-nothing abort exactly, at Python-worker speed
+    (the pluggability surface; "text" remains the codegen hot path).
+    ``src_partition`` requires the text source: ``input_file_name()``
+    is empty inside a Python DataSource scan.
     """
     if isinstance(src_paths, str):
         src_paths = [src_paths]
-    lines = spark.read.text(src_paths)
-    parsed, parse_obs = parse_flowlog_lines_observed(lines)
+    parse_obs = None
+    if source == "datasource":
+        if src_partition:
+            raise ValueError(
+                "src_partition requires source='text' "
+                "(input_file_name() is empty in a Python DataSource scan)"
+            )
+        from functools import reduce
+
+        from ..sources.flowlog_datasource import register_flowlog_source
+
+        register_flowlog_source(spark)
+        parsed = reduce(
+            DataFrame.unionAll,
+            [
+                spark.read.format("flowlog")
+                .option("strict", str(bool(strict)).lower())
+                .load(p)
+                for p in src_paths
+            ],
+        )
+    else:
+        lines = spark.read.text(src_paths)
+        parsed, parse_obs = parse_flowlog_lines_observed(lines)
     partitioned = with_partition_columns(parsed).drop("start_time")
 
     part_cols = list(PARTITION_COLUMNS)
@@ -127,11 +159,18 @@ def convert_flowlogs(
             .partitionBy(*part_cols)
             .parquet(dst_path, compression="snappy")
         )
+    except Exception as exc:  # noqa: BLE001 — surface the source's abort
+        # datasource-strict parse failures abort the task and the commit
+        # protocol discards the write (the reference's write-nothing
+        # abort); re-raise under the parser's typed error
+        if "malformed flow log line" in str(exc):
+            raise FlowLogParseError(str(exc)) from exc
+        raise
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     keys = sorted(tuple(r[c] for c in part_cols) for r in key_obs.get["pkeys"])
-    if strict:
+    if strict and parse_obs is not None:
         try:
             raise_if_malformed(parse_obs)
         except FlowLogParseError as err:
