@@ -17545,6 +17545,426 @@ def q_rank_overlap(spark, sf_dir):
     )
 
 
+# =====================================================================
+# Round 8: engine-surface mechanisms (Spark 4 SQL recursion, VARIANT,
+# state-store introspection, CBO statistics) and estimator kernels
+# =====================================================================
+
+
+@register(
+    "q_recursive_cte",
+    oracle="""
+    WITH RECURSIVE walk(node, depth, cents) AS (
+      SELECT c_custkey, 0,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+      FROM customer WHERE c_custkey < 10
+      UNION ALL
+      SELECT c.c_custkey, w.depth + 1,
+             CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)
+      FROM customer c JOIN walk w ON c.c_custkey // 10 = w.node
+      WHERE c.c_custkey >= 10
+    )
+    SELECT depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(cents) AS BIGINT) AS acctbal_cents
+    FROM walk GROUP BY depth ORDER BY depth
+    """,
+)
+def q_recursive_cte(spark, sf_dir):
+    """SQL-native recursion — Spark 4's ``WITH RECURSIVE`` (the engine
+    surface the catalog's driver-loop iterations — q_recursive_bfs,
+    q_pagerank, q_scc — deliberately do NOT use): a customer hierarchy
+    walk where node c's parent is ``c div 10`` (a forest rooted at
+    custkey < 10, depth = one digit per level, so recursion depth is
+    log₁₀|customers| — bounded by the KEY DOMAIN, the recursion-safety
+    argument itself). Each recursive step is one equi-join the engine
+    plans and unions level-by-level internally; the oracle runs the
+    IDENTICAL recursive CTE in DuckDB (both dialects since SQL:1999),
+    making this the one iteration in the catalog whose loop lives
+    inside BOTH engines rather than in driver code. Per-depth rollup
+    on the exact cents lattice. At 100 TB the per-level join is an
+    ordinary shuffled/broadcast hash join; Spark's recursion-level
+    limit (default 100) is the runaway guard."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_rc")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, depth, cents) AS (
+          SELECT c_custkey, 0,
+                 CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)
+          FROM customer_rc WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, w.depth + 1,
+                 CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)
+          FROM customer_rc c JOIN walk w ON c.c_custkey div 10 = w.node
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(SUM(cents) AS BIGINT) AS acctbal_cents
+        FROM walk GROUP BY depth ORDER BY depth
+        """
+    )
+
+
+@register(
+    "q_variant_extract",
+    oracle="""
+    WITH j AS (
+      SELECT '{"id": ' || CAST(event_id AS VARCHAR)
+             || ', "tag": "' || event_type || '", "nested": ' || props
+             || '}' AS doc
+      FROM events
+    ),
+    x AS (
+      SELECT CAST(json_extract(doc, '$.nested.k') AS INT) AS k,
+             CAST(json_extract(doc, '$.id') AS BIGINT) AS id,
+             json_extract_string(doc, '$.tag') AS tag
+      FROM j
+    )
+    SELECT tag, k // 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id) AS BIGINT) AS id_sum
+    FROM x GROUP BY tag, k_bucket
+    """,
+)
+def q_variant_extract(spark, sf_dir):
+    """Semi-structured data through Spark 4's VARIANT type — the
+    engine's answer to schemaless JSON columns (binary-encoded, typed
+    path access without schema-on-write): documents assemble from the
+    events table (id + tag + the real ``props`` payload nested one
+    level down), ``parse_json`` produces VARIANT once, and
+    ``variant_get`` extracts typed paths — unlike q_json_funcs'
+    string-walking ``get_json_object``, the VARIANT encoding is parsed
+    ONCE and every extraction is a binary path lookup, which is the
+    100 TB difference for wide multi-path access. The oracle replays
+    the same paths with DuckDB's JSON extractors; all outputs land on
+    integer/string domains so the comparison is exact."""
+    ev = _t(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"id": '),
+        F.col("event_id").cast("string"),
+        F.lit(', "tag": "'),
+        F.col("event_type"),
+        F.lit('", "nested": '),
+        F.col("props"),
+        F.lit("}"),
+    )
+    v = ev.select(F.parse_json(doc).alias("v"))
+    x = v.select(
+        F.variant_get("v", "$.nested.k", "int").alias("k"),
+        F.variant_get("v", "$.id", "bigint").alias("id"),
+        F.variant_get("v", "$.tag", "string").alias("tag"),
+    )
+    return x.groupBy(
+        "tag", F.expr("k div 10").alias("k_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("id").cast("bigint").alias("id_sum"),
+    )
+
+
+@register(
+    "q_state_introspect",
+    oracle="""
+    SELECT CAST(user_id % 50 AS BIGINT) AS user_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events GROUP BY user_bucket
+    """,
+)
+def q_state_introspect(spark, sf_dir):
+    """Streaming state as a QUERYABLE TABLE — Spark 4's State Data
+    Source reader (``spark.read.format("statestore")``), the
+    operational surface for debugging a live stateful pipeline without
+    stopping it: run the keyed count/sum aggregation as an availableNow
+    stream (the q_ivm_delta view shape), then read the aggregation's
+    STATE STORE FILES from the checkpoint and return them as rows. The
+    assertion is semantic, not cosmetic: for a complete-mode aggregate
+    after one drain, state ≡ the batch GROUP BY — so the oracle is the
+    plain aggregate, and a hash match proves the checkpoint's binary
+    state files decode to exactly the numbers the engine claims to be
+    maintaining. At scale this is how state skew, leaked keys, and
+    watermark-eviction bugs are diagnosed in place (partition_id is in
+    the source schema; dropped here to keep the oracle engine-neutral)."""
+    stream = _staged_event_stream(spark, sf_dir, "q_state_int")
+    agg = stream.groupBy(
+        (F.col("user_id") % 50).alias("user_bucket")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("bigint")
+        ).alias("sum_cents"),
+    )
+    import os
+
+    out_dir = _stream_tmpdir("q_state_int_out_")
+    ckpt = _stream_tmpdir("q_state_int_ckpt_")
+    batch_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_PARTITIONS", "6"),
+    )
+    try:
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda b, _eid: b.coalesce(4)
+                .write.mode("overwrite")
+                .parquet(out_dir)
+            )
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
+    state = spark.read.format("statestore").load(ckpt)
+    flat = state.select("key.*", "value.*").toDF(
+        "user_bucket", "n_events", "sum_cents"
+    )
+    return flat.select(
+        F.col("user_bucket").cast("bigint"),
+        F.col("n_events").cast("bigint"),
+        F.col("sum_cents").cast("bigint"),
+    )
+
+
+@register(
+    "q_kaplan_meier",
+    oracle="""
+    WITH life AS (
+      SELECT user_id,
+             date_diff('day', MIN(ts), MAX(ts)) AS t,
+             CASE WHEN user_id % 4 != 0 THEN 1 ELSE 0 END AS ev
+      FROM events GROUP BY user_id
+    ),
+    bins AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS c
+      FROM life GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(SUM(c) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_risk
+      FROM bins
+    )
+    SELECT r.t AS t_days, r.d AS n_events, r.n_risk,
+           (SELECT list_reduce(
+                     list_prepend(1.0, list(
+                       1.0 - CAST(r2.d AS DOUBLE) / CAST(r2.n_risk AS DOUBLE)
+                       ORDER BY r2.t)),
+                     (acc, x) -> acc * x)
+            FROM risk r2 WHERE r2.d > 0 AND r2.t <= r.t) AS survival
+    FROM risk r WHERE r.d > 0
+    """,
+)
+def q_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival estimator — the right-censored lifetime
+    curve behind churn/retention and failure analysis (q_hazard_rate's
+    integral twin): per-user lifetime in days with a deterministic
+    25 % censoring rule, per-day death counts d(t), risk sets n(t) as
+    a REVERSE cumulative over the bounded day domain, and
+    S(t) = Π_{s≤t} (1 − d(s)/n(s)). The product is the mechanism
+    worth pinning: both engines fold the SAME ascending-t factor list
+    (Spark ``aggregate`` over a sorted array slice, DuckDB
+    ``list_reduce`` over an ORDER BY t list), so the float product is
+    the identical IEEE sequence — bit-exact without a log/exp detour,
+    the only order-stable way to compare multiplicative estimators
+    across engines. All windows/folds run over ≤|day-domain| rows;
+    the per-user lifetime agg is the only data-scale pass."""
+    ev = _t(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("t"),
+        F.when(F.col("user_id") % 4 != 0, 1).otherwise(0).alias("ev"),
+    )
+    bins = life.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    w_rev = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = bins.select(
+        "t", "d", F.sum("c").over(w_rev).cast("bigint").alias("n_risk")
+    ).filter(F.col("d") > 0)
+    # one sorted factor array (bounded by the day domain), folded per
+    # output row over its t-prefix — ascending order on both engines
+    arr = risk.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "n_risk"))
+        ).alias("steps")
+    )
+    return (
+        risk.crossJoin(F.broadcast(arr))
+        .select(
+            F.col("t").alias("t_days"),
+            F.col("d").alias("n_events"),
+            "n_risk",
+            F.aggregate(
+                F.filter("steps", lambda e: e["t"] <= F.col("t")),
+                F.lit(1.0),
+                lambda acc, e: acc
+                * (
+                    F.lit(1.0)
+                    - e["d"].cast("double") / e["n_risk"].cast("double")
+                ),
+            ).alias("survival"),
+        )
+    )
+
+
+@register(
+    "q_hits",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT user_id % 499 AS s,
+             (3 * user_id + event_id) % 499 AS d
+      FROM events WHERE user_id % 499 != (3 * user_id + event_id) % 499
+    ),
+    a1 AS (SELECT d AS node, CAST(COUNT(*) AS BIGINT) AS a1 FROM e GROUP BY d),
+    h1 AS (
+      SELECT e.s AS node, CAST(SUM(a1.a1) AS BIGINT) AS h1
+      FROM e JOIN a1 ON e.d = a1.node GROUP BY e.s
+    ),
+    a2 AS (
+      SELECT e.d AS node, CAST(SUM(h1.h1) AS BIGINT) AS a2
+      FROM e JOIN h1 ON e.s = h1.node GROUP BY e.d
+    )
+    SELECT a2.node, a2.a2, COALESCE(a1.a1, 0) AS a1, COALESCE(h1.h1, 0) AS h1
+    FROM a2 LEFT JOIN a1 ON a1.node = a2.node
+            LEFT JOIN h1 ON h1.node = a2.node
+    ORDER BY a2.a2 DESC, a2.node LIMIT 20
+    """,
+)
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities — Kleinberg's alternating bipartite
+    power iteration (the OTHER eigenvector centrality; q_pagerank walks
+    a stochastic matrix, HITS alternates A^T·h / A·a), run UNNORMALIZED
+    for two half-rounds so every score stays an exact BIGINT path
+    count: a₁ = in-degree, h₁(i) = Σ_{i→j} a₁(j) (2-path counts into
+    i's out-neighborhood), a₂(j) = Σ_{i→j} h₁(i). Skipping the usual
+    L2 normalization is what makes the iteration oracle-exact — rank
+    order at each iterate is normalization-invariant, which is the
+    property anyone consuming top-k hubs/authorities actually uses.
+    Each half-round is one broadcast-joined agg on the ≤499-node score
+    table against the distinct edge list; top-20 compiles to
+    TakeOrderedAndProject. At 100 TB: same shape, score table keyed by
+    node — the edge scan dominates, exactly like q_pagerank's rounds."""
+    ev = _t(spark, sf_dir, "events")
+    s = (F.col("user_id") % 499).alias("s")
+    d = ((F.lit(3) * F.col("user_id") + F.col("event_id")) % 499).alias("d")
+    e = track_persist(
+        ev.select(s, d).filter(F.col("s") != F.col("d")).distinct()
+    )
+    a1 = e.groupBy(F.col("d").alias("node")).agg(
+        F.count("*").cast("bigint").alias("a1")
+    )
+    h1 = (
+        e.join(F.broadcast(a1), e["d"] == a1["node"])
+        .groupBy(F.col("s").alias("node"))
+        .agg(F.sum("a1").cast("bigint").alias("h1"))
+    )
+    a2 = (
+        e.join(F.broadcast(h1), e["s"] == h1["node"])
+        .groupBy(F.col("d").alias("node"))
+        .agg(F.sum("h1").cast("bigint").alias("a2"))
+    )
+    return (
+        a2.join(F.broadcast(a1), "node", "left")
+        .join(F.broadcast(h1), "node", "left")
+        .select(
+            "node",
+            "a2",
+            F.coalesce("a1", F.lit(0)).cast("bigint").alias("a1"),
+            F.coalesce("h1", F.lit(0)).cast("bigint").alias("h1"),
+        )
+        .orderBy(F.desc("a2"), F.asc("node"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_analyze_stats",
+    oracle="""
+    SELECT col_name,
+           CAST(min_val AS BIGINT) AS min_val,
+           CAST(max_val AS BIGINT) AS max_val,
+           CAST(0 AS BIGINT) AS n_nulls,
+           CAST(n_rows AS BIGINT) AS n_rows
+    FROM (
+      SELECT 'o_custkey' AS col_name, MIN(o_custkey) AS min_val,
+             MAX(o_custkey) AS max_val, COUNT(*) AS n_rows FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', MIN(o_orderkey), MAX(o_orderkey), COUNT(*)
+      FROM orders
+    )
+    """,
+)
+def q_analyze_stats(spark, sf_dir):
+    """Cost-based-optimizer statistics as a FIRST-CLASS queryable
+    surface: ``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` runs
+    the engine's own stats collection over a catalog table, and the
+    query returns what the CATALOG now believes (parsed from
+    ``DESCRIBE EXTENDED table column``) — min/max/null-count per
+    column plus the table row count. The oracle recomputes the same
+    facts directly from the data, so a hash match proves the
+    optimizer's inputs are EXACT for these fields (ndv is the one
+    HLL-approximate stat, deliberately excluded). The plan-level
+    payoff — CBO size estimates flipping a join strategy once stats
+    exist — is pinned by tests/test_round8_mechanisms.py, which is the
+    point: at 100 TB, stale or missing stats are a plan-quality
+    incident, and this query is the audit that catches them."""
+    import os.path
+    import re as _re
+    import shutil
+    import urllib.parse
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    spark.sql("DROP TABLE IF EXISTS r8_stats_orders")
+    # DROP clears THIS session's catalog; a managed-table location left
+    # by an earlier process (the in-memory catalog forgets, the
+    # warehouse dir does not) still blocks CREATE — remove it too
+    wh = urllib.parse.urlparse(
+        spark.conf.get("spark.sql.warehouse.dir")
+    ).path or spark.conf.get("spark.sql.warehouse.dir")
+    shutil.rmtree(os.path.join(wh, "r8_stats_orders"), ignore_errors=True)
+    o.write.mode("overwrite").saveAsTable("r8_stats_orders")
+    spark.sql(
+        "ANALYZE TABLE r8_stats_orders COMPUTE STATISTICS "
+        "FOR COLUMNS o_orderkey, o_custkey"
+    )
+    n_rows = None
+    for r in spark.sql("DESCRIBE EXTENDED r8_stats_orders").collect():
+        if r.col_name == "Statistics":
+            m = _re.search(r"(\d+) rows", r.data_type)
+            n_rows = int(m.group(1)) if m else None
+    rows = []
+    for col in ("o_custkey", "o_orderkey"):
+        info = {
+            r.info_name: r.info_value
+            for r in spark.sql(
+                f"DESCRIBE EXTENDED r8_stats_orders {col}"
+            ).collect()
+        }
+        rows.append(
+            (
+                col,
+                int(info["min"]),
+                int(info["max"]),
+                int(info["num_nulls"]),
+                n_rows,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "col_name string, min_val bigint, max_val bigint, "
+        "n_nulls bigint, n_rows bigint",
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")
