@@ -17965,6 +17965,191 @@ def q_analyze_stats(spark, sf_dir):
     )
 
 
+@register(
+    "q_dbscan_grid",
+    oracle="""
+    WITH RECURSIVE pts AS (
+      SELECT CAST(floor(CAST(embedding[1] AS DOUBLE) / 0.25) AS BIGINT) AS cx,
+             CAST(floor(CAST(embedding[2] AS DOUBLE) / 0.25) AS BIGINT) AS cy
+      FROM embeddings
+    ),
+    cells AS (
+      SELECT (cx + 500) * 100000 + (cy + 500) AS cid, cx, cy,
+             CAST(COUNT(*) AS BIGINT) AS n_pts
+      FROM pts GROUP BY cx, cy
+    ),
+    core AS (SELECT * FROM cells WHERE n_pts >= 3),
+    adj AS (
+      SELECT a.cid AS u, b.cid AS v
+      FROM core a JOIN core b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+    ),
+    reach AS (
+      SELECT cid AS v, cid AS r FROM core
+      UNION
+      SELECT adj.v, reach.r FROM reach JOIN adj ON adj.u = reach.v
+    ),
+    labels AS (SELECT v AS cid, MIN(r) AS cluster_id FROM reach GROUP BY v)
+    SELECT l.cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(c.n_pts) AS BIGINT) AS n_points
+    FROM labels l JOIN core c ON c.cid = l.cid
+    GROUP BY l.cluster_id
+    """,
+)
+def q_dbscan_grid(spark, sf_dir):
+    """Grid-DBSCAN — density-based clustering at corpus scale (the
+    clustering family's third member after q_kmeans_step's centroid
+    iteration and q_dedup_clusters' similarity components): embedding
+    points quantize to ε-cells, a cell is CORE when it holds ≥ minPts
+    points, and clusters are connected components of the 8-adjacent
+    core-cell graph. The decomposition is the scale story: the one
+    data-scale pass is the per-cell count (map-side-combined hash agg);
+    everything after runs on the CELL DOMAIN, bounded by
+    (value-range/ε)² — independent of row count — so the
+    component-merging union-find is driver-side bounded metadata (the
+    q_quantile_bisect posture: ≤ ~10³ cells here), and the labeling
+    broadcasts back. Points in non-core cells are noise by the grid
+    variant's definition (documented simplification vs exact DBSCAN's
+    border-point rule). The oracle computes the same components as a
+    recursive-CTE closure — tractable for DuckDB precisely because the
+    domain is bounded, the same argument that licenses the driver-side
+    union-find."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.element_at
+    pts = emb.select(
+        F.floor(e("embedding", 1).cast("double") / 0.25)
+        .cast("bigint")
+        .alias("cx"),
+        F.floor(e("embedding", 2).cast("double") / 0.25)
+        .cast("bigint")
+        .alias("cy"),
+    )
+    cells = pts.groupBy("cx", "cy").agg(
+        F.count("*").cast("bigint").alias("n_pts")
+    )
+    core = cells.filter(F.col("n_pts") >= 3).select(
+        ((F.col("cx") + 500) * 100000 + (F.col("cy") + 500)).alias("cid"),
+        "cx",
+        "cy",
+        "n_pts",
+    )
+    # bounded-metadata union-find: |core| ≤ (range/ε)² by the value
+    # domain, never by data size — the sanctioned collect shape
+    rows = core.select("cid", "cx", "cy").collect()
+    by_pos = {(r.cx, r.cy): r.cid for r in rows}
+    parent = {r.cid: r.cid for r in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (cx, cy), cid in by_pos.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nb = by_pos.get((cx + dx, cy + dy))
+                if nb is not None:
+                    ra, rb = find(cid), find(nb)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    labels = [(cid, find(cid)) for cid in parent]
+    lab = spark.createDataFrame(labels, "cid bigint, cluster_id bigint")
+    return (
+        core.join(F.broadcast(lab), "cid")
+        .groupBy("cluster_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cells"),
+            F.sum("n_pts").cast("bigint").alias("n_points"),
+        )
+    )
+
+
+@register(
+    "q_collation_group",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN upper(event_type)
+                  ELSE event_type END AS name,
+             user_id
+      FROM events
+    )
+    SELECT MIN(name) AS canonical,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT name) AS BIGINT) AS n_raw_forms,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM s GROUP BY name COLLATE NOCASE
+    """,
+)
+def q_collation_group(spark, sf_dir):
+    """Collation-aware grouping — Spark 4's COLLATE surface (grouping,
+    joins and comparisons under linguistic rather than binary string
+    semantics, pushed into the ENGINE instead of lower()-normalizing
+    every call site): event types with synthesized mixed casing group
+    under UTF8_LCASE, the oracle under DuckDB's NOCASE — two different
+    collation engines that must produce the same partition of the data.
+    The exported key is MIN(raw) under BINARY comparison (both engines'
+    default for the un-collated aggregate input), so the row content is
+    engine-neutral even though each engine may pick a different
+    internal group representative. Counts are exact. At 100 TB a
+    collated group-by hashes the collation key exactly like any other
+    shuffle — the win is semantic, not physical."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        F.when(
+            F.col("event_id") % 2 == 0, F.upper("event_type")
+        )
+        .otherwise(F.col("event_type"))
+        .alias("name"),
+        "user_id",
+    )
+    s.createOrReplaceTempView("collate_src")
+    return spark.sql(
+        """
+        SELECT MIN(name) AS canonical,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT name) AS BIGINT) AS n_raw_forms,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM collate_src GROUP BY name COLLATE UTF8_LCASE
+        """
+    )
+
+
+@register(
+    "q_pipe_syntax",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+             AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax — Spark 4's ``|>`` operators (the linear
+    FROM-first dataflow form of SQL): scan |> filter |> aggregate,
+    compiled by the SAME parser/optimizer into the identical plan as
+    the nested SELECT the oracle runs. Registered as surface proof
+    that the engine's second SQL dialect produces hash-identical
+    results — the plan is the ordinary pushdown-filter + hash-agg
+    every GROUP BY compiles to."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n,
+                     CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS cents
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n, cents
+        """
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")
