@@ -167,6 +167,7 @@ BOUNDED_UNPARTITIONED_WINDOW_QUERIES = {
     "q_decision_stump",        # feature bins
     "q_gini_bucketed",         # spend bins
     "q_hazard_rate",           # lifetime-day bins
+    "q_kaplan_meier",          # lifetime-day bins (reverse risk sets)
     "q_key_skew",              # top-k key counts
     "q_ks_drift",              # value bins
     "q_lorenz_bucketed",       # spend bins
