@@ -18150,6 +18150,192 @@ def q_pipe_syntax(spark, sf_dir):
     )
 
 
+@register(
+    "q_interval_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id % 50 AS ub,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + 600000000 AS e
+      FROM events
+    ),
+    b AS (
+      SELECT ub, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT ub, e AS t, -1 AS d FROM iv
+    ),
+    sweep AS (
+      SELECT ub, t, d,
+             SUM(d) OVER (PARTITION BY ub ORDER BY t, d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active,
+             LEAD(t) OVER (PARTITION BY ub ORDER BY t, d DESC) AS nxt
+      FROM b
+    )
+    SELECT ub AS user_bucket,
+           CAST(SUM(CASE WHEN active > 0 THEN nxt - t ELSE 0 END)
+             AS BIGINT) AS covered_us,
+           CAST(SUM(CASE WHEN d = 1 AND active = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_intervals
+    FROM sweep GROUP BY ub
+    """,
+)
+def q_interval_coverage(spark, sf_dir):
+    """Interval-UNION coverage — the sweep-line kernel behind uptime,
+    ad-viewability and session-coverage metrics (q_interval_overlap
+    counts pairwise overlaps; this measures the union's measure, which
+    no pairwise statistic gives): each event opens a 10-minute
+    interval, every boundary becomes a ±1 delta, a per-key running sum
+    over (t, d DESC) — starts sort before ends at the same instant, so
+    touching intervals merge — yields the active count, and covered
+    time is Σ (next_t − t) over stretches where active > 0. Segment
+    count falls out as the 0→1 transitions. Pure epoch-microsecond
+    BIGINT arithmetic; the windows partition by the key (distributed,
+    the standard window posture), one exchange family end to end."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        (F.col("user_id") % 50).alias("ub"),
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 600000000).alias("e"),
+    )
+    b = iv.select("ub", F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        iv.select("ub", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = Window.partitionBy("ub").orderBy(F.asc("t"), F.desc("d"))
+    sweep = b.select(
+        "ub",
+        "t",
+        "d",
+        F.sum("d")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("active"),
+        F.lead("t").over(w).alias("nxt"),
+    )
+    return sweep.groupBy(F.col("ub").alias("user_bucket")).agg(
+        F.sum(
+            F.when(F.col("active") > 0, F.col("nxt") - F.col("t")).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("covered_us"),
+        F.sum(
+            F.when((F.col("d") == 1) & (F.col("active") == 1), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_segments"),
+        F.sum(F.when(F.col("d") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_intervals"),
+    )
+
+
+@register(
+    "q_spatial_grid_join",
+    oracle="""
+    WITH pts AS (
+      SELECT vec_id,
+             CAST(embedding[1] AS DOUBLE) AS x,
+             CAST(embedding[2] AS DOUBLE) AS y
+      FROM embeddings
+    ),
+    rects AS (
+      SELECT i AS rect_id,
+             -1.0 + CAST(i % 5 AS DOUBLE) * 0.37 AS x0,
+             -1.0 + CAST(i // 5 AS DOUBLE) * 0.43 AS y0
+      FROM generate_series(0, 19) t(i)
+    )
+    SELECT r.rect_id,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_points,
+           CAST(COALESCE(SUM(p.vec_id), 0) AS BIGINT) AS id_sum
+    FROM rects r LEFT JOIN pts p
+      ON p.x >= r.x0 AND p.x < r.x0 + 0.3
+     AND p.y >= r.y0 AND p.y < r.y0 + 0.2
+    GROUP BY r.rect_id
+    """,
+)
+def q_spatial_grid_join(spark, sf_dir):
+    """Spatial join via grid bucketing — the equi-join reduction of a
+    2-D containment join (the PostGIS/Sedona strategy, and the third
+    member of the range-join family after q_range_join's broadcast NL
+    and q_range_join_bucketed's 1-D binning): every point belongs to
+    exactly ONE ε-cell, each query rectangle EXPLODES over the ≤9
+    cells it can touch (bounded by rect-size/ε, a constant), the join
+    keys on the cell id, and exact containment is the residual
+    predicate inside the hash join. No nested-loop pass over
+    points × rects ever exists in the plan — the cell key prunes the
+    candidate space the way the LSH band key does for similarity. The
+    20 rectangles are synthesized with the identical IEEE arithmetic
+    on both engines; per-rect counts/id-sums are exact BIGINTs, and
+    empty rectangles surface with zero counts via a right-side union
+    (the oracle's LEFT JOIN)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    ).withColumn(
+        "cell",
+        F.floor(F.col("x") / 0.25).cast("bigint") * 1000
+        + F.floor(F.col("y") / 0.25).cast("bigint"),
+    )
+    rects = spark.range(20).select(
+        F.col("id").alias("rect_id"),
+        (F.lit(-1.0) + (F.col("id") % 5).cast("double") * 0.37).alias("x0"),
+        (
+            F.lit(-1.0)
+            + F.expr("CAST(id div 5 AS DOUBLE)") * 0.43
+        ).alias("y0"),
+    )
+    # explode each rect over the grid cells its bounding box touches:
+    # ≤ (0.3/0.25 + 2) × (0.2/0.25 + 2) cells, a CONSTANT per rect
+    rect_cells = rects.select(
+        "rect_id",
+        "x0",
+        "y0",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("x0") / 0.25).cast("bigint"),
+                F.floor((F.col("x0") + 0.3) / 0.25).cast("bigint"),
+            )
+        ).alias("cx"),
+    ).select(
+        "rect_id",
+        "x0",
+        "y0",
+        "cx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("y0") / 0.25).cast("bigint"),
+                F.floor((F.col("y0") + 0.2) / 0.25).cast("bigint"),
+            )
+        ).alias("cy"),
+    ).select(
+        "rect_id",
+        "x0",
+        "y0",
+        (F.col("cx") * 1000 + F.col("cy")).alias("cell"),
+    )
+    hits = pts.join(F.broadcast(rect_cells), "cell").filter(
+        (F.col("x") >= F.col("x0"))
+        & (F.col("x") < F.col("x0") + 0.3)
+        & (F.col("y") >= F.col("y0"))
+        & (F.col("y") < F.col("y0") + 0.2)
+    )
+    per_rect = hits.groupBy("rect_id").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("vec_id").cast("bigint").alias("id_sum"),
+    )
+    return (
+        rects.select("rect_id")
+        .join(per_rect, "rect_id", "left")
+        .select(
+            "rect_id",
+            F.coalesce("n_points", F.lit(0)).cast("bigint").alias("n_points"),
+            F.coalesce("id_sum", F.lit(0)).cast("bigint").alias("id_sum"),
+        )
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

@@ -255,3 +255,62 @@ def test_pipe_syntax_compiles_to_pushdown_agg(spark):
     assert "HashAggregate" in plan, plan
     # the status filter reaches the scan as a pushed data filter
     assert "o_orderstatus" in plan.split("FileScan", 1)[1], plan
+
+
+def test_interval_coverage_matches_python_sweep(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, epoch_us(ts) FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for uid, t in rows:
+        per[uid % 50].append((t, t + 600_000_000))
+    want = {}
+    for ub, ivs in per.items():
+        bounds = sorted(
+            [(s, -1) for s, _ in ivs] + [(e, 1) for _, e in ivs]
+        )  # (-1 encodes a START so starts sort before ends at equal t)
+        covered = segs = active = 0
+        for (t, d), nxt in zip(bounds, bounds[1:] + [(None, None)]):
+            if d == -1:
+                active += 1
+                if active == 1:
+                    segs += 1
+            else:
+                active -= 1
+            if active > 0 and nxt[0] is not None:
+                covered += nxt[0] - t
+        want[ub] = (covered, segs, len(ivs))
+    got = {
+        r.user_bucket: (r.covered_us, r.n_segments, r.n_intervals)
+        for r in QUERIES["q_interval_coverage"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_spatial_grid_join_matches_bruteforce(spark, duck):
+    pts = duck.sql(
+        f"SELECT vec_id, embedding[1], embedding[2] "
+        f"FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    want = {}
+    for i in range(20):
+        x0 = -1.0 + float(i % 5) * 0.37
+        y0 = -1.0 + float(i // 5) * 0.43
+        inside = [
+            v
+            for v, x, y in pts
+            if x0 <= float(x) < x0 + 0.3 and y0 <= float(y) < y0 + 0.2
+        ]
+        want[i] = (len(inside), sum(inside))
+    got = {
+        r.rect_id: (r.n_points, r.id_sum)
+        for r in QUERIES["q_spatial_grid_join"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_spatial_grid_join_has_no_nested_loop(spark):
+    plan = _executed(QUERIES["q_spatial_grid_join"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan.split("rect_id", 1)[0], plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
