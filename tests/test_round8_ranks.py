@@ -203,3 +203,39 @@ def test_no_unpartitioned_window_over_unbounded_input():
         "q_decile_stats", "q_gini", "q_abc_pareto",
     ):
         assert retired not in sites
+
+
+def test_sampled_ranges_stay_balanced_under_skew(spark):
+    # 90% of rows share one lead-key value; the tuple (v, k) is still a
+    # total order, and the equi-depth SAMPLED boundaries must keep
+    # range sizes near-uniform — the property that makes the kernel
+    # skew-proof where fixed-width value buckets are not
+    from pyspark.sql import functions as F2
+
+    from aws_vpcflowlogs_parquet_spark.operators import ranks
+
+    n = 20_000
+    df = spark.range(n).repartition(8).select(
+        F2.when(F2.col("id") % 10 < 9, F2.lit(7))
+        .otherwise(F2.col("id") % 50)
+        .alias("v"),
+        F2.col("id").alias("k"),
+    )
+    parted = ranks._ranged(df, [F2.col("v"), F2.col("k")], 8)
+    sizes = [
+        r.n
+        for r in parted.groupBy(ranks._RANGE_ID)
+        .agg(F2.count("*").alias("n"))
+        .collect()
+    ]
+    assert sum(sizes) == n
+    assert max(sizes) <= 3 * (n / 8), sizes  # no range hoards the skew
+    # and the ranks built on it are still exactly row_number
+    got = ranks.with_global_rank(df, [F2.col("v"), F2.col("k")], num_ranges=8)
+    from pyspark.sql import Window as W
+
+    want = df.select(
+        "v", "k", F2.row_number().over(W.orderBy("v", "k")).alias("i")
+    )
+    assert got.select("v", "k", "i").exceptAll(want).isEmpty()
+    assert want.exceptAll(got.select("v", "k", "i")).isEmpty()
