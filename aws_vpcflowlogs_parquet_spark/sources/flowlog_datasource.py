@@ -54,11 +54,15 @@ import io
 import json
 import os
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     IntegerType,
@@ -197,6 +201,82 @@ class _FlowLogStreamReader(DataSourceStreamReader):
         pass
 
 
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    """Per-task commit message: the temp file a task finished writing."""
+
+    staged: str
+    final: str
+
+
+class _FlowLogWriter(DataSourceWriter):
+    """Two-phase-commit sink writing v2 flow-log TEXT (the inverse of
+    the reader's projection) — the reference's upload step (R15,
+    convert.go uploads per-file output) expressed through the Python
+    DataSource WRITER protocol: every task writes to a temp name and
+    returns it as its commit message; the DRIVER renames all temp files
+    into place only if every task succeeded (commit), or deletes them
+    all (abort) — so a failed job leaves NO partial output, the
+    write-nothing contract the strict reader shares. Gzip when the
+    ``compress`` option is true; one file per non-empty partition."""
+
+    def __init__(self, options, overwrite: bool):
+        import uuid
+
+        self.path = options.get("path")
+        self.compress = (
+            str(options.get("compress", "true")).lower() == "true"
+        )
+        self.overwrite = overwrite
+        self.run_id = uuid.uuid4().hex[:12]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        ext = ".log.gz" if self.compress else ".log"
+        part = uuid.uuid4().hex[:12]
+        final = os.path.join(self.path, f"part-{self.run_id}-{part}{ext}")
+        staged = final + ".staging"
+        opener = gzip.open if self.compress else io.open
+        n = 0
+        fh = None
+        try:
+            for row in iterator:
+                if fh is None:
+                    fh = opener(staged, "wt")
+                toks = []
+                for name, _, kind in _GRAMMAR:
+                    v = row[name]
+                    toks.append(str(v) if v is not None else "-")
+                fh.write(" ".join(toks) + "\n")
+                n += 1
+        finally:
+            if fh is not None:
+                fh.close()
+        if n == 0:
+            return _StagedFile(staged="", final="")
+        return _StagedFile(staged=staged, final=final)
+
+    def commit(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and m.staged:
+                os.replace(m.staged, m.final)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and m.staged:
+                try:
+                    os.remove(m.staged)
+                except OSError:
+                    pass
+
+
 class FlowLogDataSource(DataSource):
     """``spark.read.format("flowlog")`` / ``spark.readStream.format("flowlog")``."""
 
@@ -212,6 +292,9 @@ class FlowLogDataSource(DataSource):
 
     def streamReader(self, schema):
         return _FlowLogStreamReader(self.options)
+
+    def writer(self, schema, overwrite):
+        return _FlowLogWriter(self.options, overwrite)
 
 
 def register_flowlog_source(spark) -> None:

@@ -178,3 +178,50 @@ def test_src_partition_rejected_on_datasource(registered, tmp_path):
             src_partition=True,
             source="datasource",
         )
+
+
+def test_writer_round_trips_and_two_phase_commits(registered, tmp_path):
+    spark = registered
+    src = tmp_path / "in.log.gz"
+    _write_gz(src, [HEADER, GOOD1, GOOD2, NODATA])
+    df = spark.read.format("flowlog").load(str(src)).drop("start_time")
+    out = str(tmp_path / "out")
+    df.write.format("flowlog").mode("append").option("path", out).save()
+    files = sorted(p.name for p in (tmp_path / "out").iterdir())
+    assert files and all(f.endswith(".log.gz") for f in files)
+    assert not any(f.endswith(".staging") for f in files)
+    back = spark.read.format("flowlog").load(out)
+    key = ["accountid", "interfaceid", "start_ts", "srcport"]
+    assert sorted(map(tuple, back.select(*key).collect())) == sorted(
+        map(tuple, df.select(*key).collect())
+    )
+    # NODATA numerics survive the round trip as zeros (written back as
+    # '0', not '-'; the zero-default cast made them 0 at first parse)
+    assert back.filter("interfaceid = 'eni-11111111'").collect()[0].srcport == 0
+
+
+def test_writer_abort_leaves_no_output(registered, tmp_path):
+    from pyspark.sql import functions as F
+
+    spark = registered
+    src = tmp_path / "in.log"
+    src.write_text("\n".join([HEADER, GOOD1, GOOD2]))
+    df = (
+        spark.read.format("flowlog")
+        .load(str(src))
+        .drop("start_time")
+        .withColumn(
+            "version",
+            F.when(
+                F.col("accountid") == "123456789010",
+                F.expr("raise_error('induced task failure')").cast("int"),
+            ).otherwise(F.col("version")),
+        )
+    )
+    out = tmp_path / "out_abort"
+    with pytest.raises(Exception, match="induced task failure"):
+        df.coalesce(1).write.format("flowlog").mode("append").option(
+            "path", str(out)
+        ).save()
+    leftover = list(out.iterdir()) if out.exists() else []
+    assert leftover == []  # abort removed every staged file
