@@ -18336,6 +18336,116 @@ def q_spatial_grid_join(spark, sf_dir):
     )
 
 
+@register(
+    "q_sql_scripting",
+    oracle="""
+    WITH ks AS (SELECT i AS k FROM generate_series(0, 60) t(i)),
+    counts AS (
+      SELECT k, (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                 WHERE o_totalprice > 100.0 * power(2.0, k)) AS cnt
+      FROM ks
+    ),
+    pick AS (
+      SELECT k, cnt FROM counts WHERE cnt < 100 ORDER BY k LIMIT 1
+    )
+    SELECT 100.0 * power(2.0, k) AS threshold,
+           cnt AS n_above,
+           CAST(k AS INT) AS iters
+    FROM pick
+    """,
+)
+def q_sql_scripting(spark, sf_dir):
+    """Procedural SQL — Spark 4's SQL scripting (BEGIN/DECLARE/WHILE,
+    the SQL/PSM control-flow surface): an exponential search that
+    DOUBLES a price threshold until fewer than 100 orders exceed it,
+    with the loop living INSIDE the engine's script interpreter rather
+    than in driver Python — each iteration is a planned aggregate
+    query, the loop variable is engine state. Iteration count is
+    bounded by the VALUE domain (log₂ of the price range, ~13), the
+    same argument as q_quantile_bisect's refinement rounds, and the
+    threshold sequence 100·2^k is exact in doubles. DuckDB has no
+    scripting, so the oracle unrolls the search declaratively (min k
+    whose count drops below 100) — same fixpoint, two control-flow
+    styles."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_script")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE thr DOUBLE DEFAULT 100.0;
+          DECLARE n BIGINT DEFAULT 0;
+          DECLARE iters INT DEFAULT 0;
+          SET n = (SELECT COUNT(*) FROM orders_script
+                   WHERE o_totalprice > thr);
+          WHILE n >= 100 DO
+            SET thr = thr * 2;
+            SET iters = iters + 1;
+            SET n = (SELECT COUNT(*) FROM orders_script
+                     WHERE o_totalprice > thr);
+          END WHILE;
+          SELECT thr AS threshold, n AS n_above, iters;
+        END
+        """
+    ).select(
+        F.col("threshold").cast("double"),
+        F.col("n_above").cast("bigint"),
+        F.col("iters").cast("int"),
+    )
+
+
+@register(
+    "q_runs_test",
+    oracle="""
+    WITH s AS (
+      SELECT user_id % 50 AS ub, user_id,
+             CASE WHEN value >= 0.5 THEN 1 ELSE 0 END AS sgn,
+             CASE WHEN LAG(CASE WHEN value >= 0.5 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  IS DISTINCT FROM
+                  CASE WHEN value >= 0.5 THEN 1 ELSE 0 END
+                  THEN 1 ELSE 0 END AS new_run
+      FROM events
+    )
+    SELECT ub AS user_bucket,
+           CAST(SUM(new_run) AS BIGINT) AS n_runs,
+           CAST(SUM(sgn) AS BIGINT) AS n_plus,
+           CAST(COUNT(*) - SUM(sgn) AS BIGINT) AS n_minus,
+           CAST(2 * SUM(sgn) * (COUNT(*) - SUM(sgn)) AS BIGINT)
+             AS expected_num,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY ub
+    """,
+)
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs statistic — the randomness screen for
+    sequences (autocorrelation's nonparametric sibling; q_autocorr
+    measures magnitude, runs count measures SIGN clustering): each
+    user's event values binarize at 0.5, a run starts wherever the
+    sign differs from its lag (LAG over the per-user total order —
+    the first row's NULL lag counts as a start via null-safe
+    inequality), and the per-bucket report carries exact run/sign
+    counts plus the expected-runs rational AS num/denominator BIGINTs
+    (E[R] = 1 + 2·n₊·n₋/n; the '1 +' and the division belong to the
+    consumer, keeping the row pure-integer). One per-user window
+    shuffle, one rollup — the standard sequence-statistic shape."""
+    ev = _t(spark, sf_dir, "events")
+    sgn = F.when(F.col("value") >= 0.5, 1).otherwise(0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        (F.col("user_id") % 50).alias("ub"),
+        sgn.alias("sgn"),
+        (~F.lag(sgn).over(w).eqNullSafe(sgn)).cast("int").alias("new_run"),
+    )
+    return s.groupBy(F.col("ub").alias("user_bucket")).agg(
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+        F.sum("sgn").cast("bigint").alias("n_plus"),
+        (F.count("*") - F.sum("sgn")).cast("bigint").alias("n_minus"),
+        (2 * F.sum("sgn") * (F.count("*") - F.sum("sgn")))
+        .cast("bigint")
+        .alias("expected_num"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

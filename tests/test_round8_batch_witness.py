@@ -314,3 +314,48 @@ def test_spatial_grid_join_has_no_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan.split("rect_id", 1)[0], plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sql_scripting_matches_python_exponential_search(spark, duck):
+    prices = [
+        r[0]
+        for r in duck.sql(
+            f"SELECT o_totalprice FROM '{SF_DIR}/orders.parquet'"
+        ).fetchall()
+    ]
+    thr, iters = 100.0, 0
+    while sum(1 for p in prices if p > thr) >= 100:
+        thr *= 2
+        iters += 1
+    row = QUERIES["q_sql_scripting"](spark, SF_DIR).collect()[0]
+    assert (row.threshold, row.iters) == (thr, iters)
+    assert row.n_above == sum(1 for p in prices if p > thr)
+
+
+def test_runs_test_matches_python_sweep(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, value, ts, event_id "
+        f"FROM '{SF_DIR}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for uid, v, *_ in rows:
+        per[uid].append(1 if v >= 0.5 else 0)
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])  # runs,plus,n
+    for uid, signs in per.items():
+        b = uid % 50
+        runs = sum(
+            1 for i, s in enumerate(signs) if i == 0 or s != signs[i - 1]
+        )
+        g = agg[b]
+        g[0] += runs
+        g[1] += sum(signs)
+        g[2] += len(signs)
+    got = {
+        r.user_bucket: (r.n_runs, r.n_plus, r.n_minus, r.expected_num, r.n)
+        for r in QUERIES["q_runs_test"](spark, SF_DIR).collect()
+    }
+    want = {
+        b: (g[0], g[1], g[2] - g[1], 2 * g[1] * (g[2] - g[1]), g[2])
+        for b, g in agg.items()
+    }
+    assert got == want
