@@ -137,24 +137,14 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "q_quantile_bisect", "q_viterbi", "q_ivm_delta",
     "q_semijoin_reduction", "q_bom_explosion", "q_normal_equations",
     "q_rank_overlap",
-}) - frozenset({
-    # round 8: the streaming harness was reworked (shared staged source
-    # dirs with exit cleanup, footer-stats sentinel timestamps, the
-    # single-sentinel no-data-batch outer-join staging replacing the
-    # 3-batch maxFilesPerTrigger design, pinned noDataMicroBatches) and
-    # q_ivm_delta's view dir moved onto the managed tmpdir — every
-    # implementation that changed goes back through the driver window.
-    "q_stream_sessionize", "q_stream_dedup", "q_stream_time_bucket",
-    "q_stream_sliding", "q_stream_static_join", "q_stream_stream_join",
-    "q_stream_stateful", "q_stream_hll", "q_stream_cep",
-    "q_stream_join_outer", "q_stream_join_full_outer", "q_ivm_delta",
-    # round 8: the four exact audit twins were rewritten onto the
-    # distributed rank kernel (operators/ranks.py) — same oracles,
-    # new plans, so they re-enter the driver window too.
-    "q_decile_stats", "q_gini", "q_lorenz_curve", "q_abc_pareto",
-    # round 8: wedges() pre-flight reworked (caller-supplied degree
-    # bounds + call-site persist decisions) — the consumers re-verify.
-    "q_graph_2hop", "q_node_jaccard", "q_resource_alloc",
+    # round 8 (CORRECTNESS_r08.json): 50/50 pass — the 13 new round-8
+    # mechanisms (below) plus the 19 changed-code re-verifications
+    # (streaming harness rework, rank-kernel twins, wedge consumers —
+    # already listed above) and 18 routine re-checks.
+    "q_recursive_cte", "q_variant_extract", "q_state_introspect",
+    "q_kaplan_meier", "q_hits", "q_analyze_stats", "q_dbscan_grid",
+    "q_collation_group", "q_pipe_syntax", "q_interval_coverage",
+    "q_spatial_grid_join", "q_sql_scripting", "q_runs_test",
 })
 
 
