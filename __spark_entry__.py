@@ -145,6 +145,11 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "q_kaplan_meier", "q_hits", "q_analyze_stats", "q_dbscan_grid",
     "q_collation_group", "q_pipe_syntax", "q_interval_coverage",
     "q_spatial_grid_join", "q_sql_scripting", "q_runs_test",
+}) - frozenset({
+    # round 9: tokenize()'s _is_header gained the arity conjunct (a
+    # short header is malformed, matching flowlog.go:36-44's check
+    # order) — the parser-riding query re-enters the driver window.
+    "q_flowlog_parse",
 })
 
 

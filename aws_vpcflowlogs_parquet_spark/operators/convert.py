@@ -162,9 +162,16 @@ def convert_flowlogs(
     except Exception as exc:  # noqa: BLE001 — surface the source's abort
         # datasource-strict parse failures abort the task and the commit
         # protocol discards the write (the reference's write-nothing
-        # abort); re-raise under the parser's typed error
-        if "malformed flow log line" in str(exc):
-            raise FlowLogParseError(str(exc)) from exc
+        # abort); re-raise under the parser's typed error. Match the
+        # stable error-code token first — Py4J/connect chains can
+        # truncate or re-wrap the worker's prose, but the short marker
+        # survives (ADVICE r8); the message substring stays as a
+        # fallback for older wrappers that keep only the tail.
+        from ..sources.flowlog_datasource import ERROR_CODE
+
+        msg = str(exc)
+        if ERROR_CODE in msg or "malformed flow log line" in msg:
+            raise FlowLogParseError(msg) from exc
         raise
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -38,8 +38,16 @@ def tokenize(df: DataFrame, value_col: str = "value") -> DataFrame:
     return (
         df.withColumn("_toks", toks)
         .withColumn("_n_toks", F.size("_toks"))
-        # header: first token is the literal 'version' (flowlog.go:42-44)
-        .withColumn("_is_header", F.col("_toks")[0] == F.lit("version"))
+        # header: first token is the literal 'version' (flowlog.go:42-44).
+        # The reference's arity check runs BEFORE its header skip
+        # (flowlog.go:36-44), so a header row with arity != 14 is
+        # malformed, not a skippable header — the arity conjunct keeps
+        # this path in lockstep with the flowlog DataSource (ADVICE r8).
+        .withColumn(
+            "_is_header",
+            (F.col("_n_toks") == NUM_RAW_TOKENS)
+            & (F.col("_toks")[0] == F.lit("version")),
+        )
         .withColumn(
             "_is_valid",
             (F.col("_n_toks") == NUM_RAW_TOKENS)

@@ -33,9 +33,9 @@ codegen amortizes over bigger files) — this source is the PLUGGABILITY
 surface (the DataSource V2 Python API: schema inference, partition
 planning, offset management); the codegen pipeline in
 sources/flowlog.py remains the 100 TB ingest plan. The streaming reader
-tracks the processed-file set in its offset JSON, mirroring Spark's own
-file-source metadata log at fixture scale; a production build compacts
-it exactly as Spark's HDFSMetadataLog does.
+tracks progress as an (mtime_ns, names-at-that-tick) high watermark, so
+the per-trigger offset JSON is bounded by the largest same-nanosecond
+arrival burst rather than growing with total files ever seen.
 
 SELF-CONTAINED ON PURPOSE: workers unpickle this class without the repo
 on their PYTHONPATH (the driver-replica contract), so
@@ -95,6 +95,12 @@ _GRAMMAR = [
 ]
 _NUM_TOKENS = 14
 _VERSION = 2
+# Stable marker embedded in strict-mode parse errors so callers
+# (operators/convert.py) can recognize a parse abort even when Py4J /
+# Spark Connect re-wraps or truncates the worker's message chain
+# (ADVICE r8): matching a short code token survives re-wrapping that
+# substring-matching the prose may not.
+ERROR_CODE = "FLOWLOG_PARSE_ERROR"
 
 
 def _flowlog_schema() -> StructType:
@@ -109,15 +115,31 @@ def _parse_file(path: str, strict: bool):
     opener = gzip.open if path.endswith(".gz") else io.open
     with opener(path, "rt") as fh:
         for line in fh:
-            line = line.rstrip("\n")
+            # rstrip both separators: gzip.open/io.open in text mode do
+            # NOT translate CRLF the way Hadoop's line reader (the
+            # spark.read.text twin path) does, so a bare "\n" strip
+            # would leave "\r" glued to logstatus (ADVICE r8)
+            line = line.rstrip("\r\n")
             if not line:
                 continue
             toks = line.split(" ")
+            # arity gate FIRST: the reference's len check runs before its
+            # header skip (flowlog.go:36-44), so a short "header" is
+            # malformed, not skippable — same order as tokenize()'s
+            # _is_header conjunct in sources/flowlog.py
+            if len(toks) != _NUM_TOKENS:
+                if strict:  # abort-on-error (convert.go:48-50)
+                    raise ValueError(
+                        f"[{ERROR_CODE}] malformed flow log line: {line!r}"
+                    )
+                continue
             if toks[0] == "version":  # header row: skip (flowlog.go:42-44)
                 continue
-            if len(toks) != _NUM_TOKENS or toks[0] != str(_VERSION):
-                if strict:  # abort-on-error (convert.go:48-50)
-                    raise ValueError(f"malformed flow log line: {line!r}")
+            if toks[0] != str(_VERSION):
+                if strict:
+                    raise ValueError(
+                        f"[{ERROR_CODE}] malformed flow log line: {line!r}"
+                    )
                 continue
             row = []
             for _, idx, kind in _GRAMMAR:
@@ -169,26 +191,56 @@ class _FlowLogBatchReader(DataSourceReader):
 
 
 class _FlowLogStreamReader(DataSourceStreamReader):
-    """Offsets carry the processed-file set: each trigger lists the drop
-    directory, new files become that batch's partitions. Replayable —
-    partitions(start, end) is a pure function of the two offsets, so a
-    restarted query re-reads exactly the files the checkpoint says."""
+    """Offsets carry a (mtime_ns, names-at-that-mtime) HIGH WATERMARK,
+    not the full processed-file list: the offset JSON written to the
+    checkpoint log every trigger stays bounded by the largest same-
+    nanosecond arrival burst, never by total files ever seen (ADVICE r8
+    — the previous full-list offset grew linearly forever). A file is
+    covered by watermark (m, names) iff mtime < m, or mtime == m and its
+    name is in names; latestOffset advances the watermark over the
+    current listing, and partitions(start, end) is the pure set
+    difference covered(end) − covered(start).
+
+    Replayability assumptions, stated: drop-dir files are immutable,
+    never deleted while a checkpoint may replay them, and arrive with
+    fresh mtimes (a file dropped with a back-dated mtime below the
+    watermark is invisible — same contract as Spark's own file source
+    with latestFirst/maxFileAge pruning)."""
 
     def __init__(self, options):
         self.path = options.get("path")
         self.strict = str(options.get("strict", "true")).lower() == "true"
 
+    @staticmethod
+    def _covered(path, wm_mtime, wm_names):
+        wm_names = set(wm_names)
+        out = []
+        for p in _expand(path):
+            m = os.stat(p).st_mtime_ns
+            if m < wm_mtime or (m == wm_mtime and os.path.basename(p) in wm_names):
+                out.append(p)
+        return out
+
     def initialOffset(self):
-        return {"seen": json.dumps([])}
+        return {"wm": json.dumps([-1, []])}
 
     def latestOffset(self):
-        return {"seen": json.dumps(_expand(self.path))}
+        wm_mtime, names = -1, []
+        for p in _expand(self.path):
+            m = os.stat(p).st_mtime_ns
+            if m > wm_mtime:
+                wm_mtime, names = m, [os.path.basename(p)]
+            elif m == wm_mtime:
+                names.append(os.path.basename(p))
+        return {"wm": json.dumps([wm_mtime, sorted(names)])}
 
     def partitions(self, start, end):
-        seen = set(json.loads(start["seen"]))
-        now = json.loads(end["seen"])
+        s_m, s_names = json.loads(start["wm"])
+        e_m, e_names = json.loads(end["wm"])
+        before = set(self._covered(self.path, s_m, s_names))
+        now = self._covered(self.path, e_m, e_names)
         return [
-            _FilePartition(p, self.strict) for p in now if p not in seen
+            _FilePartition(p, self.strict) for p in now if p not in before
         ]
 
     def read(self, partition):
@@ -218,7 +270,13 @@ class _FlowLogWriter(DataSourceWriter):
     into place only if every task succeeded (commit), or deletes them
     all (abort) — so a failed job leaves NO partial output, the
     write-nothing contract the strict reader shares. Gzip when the
-    ``compress`` option is true; one file per non-empty partition."""
+    ``compress`` option is true; one file per non-empty partition.
+
+    ``mode("overwrite")`` truncates at COMMIT time: pre-existing
+    ``part-*`` files are deleted in the same driver-side commit step
+    that renames the staged files in, so a failed job still leaves the
+    old data fully intact (ADVICE r8 — previously the flag was stored
+    but ignored and overwrite silently behaved as append)."""
 
     def __init__(self, options, overwrite: bool):
         import uuid
@@ -262,6 +320,19 @@ class _FlowLogWriter(DataSourceWriter):
     def commit(self, messages):
         import os
 
+        incoming = {m.final for m in messages if m is not None and m.staged}
+        if self.overwrite and os.path.isdir(self.path):
+            # truncate-on-commit: every task succeeded, so replacing the
+            # old generation is now safe; part files from prior runs
+            # carry a different run_id, never a name in `incoming`
+            for name in os.listdir(self.path):
+                full = os.path.join(self.path, name)
+                if (
+                    name.startswith("part-")
+                    and name.endswith((".log", ".log.gz"))
+                    and full not in incoming
+                ):
+                    os.remove(full)
         for m in messages:
             if m is not None and m.staged:
                 os.replace(m.staged, m.final)

@@ -225,3 +225,113 @@ def test_writer_abort_leaves_no_output(registered, tmp_path):
         ).save()
     leftover = list(out.iterdir()) if out.exists() else []
     assert leftover == []  # abort removed every staged file
+
+
+# --- round-9 ADVICE closures -------------------------------------------
+
+
+def test_crlf_input_matches_codegen_path(registered, tmp_path):
+    # ADVICE r8: gzip/io text mode doesn't strip "\r" the way Hadoop's
+    # line reader does; a CRLF file must parse identically on both paths
+    spark = registered
+    src = tmp_path / "crlf.log"
+    src.write_bytes(("\r\n".join([HEADER, GOOD1, NODATA]) + "\r\n").encode())
+    via_source = spark.read.format("flowlog").load(str(src))
+    rows = via_source.collect()
+    assert {r.logstatus for r in rows} == {"OK", "NODATA"}
+    via_codegen = read_flowlog_text(spark, str(src))
+    assert sorted(map(tuple, rows)) == sorted(
+        map(tuple, via_codegen.collect())
+    )
+
+
+def test_short_header_is_malformed_both_paths(registered, tmp_path):
+    # the reference's arity gate runs BEFORE its header skip
+    # (flowlog.go:36-44): a truncated header is an error, not a header
+    spark = registered
+    src = tmp_path / "shorthdr.log"
+    src.write_text("\n".join(["version account-id interface-id", GOOD1]))
+    with pytest.raises(Exception, match="malformed flow log line"):
+        spark.read.format("flowlog").load(str(src)).collect()
+    with pytest.raises(FlowLogParseError):
+        read_flowlog_text(spark, str(src), strict=True).collect()
+    # lenient: dropped on both paths, the good line survives
+    assert (
+        spark.read.format("flowlog")
+        .option("strict", "false")
+        .load(str(src))
+        .count()
+        == 1
+    )
+    assert read_flowlog_text(spark, str(src)).count() == 1
+
+
+def test_strict_error_carries_stable_code(registered, tmp_path):
+    from aws_vpcflowlogs_parquet_spark.sources.flowlog_datasource import (
+        ERROR_CODE,
+    )
+
+    spark = registered
+    src = tmp_path / "bad.log"
+    src.write_text("\n".join([HEADER, BAD_ARITY]))
+    with pytest.raises(Exception, match=ERROR_CODE):
+        spark.read.format("flowlog").load(str(src)).collect()
+
+
+def test_writer_overwrite_truncates_and_append_accumulates(
+    registered, tmp_path
+):
+    # ADVICE r8: overwrite previously behaved as append silently
+    spark = registered
+    src1 = tmp_path / "in1.log"
+    src1.write_text("\n".join([HEADER, GOOD1]))
+    src2 = tmp_path / "in2.log"
+    src2.write_text("\n".join([HEADER, GOOD2]))
+    d1 = spark.read.format("flowlog").load(str(src1)).drop("start_time")
+    d2 = spark.read.format("flowlog").load(str(src2)).drop("start_time")
+    out = str(tmp_path / "out")
+    d1.write.format("flowlog").mode("append").option("path", out).save()
+    d2.write.format("flowlog").mode("append").option("path", out).save()
+    assert spark.read.format("flowlog").load(out).count() == 2
+    d2.write.format("flowlog").mode("overwrite").option("path", out).save()
+    back = spark.read.format("flowlog").load(out)
+    assert [r.accountid for r in back.collect()] == ["123456789010"]
+
+
+def test_stream_offset_is_a_bounded_watermark(tmp_path):
+    # ADVICE r8: the offset JSON must not grow with total files ever
+    # seen — it's an (mtime_ns, names-at-that-tick) high watermark
+    import json as _json
+    import os as _os
+
+    from aws_vpcflowlogs_parquet_spark.sources.flowlog_datasource import (
+        _FlowLogStreamReader,
+    )
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i in range(5):
+        (drop / f"f{i}.log").write_text("\n".join([HEADER, GOOD1]))
+    rdr = _FlowLogStreamReader({"path": str(drop)})
+    start = rdr.initialOffset()
+    end = rdr.latestOffset()
+    # all 5 files are new relative to the initial offset
+    parts = rdr.partitions(start, end)
+    assert len(parts) == 5
+    # the offset names AT MOST the same-mtime tie set, never all files:
+    # force distinct mtimes and the offset must carry exactly one name
+    for i, name in enumerate(sorted(_os.listdir(drop))):
+        _os.utime(drop / name, ns=(1_000_000_000 * (i + 1),) * 2)
+    end2 = rdr.latestOffset()
+    wm_mtime, wm_names = _json.loads(end2["wm"])
+    assert wm_names == ["f4.log"]
+    # a file landing with the SAME mtime as the watermark is still
+    # picked up (the tie set disambiguates), and nothing is re-read
+    late = drop / "f5.log"
+    late.write_text("\n".join([HEADER, GOOD2]))
+    _os.utime(late, ns=(wm_mtime, wm_mtime))
+    end3 = rdr.latestOffset()
+    parts2 = rdr.partitions(end2, end3)
+    assert [p.path for p in parts2] == [str(late)]
+    # replay of a committed range is exact: same offsets → same files
+    assert [p.path for p in rdr.partitions(end2, end3)] == [str(late)]
