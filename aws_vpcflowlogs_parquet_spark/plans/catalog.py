@@ -15158,8 +15158,11 @@ def q_gini_bucketed(spark, sf_dir):
     past that, move gini_num/gini_den onto DECIMAL(38,0) on BOTH
     engines (exact to 1e38; same plan, partial aggregation kept since
     decimal sums stay associative) rather than trusting a green
-    small-sf run. The sf0.1 stress drive exercises ~1e16 — 3 decades
-    of slack."""
+    small-sf run. The sf0.1 stress drive exercises ~1e17 — 2 decades
+    of slack. The bound is TEST-PINNED from the measured fixture
+    domain (tests/test_round9_headroom.py): Σ n_b·(2·cums_b − s_b) =
+    N·S·(1−G) ≤ N·S by the Lorenz identity, so N·S is the exact worst
+    case, ≈ 5.7e18 at sf1."""
     o = _t(spark, sf_dir, "orders")
     spend = o.groupBy("o_custkey").agg(
         F.sum(
