@@ -335,3 +335,35 @@ def test_stream_offset_is_a_bounded_watermark(tmp_path):
     assert [p.path for p in parts2] == [str(late)]
     # replay of a committed range is exact: same offsets → same files
     assert [p.path for p in rdr.partitions(end2, end3)] == [str(late)]
+
+
+def test_arrow_and_python_parsers_agree(registered, tmp_path):
+    # VERDICT r8 item 5: the vectorized pyarrow.csv reader is the
+    # default; the Python line loop stays as parser="python" — both
+    # must produce identical rows, types, and strict verdicts
+    spark = registered
+    src = tmp_path / "mix.log.gz"
+    _write_gz(src, [HEADER, GOOD1, GOOD2, NODATA, "", BAD_ARITY])
+    frames = {}
+    for parser in ("arrow", "python"):
+        frames[parser] = (
+            spark.read.format("flowlog")
+            .option("strict", "false")
+            .option("parser", parser)
+            .load(str(src))
+        )
+    assert (
+        frames["arrow"].schema.simpleString()
+        == frames["python"].schema.simpleString()
+    )
+    assert sorted(map(tuple, frames["arrow"].collect())) == sorted(
+        map(tuple, frames["python"].collect())
+    )
+    for parser in ("arrow", "python"):
+        with pytest.raises(Exception, match="malformed flow log line"):
+            (
+                spark.read.format("flowlog")
+                .option("parser", parser)
+                .load(str(src))
+                .collect()
+            )
