@@ -18449,6 +18449,251 @@ def q_runs_test(spark, sf_dir):
     )
 
 
+@register(
+    "q_mst_boruvka",
+    oracle="""
+    WITH RECURSIVE
+    edges_raw AS (
+      SELECT user_id // 16 AS block,
+             LEAST(user_id, (user_id // 16) * 16
+                   + ((user_id % 16 + 1 + event_id % 15) % 16)) AS u,
+             GREATEST(user_id, (user_id // 16) * 16
+                   + ((user_id % 16 + 1 + event_id % 15) % 16)) AS v
+      FROM events WHERE event_id % 23 = 0
+    ),
+    edges AS (
+      SELECT DISTINCT block, u, v,
+             CAST(1 + (u * 31 + v * 17) % 8 AS BIGINT) AS w
+      FROM edges_raw
+    ),
+    nodes AS (
+      SELECT DISTINCT block, node FROM (
+        SELECT block, u AS node FROM edges
+        UNION ALL
+        SELECT block, v AS node FROM edges
+      )
+    ),
+    dir AS (
+      SELECT block, u AS a, v AS b, w FROM edges
+      UNION ALL
+      SELECT block, v AS a, u AS b, w FROM edges
+    ),
+    thr AS (SELECT unnest(range(0, 9)) AS t),
+    lab AS (
+      SELECT t.t, n.block, n.node, n.node AS lbl
+      FROM nodes n CROSS JOIN thr t
+      UNION
+      SELECT l.t, l.block, d.b AS node, l.lbl
+      FROM lab l
+      JOIN dir d ON d.block = l.block AND d.a = l.node AND d.w <= l.t
+    ),
+    mins AS (
+      SELECT t, block, node, MIN(lbl) AS ml
+      FROM lab GROUP BY t, block, node
+    ),
+    cc AS (
+      SELECT t, block AS cblock, CAST(COUNT(DISTINCT ml) AS BIGINT) AS c
+      FROM mins GROUP BY t, block
+    ),
+    nn AS (
+      SELECT block, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM nodes GROUP BY block
+    )
+    SELECT nn.block AS block, nn.n_nodes AS n_nodes,
+           CAST(MAX(CASE WHEN cc.t = 8 THEN cc.c END) AS BIGINT)
+             AS n_components,
+           CAST(nn.n_nodes - MAX(CASE WHEN cc.t = 8 THEN cc.c END)
+                AS BIGINT) AS n_mst_edges,
+           CAST(SUM(CASE WHEN cc.t < 8 THEN cc.c ELSE 0 END)
+                - 8 * MAX(CASE WHEN cc.t = 8 THEN cc.c END) AS BIGINT)
+             AS mst_weight
+    FROM nn JOIN cc ON cc.cblock = nn.block
+    GROUP BY nn.block, nn.n_nodes
+    ORDER BY block
+    """,
+)
+def q_mst_boruvka(spark, sf_dir):
+    """Distributed minimum-spanning-forest via BORŮVKA — the round-8
+    verdict's standing oracle-blocked mechanism, now oracle-PAIRED.
+
+    Mechanism: classic data-parallel Borůvka, every step a DataFrame
+    op. Each round (a) relabels edge endpoints with current component
+    ids and keeps cross-component edges (round 0 skips the relabel —
+    labels are the identity), (b) picks each component's minimum
+    outgoing edge under the TOTAL order (w, u, v) — a struct-min
+    aggregate, no window — (c) contracts: the selected edges form a
+    functional graph (one out-edge per component) whose only cycles
+    are mutual pairs, broken to the lesser id, and the resulting
+    in-forest collapses by POINTER DOUBLING — four composition joins
+    expressed as ONE closed-form plan per round (chains up to 2^4=16),
+    with exactly two materialization points per round (the selected
+    edges and the new labels; the r8 lesson applies: a LONG chain of
+    localCheckpoints grew per-job cost superlinearly — measured
+    2.9→7→23→55 s on EMPTY relations — so rounds checkpoint only
+    what the next round reads). Components at least halve per round
+    and the synthetic graph is block-local by construction (edges
+    only join nodes sharing ``user_id div 16``), so 4 rounds provably
+    contract every block; the loop also early-breaks on an empty
+    cross-edge round (these fixtures converge in 3). At 100 TB the
+    same plan runs unchanged: every join keys on component/node ids,
+    per-round state is one (node, comp) row per node, and nothing
+    ever sits in a single partition. Correctness does not depend on
+    WHICH spanning tree wins tie-breaks: all minimum spanning forests
+    share the same weight multiset, so the per-block (weight sum,
+    edge count, component count) outputs are unique — which is also
+    what makes the DuckDB oracle possible: it avoids replaying
+    Borůvka and instead computes the same outputs through the
+    THRESHOLD IDENTITY w(MSF) = Σ_{t=0}^{W-1} (cc(G_≤t) − cc(G)) for
+    integer weights 1..W (here W = 8): the number of MSF edges
+    heavier than t equals the number of components merged only by
+    such edges. cc per threshold runs as one recursive min-label
+    propagation CTE over (threshold × nodes); the graph keeps every
+    component ≤ 16 nodes at EVERY sf precisely so that closure stays
+    linear in nodes (≤16 labels/node × 9 thresholds), the same
+    bounded-domain discipline as q_scc/q_dbscan_grid. Measured
+    4.8 s at sf0.1 (~8 jobs — intrinsic to an iterative algorithm,
+    the q_lsh_recall class of heavy-tail cost).
+
+    NOTE the bare-UNION trap this oracle dodges: inside a DuckDB
+    WITH RECURSIVE chain, a non-recursive CTE written as `a UNION b`
+    did NOT deduplicate across branches (measured: 30 "distinct"
+    nodes in a 16-slot block) — hence the explicit
+    SELECT DISTINCT ... FROM (... UNION ALL ...) form for `nodes`.
+    """
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 23 == 0)
+    blk = (F.col("user_id") / 16).cast("bigint")
+    other = blk * 16 + (
+        (F.col("user_id") % 16 + 1 + F.col("event_id") % 15) % 16
+    )
+    edges = (
+        ev.select(
+            F.least(F.col("user_id"), other).alias("u"),
+            F.greatest(F.col("user_id"), other).alias("v"),
+        )
+        .distinct()
+        .select(
+            "u",
+            "v",
+            (1 + (F.col("u") * 31 + F.col("v") * 17) % 8)
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    edges = track_persist(edges)
+    lab = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select("v"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    picked = []
+    for r in range(4):
+        if r == 0:
+            cross = edges.select(
+                "u", "v", "w",
+                F.col("u").alias("cu"), F.col("v").alias("cv"),
+            )
+        else:
+            lu = lab.select(
+                F.col("node").alias("u"), F.col("comp").alias("cu")
+            )
+            lv = lab.select(
+                F.col("node").alias("v"), F.col("comp").alias("cv")
+            )
+            cross = (
+                edges.join(lu, "u")
+                .join(lv, "v")
+                .filter(F.col("cu") != F.col("cv"))
+            )
+        cand = cross.select(
+            F.col("cu").alias("comp"),
+            F.struct("w", "u", "v", F.col("cv").alias("tgt")).alias("e"),
+        ).unionAll(
+            cross.select(
+                F.col("cv").alias("comp"),
+                F.struct("w", "u", "v", F.col("cu").alias("tgt")).alias("e"),
+            )
+        )
+        sel = cand.groupBy("comp").agg(F.min("e").alias("e")).localCheckpoint(
+            eager=True
+        )
+        if r > 0 and sel.isEmpty():
+            break
+        # each selected edge may be chosen by both endpoints — count it
+        # once (block recovered from u: edges are block-local)
+        picked.append(
+            sel.select(
+                (F.col("e.u") / 16).cast("bigint").alias("block"),
+                F.col("e.w").alias("w"),
+                F.col("e.u").alias("u"),
+                F.col("e.v").alias("v"),
+            ).distinct()
+        )
+        tgt = sel.select("comp", F.col("e.tgt").alias("tgt"))
+        p = (
+            tgt.alias("a")
+            .join(tgt.alias("b"), F.col("a.tgt") == F.col("b.comp"), "left")
+            .select(
+                F.col("a.comp").alias("comp"),
+                F.when(
+                    F.col("b.tgt") == F.col("a.comp"),
+                    F.least(F.col("a.comp"), F.col("a.tgt")),
+                )
+                .otherwise(F.col("a.tgt"))
+                .alias("p"),
+            )
+        )
+        for _ in range(4):
+            p = (
+                p.alias("a")
+                .join(p.alias("b"), F.col("a.p") == F.col("b.comp"), "left")
+                .select(
+                    F.col("a.comp").alias("comp"),
+                    F.coalesce(F.col("b.p"), F.col("a.p")).alias("p"),
+                )
+            )
+        # isolated components (no cross edge) are absent from p and
+        # keep their label via the coalesce
+        lab = (
+            lab.alias("l")
+            .join(p.alias("q"), F.col("l.comp") == F.col("q.comp"), "left")
+            .select(
+                F.col("l.node").alias("node"),
+                F.coalesce(F.col("q.p"), F.col("l.comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    mst = picked[0]
+    for pk in picked[1:]:
+        mst = mst.unionAll(pk)
+    mst = mst.groupBy("block").agg(
+        F.count("*").cast("bigint").alias("n_mst_edges"),
+        F.sum("w").cast("bigint").alias("mst_weight"),
+    )
+    stats = lab.groupBy(
+        (F.col("node") / 16).cast("bigint").alias("block")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.countDistinct("comp").cast("bigint").alias("n_components"),
+    )
+    return (
+        stats.join(mst, "block", "left")
+        .select(
+            "block",
+            "n_nodes",
+            "n_components",
+            F.coalesce("n_mst_edges", F.lit(0))
+            .cast("bigint")
+            .alias("n_mst_edges"),
+            F.coalesce("mst_weight", F.lit(0))
+            .cast("bigint")
+            .alias("mst_weight"),
+        )
+        .orderBy("block")
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")
