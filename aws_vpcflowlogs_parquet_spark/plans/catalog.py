@@ -18694,6 +18694,757 @@ def q_mst_boruvka(spark, sf_dir):
     )
 
 
+@register(
+    "q_spearman",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    rx AS (
+      SELECT v, CAST(2 * SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - c + 1 AS BIGINT) AS r2
+      FROM (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM spend GROUP BY x)
+    ),
+    ry AS (
+      SELECT v, CAST(2 * SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - c + 1 AS BIGINT) AS r2
+      FROM (SELECT y AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM spend GROUP BY y)
+    ),
+    j AS (
+      SELECT rx.r2 AS rxv, ry.r2 AS ryv
+      FROM spend s JOIN rx ON s.x = rx.v JOIN ry ON s.y = ry.v
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rxv) AS BIGINT) AS sx,
+             CAST(SUM(ryv) AS BIGINT) AS sy,
+             CAST(SUM(rxv * rxv) AS BIGINT) AS sxx,
+             CAST(SUM(ryv * ryv) AS BIGINT) AS syy,
+             CAST(SUM(rxv * ryv) AS BIGINT) AS sxy
+      FROM j
+    )
+    SELECT n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS s_xy,
+           CAST(n * sxx - sx * sx AS BIGINT) AS s_xx,
+           CAST(n * syy - sy * sy AS BIGINT) AS s_yy,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rho
+    FROM a
+    """,
+)
+def q_spearman(spark, sf_dir):
+    """Exact tie-aware SPEARMAN rank correlation (spend vs order count
+    per customer) — rank correlation as a distributed-rank-kernel
+    consumer, the metric behind monotone-association screens in
+    feature triage and data-drift dashboards.
+
+    Mechanism: average ranks with ties live on the 2× integer lattice
+    (2·avgrank = 2·cum_before + cnt + 1 is always an integer), so the
+    whole computation stays exact: per metric, the distinct-value
+    relation gets an inclusive distributed prefix sum of its counts
+    (operators/ranks.with_prefix_sum — sampled-range two-pass scan, no
+    single-partition window over the value domain), 2r = 2·cum − c + 1
+    joins back to customers by value, and one aggregate produces the
+    five sufficient statistics. ρ = S_xy/√(S_xx·S_yy) with every S an
+    exact BIGINT (the factor-4 lattice scaling cancels in the ratio)
+    and the one double expression tree identical on both engines —
+    √(S_xx)·√(S_yy) instead of √(product) because the product
+    overflows int64 where the factors do not.
+
+    MAGNITUDE BOUND (the gini_bucketed discipline): the largest term
+    is sx·sy = (n(n+1))² ≈ 2.6e13·sf⁴-ish — measured (n(n+1))² =
+    5.1e16 at sf0.1 (two decades inside int64, test-pinned in
+    test_round9_headroom.py) and WRAPS past sf ≈ 0.3: beyond that,
+    move the S terms onto DECIMAL(38,0) on both engines."""
+    from ..operators.ranks import with_prefix_sum
+
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.count("*").cast("bigint").alias("y"),
+    )
+    spend = track_persist(spend)
+
+    def ranks2(col):
+        vals = spend.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        vals = with_prefix_sum(vals, [F.col("v")], F.col("c"), "cum")
+        return vals.select(
+            F.col("v").alias(col),
+            (2 * F.col("cum") - F.col("c") + 1)
+            .cast("bigint")
+            .alias(f"r_{col}"),
+        )
+
+    joined = spend.join(ranks2("x"), "x").join(ranks2("y"), "y")
+    a = joined.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("r_x").cast("bigint").alias("sx"),
+        F.sum("r_y").cast("bigint").alias("sy"),
+        F.sum(F.col("r_x") * F.col("r_x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("r_y") * F.col("r_y")).cast("bigint").alias("syy"),
+        F.sum(F.col("r_x") * F.col("r_y")).cast("bigint").alias("sxy"),
+    )
+    s_xy = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    s_xx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    s_yy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return a.select(
+        "n",
+        s_xy.cast("bigint").alias("s_xy"),
+        s_xx.cast("bigint").alias("s_xx"),
+        s_yy.cast("bigint").alias("s_yy"),
+        (
+            s_xy.cast("double")
+            / (F.sqrt(s_xx.cast("double")) * F.sqrt(s_yy.cast("double")))
+        ).alias("rho"),
+    )
+
+
+@register(
+    "q_kendall_tau",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) // 100000 AS xb,
+             CAST(COUNT(*) AS BIGINT) AS yb
+      FROM orders GROUP BY o_custkey
+    ),
+    cells AS (
+      SELECT xb, yb, CAST(COUNT(*) AS BIGINT) AS n
+      FROM spend GROUP BY xb, yb
+    ),
+    grid AS (
+      SELECT gx.xb, gy.yb, COALESCE(c.n, 0) AS n
+      FROM (SELECT DISTINCT xb FROM cells) gx
+      CROSS JOIN (SELECT DISTINCT yb FROM cells) gy
+      LEFT JOIN cells c ON c.xb = gx.xb AND c.yb = gy.yb
+    ),
+    acc AS (
+      SELECT xb, yb, n,
+             SUM(n) OVER (PARTITION BY xb ORDER BY yb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS a
+      FROM grid
+    ),
+    pp AS (
+      SELECT xb, yb, n,
+             SUM(a) OVER (PARTITION BY yb ORDER BY xb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p,
+             SUM(a) OVER (PARTITION BY yb ORDER BY xb DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p2
+      FROM acc
+    ),
+    lx AS (
+      SELECT xb, yb, n,
+             LAG(p, 1, 0) OVER (PARTITION BY yb ORDER BY xb) AS pm1,
+             LAG(p2, 1, 0) OVER (PARTITION BY yb ORDER BY xb DESC) AS p2m1
+      FROM pp
+    ),
+    s AS (
+      SELECT xb, yb, n,
+             LAG(pm1, 1, 0) OVER (PARTITION BY xb ORDER BY yb) AS s_asc,
+             LAG(p2m1, 1, 0) OVER (PARTITION BY xb ORDER BY yb) AS s_desc
+      FROM lx
+    ),
+    cd AS (
+      SELECT CAST(SUM(n * s_asc) AS BIGINT) AS concordant,
+             CAST(SUM(n * s_desc) AS BIGINT) AS discordant,
+             CAST(SUM(n) AS BIGINT) AS n
+      FROM s
+    ),
+    tiex AS (
+      SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n1
+      FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY xb)
+    ),
+    tiey AS (
+      SELECT CAST(SUM(t * (t - 1) / 2) AS BIGINT) AS n2
+      FROM (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells GROUP BY yb)
+    )
+    SELECT cd.n AS n, concordant, discordant, n1 AS ties_x, n2 AS ties_y,
+           CAST(concordant - discordant AS DOUBLE)
+             / (sqrt(CAST(cd.n * (cd.n - 1) / 2 - n1 AS DOUBLE))
+                * sqrt(CAST(cd.n * (cd.n - 1) / 2 - n2 AS DOUBLE))) AS tau_b
+    FROM cd, tiex, tiey
+    """,
+)
+def q_kendall_tau(spark, sf_dir):
+    """KENDALL τ-b on bucketed (spend, order-count) pairs — concordance
+    analysis via 2-D DOMINANCE COUNTING on a dense grid, the
+    complementary rank-association mechanism to q_spearman (pair
+    inversions instead of rank algebra).
+
+    The naive τ is an O(n²) pair join — dead at any scale. Here both
+    coordinates live on bounded domains (spend div $1000 ≤ ~600 bins ×
+    order-count ≤ ~50), so concordant/discordant pair counts collapse
+    onto the CELL grid: C = Σ_ij n_ij·S(i−1,j−1) and D with x
+    reversed, where S is the 2-D strict prefix count — computed as two
+    chained one-dimensional running sums (cum over y within x, then
+    cum over x within y) plus two lags, EVERY window partitioned by
+    the other coordinate: no unpartitioned window anywhere, and the
+    data-scale work is one groupBy producing the cell counts. The grid
+    must be DENSIFIED first (distinct-x × distinct-y cross join, zero
+    fill): on a sparse cell set the chained-cumsum decomposition is
+    wrong because the inner sum's alignment differs per row. Ties use
+    the tau-b marginal formula n1 = Σ t_i(t_i−1)/2; everything except
+    the final ratio is an exact BIGINT (C ≤ n²/2 ≈ 1.1e8 at sf0.1 —
+    int64-safe through sf ≈ 20000), and the ratio's expression tree is
+    identical on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))"
+            " AS BIGINT) div 100000"
+        ).alias("xb"),
+        F.count("*").cast("bigint").alias("yb"),
+    )
+    cells = spend.groupBy("xb", "yb").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    cells = track_persist(cells)
+    grid = (
+        cells.select("xb")
+        .distinct()
+        .crossJoin(cells.select("yb").distinct())
+        .join(cells, ["xb", "yb"], "left")
+        .select("xb", "yb", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    w_y = (
+        Window.partitionBy("xb")
+        .orderBy("yb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    acc = grid.select("xb", "yb", "n", F.sum("n").over(w_y).alias("a"))
+    w_x = (
+        Window.partitionBy("yb")
+        .orderBy("xb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_xd = (
+        Window.partitionBy("yb")
+        .orderBy(F.col("xb").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pp = acc.select(
+        "xb",
+        "yb",
+        "n",
+        F.sum("a").over(w_x).alias("p"),
+        F.sum("a").over(w_xd).alias("p2"),
+    )
+    lx = pp.select(
+        "xb",
+        "yb",
+        "n",
+        F.lag("p", 1, 0)
+        .over(Window.partitionBy("yb").orderBy("xb"))
+        .alias("pm1"),
+        F.lag("p2", 1, 0)
+        .over(Window.partitionBy("yb").orderBy(F.col("xb").desc()))
+        .alias("p2m1"),
+    )
+    s = lx.select(
+        "n",
+        F.lag("pm1", 1, 0)
+        .over(Window.partitionBy("xb").orderBy("yb"))
+        .alias("s_asc"),
+        F.lag("p2m1", 1, 0)
+        .over(Window.partitionBy("xb").orderBy("yb"))
+        .alias("s_desc"),
+    )
+    cd = s.agg(
+        F.sum(F.col("n") * F.col("s_asc")).cast("bigint").alias("concordant"),
+        F.sum(F.col("n") * F.col("s_desc"))
+        .cast("bigint")
+        .alias("discordant"),
+        F.sum("n").cast("bigint").alias("n"),
+    )
+    tx = (
+        cells.groupBy("xb")
+        .agg(F.sum("n").cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2)
+            .cast("bigint")
+            .alias("ties_x")
+        )
+    )
+    ty = (
+        cells.groupBy("yb")
+        .agg(F.sum("n").cast("bigint").alias("t"))
+        .agg(
+            F.sum(F.col("t") * (F.col("t") - 1) / 2)
+            .cast("bigint")
+            .alias("ties_y")
+        )
+    )
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("bigint")
+    return (
+        cd.crossJoin(tx)
+        .crossJoin(ty)
+        .select(
+            "n",
+            "concordant",
+            "discordant",
+            "ties_x",
+            "ties_y",
+            (
+                (F.col("concordant") - F.col("discordant")).cast("double")
+                / (
+                    F.sqrt((n0 - F.col("ties_x")).cast("double"))
+                    * F.sqrt((n0 - F.col("ties_y")).cast("double"))
+                )
+            ).alias("tau_b"),
+        )
+    )
+
+
+@register(
+    "q_ams_f2",
+    oracle="""
+    WITH f AS (
+      SELECT user_id AS u, CAST(COUNT(*) AS BIGINT) AS fu
+      FROM events GROUP BY user_id
+    ),
+    d AS (SELECT unnest(range(0, 16)) AS j),
+    s AS (
+      SELECT j,
+             CAST(SUM(CASE WHEN substring(
+                 md5(CAST(j AS VARCHAR) || ':' || CAST(u AS VARCHAR)), 1, 1)
+               IN ('0','1','2','3','4','5','6','7')
+               THEN fu ELSE -fu END) AS BIGINT) AS sj
+      FROM f CROSS JOIN d GROUP BY j
+    ),
+    ex AS (SELECT CAST(SUM(fu * fu) AS BIGINT) AS f2 FROM f),
+    m AS (SELECT CAST(list_sort(list(sj * sj))[8] AS BIGINT) AS med FROM s)
+    SELECT CAST(j AS BIGINT) AS j, sj,
+           CAST(sj * sj AS BIGINT) AS est,
+           f2 AS exact_f2, med AS median_est,
+           ABS(CAST(sj * sj - f2 AS DOUBLE)) / CAST(f2 AS DOUBLE)
+             AS rel_err
+    FROM s, ex, m ORDER BY j
+    """,
+)
+def q_ams_f2(spark, sf_dir):
+    """AMS (Alon-Matias-Szegedy) SECOND-MOMENT sketch of the per-user
+    event-frequency vector — the classic one-pass F2/self-join-size
+    estimator behind skew detection and join planning, and a rarity in
+    this catalog's sketch family: fully ORACLE-PAIRED, because the
+    random signs are derandomized to md5, which both engines compute
+    identically (the q_sample_hash discipline applied to a sketch).
+
+    Mechanism: 16 independent sign hashes s_j(u) = ±1 from the first
+    md5 nibble of "j:u"; each estimator is S_j² with S_j = Σ_u
+    s_j(u)·f_u — a SINGLE distributed aggregate per hash, here all 16
+    at once via a broadcast 16-row fan-out crossJoin (measured r7
+    lesson: codegen'd fan-out beats an interpreted higher-order-
+    function transform). The exact F2 = Σ f_u² rides the same
+    frequency relation for the error audit; the reported median is the
+    lower median of the 16 estimates — a 16-element sorted array, not
+    a data-scale sort. At 100 TB: one shuffle to build f_u, one
+    partial-aggregated 16× fan-out; S_j ≤ total events so S_j² is
+    int64-safe through ~3e9 events per... S_j ≤ N = 1e5·sf events,
+    S² ≤ 1e10 at sf0.1 — int64-safe through sf ≈ 3e4."""
+    ev = _t(spark, sf_dir, "events")
+    f = ev.groupBy(F.col("user_id").alias("u")).agg(
+        F.count("*").cast("bigint").alias("fu")
+    )
+    f = track_persist(f)
+    d = spark.range(16).select(F.col("id").cast("bigint").alias("j"))
+    sgn = F.when(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("j").cast("string"),
+                    F.lit(":"),
+                    F.col("u").cast("string"),
+                )
+            ),
+            1,
+            1,
+        ).isin("0", "1", "2", "3", "4", "5", "6", "7"),
+        F.col("fu"),
+    ).otherwise(-F.col("fu"))
+    s = (
+        f.crossJoin(F.broadcast(d))
+        .groupBy("j")
+        .agg(F.sum(sgn).cast("bigint").alias("sj"))
+    )
+    ex = f.agg(
+        F.sum(F.col("fu") * F.col("fu")).cast("bigint").alias("exact_f2")
+    )
+    m = s.agg(
+        F.element_at(
+            F.array_sort(F.collect_list(F.col("sj") * F.col("sj"))), 8
+        )
+        .cast("bigint")
+        .alias("median_est")
+    )
+    est = (F.col("sj") * F.col("sj")).cast("bigint")
+    return (
+        s.crossJoin(ex)
+        .crossJoin(m)
+        .select(
+            "j",
+            "sj",
+            est.alias("est"),
+            "exact_f2",
+            "median_est",
+            (
+                F.abs((est - F.col("exact_f2")).cast("double"))
+                / F.col("exact_f2").cast("double")
+            ).alias("rel_err"),
+        )
+        .orderBy("j")
+    )
+
+
+@register(
+    "q_parity_bipartite",
+    oracle="""
+    WITH RECURSIVE
+    edges_raw AS (
+      SELECT user_id // 16 AS block,
+             user_id AS u,
+             (user_id // 16) * 16 + ((user_id % 16 +
+               CASE WHEN (user_id // 16) % 3 = 0
+                    THEN 1 + (event_id % 7) * 2
+                    ELSE 1 + event_id % 15 END) % 16) AS v
+      FROM events WHERE event_id % 17 = 0
+    ),
+    edges AS (
+      SELECT DISTINCT LEAST(u, v) AS u, GREATEST(u, v) AS v
+      FROM edges_raw
+    ),
+    dir AS (
+      SELECT u AS a, v AS b FROM edges
+      UNION ALL
+      SELECT v AS a, u AS b FROM edges
+    ),
+    walk AS (
+      SELECT a AS u, b AS v, 1 AS p FROM dir
+      UNION
+      SELECT w.u, d.b AS v, (w.p + 1) % 2 AS p
+      FROM walk w JOIN dir d ON d.a = w.v
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      )
+    ),
+    odd AS (
+      SELECT DISTINCT u FROM walk WHERE u = v AND p = 1
+    )
+    SELECT n.block AS block, n.n_nodes,
+           CAST(COALESCE(o.n_odd, 0) AS BIGINT) AS n_odd_nodes,
+           COALESCE(o.n_odd, 0) = 0 AS is_bipartite
+    FROM (SELECT node // 16 AS block, CAST(COUNT(*) AS BIGINT) AS n_nodes
+          FROM nodes GROUP BY node // 16) n
+    LEFT JOIN (SELECT u // 16 AS block, CAST(COUNT(*) AS BIGINT) AS n_odd
+               FROM odd GROUP BY u // 16) o
+      ON o.block = n.block
+    ORDER BY block
+    """,
+)
+def q_parity_bipartite(spark, sf_dir):
+    """Bipartiteness / ODD-CYCLE detection via the GF(2)-PARITY
+    semiring closure — the fifth semiring in the closure family
+    (boolean reachability, max-plus graph, max-plus sequence,
+    hop-stratified sum-product; parity composes with XOR), the graph
+    test behind 2-colorability, conflict graphs, and signed-network
+    balance checks.
+
+    Mechanism: the walk relation (u, v, parity) closes under PATH
+    DOUBLING (R ∪ R∘R per round, XOR-ing parities, new pairs only —
+    the q_scc strategy with a 1-bit annotation); a component contains
+    an odd cycle iff the closure holds (u, u, 1). The synthetic graph
+    engineers BOTH answers deterministically at every sf: blocks with
+    ``block % 3 == 0`` draw only ODD slot steps, so every edge flips
+    slot parity and the block is 2-colorable by construction; other
+    blocks draw mixed steps and develop odd cycles. Blocks are ≤ 16
+    nodes, so the closure is bounded at 512 (pair × parity) rows per
+    block — linear in nodes overall, log-round convergence — and at
+    100 TB this is exactly the contracted-graph pass that follows the
+    cheap CC contraction, as with q_scc. The DuckDB oracle reaches the
+    identical fixpoint by single-edge walk extension (BFS) under
+    UNION-distinct; doubling and BFS agree on the closure, and
+    per-block (n_nodes, odd-node count, bipartite flag) are
+    closure-determined, so the pairing is exact."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 17 == 0)
+    blk = (F.col("user_id") / 16).cast("bigint")
+    step = F.when(
+        blk % 3 == 0, 1 + (F.col("event_id") % 7) * 2
+    ).otherwise(1 + F.col("event_id") % 15)
+    other = blk * 16 + ((F.col("user_id") % 16 + step) % 16)
+    edges = (
+        ev.select(
+            F.least(F.col("user_id"), other).alias("u"),
+            F.greatest(F.col("user_id"), other).alias("v"),
+        )
+        .distinct()
+    )
+    edges = track_persist(edges)
+    dir_ = edges.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).unionAll(edges.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    walk = dir_.select(
+        F.col("a").alias("wu"),
+        F.col("b").alias("wv"),
+        F.lit(1).alias("p"),
+    ).localCheckpoint(eager=True)
+    while True:
+        rhs = walk.select(
+            F.col("wu").alias("m"),
+            F.col("wv").alias("wv2"),
+            F.col("p").alias("p2"),
+        )
+        grown = (
+            walk.join(rhs, walk["wv"] == rhs["m"])
+            .select(
+                "wu",
+                F.col("wv2").alias("wv"),
+                ((F.col("p") + F.col("p2")) % 2).alias("p"),
+            )
+            .distinct()
+        )
+        new = grown.subtract(walk).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        walk = walk.union(new).distinct().localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select("v"))
+        .distinct()
+    )
+    n_per = nodes.groupBy(
+        (F.col("node") / 16).cast("bigint").alias("block")
+    ).agg(F.count("*").cast("bigint").alias("n_nodes"))
+    odd = (
+        walk.filter((F.col("wu") == F.col("wv")) & (F.col("p") == 1))
+        .select("wu")
+        .distinct()
+        .groupBy((F.col("wu") / 16).cast("bigint").alias("block"))
+        .agg(F.count("*").cast("bigint").alias("n_odd"))
+    )
+    return (
+        n_per.join(odd, "block", "left")
+        .select(
+            "block",
+            "n_nodes",
+            F.coalesce("n_odd", F.lit(0))
+            .cast("bigint")
+            .alias("n_odd_nodes"),
+            (F.coalesce("n_odd", F.lit(0)) == 0).alias("is_bipartite"),
+        )
+        .orderBy("block")
+    )
+
+
+@register(
+    "q_shoelace_area",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0) AS BIGINT) % 1000 AS x,
+             (event_id * 7) % 1000 AS y,
+             ts, event_id
+      FROM events
+    ),
+    ring AS (
+      SELECT user_id, x, y,
+             COALESCE(LEAD(x) OVER w,
+                      FIRST_VALUE(x) OVER w) AS xn,
+             COALESCE(LEAD(y) OVER w,
+                      FIRST_VALUE(y) OVER w) AS yn
+      FROM pts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(SUM(x * yn - xn * y) AS BIGINT) AS twice_signed_area,
+           CAST(ABS(SUM(x * yn - xn * y)) AS BIGINT) AS twice_area
+    FROM ring GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_shoelace_area(spark, sf_dir):
+    """Per-key polygon area by the SHOELACE formula — CYCLIC window
+    algebra (the wrap-around LEAD every closed-ring computation needs:
+    GPS traces, geofences, cyclic schedules), a frame Spark has no
+    native operator for.
+
+    Each user's event sequence becomes a closed polyline on a bounded
+    integer lattice; the signed area is Σ(x_i·y_{i+1} − x_{i+1}·y_i)/2
+    with the LAST vertex pairing back to the FIRST. The wrap is
+    expressed as COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) with
+    an explicit UNBOUNDED frame — FIRST_VALUE's default frame would
+    stop at CURRENT ROW, which happens to work for first_value but is
+    pinned explicit so both engines evaluate the identical frame. All
+    windows are PARTITIONED by user (embarrassingly parallel at any
+    scale); cross products stay on the integer lattice (|terms| < 1e6,
+    Σ per key < 1e9), so the per-key signed/absolute doubled areas are
+    exact BIGINTs and no float enters at all. The order (ts, event_id)
+    is total per user, making the vertex ring — and therefore the
+    signed area — deterministic on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        (F.floor(F.col("value") * 100.0).cast("bigint") % 1000).alias("x"),
+        ((F.col("event_id") * 7) % 1000).alias("y"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ring = pts.select(
+        "user_id",
+        "x",
+        "y",
+        F.coalesce(
+            F.lead("x").over(w), F.first("x").over(w_full)
+        ).alias("xn"),
+        F.coalesce(
+            F.lead("y").over(w), F.first("y").over(w_full)
+        ).alias("yn"),
+    )
+    two_a = F.sum(
+        F.col("x") * F.col("yn") - F.col("xn") * F.col("y")
+    ).cast("bigint")
+    return (
+        ring.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vertices"),
+            two_a.alias("twice_signed_area"),
+            F.abs(two_a).cast("bigint").alias("twice_area"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_transitive_reduction",
+    oracle="""
+    WITH RECURSIVE
+    edges AS (
+      SELECT DISTINCT user_id % 200 AS a,
+             user_id % 200 + 1 + event_id % 40 AS b
+      FROM events WHERE event_id % 11 = 0
+    ),
+    reach AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON e.a = r.b
+    ),
+    ge2 AS (
+      SELECT DISTINCT e.a, r.b
+      FROM edges e JOIN reach r ON r.a = e.b
+    ),
+    kept AS (
+      SELECT e.a, e.b FROM edges e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ge2 g WHERE g.a = e.a AND g.b = e.b
+      )
+    )
+    SELECT n.a AS node,
+           CAST(n.deg AS BIGINT) AS out_before,
+           CAST(COALESCE(k.deg, 0) AS BIGINT) AS out_after
+    FROM (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a) n
+    LEFT JOIN (SELECT a, COUNT(*) AS deg FROM kept GROUP BY a) k
+      ON k.a = n.a
+    ORDER BY node
+    """,
+)
+def q_transitive_reduction(spark, sf_dir):
+    """TRANSITIVE REDUCTION of a DAG (Hasse diagram): drop every edge
+    implied by a longer path — the minimal dependency set behind build
+    graphs, schema lineage, and ontology cleanup.
+
+    The DAG is derived acyclic BY CONSTRUCTION (every edge strictly
+    increases the node id: a → a + 1..40 on a ≤ 240-node domain), so no
+    cycle check is needed and the reduction is unique (a guarantee
+    general graphs do not give — uniqueness is what makes this
+    oracle-exact). Reachability comes from the boolean-semiring PATH
+    DOUBLING closure (the q_scc strategy); an edge (a, b) is redundant
+    iff a path of length ≥ 2 exists, i.e. iff (a, b) ∈ edges ∘ closure
+    — one join composing each edge with the closure of its HEAD — and
+    the reduction is the anti-join of the edge set against that
+    composition. Output is per-node out-degree before/after (the
+    compression audit). The node domain is bounded (≤ 240), so the
+    closure is bounded metadata (< 58k pairs) while edge DERIVATION
+    scans data once — the contracted-graph discipline of
+    q_scc/q_mst_boruvka. DuckDB replays the identical fixpoint by
+    BFS extension; doubling and BFS agree on the closure, and the
+    reduction is closure-determined."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    edges = (
+        ev.select(
+            (F.col("user_id") % 200).alias("a"),
+            (
+                F.col("user_id") % 200 + 1 + F.col("event_id") % 40
+            ).alias("b"),
+        )
+        .distinct()
+    )
+    edges = track_persist(edges)
+    reach = edges.select(
+        F.col("a").alias("ra"), F.col("b").alias("rb")
+    ).localCheckpoint(eager=True)
+    while True:
+        rhs = reach.select(
+            F.col("ra").alias("m"), F.col("rb").alias("rb2")
+        )
+        grown = (
+            reach.join(rhs, reach["rb"] == rhs["m"])
+            .select("ra", F.col("rb2").alias("rb"))
+            .distinct()
+        )
+        new = grown.subtract(reach).localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        reach = reach.union(new).distinct().localCheckpoint(eager=True)
+    ge2 = (
+        edges.join(reach, edges["b"] == reach["ra"])
+        .select("a", F.col("rb").alias("b"))
+        .distinct()
+    )
+    kept = edges.join(ge2, ["a", "b"], "left_anti")
+    before = edges.groupBy("a").agg(
+        F.count("*").cast("bigint").alias("out_before")
+    )
+    after = kept.groupBy("a").agg(
+        F.count("*").cast("bigint").alias("out_after")
+    )
+    return (
+        before.join(after, "a", "left")
+        .select(
+            F.col("a").alias("node"),
+            "out_before",
+            F.coalesce("out_after", F.lit(0))
+            .cast("bigint")
+            .alias("out_after"),
+        )
+        .orderBy("node")
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

@@ -103,3 +103,14 @@ def test_abc_pareto_bucketed_cent_sums_hold_through_sf1(spend):
     sf, (_, s) = max(spend.items())
     s_1 = s * (1.0 / sf)
     assert s_1 * 20 * 100 < I64_MAX, f"{s_1 * 20:.3e}"
+
+
+def test_spearman_rank_products_two_decades_slack_at_sf01(spend):
+    # q_spearman's largest bigint term is sx*sy = (n(n+1))^2 on the 2x
+    # average-rank lattice; the sf0.1 stress drive must keep >= 2
+    # decades below int64 wrap (the docstring prescribes DECIMAL(38,0)
+    # past sf ~ 0.3)
+    sf, (n, _) = max(spend.items())
+    n_01 = n * (0.1 / sf)
+    worst = (n_01 * (n_01 + 1)) ** 2
+    assert worst * 100 < I64_MAX, f"{worst:.3e}"
