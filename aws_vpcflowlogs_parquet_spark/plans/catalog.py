@@ -19445,6 +19445,425 @@ def q_transitive_reduction(spark, sf_dir):
     )
 
 
+@register(
+    "q_kadane_max_subarray",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0) AS BIGINT) - 250 AS v,
+             ts, event_id
+      FROM events
+    ),
+    c AS (
+      SELECT user_id, v, ts, event_id,
+             SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM s
+    ),
+    m AS (
+      SELECT user_id, v, cum,
+             LEAST(CAST(0 AS BIGINT), COALESCE(MIN(cum) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               CAST(0 AS BIGINT))) AS min_prev
+      FROM c
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS BIGINT) AS total,
+           CAST(MAX(cum - min_prev) AS BIGINT) AS best_subarray_sum
+    FROM m GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_kadane_max_subarray(spark, sf_dir):
+    """Maximum-sum contiguous subarray per key (the KADANE problem) —
+    burst detection over signed per-event deltas (net gain of the best
+    run), the workhorse of drawdown/run-rate analyses.
+
+    Kadane's scan is inherently sequential; the distributed form uses
+    the PREFIX-MIN IDENTITY instead: best = max_i (C_i − min(0,
+    min_{j<i} C_j)) over inclusive prefix sums C — a running sum, a
+    running min over the LAGGED prefix (empty-prefix case folded in
+    via LEAST(0, ...), which also encodes that a subarray may start at
+    position 1), and one max aggregate. All three windows are
+    partitioned per key, so every key computes in parallel with no
+    cross-key coordination; values sit on a signed integer lattice and
+    every statistic is an exact BIGINT. The same identity is the
+    combine step of the classic (total, best, best-prefix,
+    best-suffix) monoid used for segment-parallel Kadane — the window
+    form IS that reduction with Spark's window machinery doing the
+    segmenting."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        (F.floor(F.col("value") * 100.0).cast("bigint") - 250).alias("v"),
+        "ts",
+        "event_id",
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = s.select(
+        "user_id",
+        "v",
+        "ts",
+        "event_id",
+        F.sum("v").over(w_cum).alias("cum"),
+    ).withColumn(
+        "min_prev",
+        F.least(
+            F.lit(0).cast("bigint"),
+            F.coalesce(
+                F.min("cum").over(w_prev), F.lit(0).cast("bigint")
+            ),
+        ),
+    )
+    return (
+        m.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("total"),
+            F.max(F.col("cum") - F.col("min_prev"))
+            .cast("bigint")
+            .alias("best_subarray_sum"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_rain_water",
+    oracle="""
+    WITH h AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0) AS BIGINT) % 500 AS ht,
+             ts, event_id
+      FROM events
+    ),
+    mm AS (
+      SELECT user_id, ht,
+             MAX(ht) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS maxl,
+             MAX(ht) OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS maxr
+      FROM h
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bars,
+           CAST(MAX(ht) AS BIGINT) AS peak,
+           CAST(SUM(LEAST(maxl, maxr) - ht) AS BIGINT) AS water
+    FROM mm GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_rain_water(spark, sf_dir):
+    """Trapped-water-over-histogram per key — BIDIRECTIONAL running
+    extrema (the two-pointer classic, distributed): water above bar i
+    is min(max-left, max-right) − h_i, needing one forward and one
+    REVERSED running max over the same per-key order. Reversal is just
+    the descending window spec — no second sort pass materializes, and
+    both windows stay partitioned per key. The per-bar water term is
+    always ≥ 0 (each bar's own height bounds both running maxima from
+    below), so the LEAST(...)−ht sum needs no clamp. Integer heights,
+    exact BIGINT totals; the fixture's interleaved height profile
+    gives every user a nonzero basin, so the statistic is
+    non-degenerate at every sf."""
+    ev = _t(spark, sf_dir, "events")
+    h = ev.select(
+        "user_id",
+        (F.floor(F.col("value") * 100.0).cast("bigint") % 500).alias("ht"),
+        "ts",
+        "event_id",
+    )
+    w_l = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_r = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mm = h.select(
+        "user_id",
+        "ht",
+        F.max("ht").over(w_l).alias("maxl"),
+        F.max("ht").over(w_r).alias("maxr"),
+    )
+    return (
+        mm.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bars"),
+            F.max("ht").cast("bigint").alias("peak"),
+            F.sum(F.least("maxl", "maxr") - F.col("ht"))
+            .cast("bigint")
+            .alias("water"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_fd_check",
+    oracle="""
+    WITH fd1 AS (
+      SELECT 'l_partkey->l_suppkey' AS fd,
+             CAST(COUNT(*) AS BIGINT) AS n_lhs,
+             CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating,
+             CAST(MAX(d) AS BIGINT) AS max_rhs
+      FROM (SELECT l_partkey, COUNT(DISTINCT l_suppkey) AS d
+            FROM lineitem GROUP BY l_partkey)
+    ),
+    fd2 AS (
+      SELECT 'l_orderkey->l_linestatus' AS fd,
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(d) AS BIGINT)
+      FROM (SELECT l_orderkey, COUNT(DISTINCT l_linestatus) AS d
+            FROM lineitem GROUP BY l_orderkey)
+    ),
+    fd3 AS (
+      SELECT 'o_custkey->o_orderpriority' AS fd,
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(d) AS BIGINT)
+      FROM (SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS d
+            FROM orders GROUP BY o_custkey)
+    ),
+    fd4 AS (
+      SELECT 'c_nationkey->c_mktsegment' AS fd,
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(d) AS BIGINT)
+      FROM (SELECT c_nationkey, COUNT(DISTINCT c_mktsegment) AS d
+            FROM customer GROUP BY c_nationkey)
+    )
+    SELECT fd, n_lhs, n_violating, max_rhs, n_violating = 0 AS holds
+    FROM (SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+          UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4)
+    ORDER BY fd
+    """,
+)
+def q_fd_check(spark, sf_dir):
+    """FUNCTIONAL-DEPENDENCY profiling (A→B candidate checks) — the
+    schema-discovery pass data-cataloging and normalization tools run
+    before trusting a column as a key: for each candidate FD, count
+    LHS groups, violating groups (more than one distinct RHS), and the
+    worst fan-out.
+
+    Each check is one hash aggregate (group by LHS, count distinct
+    RHS) followed by a three-number rollup — embarrassingly parallel,
+    partial-aggregation friendly, no windows; four candidates ship in
+    one query via a union of 1-row aggregates. At 100 TB the per-FD
+    cost is a single shuffle on the LHS key, which is also how you'd
+    discover key candidates: run the cheap profile first, promote only
+    FDs that hold. Candidates chosen to land on BOTH verdicts at
+    every sf (order→linestatus and custkey→priority violate; the others
+    depend on the synthetic generators — whatever they are, both
+    engines profile identically)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+
+    def fd(df, name, lhs, rhs):
+        g = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("d"))
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").cast("bigint").alias("n_lhs"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.max("d").cast("bigint").alias("max_rhs"),
+        )
+    out = (
+        fd(li, "l_partkey->l_suppkey", "l_partkey", "l_suppkey")
+        .unionAll(fd(li, "l_orderkey->l_linestatus", "l_orderkey", "l_linestatus"))
+        .unionAll(fd(o, "o_custkey->o_orderpriority", "o_custkey", "o_orderpriority"))
+        .unionAll(fd(c, "c_nationkey->c_mktsegment", "c_nationkey", "c_mktsegment"))
+    )
+    return out.withColumn("holds", F.col("n_violating") == 0).orderBy("fd")
+
+
+@register(
+    "q_haar_wavelet",
+    oracle="""
+    WITH base AS (
+      SELECT g.user_id, g.b, COALESCE(c.v, 0) AS v
+      FROM (SELECT u.user_id, r.b
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(range(0, 32)) AS b) r) g
+      LEFT JOIN (
+        SELECT user_id,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 32 AS b,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY user_id, b
+      ) c ON c.user_id = g.user_id AND c.b = g.b
+    ),
+    l1 AS (
+      SELECT user_id, b // 2 AS k,
+             CAST(SUM(v) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN b % 2 = 0 THEN v ELSE -v END) AS BIGINT) AS d
+      FROM base GROUP BY user_id, b // 2
+    ),
+    l2 AS (
+      SELECT user_id, k // 2 AS k, CAST(SUM(s) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN k % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+      FROM l1 GROUP BY user_id, k // 2
+    ),
+    l3 AS (
+      SELECT user_id, k // 2 AS k, CAST(SUM(s) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN k % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+      FROM l2 GROUP BY user_id, k // 2
+    ),
+    l4 AS (
+      SELECT user_id, k // 2 AS k, CAST(SUM(s) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN k % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+      FROM l3 GROUP BY user_id, k // 2
+    ),
+    l5 AS (
+      SELECT user_id, k // 2 AS k, CAST(SUM(s) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN k % 2 = 0 THEN s ELSE -s END) AS BIGINT) AS d
+      FROM l4 GROUP BY user_id, k // 2
+    )
+    SELECT user_id, level, k, s, d FROM (
+      SELECT user_id, 1 AS level, k, s, d FROM l1
+      UNION ALL SELECT user_id, 2, k, s, d FROM l2
+      UNION ALL SELECT user_id, 3, k, s, d FROM l3
+      UNION ALL SELECT user_id, 4, k, s, d FROM l4
+      UNION ALL SELECT user_id, 5, k, s, d FROM l5
+    ) ORDER BY user_id, level, k
+    """,
+)
+def q_haar_wavelet(spark, sf_dir):
+    """Unnormalized HAAR WAVELET decomposition of each key's 32-bucket
+    activity series — multi-resolution analysis as 5 unrolled pairwise
+    aggregations, the hierarchy behind wavelet synopses (Haar-based
+    selectivity estimation), progressive dashboards, and change
+    localization.
+
+    Each level halves the series: s = a + b carries the coarse view
+    down, d = a − b keeps the detail coefficient (unnormalized, so
+    every coefficient is an exact BIGINT — the √2 normalization that
+    would force floats is deliberately omitted and can be applied at
+    read time). The series MUST be densified to all 32 buckets first:
+    a missing (empty) bucket would shift its partner's pairing and
+    corrupt every level above. Five groupBys on (key, k div 2) — all
+    partial-aggregation friendly, shuffle domain shrinking 32→16→8→4→
+    2→1 per key — and the full coefficient set (31 rows/key) unions
+    out. At 100 TB this is the one-pass hierarchical rollup pattern:
+    nothing is iterative, the whole transform is a single 6-level
+    dataflow DAG Catalyst pipelines end-to-end."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "user_id",
+        (
+            (F.unix_timestamp("ts").cast("bigint") / 3600).cast("bigint")
+            % 32
+        ).alias("b"),
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(32).select(F.col("id").alias("b"))))
+    )
+    base = grid.join(counts, ["user_id", "b"], "left").select(
+        "user_id", "b", F.coalesce("v", F.lit(0)).alias("v")
+    )
+
+    def level(df, kcol, vcol):
+        return df.groupBy(
+            "user_id", F.expr(f"{kcol} div 2").alias("k")
+        ).agg(
+            F.sum(vcol).cast("bigint").alias("s"),
+            F.sum(
+                F.when(F.col(kcol) % 2 == 0, F.col(vcol)).otherwise(
+                    -F.col(vcol)
+                )
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+
+    l1 = level(base, "b", "v")
+    l2 = level(l1.withColumnRenamed("k", "b").withColumnRenamed("s", "v"), "b", "v")
+    l3 = level(l2.withColumnRenamed("k", "b").withColumnRenamed("s", "v"), "b", "v")
+    l4 = level(l3.withColumnRenamed("k", "b").withColumnRenamed("s", "v"), "b", "v")
+    l5 = level(l4.withColumnRenamed("k", "b").withColumnRenamed("s", "v"), "b", "v")
+    out = None
+    for i, lv in enumerate((l1, l2, l3, l4, l5), start=1):
+        part = lv.select(
+            "user_id", F.lit(i).alias("level"), "k", "s", "d"
+        )
+        out = part if out is None else out.unionAll(part)
+    return out.orderBy("user_id", "level", "k")
+
+
+@register(
+    "q_multiset_ops",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+      WHERE l_returnflag = 'R'
+    ),
+    b AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q FROM lineitem
+      WHERE l_returnflag = 'A'
+    )
+    SELECT q, tag, CAST(COUNT(*) AS BIGINT) AS multiplicity FROM (
+      SELECT q, 'except_all' AS tag
+      FROM (SELECT q FROM a EXCEPT ALL SELECT q FROM b)
+      UNION ALL
+      SELECT q, 'intersect_all' AS tag
+      FROM (SELECT q FROM a INTERSECT ALL SELECT q FROM b)
+    ) GROUP BY q, tag ORDER BY q, tag
+    """,
+)
+def q_multiset_ops(spark, sf_dir):
+    """BAG (multiset) set operations — EXCEPT ALL / INTERSECT ALL with
+    duplicate-preserving semantics, the half of the relational algebra
+    q_set_ops' distinct variants cannot express: multiplicity(except)
+    = max(0, m_a − m_b) and multiplicity(intersect) = min(m_a, m_b)
+    per value.
+
+    Spark's exceptAll/intersectAll plan these as an aggregate of
+    signed counts plus a generator replay (no join): both inputs scan
+    once, counts shuffle on the value, and the result re-expands to
+    multiplicity — the output here re-aggregates to (value, op,
+    multiplicity), which both pins the bag semantics observably (the
+    multiplicities differ from the distinct variants exactly where
+    duplicates exist — l_quantity is 1..50, so collisions are massive)
+    and keeps the compared relation bounded by the value domain."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_quantity").cast("bigint").alias("q")
+    )
+    b = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_quantity").cast("bigint").alias("q")
+    )
+    out = (
+        a.exceptAll(b)
+        .select("q", F.lit("except_all").alias("tag"))
+        .unionAll(
+            a.intersectAll(b).select(
+                "q", F.lit("intersect_all").alias("tag")
+            )
+        )
+    )
+    return (
+        out.groupBy("q", "tag")
+        .agg(F.count("*").cast("bigint").alias("multiplicity"))
+        .orderBy("q", "tag")
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

@@ -258,3 +258,120 @@ def test_transitive_reduction_minimality(spark, duck):
         for r in QUERIES["q_transitive_reduction"](spark, SF_DIR).collect()
     }
     assert got == {a: (before[a], after.get(a, 0)) for a in before}
+
+
+def test_kadane_matches_quadratic_brute_force(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, CAST(floor(value * 100.0) AS BIGINT) - 250 "
+        f"FROM '{SF_DIR}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = collections.defaultdict(list)
+    for u, v in rows:
+        series[u].append(int(v))
+    want = {}
+    for u, vs in series.items():
+        best = None
+        for i in range(len(vs)):
+            run = 0
+            for j in range(i, len(vs)):
+                run += vs[j]
+                best = run if best is None or run > best else best
+        want[u] = (len(vs), sum(vs), best)
+    got = {
+        r.user_id: (r.n, r.total, r.best_subarray_sum)
+        for r in QUERIES["q_kadane_max_subarray"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_rain_water_matches_two_pointer_model(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, CAST(floor(value * 100.0) AS BIGINT) % 500 "
+        f"FROM '{SF_DIR}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    series = collections.defaultdict(list)
+    for u, h in rows:
+        series[u].append(int(h))
+    want = {}
+    nonzero = 0
+    for u, hs in series.items():
+        ml, acc = [], 0
+        for h in hs:
+            acc = max(acc, h)
+            ml.append(acc)
+        mr, acc = [0] * len(hs), 0
+        for i in range(len(hs) - 1, -1, -1):
+            acc = max(acc, hs[i])
+            mr[i] = acc
+        water = sum(min(a, b) - h for a, b, h in zip(ml, mr, hs))
+        want[u] = (len(hs), max(hs), water)
+        nonzero += water > 0
+    got = {
+        r.user_id: (r.n_bars, r.peak, r.water)
+        for r in QUERIES["q_rain_water"](spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert nonzero == len(want)  # every user's basin holds water
+
+
+def test_fd_check_verdicts(spark):
+    rows = {r.fd: r for r in QUERIES["q_fd_check"](spark, SF_DIR).collect()}
+    assert len(rows) == 4
+    for r in rows.values():
+        assert r.holds == (r.n_violating == 0)
+        assert 1 <= r.max_rhs
+        assert (r.max_rhs > 1) == (not r.holds)
+
+
+def test_haar_wavelet_reconstructs(spark, duck):
+    # inverse transform witness: level-5 (s, d) must reconstruct the
+    # densified series exactly level by level
+    rows = QUERIES["q_haar_wavelet"](spark, SF_DIR).collect()
+    per = collections.defaultdict(dict)
+    for r in rows:
+        per[r.user_id][(r.level, r.k)] = (r.s, r.d)
+    base = duck.sql(
+        f"SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 32, "
+        f"COUNT(*) FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    dense = collections.defaultdict(lambda: [0] * 32)
+    for u, b, c in base:
+        dense[u][int(b)] = int(c)
+    for u, vs in dense.items():
+        coeffs = per[u]
+        # top-down reconstruction: s at level l, index k splits into
+        # (s+d)/2, (s-d)/2 at level l-1
+        cur = {0: coeffs[(5, 0)][0]}
+        for lvl in range(5, 0, -1):
+            nxt = {}
+            for k, s in cur.items():
+                d = coeffs[(lvl, k)][1]
+                assert (s + d) % 2 == 0
+                nxt[2 * k] = (s + d) // 2
+                nxt[2 * k + 1] = (s - d) // 2
+            cur = nxt
+        assert [cur[i] for i in range(32)] == vs
+
+
+def test_multiset_ops_multiplicity_algebra(spark, duck):
+    rows = duck.sql(
+        f"SELECT CAST(l_quantity AS BIGINT), l_returnflag, COUNT(*) "
+        f"FROM '{SF_DIR}/lineitem.parquet' "
+        f"WHERE l_returnflag IN ('R', 'A') GROUP BY 1, 2"
+    ).fetchall()
+    ma, mb = collections.Counter(), collections.Counter()
+    for q, flag, c in rows:
+        (ma if flag == "R" else mb)[int(q)] = int(c)
+    want = {}
+    for q in set(ma) | set(mb):
+        ex = max(0, ma[q] - mb[q])
+        iv = min(ma[q], mb[q])
+        if ex:
+            want[(q, "except_all")] = ex
+        if iv:
+            want[(q, "intersect_all")] = iv
+    got = {
+        (r.q, r.tag): r.multiplicity
+        for r in QUERIES["q_multiset_ops"](spark, SF_DIR).collect()
+    }
+    assert got == want
