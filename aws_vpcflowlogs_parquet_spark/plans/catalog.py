@@ -19864,6 +19864,438 @@ def q_multiset_ops(spark, sf_dir):
     )
 
 
+@register(
+    "q_fifo_costing",
+    oracle="""
+    WITH p AS (
+      SELECT l_partkey % 2000 AS key,
+             CAST(l_quantity AS BIGINT) AS qty,
+             l_partkey % 20 + 1 AS unit_cost,
+             l_shipdate, l_orderkey, l_linenumber, l_partkey, l_suppkey
+      FROM lineitem WHERE l_linenumber % 2 = 0
+    ),
+    s AS (
+      SELECT l_partkey % 2000 AS key,
+             CAST(l_quantity AS BIGINT) AS qty,
+             l_shipdate, l_orderkey, l_linenumber, l_partkey, l_suppkey
+      FROM lineitem WHERE l_linenumber % 2 = 1
+    ),
+    pc AS MATERIALIZED (
+      SELECT key, qty, unit_cost,
+             SUM(qty) OVER (PARTITION BY key
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_partkey, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pend
+      FROM p
+    ),
+    sc AS MATERIALIZED (
+      SELECT key, qty,
+             SUM(qty) OVER (PARTITION BY key
+               ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                        l_partkey, l_suppkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS send
+      FROM s
+    ),
+    m AS (
+      SELECT pc.key,
+             LEAST(pc.pend, sc.send)
+               - GREATEST(pc.pend - pc.qty, sc.send - sc.qty) AS mq,
+             pc.unit_cost
+      FROM pc JOIN sc ON sc.key = pc.key
+        AND pc.pend - pc.qty < sc.send
+        AND sc.send - sc.qty < pc.pend
+    ),
+    tot AS (
+      SELECT key, CAST(SUM(mq) AS BIGINT) AS matched_qty,
+             CAST(SUM(mq * unit_cost) AS BIGINT) AS matched_cost
+      FROM m GROUP BY key
+    ),
+    pt AS (SELECT key, CAST(SUM(qty) AS BIGINT) AS bought
+           FROM p GROUP BY key),
+    st AS (SELECT key, CAST(SUM(qty) AS BIGINT) AS sold
+           FROM s GROUP BY key)
+    SELECT pt.key AS key, bought,
+           COALESCE(sold, 0) AS sold,
+           COALESCE(matched_qty, 0) AS matched_qty,
+           COALESCE(matched_cost, 0) AS matched_cost,
+           bought - COALESCE(matched_qty, 0) AS inventory_left
+    FROM pt
+    LEFT JOIN st ON st.key = pt.key
+    LEFT JOIN tot ON tot.key = pt.key
+    ORDER BY key
+    """,
+)
+def q_fifo_costing(spark, sf_dir):
+    """FIFO inventory costing — ordered-multiset matching of two
+    per-key event streams (purchases vs sales) by CUMULATIVE-RANGE
+    INTERSECTION, the standard SQL formulation of first-in-first-out
+    cost allocation: purchase i covers cumulative units
+    (pend−qty, pend], sale j consumes (send−qty, send], and the FIFO
+    match quantity is exactly the overlap of the two intervals — no
+    iteration, no per-row state machine. Semantics, stated precisely:
+    LAYER matching (the k-th unit sold matches the k-th unit bought,
+    each stream in its own arrival order — backorder semantics), which
+    is what accounting FIFO means; a sale arriving before stock exists
+    matches FUTURE purchases rather than being dropped. The witness
+    test pins this against a two-pointer queue walk.
+
+    The naive per-key join evaluates |P|·|S| pairs; the scalable form
+    adds a RANGE-BUCKET to the equi-join key (the q_spatial_grid_join
+    discipline in 1-D): each cumulative interval explodes over its
+    div-512 buckets (≤ qty/512 + 2 ≈ 1-2 each, since line quantity ≤
+    50), matches join on (key, bucket), and the duplicate suppression
+    is positional — a pair counts only in the bucket of the LATER
+    interval start, so no distinct pass. The oracle states the same
+    join WITHOUT buckets (per-key quadratic is fine single-node);
+    both produce identical per-key totals. Everything is an exact
+    BIGINT (synthetic integer unit costs); per-key windows order by
+    the total (shipdate, orderkey, linenumber) tuple."""
+    li = _t(spark, sf_dir, "lineitem")
+    # (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+    # the window order extends to the full distinguishing tuple
+    order_cols = [
+        "l_shipdate", "l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey",
+    ]
+    p = li.filter(F.col("l_linenumber") % 2 == 0).select(
+        (F.col("l_partkey") % 2000).alias("key"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.col("l_partkey") % 20 + 1).alias("unit_cost"),
+        *order_cols,
+    )
+    s = li.filter(F.col("l_linenumber") % 2 == 1).select(
+        (F.col("l_partkey") % 2000).alias("key"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        *order_cols,
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    B = 512
+    pc = p.select(
+        "key", "qty", "unit_cost", F.sum("qty").over(w).alias("pend")
+    ).withColumn("pstart", F.col("pend") - F.col("qty"))
+    sc = s.select("key", "qty", F.sum("qty").over(w).alias("send")).withColumn(
+        "sstart", F.col("send") - F.col("qty")
+    )
+    pb = pc.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"pstart div {B}"), F.expr(f"(pend - 1) div {B}")
+            )
+        ),
+    )
+    sb = sc.withColumn(
+        "bkt",
+        F.explode(
+            F.sequence(
+                F.expr(f"sstart div {B}"), F.expr(f"(send - 1) div {B}")
+            )
+        ),
+    )
+    m = (
+        pb.join(sb, ["key", "bkt"])
+        .filter(
+            (F.col("pstart") < F.col("send"))
+            & (F.col("sstart") < F.col("pend"))
+            # positional dedup: count the pair only in the bucket
+            # holding the LATER of the two interval starts
+            & (
+                F.col("bkt")
+                == F.expr(f"greatest(pstart, sstart) div {B}")
+            )
+        )
+        .select(
+            "key",
+            (
+                F.least("pend", "send")
+                - F.greatest("pstart", "sstart")
+            ).alias("mq"),
+            "unit_cost",
+        )
+    )
+    tot = m.groupBy("key").agg(
+        F.sum("mq").cast("bigint").alias("matched_qty"),
+        F.sum(F.col("mq") * F.col("unit_cost"))
+        .cast("bigint")
+        .alias("matched_cost"),
+    )
+    pt = p.groupBy("key").agg(F.sum("qty").cast("bigint").alias("bought"))
+    st = s.groupBy("key").agg(F.sum("qty").cast("bigint").alias("sold"))
+    return (
+        pt.join(st, "key", "left")
+        .join(tot, "key", "left")
+        .select(
+            "key",
+            "bought",
+            F.coalesce("sold", F.lit(0)).cast("bigint").alias("sold"),
+            F.coalesce("matched_qty", F.lit(0))
+            .cast("bigint")
+            .alias("matched_qty"),
+            F.coalesce("matched_cost", F.lit(0))
+            .cast("bigint")
+            .alias("matched_cost"),
+            (F.col("bought") - F.coalesce("matched_qty", F.lit(0)))
+            .cast("bigint")
+            .alias("inventory_left"),
+        )
+        .orderBy("key")
+    )
+
+
+@register(
+    "q_waterfill",
+    oracle="""
+    WITH d AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS dem
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dem) AS BIGINT) AS total,
+             CAST((SUM(dem) * 3) // 5 AS BIGINT) AS cap
+      FROM d
+    ),
+    v AS (
+      SELECT dem AS val, CAST(COUNT(*) AS BIGINT) AS c FROM d GROUP BY dem
+    ),
+    pre AS (
+      SELECT val, c,
+             CAST(SUM(c * val) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS psum,
+             CAST(SUM(c) OVER (ORDER BY val
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS k
+      FROM v
+    ),
+    cand AS (
+      SELECT LEAST(CAST((cap - psum) // (n - k) AS BIGINT),
+                   COALESCE(LEAD(val) OVER (ORDER BY val) - 1,
+                            CAST((cap - psum) // (n - k) AS BIGINT)))
+               AS lam
+      FROM pre, tot
+      WHERE k < n AND psum + (n - k) * val <= cap
+      UNION ALL
+      SELECT LEAST(val - 1, CAST(cap // n AS BIGINT))
+      FROM (SELECT MIN(val) AS val FROM v), tot
+      WHERE cap // n < val
+    ),
+    lam AS (SELECT CAST(MAX(lam) AS BIGINT) AS lambda_star FROM cand),
+    alloc AS (
+      SELECT CAST(SUM(LEAST(dem, lambda_star)) AS BIGINT) AS allocated,
+             CAST(SUM(CASE WHEN dem > lambda_star THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_capped
+      FROM d, lam
+    )
+    SELECT n, total, cap, lambda_star, allocated,
+           CAST(cap - allocated AS BIGINT) AS leftover, n_capped
+    FROM tot, lam, alloc
+    """,
+)
+def q_waterfill(spark, sf_dir):
+    """WATER-FILLING (max-min fair) allocation: the largest integer
+    waterline λ* with Σ min(dᵢ, λ*) ≤ C — rate limiting, fair-share
+    quota assignment, and bandwidth allocation all reduce to this
+    order-statistics optimization.
+
+    S(λ) = Σ min(dᵢ, λ) is piecewise linear with breakpoints only at
+    distinct demand values, so λ* needs NO bisection loop: over the
+    distinct-value relation, an inclusive prefix sum gives
+    S-at-breakpoint (psum + (n−k)·val); every feasible breakpoint
+    proposes the furthest λ inside its segment, floor((C − psum) /
+    (n − k)) clamped to the next breakpoint, plus the below-the-first-
+    value segment (C div n) — and λ* is their MAX, one aggregate. The
+    demand histogram is data-scale, the windows here run over the
+    DISTINCT-demand domain (order counts, ≤ ~50 values — bounded by
+    the generator; for an unbounded value domain the identical shape
+    rides ranks.with_prefix_sum, as q_spearman does). Output is the
+    full audit: waterline, allocated, leftover (< number of uncapped
+    users by optimality), capped-user count — all exact BIGINTs."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.groupBy("o_custkey").agg(
+        F.count("*").cast("bigint").alias("dem")
+    )
+    d = track_persist(d)
+    tot = d.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("dem").cast("bigint").alias("total"),
+        F.expr("CAST((SUM(dem) * 3) div 5 AS BIGINT)").alias("cap"),
+    )
+    v = d.groupBy(F.col("dem").alias("val")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    w_cum = Window.orderBy("val").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pre = v.select(
+        "val",
+        "c",
+        F.sum(F.col("c") * F.col("val")).over(w_cum).cast("bigint").alias(
+            "psum"
+        ),
+        F.sum("c").over(w_cum).cast("bigint").alias("k"),
+    )
+    seg = F.expr("CAST((cap - psum) div (n - k) AS BIGINT)")
+    cand1 = (
+        pre.crossJoin(F.broadcast(tot))
+        .filter(
+            (F.col("k") < F.col("n"))
+            & (F.col("psum") + (F.col("n") - F.col("k")) * F.col("val")
+               <= F.col("cap"))
+        )
+        .select(
+            F.least(
+                seg,
+                F.coalesce(
+                    F.lead("val").over(Window.orderBy("val")) - 1, seg
+                ),
+            ).alias("lam")
+        )
+    )
+    cand2 = (
+        v.agg(F.min("val").alias("val"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.expr("cap div n") < F.col("val"))
+        .select(
+            F.least(
+                F.col("val") - 1, F.expr("CAST(cap div n AS BIGINT)")
+            ).alias("lam")
+        )
+    )
+    lam = cand1.unionAll(cand2).agg(
+        F.max("lam").cast("bigint").alias("lambda_star")
+    )
+    alloc = d.crossJoin(F.broadcast(lam)).agg(
+        F.sum(F.least("dem", "lambda_star")).cast("bigint").alias(
+            "allocated"
+        ),
+        F.sum(
+            F.when(F.col("dem") > F.col("lambda_star"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_capped"),
+    )
+    return (
+        tot.crossJoin(lam)
+        .crossJoin(alloc)
+        .select(
+            "n",
+            "total",
+            "cap",
+            "lambda_star",
+            "allocated",
+            (F.col("cap") - F.col("allocated")).cast("bigint").alias(
+                "leftover"
+            ),
+            "n_capped",
+        )
+    )
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+    WITH l0 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS g
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal) AS BIGINT) // 1000
+    ),
+    l1 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS g
+      FROM customer
+      GROUP BY c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal) AS BIGINT) // 5000
+    ),
+    l2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS g
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT level, n_groups, n_risk_groups, n_risk_rows,
+           CAST(n_risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             AS risk_fraction
+    FROM (
+      SELECT 0 AS level, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN g < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risk_groups,
+             CAST(SUM(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT)
+               AS n_risk_rows,
+             CAST(SUM(g) AS BIGINT) AS n_rows
+      FROM l0
+      UNION ALL
+      SELECT 1, CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN g < 5 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT),
+             CAST(SUM(g) AS BIGINT)
+      FROM l1
+      UNION ALL
+      SELECT 2, CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN g < 5 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(SUM(CASE WHEN g < 5 THEN g ELSE 0 END) AS BIGINT),
+             CAST(SUM(g) AS BIGINT)
+      FROM l2
+    ) ORDER BY level
+    """,
+)
+def q_k_anonymity(spark, sf_dir):
+    """K-ANONYMITY audit over a GENERALIZATION LATTICE — the privacy
+    pre-flight every dataset release runs: how many quasi-identifier
+    groups are smaller than k (= 5 here), how many rows they expose,
+    and how the risk collapses as the quasi-identifier coarsens
+    (acctbal div 1000 → div 5000 → dropped).
+
+    Three generalization levels, each one hash aggregate over the QI
+    tuple plus a 1-row rollup — the lattice is unrolled, not searched,
+    because level choice is a POLICY input; at 100 TB each level is an
+    independent partial-aggregated shuffle and the three can share one
+    scan (Spark pipelines the unioned aggregates over the cached
+    relation). The monotonicity law — risk can only shrink as the QI
+    coarsens — is the witness invariant the pytest leg asserts."""
+    c = _t(spark, sf_dir, "customer")
+    c = track_persist(c)
+    bal = F.floor(F.col("c_acctbal")).cast("bigint")
+
+    def level(num, *qi):
+        g = c.groupBy(*qi).agg(F.count("*").cast("bigint").alias("g"))
+        return g.agg(
+            F.lit(num).alias("level"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("g") < 5, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_risk_groups"),
+            F.sum(F.when(F.col("g") < 5, F.col("g")).otherwise(0))
+            .cast("bigint")
+            .alias("n_risk_rows"),
+            F.sum("g").cast("bigint").alias("n_rows"),
+        )
+
+    out = (
+        level(0, "c_nationkey", "c_mktsegment", F.expr(
+            "CAST(floor(c_acctbal) AS BIGINT) div 1000"
+        ))
+        .unionAll(
+            level(1, "c_nationkey", "c_mktsegment", F.expr(
+                "CAST(floor(c_acctbal) AS BIGINT) div 5000"
+            ))
+        )
+        .unionAll(level(2, "c_nationkey", "c_mktsegment"))
+    )
+    return out.select(
+        "level",
+        "n_groups",
+        "n_risk_groups",
+        "n_risk_rows",
+        (
+            F.col("n_risk_rows").cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("risk_fraction"),
+    ).orderBy("level")
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

@@ -178,6 +178,7 @@ BOUNDED_UNPARTITIONED_WINDOW_QUERIES = {
     "q_split_assign",          # 3 split rows
     "q_token_budget",          # source aggregates capped by take
     "q_vocab_growth",          # vocab-first-day bins
+    "q_waterfill",             # distinct-demand breakpoints (≤ ~50)
     "q_zipf_check",            # top-30 tokens
 }
 

@@ -375,3 +375,83 @@ def test_multiset_ops_multiplicity_algebra(spark, duck):
         for r in QUERIES["q_multiset_ops"](spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_fifo_costing_matches_sequential_simulation(spark, duck):
+    # witness: a two-pointer FIFO LAYER matching (k-th unit sold
+    # matches the k-th unit bought, each stream in its own arrival
+    # order — backorder semantics, the standard SQL FIFO costing),
+    # implemented as queue walking instead of the relational
+    # range-intersection join
+    rows = duck.sql(
+        f"SELECT l_partkey % 2000, CAST(l_quantity AS BIGINT), "
+        f"l_partkey % 20 + 1, l_linenumber % 2 "
+        f"FROM '{SF_DIR}/lineitem.parquet' "
+        f"ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, "
+        f"l_suppkey"
+    ).fetchall()
+    from collections import defaultdict
+
+    buys = defaultdict(list)
+    sales = defaultdict(list)
+    bought = defaultdict(int)
+    sold = defaultdict(int)
+    for key, qty, cost, side in rows:
+        if side == 0:
+            buys[key].append([qty, cost])
+            bought[key] += qty
+        else:
+            sales[key].append(qty)
+            sold[key] += qty
+    want = {}
+    for k in bought:
+        bq = [list(x) for x in buys[k]]
+        sq = list(sales[k])
+        bi = si = mq = mc = 0
+        while bi < len(bq) and si < len(sq):
+            take = min(bq[bi][0], sq[si])
+            mq += take
+            mc += take * bq[bi][1]
+            bq[bi][0] -= take
+            sq[si] -= take
+            if bq[bi][0] == 0:
+                bi += 1
+            if sq[si] == 0:
+                si += 1
+        want[k] = (bought[k], sold[k], mq, mc, bought[k] - mq)
+    got = {
+        r.key: (r.bought, r.sold, r.matched_qty, r.matched_cost,
+                r.inventory_left)
+        for r in QUERIES["q_fifo_costing"](spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_waterfill_is_optimal_waterline(spark, duck):
+    rows = duck.sql(
+        f"SELECT COUNT(*) FROM '{SF_DIR}/orders.parquet' GROUP BY o_custkey"
+    ).fetchall()
+    dem = [int(r[0]) for r in rows]
+    n, total = len(dem), sum(dem)
+    cap = (total * 3) // 5
+
+    def S(lam):
+        return sum(min(d, lam) for d in dem)
+
+    got = QUERIES["q_waterfill"](spark, SF_DIR).collect()[0]
+    assert (got.n, got.total, got.cap) == (n, total, cap)
+    # optimality: feasible at lambda*, infeasible at lambda*+1
+    assert S(got.lambda_star) <= cap < S(got.lambda_star + 1)
+    assert got.allocated == S(got.lambda_star)
+    assert got.leftover == cap - got.allocated
+    assert got.n_capped == sum(d > got.lambda_star for d in dem)
+
+
+def test_k_anonymity_risk_monotone_under_generalization(spark):
+    rows = QUERIES["q_k_anonymity"](spark, SF_DIR).collect()
+    assert [r.level for r in rows] == [0, 1, 2]
+    # coarsening the quasi-identifier can only merge groups: risk rows
+    # and group counts are monotone non-increasing up the lattice
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_groups <= a.n_groups
+        assert b.n_risk_rows <= a.n_risk_rows
