@@ -20296,6 +20296,151 @@ def q_k_anonymity(spark, sf_dir):
     ).orderBy("level")
 
 
+@register(
+    "q_union_area_rects",
+    oracle="""
+    WITH ids AS (
+      SELECT DISTINCT user_id % 200 AS u FROM events
+    ),
+    rects AS (
+      SELECT u,
+             (u * 13) % 256 AS x1,
+             (u * 13) % 256 + 8 + (u * 7) % 32 AS x2,
+             (u * 29) % 256 AS y1,
+             (u * 29) % 256 + 8 + (u * 11) % 32 AS y2
+      FROM ids
+    ),
+    xs AS (
+      SELECT DISTINCT x FROM (
+        SELECT x1 AS x FROM rects UNION ALL SELECT x2 FROM rects
+      )
+    ),
+    slabs AS (
+      SELECT x AS sx, LEAD(x) OVER (ORDER BY x) AS ex FROM xs
+    ),
+    active AS (
+      SELECT s.sx, s.ex, r.y1, r.y2
+      FROM slabs s JOIN rects r ON r.x1 <= s.sx AND s.ex <= r.x2
+      WHERE s.ex IS NOT NULL
+    ),
+    bounds AS (
+      SELECT sx, ex, y, d FROM (
+        SELECT sx, ex, y1 AS y, 1 AS d FROM active
+        UNION ALL
+        SELECT sx, ex, y2 AS y, -1 AS d FROM active
+      )
+    ),
+    swept AS (
+      SELECT sx, ex, y, d,
+             SUM(d) OVER (PARTITION BY sx ORDER BY y, d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cov,
+             LEAD(y) OVER (PARTITION BY sx ORDER BY y, d DESC) AS ny
+      FROM bounds
+    ),
+    per_slab AS (
+      SELECT sx, CAST(MAX(ex - sx) AS BIGINT) AS w,
+             CAST(SUM(CASE WHEN cov > 0 AND ny IS NOT NULL
+                           THEN ny - y ELSE 0 END) AS BIGINT) AS ylen
+      FROM swept GROUP BY sx
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rects) AS n_rects,
+           CAST(COUNT(*) AS BIGINT) AS n_slabs,
+           CAST(SUM(w * ylen) AS BIGINT) AS union_area,
+           CAST(SUM(w) AS BIGINT) AS x_span
+    FROM per_slab WHERE ylen > 0
+    """,
+)
+def q_union_area_rects(spark, sf_dir):
+    """Area of the UNION of axis-aligned rectangles — the 2-D measure
+    problem (coverage maps, heatmap footprints, geofence overlap),
+    solved by the classic SLAB SWEEP that composes two 1-D mechanisms
+    this catalog already exercises: distinct x-boundaries cut the
+    plane into slabs, and inside each slab the covered y-length is the
+    ±1 boundary-counting interval union (q_interval_coverage's sweep,
+    PARTITIONED per slab — every window keys on the slab, none
+    unpartitioned).
+
+    Scale shape: the rectangle set derives from a data-scale DISTINCT
+    over events but lands on a bounded id domain (≤ 200 rects → ≤ 400
+    slabs, ≤ 80k slab×rect pairs) — bounded-metadata geometry after a
+    data-scale reduction, the q_dbscan_grid discipline. The slab×rect
+    join predicate is containment (r.x1 ≤ sx AND ex ≤ r.x2): slabs
+    never straddle a boundary BY CONSTRUCTION, which is what makes the
+    sweep exact on the integer lattice with no clipping arithmetic.
+    Tie order (y, d DESC) opens intervals before closing at shared
+    endpoints, so touching intervals merge — [a,b) ∪ [b,c) counts
+    b−a+c−b, no double count, no gap."""
+    ev = _t(spark, sf_dir, "events")
+    ids = ev.select((F.col("user_id") % 200).alias("u")).distinct()
+    rects = ids.select(
+        "u",
+        ((F.col("u") * 13) % 256).alias("x1"),
+        ((F.col("u") * 13) % 256 + 8 + (F.col("u") * 7) % 32).alias("x2"),
+        ((F.col("u") * 29) % 256).alias("y1"),
+        ((F.col("u") * 29) % 256 + 8 + (F.col("u") * 11) % 32).alias(
+            "y2"
+        ),
+    )
+    rects = track_persist(rects)
+    xs = (
+        rects.select(F.col("x1").alias("x"))
+        .unionAll(rects.select(F.col("x2").alias("x")))
+        .distinct()
+    )
+    slabs = xs.select(
+        F.col("x").alias("sx"),
+        F.lead("x").over(Window.orderBy("x")).alias("ex"),
+    ).filter(F.col("ex").isNotNull())
+    active = slabs.join(
+        rects,
+        (rects["x1"] <= slabs["sx"]) & (slabs["ex"] <= rects["x2"]),
+    ).select("sx", "ex", "y1", "y2")
+    bounds = active.select(
+        "sx", "ex", F.col("y1").alias("y"), F.lit(1).alias("d")
+    ).unionAll(
+        active.select(
+            "sx", "ex", F.col("y2").alias("y"), F.lit(-1).alias("d")
+        )
+    )
+    w_sweep = Window.partitionBy("sx").orderBy(
+        F.col("y"), F.col("d").desc()
+    )
+    swept = bounds.select(
+        "sx",
+        "ex",
+        "y",
+        "d",
+        F.sum("d")
+        .over(w_sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cov"),
+        F.lead("y").over(w_sweep).alias("ny"),
+    )
+    per_slab = swept.groupBy("sx").agg(
+        F.max(F.col("ex") - F.col("sx")).cast("bigint").alias("w"),
+        F.sum(
+            F.when(
+                (F.col("cov") > 0) & F.col("ny").isNotNull(),
+                F.col("ny") - F.col("y"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ylen"),
+    )
+    n_rects = rects.agg(F.count("*").cast("bigint").alias("n_rects"))
+    return (
+        per_slab.filter(F.col("ylen") > 0)
+        .agg(
+            F.count("*").cast("bigint").alias("n_slabs"),
+            F.sum(F.col("w") * F.col("ylen"))
+            .cast("bigint")
+            .alias("union_area"),
+            F.sum("w").cast("bigint").alias("x_span"),
+        )
+        .crossJoin(F.broadcast(n_rects))
+        .select("n_rects", "n_slabs", "union_area", "x_span")
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

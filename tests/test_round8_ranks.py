@@ -177,6 +177,7 @@ BOUNDED_UNPARTITIONED_WINDOW_QUERIES = {
     "q_rolling_regression",    # bounded day spine
     "q_split_assign",          # 3 split rows
     "q_token_budget",          # source aggregates capped by take
+    "q_union_area_rects",      # ≤400 distinct x boundaries (slab cut)
     "q_vocab_growth",          # vocab-first-day bins
     "q_waterfill",             # distinct-demand breakpoints (≤ ~50)
     "q_zipf_check",            # top-30 tokens

@@ -455,3 +455,25 @@ def test_k_anonymity_risk_monotone_under_generalization(spark):
     for a, b in zip(rows, rows[1:]):
         assert b.n_groups <= a.n_groups
         assert b.n_risk_rows <= a.n_risk_rows
+
+
+def test_union_area_matches_grid_rasterization(spark, duck):
+    # witness: brute-force rasterization on the bounded integer grid
+    rows = duck.sql(
+        f"SELECT DISTINCT user_id % 200 FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    cells = set()
+    rects = 0
+    for (u,) in rows:
+        u = int(u)
+        rects += 1
+        x1, y1 = (u * 13) % 256, (u * 29) % 256
+        x2 = x1 + 8 + (u * 7) % 32
+        y2 = y1 + 8 + (u * 11) % 32
+        for x in range(x1, x2):
+            for y in range(y1, y2):
+                cells.add((x, y))
+    got = QUERIES["q_union_area_rects"](spark, SF_DIR).collect()[0]
+    assert got.n_rects == rects
+    assert got.union_area == len(cells)
+    assert got.x_span == len({x for x, _ in cells})
