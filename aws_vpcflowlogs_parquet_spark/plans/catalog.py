@@ -20441,6 +20441,274 @@ def q_union_area_rects(spark, sf_dir):
     )
 
 
+@register(
+    "q_bitemporal_asof",
+    oracle="""
+    WITH versions AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+               + v * 100 AS cents,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) + v * 86400
+               AS vf,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) + v * 43200
+               AS tf,
+             v
+      FROM orders
+      CROSS JOIN (SELECT unnest(range(0, 3)) AS v)
+      WHERE v <= o_orderkey % 3
+    ),
+    closed AS (
+      SELECT o_orderkey, cents, vf, tf,
+             COALESCE(LEAD(vf) OVER (PARTITION BY o_orderkey ORDER BY v),
+                      CAST(253402300800 AS BIGINT)) AS vt,
+             COALESCE(LEAD(tf) OVER (PARTITION BY o_orderkey ORDER BY v),
+                      CAST(253402300800 AS BIGINT)) AS tt
+      FROM versions
+    ),
+    probes AS (
+      SELECT CAST(floor(epoch(TIMESTAMP '1996-06-01')) AS BIGINT)
+               + p * 31536000 AS valid_t,
+             CAST(floor(epoch(TIMESTAMP '1996-06-01')) AS BIGINT)
+               + p * 31536000 + 43200 AS tx_t,
+             p AS probe
+      FROM (SELECT unnest(range(0, 4)) AS p)
+    )
+    SELECT probe,
+           CAST(COUNT(*) AS BIGINT) AS n_visible,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM closed JOIN probes
+      ON vf <= valid_t AND valid_t < vt
+     AND tf <= tx_t AND tx_t < tt
+    GROUP BY probe ORDER BY probe
+    """,
+)
+def q_bitemporal_asof(spark, sf_dir):
+    """BITEMPORAL AS-OF query — the two-axis time-travel semantics
+    (VALID time: when the fact was true in the world; TRANSACTION
+    time: when the database knew it) behind audit-grade warehouses,
+    extending q_pit_audit/q_scd2's single-axis point-in-time joins.
+
+    Each order synthesizes up to three versions with independent
+    valid-from and tx-from sequences; both interval ends CLOSE via one
+    per-key LEAD (half-open [from, next-from), far-future sentinel on
+    the last version) — the standard closing transform, one window per
+    key. A probe (valid_t, tx_t) then sees exactly ONE version per key
+    — the intervals partition both axes by construction — so the
+    as-of join is a broadcast of 4 probe rows against the versions
+    relation with two band predicates; no argmax, no window at probe
+    time. At 100 TB the versions relation is the data-scale side
+    (scan + one partitioned window) and probes broadcast. Everything
+    is exact BIGINT epoch arithmetic (the memory rule: no
+    INTERVAL/calendar math — epoch integers only)."""
+    o = _t(spark, sf_dir, "orders")
+    far = F.lit(253402300800).cast("bigint")
+    v = spark.range(3).select(F.col("id").cast("bigint").alias("v"))
+    base_epoch = F.floor(
+        F.unix_timestamp("o_orderdate").cast("double")
+    ).cast("bigint")
+    versions = (
+        o.crossJoin(F.broadcast(v))
+        .filter(F.col("v") <= F.col("o_orderkey") % 3)
+        .select(
+            "o_orderkey",
+            (
+                F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+                + F.col("v") * 100
+            ).alias("cents"),
+            (base_epoch + F.col("v") * 86400).alias("vf"),
+            (base_epoch + F.col("v") * 43200).alias("tf"),
+            "v",
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("v")
+    closed = versions.select(
+        "o_orderkey",
+        "cents",
+        "vf",
+        "tf",
+        F.coalesce(F.lead("vf").over(w), far).alias("vt"),
+        F.coalesce(F.lead("tf").over(w), far).alias("tt"),
+    )
+    p0 = 833587200  # epoch of 1996-06-01 UTC
+    probes = spark.range(4).select(
+        (F.lit(p0) + F.col("id") * 31536000).cast("bigint").alias(
+            "valid_t"
+        ),
+        (F.lit(p0) + F.col("id") * 31536000 + 43200)
+        .cast("bigint")
+        .alias("tx_t"),
+        F.col("id").cast("bigint").alias("probe"),
+    )
+    return (
+        closed.join(
+            F.broadcast(probes),
+            (F.col("vf") <= F.col("valid_t"))
+            & (F.col("valid_t") < F.col("vt"))
+            & (F.col("tf") <= F.col("tx_t"))
+            & (F.col("tx_t") < F.col("tt")),
+        )
+        .groupBy("probe")
+        .agg(
+            F.count("*").cast("bigint").alias("n_visible"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("probe")
+    )
+
+
+@register(
+    "q_late_arriving_dim",
+    oracle="""
+    WITH facts AS (
+      SELECT user_id AS k,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    dim AS (
+      SELECT c_custkey AS k, c_nationkey, c_mktsegment
+      FROM customer WHERE c_custkey % 3 != 0
+    ),
+    inferred AS (
+      SELECT DISTINCT f.k, CAST(-1 AS BIGINT) AS c_nationkey,
+             'UNKNOWN' AS c_mktsegment
+      FROM facts f
+      WHERE NOT EXISTS (SELECT 1 FROM dim d WHERE d.k = f.k)
+    ),
+    dim2 AS (
+      SELECT k, c_nationkey, c_mktsegment, FALSE AS inferred FROM dim
+      UNION ALL
+      SELECT k, c_nationkey, c_mktsegment, TRUE FROM inferred
+    )
+    SELECT d.c_nationkey AS nation, d.inferred,
+           CAST(COUNT(*) AS BIGINT) AS n_facts,
+           CAST(SUM(f.cents) AS BIGINT) AS cents
+    FROM facts f JOIN dim2 d ON d.k = f.k
+    GROUP BY d.c_nationkey, d.inferred
+    ORDER BY nation, inferred
+    """,
+)
+def q_late_arriving_dim(spark, sf_dir):
+    """LATE-ARRIVING DIMENSION handling (inferred members) — the
+    Kimball ETL pattern: facts referencing dimension keys that have
+    not arrived yet get a PLACEHOLDER dimension row (surrogate
+    attributes, inferred=true) so no fact is dropped and no foreign
+    key dangles; when the real dimension row lands later it UPDATEs
+    the placeholder in place (the q_cdc_merge machinery).
+
+    The dimension deliberately drops every third key; the inferred set
+    is the anti-join of fact keys against the dimension (DISTINCT
+    first — one shuffle on the key, not one row per fact), and the
+    repaired dimension is dim ∪ inferred. The audit output rolls fact
+    coverage by (nation, inferred) — the referential-integrity
+    dashboard q_ref_integrity only measures; this query REPAIRS. At
+    100 TB: the anti-join and the fact join both shuffle on the
+    dimension key (broadcast when the dim fits), and the inferred
+    relation is bounded by distinct missing keys."""
+    ev = _t(spark, sf_dir, "events")
+    c = _t(spark, sf_dir, "customer")
+    facts = ev.select(
+        F.col("user_id").alias("k"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    dim = c.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("k"), "c_nationkey", "c_mktsegment"
+    )
+    inferred = (
+        facts.select("k")
+        .distinct()
+        .join(dim.select("k"), "k", "left_anti")
+        .select(
+            "k",
+            F.lit(-1).cast("bigint").alias("c_nationkey"),
+            F.lit("UNKNOWN").alias("c_mktsegment"),
+        )
+    )
+    dim2 = dim.withColumn("inferred", F.lit(False)).unionAll(
+        inferred.withColumn("inferred", F.lit(True))
+    )
+    return (
+        facts.join(dim2, "k")
+        .groupBy(
+            F.col("c_nationkey").alias("nation"), F.col("inferred")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_facts"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .orderBy("nation", "inferred")
+    )
+
+
+@register(
+    "q_postings_compression",
+    oracle="""
+    WITH postings AS (
+      SELECT DISTINCT event_type AS term, event_id AS doc FROM events
+    ),
+    gaps AS (
+      SELECT term,
+             doc - COALESCE(LAG(doc) OVER (PARTITION BY term
+               ORDER BY doc), -1) AS gap
+      FROM postings
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS n_postings,
+           CAST(COUNT(*) * 64 AS BIGINT) AS raw_bits,
+           CAST(SUM(2 * length(bin(gap)) - 1) AS BIGINT) AS gamma_bits,
+           CAST(SUM(2 * length(bin(gap)) - 1) AS DOUBLE)
+             / CAST(COUNT(*) * 64 AS DOUBLE) AS ratio
+    FROM gaps GROUP BY term ORDER BY term
+    """,
+)
+def q_postings_compression(spark, sf_dir):
+    """Inverted-index POSTINGS COMPRESSION accounting — delta-gap +
+    Elias-gamma bit math on the exact integer lattice, the sizing pass
+    every search/index build runs before choosing a posting-list
+    codec (q_inverted_index builds the lists; this query prices
+    them).
+
+    Gaps come from one LAG per term (windows partitioned by term —
+    embarrassingly parallel across the vocabulary); the first posting
+    keeps its absolute id as gap (LAG default −1 so gap = doc+1 > 0).
+    Elias-gamma costs 2⌊log₂ g⌋+1 bits, computed EXACTLY as
+    2·length(bin(g))−1 — binary string length is ⌊log₂⌋+1 on the
+    integer lattice in BOTH engines, no float log anywhere; only the
+    final compression ratio divides as a double with an identical
+    expression tree. The 64-bit raw baseline is the uncompressed
+    docid width. At 100 TB this is a scan + one partitioned window +
+    a rollup — the same shape as the index build itself."""
+    ev = _t(spark, sf_dir, "events")
+    postings = ev.select(
+        F.col("event_type").alias("term"), F.col("event_id").alias("doc")
+    ).distinct()
+    w = Window.partitionBy("term").orderBy("doc")
+    gaps = postings.select(
+        "term",
+        (
+            F.col("doc")
+            - F.coalesce(F.lag("doc").over(w), F.lit(-1).cast("bigint"))
+        ).alias("gap"),
+    )
+    gamma = F.sum(2 * F.length(F.bin("gap")) - 1).cast("bigint")
+    return (
+        gaps.groupBy("term")
+        .agg(
+            F.count("*").cast("bigint").alias("n_postings"),
+            (F.count("*") * 64).cast("bigint").alias("raw_bits"),
+            gamma.alias("gamma_bits"),
+            (
+                gamma.cast("double")
+                / (F.count("*") * 64).cast("double")
+            ).alias("ratio"),
+        )
+        .orderBy("term")
+    )
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")
