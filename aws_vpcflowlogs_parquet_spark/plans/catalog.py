@@ -20709,6 +20709,111 @@ def q_postings_compression(spark, sf_dir):
     )
 
 
+@register(
+    "q_holt_smoothing",
+    oracle="""
+    WITH base AS (
+      SELECT g.user_id, g.b, CAST(COALESCE(c.v, 0) AS DOUBLE) AS v
+      FROM (SELECT u.user_id, r.b
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(range(0, 32)) AS b) r) g
+      LEFT JOIN (
+        SELECT user_id,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 32 AS b,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY user_id, b
+      ) c ON c.user_id = g.user_id AND c.b = g.b
+    ),
+    series AS (
+      SELECT user_id,
+             list([v, CAST(0.0 AS DOUBLE)] ORDER BY b) AS xs
+      FROM base GROUP BY user_id
+    ),
+    fitted AS (
+      SELECT user_id,
+             list_reduce(xs, (acc, x) ->
+               [0.25 * x[1] + 0.75 * acc[1] + 0.75 * acc[2],
+                0.03125 * x[1] - 0.03125 * acc[1] + 0.96875 * acc[2]])
+               AS st
+      FROM series
+    )
+    SELECT user_id, st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast_1
+    FROM fitted ORDER BY user_id
+    """,
+)
+def q_holt_smoothing(spark, sf_dir):
+    """HOLT double exponential smoothing (level + trend) of each key's
+    32-bucket activity series — SECOND-ORDER recursive state, the step
+    beyond q_ewma's scalar recursion, fit per key with no iteration in
+    the plan.
+
+    The recursion s_t = αx_t + (1−α)(s_{t−1}+b_{t−1}),
+    b_t = β(s_t−s_{t−1}) + (1−β)b_{t−1} is inherently sequential in t
+    but embarrassingly parallel across keys, so it runs as an
+    ORDER-PINNED FOLD (the q_kaplan_meier technique generalized from a
+    scalar to a 2-component accumulator): the densified series
+    collects into a b-ordered array and one F.aggregate folds (level,
+    trend) across it. The update is stated in its expanded LINEAR form
+    (l' = αx + (1−α)l + (1−α)b; b' = αβx − αβl + (1−αβ)b, all
+    coefficients exact dyadics for α=1/4, β=1/8), so both engines run
+    the identical IEEE operation sequence and the fitted doubles
+    hash-compare bit-exactly. TWO engine quirks are pinned here:
+    (a) DuckDB's list_reduce takes no initial value, so the fold
+    carries element PAIRS with the first element as seed (s₀ = x₀,
+    b₀ = 0); (b) DuckDB struct-typed lambda accumulators apply field
+    updates SEQUENTIALLY — a later field sees an earlier field's NEW
+    value (measured: the trend field read the freshly-written level) —
+    so the accumulator is a 2-element LIST, which updates
+    simultaneously on both engines. At 100 TB: one dense-grid build
+    and one fold per key — no window at all."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "user_id",
+        (
+            (F.unix_timestamp("ts").cast("bigint") / 3600).cast("bigint")
+            % 32
+        ).alias("b"),
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(32).select(F.col("id").alias("b")))
+        )
+    )
+    base = grid.join(counts, ["user_id", "b"], "left").select(
+        "user_id",
+        "b",
+        F.coalesce("v", F.lit(0)).cast("double").alias("v"),
+    )
+    series = base.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(b, v))),"
+            " p -> array(p.v, CAST(0.0 AS DOUBLE)))"
+        ).alias("xs")
+    )
+    fitted = series.select(
+        "user_id",
+        F.expr(
+            "aggregate(slice(xs, 2, 31), element_at(xs, 1), (acc, x) ->"
+            " array("
+            "  0.25 * element_at(x, 1) + 0.75 * element_at(acc, 1)"
+            "   + 0.75 * element_at(acc, 2),"
+            "  0.03125 * element_at(x, 1) - 0.03125 * element_at(acc, 1)"
+            "   + 0.96875 * element_at(acc, 2)))"
+        ).alias("st"),
+    )
+    return fitted.select(
+        "user_id",
+        F.expr("element_at(st, 1)").alias("level"),
+        F.expr("element_at(st, 2)").alias("trend"),
+        F.expr("element_at(st, 1) + element_at(st, 2)").alias(
+            "forecast_1"
+        ),
+    ).orderBy("user_id")
+
+
 def flagship(spark: SparkSession) -> DataFrame:
     """entry() target: the flagship scan→filter→agg slice at sf0.001."""
     return q_agg_sum_group(spark, "/root/testdata/sf0.001")

@@ -551,3 +551,29 @@ def test_postings_compression_bit_math(spark, duck):
     # gamma genuinely compresses on this data
     assert all(g < raw for _, (_, raw, g) in
                zip(got, (got[t] for t in got)))
+
+
+def test_holt_matches_python_recursion(spark, duck):
+    base = duck.sql(
+        f"SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 32, "
+        f"COUNT(*) FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    dense = collections.defaultdict(lambda: [0.0] * 32)
+    for u, b, c in base:
+        dense[u][int(b)] = float(c)
+    want = {}
+    for u, xs in dense.items():
+        l, b = xs[0], 0.0
+        for x in xs[1:]:
+            # the expanded linear form BOTH engines execute
+            l, b = (
+                0.25 * x + 0.75 * l + 0.75 * b,
+                0.03125 * x - 0.03125 * l + 0.96875 * b,
+            )
+        want[u] = (l, b, l + b)
+    got = {
+        r.user_id: (r.level, r.trend, r.forecast_1)
+        for r in QUERIES["q_holt_smoothing"](spark, SF_DIR).collect()
+    }
+    # bit-exact: the whole point of the order-pinned fold
+    assert got == want
