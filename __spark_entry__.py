@@ -145,11 +145,16 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "q_kaplan_meier", "q_hits", "q_analyze_stats", "q_dbscan_grid",
     "q_collation_group", "q_pipe_syntax", "q_interval_coverage",
     "q_spatial_grid_join", "q_sql_scripting", "q_runs_test",
-}) - frozenset({
-    # round 9: tokenize()'s _is_header gained the arity conjunct (a
-    # short header is malformed, matching flowlog.go:36-44's check
-    # order) — the parser-riding query re-enters the driver window.
-    "q_flowlog_parse",
+    # round 9 (CORRECTNESS_r09.json): 50/50 pass — the 20 new round-9
+    # mechanisms (below), the q_flowlog_parse re-verification forced by
+    # the parser's new arity conjunct (listed in round 1 above), and 29
+    # routine re-checks.
+    "q_mst_boruvka", "q_spearman", "q_kendall_tau", "q_ams_f2",
+    "q_parity_bipartite", "q_shoelace_area", "q_transitive_reduction",
+    "q_kadane_max_subarray", "q_rain_water", "q_fd_check",
+    "q_haar_wavelet", "q_multiset_ops", "q_fifo_costing", "q_waterfill",
+    "q_k_anonymity", "q_union_area_rects", "q_bitemporal_asof",
+    "q_late_arriving_dim", "q_postings_compression", "q_holt_smoothing",
 })
 
 
