@@ -56,6 +56,7 @@ import gzip
 import io
 import json
 import os
+import re
 
 from dataclasses import dataclass
 
@@ -105,6 +106,28 @@ _VERSION = 2
 # substring-matching the prose may not.
 ERROR_CODE = "FLOWLOG_PARSE_ERROR"
 
+# The ONE integer-token grammar both parsers share (ADVICE r9): a plain
+# optional-sign run of 1-18 ASCII digits. Everything else — underscores,
+# Unicode digits, 19+-digit tokens, whitespace — zero-defaults, exactly
+# what the Arrow path's match_substring_regex does. 18 digits can never
+# overflow int64, so only the int32 width needs a range-to-zero check.
+# DELIBERATE divergence from the Go reference: flowlog.go's
+# strconv.Atoi + int32() WRAPS an out-of-range value (truncating cast);
+# both paths here zero it instead — wrap-around ports/bytes are garbage,
+# and zero is the reference's own posture for every other bad numeric.
+_INT_TOKEN = re.compile(r"^[+-]?[0-9]{1,18}$")
+
+
+def _cast_int_token(tok: str, kind: str) -> int:
+    """Zero-default integer cast shared by the Python line loop and (by
+    construction, same regex + same range rule) the Arrow kernel path."""
+    if _INT_TOKEN.match(tok) is None:
+        return 0
+    v = int(tok)
+    if kind == "int" and not (-(2**31) <= v <= 2**31 - 1):
+        return 0
+    return v
+
 
 def _flowlog_schema() -> StructType:
     widths = {"int": IntegerType(), "long": LongType(), "str": StringType()}
@@ -149,10 +172,11 @@ def _parse_file(path: str, strict: bool):
                 if kind == "str":
                     row.append(toks[idx])
                 else:
-                    try:  # silent-zero default (flowlog.go:59-90)
-                        row.append(int(toks[idx]))
-                    except ValueError:
-                        row.append(0)
+                    # silent-zero default (flowlog.go:59-90) via the
+                    # shared grammar — NOT bare int(), which accepts
+                    # underscores/Unicode digits the Arrow path zeroes
+                    # and raises (instead of zeroing) past int32
+                    row.append(_cast_int_token(toks[idx], kind))
             start_ts = row[10]
             row.append(
                 datetime.datetime.fromtimestamp(
@@ -174,6 +198,14 @@ def _parse_file_arrow(path: str, strict: bool):
     into Spark without a per-row conversion. Semantics are pinned equal
     to the Python loop by test_flowlog_datasource.py (same strict
     errors, same zero-default behavior, CRLF handled by the reader).
+
+    Strict-mode ERROR ORDERING caveat (ADVICE r9): both parsers raise on
+    the same INPUTS, but not necessarily naming the same LINE — the
+    Python loop raises on the first malformed line in file order, while
+    this path surfaces arity errors during read_csv and checks the
+    version gate only afterwards, so a file with a bad-version line
+    before a bad-arity line reports the arity line here. The guarantee
+    is error-or-not parity per file, not message parity.
     """
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -237,9 +269,12 @@ def _parse_file_arrow(path: str, strict: bool):
             # regex keeps the Arrow cast from ever erroring, and the
             # int32 range check mirrors Spark try_cast overflow → 0
             numeric = pc.match_substring_regex(col, r"^[+-]?[0-9]{1,18}$")
-            as64 = pc.cast(
-                pc.if_else(numeric, col, "0"), pa.int64(), safe=False
-            )
+            gated = pc.if_else(numeric, col, "0")
+            # Arrow's string→int cast rejects a leading '+' that the
+            # grammar (and Go's strconv.Atoi, flowlog.go:59-90) accepts
+            # — strip it so '+7' parses instead of erroring
+            gated = pc.replace_substring_regex(gated, r"^\+", "")
+            as64 = pc.cast(gated, pa.int64(), safe=False)
             if kind == "int":
                 in_range = pc.and_(
                     pc.greater_equal(as64, -(2**31)),
@@ -311,22 +346,39 @@ class _FlowLogBatchReader(DataSourceReader):
         yield from _read_partition(partition)
 
 
+def _arrival_ns(path: str) -> int:
+    """A file's arrival tick for stream-offset purposes:
+    ``max(st_mtime_ns, st_ctime_ns)``. mtime alone misses the standard
+    atomic drop pattern — ``mv tmp/x drop/x`` PRESERVES the source mtime,
+    so a file staged slowly and renamed in after the watermark passed its
+    mtime would be silently never ingested (ADVICE r9, medium). The
+    rename itself always bumps the inode's ctime on POSIX, so the max
+    covers both create/copy-in (fresh mtime) and mv-in (fresh ctime)."""
+    st = os.stat(path)
+    return max(st.st_mtime_ns, st.st_ctime_ns)
+
+
 class _FlowLogStreamReader(DataSourceStreamReader):
-    """Offsets carry a (mtime_ns, names-at-that-mtime) HIGH WATERMARK,
+    """Offsets carry an (arrival_ns, names-at-that-tick) HIGH WATERMARK,
     not the full processed-file list: the offset JSON written to the
     checkpoint log every trigger stays bounded by the largest same-
     nanosecond arrival burst, never by total files ever seen (ADVICE r8
-    — the previous full-list offset grew linearly forever). A file is
-    covered by watermark (m, names) iff mtime < m, or mtime == m and its
-    name is in names; latestOffset advances the watermark over the
+    — the previous full-list offset grew linearly forever). A file's
+    arrival tick is ``max(mtime_ns, ctime_ns)`` (see :func:`_arrival_ns`
+    — covers both copy-in and atomic mv-in, ADVICE r9). A file is
+    covered by watermark (m, names) iff arrival < m, or arrival == m and
+    its name is in names; latestOffset advances the watermark over the
     current listing, and partitions(start, end) is the pure set
     difference covered(end) − covered(start).
 
-    Replayability assumptions, stated: drop-dir files are immutable,
-    never deleted while a checkpoint may replay them, and arrive with
-    fresh mtimes (a file dropped with a back-dated mtime below the
-    watermark is invisible — same contract as Spark's own file source
-    with latestFirst/maxFileAge pruning)."""
+    Replayability assumptions, stated: drop-dir files are immutable
+    (content AND metadata — a chmod/chown after ingestion bumps ctime
+    above the watermark and would re-ingest the file) and never deleted
+    while a checkpoint may replay them. A file arriving with BOTH a
+    back-dated mtime and a back-dated ctime below the watermark is not
+    constructible through normal filesystem operations; clock rollback
+    on the drop-dir host remains the same caveat Spark's own file
+    source has with maxFileAge pruning."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -334,12 +386,12 @@ class _FlowLogStreamReader(DataSourceStreamReader):
         self.parser = _parser_opt(options)
 
     @staticmethod
-    def _covered(path, wm_mtime, wm_names):
+    def _covered(path, wm_tick, wm_names):
         wm_names = set(wm_names)
         out = []
         for p in _expand(path):
-            m = os.stat(p).st_mtime_ns
-            if m < wm_mtime or (m == wm_mtime and os.path.basename(p) in wm_names):
+            m = _arrival_ns(p)
+            if m < wm_tick or (m == wm_tick and os.path.basename(p) in wm_names):
                 out.append(p)
         return out
 
@@ -347,14 +399,14 @@ class _FlowLogStreamReader(DataSourceStreamReader):
         return {"wm": json.dumps([-1, []])}
 
     def latestOffset(self):
-        wm_mtime, names = -1, []
+        wm_tick, names = -1, []
         for p in _expand(self.path):
-            m = os.stat(p).st_mtime_ns
-            if m > wm_mtime:
-                wm_mtime, names = m, [os.path.basename(p)]
-            elif m == wm_mtime:
+            m = _arrival_ns(p)
+            if m > wm_tick:
+                wm_tick, names = m, [os.path.basename(p)]
+            elif m == wm_tick:
                 names.append(os.path.basename(p))
-        return {"wm": json.dumps([wm_mtime, sorted(names)])}
+        return {"wm": json.dumps([wm_tick, sorted(names)])}
 
     def partitions(self, start, end):
         s_m, s_names = json.loads(start["wm"])
@@ -396,11 +448,16 @@ class _FlowLogWriter(DataSourceWriter):
     write-nothing contract the strict reader shares. Gzip when the
     ``compress`` option is true; one file per non-empty partition.
 
-    ``mode("overwrite")`` truncates at COMMIT time: pre-existing
-    ``part-*`` files are deleted in the same driver-side commit step
-    that renames the staged files in, so a failed job still leaves the
-    old data fully intact (ADVICE r8 — previously the flag was stored
-    but ignored and overwrite silently behaved as append)."""
+    ``mode("overwrite")`` truncates at COMMIT time, renames-first:
+    the commit step renames every staged file into place and only THEN
+    deletes prior-generation ``part-*`` files (ADVICE r9 — deleting
+    first left a crash window where both generations were lost; new
+    run_id names can never collide with old, so the order is free).
+    A task failure or abort leaves the old data fully intact; a driver
+    crash INSIDE commit can leave old+new mixed (a recoverable
+    superset, re-running the overwrite converges) but never less than
+    one complete generation. (ADVICE r8 — previously the flag was
+    stored but ignored and overwrite silently behaved as append.)"""
 
     def __init__(self, options, overwrite: bool):
         import uuid
@@ -444,22 +501,28 @@ class _FlowLogWriter(DataSourceWriter):
     def commit(self, messages):
         import os
 
-        incoming = {m.final for m in messages if m is not None and m.staged}
-        if self.overwrite and os.path.isdir(self.path):
-            # truncate-on-commit: every task succeeded, so replacing the
-            # old generation is now safe; part files from prior runs
-            # carry a different run_id, never a name in `incoming`
-            for name in os.listdir(self.path):
-                full = os.path.join(self.path, name)
-                if (
-                    name.startswith("part-")
-                    and name.endswith((".log", ".log.gz"))
-                    and full not in incoming
-                ):
-                    os.remove(full)
+        # rename the new generation IN first, delete the old one after
+        # (ADVICE r9): a crash between the two phases leaves old+new
+        # mixed — a superset, never a hole. Prior-run part files carry a
+        # different run_id, so no rename can collide with a file the
+        # delete pass below will consider old.
+        incoming = set()
         for m in messages:
             if m is not None and m.staged:
                 os.replace(m.staged, m.final)
+                incoming.add(m.final)
+        if self.overwrite and os.path.isdir(self.path):
+            for name in os.listdir(self.path):
+                full = os.path.join(self.path, name)
+                # sweep prior generations AND any stale .staging debris
+                # a crashed earlier commit left behind (readers never
+                # match *.staging, but truncate means truncate)
+                if (
+                    name.startswith("part-")
+                    and name.endswith((".log", ".log.gz", ".staging"))
+                    and full not in incoming
+                ):
+                    os.remove(full)
 
     def abort(self, messages):
         import os

@@ -367,3 +367,128 @@ def test_arrow_and_python_parsers_agree(registered, tmp_path):
                 .load(str(src))
                 .collect()
             )
+
+
+def test_mv_into_drop_dir_is_ingested(tmp_path):
+    # ADVICE r9 (medium): `mv staged/x drop/x` preserves the source
+    # mtime — under an mtime-only watermark a file renamed in after the
+    # watermark passed its mtime was silently never ingested. The
+    # arrival tick is now max(mtime_ns, ctime_ns); rename bumps ctime.
+    import os as _os
+
+    from aws_vpcflowlogs_parquet_spark.sources.flowlog_datasource import (
+        _FlowLogStreamReader,
+    )
+
+    drop = tmp_path / "drop"
+    stage = tmp_path / "stage"
+    drop.mkdir()
+    stage.mkdir()
+    (drop / "first.log").write_text("\n".join([HEADER, GOOD1]))
+    rdr = _FlowLogStreamReader({"path": str(drop)})
+    wm1 = rdr.latestOffset()
+    # stage a file whose mtime is FAR below the watermark, then mv it in
+    old = stage / "old-mtime.log"
+    old.write_text("\n".join([HEADER, GOOD2]))
+    _os.utime(old, ns=(1_000_000_000, 1_000_000_000))  # 1970-ish mtime
+    moved = drop / "old-mtime.log"
+    _os.rename(old, moved)
+    wm2 = rdr.latestOffset()
+    parts = [p.path for p in rdr.partitions(wm1, wm2)]
+    assert parts == [str(moved)]
+    # and it is not re-read once covered
+    assert rdr.partitions(wm2, rdr.latestOffset()) == []
+
+
+def test_python_caster_shares_the_arrow_grammar(registered, tmp_path):
+    # ADVICE r9: bare int() accepted underscores, Unicode digits, and
+    # 19+-digit tokens the Arrow regex zeroes, and RAISED (at the
+    # IntegerType boundary) on out-of-int32 values the Arrow path
+    # zeroes. One grammar now: ^[+-]?[0-9]{1,18}$ plus range-to-zero.
+    from aws_vpcflowlogs_parquet_spark.sources.flowlog_datasource import (
+        _cast_int_token,
+    )
+
+    assert _cast_int_token("1_234", "int") == 0        # underscore
+    assert _cast_int_token("١٢٣", "int") == 0          # Unicode digits
+    assert _cast_int_token("9" * 19, "long") == 0      # 19 digits
+    assert _cast_int_token("2147483648", "int") == 0   # out of int32
+    assert _cast_int_token("2147483648", "long") == 2147483648
+    assert _cast_int_token("-2147483648", "int") == -(2**31)
+    assert _cast_int_token("+0042", "int") == 42
+    assert _cast_int_token("-", "int") == 0
+
+    spark = registered
+    base = GOOD1.split(" ")
+    lines = [HEADER]
+    for tok in ("1_234", "١٢٣", "9" * 19, "2147483648", "+7"):
+        row = list(base)
+        row[5] = tok  # srcport (int32 column)
+        lines.append(" ".join(row))
+    src = tmp_path / "edges.log.gz"
+    _write_gz(src, lines)
+    got = {}
+    for parser in ("arrow", "python"):
+        got[parser] = sorted(
+            r.srcport
+            for r in spark.read.format("flowlog")
+            .option("parser", parser)
+            .load(str(src))
+            .collect()
+        )
+    assert got["arrow"] == got["python"] == [0, 0, 0, 0, 7]
+
+
+def test_overwrite_commit_renames_before_deleting(tmp_path, monkeypatch):
+    # ADVICE r9: commit must rename the new generation IN before
+    # deleting the old one — a crash mid-commit then leaves a superset
+    # (old + partial new), never a hole. Simulate the crash by failing
+    # the SECOND rename and assert the old generation survived.
+    import os as _os
+
+    from aws_vpcflowlogs_parquet_spark.sources.flowlog_datasource import (
+        _FlowLogWriter,
+        _StagedFile,
+    )
+
+    out = tmp_path / "out"
+    out.mkdir()
+    old_part = out / "part-oldrun-abc.log"
+    old_part.write_text(GOOD1 + "\n")
+    msgs = []
+    for i in range(2):
+        final = out / f"part-newrun-{i}.log"
+        staged = str(final) + ".staging"
+        (out / f"part-newrun-{i}.log.staging").write_text(GOOD2 + "\n")
+        msgs.append(_StagedFile(staged=staged, final=str(final)))
+
+    w = _FlowLogWriter({"path": str(out), "compress": "false"}, True)
+    real_replace = _os.replace
+    calls = {"n": 0}
+
+    def crashy_replace(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated driver crash mid-commit")
+        real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", crashy_replace)
+    with pytest.raises(OSError, match="simulated"):
+        w.commit(msgs)
+    # the old generation is intact; nothing was deleted before renames
+    assert old_part.exists()
+    assert (out / "part-newrun-0.log").exists()
+    monkeypatch.undo()
+
+    # the recovery path is a fresh overwrite JOB (new run_id, new
+    # staged files) — after it commits, exactly its generation remains
+    retry = []
+    for i in range(2):
+        final = out / f"part-retry-{i}.log"
+        (out / f"part-retry-{i}.log.staging").write_text(GOOD2 + "\n")
+        retry.append(
+            _StagedFile(staged=str(final) + ".staging", final=str(final))
+        )
+    w.commit(retry)
+    names = sorted(_os.listdir(out))
+    assert names == ["part-retry-0.log", "part-retry-1.log"]
