@@ -21102,3 +21102,781 @@ def q_stream_late_data(spark, sf_dir):
         ),
         "n",
     )
+
+
+# =====================================================================
+# Round 10: mechanism batch 1 — bitemporal replay, sequential-greedy
+# folds (debounce / activity selection), interval sweeps
+# =====================================================================
+
+
+@register(
+    "q_scd2_replay",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id % 499 AS k, date_trunc('day', ts) AS eff,
+             event_id, event_type
+      FROM events
+    ),
+    latest AS (
+      SELECT k, eff,
+             arg_max(event_type, event_id) AS status,
+             MAX(event_id) AS src_event,
+             CAST(COUNT(*) - 1 AS BIGINT) AS n_late_corrections
+      FROM ch GROUP BY k, eff
+    ),
+    v AS (
+      SELECT k, eff, status, src_event, n_late_corrections,
+             LEAD(eff) OVER w AS eff_to,
+             ROW_NUMBER() OVER w AS version
+      FROM latest WINDOW w AS (PARTITION BY k ORDER BY eff)
+    )
+    SELECT k, strftime(eff, '%Y-%m-%d') AS effective_from,
+           strftime(eff_to, '%Y-%m-%d') AS effective_to,
+           status, src_event, n_late_corrections,
+           CAST(version AS INT) AS version,
+           CAST(CASE WHEN eff_to IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM v
+    """,
+)
+def q_scd2_replay(spark, sf_dir):
+    """SCD2 REPLAY under late-arriving corrections (VERDICT r9 item 6,
+    extending q_scd2 + q_late_arriving_dim): the CDC feed carries
+    (key, effective date, arrival order, status) where multiple records
+    may restate the SAME effective date — later ARRIVALS override
+    (last-writer-wins per (key, effective date), the warehouse
+    correction contract), and the history is then rebuilt in EFFECTIVE
+    order regardless of arrival order. Two shuffles, both keyed: one
+    max_by aggregation collapses corrections (arrival order = event_id,
+    a total order), one per-key window chains validity intervals. The
+    n_late_corrections column audits how much restatement each interval
+    absorbed. At 100 TB the collapse is a plain hash agg on
+    (key, eff) — no skew beyond the key's own correction rate — and the
+    interval chain shuffles once on key."""
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        (F.col("user_id") % 499).alias("k"),
+        F.date_trunc("day", F.col("ts")).alias("eff"),
+        "event_id",
+        "event_type",
+    )
+    latest = ch.groupBy("k", "eff").agg(
+        F.max_by("event_type", "event_id").alias("status"),
+        F.max("event_id").alias("src_event"),
+        (F.count("*") - 1).cast("bigint").alias("n_late_corrections"),
+    )
+    w = Window.partitionBy("k").orderBy("eff")
+    return latest.select(
+        "k",
+        F.date_format("eff", "yyyy-MM-dd").alias("effective_from"),
+        F.date_format(F.lead("eff").over(w), "yyyy-MM-dd").alias(
+            "effective_to"
+        ),
+        "status",
+        "src_event",
+        "n_late_corrections",
+        F.row_number().over(w).cast("int").alias("version"),
+        F.when(F.lead("eff").over(w).isNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("is_current"),
+    )
+
+
+@register(
+    "q_event_debounce",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             list(epoch_us(ts) ORDER BY ts, event_id) AS xs
+      FROM events GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id, len(xs) AS n_events,
+             list_reduce(
+               list_prepend([xs[1], CAST(1 AS BIGINT)],
+                 list_transform(xs[2:], x -> [x, CAST(0 AS BIGINT)])),
+               (acc, x) -> [
+                 CASE WHEN x[1] - acc[1] >= 600000000
+                      THEN x[1] ELSE acc[1] END,
+                 CASE WHEN x[1] - acc[1] >= 600000000
+                      THEN acc[2] + 1 ELSE acc[2] END]
+             ) AS st
+      FROM s
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           st[2] AS n_kept,
+           strftime(make_timestamp(st[1]), '%Y-%m-%d %H:%M:%S')
+             AS last_kept_ts
+    FROM folded
+    """,
+)
+def q_event_debounce(spark, sf_dir):
+    """DEBOUNCE — greedy burst suppression per key: keep an event only
+    if ≥ 10 min has passed since the last KEPT event (alert rate
+    limiting, notification dedup). This is NOT the lag-vs-previous-event
+    gap test (q_session_dedup / q_sessionize): the suppression clock
+    resets only on kept events, so the decision for row i depends on
+    the full prefix — a sequential fold, not a window function. Run as
+    the order-pinned list fold both engines share (the q_holt_smoothing
+    pattern): per-key events collect into a (ts, event_id)-sorted
+    array and ONE integer F.aggregate carries [last_kept_us, n_kept];
+    DuckDB folds the identical pair list with list_reduce (seeded by
+    the first element — every first event is kept by definition). All
+    arithmetic on the integer-µs lattice. DuckDB hazard, measured: a
+    list_reduce lambda that returns the accumulator UNCHANGED
+    (``ELSE acc``) gives wrong folds under full-scan vectorization
+    (user 14 here: 75 vs the witness's 83 — yet correct with a
+    WHERE user_id filter); the oracle therefore always constructs a
+    fresh list with per-element CASE, the same expanded form the
+    q_holt_smoothing lesson prescribes for struct accumulators. Per-key sequence lengths are
+    session-scale (bounded by key activity), the collect is the same
+    shape every sequence-DP entry uses; keys distribute by hash."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.unix_micros("ts").alias("us"), "event_id")
+            )
+        ).alias("sx")
+    )
+    folded = per.select(
+        "user_id",
+        F.size("sx").cast("bigint").alias("n_events"),
+        F.expr(
+            """
+            aggregate(
+              slice(transform(sx, x -> x.us), 2, size(sx) - 1),
+              array(element_at(sx, 1).us, 1L),
+              (acc, x) -> IF(x - element_at(acc, 1) >= 600000000L,
+                             array(x, element_at(acc, 2) + 1L), acc)
+            )
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.element_at("st", 2).alias("n_kept"),
+        F.date_format(
+            F.timestamp_micros(F.element_at("st", 1)),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("last_kept_ts"),
+    )
+
+
+@register(
+    "q_max_concurrency",
+    oracle="""
+    WITH iv AS (
+      SELECT event_type, epoch_us(ts) AS s,
+             epoch_us(ts) + 60000000 * (1 + event_id % 7) AS e, event_id
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, s AS t, 1 AS d, event_id FROM iv
+      UNION ALL
+      SELECT event_type, e AS t, -1 AS d, event_id FROM iv
+    ),
+    run AS (
+      SELECT event_type, t, d,
+             SUM(d) OVER (PARTITION BY event_type ORDER BY t, d, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM b
+    ),
+    mx AS (
+      SELECT event_type, t, c,
+             MAX(c) OVER (PARTITION BY event_type) AS cmax
+      FROM run
+    )
+    SELECT event_type, CAST(MAX(c) AS BIGINT) AS max_concurrent,
+           strftime(make_timestamp(MIN(CASE WHEN c = cmax THEN t END)),
+                    '%Y-%m-%d %H:%M:%S') AS first_peak_ts
+    FROM mx GROUP BY event_type
+    """,
+)
+def q_max_concurrency(spark, sf_dir):
+    """INTERVAL STABBING / max concurrency per resource class: each
+    event opens a half-open activity interval [ts, ts + 1..7 min) and
+    the question is the peak number simultaneously open (capacity
+    sizing, meeting-rooms). Boundary sweep, not a range self-join:
+    ±1 deltas at interval endpoints, one running sum per event_type in
+    the total order (t, delta, event_id) — ends sort before starts at
+    the same instant, encoding the half-open semantics — then the peak
+    and its first time. O(n log n) by sort-shuffle where the naive
+    overlap join is O(n²) within a class; the window is PARTITIONED by
+    event_type (running concurrency is inherently sequential per
+    class — at 100 TB you shard the timeline by coarse time range
+    first, the q_union_area_rects slab pattern)."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.lit(60_000_000) * (1 + F.col("event_id") % 7)
+        ).alias("e"),
+        "event_id",
+    )
+    b = iv.select(
+        "event_type", F.col("s").alias("t"), F.lit(1).alias("d"), "event_id"
+    ).unionAll(
+        iv.select(
+            "event_type",
+            F.col("e").alias("t"),
+            F.lit(-1).alias("d"),
+            "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t", "d", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = b.withColumn("c", F.sum("d").over(w))
+    mx = run.withColumn(
+        "cmax", F.max("c").over(Window.partitionBy("event_type"))
+    )
+    return mx.groupBy("event_type").agg(
+        F.max("c").cast("bigint").alias("max_concurrent"),
+        F.date_format(
+            F.timestamp_micros(
+                F.min(F.when(F.col("c") == F.col("cmax"), F.col("t")))
+            ),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("first_peak_ts"),
+    )
+
+
+@register(
+    "q_interval_scheduling",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + 60000000 * (1 + event_id % 11) AS e, event_id
+      FROM events
+    ),
+    per AS (
+      SELECT user_id,
+             list([e, s] ORDER BY e, s, event_id) AS xs
+      FROM iv GROUP BY user_id
+    ),
+    folded AS (
+      SELECT user_id, len(xs) AS n_intervals,
+             list_reduce(
+               list_prepend([xs[1][1], CAST(1 AS BIGINT)],
+                 list_transform(xs[2:], x -> [x[2], x[1]])),
+               (acc, x) -> [
+                 CASE WHEN x[1] >= acc[1] THEN x[2] ELSE acc[1] END,
+                 CASE WHEN x[1] >= acc[1] THEN acc[2] + 1 ELSE acc[2] END]
+             ) AS st
+      FROM per
+    )
+    SELECT user_id, CAST(n_intervals AS BIGINT) AS n_intervals,
+           st[2] AS n_selected
+    FROM folded
+    """,
+)
+def q_interval_scheduling(spark, sf_dir):
+    """ACTIVITY SELECTION — maximum set of non-overlapping intervals
+    per key (the classic earliest-deadline greedy, provably optimal):
+    how many conflict-free bookings/maintenance-windows fit. Like
+    q_event_debounce this is a sequential fold (selection depends on
+    the last SELECTED interval's end, half-open [s, e) so a start equal
+    to the previous end is compatible): sort each key's intervals by
+    (end, start, id), fold [last_end, n_selected] — seeded by the
+    first interval, which the greedy always takes. The fold element is
+    the [start, end] pair re-ordered from the sort key; all integer-µs.
+    Same distribution posture as the other per-key sequence folds: one
+    hash shuffle on key, fold inside the aggregate expression, no
+    Python."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (
+            F.unix_micros("ts")
+            + F.lit(60_000_000) * (1 + F.col("event_id") % 11)
+        ).alias("e"),
+        "event_id",
+    )
+    per = iv.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("e", "s", "event_id"))
+        ).alias("sx")
+    )
+    folded = per.select(
+        "user_id",
+        F.size("sx").cast("bigint").alias("n_intervals"),
+        F.expr(
+            """
+            aggregate(
+              slice(transform(sx, x -> array(x.s, x.e)), 2, size(sx) - 1),
+              array(element_at(sx, 1).e, 1L),
+              (acc, x) -> IF(element_at(x, 1) >= element_at(acc, 1),
+                             array(element_at(x, 2),
+                                   element_at(acc, 2) + 1L),
+                             acc)
+            )
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_intervals",
+        F.element_at("st", 2).alias("n_selected"),
+    )
+
+
+@register(
+    "q_temporal_sum_timeline",
+    oracle="""
+    WITH iv AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS sd,
+             epoch_us(o_orderdate) // 86400000000 + 1 + o_orderkey % 30
+               AS ed,
+             1 + o_orderkey % 97 AS v
+      FROM orders
+    ),
+    b AS (
+      SELECT sd AS t, CAST(v AS BIGINT) AS d FROM iv
+      UNION ALL
+      SELECT ed AS t, CAST(-v AS BIGINT) AS d FROM iv
+    ),
+    merged AS (SELECT t, SUM(d) AS delta FROM b GROUP BY t),
+    run AS (
+      SELECT t, CAST(SUM(delta) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS level,
+             LEAD(t) OVER (ORDER BY t) AS t_next
+      FROM merged
+    )
+    SELECT CAST(t AS BIGINT) AS seg_start_day,
+           CAST(t_next AS BIGINT) AS seg_end_day, level
+    FROM run WHERE t_next IS NOT NULL AND level != 0
+    """,
+)
+def q_temporal_sum_timeline(spark, sf_dir):
+    """TEMPORAL AGGREGATION — the timeline of SUM(value) over
+    interval-valued facts as constant-level segments (the temporal-DB
+    primitive behind "how much was committed at every instant":
+    capacity ledgers, loan books, license seats). Each order
+    contributes value v over [orderdate, +1..30 days); the result is
+    the minimal segmentation [seg_start, seg_end) with the exact
+    total in force. Sweep form: ±v boundary deltas, merge per day
+    (the aggregation that makes the sweep input BOUNDED — the distinct
+    day domain, ~2500 days, not the fact count), one running sum and
+    one LEAD over that bounded domain (allowlisted), emit non-zero
+    segments. Value arithmetic all-integer. The 100 TB path shards the
+    sweep by coarse time slab exactly like q_union_area_rects."""
+    o = _t(spark, sf_dir, "orders")
+    # o_orderdate surfaces as TIMESTAMP_NTZ; session TZ is UTC so the
+    # cast is the identity instant and unix_micros resolves
+    day = F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(
+        86_400_000_000
+    )
+    iv = o.select(
+        F.floor(day).cast("bigint").alias("sd"),
+        (F.floor(day) + 1 + F.col("o_orderkey") % 30)
+        .cast("bigint")
+        .alias("ed"),
+        (1 + F.col("o_orderkey") % 97).cast("bigint").alias("v"),
+    )
+    b = iv.select(F.col("sd").alias("t"), F.col("v").alias("d")).unionAll(
+        iv.select(F.col("ed").alias("t"), (-F.col("v")).alias("d"))
+    )
+    merged = b.groupBy("t").agg(F.sum("d").alias("delta"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    run = merged.select(
+        "t",
+        F.sum("delta").over(w).cast("bigint").alias("level"),
+        F.lead("t").over(Window.orderBy("t")).alias("t_next"),
+    )
+    return run.filter(
+        F.col("t_next").isNotNull() & (F.col("level") != 0)
+    ).select(
+        F.col("t").alias("seg_start_day"),
+        F.col("t_next").alias("seg_end_day"),
+        "level",
+    )
+
+
+# =====================================================================
+# Round 10: mechanism batch 2 — apportionment, privacy lattice depth,
+# content digests, ANN-graph quality
+# =====================================================================
+
+
+@register(
+    "q_largest_remainder",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total FROM c),
+    q AS (
+      SELECT source, n_docs,
+             (1000 * n_docs) // total AS base,
+             (1000 * n_docs) % total AS rem
+      FROM c, tot
+    ),
+    d AS (SELECT CAST(1000 - SUM(base) AS BIGINT) AS deficit FROM q),
+    r AS (
+      SELECT source, n_docs, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      FROM q
+    )
+    SELECT source, n_docs,
+           CAST(base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END
+                AS BIGINT) AS shards
+    FROM r, d
+    """,
+)
+def q_largest_remainder(spark, sf_dir):
+    """LARGEST-REMAINDER apportionment (Hamilton's method): divide
+    1000 shards across sources proportionally to document count —
+    the quota-assignment primitive behind shard layout, sampling
+    budgets, and seat allocation. Exact integer lattice throughout:
+    base_i = ⌊1000·nᵢ/N⌋ via integer division, the 1000 − Σbase
+    leftover goes to the largest remainders (1000·nᵢ mod N) under a
+    total (remainder desc, source) order. One hash agg, one 1-row
+    broadcast for N and the deficit, one window over the SOURCE domain
+    (≤ tens of rows — bounded, allowlisted). Σ shards = 1000 by
+    construction, pinned by the witness test."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    tot = c.agg(F.sum("n_docs").cast("bigint").alias("total"))
+    q = c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.floor((1000 * F.col("n_docs")) / F.col("total"))
+        .cast("bigint")
+        .alias("base"),
+        ((1000 * F.col("n_docs")) % F.col("total")).alias("rem"),
+    )
+    d = q.agg((F.lit(1000) - F.sum("base")).cast("bigint").alias("deficit"))
+    r = q.withColumn(
+        "rk",
+        F.row_number().over(Window.orderBy(F.desc("rem"), F.asc("source"))),
+    )
+    return r.crossJoin(F.broadcast(d)).select(
+        "source",
+        "n_docs",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("deficit"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("shards"),
+    )
+
+
+@register(
+    "q_dhondt",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    quot AS (
+      SELECT source, n_docs, k.k,
+             CAST(n_docs AS DOUBLE) / k.k AS q
+      FROM c CROSS JOIN (SELECT UNNEST(generate_series(1, 100)) AS k) k
+    ),
+    r AS (
+      SELECT source, n_docs,
+             ROW_NUMBER() OVER (ORDER BY q DESC, source, k) AS rk
+      FROM quot
+    )
+    SELECT source, n_docs,
+           CAST(SUM(CASE WHEN rk <= 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS seats
+    FROM r GROUP BY source, n_docs
+    """,
+)
+def q_dhondt(spark, sf_dir):
+    """D'HONDT divisor apportionment — the other canonical quota
+    method (favors large groups; largest-remainder is quota-exact):
+    100 seats assigned by taking the 100 largest quotients nᵢ/k,
+    k = 1..100. The quotient grid is a BOUNDED crossJoin
+    (sources × 100 divisors, policy-sized), ranked under the total
+    (quotient desc, source, k) order. The double comparison nᵢ/k vs
+    nⱼ/m is EXACT here: for integer ratios a/b vs c/d, IEEE doubles
+    order correctly whenever b·d < 2⁵² (the q_isotonic_pav rational
+    lemma) — divisors ≤ 100 give b·d ≤ 10⁴. Window over the bounded
+    grid (allowlisted)."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").cast("bigint").alias("n_docs"))
+    ks = spark.range(1, 101).select(F.col("id").alias("k"))
+    quot = c.crossJoin(F.broadcast(ks)).select(
+        "source",
+        "n_docs",
+        "k",
+        (F.col("n_docs").cast("double") / F.col("k")).alias("q"),
+    )
+    r = quot.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("q"), F.asc("source"), F.asc("k"))
+        ),
+    )
+    return r.groupBy("source", "n_docs").agg(
+        F.sum(F.when(F.col("rk") <= 100, 1).otherwise(0))
+        .cast("bigint")
+        .alias("seats")
+    )
+
+
+@register(
+    "q_l_diversity",
+    oracle="""
+    WITH lv AS (
+      SELECT 0 AS level,
+             CAST(c_nationkey AS VARCHAR) || '|' ||
+               CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)
+               AS quasi,
+             c_mktsegment AS sensitive
+      FROM customer
+      UNION ALL
+      SELECT 1, CAST(c_nationkey AS VARCHAR), c_mktsegment FROM customer
+      UNION ALL
+      SELECT 2, CAST(c_nationkey // 5 AS VARCHAR), c_mktsegment
+      FROM customer
+    ),
+    cls AS (
+      SELECT level, quasi,
+             CAST(COUNT(*) AS BIGINT) AS class_size,
+             CAST(COUNT(DISTINCT sensitive) AS BIGINT) AS l
+      FROM lv GROUP BY level, quasi
+    )
+    SELECT level,
+           CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(MIN(l) AS BIGINT) AS min_l,
+           CAST(SUM(CASE WHEN l < 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_risky_classes,
+           CAST(SUM(CASE WHEN l < 2 THEN class_size ELSE 0 END) AS BIGINT)
+             AS n_risky_rows
+    FROM cls GROUP BY level
+    """,
+)
+def q_l_diversity(spark, sf_dir):
+    """L-DIVERSITY audit — the depth extension of q_k_anonymity: a
+    k-anonymous equivalence class is still disclosive if everyone in
+    it shares the SENSITIVE value, so the metric is l = #distinct
+    sensitive values per class, swept over the same 3-level
+    generalization lattice (exact quasi → nation → nation-group).
+    Sensitive attribute: market segment. Per level: class count,
+    worst-case l, and the classes/rows where l < 2 (full disclosure).
+    One union-of-three-projections scan (Spark plans it as one Expand
+    pass), one hash agg per (level, class), a 3-row rollup. The
+    acctbal bucketing is a single double division + floor — identical
+    IEEE on both engines."""
+    cust = _t(spark, sf_dir, "customer")
+
+    def level(lv, quasi):
+        return cust.select(
+            F.lit(lv).alias("level"),
+            quasi.alias("quasi"),
+            F.col("c_mktsegment").alias("sensitive"),
+        )
+
+    lv = (
+        level(
+            0,
+            F.concat_ws(
+                "|",
+                F.col("c_nationkey").cast("string"),
+                F.floor(F.col("c_acctbal") / 1000)
+                .cast("bigint")
+                .cast("string"),
+            ),
+        )
+        .unionAll(level(1, F.col("c_nationkey").cast("string")))
+        .unionAll(
+            level(
+                2, F.floor(F.col("c_nationkey") / 5).cast("bigint").cast("string")
+            )
+        )
+    )
+    cls = lv.groupBy("level", "quasi").agg(
+        F.count("*").cast("bigint").alias("class_size"),
+        F.countDistinct("sensitive").cast("bigint").alias("l"),
+    )
+    return cls.groupBy("level").agg(
+        F.count("*").cast("bigint").alias("n_classes"),
+        F.min("l").cast("bigint").alias("min_l"),
+        F.sum(F.when(F.col("l") < 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_classes"),
+        F.sum(F.when(F.col("l") < 2, F.col("class_size")).otherwise(0))
+        .cast("bigint")
+        .alias("n_risky_rows"),
+    )
+
+
+@register(
+    "q_partition_digest",
+    oracle="""
+    WITH rows_h AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS dt, event_id,
+             md5(CAST(event_id AS VARCHAR) || '|' ||
+                 CAST(user_id AS VARCHAR) || '|' || event_type) AS h
+      FROM events
+    ),
+    per_day AS (
+      SELECT dt, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             md5(string_agg(h, '' ORDER BY event_id)) AS digest
+      FROM rows_h GROUP BY dt
+    ),
+    root AS (
+      SELECT md5(string_agg(digest, '' ORDER BY dt)) AS root_digest
+      FROM per_day
+    )
+    SELECT dt, n_rows, digest, root_digest FROM per_day, root
+    """,
+)
+def q_partition_digest(spark, sf_dir):
+    """MERKLE-STYLE partition digests — content-addressed integrity
+    audit for a partitioned table: each day-partition gets
+    md5(concat of per-row md5 in key order), and the table gets one
+    root digest over the ordered partition digests — the structure
+    that lets replicas compare a 100 TB table by exchanging one hash
+    per partition then drilling into mismatches only. Row rendering
+    sticks to integers/strings (never doubles — engines disagree on
+    double→string). Per-partition work is one hash agg collecting
+    (event_id, h) pairs sorted in-expression; the root rides a 1-row
+    broadcast. md5 is bit-identical across engines (the q_ams_f2
+    derandomization lesson)."""
+    ev = _t(spark, sf_dir, "events")
+    rows_h = ev.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("dt"),
+        "event_id",
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+            )
+        ).alias("h"),
+    )
+    per_day = rows_h.groupBy("dt").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(event_id, h)))"
+                    ", x -> x.h)"
+                ),
+                "",
+            )
+        ).alias("digest"),
+    )
+    root = per_day.agg(
+        F.md5(
+            F.array_join(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dt, digest)))"
+                    ", x -> x.digest)"
+                ),
+                "",
+            )
+        ).alias("root_digest")
+    )
+    return per_day.crossJoin(F.broadcast(root))
+
+
+@register(
+    "q_knn_reciprocity",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             {_duck_lsh_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS src, a.label, b.vec_id AS dst,
+             {_duck_cosine('a.e', 'b.e')} AS sim
+      FROM emb a JOIN emb b
+        ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    ),
+    knn AS (
+      SELECT src, label, dst FROM (
+        SELECT src, label, dst,
+               ROW_NUMBER() OVER (PARTITION BY src
+                                  ORDER BY sim DESC, dst) AS rk
+        FROM pairs
+      ) WHERE rk <= 3
+    ),
+    m AS (
+      SELECT k.src, k.label,
+             CASE WHEN EXISTS (SELECT 1 FROM knn r
+                               WHERE r.src = k.dst AND r.dst = k.src)
+                  THEN 1 ELSE 0 END AS mutual
+      FROM knn k
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(mutual) AS BIGINT) AS n_mutual,
+           CAST(SUM(mutual) AS DOUBLE) / COUNT(*) AS reciprocity
+    FROM m GROUP BY label
+    """,
+)
+def q_knn_reciprocity(spark, sf_dir):
+    """kNN-GRAPH RECIPROCITY — embedding-space quality audit: build
+    the directed 3-NN graph and measure the fraction of edges that are
+    MUTUAL, per label (low reciprocity flags hubness / degenerate
+    embedding regions — the standard ANN-index health check). The
+    graph is the ANN graph, not brute force: neighbors are found
+    inside each vector's sign-LSH bucket (the q_ann_lsh blocking), so
+    candidate pairs are Σ bucket² — sub-quadratic by construction and
+    the same bucketing you'd run at 100 TB. Mutuality is one self-join
+    of the kNN edge list on the reversed key; per-label rollup with
+    one division. Cosine is rounded at SIM_ROUND on both engines, rank
+    tie-break (sim desc, dst) total."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        sim._as_double("embedding").alias("e"),
+        F.expr(sim.sign_lsh_bucket_expr("embedding")).alias("bucket"),
+    )
+    a = emb.select(
+        F.col("vec_id").alias("src"),
+        "label",
+        F.col("e").alias("ea"),
+        "bucket",
+    )
+    b = emb.select(
+        F.col("vec_id").alias("dst"), F.col("e").alias("eb"), "bucket"
+    )
+    pairs = a.join(b, "bucket").filter(F.col("src") != F.col("dst")).select(
+        "src",
+        "label",
+        "dst",
+        F.round(F.expr(sim.cosine_expr("ea", "eb")), sim.SIM_ROUND).alias(
+            "sim"
+        ),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), F.asc("dst"))
+    knn = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("src", "label", "dst")
+    )
+    rev = knn.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).withColumn("m", F.lit(1))
+    m = knn.join(rev, ["src", "dst"], "left")
+    return m.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_edges"),
+        F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("bigint").alias(
+            "n_mutual"
+        ),
+        (
+            F.sum(F.coalesce(F.col("m"), F.lit(0))).cast("double")
+            / F.count("*")
+        ).alias("reciprocity"),
+    )

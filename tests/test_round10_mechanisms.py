@@ -1,0 +1,295 @@
+"""Pure-Python witnesses for the round-10 mechanism queries at sf0.001 —
+independent recomputation (no SQL on either engine), the third leg of
+the per-batch validation loop."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+
+import duckdb
+import pytest
+
+from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def _events(duck):
+    return duck.sql(
+        f"SELECT event_id, epoch_us(ts), user_id, event_type, "
+        f"strftime(ts, '%Y-%m-%d') FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+
+
+def test_scd2_replay_witness(spark, duck):
+    rows = _events(duck)
+    latest = {}
+    for eid, _us, uid, etype, day in rows:
+        k = uid % 499
+        cur = latest.get((k, day))
+        if cur is None or eid > cur[0]:
+            n = (cur[2] + 1) if cur else 1
+            latest[(k, day)] = (eid, etype, n)
+        else:
+            latest[(k, day)] = (cur[0], cur[1], cur[2] + 1)
+    exp = {}
+    per_key = collections.defaultdict(list)
+    for (k, day), (eid, status, n) in latest.items():
+        per_key[k].append((day, eid, status, n))
+    for k, vs in per_key.items():
+        vs.sort()
+        for i, (day, eid, status, n) in enumerate(vs):
+            nxt = vs[i + 1][0] if i + 1 < len(vs) else None
+            exp[(k, day)] = (
+                nxt,
+                status,
+                eid,
+                n - 1,
+                i + 1,
+                1 if nxt is None else 0,
+            )
+    got = QUERIES["q_scd2_replay"](spark, SF_DIR).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        e = exp[(r.k, r.effective_from)]
+        assert (
+            r.effective_to,
+            r.status,
+            r.src_event,
+            r.n_late_corrections,
+            r.version,
+            r.is_current,
+        ) == e
+
+
+def test_event_debounce_witness(spark, duck):
+    rows = _events(duck)
+    per = collections.defaultdict(list)
+    for eid, us, uid, _t, _d in rows:
+        per[uid].append((us, eid))
+    exp = {}
+    for uid, xs in per.items():
+        xs.sort()
+        last, kept = xs[0][0], 1
+        for us, _ in xs[1:]:
+            if us - last >= 600_000_000:
+                last, kept = us, kept + 1
+        exp[uid] = (len(xs), kept, last)
+    got = QUERIES["q_event_debounce"](spark, SF_DIR).collect()
+    assert len(got) == len(exp)
+    for r in got:
+        n, kept, _last = exp[r.user_id]
+        assert (r.n_events, r.n_kept) == (n, kept)
+
+
+def test_max_concurrency_witness(spark, duck):
+    rows = _events(duck)
+    by_type = collections.defaultdict(list)
+    for eid, us, _u, etype, _d in rows:
+        e = us + 60_000_000 * (1 + eid % 7)
+        by_type[etype].append((us, 1, eid))
+        by_type[etype].append((e, -1, eid))
+    exp = {}
+    for etype, bs in by_type.items():
+        bs.sort()
+        c = mx = 0
+        first = None
+        for t, d, _ in bs:
+            c += d
+            if c > mx:
+                mx, first = c, t
+        exp[etype] = (mx, first)
+    got = QUERIES["q_max_concurrency"](spark, SF_DIR).collect()
+    assert {r.event_type: r.max_concurrent for r in got} == {
+        k: v[0] for k, v in exp.items()
+    }
+
+
+def test_interval_scheduling_witness(spark, duck):
+    rows = _events(duck)
+    per = collections.defaultdict(list)
+    for eid, us, uid, _t, _d in rows:
+        per[uid].append((us + 60_000_000 * (1 + eid % 11), us, eid))
+    exp = {}
+    for uid, xs in per.items():
+        xs.sort()
+        last_end, n = xs[0][0], 1
+        for e, s, _ in xs[1:]:
+            if s >= last_end:
+                last_end, n = e, n + 1
+        exp[uid] = (len(xs), n)
+    got = QUERIES["q_interval_scheduling"](spark, SF_DIR).collect()
+    assert {r.user_id: (r.n_intervals, r.n_selected) for r in got} == exp
+
+
+def test_temporal_sum_timeline_witness(spark, duck):
+    orders = duck.sql(
+        f"SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 "
+        f"FROM '{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    delta = collections.Counter()
+    for ok, sd in orders:
+        v = 1 + ok % 97
+        delta[sd] += v
+        delta[sd + 1 + ok % 30] -= v
+    ts = sorted(delta)
+    exp = []
+    level = 0
+    for i, t in enumerate(ts[:-1]):
+        level += delta[t]
+        if level != 0:
+            exp.append((t, ts[i + 1], level))
+    got = sorted(
+        (r.seg_start_day, r.seg_end_day, r.level)
+        for r in QUERIES["q_temporal_sum_timeline"](spark, SF_DIR).collect()
+    )
+    assert got == exp
+    # levels tile the timeline: every segment's start is the prior end
+    for (s1, e1, _), (s2, _, _) in zip(got, got[1:]):
+        assert e1 <= s2
+
+
+def test_largest_remainder_witness(spark, duck):
+    counts = dict(
+        duck.sql(
+            f"SELECT source, COUNT(*) FROM '{SF_DIR}/documents.parquet' "
+            f"GROUP BY source"
+        ).fetchall()
+    )
+    N = sum(counts.values())
+    base = {s: (1000 * n) // N for s, n in counts.items()}
+    rem = {s: (1000 * n) % N for s, n in counts.items()}
+    deficit = 1000 - sum(base.values())
+    order = sorted(counts, key=lambda s: (-rem[s], s))
+    exp = {
+        s: base[s] + (1 if i < deficit else 0) for i, s in enumerate(order)
+    }
+    got = {
+        r.source: r.shards
+        for r in QUERIES["q_largest_remainder"](spark, SF_DIR).collect()
+    }
+    assert got == exp
+    assert sum(got.values()) == 1000
+
+
+def test_dhondt_witness(spark, duck):
+    counts = dict(
+        duck.sql(
+            f"SELECT source, COUNT(*) FROM '{SF_DIR}/documents.parquet' "
+            f"GROUP BY source"
+        ).fetchall()
+    )
+    from fractions import Fraction
+
+    quot = [
+        (Fraction(n, k), s, k)
+        for s, n in counts.items()
+        for k in range(1, 101)
+    ]
+    quot.sort(key=lambda t: (-t[0], t[1], t[2]))
+    exp = collections.Counter(s for _, s, _ in quot[:100])
+    got = {
+        r.source: r.seats
+        for r in QUERIES["q_dhondt"](spark, SF_DIR).collect()
+    }
+    assert {s: c for s, c in got.items() if c} == dict(exp)
+    assert sum(got.values()) == 100
+
+
+def test_l_diversity_witness(spark, duck):
+    cust = duck.sql(
+        f"SELECT c_nationkey, c_acctbal, c_mktsegment "
+        f"FROM '{SF_DIR}/customer.parquet'"
+    ).fetchall()
+    import math
+
+    exp = {}
+    for lv, quasi_fn in (
+        (0, lambda nk, ab: f"{nk}|{int(math.floor(ab / 1000))}"),
+        (1, lambda nk, ab: str(nk)),
+        (2, lambda nk, ab: str(nk // 5)),
+    ):
+        cls = collections.defaultdict(list)
+        for nk, ab, seg in cust:
+            cls[quasi_fn(nk, ab)].append(seg)
+        ls = {q: len(set(v)) for q, v in cls.items()}
+        exp[lv] = (
+            len(cls),
+            min(ls.values()),
+            sum(1 for v in ls.values() if v < 2),
+            sum(len(cls[q]) for q, v in ls.items() if v < 2),
+        )
+    got = {
+        r.level: (r.n_classes, r.min_l, r.n_risky_classes, r.n_risky_rows)
+        for r in QUERIES["q_l_diversity"](spark, SF_DIR).collect()
+    }
+    assert got == exp
+
+
+def test_partition_digest_witness(spark, duck):
+    rows = _events(duck)
+    per_day = collections.defaultdict(list)
+    for eid, _us, uid, etype, day in rows:
+        h = hashlib.md5(f"{eid}|{uid}|{etype}".encode()).hexdigest()
+        per_day[day].append((eid, h))
+    digests = {}
+    for day, hs in per_day.items():
+        hs.sort()
+        digests[day] = hashlib.md5(
+            "".join(h for _, h in hs).encode()
+        ).hexdigest()
+    root = hashlib.md5(
+        "".join(digests[d] for d in sorted(digests)).encode()
+    ).hexdigest()
+    got = QUERIES["q_partition_digest"](spark, SF_DIR).collect()
+    assert {r.dt: r.digest for r in got} == digests
+    assert all(r.root_digest == root for r in got)
+
+
+def test_knn_reciprocity_witness(spark, duck):
+    emb = duck.sql(
+        f"SELECT vec_id, label, embedding "
+        f"FROM '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    buckets = collections.defaultdict(list)
+    for vid, label, e in emb:
+        e = [float(x) for x in e]
+        b = sum(2**i for i in range(8) if e[i] > 0)
+        buckets[b].append((vid, label, e))
+    import math
+
+    def cos(a, b):
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return round(dot / (math.sqrt(na) * math.sqrt(nb)), 6)
+
+    knn = set()
+    labels = {}
+    for b, vs in buckets.items():
+        for vid, label, e in vs:
+            labels[vid] = label
+            cands = sorted(
+                ((-cos(e, e2), v2) for v2, _, e2 in vs if v2 != vid),
+            )[:3]
+            for _, v2 in cands:
+                knn.add((vid, v2))
+    per_label = collections.defaultdict(lambda: [0, 0])
+    for s, d in knn:
+        per_label[labels[s]][0] += 1
+        per_label[labels[s]][1] += (d, s) in knn
+    got = {
+        r.label: (r.n_edges, r.n_mutual)
+        for r in QUERIES["q_knn_reciprocity"](spark, SF_DIR).collect()
+    }
+    assert got == {k: tuple(v) for k, v in per_label.items()}

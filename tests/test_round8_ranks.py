@@ -165,7 +165,9 @@ BOUNDED_UNPARTITIONED_WINDOW_QUERIES = {
     "q_cumulative_distinct",   # per-day firsts rollup
     "q_decile_stats_approx",   # price histogram bins
     "q_decision_stump",        # feature bins
+    "q_dhondt",                # sources x 100 divisors grid
     "q_gini_bucketed",         # spend bins
+    "q_largest_remainder",     # source domain (~20 rows)
     "q_hazard_rate",           # lifetime-day bins
     "q_kaplan_meier",          # lifetime-day bins (reverse risk sets)
     "q_key_skew",              # top-k key counts
@@ -176,6 +178,7 @@ BOUNDED_UNPARTITIONED_WINDOW_QUERIES = {
     "q_rank_sum",              # value bins (rank-by-counting)
     "q_rolling_regression",    # bounded day spine
     "q_split_assign",          # 3 split rows
+    "q_temporal_sum_timeline", # distinct day-boundary domain (~2500)
     "q_token_budget",          # source aggregates capped by take
     "q_union_area_rects",      # ≤400 distinct x boundaries (slab cut)
     "q_vocab_growth",          # vocab-first-day bins
