@@ -21880,3 +21880,486 @@ def q_knn_reciprocity(spark, sf_dir):
             / F.count("*")
         ).alias("reciprocity"),
     )
+
+
+# =====================================================================
+# Round 10: mechanism batch 3 — statistical testing (ANOVA, Wilson,
+# McNemar, Benjamini-Hochberg), order statistics, routing LPM
+# =====================================================================
+
+
+@register(
+    "q_anova_f",
+    oracle="""
+    WITH q AS (
+      SELECT event_type,
+             CAST(floor(value * 1000) AS BIGINT) AS c
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(c) AS BIGINT) AS s_g,
+             CAST(SUM(c * c) AS BIGINT) AS q_g
+      FROM q GROUP BY event_type
+    ),
+    folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM(q_g) AS BIGINT) AS q,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(
+                   list((CAST(s_g AS DOUBLE), CAST(n_g AS DOUBLE))
+                        ORDER BY event_type),
+                   x -> x[1] * x[1] / x[2])),
+               (p, v) -> p + v) AS sum_terms
+      FROM g
+    )
+    SELECT k, n,
+           sum_terms - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+             / CAST(n AS DOUBLE) AS ssb,
+           CAST(q AS DOUBLE) - sum_terms AS ssw,
+           ((sum_terms - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+               / CAST(n AS DOUBLE)) / (CAST(k AS DOUBLE) - 1.0))
+             / ((CAST(q AS DOUBLE) - sum_terms)
+                / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))) AS f_stat
+    FROM folded
+    """,
+)
+def q_anova_f(spark, sf_dir):
+    """ONE-WAY ANOVA F statistic — does mean event value differ across
+    event types: F = (SSB/(k−1))/(SSW/(N−k)) from the sufficient
+    statistics (n_g, Σc, Σc²) per group, computed entirely on the
+    integer lattice (c = ⌊value·1000⌋ — explicit floor: DuckDB's
+    double→BIGINT cast ROUNDS while Spark's truncates) so the group
+    moments are exact BIGINTs. The only order-sensitive float step,
+    Σ_g S_g²/n_g across the k=5 groups, runs as an event_type-ORDERED
+    list fold so both engines execute the identical IEEE sequence (the
+    q_holt_smoothing discipline). One map-combined agg over the data,
+    one 5-row fold — nothing scales with N but the scan."""
+    ev = _t(spark, sf_dir, "events")
+    q = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("c"),
+    )
+    g = q.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("c").cast("bigint").alias("s_g"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("q_g"),
+    )
+    folded = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.sum("q_g").cast("bigint").alias("q"),
+        F.expr(
+            """
+            aggregate(
+              transform(
+                array_sort(collect_list(struct(
+                  event_type,
+                  cast(s_g as double) as sd,
+                  cast(n_g as double) as nd))),
+                x -> x.sd * x.sd / x.nd),
+              cast(0.0 as double), (p, v) -> p + v)
+            """
+        ).alias("sum_terms"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    ssb = F.col("sum_terms") - sd * sd / nd
+    ssw = F.col("q").cast("double") - F.col("sum_terms")
+    return folded.select(
+        "k",
+        "n",
+        ssb.alias("ssb"),
+        ssw.alias("ssw"),
+        ((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))).alias("f_stat"),
+    )
+
+
+@register(
+    "q_wilson_ci",
+    oracle="""
+    WITH g AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_id % 5 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS pos
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n, pos,
+           (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+              + 1.9208 / CAST(n AS DOUBLE)
+              - 1.96 * sqrt((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + 0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_lo,
+           (CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+              + 1.9208 / CAST(n AS DOUBLE)
+              + 1.96 * sqrt((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+                  / CAST(n AS DOUBLE)
+                  + 0.9604 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (1.0 + 3.8416 / CAST(n AS DOUBLE)) AS wilson_hi
+    FROM g
+    """,
+)
+def q_wilson_ci(spark, sf_dir):
+    """WILSON score interval for a binomial proportion per group — the
+    right way to rank small-sample rates (UGC ranking, per-segment
+    conversion dashboards): unlike the normal approximation it never
+    leaves [0,1] and stays calibrated at tiny n. z = 1.96 enters as
+    dyadic-friendly literals (z²=3.8416, z²/2=1.9208, z²/4=0.9604) and
+    the bound is one sqrt + a fixed division chain — the IDENTICAL
+    expression tree on both engines, so the doubles are bit-equal
+    (sqrt is IEEE-correctly-rounded everywhere). One hash agg for
+    (n, pos); the rest is per-row scalar math on k rows."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_id") % 5 == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("pos").cast("double") / nd
+    center = p + F.lit(1.9208) / nd
+    rad = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + F.lit(0.9604) / (nd * nd)
+    )
+    den = F.lit(1.0) + F.lit(3.8416) / nd
+    return g.select(
+        "event_type",
+        "n",
+        "pos",
+        ((center - rad) / den).alias("wilson_lo"),
+        ((center + rad) / den).alias("wilson_hi"),
+    )
+
+
+@register(
+    "q_mcnemar",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS a_ok,
+             CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END AS b_ok
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN a_ok = 1 AND b_ok = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN a_ok = 0 AND b_ok = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c
+      FROM p GROUP BY event_type
+    )
+    SELECT event_type, b, c,
+           CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)
+             AS mcnemar_chi2
+    FROM g
+    """,
+)
+def q_mcnemar(spark, sf_dir):
+    """McNEMAR's test on paired binary outcomes — comparing two
+    classifiers/treatments evaluated on the SAME items (the eval-suite
+    question "is model B actually better than A", where a two-sample
+    test is wrong because the predictions pair): only the discordant
+    counts matter, χ² = (b−c)²/(b+c) with b = A-only-correct,
+    c = B-only-correct. Derandomized verdicts (event_id/user_id
+    residues). One conditional hash agg, integer counts, one exact
+    division per group."""
+    ev = _t(spark, sf_dir, "events")
+    a_ok = (F.col("event_id") % 3 == 0).cast("int")
+    b_ok = (F.col("user_id") % 3 == 0).cast("int")
+    g = ev.groupBy("event_type").agg(
+        F.sum(F.when((a_ok == 1) & (b_ok == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((a_ok == 0) & (b_ok == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+    )
+    return g.select(
+        "event_type",
+        "b",
+        "c",
+        (
+            ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).cast(
+                "double"
+            )
+            / (F.col("b") + F.col("c")).cast("double")
+        ).alias("mcnemar_chi2"),
+    )
+
+
+@register(
+    "q_benjamini_hochberg",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, hr
+    ),
+    tests AS (
+      SELECT event_type, hr, n,
+             CASE WHEN ('0x' || substring(
+                        md5(event_type || '-' || CAST(hr AS VARCHAR)),
+                        1, 6))::BIGINT % 7 = 0
+                  THEN 1 + ('0x' || substring(
+                        md5(event_type || '-' || CAST(hr AS VARCHAR)),
+                        1, 6))::BIGINT % 40
+                  ELSE 1 + ('0x' || substring(
+                        md5(event_type || '-' || CAST(hr AS VARCHAR)),
+                        1, 6))::BIGINT % 9999 END AS p_num
+      FROM cells
+    ),
+    ranked AS (
+      SELECT event_type, hr, n, p_num,
+             ROW_NUMBER() OVER (ORDER BY p_num, event_type, hr) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM tests
+    ),
+    kmax AS (
+      SELECT COALESCE(MAX(CASE WHEN p_num * m <= rk * 500
+                                THEN rk END), 0) AS k
+      FROM ranked
+    )
+    SELECT event_type, CAST(hr AS INT) AS hr, n, p_num,
+           CAST(rk AS BIGINT) AS rk, m,
+           CAST(CASE WHEN rk <= k THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM ranked, kmax
+    """,
+)
+def q_benjamini_hochberg(spark, sf_dir):
+    """BENJAMINI-HOCHBERG FDR control — which of m simultaneous
+    hypothesis tests survive at false-discovery rate α = 0.05: sort
+    p-values ascending, find the largest k with p₍ₖ₎ ≤ k·α/m, reject
+    ranks 1..k (the step-up procedure every metrics platform needs
+    once it tests 120 segment × hour cells at once). p-values are
+    derandomized off md5 of the cell key (identical hex → identical
+    integers on both engines) as rationals p_num/10⁴ — a deterministic
+    ~1/7 of cells get genuinely small p (the alternative hypothesis),
+    the rest uniform null, so the step-up actually steps — and the BH
+    inequality clears denominators to the integer lattice:
+    p_num·m ≤ k·500. One window over the bounded test-cell domain
+    (allowlisted), one 1-row broadcast for k."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    _h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws("-", "event_type", F.col("hr").cast("string"))
+            ),
+            1,
+            6,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    tests = cells.select(
+        "event_type",
+        "hr",
+        "n",
+        (
+            1
+            + F.when(_h % 7 == 0, _h % 40).otherwise(_h % 9999)
+        ).alias("p_num"),
+    )
+    w = Window.orderBy("p_num", "event_type", "hr")
+    ranked = tests.select(
+        "event_type",
+        "hr",
+        "n",
+        "p_num",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    ).crossJoin(
+        F.broadcast(tests.agg(F.count("*").cast("bigint").alias("m")))
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_num") * F.col("m") <= F.col("rk") * 500,
+                    F.col("rk"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k")
+    )
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        "event_type",
+        F.col("hr").cast("int").alias("hr"),
+        "n",
+        "p_num",
+        "rk",
+        "m",
+        F.when(F.col("rk") <= F.col("k"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("rejected"),
+    )
+
+
+@register(
+    "q_rolling_median",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS win
+      FROM events
+    )
+    SELECT user_id, event_id,
+           list_sort(win)[CAST(ceil(len(win) / 2.0) AS INT)] AS med5
+    FROM w
+    """,
+)
+def q_rolling_median(spark, sf_dir):
+    """ROLLING MEDIAN — order statistics over a moving frame (5-row
+    lower median per key), the robust smoother mean-based rolling
+    windows (q_window_moving / q_ewma) can't replace when the series
+    carries spikes. Spark has no median window aggregate; the frame is
+    materialized as a bounded collect_list over ROWS BETWEEN 4
+    PRECEDING, sorted in-expression, and the lower median is element
+    ⌈n/2⌉ — pure SELECTION, no arithmetic on the doubles, so engine
+    parity is trivially exact. Per-key sequential frame, partitioned
+    shuffle; frame size is a constant, so state per row is O(5)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.collect_list("value").over(w).alias("win"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "element_at(array_sort(win),"
+            " cast(ceil(size(win) / 2.0) as int))"
+        ).alias("med5"),
+    )
+
+
+@register(
+    "q_ip_lpm_route",
+    oracle=f"""
+    WITH fl AS ({_FLOW_SQL_DUCK}),
+    ips AS (
+      SELECT DISTINCT srcaddr,
+             CAST(split_part(srcaddr, '.', 1) AS BIGINT) * 16777216
+             + CAST(split_part(srcaddr, '.', 2) AS BIGINT) * 65536
+             + CAST(split_part(srcaddr, '.', 3) AS BIGINT) * 256
+             + CAST(split_part(srcaddr, '.', 4) AS BIGINT) AS ip
+      FROM fl
+    ),
+    routes AS (
+      SELECT 8 AS len, CAST(10 AS BIGINT) AS msb, 'core' AS next_hop
+      UNION ALL
+      SELECT 16, 10 * 256 + x.x, 'pod-' || CAST(x.x % 8 AS VARCHAR)
+      FROM (SELECT UNNEST(generate_series(0, 63)) AS x) x
+      UNION ALL
+      SELECT 24, (10 * 256 + g.x) * 256 + g.y,
+             'rack-' || CAST((g.x * 16 + g.y) % 10 AS VARCHAR)
+      FROM (SELECT x.x, y.y
+            FROM (SELECT UNNEST(generate_series(0, 63)) AS x) x,
+                 (SELECT UNNEST(generate_series(0, 15)) AS y) y
+            WHERE (x.x + y.y) % 3 = 0) g
+    ),
+    cand AS (
+      SELECT i.srcaddr, r.len, r.next_hop
+      FROM ips i JOIN routes r
+        ON r.msb = i.ip // CAST(pow(2, 32 - r.len) AS BIGINT)
+    ),
+    best AS (
+      SELECT srcaddr, arg_max(next_hop, len) AS next_hop,
+             CAST(MAX(len) AS INT) AS prefix_len
+      FROM cand GROUP BY srcaddr
+    )
+    SELECT b.next_hop, b.prefix_len,
+           CAST(COUNT(*) AS BIGINT) AS n_flows,
+           CAST(SUM(fl.bytes) AS BIGINT) AS total_bytes
+    FROM fl JOIN best b ON fl.srcaddr = b.srcaddr
+    GROUP BY b.next_hop, b.prefix_len
+    """,
+)
+def q_ip_lpm_route(spark, sf_dir):
+    """LONGEST-PREFIX-MATCH routing join — the other flow-log
+    enrichment (q_cidr_enrich is fixed-width containment): a route
+    table mixing /8, /16 and /24 entries, each flow taking the MOST
+    SPECIFIC match, exactly how a router FIB resolves. Mechanism:
+    candidate keys by prefix truncation (ip >> (32−len) per route
+    length — 3 bounded expansions, not a range join), equi-join the
+    broadcast route table, arg_max on prefix length. The probe runs on
+    DISTINCT srcaddr (LPM is a function of the address), then joins
+    back to flows — at 100 TB the distinct-IP relation is orders of
+    magnitude smaller than the flow table and the routes always
+    broadcast. All-integer arithmetic."""
+    fl = _flow_frame(spark, sf_dir).select("srcaddr", "bytes")
+    p = F.split(F.col("srcaddr"), "\\.")
+    ips = (
+        fl.select("srcaddr")
+        .distinct()
+        .select(
+            "srcaddr",
+            (
+                p.getItem(0).cast("bigint") * 16777216
+                + p.getItem(1).cast("bigint") * 65536
+                + p.getItem(2).cast("bigint") * 256
+                + p.getItem(3).cast("bigint")
+            ).alias("ip"),
+        )
+    )
+    r8 = spark.range(1).select(
+        F.lit(8).alias("len"),
+        F.lit(10).cast("bigint").alias("msb"),
+        F.lit("core").alias("next_hop"),
+    )
+    r16 = spark.range(64).select(
+        F.lit(16).alias("len"),
+        (F.lit(10 * 256) + F.col("id")).cast("bigint").alias("msb"),
+        F.concat(F.lit("pod-"), (F.col("id") % 8).cast("string")).alias(
+            "next_hop"
+        ),
+    )
+    xy = (
+        spark.range(64)
+        .select(F.col("id").alias("x"))
+        .crossJoin(spark.range(16).select(F.col("id").alias("y")))
+        .filter((F.col("x") + F.col("y")) % 3 == 0)
+    )
+    r24 = xy.select(
+        F.lit(24).alias("len"),
+        ((F.lit(10 * 256) + F.col("x")) * 256 + F.col("y"))
+        .cast("bigint")
+        .alias("msb"),
+        F.concat(
+            F.lit("rack-"), ((F.col("x") * 16 + F.col("y")) % 10).cast("string")
+        ).alias("next_hop"),
+    )
+    routes = r8.unionByName(r16).unionByName(r24)
+    cand = ips.join(
+        F.broadcast(routes),
+        F.col("msb")
+        == F.floor(
+            F.col("ip") / F.pow(F.lit(2.0), 32 - F.col("len")).cast("bigint")
+        ),
+    )
+    best = cand.groupBy("srcaddr").agg(
+        F.max_by("next_hop", "len").alias("next_hop"),
+        F.max("len").cast("int").alias("prefix_len"),
+    )
+    return fl.join(best, "srcaddr").groupBy("next_hop", "prefix_len").agg(
+        F.count("*").cast("bigint").alias("n_flows"),
+        F.sum("bytes").cast("bigint").alias("total_bytes"),
+    )

@@ -293,3 +293,149 @@ def test_knn_reciprocity_witness(spark, duck):
         for r in QUERIES["q_knn_reciprocity"](spark, SF_DIR).collect()
     }
     assert got == {k: tuple(v) for k, v in per_label.items()}
+
+
+def test_anova_f_witness(spark, duck):
+    vals = duck.sql(
+        f"SELECT event_type, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    import math
+
+    groups = collections.defaultdict(list)
+    for t, v in vals:
+        groups[t].append(math.floor(v * 1000))
+    k = len(groups)
+    N = sum(len(v) for v in groups.values())
+    S = sum(sum(v) for v in groups.values())
+    Q = sum(c * c for v in groups.values() for c in v)
+    sum_terms = 0.0
+    for t in sorted(groups):
+        sg, ng = float(sum(groups[t])), float(len(groups[t]))
+        sum_terms += sg * sg / ng
+    ssb = sum_terms - float(S) * float(S) / float(N)
+    ssw = float(Q) - sum_terms
+    f = (ssb / (k - 1)) / (ssw / (N - k))
+    r = QUERIES["q_anova_f"](spark, SF_DIR).collect()[0]
+    assert (r.k, r.n) == (k, N)
+    assert r.ssb == pytest.approx(ssb, rel=1e-12)
+    assert r.f_stat == pytest.approx(f, rel=1e-12)
+    assert r.f_stat > 0
+
+
+def test_wilson_ci_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, event_id FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    import math
+
+    per = collections.defaultdict(lambda: [0, 0])
+    for t, eid in rows:
+        per[t][0] += 1
+        per[t][1] += eid % 5 == 0
+    got = {r.event_type: r for r in QUERIES["q_wilson_ci"](spark, SF_DIR).collect()}
+    for t, (n, pos) in per.items():
+        p = pos / n
+        center = p + 1.9208 / n
+        rad = 1.96 * math.sqrt(p * (1 - p) / n + 0.9604 / (n * n))
+        den = 1.0 + 3.8416 / n
+        r = got[t]
+        assert (r.n, r.pos) == (n, pos)
+        assert r.wilson_lo == pytest.approx((center - rad) / den, rel=1e-12)
+        assert r.wilson_hi == pytest.approx((center + rad) / den, rel=1e-12)
+        assert 0.0 <= r.wilson_lo <= p <= r.wilson_hi <= 1.0
+
+
+def test_mcnemar_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, event_id, user_id FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(lambda: [0, 0])
+    for t, eid, uid in rows:
+        a, b = eid % 3 == 0, uid % 3 == 0
+        per[t][0] += a and not b
+        per[t][1] += b and not a
+    got = {r.event_type: r for r in QUERIES["q_mcnemar"](spark, SF_DIR).collect()}
+    for t, (b, c) in per.items():
+        r = got[t]
+        assert (r.b, r.c) == (b, c)
+        assert r.mcnemar_chi2 == pytest.approx((b - c) ** 2 / (b + c))
+
+
+def test_benjamini_hochberg_witness(spark, duck):
+    cells = duck.sql(
+        f"SELECT event_type, EXTRACT(hour FROM ts), COUNT(*) "
+        f"FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    tests = []
+    for t, hr, n in cells:
+        h = int(hashlib.md5(f"{t}-{hr}".encode()).hexdigest()[:6], 16)
+        p_num = 1 + (h % 40 if h % 7 == 0 else h % 9999)
+        tests.append((p_num, t, hr, n))
+    tests.sort()
+    m = len(tests)
+    kmax = 0
+    for i, (p_num, *_rest) in enumerate(tests, 1):
+        if p_num * m <= i * 500:
+            kmax = i
+    got = QUERIES["q_benjamini_hochberg"](spark, SF_DIR).collect()
+    assert len(got) == m
+    by_rank = {r.rk: r for r in got}
+    for i, (p_num, t, hr, n) in enumerate(tests, 1):
+        r = by_rank[i]
+        assert (r.p_num, r.event_type, r.hr, r.n) == (p_num, t, hr, n)
+        assert r.rejected == (1 if i <= kmax else 0)
+    # the fixture exercises both verdicts
+    assert 0 < sum(r.rejected for r in got) < m
+
+
+def test_rolling_median_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, epoch_us(ts), event_id, value "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for uid, us, eid, v in rows:
+        per[uid].append((us, eid, v))
+    exp = {}
+    for uid, xs in per.items():
+        xs.sort()
+        for i in range(len(xs)):
+            win = sorted(v for _, _, v in xs[max(0, i - 4) : i + 1])
+            exp[(uid, xs[i][1])] = win[(len(win) + 1) // 2 - 1]
+    got = {
+        (r.user_id, r.event_id): r.med5
+        for r in QUERIES["q_rolling_median"](spark, SF_DIR).collect()
+    }
+    assert got == exp
+
+
+def test_ip_lpm_route_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, event_id, CAST(floor(value * 10) AS INT) "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    routes = {}
+    routes[(8, 10)] = ("core", 8)
+    for x in range(64):
+        routes[(16, 10 * 256 + x)] = (f"pod-{x % 8}", 16)
+    for x in range(64):
+        for y in range(16):
+            if (x + y) % 3 == 0:
+                routes[(24, (10 * 256 + x) * 256 + y)] = (
+                    f"rack-{(x * 16 + y) % 10}",
+                    24,
+                )
+    agg = collections.defaultdict(lambda: [0, 0])
+    for uid, eid, byt in rows:
+        x, y = uid % 64, eid % 16
+        ip_hi24 = (10 * 256 + x) * 256 + y
+        hop = routes.get((24, ip_hi24)) or routes[(16, 10 * 256 + x)]
+        agg[hop][0] += 1
+        agg[hop][1] += byt
+    got = {
+        (r.next_hop, r.prefix_len): (r.n_flows, r.total_bytes)
+        for r in QUERIES["q_ip_lpm_route"](spark, SF_DIR).collect()
+    }
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # both specificity classes are exercised
+    assert any(k[1] == 24 for k in got) and any(k[1] == 16 for k in got)
