@@ -22363,3 +22363,471 @@ def q_ip_lpm_route(spark, sf_dir):
         F.count("*").cast("bigint").alias("n_flows"),
         F.sum("bytes").cast("bigint").alias("total_bytes"),
     )
+
+
+# =====================================================================
+# Round 10: mechanism batch 4 — model lift, interpolated quantiles,
+# consistent hashing, log2 latency histograms, ledger replay
+# =====================================================================
+
+
+@register(
+    "q_lift_deciles",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 6))
+                  ::BIGINT % 10000 // 1000 AS INT) AS band,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    bands AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos
+      FROM scored GROUP BY band
+    ),
+    cum AS (
+      SELECT band, n, n_pos,
+             CAST(SUM(n) OVER w AS BIGINT) AS cum_n,
+             CAST(SUM(n_pos) OVER w AS BIGINT) AS cum_pos,
+             CAST(SUM(n) OVER () AS BIGINT) AS tot_n,
+             CAST(SUM(n_pos) OVER () AS BIGINT) AS tot_pos
+      FROM bands
+      WINDOW w AS (ORDER BY band DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT band, n, n_pos, cum_n, cum_pos,
+           (CAST(cum_pos AS DOUBLE) / CAST(cum_n AS DOUBLE))
+             / (CAST(tot_pos AS DOUBLE) / CAST(tot_n AS DOUBLE)) AS lift,
+           CAST(cum_pos AS DOUBLE) / CAST(tot_pos AS DOUBLE)
+             AS capture_rate
+    FROM cum
+    """,
+)
+def q_lift_deciles(spark, sf_dir):
+    """CUMULATIVE LIFT / GAINS by score band — the model-eval table
+    behind "top decile captures X% of conversions at Y× lift": events
+    carry a derandomized model score (md5 residue, uniform), banded
+    into 10 equal-width score bands, cumulated top-down. All counts
+    integer; lift and capture are fixed division chains. The cumulation
+    window runs over the 10 BANDS (bounded, allowlisted), never data
+    rows — band aggregation is one map-combined hash agg."""
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        (
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("event_id").cast("string")), 1, 6),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 10000
+            )
+            / 1000
+        )
+        .cast("int")
+        .alias("band"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    )
+    bands = scored.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    w = Window.orderBy(F.desc("band")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = bands.agg(
+        F.sum("n").cast("bigint").alias("tot_n"),
+        F.sum("n_pos").cast("bigint").alias("tot_pos"),
+    )
+    cum = bands.select(
+        "band",
+        "n",
+        "n_pos",
+        F.sum("n").over(w).cast("bigint").alias("cum_n"),
+        F.sum("n_pos").over(w).cast("bigint").alias("cum_pos"),
+    ).crossJoin(F.broadcast(tot))
+    return cum.select(
+        "band",
+        "n",
+        "n_pos",
+        "cum_n",
+        "cum_pos",
+        (
+            (F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"))
+            / (F.col("tot_pos").cast("double") / F.col("tot_n").cast("double"))
+        ).alias("lift"),
+        (
+            F.col("cum_pos").cast("double") / F.col("tot_pos").cast("double")
+        ).alias("capture_rate"),
+    )
+
+
+@register(
+    "q_percentile_interp",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events
+    ),
+    spec AS (
+      SELECT * FROM (VALUES (50, 100), (90, 100), (99, 100))
+        AS t(pnum, pden)
+    ),
+    pos AS (
+      SELECT DISTINCT r.event_type, r.n, s.pnum, s.pden,
+             ((r.n - 1) * s.pnum) // s.pden + 1 AS lo_rk,
+             CAST(((r.n - 1) * s.pnum) % s.pden AS DOUBLE) / s.pden AS frac
+      FROM ranked r, spec s
+    ),
+    j AS (
+      SELECT p.event_type, p.pnum, p.frac,
+             lo.value AS xlo, hi.value AS xhi
+      FROM pos p
+      JOIN ranked lo ON lo.event_type = p.event_type AND lo.rk = p.lo_rk
+      JOIN ranked hi ON hi.event_type = p.event_type
+                    AND hi.rk = CASE WHEN p.lo_rk + 1 > p.n
+                                     THEN p.n ELSE p.lo_rk + 1 END
+    )
+    SELECT event_type, CAST(pnum AS INT) AS pnum,
+           xlo + frac * (xhi - xlo) AS q
+    FROM j
+    """,
+)
+def q_percentile_interp(spark, sf_dir):
+    """INTERPOLATED (type-7) QUANTILES — the numpy/R default the exact
+    family (q_percentiles / q_percentile_disc) doesn't cover: rank
+    position h = (n−1)p splits into an integer order statistic and a
+    fractional interpolation x₍ₗₒ₎ + frac·(x₍ₕᵢ₎ − x₍ₗₒ₎). The rank
+    lattice stays integer ((n−1)·pnum // pden, remainder/pden — the
+    fraction is an exact small-denominator rational so the doubles
+    agree), the two order statistics come from one per-group
+    row_number, and interpolation is one mul-add. The p-spine is a
+    3-row broadcast; ties in value are harmless (equal values make the
+    order statistic unique regardless of id tie-break)."""
+    ev = _t(spark, sf_dir, "events")
+    wrk = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(wrk).alias("rk"),
+        F.count("*")
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("n"),
+    )
+    spec = spark.createDataFrame(
+        [(50, 100), (90, 100), (99, 100)], "pnum int, pden int"
+    )
+    pos = (
+        ranked.select("event_type", "n")
+        .distinct()
+        .crossJoin(F.broadcast(spec))
+        .select(
+            "event_type",
+            "n",
+            "pnum",
+            "pden",
+            (
+                F.floor(
+                    ((F.col("n") - 1) * F.col("pnum")) / F.col("pden")
+                )
+                + 1
+            ).alias("lo_rk"),
+            (
+                (((F.col("n") - 1) * F.col("pnum")) % F.col("pden")).cast(
+                    "double"
+                )
+                / F.col("pden")
+            ).alias("frac"),
+        )
+    )
+    lo = ranked.select(
+        "event_type", F.col("rk").alias("lo_rk"), F.col("value").alias("xlo")
+    )
+    hi = ranked.select(
+        "event_type", F.col("rk").alias("hi_rk"), F.col("value").alias("xhi")
+    )
+    j = (
+        pos.join(lo, ["event_type", "lo_rk"])
+        .withColumn(
+            "hi_rk",
+            F.when(F.col("lo_rk") + 1 > F.col("n"), F.col("n")).otherwise(
+                F.col("lo_rk") + 1
+            ),
+        )
+        .join(hi, ["event_type", "hi_rk"])
+    )
+    return j.select(
+        "event_type",
+        F.col("pnum").cast("int").alias("pnum"),
+        (F.col("xlo") + F.col("frac") * (F.col("xhi") - F.col("xlo"))).alias(
+            "q"
+        ),
+    )
+
+
+@register(
+    "q_consistent_hashing",
+    oracle="""
+    WITH nodes AS (
+      SELECT 'node-' || CAST(i AS VARCHAR) AS node,
+             ('0x' || substring(md5('node-' || CAST(i AS VARCHAR)), 1, 12))
+               ::BIGINT AS point
+      FROM (SELECT UNNEST(generate_series(0, 15)) AS i)
+    ),
+    keys AS (
+      SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+               ::BIGINT AS kp
+      FROM documents
+    ),
+    assign AS (
+      SELECT k.doc_id,
+             COALESCE(MIN(CASE WHEN n.point >= k.kp THEN n.point END),
+                      (SELECT MIN(point) FROM nodes)) AS apoint,
+             COALESCE(MIN(CASE WHEN n.point >= k.kp AND n.node != 'node-3'
+                               THEN n.point END),
+                      (SELECT MIN(point) FROM nodes WHERE node != 'node-3'))
+               AS apoint2
+      FROM keys k CROSS JOIN nodes n
+      GROUP BY k.doc_id, k.kp
+    )
+    SELECT n.node,
+           CAST(SUM(CASE WHEN a.apoint = n.point THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_before,
+           CAST(SUM(CASE WHEN a.apoint2 = n.point THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_after,
+           CAST(SUM(CASE WHEN a.apoint2 = n.point AND a.apoint != n.point
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gained
+    FROM assign a CROSS JOIN nodes n
+    GROUP BY n.node
+    """,
+)
+def q_consistent_hashing(spark, sf_dir):
+    """CONSISTENT-HASHING ring assignment + rebalance audit — the
+    placement primitive behind shard routers and distributed caches:
+    keys and nodes hash onto one md5 ring (48-bit points), each key
+    goes to its clockwise successor (min node point ≥ key point,
+    wrapping to the ring minimum), and the audit recomputes placement
+    with node-3 removed — consistent hashing's defining property is
+    that ONLY node-3's keys move, pinned by the witness test. The node
+    table is 16 rows, so assignment is a broadcast fan-out with a
+    conditional MIN per key — no shuffle of the key relation at all;
+    both scenarios ride the same fan-out. All integer/md5."""
+    docs = _t(spark, sf_dir, "documents")
+    nodes = spark.range(16).select(
+        F.concat(F.lit("node-"), F.col("id").cast("string")).alias("node"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("node-"), F.col("id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("point"),
+    )
+    keys = docs.select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+        )
+        .cast("bigint")
+        .alias("kp"),
+    )
+    mins = nodes.agg(
+        F.min("point").alias("ring_min"),
+        F.min(F.when(F.col("node") != "node-3", F.col("point"))).alias(
+            "ring_min2"
+        ),
+    )
+    assign = (
+        keys.crossJoin(F.broadcast(nodes))
+        .groupBy("doc_id", "kp")
+        .agg(
+            F.min(
+                F.when(F.col("point") >= F.col("kp"), F.col("point"))
+            ).alias("succ"),
+            F.min(
+                F.when(
+                    (F.col("point") >= F.col("kp"))
+                    & (F.col("node") != "node-3"),
+                    F.col("point"),
+                )
+            ).alias("succ2"),
+        )
+        .crossJoin(F.broadcast(mins))
+        .select(
+            "doc_id",
+            F.coalesce("succ", "ring_min").alias("apoint"),
+            F.coalesce("succ2", "ring_min2").alias("apoint2"),
+        )
+    )
+    return (
+        assign.crossJoin(F.broadcast(nodes))
+        .groupBy("node")
+        .agg(
+            F.sum(F.when(F.col("apoint") == F.col("point"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_before"),
+            F.sum(F.when(F.col("apoint2") == F.col("point"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_after"),
+            F.sum(
+                F.when(
+                    (F.col("apoint2") == F.col("point"))
+                    & (F.col("apoint") != F.col("point")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_gained"),
+        )
+    )
+
+
+@register(
+    "q_latency_histogram",
+    oracle="""
+    WITH lat AS (
+      SELECT event_type,
+             1 + CAST(floor(value * 1000) AS BIGINT) AS lat_us
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, CAST(length(bin(lat_us)) AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lat GROUP BY event_type, bucket
+    ),
+    c AS (
+      SELECT event_type, bucket, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_n,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+      FROM b
+    )
+    SELECT event_type, bucket, n, cum_n,
+           CAST(CASE WHEN cum_n * 100 >= tot * 99
+                      AND (cum_n - n) * 100 < tot * 99
+                     THEN 1 ELSE 0 END AS INT) AS is_p99_bucket
+    FROM c
+    """,
+)
+def q_latency_histogram(spark, sf_dir):
+    """LOG₂ (HDR-style) LATENCY HISTOGRAM with in-histogram p99 — the
+    ops primitive for latency SLOs at scale: exact percentiles over
+    raw latencies need a global sort, but power-of-two buckets give a
+    fixed-size mergeable histogram whose bucket boundaries answer "p99
+    is in [2ᵇ⁻¹, 2ᵇ)". Bucket = bit length via length(bin(x)) — the
+    exact ⌊log₂⌋+1 integer idiom (q_postings_compression), no float
+    log. The p99 bucket is the first whose cumulative count crosses
+    99% — the inequality cleared to integers (cum·100 ≥ tot·99). One
+    hash agg to ≤64 buckets/type, bounded per-type windows."""
+    ev = _t(spark, sf_dir, "events")
+    lat = ev.select(
+        "event_type",
+        (1 + F.floor(F.col("value") * 1000)).cast("bigint").alias("lat_us"),
+    )
+    b = lat.groupBy(
+        "event_type",
+        F.length(F.bin("lat_us")).cast("int").alias("bucket"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = b.select(
+        "event_type",
+        "bucket",
+        "n",
+        F.sum("n").over(wc).cast("bigint").alias("cum_n"),
+        F.sum("n")
+        .over(Window.partitionBy("event_type"))
+        .cast("bigint")
+        .alias("tot"),
+    )
+    return c.select(
+        "event_type",
+        "bucket",
+        "n",
+        "cum_n",
+        F.when(
+            (F.col("cum_n") * 100 >= F.col("tot") * 99)
+            & ((F.col("cum_n") - F.col("n")) * 100 < F.col("tot") * 99),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_p99_bucket"),
+    )
+
+
+@register(
+    "q_ledger_replay",
+    oracle="""
+    WITH tx AS (
+      SELECT o_custkey % 199 AS account,
+             CAST((o_orderkey % 4) AS DOUBLE) / 256.0 AS r,
+             o_totalprice AS d,
+             epoch_us(o_orderdate) AS us, o_orderkey
+      FROM orders
+    ),
+    per AS (
+      SELECT account,
+             list([r, d] ORDER BY us, o_orderkey) AS xs
+      FROM tx GROUP BY account
+    )
+    SELECT account, CAST(len(xs) AS BIGINT) AS n_tx,
+           list_reduce(
+             list_prepend([xs[1][2]], xs[2:]),
+             (acc, x) -> [acc[1] * (1.0 + x[1]) + x[2]]
+           )[1] AS final_balance
+    FROM per
+    """,
+)
+def q_ledger_replay(spark, sf_dir):
+    """LEDGER REPLAY with compounding — per-account balance fold
+    bₖ = bₖ₋₁·(1+rₖ) + dₖ over the transaction sequence (interest
+    accrues per arrival, rate a dyadic o_orderkey residue so 1+r is
+    exact): the sequential financial recursion no window function
+    expresses (each step multiplies state). Same order-pinned fold
+    discipline as q_kaplan_meier/q_holt_smoothing: both engines run
+    the identical IEEE multiply-add sequence over the
+    (date, key)-sorted list, seeded by the first deposit (interest
+    applies from the second event). Accumulator is a 1-element list on
+    the DuckDB side (fresh list each step — the ELSE-acc hazard from
+    q_event_debounce never arises since every step rebuilds)."""
+    o = _t(spark, sf_dir, "orders")
+    tx = o.select(
+        (F.col("o_custkey") % 199).alias("account"),
+        ((F.col("o_orderkey") % 4).cast("double") / 256.0).alias("r"),
+        F.col("o_totalprice").alias("d"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("us"),
+        "o_orderkey",
+    )
+    per = tx.groupBy("account").agg(
+        F.array_sort(
+            F.collect_list(F.struct("us", "o_orderkey", "r", "d"))
+        ).alias("sx")
+    )
+    return per.select(
+        "account",
+        F.size("sx").cast("bigint").alias("n_tx"),
+        F.expr(
+            """
+            element_at(
+              aggregate(
+                slice(sx, 2, size(sx) - 1),
+                array(element_at(sx, 1).d),
+                (acc, x) -> array(element_at(acc, 1) * (1.0D + x.r) + x.d)
+              ), 1)
+            """
+        ).alias("final_balance"),
+    )

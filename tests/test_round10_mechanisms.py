@@ -439,3 +439,152 @@ def test_ip_lpm_route_witness(spark, duck):
     assert got == {k: tuple(v) for k, v in agg.items()}
     # both specificity classes are exercised
     assert any(k[1] == 24 for k in got) and any(k[1] == 16 for k in got)
+
+
+def test_lift_deciles_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_id, event_type FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    bands = collections.defaultdict(lambda: [0, 0])
+    for eid, t in rows:
+        h = int(hashlib.md5(str(eid).encode()).hexdigest()[:6], 16)
+        band = (h % 10000) // 1000
+        bands[band][0] += 1
+        bands[band][1] += t == "purchase"
+    tot_n = sum(v[0] for v in bands.values())
+    tot_pos = sum(v[1] for v in bands.values())
+    got = {
+        r.band: r for r in QUERIES["q_lift_deciles"](spark, SF_DIR).collect()
+    }
+    cum_n = cum_pos = 0
+    for band in sorted(bands, reverse=True):
+        n, pos = bands[band]
+        cum_n += n
+        cum_pos += pos
+        r = got[band]
+        assert (r.n, r.n_pos, r.cum_n, r.cum_pos) == (n, pos, cum_n, cum_pos)
+        assert r.lift == pytest.approx(
+            (cum_pos / cum_n) / (tot_pos / tot_n)
+        )
+    # full-population row is exactly lift 1
+    assert got[0].cum_n == tot_n and got[0].lift == pytest.approx(1.0)
+
+
+def test_percentile_interp_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for t, v in rows:
+        per[t].append(v)
+    got = {
+        (r.event_type, r.pnum): r.q
+        for r in QUERIES["q_percentile_interp"](spark, SF_DIR).collect()
+    }
+    for t, vs in per.items():
+        vs.sort()
+        n = len(vs)
+        for pnum in (50, 90, 99):
+            hn = (n - 1) * pnum
+            lo = hn // 100
+            frac = (hn % 100) / 100
+            hi = min(lo + 1, n - 1)
+            exp = vs[lo] + frac * (vs[hi] - vs[lo])
+            assert got[(t, pnum)] == pytest.approx(exp, rel=1e-12)
+    # numpy cross-check (type-7 is numpy's default 'linear')
+    import numpy as np
+
+    for t, vs in per.items():
+        assert got[(t, 90)] == pytest.approx(
+            float(np.percentile(vs, 90)), rel=1e-9
+        )
+
+
+def test_consistent_hashing_witness(spark, duck):
+    doc_ids = [
+        r[0]
+        for r in duck.sql(
+            f"SELECT doc_id FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    nodes = {
+        f"node-{i}": int(
+            hashlib.md5(f"node-{i}".encode()).hexdigest()[:12], 16
+        )
+        for i in range(16)
+    }
+
+    def assign(kp, pts):
+        ge = [p for p in pts.values() if p >= kp]
+        return min(ge) if ge else min(pts.values())
+
+    pts2 = {k: v for k, v in nodes.items() if k != "node-3"}
+    before = collections.Counter()
+    after = collections.Counter()
+    gained = collections.Counter()
+    moved = 0
+    for d in doc_ids:
+        kp = int(hashlib.md5(str(d).encode()).hexdigest()[:12], 16)
+        a = assign(kp, nodes)
+        a2 = assign(kp, pts2)
+        before[a] += 1
+        after[a2] += 1
+        if a != a2:
+            moved += 1
+            gained[a2] += 1
+    inv = {v: k for k, v in nodes.items()}
+    got = {
+        r.node: (r.n_before, r.n_after, r.n_gained)
+        for r in QUERIES["q_consistent_hashing"](spark, SF_DIR).collect()
+    }
+    for node, pt in nodes.items():
+        assert got[node] == (before[pt], after[pt], gained[pt])
+    # the defining property: ONLY node-3's keys moved
+    assert moved == before[nodes["node-3"]]
+    assert got["node-3"][1] == 0
+
+
+def test_latency_histogram_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    import math
+
+    per = collections.defaultdict(lambda: collections.Counter())
+    for t, v in rows:
+        lat = 1 + math.floor(v * 1000)
+        per[t][lat.bit_length()] += 1
+    got = collections.defaultdict(dict)
+    for r in QUERIES["q_latency_histogram"](spark, SF_DIR).collect():
+        got[r.event_type][r.bucket] = (r.n, r.cum_n, r.is_p99_bucket)
+    for t, cnt in per.items():
+        tot = sum(cnt.values())
+        cum = 0
+        for b in sorted(cnt):
+            prev = cum
+            cum += cnt[b]
+            is99 = 1 if cum * 100 >= tot * 99 and prev * 100 < tot * 99 else 0
+            assert got[t][b] == (cnt[b], cum, is99)
+        assert sum(v[2] for v in got[t].values()) == 1
+
+
+def test_ledger_replay_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT o_custkey % 199, o_orderkey, epoch_us(o_orderdate), "
+        f"o_totalprice FROM '{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for acct, ok, us, d in rows:
+        per[acct].append((us, ok, (ok % 4) / 256.0, d))
+    got = {
+        r.account: (r.n_tx, r.final_balance)
+        for r in QUERIES["q_ledger_replay"](spark, SF_DIR).collect()
+    }
+    for acct, xs in per.items():
+        xs.sort()
+        bal = xs[0][3]
+        for _us, _ok, r, d in xs[1:]:
+            bal = bal * (1.0 + r) + d
+        n, fb = got[acct]
+        assert n == len(xs)
+        assert fb == bal  # bit-exact: identical IEEE sequence

@@ -173,6 +173,7 @@ BOUNDED_UNPARTITIONED_WINDOW_QUERIES = {
     "q_kaplan_meier",          # lifetime-day bins (reverse risk sets)
     "q_key_skew",              # top-k key counts
     "q_ks_drift",              # value bins
+    "q_lift_deciles",          # 10 score bands
     "q_lorenz_bucketed",       # spend bins
     "q_lorenz_curve",          # 10 deciles (rank itself is bucketed)
     "q_rank_overlap",          # two bounded top-k lists
