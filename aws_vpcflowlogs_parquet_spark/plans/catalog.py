@@ -22831,3 +22831,526 @@ def q_ledger_replay(spark, sf_dir):
             """
         ).alias("final_balance"),
     )
+
+
+# =====================================================================
+# Round 10: mechanism batch 5 — seasonal state-space, queueing and
+# rate-limiter replays, CUPED, winnowing fingerprints
+# =====================================================================
+
+
+@register(
+    "q_holt_winters",
+    oracle="""
+    WITH base AS (
+      SELECT g.user_id, g.b, CAST(COALESCE(c.v, 0) AS DOUBLE) AS v
+      FROM (SELECT u.user_id, r.b
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(range(0, 32)) AS b) r) g
+      LEFT JOIN (
+        SELECT user_id,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 32 AS b,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY user_id, b
+      ) c ON c.user_id = g.user_id AND c.b = g.b
+    ),
+    series AS (
+      SELECT user_id,
+             list([v, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                   CAST(0.0 AS DOUBLE)] ORDER BY b) AS xs
+      FROM base GROUP BY user_id
+    ),
+    fitted AS (
+      SELECT user_id,
+             list_reduce(xs, (acc, x) -> [
+               0.25 * x[1] - 0.25 * acc[3] + 0.75 * acc[1]
+                 + 0.75 * acc[2],
+               0.03125 * x[1] - 0.03125 * acc[3] - 0.03125 * acc[1]
+                 + 0.96875 * acc[2],
+               acc[4], acc[5], acc[6],
+               0.375 * x[1] - 0.375 * acc[1] - 0.375 * acc[2]
+                 + 0.625 * acc[3]]) AS st
+      FROM series
+    )
+    SELECT user_id, st[1] AS level, st[2] AS trend, st[3] AS s_next,
+           st[1] + st[2] + st[3] AS forecast_1
+    FROM fitted
+    """,
+)
+def q_holt_winters(spark, sf_dir):
+    """HOLT-WINTERS additive seasonal smoothing (level + trend +
+    period-4 seasonal vector) over each key's 32-bucket series — the
+    THIRD-order extension of the q_ewma → q_holt_smoothing recursion
+    ladder, with a rotating seasonal register no window function can
+    carry. Accumulator is a 6-element list [l, b, s₁..s₄] (s₁ = the
+    component due next); each step writes the FULLY-EXPANDED linear
+    updates with exact dyadic coefficients (α=1/4, β=1/8, γ=1/2):
+    l' = ¼x − ¼s₁ + ¾l + ¾b, b' and s₁' likewise expanded so l' is
+    never referenced as intermediate state, and the seasonal register
+    rotates [s₂,s₃,s₄,s₁']. Identical expression text on both engines
+    → bit-exact doubles (the q_holt_smoothing discipline, one order
+    higher). One dense-grid build and one fold per key."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "user_id",
+        (
+            (F.unix_timestamp("ts").cast("bigint") / 3600).cast("bigint")
+            % 32
+        ).alias("b"),
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(32).select(F.col("id").alias("b")))
+        )
+    )
+    base = grid.join(counts, ["user_id", "b"], "left").select(
+        "user_id",
+        "b",
+        F.coalesce("v", F.lit(0)).cast("double").alias("v"),
+    )
+    series = base.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(b, v))),"
+            " p -> array(p.v, 0.0D, 0.0D, 0.0D, 0.0D, 0.0D))"
+        ).alias("xs")
+    )
+    fitted = series.select(
+        "user_id",
+        F.expr(
+            "aggregate(slice(xs, 2, 31), element_at(xs, 1), (acc, x) ->"
+            " array("
+            "  0.25 * element_at(x, 1) - 0.25 * element_at(acc, 3)"
+            "   + 0.75 * element_at(acc, 1) + 0.75 * element_at(acc, 2),"
+            "  0.03125 * element_at(x, 1) - 0.03125 * element_at(acc, 3)"
+            "   - 0.03125 * element_at(acc, 1)"
+            "   + 0.96875 * element_at(acc, 2),"
+            "  element_at(acc, 4), element_at(acc, 5), element_at(acc, 6),"
+            "  0.375 * element_at(x, 1) - 0.375 * element_at(acc, 1)"
+            "   - 0.375 * element_at(acc, 2)"
+            "   + 0.625 * element_at(acc, 3)))"
+        ).alias("st"),
+    )
+    return fitted.select(
+        "user_id",
+        F.expr("element_at(st, 1)").alias("level"),
+        F.expr("element_at(st, 2)").alias("trend"),
+        F.expr("element_at(st, 3)").alias("s_next"),
+        F.expr(
+            "element_at(st, 1) + element_at(st, 2) + element_at(st, 3)"
+        ).alias("forecast_1"),
+    )
+
+
+@register(
+    "q_queue_replay",
+    oracle="""
+    WITH jobs AS (
+      SELECT event_type, epoch_us(ts) AS t,
+             60000000 * (1 + event_id % 5) AS svc, event_id
+      FROM events
+    ),
+    per AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_jobs,
+             list([t, svc, CAST(0 AS BIGINT)] ORDER BY t, event_id) AS xs
+      FROM jobs GROUP BY event_type
+    ),
+    folded AS (
+      SELECT event_type, n_jobs,
+             list_reduce(
+               list_prepend([xs[1][1] + xs[1][2], CAST(0 AS BIGINT),
+                             CAST(0 AS BIGINT)], xs[2:]),
+               (acc, x) -> [
+                 CASE WHEN acc[1] > x[1] THEN acc[1] + x[2]
+                      ELSE x[1] + x[2] END,
+                 CASE WHEN acc[1] > x[1] THEN acc[2] + acc[1] - x[1]
+                      ELSE acc[2] END,
+                 CASE WHEN acc[1] > x[1] THEN acc[3] + 1
+                      ELSE acc[3] END]) AS st
+      FROM per
+    )
+    SELECT event_type, n_jobs, st[2] AS total_wait_us,
+           st[3] AS n_waited,
+           strftime(make_timestamp(st[1]), '%Y-%m-%d %H:%M:%S')
+             AS last_departure
+    FROM folded
+    """,
+)
+def q_queue_replay(spark, sf_dir):
+    """SINGLE-SERVER FIFO QUEUE replay per class — the capacity
+    question "with one worker per event class, how long would jobs
+    wait": wait_k = max(0, busy_until − arrival_k), busy_until' =
+    max(busy_until, arrival) + service. Inherently sequential state
+    (each job's wait depends on every prior job), run as the
+    order-pinned integer fold: accumulator [busy_until_us,
+    total_wait_us, n_waited], seeded by the first job departing at
+    t₁+svc₁. Deterministic service times (event_id residues). The
+    per-class fold parallelizes across classes; at 100 TB you shard
+    the timeline and carry the boundary state, the same slab pattern
+    as the sweeps."""
+    ev = _t(spark, sf_dir, "events")
+    jobs = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t"),
+        (F.lit(60_000_000) * (1 + F.col("event_id") % 5)).alias("svc"),
+        "event_id",
+    )
+    per = jobs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_jobs"),
+        F.array_sort(F.collect_list(F.struct("t", "event_id", "svc"))).alias(
+            "sx"
+        ),
+    )
+    folded = per.select(
+        "event_type",
+        "n_jobs",
+        F.expr(
+            """
+            aggregate(
+              slice(sx, 2, size(sx) - 1),
+              array(element_at(sx, 1).t + element_at(sx, 1).svc, 0L, 0L),
+              (acc, x) -> array(
+                IF(element_at(acc, 1) > x.t,
+                   element_at(acc, 1) + x.svc, x.t + x.svc),
+                IF(element_at(acc, 1) > x.t,
+                   element_at(acc, 2) + element_at(acc, 1) - x.t,
+                   element_at(acc, 2)),
+                IF(element_at(acc, 1) > x.t,
+                   element_at(acc, 3) + 1L, element_at(acc, 3)))
+            )
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_jobs",
+        F.element_at("st", 2).alias("total_wait_us"),
+        F.element_at("st", 3).alias("n_waited"),
+        F.date_format(
+            F.timestamp_micros(F.element_at("st", 1)),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("last_departure"),
+    )
+
+
+@register(
+    "q_token_bucket",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id % 37 AS bucket_key, epoch_us(ts) AS t, event_id
+      FROM events
+    ),
+    per AS (
+      SELECT bucket_key, CAST(COUNT(*) AS BIGINT) AS n_events,
+             list([t, CAST(0 AS BIGINT), CAST(0 AS BIGINT)]
+                  ORDER BY t, event_id) AS xs
+      FROM ev GROUP BY bucket_key
+    ),
+    folded AS (
+      SELECT bucket_key, n_events,
+             list_reduce(
+               list_prepend([CAST(4000 AS BIGINT), xs[1][1],
+                             CAST(1 AS BIGINT)], xs[2:]),
+               (acc, x) -> [
+                 CASE WHEN (CASE WHEN acc[1] + (x[1] - acc[2]) // 60000000
+                                      > 5000
+                                 THEN 5000
+                                 ELSE acc[1] + (x[1] - acc[2]) // 60000000
+                            END) >= 1000
+                      THEN (CASE WHEN acc[1] + (x[1] - acc[2]) // 60000000
+                                      > 5000
+                                 THEN 5000
+                                 ELSE acc[1] + (x[1] - acc[2]) // 60000000
+                            END) - 1000
+                      ELSE (CASE WHEN acc[1] + (x[1] - acc[2]) // 60000000
+                                      > 5000
+                                 THEN 5000
+                                 ELSE acc[1] + (x[1] - acc[2]) // 60000000
+                            END) END,
+                 x[1],
+                 CASE WHEN (CASE WHEN acc[1] + (x[1] - acc[2]) // 60000000
+                                      > 5000
+                                 THEN 5000
+                                 ELSE acc[1] + (x[1] - acc[2]) // 60000000
+                            END) >= 1000
+                      THEN acc[3] + 1 ELSE acc[3] END]) AS st
+      FROM per
+    )
+    SELECT bucket_key, n_events, st[3] AS n_admitted,
+           st[1] AS tokens_left
+    FROM folded
+    """,
+)
+def q_token_bucket(spark, sf_dir):
+    """TOKEN-BUCKET rate-limiter replay per key — the admission-control
+    audit "which of this key's requests would a 5-token bucket
+    refilling 1 token per ~17 min admit": tokens refill with elapsed
+    time (integer milli-tokens, 1 per minute up to cap 5000; the key is
+    a user bucket so sequences are dense enough to drain), each event costs
+    1000, admitted iff the refilled balance covers it. Unlike
+    q_event_debounce's binary clock this carries a QUANTITATIVE budget
+    — bursts are admitted until the bucket drains, then the key is
+    throttled until refill. Accumulator [tokens_milli, last_us,
+    n_admitted], seeded with the first event admitted from a full
+    bucket (5000−1000). The refilled balance is needed three times per
+    step; with no CSE guarantee inside fold lambdas it is INLINED
+    IDENTICALLY each time (integer arithmetic — reevaluation is exact,
+    the expression is just repeated text on both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy((F.col("user_id") % 37).alias("bucket_key")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct(F.unix_micros("ts").alias("t"), "event_id"))
+        ).alias("sx"),
+    )
+    refill = (
+        "least(element_at(acc, 1)"
+        " + CAST((x.t - element_at(acc, 2)) / 60000000 AS BIGINT), 5000L)"
+    )
+    folded = per.select(
+        "bucket_key",
+        "n_events",
+        F.expr(
+            f"""
+            aggregate(
+              slice(sx, 2, size(sx) - 1),
+              array(4000L, element_at(sx, 1).t, 1L),
+              (acc, x) -> array(
+                IF({refill} >= 1000L, {refill} - 1000L, {refill}),
+                x.t,
+                IF({refill} >= 1000L,
+                   element_at(acc, 3) + 1L, element_at(acc, 3)))
+            )
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "bucket_key",
+        "n_events",
+        F.element_at("st", 3).alias("n_admitted"),
+        F.element_at("st", 1).alias("tokens_left"),
+    )
+
+
+@register(
+    "q_ab_cuped",
+    oracle="""
+    WITH m AS (
+      SELECT event_id % 2 AS variant,
+             CAST(floor(value) AS BIGINT) AS x,
+             (user_id + event_id) % 7 AS y
+      FROM events
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM m
+    ),
+    v AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_v,
+             CAST(SUM(x) AS BIGINT) AS sx_v,
+             CAST(SUM(y) AS BIGINT) AS sy_v
+      FROM m GROUP BY variant
+    )
+    SELECT v.variant, v.n_v,
+           CAST(v.sy_v AS DOUBLE) / CAST(v.n_v AS DOUBLE) AS mean_y,
+           CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+             / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE) AS theta,
+           CAST(v.sy_v AS DOUBLE) / CAST(v.n_v AS DOUBLE)
+             - (CAST(g.n * g.sxy - g.sx * g.sy AS DOUBLE)
+                / CAST(g.n * g.sxx - g.sx * g.sx AS DOUBLE))
+               * (CAST(v.sx_v AS DOUBLE) / CAST(v.n_v AS DOUBLE)
+                  - CAST(g.sx AS DOUBLE) / CAST(g.n AS DOUBLE))
+             AS mean_y_cuped
+    FROM v, g
+    """,
+)
+def q_ab_cuped(spark, sf_dir):
+    """CUPED variance reduction — the experimentation-platform
+    adjustment (Deng et al.): replace each unit's outcome Y with
+    Y − θ(X − X̄) using a pre-experiment covariate X, shrinking
+    variance by corr² while leaving the treatment effect unbiased.
+    θ = cov(X,Y)/var(X) computed as the integer-lattice ratio
+    (N·ΣXY − ΣX·ΣY)/(N·ΣX² − (ΣX)²) — all BIGINT (X=⌊value⌋≤560,
+    Y≤6 keep every product far inside int64 at any sf), the adjusted
+    means a fixed division chain. One global + one per-variant hash
+    agg; the experiment readout q_ab_test reports raw deltas, this is
+    its variance-reduced upgrade."""
+    ev = _t(spark, sf_dir, "events")
+    m = ev.select(
+        (F.col("event_id") % 2).alias("variant"),
+        F.floor("value").cast("bigint").alias("x"),
+        ((F.col("user_id") + F.col("event_id")) % 7).alias("y"),
+    )
+    g = m.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    v = m.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_v"),
+        F.sum("x").cast("bigint").alias("sx_v"),
+        F.sum("y").cast("bigint").alias("sy_v"),
+    )
+    j = v.crossJoin(F.broadcast(g))
+    theta = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    mean_y = F.col("sy_v").cast("double") / F.col("n_v").cast("double")
+    return j.select(
+        "variant",
+        "n_v",
+        mean_y.alias("mean_y"),
+        theta.alias("theta"),
+        (
+            mean_y
+            - theta
+            * (
+                F.col("sx_v").cast("double") / F.col("n_v").cast("double")
+                - F.col("sx").cast("double") / F.col("n").cast("double")
+            )
+        ).alias("mean_y_cuped"),
+    )
+
+
+@register(
+    "q_winnowing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', ' ',
+                                               'g')), ' ') AS raw
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             list_filter(raw, t -> t != '') AS tk
+      FROM toks
+    ),
+    hashed AS (
+      SELECT doc_id, source,
+             CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2), i ->
+                 ('0x' || substring(md5(concat_ws(' ', tk[i], tk[i+1],
+                                                  tk[i+2])), 1, 12))::BIGINT)
+             ELSE [] END AS hs
+      FROM grams
+    ),
+    fp AS (
+      SELECT doc_id, source, len(hs) AS n_grams,
+             CASE WHEN len(hs) >= 4 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(hs) - 3),
+                 i -> list_aggregate(hs[i:i+3], 'min')))
+             ELSE list_distinct(CASE WHEN len(hs) > 0 THEN
+                    [list_aggregate(hs, 'min')] ELSE [] END) END AS fps
+      FROM hashed
+    ),
+    per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+             CAST(SUM(len(fps)) AS BIGINT) AS n_fingerprints
+      FROM fp GROUP BY source
+    ),
+    dfps AS (
+      SELECT source, CAST(COUNT(DISTINCT u.f) AS BIGINT) AS n_distinct_fps
+      FROM fp, UNNEST(fps) AS u(f)
+      GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.n_grams, p.n_fingerprints,
+           d.n_distinct_fps
+    FROM per_source p JOIN dfps d ON p.source = d.source
+    """,
+)
+def q_winnowing(spark, sf_dir):
+    """WINNOWING document fingerprints (Schleimer et al., the MOSS
+    algorithm): hash every token 3-gram, slide a window of 4
+    consecutive hashes, keep each window's MINIMUM — guaranteeing any
+    shared run of ≥ 6 tokens between two documents shares a
+    fingerprint, at ~2/(w+1) the density of full hashing. The per-doc
+    selection is pure array expressions (3-gram build → md5 48-bit
+    ints → windowed mins → distinct); the per-source audit reports
+    gram volume vs fingerprint volume (the compression the index pays
+    for) and corpus-distinct fingerprints (the index key cardinality).
+    For dedup-counting the window min VALUE set suffices (the
+    rightmost-tie rule matters only for position attribution).
+    Same tokenizer as the shingle family (operators/text.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    tk = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            "filter(split(lower(regexp_replace(text,"
+            " '[^a-zA-Z0-9 ]', ' ')), ' '), t -> t != '')"
+        ).alias("tk"),
+    )
+    # the md5-per-gram array MUST be concretized before the windowed-min
+    # step: left as a projected expression, Catalyst re-inlines it into
+    # every slice() consumer (the measured r7 no-CSE trap) and the
+    # window transform turns O(n·w) into O(n²) md5 calls — measured
+    # 212 s vs ~2 s at sf0.001. Explode to one md5 per gram ROW, then
+    # re-aggregate the position-sorted hash array as a physical column.
+    grams = tk.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                """
+                CASE WHEN size(tk) >= 3 THEN
+                  transform(sequence(1, size(tk) - 2), i ->
+                    concat_ws(' ', element_at(tk, i), element_at(tk, i + 1),
+                              element_at(tk, i + 2)))
+                ELSE array() END
+                """
+            )
+        ).alias("i", "g"),
+    ).select(
+        "doc_id",
+        "i",
+        F.conv(F.substring(F.md5("g"), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    )
+    hashed = grams.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, h))), p -> p.h)"
+        ).alias("hs")
+    )
+    fp = (
+        tk.select("doc_id", "source")
+        .join(hashed, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce(F.size("hs"), F.lit(0)).alias("n_grams"),
+            F.expr(
+                """
+                CASE WHEN size(hs) >= 4 THEN
+                  array_distinct(transform(sequence(1, size(hs) - 3),
+                    i -> array_min(slice(hs, i, 4))))
+                WHEN size(hs) > 0 THEN array(array_min(hs))
+                ELSE array() END
+                """
+            ).alias("fps"),
+        )
+    )
+    per_source = fp.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_grams").cast("bigint").alias("n_grams"),
+        F.sum(F.size("fps")).cast("bigint").alias("n_fingerprints"),
+    )
+    distinct_fps = (
+        fp.select("source", F.explode("fps").alias("f"))
+        .groupBy("source")
+        .agg(F.countDistinct("f").cast("bigint").alias("n_distinct_fps"))
+    )
+    return per_source.join(distinct_fps, "source")

@@ -588,3 +588,169 @@ def test_ledger_replay_witness(spark, duck):
         n, fb = got[acct]
         assert n == len(xs)
         assert fb == bal  # bit-exact: identical IEEE sequence
+
+
+def test_holt_winters_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 32, "
+        f"COUNT(*) FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    per = collections.defaultdict(lambda: [0.0] * 32)
+    for uid, b, v in rows:
+        per[uid][int(b)] = float(v)
+    got = {
+        r.user_id: r for r in QUERIES["q_holt_winters"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per)
+    for uid, xs in per.items():
+        l, b = xs[0], 0.0
+        s = [0.0, 0.0, 0.0, 0.0]
+        for x in xs[1:]:
+            l2 = 0.25 * x - 0.25 * s[0] + 0.75 * l + 0.75 * b
+            b2 = 0.03125 * x - 0.03125 * s[0] - 0.03125 * l + 0.96875 * b
+            s0 = 0.375 * x - 0.375 * l - 0.375 * b + 0.625 * s[0]
+            l, b, s = l2, b2, [s[1], s[2], s[3], s0]
+        r = got[uid]
+        assert (r.level, r.trend, r.s_next) == (l, b, s[0])  # bit-exact
+        assert r.forecast_1 == l + b + s[0]
+
+
+def test_queue_replay_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, epoch_us(ts), event_id "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for t, us, eid in rows:
+        per[t].append((us, eid, 60_000_000 * (1 + eid % 5)))
+    got = {
+        r.event_type: r
+        for r in QUERIES["q_queue_replay"](spark, SF_DIR).collect()
+    }
+    for t, xs in per.items():
+        xs.sort()
+        busy = xs[0][0] + xs[0][2]
+        wait = waited = 0
+        for us, _eid, svc in xs[1:]:
+            if busy > us:
+                wait += busy - us
+                waited += 1
+                busy += svc
+            else:
+                busy = us + svc
+        r = got[t]
+        assert (r.n_jobs, r.total_wait_us, r.n_waited) == (
+            len(xs),
+            wait,
+            waited,
+        )
+        assert waited > 0, "fixture must create queueing"
+
+
+def test_token_bucket_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, epoch_us(ts), event_id "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for uid, us, eid in rows:
+        per[uid % 37].append((us, eid))
+    got = {
+        r.bucket_key: r
+        for r in QUERIES["q_token_bucket"](spark, SF_DIR).collect()
+    }
+    any_throttled = False
+    for uid, xs in per.items():
+        xs.sort()
+        tokens, last, admitted = 4000, xs[0][0], 1
+        for us, _eid in xs[1:]:
+            tokens = min(5000, tokens + (us - last) // 60_000_000)
+            if tokens >= 1000:
+                tokens -= 1000
+                admitted += 1
+            last = us
+        r = got[uid]
+        assert (r.n_events, r.n_admitted, r.tokens_left) == (
+            len(xs),
+            admitted,
+            tokens,
+        )
+        any_throttled |= admitted < len(xs)
+    assert any_throttled, "fixture must actually throttle someone"
+
+
+def test_ab_cuped_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_id, user_id, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    import math
+
+    xs, ys, variants = [], [], []
+    for eid, uid, v in rows:
+        xs.append(math.floor(v))
+        ys.append((uid + eid) % 7)
+        variants.append(eid % 2)
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    theta = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+    got = {
+        r.variant: r for r in QUERIES["q_ab_cuped"](spark, SF_DIR).collect()
+    }
+    for v in (0, 1):
+        vx = [x for x, vv in zip(xs, variants) if vv == v]
+        vy = [y for y, vv in zip(ys, variants) if vv == v]
+        r = got[v]
+        assert r.n_v == len(vx)
+        assert r.theta == pytest.approx(theta, rel=1e-12)
+        assert r.mean_y == pytest.approx(sum(vy) / len(vy), rel=1e-12)
+        adj = sum(vy) / len(vy) - theta * (
+            sum(vx) / len(vx) - sx / n
+        )
+        assert r.mean_y_cuped == pytest.approx(adj, rel=1e-10)
+
+
+def test_winnowing_witness(spark, duck):
+    import re as _re
+
+    docs = duck.sql(
+        f"SELECT doc_id, source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(lambda: [0, 0, 0, set()])
+    for _did, src, text in docs:
+        toks = [
+            t
+            for t in _re.sub(r"[^a-zA-Z0-9 ]", " ", text).lower().split(" ")
+            if t
+        ]
+        hs = [
+            int(
+                hashlib.md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[
+                    :12
+                ],
+                16,
+            )
+            for i in range(len(toks) - 2)
+        ]
+        if len(hs) >= 4:
+            fps = {min(hs[i : i + 4]) for i in range(len(hs) - 3)}
+        elif hs:
+            fps = {min(hs)}
+        else:
+            fps = set()
+        st = per[src]
+        st[0] += 1
+        st[1] += len(hs)
+        st[2] += len(fps)
+        st[3] |= fps
+    got = {
+        r.source: (r.n_docs, r.n_grams, r.n_fingerprints, r.n_distinct_fps)
+        for r in QUERIES["q_winnowing"](spark, SF_DIR).collect()
+    }
+    assert got == {
+        s: (v[0], v[1], v[2], len(v[3])) for s, v in per.items()
+    }
+    # winnowing compresses: far fewer fingerprints than grams
+    for s, (nd, ng, nf, _) in got.items():
+        assert nf < ng / 2
