@@ -24351,3 +24351,388 @@ def q_luhn_check(spark, sf_dir):
         .cast("bigint")
         .alias("n_valid"),
     )
+
+
+@register(
+    "q_knapsack_greedy",
+    oracle="""
+    WITH items AS (
+      SELECT p_brand, p_partkey,
+             CAST(floor(p_retailprice) AS BIGINT) AS v,
+             CAST(p_size AS BIGINT) AS w,
+             CAST(floor(p_retailprice) AS DOUBLE) / CAST(p_size AS DOUBLE)
+               AS ratio
+      FROM part
+    ),
+    caps AS (
+      SELECT p_brand, CAST(SUM(w) // 10 AS BIGINT) AS cap
+      FROM items GROUP BY p_brand
+    ),
+    ordered AS (
+      SELECT i.*, c.cap,
+             CAST(SUM(i.w) OVER (PARTITION BY i.p_brand
+                                 ORDER BY i.ratio DESC, i.p_partkey)
+                  AS BIGINT) AS cumw
+      FROM items i JOIN caps c ON i.p_brand = c.p_brand
+    )
+    SELECT p_brand,
+           CAST(MAX(cap) AS BIGINT) AS capacity,
+           CAST(SUM(CASE WHEN cumw <= cap THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full,
+           CAST(SUM(CASE WHEN cumw <= cap THEN v ELSE 0 END) AS BIGINT)
+             AS value_full,
+           CAST(SUM(CASE WHEN cumw <= cap THEN v ELSE 0 END) AS DOUBLE)
+           + MAX(CASE WHEN cumw > cap AND cumw - w < cap
+                      THEN CAST(cap - (cumw - w) AS DOUBLE)
+                           / CAST(w AS DOUBLE) * CAST(v AS DOUBLE)
+                      ELSE 0.0 END) AS total_value
+    FROM ordered GROUP BY p_brand
+    """,
+)
+def q_knapsack_greedy(spark, sf_dir):
+    """FRACTIONAL KNAPSACK by greedy density — the budgeted-selection
+    primitive (pick the most value-per-byte documents under a token
+    budget, the most signal-per-dollar samples under a labeling
+    budget): per brand, rank items by value/weight, take whole items
+    while the running weight fits the brand's capacity (ΣW/10), and a
+    fraction of the boundary item — optimal for the fractional
+    relaxation by the exchange argument.
+
+    One ranking window per brand (ordered by ratio DESC, key — the
+    ratio is a single IEEE division, identical on both engines, and
+    the key breaks ties totally) and one aggregation; the boundary
+    item resolves inside the agg via the cumw−w < cap < cumw
+    predicate — no second pass, no self-join. The fraction is a fixed
+    double division chain off integer window sums, so total_value
+    hash-compares bit-exactly."""
+    pt = _t(spark, sf_dir, "part")
+    items = pt.select(
+        "p_brand",
+        "p_partkey",
+        F.floor("p_retailprice").cast("bigint").alias("v"),
+        F.col("p_size").cast("bigint").alias("w"),
+        (
+            F.floor("p_retailprice").cast("double")
+            / F.col("p_size").cast("double")
+        ).alias("ratio"),
+    )
+    caps = items.groupBy("p_brand").agg(
+        F.expr("CAST(SUM(w) div 10 AS BIGINT)").alias("cap")
+    )
+    wcum = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("ratio").desc(), "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = items.join(caps, "p_brand").withColumn(
+        "cumw", F.sum("w").over(wcum).cast("bigint")
+    )
+    frac_val = F.when(
+        (F.col("cumw") > F.col("cap"))
+        & (F.col("cumw") - F.col("w") < F.col("cap")),
+        (F.col("cap") - (F.col("cumw") - F.col("w"))).cast("double")
+        / F.col("w").cast("double")
+        * F.col("v").cast("double"),
+    ).otherwise(F.lit(0.0))
+    took = F.when(F.col("cumw") <= F.col("cap"), 1).otherwise(0)
+    return ordered.groupBy("p_brand").agg(
+        F.max("cap").cast("bigint").alias("capacity"),
+        F.sum(took).cast("bigint").alias("n_full"),
+        F.sum(F.when(F.col("cumw") <= F.col("cap"), F.col("v")).otherwise(0))
+        .cast("bigint")
+        .alias("value_full"),
+        (
+            F.sum(
+                F.when(
+                    F.col("cumw") <= F.col("cap"), F.col("v")
+                ).otherwise(0)
+            ).cast("double")
+            + F.max(frac_val)
+        ).alias("total_value"),
+    )
+
+
+@register(
+    "q_sma_crossover",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, event_id,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+             CAST(SUM(CAST(floor(value) AS BIGINT)) OVER w5 AS BIGINT)
+               AS s5,
+             CAST(SUM(CAST(floor(value) AS BIGINT)) OVER w20 AS BIGINT)
+               AS s20
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY event_id),
+             w5 AS (PARTITION BY event_type ORDER BY event_id
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY event_type ORDER BY event_id
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    sg AS (
+      SELECT event_type, event_id,
+             CASE WHEN 4 * s5 > s20 THEN 1
+                  WHEN 4 * s5 < s20 THEN -1 ELSE 0 END AS sgn
+      FROM x WHERE rn >= 20
+    ),
+    lagged AS (
+      SELECT event_type, sgn,
+             lag(sgn) OVER (PARTITION BY event_type ORDER BY event_id)
+               AS prev
+      FROM sg
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND sgn != prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND sgn > prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_golden
+    FROM lagged GROUP BY event_type
+    """,
+)
+def q_sma_crossover(spark, sf_dir):
+    """DUAL-HORIZON MOVING-AVERAGE CROSSOVER — the trend-change
+    detector (trading's golden cross, but equally the canary a
+    capacity planner runs: short-horizon load crossing the
+    long-horizon baseline): a fast 5-tick and a slow 20-tick rolling
+    mean per key, a sign series for fast−slow, and transition counts
+    over the sign's lag.
+
+    ZERO floats: comparing s5/5 against s20/20 cross-multiplies to
+    4·s5 vs s20 on the integer lattice, so the sign — and therefore
+    every crossing count — involves no division at all. Both rolling
+    sums and the lag share one (event_type, event_id) partitioning:
+    a single exchange, three in-partition window passes. Partial
+    windows excluded (rn ≥ 20) so both horizons are always full."""
+    ev = _t(spark, sf_dir, "events")
+    wo = Window.partitionBy("event_type").orderBy("event_id")
+    px = F.floor("value").cast("bigint")
+    x = ev.select(
+        "event_type",
+        "event_id",
+        F.row_number().over(wo).cast("bigint").alias("rn"),
+        F.sum(px).over(wo.rowsBetween(-4, 0)).cast("bigint").alias("s5"),
+        F.sum(px)
+        .over(wo.rowsBetween(-19, 0))
+        .cast("bigint")
+        .alias("s20"),
+    ).filter(F.col("rn") >= 20)
+    sg = x.select(
+        "event_type",
+        "event_id",
+        F.when(4 * F.col("s5") > F.col("s20"), 1)
+        .when(4 * F.col("s5") < F.col("s20"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    lagged = sg.select(
+        "event_type",
+        "sgn",
+        F.lag("sgn").over(wo).alias("prev"),
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_ticks"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull()
+                & (F.col("sgn") != F.col("prev")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_cross"),
+        F.sum(
+            F.when(
+                F.col("prev").isNotNull() & (F.col("sgn") > F.col("prev")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_golden"),
+    )
+
+
+@register(
+    "q_phonetic_blocking",
+    oracle="""
+    WITH words AS (
+      SELECT p_partkey,
+             upper(string_split(p_name, ' ')[2]) AS u
+      FROM part
+    ),
+    coded AS (
+      SELECT p_partkey, u,
+             list_transform(
+               string_split(translate(u,
+                 'AEIOUYHWBFPVCGJKQSXZDTLMNR',
+                 '00000000111122222222334556'), ''),
+               c -> [c, c]) AS cs
+      FROM words
+    ),
+    collapsed AS (
+      SELECT p_partkey, u,
+             list_reduce(cs, (acc, x) ->
+               CASE WHEN x[2] = acc[2] THEN acc
+                    ELSE [acc[1] || x[2], x[2]] END)[1] AS coll
+      FROM coded
+    ),
+    keys AS (
+      SELECT p_partkey,
+             substring(u, 1, 1) ||
+             substring(rpad(replace(substring(coll, 2), '0', ''), 3,
+                            '0'), 1, 3) AS pkey
+      FROM collapsed
+    )
+    SELECT pkey,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS n_keys
+    FROM keys GROUP BY pkey
+    """,
+)
+def q_phonetic_blocking(spark, sf_dir):
+    """PHONETIC BLOCKING KEYS (simplified Soundex) over part nouns —
+    the blocking pass of entity resolution: fuzzy matching every pair
+    is O(n²), so records first hash into phonetic buckets and only
+    within-bucket pairs get the expensive comparison (q_fuzzy_join's
+    missing front half). Variant pinned here: standard letter→digit
+    codes, adjacent-duplicate collapse BEFORE dropping the first
+    letter's code, zeros stripped, padded to 4 — but WITHOUT classic
+    Soundex's h/w transparency rule (RE2 has no backreferences, so
+    DuckDB cannot express the run-collapse as a regex; both engines
+    instead run the identical order-pinned PAIR FOLD over the coded
+    character list — the q_holt_smoothing seedless-reduce idiom
+    applied to strings).
+
+    All list/string built-ins, one shuffle for the bucket-size audit;
+    the bucket histogram is exactly the quadratic-blowup check an ER
+    pipeline reads before enabling within-bucket matching."""
+    pt = _t(spark, sf_dir, "part")
+    words = pt.select(
+        "p_partkey",
+        F.upper(F.expr("element_at(split(p_name, ' '), 2)")).alias("u"),
+    )
+    coded = words.select(
+        "p_partkey",
+        "u",
+        F.expr(
+            "transform(split(translate(u,"
+            " 'AEIOUYHWBFPVCGJKQSXZDTLMNR',"
+            " '00000000111122222222334556'), ''),"
+            " c -> array(c, c))"
+        ).alias("cs"),
+    )
+    collapsed = coded.select(
+        "p_partkey",
+        "u",
+        F.expr(
+            "element_at(aggregate(slice(cs, 2, size(cs) - 1),"
+            " element_at(cs, 1), (acc, x) ->"
+            " CASE WHEN element_at(x, 2) = element_at(acc, 2) THEN acc"
+            " ELSE array(concat(element_at(acc, 1), element_at(x, 2)),"
+            "            element_at(x, 2)) END), 1)"
+        ).alias("coll"),
+    )
+    keys = collapsed.select(
+        "p_partkey",
+        F.concat(
+            F.substring("u", 1, 1),
+            F.substring(
+                F.rpad(
+                    F.regexp_replace(F.expr("substring(coll, 2)"), "0", ""),
+                    3,
+                    "0",
+                ),
+                1,
+                3,
+            ),
+        ).alias("pkey"),
+    )
+    return keys.groupBy("pkey").agg(
+        F.count("*").cast("bigint").alias("n_parts"),
+        F.countDistinct("p_partkey").cast("bigint").alias("n_keys"),
+    )
+
+
+@register(
+    "q_stream_ohlc",
+    oracle="""
+    WITH px AS (
+      SELECT event_type,
+             date_trunc('hour', ts) AS ws,
+             lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+             || lpad(CAST(event_id AS VARCHAR), 10, '0')
+             || lpad(CAST(CAST(floor(value) AS BIGINT) AS VARCHAR), 4, '0')
+               AS s,
+             CAST(floor(value) AS BIGINT) AS p
+      FROM events
+    )
+    SELECT event_type,
+           strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(substring(MIN(s), 27, 4) AS BIGINT) AS open,
+           CAST(MAX(p) AS BIGINT) AS high,
+           CAST(MIN(p) AS BIGINT) AS low,
+           CAST(substring(MAX(s), 27, 4) AS BIGINT) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks
+    FROM px GROUP BY event_type, ws
+    """,
+)
+def q_stream_ohlc(spark, sf_dir):
+    """Streaming OHLC BARS — the candlestick rollup (finance, but
+    equally the first/last/extremes-per-window summary every metrics
+    pipeline emits): per (key, 1-hour window), the first and last tick
+    value plus the high/low and tick count, computed INCREMENTALLY on
+    an unbounded stream.
+
+    First/last are not streaming-legal as window-function ranks, and
+    neither engine's min_by takes a composite tie-break key (DuckDB
+    binds no list-typed ordering arg), so the ORDER ENCODING is the
+    operator: each tick packs (event-time µs, event_id, px) into one
+    fixed-width zero-padded string whose LEXICOGRAPHIC order equals the
+    numeric composite order; plain MIN/MAX — classic mergeable
+    aggregates with O(1) state, legal in every streaming mode — carry
+    first/last through the shuffle, and the px suffix parses back out
+    at emit. (ts, event_id) is a total order so the encoding never
+    ties. Complete-mode tumbling agg via the foreachBatch parquet
+    harness; one availableNow batch sees everything so the emitted
+    bars equal the batch oracle."""
+    stream = _staged_event_stream(spark, sf_dir, "q_stream_ohlc")
+    px = F.floor("value").cast("bigint")
+    enc = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 16, "0"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        F.lpad(px.cast("string"), 4, "0"),
+    )
+    bars = (
+        stream.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.min(enc).alias("smin"),
+            F.max(enc).alias("smax"),
+            F.max(px).cast("bigint").alias("high"),
+            F.min(px).cast("bigint").alias("low"),
+            F.count("*").cast("bigint").alias("n_ticks"),
+        )
+        .select(
+            "event_type",
+            F.col("window.start").alias("window_start"),
+            "smin",
+            "smax",
+            "high",
+            "low",
+            "n_ticks",
+        )
+    )
+    out = _run_stream_to_parquet(
+        spark, bars, "q_stream_ohlc", mode="complete"
+    )
+    return out.select(
+        "event_type",
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.substring("smin", 27, 4).cast("bigint").alias("open"),
+        "high",
+        "low",
+        F.substring("smax", 27, 4).cast("bigint").alias("close"),
+        "n_ticks",
+    )

@@ -276,3 +276,168 @@ def test_tree_lca_witness(spark, duck):
     # substance: a genuine mix of shallow and deep meeting points
     depths = {d for _l, d in exp.values()}
     assert 0 in depths and max(depths) >= 4
+
+
+def test_unicode_nfc_witness(spark, duck):
+    import unicodedata
+
+    docs = duck.sql(
+        f"SELECT doc_id, source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for did, src, text in docs:
+        raw = text[:16]
+        if did % 3 == 0:
+            raw += "é"
+        elif did % 3 == 1:
+            raw += "ö"
+        raw += "x"
+        norm = unicodedata.normalize("NFC", raw)
+        a = agg[src]
+        a[0] += 1
+        a[1] += 1 if norm != raw else 0
+        a[2] += len(raw)
+        a[3] += len(norm)
+    got = {r.source: (r.n_docs, r.n_changed, r.chars_raw, r.chars_nfc)
+           for r in QUERIES["q_unicode_nfc"](spark, SF_DIR).collect()}
+    assert got == {s: tuple(v) for s, v in agg.items()}
+    # substance: normalization changed docs and shrank codepoint counts
+    assert any(v[1] > 0 and v[3] < v[2] for v in agg.values())
+
+
+def test_luhn_check_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_id, user_id, event_type FROM "
+        f"'{SF_DIR}/events.parquet'"
+    ).fetchall()
+    agg = collections.Counter()
+    valid = collections.Counter()
+    for eid, uid, et in rows:
+        s = str(100000000000 + (eid * 9973 + uid * 131071) % 900000000000)
+        total = 0
+        for i, ch in enumerate(s, start=1):
+            d = int(ch)
+            if (12 - i) % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            total += d
+        agg[et] += 1
+        valid[et] += 1 if total % 10 == 0 else 0
+    got = {r.event_type: (r.n, r.n_valid)
+           for r in QUERIES["q_luhn_check"](spark, SF_DIR).collect()}
+    assert got == {et: (agg[et], valid[et]) for et in agg}
+    # substance: a nontrivial mix of valid and invalid numbers
+    assert 0 < sum(valid.values()) < sum(agg.values())
+
+
+def test_knapsack_greedy_witness(spark, duck):
+    parts = duck.sql(
+        f"SELECT p_brand, p_partkey, p_retailprice, p_size FROM "
+        f"'{SF_DIR}/part.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for br, pk, rp, sz in parts:
+        v = int(math.floor(rp))
+        per[br].append((-(v / sz), pk, v, sz))
+    exp = {}
+    for br, items in per.items():
+        items.sort()
+        cap = sum(w for _r, _p, _v, w in items) // 10
+        cum = 0
+        n_full = val_full = 0
+        frac_v = 0.0
+        for _r, _pk, v, w in items:
+            if cum + w <= cap:
+                cum += w
+                n_full += 1
+                val_full += v
+            else:
+                if cum < cap:
+                    frac_v = (cap - cum) / w * v
+                break
+        exp[br] = (cap, n_full, val_full, float(val_full) + frac_v)
+    got = {r.p_brand: (r.capacity, r.n_full, r.value_full, r.total_value)
+           for r in QUERIES["q_knapsack_greedy"](spark, SF_DIR).collect()}
+    assert set(got) == set(exp)
+    for br, (cap, nf, vf, tv) in exp.items():
+        gc, gn, gv, gt = got[br]
+        assert (gc, gn, gv) == (cap, nf, vf)
+        assert abs(gt - tv) < 1e-9
+    # substance: some brand actually split a boundary item
+    assert any(tv > vf for _c, _n, vf, tv in exp.values())
+
+
+def test_sma_crossover_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, event_id, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for et, eid, v in rows:
+        per[et].append((eid, int(math.floor(v))))
+    exp = {}
+    for et, xs in per.items():
+        xs.sort()
+        signs = []
+        for i in range(19, len(xs)):
+            s5 = sum(p for _e, p in xs[i - 4:i + 1])
+            s20 = sum(p for _e, p in xs[i - 19:i + 1])
+            signs.append(1 if 4 * s5 > s20 else (-1 if 4 * s5 < s20
+                                                 else 0))
+        n_cross = sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        n_golden = sum(1 for a, b in zip(signs, signs[1:]) if b > a)
+        exp[et] = (len(signs), n_cross, n_golden)
+    got = {r.event_type: (r.n_ticks, r.n_cross, r.n_golden)
+           for r in QUERIES["q_sma_crossover"](spark, SF_DIR).collect()}
+    assert got == exp
+    # substance: trends actually flip
+    assert any(c > 0 for _n, c, _g in exp.values())
+
+
+def test_phonetic_blocking_witness(spark, duck):
+    parts = duck.sql(
+        f"SELECT p_partkey, p_name FROM '{SF_DIR}/part.parquet'"
+    ).fetchall()
+    table = str.maketrans("AEIOUYHWBFPVCGJKQSXZDTLMNR",
+                          "00000000111122222222334556")
+    agg = collections.Counter()
+    keyset = collections.defaultdict(set)
+    for pk, name in parts:
+        u = name.split(" ")[1].upper()
+        t = u.translate(table)
+        coll = t[0]
+        for c in t[1:]:
+            if c != coll[-1]:
+                coll += c
+        key = u[0] + (coll[1:].replace("0", "") + "000")[:3]
+        agg[key] += 1
+        keyset[key].add(pk)
+    got = {r.pkey: (r.n_parts, r.n_keys)
+           for r in QUERIES["q_phonetic_blocking"](spark, SF_DIR).collect()}
+    assert got == {k: (n, len(keyset[k])) for k, n in agg.items()}
+    # substance: blocking produced multi-record buckets (the point)
+    assert any(n > 1 for n in agg.values())
+
+
+def test_stream_ohlc_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, event_id, epoch_us(ts), value, "
+        f"strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for et, eid, us, v, ws in rows:
+        per[(et, ws)].append((us, eid, int(math.floor(v))))
+    exp = {}
+    for k, ticks in per.items():
+        ticks.sort()
+        px = [p for _u, _e, p in ticks]
+        exp[k] = (ticks[0][2], max(px), min(px), ticks[-1][2],
+                  len(ticks))
+    got = {(r.event_type, r.window_start):
+           (r.open, r.high, r.low, r.close, r.n_ticks)
+           for r in QUERIES["q_stream_ohlc"](spark, SF_DIR).collect()}
+    assert got == exp
+    # substance: open/close actually differ somewhere (the encoding
+    # carries real first/last information, not just extremes)
+    assert any(o != c for o, _h, _l, c, _n in exp.values())
