@@ -1,0 +1,158 @@
+"""Pure-Python witnesses for the round-10 STAGED queries (plans/
+staging.py) at sf0.001 — independent recomputation, the third leg next
+to the Spark build and the DuckDB oracle, run at staging time so
+promotion to the catalog is a move, not a build."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import duckdb
+import pytest
+
+from aws_vpcflowlogs_parquet_spark.plans.staging import STAGED_QUERIES
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def test_group_lcp_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, event_id, strftime(ts, '%Y-%m-%d') "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for et, eid, day in rows:
+        per[et].append(f"s3://logs/{et}/dt={day}/part-{eid:08d}.gz")
+    exp = {}
+    for et, paths in per.items():
+        lcp = paths[0]
+        for p in paths[1:]:
+            while not p.startswith(lcp):
+                lcp = lcp[:-1]
+        exp[et] = (len(paths), len(lcp), lcp)
+    got = {r.event_type: (r.n_paths, r.lcp_len, r.lcp)
+           for r in STAGED_QUERIES["q_group_lcp"](spark, SF_DIR).collect()}
+    assert got == exp
+    # substance: the shared prefix extends past the constant scheme
+    # into real data (the per-type segment), but never to a whole path
+    # (full paths are ≥ 45 chars: scheme + type + dt= + part-XXXXXXXX.gz)
+    assert all(len("s3://logs/") < l < 45 for (_n, l, _p) in exp.values())
+
+
+def test_ema_crossover_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 32 "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    counts = collections.Counter(rows)
+    users = {u for u, _b in rows}
+    exp = {}
+    for u in users:
+        xs = [float(counts.get((u, b), 0)) for b in range(32)]
+        f = s = xs[0]
+        signs = [0 if f == s else (1 if f > s else -1)]
+        for x in xs[1:]:
+            f = 0.5 * x + 0.5 * f
+            s = 0.125 * x + 0.875 * s
+            signs.append(1 if f > s else (-1 if f < s else 0))
+        n_cross = sum(1 for a, b in zip(signs, signs[1:]) if a != b)
+        n_up = sum(1 for a, b in zip(signs, signs[1:]) if b > a)
+        exp[u] = (n_cross, n_up, f, s)
+    got = {r.user_id: (r.n_cross, r.n_up, r.final_fast, r.final_slow)
+           for r in STAGED_QUERIES["q_ema_crossover"](
+               spark, SF_DIR).collect()}
+    assert set(got) == set(exp)
+    for u, (nc, nu, ff, fs) in exp.items():
+        gc, gu, gf, gs = got[u]
+        assert (gc, gu) == (nc, nu)
+        assert gf == ff and gs == fs  # bit-exact dyadic folds
+    # substance: the fast EMA actually crosses the slow one
+    assert any(nc > 0 for nc, _u, _f, _s in exp.values())
+
+
+def test_histogram_equalize_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    hist = collections.Counter(
+        (et, int(math.floor(v)) % 256) for et, v in rows)
+    per = collections.defaultdict(dict)
+    for (et, pix), n in hist.items():
+        per[et][pix] = n
+    exp = {}
+    for et, h in per.items():
+        total = sum(h.values())
+        cdf = 0
+        cdf_min = h[min(h)]
+        for pix in sorted(h):
+            cdf += h[pix]
+            remap = ((cdf - cdf_min) * 255 // (total - cdf_min)
+                     if total > cdf_min else 0)
+            exp[(et, pix)] = (h[pix], cdf, remap)
+    got = {(r.event_type, r.pix): (r.n, r.cdf, r.remap)
+           for r in STAGED_QUERIES["q_histogram_equalize"](
+               spark, SF_DIR).collect()}
+    assert got == exp
+    # substance: the remap actually spreads (monotone, hits 255 at top)
+    for et, h in per.items():
+        assert exp[(et, max(h))][2] == 255
+
+
+def test_ratio_delta_method_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_id, user_id, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for eid, uid, v in rows:
+        per[eid % 2].append((1 + uid % 7, int(math.floor(v)) % 5))
+    got = {r.variant: (r.n, r.ratio, r.se)
+           for r in STAGED_QUERIES["q_ratio_delta_method"](
+               spark, SF_DIR).collect()}
+    assert set(got) == set(per)
+    for var, xy in per.items():
+        n = len(xy)
+        sx = sum(x for x, _y in xy)
+        sy = sum(y for _x, y in xy)
+        r = sy / sx
+        vx = (n * sum(x * x for x, _y in xy) - sx * sx) / (n * (n - 1))
+        vy = (n * sum(y * y for _x, y in xy) - sy * sy) / (n * (n - 1))
+        cxy = (n * sum(x * y for x, y in xy) - sx * sy) / (n * (n - 1))
+        xbar = sx / n
+        se = math.sqrt((vy - 2.0 * r * cxy + r * r * vx)
+                       / (n * xbar * xbar))
+        gn, gr, gse = got[var]
+        assert gn == n
+        assert abs(gr - r) < 1e-12
+        assert abs(gse - se) < 1e-12
+        # delta-method SE must be positive and small vs the ratio
+        assert 0 < gse < gr
+
+
+def test_h_index_witness(spark, duck):
+    docs = duck.sql(
+        f"SELECT source, doc_id, n_chars FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for src, did, n in docs:
+        per[src].append((-(n // 100), did))
+    exp = {}
+    for src, cs in per.items():
+        cs.sort()
+        h = 0
+        for rn, (negc, _did) in enumerate(cs, start=1):
+            if -negc >= rn:
+                h = rn
+        exp[src] = (len(cs), h)
+    got = {r.source: (r.n_docs, r.h_index)
+           for r in STAGED_QUERIES["q_h_index"](spark, SF_DIR).collect()}
+    assert got == exp
+    # substance: h is interior (neither 0 nor the full doc count)
+    assert all(0 < h < n for n, h in exp.values())
