@@ -512,3 +512,561 @@ def q_h_index(spark, sf_dir):
         .cast("bigint")
         .alias("h_index"),
     )
+
+
+@staged(
+    "q_linear_interpolate",
+    oracle="""
+    WITH base AS (
+      SELECT g.event_type, g.b, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+      FROM (SELECT t.event_type, r.b
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(range(0, 32)) AS b) r) g
+      LEFT JOIN (
+        SELECT event_type,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 32 AS b,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY event_type, b
+      ) c ON c.event_type = g.event_type AND c.b = g.b
+    ),
+    marked AS (
+      SELECT event_type, b, v,
+             CASE WHEN v % 3 != 0 THEN b END AS kb,
+             CASE WHEN v % 3 != 0 THEN v END AS kv
+      FROM base
+    ),
+    spanned AS (
+      SELECT event_type, b, v, kb,
+             last_value(kb IGNORE NULLS) OVER wf AS lb,
+             last_value(kv IGNORE NULLS) OVER wf AS lv,
+             last_value(kb IGNORE NULLS) OVER wb AS nb,
+             last_value(kv IGNORE NULLS) OVER wb AS nv
+      FROM marked
+      WINDOW wf AS (PARTITION BY event_type ORDER BY b
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wb AS (PARTITION BY event_type ORDER BY b DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, b, v AS observed,
+           CAST(lv AS DOUBLE)
+           + CAST(nv - lv AS DOUBLE)
+             * (CAST(b - lb AS DOUBLE) / CAST(nb - lb AS DOUBLE))
+             AS interp
+    FROM spanned
+    WHERE kb IS NULL AND lb IS NOT NULL AND nb IS NOT NULL
+    """,
+)
+def q_linear_interpolate(spark, sf_dir):
+    """LINEAR INTERPOLATION of interior gaps in a per-key series — the
+    sensor-reading repair q_gap_fill (zero-fill) and q_window_fill
+    (LOCF) don't cover: a missing bucket takes the straight line
+    between its nearest KNOWN neighbors on both sides. Knot-ness is
+    data-dependent (v % 3 ≠ 0), so bracketing cannot be computed in
+    closed form — the mechanism is the DUAL IGNORE-NULLS SCAN: one
+    forward and one backward last_value(IGNORE NULLS) window carry the
+    nearest knot (position, value) into every gap, the production
+    pattern for as-of repair without a range join. Leading/trailing
+    gaps (no bracket) are excluded, not extrapolated.
+
+    Both windows share the per-key partitioning (forward and reverse
+    orderings plan as one exchange + two sorts); the interpolation is
+    a fixed chain off the integer lattice — one division for the
+    fraction, one multiply-add — so the doubles hash-compare exactly."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        (
+            (F.unix_timestamp("ts").cast("bigint") / 3600).cast("bigint")
+            % 32
+        ).alias("b"),
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(32).select(F.col("id").alias("b")))
+        )
+    )
+    base = grid.join(counts, ["event_type", "b"], "left").select(
+        "event_type",
+        "b",
+        F.coalesce("v", F.lit(0)).cast("bigint").alias("v"),
+    )
+    marked = base.select(
+        "event_type",
+        "b",
+        "v",
+        F.when(F.col("v") % 3 != 0, F.col("b")).alias("kb"),
+        F.when(F.col("v") % 3 != 0, F.col("v")).alias("kv"),
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("b").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spanned = marked.select(
+        "event_type",
+        "b",
+        "v",
+        "kb",
+        F.last("kb", ignorenulls=True).over(wf).alias("lb"),
+        F.last("kv", ignorenulls=True).over(wf).alias("lv"),
+        F.last("kb", ignorenulls=True).over(wb).alias("nb"),
+        F.last("kv", ignorenulls=True).over(wb).alias("nv"),
+    )
+    return spanned.filter(
+        F.col("kb").isNull()
+        & F.col("lb").isNotNull()
+        & F.col("nb").isNotNull()
+    ).select(
+        "event_type",
+        "b",
+        F.col("v").alias("observed"),
+        (
+            F.col("lv").cast("double")
+            + (F.col("nv") - F.col("lv")).cast("double")
+            * (
+                (F.col("b") - F.col("lb")).cast("double")
+                / (F.col("nb") - F.col("lb")).cast("double")
+            )
+        ).alias("interp"),
+    )
+
+
+@staged(
+    "q_csv_sniff",
+    oracle="""
+    WITH lines AS (
+      SELECT source, doc_id,
+             concat(
+               regexp_replace(lower(substring(text, 1, 12)),
+                              '[^a-z]', '', 'g'),
+               CASE CAST(substring(source, 4) AS INT) % 4
+                 WHEN 0 THEN ',' WHEN 1 THEN ';'
+                 WHEN 2 THEN '|' ELSE '#' END,
+               CAST(n_chars AS VARCHAR),
+               CASE CAST(substring(source, 4) AS INT) % 4
+                 WHEN 0 THEN ',' WHEN 1 THEN ';'
+                 WHEN 2 THEN '|' ELSE '#' END,
+               lang) AS line
+      FROM documents
+    ),
+    cand AS (SELECT unnest([',', ';', '|', '#']) AS d),
+    counted AS (
+      SELECT l.source, c.d,
+             length(l.line) - length(replace(l.line, c.d, '')) AS k
+      FROM lines l, cand c
+    ),
+    per AS (
+      SELECT source, d,
+             CAST(MIN(k) AS BIGINT) AS kmin,
+             CAST(MAX(k) AS BIGINT) AS kmax,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM counted GROUP BY source, d
+    )
+    SELECT source,
+           MAX(CASE WHEN kmin = kmax AND kmin >= 1 THEN d END) AS delim,
+           CAST(MAX(CASE WHEN kmin = kmax AND kmin >= 1
+                         THEN kmin + 1 END) AS BIGINT) AS n_fields,
+           MAX(n_lines) AS n_lines
+    FROM per GROUP BY source
+    """,
+)
+def q_csv_sniff(spark, sf_dir):
+    """CSV DIALECT SNIFFING — the ingest-time profiler that picks the
+    delimiter of an unlabeled text feed the way csv.Sniffer does:
+    a candidate separator is plausible iff its per-line occurrence
+    count is CONSTANT across lines and ≥ 1 (real delimiters are
+    structural; content characters vary). Lines are synthesized per
+    source with a planted per-source delimiter between three
+    delimiter-free fields, so exactly one candidate is consistent and
+    the detector must recover the plant.
+
+    Candidate counting is pure string arithmetic (length minus
+    delimiter-stripped length) against a broadcast 4-row candidate
+    table; consistency is a min=max check per (source, candidate) —
+    two map-side-combinable aggs, no UDF, no window. At 100 TB this
+    profiles a feed in one pass over a SAMPLE (the consistency
+    predicate is exactly as valid on a sample — sniff then parse)."""
+    docs = _t(spark, sf_dir, "documents")
+    delim = F.expr(
+        "CASE CAST(substring(source, 4) AS INT) % 4"
+        " WHEN 0 THEN ',' WHEN 1 THEN ';' WHEN 2 THEN '|' ELSE '#' END"
+    )
+    lines = docs.select(
+        "source",
+        F.concat(
+            F.regexp_replace(
+                F.lower(F.substring("text", 1, 12)), "[^a-z]", ""
+            ),
+            delim,
+            F.col("n_chars").cast("string"),
+            delim,
+            F.col("lang"),
+        ).alias("line"),
+    )
+    cand = spark.createDataFrame(
+        [(",",), (";",), ("|",), ("#",)], ["d"]
+    )
+    counted = lines.crossJoin(F.broadcast(cand)).select(
+        "source",
+        "d",
+        (
+            F.length("line")
+            - F.length(F.expr("replace(line, d, '')"))
+        ).alias("k"),
+    )
+    per = counted.groupBy("source", "d").agg(
+        F.min("k").cast("bigint").alias("kmin"),
+        F.max("k").cast("bigint").alias("kmax"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+    ok = (F.col("kmin") == F.col("kmax")) & (F.col("kmin") >= 1)
+    return per.groupBy("source").agg(
+        F.max(F.when(ok, F.col("d"))).alias("delim"),
+        F.max(F.when(ok, F.col("kmin") + 1))
+        .cast("bigint")
+        .alias("n_fields"),
+        F.max("n_lines").alias("n_lines"),
+    )
+
+
+@staged(
+    "q_outlier_iqr",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY floor(value), event_id) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM events
+    ),
+    spec AS (SELECT * FROM (VALUES (25), (75)) AS t(pnum)),
+    pos AS (
+      SELECT DISTINCT r.event_type, r.n, s.pnum,
+             ((r.n - 1) * s.pnum) // 100 + 1 AS lo_rk,
+             CAST(((r.n - 1) * s.pnum) % 100 AS DOUBLE) / 100 AS frac
+      FROM ranked r, spec s
+    ),
+    q AS (
+      SELECT p.event_type, p.pnum,
+             CAST(lo.x AS DOUBLE)
+             + p.frac * CAST(hi.x - lo.x AS DOUBLE) AS qv
+      FROM pos p
+      JOIN ranked lo ON lo.event_type = p.event_type AND lo.rk = p.lo_rk
+      JOIN ranked hi ON hi.event_type = p.event_type
+                    AND hi.rk = CASE WHEN p.lo_rk + 1 > p.n
+                                     THEN p.n ELSE p.lo_rk + 1 END
+    ),
+    fences AS (
+      SELECT event_type,
+             MAX(CASE WHEN pnum = 25 THEN qv END) AS q1,
+             MAX(CASE WHEN pnum = 75 THEN qv END) AS q3
+      FROM q GROUP BY event_type
+    )
+    SELECT r.event_type,
+           f.q1, f.q3,
+           f.q1 - 1.5 * (f.q3 - f.q1) AS lo_fence,
+           f.q3 + 1.5 * (f.q3 - f.q1) AS hi_fence,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN CAST(r.x AS DOUBLE)
+                              < f.q1 - 1.5 * (f.q3 - f.q1)
+                           OR CAST(r.x AS DOUBLE)
+                              > f.q3 + 1.5 * (f.q3 - f.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM ranked r JOIN fences f ON r.event_type = f.event_type
+    GROUP BY r.event_type, f.q1, f.q3
+    """,
+)
+def q_outlier_iqr(spark, sf_dir):
+    """TUKEY-FENCE OUTLIER AUDIT (Q1/Q3 ± 1.5·IQR) per key — the
+    boxplot rule, the robust cousin of q_anomaly_zscore (whose mean/σ
+    are themselves dragged by the outliers they hunt) and the
+    application layer over q_percentile_interp's type-7 quartiles.
+
+    The quartiles keep the integer rank lattice ((n−1)·p // 100 order
+    statistic + exact small-denominator fraction), the fences are a
+    fixed multiply-add chain, and the flag count re-joins the fence
+    row per key (broadcast — one row per key) so the scan stays one
+    pass. Doubles compare bit-exactly because every engine-side
+    expression tree is identical."""
+    ev = _t(spark, sf_dir, "events")
+    wr = Window.partitionBy("event_type").orderBy(
+        F.floor("value"), "event_id"
+    )
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        F.floor("value").cast("bigint").alias("x"),
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).cast("bigint").alias("n"),
+    )
+    spec = spark.createDataFrame([(25,), (75,)], ["pnum"])
+    pos = (
+        ranked.select("event_type", "n")
+        .distinct()
+        .crossJoin(F.broadcast(spec))
+        .select(
+            "event_type",
+            "n",
+            "pnum",
+            F.expr("((n - 1) * pnum) div 100 + 1").alias("lo_rk"),
+            (
+                F.expr("CAST(((n - 1) * pnum) % 100 AS DOUBLE)")
+                / F.lit(100)
+            ).alias("frac"),
+        )
+    )
+    lo = ranked.select(
+        "event_type", F.col("rk").alias("lo_rk"), F.col("x").alias("xlo")
+    )
+    hi = ranked.select(
+        "event_type", F.col("rk").alias("hi_rk"), F.col("x").alias("xhi")
+    )
+    q = (
+        pos.join(lo, ["event_type", "lo_rk"])
+        .withColumn(
+            "hi_rk",
+            F.when(
+                F.col("lo_rk") + 1 > F.col("n"), F.col("n")
+            ).otherwise(F.col("lo_rk") + 1),
+        )
+        .join(hi, ["event_type", "hi_rk"])
+        .select(
+            "event_type",
+            "pnum",
+            (
+                F.col("xlo").cast("double")
+                + F.col("frac")
+                * (F.col("xhi") - F.col("xlo")).cast("double")
+            ).alias("qv"),
+        )
+    )
+    fences = q.groupBy("event_type").agg(
+        F.max(F.when(F.col("pnum") == 25, F.col("qv"))).alias("q1"),
+        F.max(F.when(F.col("pnum") == 75, F.col("qv"))).alias("q3"),
+    )
+    lo_f = F.col("q1") - F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    hi_f = F.col("q3") + F.lit(1.5) * (F.col("q3") - F.col("q1"))
+    return (
+        ranked.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("x").cast("double") < lo_f)
+                    | (F.col("x").cast("double") > hi_f),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "q1",
+            "q3",
+            lo_f.alias("lo_fence"),
+            hi_f.alias("hi_fence"),
+            "n",
+            "n_outliers",
+        )
+    )
+
+
+@staged(
+    "q_readability",
+    oracle="""
+    WITH counts AS (
+      SELECT source,
+             CAST(len(list_filter(string_split(lower(regexp_replace(
+                    text, '[^a-zA-Z ]', ' ', 'g')), ' '),
+                    t -> t != '')) AS BIGINT) AS words,
+             CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS sents,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS syls
+      FROM documents
+    ),
+    agg AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(words) AS BIGINT) AS words,
+             CAST(SUM(sents) AS BIGINT) AS sents,
+             CAST(SUM(syls) AS BIGINT) AS syls
+      FROM counts GROUP BY source
+    )
+    SELECT source, n_docs, words, sents, syls,
+           0.39 * (CAST(words AS DOUBLE) / CAST(sents AS DOUBLE))
+           + 11.8 * (CAST(syls AS DOUBLE) / CAST(words AS DOUBLE))
+           - 15.59 AS fk_grade
+    FROM agg
+    """,
+)
+def q_readability(spark, sf_dir):
+    """FLESCH-KINCAID GRADE per source — the readability screen a
+    corpus-quality pipeline runs next to q_quality_score's surface
+    ratios: grade = 0.39·(words/sentence) + 11.8·(syllables/word)
+    − 15.59, with syllables approximated by VOWEL GROUPS (maximal
+    [aeiouy]+ runs — the standard heuristic; the 0.39/11.8 weights are
+    the published constants, exact decimals in both engines).
+
+    All three inputs are integer counts from the same regex layer both
+    engines share (token filter = the shingle tokenizer's, sentence
+    enders as maximal [.!?]+ runs floored at 1, vowel-group count via
+    regexp_extract_all length); the grade is a fixed two-division
+    chain off the per-source sums. One map-side-combined agg — the
+    regex work is partition-local, the shuffle carries 4 integers per
+    source."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = docs.select(
+        "source",
+        F.expr(
+            "CAST(size(filter(split(lower(regexp_replace(text,"
+            " '[^a-zA-Z ]', ' ')), ' '), t -> t != '')) AS BIGINT)"
+        ).alias("words"),
+        F.expr(
+            "CAST(greatest(size(regexp_extract_all(text, '[.!?]+', 0)),"
+            " 1) AS BIGINT)"
+        ).alias("sents"),
+        F.expr(
+            "CAST(size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"
+            " AS BIGINT)"
+        ).alias("syls"),
+    )
+    agg = counts.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("words").cast("bigint").alias("words"),
+        F.sum("sents").cast("bigint").alias("sents"),
+        F.sum("syls").cast("bigint").alias("syls"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "words",
+        "sents",
+        "syls",
+        (
+            F.lit(0.39)
+            * (F.col("words").cast("double") / F.col("sents").cast("double"))
+            + F.lit(11.8)
+            * (F.col("syls").cast("double") / F.col("words").cast("double"))
+            - F.lit(15.59)
+        ).alias("fk_grade"),
+    )
+
+
+@staged(
+    "q_forecast_backtest",
+    oracle="""
+    WITH base AS (
+      SELECT g.event_type, g.b, CAST(COALESCE(c.v, 0) AS BIGINT) AS v
+      FROM (SELECT t.event_type, r.b
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT unnest(range(0, 32)) AS b) r) g
+      LEFT JOIN (
+        SELECT event_type,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 32 AS b,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY event_type, b
+      ) c ON c.event_type = g.event_type AND c.b = g.b
+    ),
+    lagged AS (
+      SELECT event_type, b, v,
+             lag(v, 1) OVER w AS naive,
+             lag(v, 24) OVER w AS snaive
+      FROM base WINDOW w AS (PARTITION BY event_type ORDER BY b)
+    ),
+    scored AS (
+      SELECT event_type,
+             abs(v - naive) AS e_naive,
+             abs(v - snaive) AS e_snaive
+      FROM lagged WHERE b >= 24
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_evals,
+           CAST(SUM(e_naive) AS BIGINT) AS ae_naive,
+           CAST(SUM(e_snaive) AS BIGINT) AS ae_snaive,
+           CAST(SUM(e_naive) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mae_naive,
+           CAST(SUM(e_snaive) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mae_snaive,
+           CASE WHEN SUM(e_snaive) < SUM(e_naive) THEN 'seasonal'
+                WHEN SUM(e_naive) < SUM(e_snaive) THEN 'naive'
+                ELSE 'tie' END AS winner
+    FROM scored GROUP BY event_type
+    """,
+)
+def q_forecast_backtest(spark, sf_dir):
+    """ROLLING-ORIGIN FORECAST BACKTEST — the evaluation harness the
+    fitting queries (q_ewma / q_holt_smoothing / q_holt_winters /
+    q_seasonal_baseline) need before anyone trusts them: replay the
+    per-key hourly series, at each origin b ≥ 24 forecast b from the
+    PAST ONLY (naive = v[b−1], seasonal-naive = v[b−24]), score both
+    with absolute error, and declare the per-key winner on the exact
+    integer error totals (the MAE division is reporting, not
+    decision — ties are decided on the lattice, never on doubles).
+
+    Two lag windows over one per-key partitioning (a single exchange);
+    the backtest never leaks the future because lag() is structurally
+    past-only — the property the witness pins. At 100 TB: the grid is
+    |keys|×32 POST-aggregation rows; model selection per key costs one
+    window pass, not one model-fit per origin."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        (
+            (F.unix_timestamp("ts").cast("bigint") / 3600).cast("bigint")
+            % 32
+        ).alias("b"),
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(32).select(F.col("id").alias("b")))
+        )
+    )
+    base = grid.join(counts, ["event_type", "b"], "left").select(
+        "event_type",
+        "b",
+        F.coalesce("v", F.lit(0)).cast("bigint").alias("v"),
+    )
+    w = Window.partitionBy("event_type").orderBy("b")
+    lagged = base.select(
+        "event_type",
+        "b",
+        "v",
+        F.lag("v", 1).over(w).alias("naive"),
+        F.lag("v", 24).over(w).alias("snaive"),
+    ).filter(F.col("b") >= 24)
+    scored = lagged.select(
+        "event_type",
+        F.abs(F.col("v") - F.col("naive")).alias("e_naive"),
+        F.abs(F.col("v") - F.col("snaive")).alias("e_snaive"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_evals"),
+        F.sum("e_naive").cast("bigint").alias("ae_naive"),
+        F.sum("e_snaive").cast("bigint").alias("ae_snaive"),
+        (
+            F.sum("e_naive").cast("double")
+            / F.count("*").cast("double")
+        ).alias("mae_naive"),
+        (
+            F.sum("e_snaive").cast("double")
+            / F.count("*").cast("double")
+        ).alias("mae_snaive"),
+        F.when(
+            F.sum("e_snaive") < F.sum("e_naive"), F.lit("seasonal")
+        )
+        .when(F.sum("e_naive") < F.sum("e_snaive"), F.lit("naive"))
+        .otherwise(F.lit("tie"))
+        .alias("winner"),
+    )

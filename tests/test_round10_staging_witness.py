@@ -156,3 +156,149 @@ def test_h_index_witness(spark, duck):
     assert got == exp
     # substance: h is interior (neither 0 nor the full doc count)
     assert all(0 < h < n for n, h in exp.values())
+
+
+def test_linear_interpolate_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, "
+        f"(CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 32 "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    counts = collections.Counter(rows)
+    types = {t for t, _b in rows}
+    exp = {}
+    for t in types:
+        xs = [counts.get((t, b), 0) for b in range(32)]
+        knots = [b for b in range(32) if xs[b] % 3 != 0]
+        for b in range(32):
+            if xs[b] % 3 == 0:
+                lo = max((k for k in knots if k < b), default=None)
+                hi = min((k for k in knots if k > b), default=None)
+                if lo is not None and hi is not None:
+                    frac = (b - lo) / (hi - lo)
+                    exp[(t, b)] = (xs[b],
+                                   xs[lo] + (xs[hi] - xs[lo]) * frac)
+    got = {(r.event_type, r.b): (r.observed, r.interp)
+           for r in STAGED_QUERIES["q_linear_interpolate"](
+               spark, SF_DIR).collect()}
+    assert got == exp
+    # substance: real gaps got repaired with non-flat lines
+    assert any(ob != ip for ob, ip in exp.values())
+    assert len(exp) > 0
+
+
+def test_csv_sniff_witness(spark, duck):
+    docs = duck.sql(
+        f"SELECT source, text, n_chars, lang FROM "
+        f"'{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    import re
+    delims = [",", ";", "|", "#"]
+    per = collections.defaultdict(list)
+    for src, text, n, lang in docs:
+        d = delims[int(src[3:]) % 4]
+        f1 = re.sub("[^a-z]", "", text[:12].lower())
+        per[src].append((d, f"{f1}{d}{n}{d}{lang}"))
+    exp = {}
+    for src, lines in per.items():
+        planted = lines[0][0]
+        detected = None
+        fields = None
+        for c in delims:
+            ks = {l.count(c) for _d, l in lines}
+            if len(ks) == 1 and min(ks) >= 1:
+                k = ks.pop()
+                if detected is None or c > detected:
+                    detected, fields = c, k + 1
+        exp[src] = (detected, fields, len(lines))
+        assert detected == planted  # the sniffer must recover the plant
+    got = {r.source: (r.delim, r.n_fields, r.n_lines)
+           for r in STAGED_QUERIES["q_csv_sniff"](spark, SF_DIR).collect()}
+    assert got == exp
+
+
+def test_outlier_iqr_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, event_id, value FROM "
+        f"'{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for et, eid, v in rows:
+        per[et].append((int(math.floor(v)), eid))
+    got = {r.event_type: r for r in STAGED_QUERIES["q_outlier_iqr"](
+        spark, SF_DIR).collect()}
+    assert set(got) == set(per)
+    for et, xs in per.items():
+        xs.sort()
+        vals = [x for x, _e in xs]
+        n = len(vals)
+
+        def q7(p):
+            h = (n - 1) * p
+            lo = h // 100
+            frac = (h % 100) / 100
+            hi = min(lo + 1, n - 1)
+            return vals[lo] + frac * (vals[hi] - vals[lo])
+
+        q1, q3 = q7(25), q7(75)
+        lo_f, hi_f = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        n_out = sum(1 for v in vals if v < lo_f or v > hi_f)
+        r = got[et]
+        assert abs(r.q1 - q1) < 1e-9 and abs(r.q3 - q3) < 1e-9
+        assert abs(r.lo_fence - lo_f) < 1e-9
+        assert abs(r.hi_fence - hi_f) < 1e-9
+        assert (r.n, r.n_outliers) == (n, n_out)
+
+
+def test_readability_witness(spark, duck):
+    import re
+    docs = duck.sql(
+        f"SELECT source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for src, text in docs:
+        words = len([t for t in re.sub("[^a-zA-Z ]", " ", text)
+                    .lower().split(" ") if t])
+        sents = max(len(re.findall(r"[.!?]+", text)), 1)
+        syls = len(re.findall(r"[aeiouy]+", text.lower()))
+        a = agg[src]
+        a[0] += 1
+        a[1] += words
+        a[2] += sents
+        a[3] += syls
+    got = {r.source: r for r in STAGED_QUERIES["q_readability"](
+        spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for src, (nd, w, s, sy) in agg.items():
+        r = got[src]
+        assert (r.n_docs, r.words, r.sents, r.syls) == (nd, w, s, sy)
+        fk = 0.39 * (w / s) + 11.8 * (sy / w) - 15.59
+        assert abs(r.fk_grade - fk) < 1e-9
+    # substance: grades land in a plausible human band, not degenerate
+    grades = [r.fk_grade for r in got.values()]
+    assert min(grades) > -15 and max(grades) < 60
+
+
+def test_forecast_backtest_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, "
+        f"(CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 32 "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    counts = collections.Counter(rows)
+    types = {t for t, _b in rows}
+    exp = {}
+    for t in types:
+        xs = [counts.get((t, b), 0) for b in range(32)]
+        e_n = [abs(xs[b] - xs[b - 1]) for b in range(24, 32)]
+        e_s = [abs(xs[b] - xs[b - 24]) for b in range(24, 32)]
+        winner = ("seasonal" if sum(e_s) < sum(e_n)
+                  else ("naive" if sum(e_n) < sum(e_s) else "tie"))
+        exp[t] = (len(e_n), sum(e_n), sum(e_s),
+                  sum(e_n) / len(e_n), sum(e_s) / len(e_s), winner)
+    got = {r.event_type:
+           (r.n_evals, r.ae_naive, r.ae_snaive, r.mae_naive,
+            r.mae_snaive, r.winner)
+           for r in STAGED_QUERIES["q_forecast_backtest"](
+               spark, SF_DIR).collect()}
+    assert got == exp
