@@ -1070,3 +1070,435 @@ def q_forecast_backtest(spark, sf_dir):
         .otherwise(F.lit("tie"))
         .alias("winner"),
     )
+
+
+@staged(
+    "q_ua_parse",
+    oracle="""
+    WITH ua AS (
+      SELECT event_id,
+             concat('Mozilla/5.0 (',
+                    CASE user_id % 3 WHEN 0 THEN 'Windows NT 10.0'
+                      WHEN 1 THEN 'Macintosh; Intel Mac OS X 10_15'
+                      ELSE 'X11; Linux x86_64' END,
+                    ') ',
+                    CASE event_id % 3 WHEN 0
+                      THEN concat('Chrome/',
+                                  CAST(100 + event_id % 30 AS VARCHAR),
+                                  '.0.0.0 Safari/537.36')
+                      WHEN 1
+                      THEN concat('Firefox/',
+                                  CAST(90 + event_id % 40 AS VARCHAR),
+                                  '.0')
+                      ELSE concat('Version/',
+                                  CAST(14 + event_id % 4 AS VARCHAR),
+                                  '.0 Safari/605.1.15') END) AS s
+      FROM events
+    ),
+    parsed AS (
+      SELECT CASE WHEN s LIKE '%Chrome/%' THEN 'chrome'
+                  WHEN s LIKE '%Firefox/%' THEN 'firefox'
+                  ELSE 'safari' END AS browser,
+             CASE WHEN regexp_extract(s, 'Chrome/([0-9]+)', 1) != ''
+                  THEN CAST(regexp_extract(s, 'Chrome/([0-9]+)', 1)
+                            AS BIGINT)
+                  WHEN regexp_extract(s, 'Firefox/([0-9]+)', 1) != ''
+                  THEN CAST(regexp_extract(s, 'Firefox/([0-9]+)', 1)
+                            AS BIGINT)
+                  ELSE CAST(regexp_extract(s, 'Version/([0-9]+)', 1)
+                            AS BIGINT) END AS major,
+             CASE WHEN s LIKE '%Windows%' THEN 'windows'
+                  WHEN s LIKE '%Mac OS X%' THEN 'macos'
+                  ELSE 'linux' END AS os
+      FROM ua
+    )
+    SELECT browser, os,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(major) AS BIGINT) AS min_major,
+           CAST(MAX(major) AS BIGINT) AS max_major
+    FROM parsed GROUP BY browser, os
+    """,
+)
+def q_ua_parse(spark, sf_dir):
+    """USER-AGENT PARSING — the rule-based enrichment every access-log
+    pipeline runs at ingest (the string-side sibling of q_cidr_enrich):
+    classify browser family by marker token, extract the major version
+    with family-specific regexes (Safari reports Version/, not
+    Safari/ — the classic UA trap, planted here), and classify OS from
+    the parenthesized platform segment.
+
+    Synthesized UAs cover the 3×3 family/OS grid with data-dependent
+    versions so every regex branch is exercised. All LIKE + regex
+    built-ins (partition-local, codegen), one shuffle for the
+    (browser, os) rollup with version ranges as the parse audit."""
+    ev = _t(spark, sf_dir, "events")
+    ua = ev.select(
+        F.concat(
+            F.lit("Mozilla/5.0 ("),
+            F.expr(
+                "CASE user_id % 3 WHEN 0 THEN 'Windows NT 10.0'"
+                " WHEN 1 THEN 'Macintosh; Intel Mac OS X 10_15'"
+                " ELSE 'X11; Linux x86_64' END"
+            ),
+            F.lit(") "),
+            F.expr(
+                "CASE event_id % 3 WHEN 0"
+                " THEN concat('Chrome/',"
+                "             CAST(100 + event_id % 30 AS STRING),"
+                "             '.0.0.0 Safari/537.36')"
+                " WHEN 1"
+                " THEN concat('Firefox/',"
+                "             CAST(90 + event_id % 40 AS STRING), '.0')"
+                " ELSE concat('Version/',"
+                "             CAST(14 + event_id % 4 AS STRING),"
+                "             '.0 Safari/605.1.15') END"
+            ),
+        ).alias("s")
+    )
+    parsed = ua.select(
+        F.when(F.col("s").like("%Chrome/%"), F.lit("chrome"))
+        .when(F.col("s").like("%Firefox/%"), F.lit("firefox"))
+        .otherwise(F.lit("safari"))
+        .alias("browser"),
+        F.when(
+            F.regexp_extract("s", r"Chrome/([0-9]+)", 1) != "",
+            F.regexp_extract("s", r"Chrome/([0-9]+)", 1).cast("bigint"),
+        )
+        .when(
+            F.regexp_extract("s", r"Firefox/([0-9]+)", 1) != "",
+            F.regexp_extract("s", r"Firefox/([0-9]+)", 1).cast("bigint"),
+        )
+        .otherwise(
+            F.regexp_extract("s", r"Version/([0-9]+)", 1).cast("bigint")
+        )
+        .alias("major"),
+        F.when(F.col("s").like("%Windows%"), F.lit("windows"))
+        .when(F.col("s").like("%Mac OS X%"), F.lit("macos"))
+        .otherwise(F.lit("linux"))
+        .alias("os"),
+    )
+    return parsed.groupBy("browser", "os").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("major").cast("bigint").alias("min_major"),
+        F.max("major").cast("bigint").alias("max_major"),
+    )
+
+
+@staged(
+    "q_modularity",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT
+             least(user_id % 41, (2 * user_id + event_id) % 41) AS a,
+             greatest(user_id % 41, (2 * user_id + event_id) % 41) AS b
+      FROM events
+      WHERE least(user_id % 41, (2 * user_id + event_id) % 41)
+            != greatest(user_id % 41, (2 * user_id + event_id) % 41)
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    within AS (
+      SELECT a % 4 AS community, CAST(COUNT(*) AS BIGINT) AS e_c
+      FROM edges WHERE a % 4 = b % 4 GROUP BY community
+    ),
+    degs AS (
+      SELECT v % 4 AS community, CAST(SUM(d) AS BIGINT) AS d_c
+      FROM (
+        SELECT a AS v, COUNT(*) AS d FROM edges GROUP BY a
+        UNION ALL
+        SELECT b AS v, COUNT(*) AS d FROM edges GROUP BY b
+      ) GROUP BY community
+    )
+    SELECT d.community,
+           COALESCE(w.e_c, 0) AS e_c,
+           d.d_c,
+           CAST(4 * m.m * COALESCE(w.e_c, 0) - d.d_c * d.d_c AS DOUBLE)
+             / CAST(4 * m.m * m.m AS DOUBLE) AS q_contrib
+    FROM degs d LEFT JOIN within w ON d.community = w.community
+    CROSS JOIN m
+    """,
+)
+def q_modularity(spark, sf_dir):
+    """GRAPH MODULARITY per community — the partition-quality score
+    behind every community-detection loop (q_label_propagation finds
+    the labels; this evaluates them): Q = Σ_c [e_c/m − (d_c/2m)²]
+    over the 41-node event graph (q_kcore's edge construction) with
+    the v%4 partition.
+
+    The whole score reduces to THREE integer aggregates (edge count m,
+    within-community edges e_c, community degree sums d_c — degrees
+    via a two-sided endpoint union so undirected edges count once per
+    endpoint), and each community's contribution is the single exact
+    division (4m·e_c − d_c²)/(4m²) — the algebraic clearing that keeps
+    modularity on the integer lattice until one final divide. The
+    1-row m frame broadcasts; nothing iterates. Σ q_contrib IS Q, but
+    the per-community rows are emitted so the comparison is granular
+    (and the witness checks Q ∈ [−½, 1])."""
+    ev = _t(spark, sf_dir, "events")
+    edges = (
+        ev.selectExpr(
+            "least(user_id % 41, (2 * user_id + event_id) % 41) AS a",
+            "greatest(user_id % 41, (2 * user_id + event_id) % 41) AS b",
+        )
+        .filter("a != b")
+        .distinct()
+    )
+    m = edges.agg(F.count("*").cast("bigint").alias("m"))
+    within = (
+        edges.filter(F.col("a") % 4 == F.col("b") % 4)
+        .groupBy((F.col("a") % 4).alias("community"))
+        .agg(F.count("*").cast("bigint").alias("e_c"))
+    )
+    degs = (
+        edges.groupBy(F.col("a").alias("v"))
+        .agg(F.count("*").alias("d"))
+        .unionByName(
+            edges.groupBy(F.col("b").alias("v")).agg(
+                F.count("*").alias("d")
+            )
+        )
+        .groupBy((F.col("v") % 4).alias("community"))
+        .agg(F.sum("d").cast("bigint").alias("d_c"))
+    )
+    return (
+        degs.join(within, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            F.coalesce("e_c", F.lit(0)).cast("bigint").alias("e_c"),
+            "d_c",
+            (
+                (
+                    4 * F.col("m") * F.coalesce("e_c", F.lit(0))
+                    - F.col("d_c") * F.col("d_c")
+                ).cast("double")
+                / (4 * F.col("m") * F.col("m")).cast("double")
+            ).alias("q_contrib"),
+        )
+    )
+
+
+@staged(
+    "q_table_checksum",
+    oracle="""
+    WITH hashed AS (
+      SELECT l_returnflag, l_linestatus,
+             ('0x' || substring(md5(concat_ws('|',
+                CAST(l_orderkey AS VARCHAR),
+                CAST(l_linenumber AS VARCHAR),
+                CAST(l_partkey AS VARCHAR),
+                CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR))),
+                1, 15))::BIGINT AS h
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(bit_xor(h) AS BIGINT) AS xor_sum,
+           CAST(SUM(h % 1000003) AS BIGINT) AS mod_sum
+    FROM hashed GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_table_checksum(spark, sf_dir):
+    """ORDER-INSENSITIVE TABLE CHECKSUM per partition group — the
+    integrity primitive replication / migration audits run on both
+    sides of a copy (compare checksums, not rows): md5 each row's
+    canonical key projection to a 60-bit integer, then combine with
+    TWO commutative reductions — XOR (catches any single-row
+    difference, cancels on even duplicates) and a modular SUM (catches
+    the even-duplicate case XOR misses) — plus the row count. A
+    mismatch in any of the three localizes to the partition group,
+    turning a table-diff into a partition-diff.
+
+    Both reductions are mergeable O(1)-state aggregates (map-side
+    combine does almost all the work; the shuffle carries 3 integers
+    per group) — exactly the shape that still works at 100 TB where a
+    row-level anti-join diff would not. The mod_sum stays far inside
+    int64 (≤ 1000003 · rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    hashed = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                        F.col("l_partkey").cast("string"),
+                        F.floor("l_quantity").cast("bigint").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    return hashed.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("bit_xor(h)").cast("bigint").alias("xor_sum"),
+        F.sum(F.col("h") % 1000003).cast("bigint").alias("mod_sum"),
+    )
+
+
+@staged(
+    "q_er_score",
+    oracle="""
+    WITH parts AS (
+      SELECT p_partkey, p_brand, p_size,
+             string_split(p_name, ' ')[2] AS noun,
+             string_split(p_type, ' ')[1] AS tword
+      FROM part
+    ),
+    pairs AS (
+      SELECT a.p_partkey AS ka, b.p_partkey AS kb,
+             (CASE WHEN a.p_brand = b.p_brand THEN 3 ELSE 0 END
+              + CASE WHEN a.tword = b.tword THEN 2 ELSE 0 END
+              + CASE WHEN abs(a.p_size - b.p_size) <= 2 THEN 1 ELSE 0
+                END) AS score
+      FROM parts a JOIN parts b
+        ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+    ),
+    classed AS (
+      SELECT CASE WHEN score >= 5 THEN 'match'
+                  WHEN score >= 3 THEN 'possible'
+                  ELSE 'non_match' END AS verdict,
+             score
+      FROM pairs
+    )
+    SELECT verdict,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(score) AS BIGINT) AS score_sum,
+           CAST(SUM(score) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_score
+    FROM classed GROUP BY verdict
+    """,
+)
+def q_er_score(spark, sf_dir):
+    """ENTITY-RESOLUTION SCORING over blocked pairs — the
+    Fellegi-Sunter-style back half whose front half is
+    q_phonetic_blocking: candidate pairs come only from a BLOCK join
+    (same name noun — equi-keyed, never all-pairs), each pair scores
+    integer agreement weights per field (brand +3, type word +2, size
+    within ±2 +1), and thresholds classify match / possible /
+    non-match.
+
+    The block join is the scale contract: pair count is Σ_b |b|²
+    over block sizes, not n² — the histogram q_phonetic_blocking
+    emits is precisely the blow-up audit for THIS join. Scores and
+    thresholds are pure integers; only the per-verdict mean divides.
+    The a < b key order emits each unordered pair once."""
+    pt = _t(spark, sf_dir, "part")
+    parts = pt.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.expr("element_at(split(p_name, ' '), 2)").alias("noun"),
+        F.expr("element_at(split(p_type, ' '), 1)").alias("tword"),
+    )
+    a = parts.alias("a")
+    b = parts.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.noun") == F.col("b.noun"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+    ).select(
+        (
+            F.when(F.col("a.p_brand") == F.col("b.p_brand"), 3).otherwise(0)
+            + F.when(F.col("a.tword") == F.col("b.tword"), 2).otherwise(0)
+            + F.when(
+                F.abs(F.col("a.p_size") - F.col("b.p_size")) <= 2, 1
+            ).otherwise(0)
+        ).alias("score")
+    )
+    classed = pairs.select(
+        F.when(F.col("score") >= 5, F.lit("match"))
+        .when(F.col("score") >= 3, F.lit("possible"))
+        .otherwise(F.lit("non_match"))
+        .alias("verdict"),
+        "score",
+    )
+    return classed.groupBy("verdict").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("score").cast("bigint").alias("score_sum"),
+        (
+            F.sum("score").cast("double") / F.count("*").cast("double")
+        ).alias("avg_score"),
+    )
+
+
+@staged(
+    "q_flow_stitch",
+    oracle="""
+    WITH flows AS (
+      SELECT user_id % 50 AS src,
+             (user_id * 7 + event_id) % 50 AS dst,
+             CAST(floor(value) AS BIGINT) AS bytes
+      FROM events
+      WHERE user_id % 50 != (user_id * 7 + event_id) % 50
+    ),
+    canon AS (
+      SELECT least(src, dst) AS lo, greatest(src, dst) AS hi,
+             CASE WHEN src < dst THEN bytes ELSE 0 END AS fwd_b,
+             CASE WHEN src > dst THEN bytes ELSE 0 END AS rev_b,
+             CASE WHEN src < dst THEN 1 ELSE 0 END AS fwd_n,
+             CASE WHEN src > dst THEN 1 ELSE 0 END AS rev_n
+      FROM flows
+    )
+    SELECT lo, hi,
+           CAST(SUM(fwd_n) AS BIGINT) AS n_fwd,
+           CAST(SUM(rev_n) AS BIGINT) AS n_rev,
+           CAST(SUM(fwd_b) AS BIGINT) AS bytes_fwd,
+           CAST(SUM(rev_b) AS BIGINT) AS bytes_rev,
+           CASE WHEN SUM(fwd_n) > 0 AND SUM(rev_n) > 0
+                THEN 1 ELSE 0 END AS bidirectional
+    FROM canon GROUP BY lo, hi
+    """,
+)
+def q_flow_stitch(spark, sf_dir):
+    """BIDIRECTIONAL FLOW STITCHING — the session-reassembly pass a
+    flow-log analyzer runs before any conversation-level analytics
+    (VPC flow logs record each direction as a separate record; NAT/
+    asymmetric-routing audits need them paired): canonicalize each
+    flow to its unordered endpoint pair via (least, greatest), fold
+    direction into per-side counters in the SAME aggregation, and
+    flag pairs seen in both directions.
+
+    One canonical-key groupBy — no self-join (the naive A→B ⋈ B→A
+    pairing shuffles twice and drops one-sided flows; the
+    canonicalize-then-aggregate shape is one exchange and keeps them).
+    Direction survives canonicalization as conditional columns, the
+    trick that makes the single pass sufficient. All-integer."""
+    ev = _t(spark, sf_dir, "events")
+    flows = ev.select(
+        (F.col("user_id") % 50).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % 50).alias("dst"),
+        F.floor("value").cast("bigint").alias("bytes"),
+    ).filter(F.col("src") != F.col("dst"))
+    canon = flows.select(
+        F.least("src", "dst").alias("lo"),
+        F.greatest("src", "dst").alias("hi"),
+        F.when(F.col("src") < F.col("dst"), F.col("bytes"))
+        .otherwise(0)
+        .alias("fwd_b"),
+        F.when(F.col("src") > F.col("dst"), F.col("bytes"))
+        .otherwise(0)
+        .alias("rev_b"),
+        F.when(F.col("src") < F.col("dst"), 1).otherwise(0).alias("fwd_n"),
+        F.when(F.col("src") > F.col("dst"), 1).otherwise(0).alias("rev_n"),
+    )
+    return canon.groupBy("lo", "hi").agg(
+        F.sum("fwd_n").cast("bigint").alias("n_fwd"),
+        F.sum("rev_n").cast("bigint").alias("n_rev"),
+        F.sum("fwd_b").cast("bigint").alias("bytes_fwd"),
+        F.sum("rev_b").cast("bigint").alias("bytes_rev"),
+        F.when(
+            (F.sum("fwd_n") > 0) & (F.sum("rev_n") > 0), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("bidirectional"),
+    )

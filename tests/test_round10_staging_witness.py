@@ -302,3 +302,145 @@ def test_forecast_backtest_witness(spark, duck):
            for r in STAGED_QUERIES["q_forecast_backtest"](
                spark, SF_DIR).collect()}
     assert got == exp
+
+
+def test_ua_parse_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_id, user_id FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    agg = collections.defaultdict(lambda: [0, 10**9, -1])
+    for eid, uid in rows:
+        os_ = ["windows", "macos", "linux"][uid % 3]
+        fam = eid % 3
+        browser = ["chrome", "firefox", "safari"][fam]
+        major = [100 + eid % 30, 90 + eid % 40, 14 + eid % 4][fam]
+        a = agg[(browser, os_)]
+        a[0] += 1
+        a[1] = min(a[1], major)
+        a[2] = max(a[2], major)
+    got = {(r.browser, r.os): (r.n, r.min_major, r.max_major)
+           for r in STAGED_QUERIES["q_ua_parse"](spark, SF_DIR).collect()}
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # substance: the full 3x3 family/os grid is populated
+    assert len(got) == 9
+
+
+def test_modularity_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, event_id FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    edges = set()
+    for uid, eid in rows:
+        a, b = uid % 41, (2 * uid + eid) % 41
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    m = len(edges)
+    e_c = collections.Counter()
+    d_c = collections.Counter()
+    for a, b in edges:
+        if a % 4 == b % 4:
+            e_c[a % 4] += 1
+        d_c[a % 4] += 1
+        d_c[b % 4] += 1
+    got = {r.community: (r.e_c, r.d_c, r.q_contrib)
+           for r in STAGED_QUERIES["q_modularity"](
+               spark, SF_DIR).collect()}
+    assert set(got) == set(d_c)
+    q_total = 0.0
+    for c in d_c:
+        ge, gd, gq = got[c]
+        assert (ge, gd) == (e_c[c], d_c[c])
+        expect = (4 * m * e_c[c] - d_c[c] ** 2) / (4 * m * m)
+        assert abs(gq - expect) < 1e-12
+        q_total += gq
+    # substance: modularity is a valid score, not degenerate
+    assert -0.5 <= q_total <= 1.0
+    assert sum(d_c.values()) == 2 * m  # handshake identity
+
+
+def test_table_checksum_witness(spark, duck):
+    import hashlib
+    rows = duck.sql(
+        f"SELECT l_returnflag, l_linestatus, l_orderkey, l_linenumber, "
+        f"l_partkey, l_quantity FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for rf, ls, ok, ln, pk, q in rows:
+        s = f"{ok}|{ln}|{pk}|{int(math.floor(q))}"
+        h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+        a = agg[(rf, ls)]
+        a[0] += 1
+        a[1] ^= h
+        a[2] += h % 1000003
+    got = {(r.l_returnflag, r.l_linestatus):
+           (r.n, r.xor_sum, r.mod_sum)
+           for r in STAGED_QUERIES["q_table_checksum"](
+               spark, SF_DIR).collect()}
+    assert got == {k: tuple(v) for k, v in agg.items()}
+    # substance: a single-row perturbation flips the checksum
+    (k0, (n0, x0, m0)) = next(iter(agg.items()))
+    assert x0 != 0 and m0 > 0
+
+
+def test_er_score_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT p_partkey, p_brand, p_size, p_name, p_type "
+        f"FROM '{SF_DIR}/part.parquet'"
+    ).fetchall()
+    blocks = collections.defaultdict(list)
+    for pk, br, sz, name, typ in rows:
+        blocks[name.split(" ")[1]].append(
+            (pk, br, sz, typ.split(" ")[0]))
+    agg = collections.defaultdict(lambda: [0, 0])
+    for noun, items in blocks.items():
+        items.sort()
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                pa, ba, sa, ta = items[i]
+                pb, bb, sb, tb = items[j]
+                score = ((3 if ba == bb else 0)
+                         + (2 if ta == tb else 0)
+                         + (1 if abs(sa - sb) <= 2 else 0))
+                verdict = ("match" if score >= 5
+                           else "possible" if score >= 3 else "non_match")
+                agg[verdict][0] += 1
+                agg[verdict][1] += score
+    got = {r.verdict: (r.n_pairs, r.score_sum, r.avg_score)
+           for r in STAGED_QUERIES["q_er_score"](spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for v, (n, s) in agg.items():
+        gn, gs, ga = got[v]
+        assert (gn, gs) == (n, s)
+        assert abs(ga - s / n) < 1e-12
+    # substance: all three verdict classes occur
+    assert set(agg) == {"match", "possible", "non_match"}
+
+
+def test_flow_stitch_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, event_id, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for uid, eid, v in rows:
+        src, dst = uid % 50, (uid * 7 + eid) % 50
+        if src == dst:
+            continue
+        byt = int(math.floor(v))
+        k = (min(src, dst), max(src, dst))
+        a = agg[k]
+        if src < dst:
+            a[0] += 1
+            a[2] += byt
+        else:
+            a[1] += 1
+            a[3] += byt
+    got = {(r.lo, r.hi):
+           (r.n_fwd, r.n_rev, r.bytes_fwd, r.bytes_rev, r.bidirectional)
+           for r in STAGED_QUERIES["q_flow_stitch"](
+               spark, SF_DIR).collect()}
+    exp = {k: (nf, nr, bf, br, 1 if (nf > 0 and nr > 0) else 0)
+           for k, (nf, nr, bf, br) in agg.items()}
+    assert got == exp
+    # substance: stitching found both paired and one-sided flows
+    flags = {v[4] for v in exp.values()}
+    assert flags == {0, 1}
