@@ -1502,3 +1502,451 @@ def q_flow_stitch(spark, sf_dir):
         .cast("int")
         .alias("bidirectional"),
     )
+
+
+@staged(
+    "q_feature_hash_audit",
+    oracle="""
+    WITH words AS (
+      SELECT list_filter(string_split(lower(
+               regexp_replace(text, '[^a-zA-Z0-9 ]', ' ', 'g')), ' '),
+               t -> t != '') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT DISTINCT unnest(list_transform(
+               generate_series(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i + 1])) AS tok
+      FROM words WHERE len(ws) >= 2
+    ),
+    hashed AS (
+      SELECT tok,
+             ('0x' || substring(md5(tok), 1, 15))::BIGINT AS h
+      FROM toks
+    ),
+    ks AS (SELECT unnest([256, 1024, 4096]) AS n_buckets)
+    SELECT k.n_buckets,
+           CAST(COUNT(*) AS BIGINT) AS n_features,
+           CAST(COUNT(DISTINCT h.h % k.n_buckets) AS BIGINT)
+             AS n_used_buckets,
+           CAST(COUNT(*) - COUNT(DISTINCT h.h % k.n_buckets) AS BIGINT)
+             AS n_collisions
+    FROM hashed h, ks k
+    GROUP BY k.n_buckets
+    """,
+)
+def q_feature_hash_audit(spark, sf_dir):
+    """FEATURE-HASHING COLLISION AUDIT — the capacity check behind the
+    hashing trick (Weinberger et al.): before a pipeline hashes its
+    vocabulary into 2^k feature buckets, measure exactly how many
+    distinct features collide at each candidate width. Collisions =
+    |features| − |occupied buckets|, computed per width against the
+    corpus's real distinct-token set (the shingle tokenizer's output),
+    with the same md5→60-bit→mod bucket function the downstream
+    featurizer would use. Features are adjacent-token BIGRAMS — the
+    unigram vocabulary of this corpus (31 words) fits every candidate
+    width collision-free, so bigrams (916) are what make the audit
+    informative.
+
+    One distinct-token reduction (map-side combined), then a broadcast
+    3-row width table and per-width COUNT DISTINCT — the audit costs
+    one pass regardless of how many widths are probed. At 100 TB the
+    token distinct is the only real shuffle; everything after operates
+    on the vocabulary, not the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.expr(
+                "filter(split(lower(regexp_replace(text,"
+                " '[^a-zA-Z0-9 ]', ' ')), ' '), t -> t != '')"
+            ).alias("ws")
+        )
+        .filter(F.expr("size(ws) >= 2"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1), i ->"
+                    " concat(element_at(ws, i), ' ',"
+                    "        element_at(ws, i + 1)))"
+                )
+            ).alias("tok")
+        )
+        .distinct()
+    )
+    hashed = toks.select(
+        F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    ks = spark.createDataFrame([(256,), (1024,), (4096,)], ["n_buckets"])
+    return (
+        hashed.crossJoin(F.broadcast(ks))
+        .groupBy("n_buckets")
+        .agg(
+            F.count("*").cast("bigint").alias("n_features"),
+            F.countDistinct(F.col("h") % F.col("n_buckets"))
+            .cast("bigint")
+            .alias("n_used_buckets"),
+            (
+                F.count("*")
+                - F.countDistinct(F.col("h") % F.col("n_buckets"))
+            )
+            .cast("bigint")
+            .alias("n_collisions"),
+        )
+    )
+
+
+@staged(
+    "q_revenue_recognition",
+    oracle="""
+    WITH sched AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             1 + o_orderkey % 4 AS n_periods,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m')
+               AS start_month,
+             unnest(range(0, 1 + o_orderkey % 4)) AS k
+      FROM orders
+    ),
+    spread AS (
+      SELECT strftime(date_trunc('month', o_orderdate)
+                      + to_months(CAST(s.k AS INT)), '%Y-%m')
+               AS period,
+             s.cents // s.n_periods
+             + CASE WHEN s.k < s.cents % s.n_periods THEN 1 ELSE 0 END
+               AS rec_cents
+      FROM sched s JOIN orders o ON s.o_orderkey = o.o_orderkey
+    )
+    SELECT period,
+           CAST(COUNT(*) AS BIGINT) AS n_slices,
+           CAST(SUM(rec_cents) AS BIGINT) AS recognized_cents
+    FROM spread GROUP BY period
+    """,
+)
+def q_revenue_recognition(spark, sf_dir):
+    """REVENUE-RECOGNITION SCHEDULE — the deferral waterfall an
+    accounting close runs (ASC 606 flavor): each order's total spreads
+    over its contract term (1–4 months, key-derived) in equal monthly
+    slices, with the integer REMAINDER distributed one cent at a time
+    to the EARLIEST periods (the largest-remainder rule q_largest_
+    remainder uses for seats, applied to cents — Σ slices ≡ the
+    original total exactly, the invariant the witness pins per order).
+
+    The spread is one explode against a per-order month sequence (no
+    join against a calendar — the sequence is derived from the order
+    row) followed by one per-period rollup; money stays integer CENTS
+    end-to-end (floor(price·100) — never floating-point currency).
+    At 100 TB: fan-out ≤ 4×, one exchange."""
+    od = _t(spark, sf_dir, "orders")
+    sched = od.select(
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        (1 + F.col("o_orderkey") % 4).alias("n_periods"),
+        F.date_trunc("month", "o_orderdate").alias("m0"),
+        F.explode(
+            F.expr("sequence(0, CAST(o_orderkey % 4 AS INT))")
+        ).alias("k"),
+    )
+    spread = sched.select(
+        F.date_format(
+            F.expr("add_months(m0, k)"), "yyyy-MM"
+        ).alias("period"),
+        (
+            F.expr("cents div n_periods")
+            + F.when(
+                F.col("k") < F.col("cents") % F.col("n_periods"), 1
+            ).otherwise(0)
+        ).alias("rec_cents"),
+    )
+    return spread.groupBy("period").agg(
+        F.count("*").cast("bigint").alias("n_slices"),
+        F.sum("rec_cents").cast("bigint").alias("recognized_cents"),
+    )
+
+
+@staged(
+    "q_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treated,
+             CAST(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sy
+      FROM events GROUP BY treated, post
+    )
+    SELECT treated, post, n, sy,
+           CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+           (SELECT (CAST(t1.sy AS DOUBLE) / t1.n
+                    - CAST(t0.sy AS DOUBLE) / t0.n)
+                   - (CAST(c1.sy AS DOUBLE) / c1.n
+                      - CAST(c0.sy AS DOUBLE) / c0.n)
+            FROM cells t1, cells t0, cells c1, cells c0
+            WHERE t1.treated = 1 AND t1.post = 1
+              AND t0.treated = 1 AND t0.post = 0
+              AND c1.treated = 0 AND c1.post = 1
+              AND c0.treated = 0 AND c0.post = 0) AS did_estimate
+    FROM cells
+    """,
+)
+def q_diff_in_diff(spark, sf_dir):
+    """DIFFERENCE-IN-DIFFERENCES — the quasi-experimental estimator for
+    rollouts without randomization (completes the causal family:
+    q_ab_test randomized deltas, q_ab_cuped variance reduction,
+    q_ratio_delta_method ratio SEs): DiD = (treated-post −
+    treated-pre) − (control-post − control-pre), differencing away
+    both the group's fixed offset and the period's common shock.
+
+    The whole estimator is a 2×2 cell aggregation (one
+    map-side-combined pass) plus a four-cell arithmetic readout; the
+    estimate rides on every output row next to its cell mean so the
+    result is one relation (cells + estimate), not a scalar side
+    channel. Integer lattice to the final fixed division chain."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("treated"),
+        F.when(F.col("event_id") % 3 == 0, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("post"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("sy"),
+    )
+    mean = F.col("sy").cast("double") / F.col("n").cast("double")
+    # assemble the 4 cell means via broadcasts of 1-row slices — no
+    # driver collect
+    t1 = cells.filter("treated = 1 AND post = 1").select(
+        (F.col("sy").cast("double") / F.col("n")).alias("m_t1")
+    )
+    t0 = cells.filter("treated = 1 AND post = 0").select(
+        (F.col("sy").cast("double") / F.col("n")).alias("m_t0")
+    )
+    c1 = cells.filter("treated = 0 AND post = 1").select(
+        (F.col("sy").cast("double") / F.col("n")).alias("m_c1")
+    )
+    c0 = cells.filter("treated = 0 AND post = 0").select(
+        (F.col("sy").cast("double") / F.col("n")).alias("m_c0")
+    )
+    did = (
+        t1.crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c0))
+        .select(
+            (
+                (F.col("m_t1") - F.col("m_t0"))
+                - (F.col("m_c1") - F.col("m_c0"))
+            ).alias("did_estimate")
+        )
+    )
+    return cells.crossJoin(F.broadcast(did)).select(
+        "treated",
+        "post",
+        "n",
+        "sy",
+        mean.alias("mean_y"),
+        "did_estimate",
+    )
+
+
+@staged(
+    "q_grid_hotspot",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(event_id % 40 AS BIGINT) AS x,
+             CAST(user_id % 25 AS BIGINT) AS y,
+             CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY x, y
+    ),
+    offs AS (
+      SELECT (i // 3) - 1 AS dx, (i % 3) - 1 AS dy
+      FROM (SELECT unnest(range(0, 9)) AS i)
+    ),
+    local_ AS (
+      SELECT c.x + o.dx AS x, c.y + o.dy AS y,
+             CAST(SUM(c.v) AS BIGINT) AS lsum,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM cells c, offs o
+      WHERE c.x + o.dx BETWEEN 0 AND 39
+        AND c.y + o.dy BETWEEN 0 AND 24
+      GROUP BY 1, 2
+    ),
+    g AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v) AS BIGINT) AS sv,
+             CAST(SUM(v * v) AS BIGINT) AS svv
+      FROM cells
+    )
+    SELECT l.x, l.y, l.lsum, l.k,
+           (CAST(l.lsum AS DOUBLE)
+            - l.k * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE)))
+           / sqrt(CAST(l.k AS DOUBLE)
+                  * (CAST(g.n * g.svv - g.sv * g.sv AS DOUBLE)
+                     / CAST(g.n * (g.n - 1) AS DOUBLE)))
+             AS z
+    FROM local_ l CROSS JOIN g
+    WHERE (CAST(l.lsum AS DOUBLE)
+           - l.k * (CAST(g.sv AS DOUBLE) / CAST(g.n AS DOUBLE)))
+          / sqrt(CAST(l.k AS DOUBLE)
+                 * (CAST(g.n * g.svv - g.sv * g.sv AS DOUBLE)
+                    / CAST(g.n * (g.n - 1) AS DOUBLE))) > 2.0
+    """,
+)
+def q_grid_hotspot(spark, sf_dir):
+    """SPATIAL HOTSPOT DETECTION (Getis-Ord-style local z) — the
+    composition layer over q_grid_stencil's scatter-gather: each
+    cell's 3×3 neighborhood sum is z-scored against what k random
+    cells would sum to (k·mean, sd·√k), and cells with z > 2 are the
+    hotspots a geo-monitoring pipeline alerts on.
+
+    The neighborhood sums reuse the broadcast-offsets fan-out (one
+    join, one gather exchange); the global moments are ONE 1-row
+    aggregate broadcast into the z expression; the z chain is a fixed
+    division/sqrt sequence off the integer lattice, written once and
+    reused verbatim in the threshold predicate so both engines
+    evaluate the identical tree twice. Border cells are handled by
+    k (the actual neighbor count), not padding — the z normalization
+    self-adjusts at edges."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("event_id") % 40).cast("bigint").alias("x"),
+        (F.col("user_id") % 25).cast("bigint").alias("y"),
+    ).agg(
+        F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("v")
+    )
+    offs = spark.range(9).select(
+        F.expr("CAST(id div 3 AS BIGINT) - 1").alias("dx"),
+        (F.col("id") % 3 - 1).alias("dy"),
+    )
+    local = (
+        cells.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("x") + F.col("dx")).cast("bigint").alias("x"),
+            (F.col("y") + F.col("dy")).cast("bigint").alias("y"),
+            "v",
+        )
+        .filter(
+            (F.col("x") >= 0)
+            & (F.col("x") <= 39)
+            & (F.col("y") >= 0)
+            & (F.col("y") <= 24)
+        )
+        .groupBy("x", "y")
+        .agg(
+            F.sum("v").cast("bigint").alias("lsum"),
+            F.count("*").cast("bigint").alias("k"),
+        )
+    )
+    g = cells.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("svv"),
+    )
+    z = (
+        F.col("lsum").cast("double")
+        - F.col("k") * (F.col("sv").cast("double") / F.col("n").cast("double"))
+    ) / F.sqrt(
+        F.col("k").cast("double")
+        * (
+            (F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")).cast(
+                "double"
+            )
+            / (F.col("n") * (F.col("n") - 1)).cast("double")
+        )
+    )
+    return (
+        local.crossJoin(F.broadcast(g))
+        .filter(z > 2.0)
+        .select("x", "y", "lsum", "k", z.alias("z"))
+    )
+
+
+@staged(
+    "q_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS line_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    matched AS (
+      SELECT o.o_orderkey,
+             CAST(floor(o.o_totalprice * 100) AS BIGINT) AS order_cents,
+             li.line_cents, li.n_lines,
+             CASE
+               WHEN li.l_orderkey IS NULL THEN 'no_lines'
+               WHEN abs(CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                        - li.line_cents)
+                    * 100 <= CAST(floor(o.o_totalprice * 100) AS BIGINT)
+                 THEN 'within_1pct'
+               ELSE 'mismatch'
+             END AS status
+      FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(order_cents) AS BIGINT) AS order_cents,
+           CAST(SUM(COALESCE(line_cents, 0)) AS BIGINT) AS line_cents,
+           CAST(SUM(abs(order_cents - COALESCE(line_cents, 0)))
+                AS BIGINT) AS abs_gap_cents
+    FROM matched GROUP BY status
+    """,
+)
+def q_reconciliation(spark, sf_dir):
+    """TWO-WAY RECONCILIATION (order header vs line detail) — the
+    close-of-books control q_ref_integrity's existence check doesn't
+    cover: roll line amounts up per order and classify each order by
+    whether the header total agrees WITHIN TOLERANCE (1%, expressed as
+    the cross-multiplied integer predicate |gap|·100 ≤ total — no
+    float ratio, so the tolerance band has no rounding edge), plus the
+    headers with no lines at all.
+
+    One map-side-combined line rollup, one left join on the order key,
+    one status rollup carrying both sides' totals and the absolute gap
+    (the number an auditor chases). Money stays integer cents; at
+    100 TB both joins are equi-keyed on the same key so co-partitioned
+    layouts make the whole control shuffle-once."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders")
+    rolled = li.groupBy("l_orderkey").agg(
+        F.sum(F.expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("line_cents"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+    matched = od.join(
+        rolled, od["o_orderkey"] == rolled["l_orderkey"], "left"
+    ).select(
+        F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias(
+            "order_cents"
+        ),
+        "line_cents",
+        F.when(F.col("l_orderkey").isNull(), F.lit("no_lines"))
+        .when(
+            F.abs(
+                F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")
+                - F.col("line_cents")
+            )
+            * 100
+            <= F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"),
+            F.lit("within_1pct"),
+        )
+        .otherwise(F.lit("mismatch"))
+        .alias("status"),
+    )
+    return matched.groupBy("status").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("order_cents").cast("bigint").alias("order_cents"),
+        F.sum(F.coalesce("line_cents", F.lit(0)))
+        .cast("bigint")
+        .alias("line_cents"),
+        F.sum(
+            F.abs(
+                F.col("order_cents") - F.coalesce("line_cents", F.lit(0))
+            )
+        )
+        .cast("bigint")
+        .alias("abs_gap_cents"),
+    )

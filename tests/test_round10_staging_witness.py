@@ -444,3 +444,145 @@ def test_flow_stitch_witness(spark, duck):
     # substance: stitching found both paired and one-sided flows
     flags = {v[4] for v in exp.values()}
     assert flags == {0, 1}
+
+
+def test_feature_hash_audit_witness(spark, duck):
+    import hashlib
+    import re
+    docs = duck.sql(
+        f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    toks = set()
+    for (text,) in docs:
+        ws = [t for t in re.sub("[^a-zA-Z0-9 ]", " ", text)
+              .lower().split(" ") if t]
+        toks |= {f"{a} {b}" for a, b in zip(ws, ws[1:])}
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+          for t in toks]
+    got = {r.n_buckets: (r.n_features, r.n_used_buckets, r.n_collisions)
+           for r in STAGED_QUERIES["q_feature_hash_audit"](
+               spark, SF_DIR).collect()}
+    for nb in (256, 1024, 4096):
+        used = len({h % nb for h in hs})
+        assert got[nb] == (len(hs), used, len(hs) - used)
+    # substance: collisions shrink as width grows, and the narrow
+    # width genuinely collides
+    assert got[256][2] > got[4096][2] >= 0
+    assert got[256][2] > 0
+
+
+def test_revenue_recognition_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT o_orderkey, o_totalprice, "
+        f"strftime(date_trunc('month', o_orderdate), '%Y-%m-01') "
+        f"FROM '{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    import datetime
+    agg = collections.defaultdict(lambda: [0, 0])
+    for ok, tp, m0 in rows:
+        cents = int(math.floor(tp * 100))
+        np_ = 1 + ok % 4
+        base = datetime.date.fromisoformat(m0)
+        for k in range(np_):
+            y, m = divmod(base.month - 1 + k, 12)
+            period = f"{base.year + y}-{m + 1:02d}"
+            slice_ = cents // np_ + (1 if k < cents % np_ else 0)
+            a = agg[period]
+            a[0] += 1
+            a[1] += slice_
+        # invariant: slices reassemble the exact total
+        assert sum(cents // np_ + (1 if k < cents % np_ else 0)
+                   for k in range(np_)) == cents
+    got = {r.period: (r.n_slices, r.recognized_cents)
+           for r in STAGED_QUERIES["q_revenue_recognition"](
+               spark, SF_DIR).collect()}
+    assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_diff_in_diff_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, event_id, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    cells = collections.defaultdict(lambda: [0, 0])
+    for uid, eid, v in rows:
+        c = cells[(uid % 2, 1 if eid % 3 == 0 else 0)]
+        c[0] += 1
+        c[1] += int(math.floor(v))
+    m = {k: s / n for k, (n, s) in cells.items()}
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    got = STAGED_QUERIES["q_diff_in_diff"](spark, SF_DIR).collect()
+    assert len(got) == 4
+    for r in got:
+        n, s = cells[(r.treated, r.post)]
+        assert (r.n, r.sy) == (n, s)
+        assert abs(r.mean_y - s / n) < 1e-12
+        assert abs(r.did_estimate - did) < 1e-12
+
+
+def test_grid_hotspot_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_id, user_id, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    cells = collections.Counter()
+    for eid, uid, v in rows:
+        cells[(eid % 40, uid % 25)] += int(math.floor(v))
+    n = len(cells)
+    sv = sum(cells.values())
+    svv = sum(v * v for v in cells.values())
+    mean = sv / n
+    var = (n * svv - sv * sv) / (n * (n - 1))
+    local = collections.defaultdict(lambda: [0, 0])
+    for (x, y), v in cells.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                tx, ty = x + dx, y + dy
+                if 0 <= tx <= 39 and 0 <= ty <= 24:
+                    a = local[(tx, ty)]
+                    a[0] += v
+                    a[1] += 1
+    exp = {}
+    for key, (lsum, k) in local.items():
+        z = (lsum - k * mean) / math.sqrt(k * var)
+        if z > 2.0:
+            exp[key] = (lsum, k, z)
+    got = {(r.x, r.y): (r.lsum, r.k, r.z)
+           for r in STAGED_QUERIES["q_grid_hotspot"](
+               spark, SF_DIR).collect()}
+    assert set(got) == set(exp)
+    for key, (ls, k, z) in exp.items():
+        gl, gk, gz = got[key]
+        assert (gl, gk) == (ls, k)
+        assert abs(gz - z) < 1e-9
+    # substance: hotspots exist but are a small minority of cells
+    assert 0 < len(exp) < n // 4
+
+
+def test_reconciliation_witness(spark, duck):
+    orders = duck.sql(
+        f"SELECT o_orderkey, o_totalprice FROM '{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    lines = duck.sql(
+        f"SELECT l_orderkey, l_extendedprice FROM "
+        f"'{SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    rolled = collections.Counter()
+    for ok, ep in lines:
+        rolled[ok] += int(math.floor(ep * 100))
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for ok, tp in orders:
+        oc = int(math.floor(tp * 100))
+        if ok not in rolled:
+            st, lc = "no_lines", 0
+        else:
+            lc = rolled[ok]
+            st = "within_1pct" if abs(oc - lc) * 100 <= oc else "mismatch"
+        a = agg[st]
+        a[0] += 1
+        a[1] += oc
+        a[2] += lc
+        a[3] += abs(oc - lc)
+    got = {r.status: (r.n_orders, r.order_cents, r.line_cents,
+                      r.abs_gap_cents)
+           for r in STAGED_QUERIES["q_reconciliation"](
+               spark, SF_DIR).collect()}
+    assert got == {k: tuple(v) for k, v in agg.items()}
