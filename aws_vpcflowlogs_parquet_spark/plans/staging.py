@@ -1950,3 +1950,460 @@ def q_reconciliation(spark, sf_dir):
         .cast("bigint")
         .alias("abs_gap_cents"),
     )
+
+
+@staged(
+    "q_sampling_temperature",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+      FROM documents GROUP BY source
+    ),
+    wq AS (
+      SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT)
+               AS w_q
+      FROM per
+    ),
+    tot AS (
+      SELECT CAST(SUM(w_q) AS BIGINT) AS wtot,
+             CAST(SUM(n) AS BIGINT) AS ntot
+      FROM wq
+    )
+    SELECT w.source, w.n, w.w_q,
+           CAST(w.w_q AS DOUBLE) / CAST(t.wtot AS DOUBLE) AS share,
+           CAST(w.w_q * 10000 // t.wtot AS BIGINT) AS alloc_10k,
+           (CAST(w.w_q AS DOUBLE) / CAST(t.wtot AS DOUBLE))
+           / (CAST(w.n AS DOUBLE) / CAST(t.ntot AS DOUBLE)) AS boost
+    FROM wq w CROSS JOIN tot t
+    """,
+)
+def q_sampling_temperature(spark, sf_dir):
+    """TEMPERATURE-SCALED MIXTURE WEIGHTS (α = 0.5) — the multilingual
+    sampling rule (mC4/XLM-R style): sample source i with probability
+    ∝ nᵢ^α so small sources are up-weighted (boost > 1) and giants
+    down-weighted, the knob that stops one crawl from drowning a
+    mixture.
+
+    √n is an IEEE-correctly-rounded intrinsic, but SUMMING the raw
+    double weights across sources would be order-dependent — so each
+    weight quantizes to the 1e-6 lattice FIRST (floor(√n·10⁶), the
+    q_trending technique) and the normalizer is an exact integer sum;
+    shares and boosts are then fixed division chains. alloc_10k uses
+    integer floor allocation (the q_largest_remainder family's
+    truncation step). One tiny agg + a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wq = per.select(
+        "source",
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("w_q"),
+    )
+    tot = wq.agg(
+        F.sum("w_q").cast("bigint").alias("wtot"),
+        F.sum("n").cast("bigint").alias("ntot"),
+    )
+    share = F.col("w_q").cast("double") / F.col("wtot").cast("double")
+    return wq.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        "w_q",
+        share.alias("share"),
+        F.expr("CAST(w_q * 10000 div wtot AS BIGINT)").alias("alloc_10k"),
+        (
+            share
+            / (F.col("n").cast("double") / F.col("ntot").cast("double"))
+        ).alias("boost"),
+    )
+
+
+@staged(
+    "q_crdt_gcounter",
+    oracle="""
+    WITH states AS (
+      SELECT user_id % 20 AS key, event_id % 3 AS replica,
+             CAST(floor(value) AS BIGINT) AS observed
+      FROM events
+    ),
+    merged AS (
+      SELECT key, replica, CAST(MAX(observed) AS BIGINT) AS rmax
+      FROM states GROUP BY key, replica
+    )
+    SELECT key,
+           CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           CAST(SUM(rmax) AS BIGINT) AS merged_total,
+           CAST(MAX(rmax) AS BIGINT) AS max_replica
+    FROM merged GROUP BY key
+    """,
+)
+def q_crdt_gcounter(spark, sf_dir):
+    """G-COUNTER CRDT MERGE — the grow-only counter's convergence rule
+    (the simplest state-based CRDT): each replica's component only
+    grows, merge takes the per-replica MAX, and the counter's value is
+    the sum of merged components. Events model gossiped state
+    snapshots (key, replica, observed component); replaying them in
+    ANY order through max-then-sum yields the same result — the
+    join-semilattice property that makes CRDT merge shuffle-safe,
+    retry-safe, and partial-aggregation-safe at 100 TB (MAX is
+    idempotent, commutative, associative — exactly Spark's partial-agg
+    contract, which is why this query is two plain hash aggs and
+    nothing else).
+
+    The witness replays snapshots in randomized orders and checks
+    convergence to the same state — the CRDT property itself, not just
+    the number."""
+    ev = _t(spark, sf_dir, "events")
+    merged = ev.groupBy(
+        (F.col("user_id") % 20).alias("key"),
+        (F.col("event_id") % 3).alias("replica"),
+    ).agg(F.max(F.floor("value").cast("bigint")).cast("bigint").alias("rmax"))
+    return merged.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n_replicas"),
+        F.sum("rmax").cast("bigint").alias("merged_total"),
+        F.max("rmax").cast("bigint").alias("max_replica"),
+    )
+
+
+@staged(
+    "q_span_f1",
+    oracle="""
+    WITH gold AS (
+      SELECT source, doc_id, doc_id % 20 AS s, doc_id % 20 + 4 AS e
+      FROM documents
+      UNION ALL
+      SELECT source, doc_id, doc_id % 20 + 7, doc_id % 20 + 9
+      FROM documents
+    ),
+    pred AS (
+      SELECT source, doc_id,
+             doc_id % 20 + (doc_id % 3 - 1) AS s,
+             doc_id % 20 + 4 + (doc_id % 3 - 1) AS e
+      FROM documents
+      UNION ALL
+      SELECT source, doc_id, doc_id % 20 + 7, doc_id % 20 + 9
+      FROM documents
+    ),
+    tp AS (
+      SELECT g.source, CAST(COUNT(*) AS BIGINT) AS tp
+      FROM gold g JOIN pred p
+        ON g.doc_id = p.doc_id AND g.s = p.s AND g.e = p.e
+      GROUP BY g.source
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_gold
+      FROM gold GROUP BY source
+    )
+    SELECT z.source, t.tp, z.n_gold AS n_gold, z.n_gold AS n_pred,
+           CAST(t.tp AS DOUBLE) / CAST(z.n_gold AS DOUBLE) AS precision_,
+           CAST(t.tp AS DOUBLE) / CAST(z.n_gold AS DOUBLE) AS recall_,
+           2.0 * (CAST(t.tp AS DOUBLE) / CAST(z.n_gold AS DOUBLE))
+               * (CAST(t.tp AS DOUBLE) / CAST(z.n_gold AS DOUBLE))
+           / ((CAST(t.tp AS DOUBLE) / CAST(z.n_gold AS DOUBLE))
+              + (CAST(t.tp AS DOUBLE) / CAST(z.n_gold AS DOUBLE)))
+             AS f1
+    FROM sizes z JOIN tp t ON z.source = t.source
+    """,
+)
+def q_span_f1(spark, sf_dir):
+    """SPAN-LEVEL F1 (exact-match) — the NER/extraction eval metric
+    (the span sibling of q_eval_confusion's label-level scores): gold
+    and predicted (start, end) spans join per document on EXACT
+    boundaries; per source, precision = TP/|pred|, recall = TP/|gold|,
+    F1 their harmonic mean. Spans are synthesized with a planted
+    boundary-shift error (prediction 1 drifts ±1 token on two of every
+    three docs, prediction 2 always exact) so TP, FP and FN are all
+    non-trivially exercised and the expected F1 is analytically
+    derivable (the witness checks the closed form, not just agreement).
+
+    |gold| = |pred| by construction here, so P = R per source — the
+    F1 chain is still written in full (not simplified to P) so the
+    relation holds if the span generators are changed independently.
+    One equi-join on (doc, start, end) + two rollups; all counts
+    integer, the metric a fixed division chain."""
+    docs = _t(spark, sf_dir, "documents")
+    s0 = F.col("doc_id") % 20
+    gold = docs.select(
+        "source", "doc_id", s0.alias("s"), (s0 + 4).alias("e")
+    ).unionByName(
+        docs.select(
+            "source", "doc_id", (s0 + 7).alias("s"), (s0 + 9).alias("e")
+        )
+    )
+    drift = F.col("doc_id") % 3 - 1
+    pred = docs.select(
+        "source",
+        "doc_id",
+        (s0 + drift).alias("s"),
+        (s0 + 4 + drift).alias("e"),
+    ).unionByName(
+        docs.select(
+            "source", "doc_id", (s0 + 7).alias("s"), (s0 + 9).alias("e")
+        )
+    )
+    tp = (
+        gold.join(pred, ["doc_id", "s", "e"])
+        .groupBy(gold["source"])
+        .agg(F.count("*").cast("bigint").alias("tp"))
+    )
+    sizes = gold.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_gold")
+    )
+    p = F.col("tp").cast("double") / F.col("n_gold").cast("double")
+    return sizes.join(tp, "source").select(
+        "source",
+        "tp",
+        "n_gold",
+        F.col("n_gold").alias("n_pred"),
+        p.alias("precision_"),
+        p.alias("recall_"),
+        (F.lit(2.0) * p * p / (p + p)).alias("f1"),
+    )
+
+
+@staged(
+    "q_encoding_advisor",
+    oracle="""
+    WITH vals AS (
+      SELECT 'event_type' AS col, event_id AS pos, event_type AS val
+      FROM events
+      UNION ALL
+      SELECT 'user_id', event_id, CAST(user_id AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'value_i', event_id, CAST(CAST(floor(value) AS BIGINT)
+                                       AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'day', event_id, strftime(ts, '%Y-%m-%d') FROM events
+      UNION ALL
+      SELECT 'row_hash', event_id, md5(CAST(event_id AS VARCHAR))
+      FROM events
+    ),
+    runs AS (
+      SELECT col, val,
+             CASE WHEN lag(val) OVER (PARTITION BY col ORDER BY pos)
+                       IS DISTINCT FROM val THEN 1 ELSE 0 END AS is_run
+      FROM vals
+    ),
+    stats AS (
+      SELECT col,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+             CAST(SUM(is_run) AS BIGINT) AS n_runs,
+             CAST(SUM(length(val)) AS BIGINT) AS bytes_plain,
+             CAST(SUM(CASE WHEN is_run = 1 THEN length(val) + 4
+                           ELSE 0 END) AS BIGINT) AS bytes_rle
+      FROM runs GROUP BY col
+    ),
+    dict_ AS (
+      SELECT col, CAST(SUM(length(val)) AS BIGINT) AS dict_bytes
+      FROM (SELECT DISTINCT col, val FROM vals) GROUP BY col
+    )
+    SELECT s.col, s.n, s.n_distinct, s.n_runs, s.bytes_plain,
+           s.bytes_rle,
+           d.dict_bytes
+           + (s.n * length(bin(s.n_distinct - 1)) + 7) // 8
+             AS bytes_dict,
+           CASE WHEN s.bytes_rle <= s.bytes_plain
+                 AND s.bytes_rle <= d.dict_bytes
+                     + (s.n * length(bin(s.n_distinct - 1)) + 7) // 8
+                THEN 'rle'
+                WHEN d.dict_bytes
+                     + (s.n * length(bin(s.n_distinct - 1)) + 7) // 8
+                     <= s.bytes_plain
+                THEN 'dict'
+                ELSE 'plain' END AS advice
+    FROM stats s JOIN dict_ d ON s.col = d.col
+    """,
+)
+def q_encoding_advisor(spark, sf_dir):
+    """COLUMN-ENCODING ADVISOR — the ANALYZE step a columnar writer
+    runs per column before choosing its encoding (the decision behind
+    parquet's dictionary fallback and q_compaction_plan's upstream):
+    exact byte models for PLAIN (Σ value lengths), RLE (run count ×
+    (value + 4-byte length)), and DICTIONARY (distinct payload +
+    n·⌈log₂ distinct⌉ bits packed), picked per column by a
+    deterministic ≤-chain (rle ≤ dict ≤ plain on ties).
+
+    The five profiled columns are chosen to exercise every branch of
+    the chooser: a low-cardinality label and two numeric casts land on
+    DICT, the time-ordered day column is run-heavy and lands on RLE,
+    and the all-distinct row-hash column defeats both (dict pays its
+    index bits for nothing) and lands on PLAIN.
+    Run counting needs a TOTAL physical order — event_id is unique, so
+    run boundaries are engine-independent (lag() IS DISTINCT FROM);
+    the bit width is length(bin(distinct−1)) — exact ⌈log₂⌉ on the
+    integer lattice, no float log (the q_latency_histogram idiom).
+    Three stacked column projections scan the table once each (a real
+    writer piggybacks these stats on the write pass); everything else
+    is two rollups."""
+    ev = _t(spark, sf_dir, "events")
+    vals = (
+        ev.select(
+            F.lit("event_type").alias("col"),
+            F.col("event_id").alias("pos"),
+            F.col("event_type").alias("val"),
+        )
+        .unionByName(
+            ev.select(
+                F.lit("user_id").alias("col"),
+                F.col("event_id").alias("pos"),
+                F.col("user_id").cast("string").alias("val"),
+            )
+        )
+        .unionByName(
+            ev.select(
+                F.lit("value_i").alias("col"),
+                F.col("event_id").alias("pos"),
+                F.floor("value").cast("bigint").cast("string").alias("val"),
+            )
+        )
+        .unionByName(
+            ev.select(
+                F.lit("day").alias("col"),
+                F.col("event_id").alias("pos"),
+                F.date_format("ts", "yyyy-MM-dd").alias("val"),
+            )
+        )
+        .unionByName(
+            ev.select(
+                F.lit("row_hash").alias("col"),
+                F.col("event_id").alias("pos"),
+                F.md5(F.col("event_id").cast("string")).alias("val"),
+            )
+        )
+    )
+    w = Window.partitionBy("col").orderBy("pos")
+    runs = vals.select(
+        "col",
+        "val",
+        F.when(
+            ~F.lag("val").over(w).eqNullSafe(F.col("val")), 1
+        )
+        .otherwise(0)
+        .alias("is_run"),
+    )
+    stats = runs.groupBy("col").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.countDistinct("val").cast("bigint").alias("n_distinct"),
+        F.sum("is_run").cast("bigint").alias("n_runs"),
+        F.sum(F.length("val")).cast("bigint").alias("bytes_plain"),
+        F.sum(
+            F.when(F.col("is_run") == 1, F.length("val") + 4).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bytes_rle"),
+    )
+    dict_ = (
+        vals.select("col", "val")
+        .distinct()
+        .groupBy("col")
+        .agg(F.sum(F.length("val")).cast("bigint").alias("dict_bytes"))
+    )
+    bytes_dict = F.col("dict_bytes") + F.expr(
+        "CAST((n * length(bin(n_distinct - 1)) + 7) div 8 AS BIGINT)"
+    )
+    return (
+        stats.join(dict_, "col")
+        .select(
+            "col",
+            "n",
+            "n_distinct",
+            "n_runs",
+            "bytes_plain",
+            "bytes_rle",
+            bytes_dict.alias("bytes_dict"),
+            F.when(
+                (F.col("bytes_rle") <= F.col("bytes_plain"))
+                & (F.col("bytes_rle") <= bytes_dict),
+                F.lit("rle"),
+            )
+            .when(bytes_dict <= F.col("bytes_plain"), F.lit("dict"))
+            .otherwise(F.lit("plain"))
+            .alias("advice"),
+        )
+    )
+
+
+@staged(
+    "q_merkle_levels",
+    oracle="""
+    WITH l0 AS (
+      SELECT l_orderkey // 64 AS b1,
+             md5(concat_ws('|', CAST(l_orderkey AS VARCHAR),
+                 CAST(l_linenumber AS VARCHAR),
+                 CAST(l_partkey AS VARCHAR))) AS h
+      FROM lineitem
+    ),
+    l1 AS (
+      SELECT b1, md5(string_agg(h, '' ORDER BY h)) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_children
+      FROM l0 GROUP BY b1
+    ),
+    l2 AS (
+      SELECT b1 // 16 AS b2, md5(string_agg(h, '' ORDER BY h)) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n_children
+      FROM l1 GROUP BY b2
+    )
+    SELECT CAST(1 AS INT) AS level, CAST(b1 AS BIGINT) AS node,
+           h, n_children
+    FROM l1
+    UNION ALL
+    SELECT CAST(2 AS INT), CAST(b2 AS BIGINT), h, n_children FROM l2
+    """,
+)
+def q_merkle_levels(spark, sf_dir):
+    """MERKLE TREE LEVELS over key-bucketed row hashes — the
+    hierarchical extension of q_table_checksum that turns "the tables
+    differ" into "they differ in THIS key range" with log-many
+    comparisons (the anti-entropy structure Dynamo-style replication
+    and lakehouse sync tools walk): level-0 row digests bucket by
+    orderkey div 64, each bucket's digest is the md5 of its children's
+    hashes in SORTED order (order-insensitivity by canonical ordering
+    rather than by commutative combine — the alternative trade to
+    q_table_checksum's XOR: collision-resistant, but requires the
+    in-bucket sort), and level 2 re-buckets 16:1.
+
+    Emitting levels 1 and 2 as one relation keeps the comparison
+    granular. The in-bucket string_agg ORDER BY h is the only sort,
+    each over ≤64 (then ≤16) rows — at 100 TB every level is a
+    map-side-combinable-after-repartition agg keyed by its bucket."""
+    li = _t(spark, sf_dir, "lineitem")
+    l0 = li.select(
+        F.expr("l_orderkey div 64").alias("b1"),
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("l_partkey").cast("string"),
+            )
+        ).alias("h"),
+    )
+    l1 = l0.groupBy("b1").agg(
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("h")), "")
+        ).alias("h"),
+        F.count("*").cast("bigint").alias("n_children"),
+    )
+    l2 = l1.groupBy(F.expr("b1 div 16").alias("b2")).agg(
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("h")), "")
+        ).alias("h"),
+        F.count("*").cast("bigint").alias("n_children"),
+    )
+    return l1.select(
+        F.lit(1).cast("int").alias("level"),
+        F.col("b1").cast("bigint").alias("node"),
+        "h",
+        "n_children",
+    ).unionByName(
+        l2.select(
+            F.lit(2).cast("int").alias("level"),
+            F.col("b2").cast("bigint").alias("node"),
+            "h",
+            "n_children",
+        )
+    )

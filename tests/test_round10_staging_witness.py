@@ -586,3 +586,152 @@ def test_reconciliation_witness(spark, duck):
            for r in STAGED_QUERIES["q_reconciliation"](
                spark, SF_DIR).collect()}
     assert got == {k: tuple(v) for k, v in agg.items()}
+
+
+def test_sampling_temperature_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT source, COUNT(*) FROM '{SF_DIR}/documents.parquet' "
+        f"GROUP BY source"
+    ).fetchall()
+    wq = {src: int(math.floor(math.sqrt(n) * 1000000))
+          for src, n in rows}
+    ntot = sum(n for _s, n in rows)
+    wtot = sum(wq.values())
+    got = {r.source: (r.n, r.w_q, r.share, r.alloc_10k, r.boost)
+           for r in STAGED_QUERIES["q_sampling_temperature"](
+               spark, SF_DIR).collect()}
+    for src, n in rows:
+        gn, gw, gs, ga, gb = got[src]
+        assert (gn, gw) == (n, wq[src])
+        assert gs == wq[src] / wtot
+        assert ga == wq[src] * 10000 // wtot
+        assert abs(gb - (wq[src] / wtot) / (n / ntot)) < 1e-12
+    # substance (equal-sized sources at sf0.001): boost ≡ 1 and the
+    # allocation is near-uniform — the rule degrades to proportional
+    # exactly when sizes are equal, which the closed form must show
+    assert all(abs(b - 1.0) < 1e-9 for *_a, b in got.values())
+
+
+def test_crdt_gcounter_witness(spark, duck):
+    import random
+    rows = duck.sql(
+        f"SELECT user_id, event_id, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    snapshots = [((uid % 20), (eid % 3), int(math.floor(v)))
+                 for uid, eid, v in rows]
+    # CRDT property: merge in three different orders -> same state
+    states = []
+    for seed in (1, 2, 3):
+        rnd = random.Random(seed)
+        shuffled = snapshots[:]
+        rnd.shuffle(shuffled)
+        st = {}
+        for k, r, obs in shuffled:
+            st[(k, r)] = max(st.get((k, r), 0), obs)
+        states.append(st)
+    assert states[0] == states[1] == states[2]
+    merged = collections.defaultdict(lambda: [0, 0, 0])
+    for (k, r), v in states[0].items():
+        a = merged[k]
+        a[0] += 1
+        a[1] += v
+        a[2] = max(a[2], v)
+    got = {r.key: (r.n_replicas, r.merged_total, r.max_replica)
+           for r in STAGED_QUERIES["q_crdt_gcounter"](
+               spark, SF_DIR).collect()}
+    assert got == {k: tuple(v) for k, v in merged.items()}
+
+
+def test_span_f1_witness(spark, duck):
+    docs = duck.sql(
+        f"SELECT source, doc_id FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    agg = collections.defaultdict(lambda: [0, 0])
+    for src, did in docs:
+        a = agg[src]
+        a[1] += 2  # two gold spans per doc
+        a[0] += 1 if did % 3 == 1 else 0  # span 1 exact iff drift == 0
+        a[0] += 1  # span 2 always exact
+    got = {r.source: (r.tp, r.n_gold, r.precision_, r.f1)
+           for r in STAGED_QUERIES["q_span_f1"](spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for src, (tp, n) in agg.items():
+        gtp, gn, gp, gf1 = got[src]
+        assert (gtp, gn) == (tp, n)
+        p = tp / n
+        assert abs(gp - p) < 1e-12
+        assert abs(gf1 - p) < 1e-12  # P == R here => F1 == P
+    # substance: the drift error actually costs score somewhere
+    assert any(tp < n for tp, n in agg.values())
+
+
+def test_encoding_advisor_witness(spark, duck):
+    import hashlib
+    rows = duck.sql(
+        f"SELECT event_id, event_type, user_id, value, "
+        f"strftime(ts, '%Y-%m-%d') FROM "
+        f"'{SF_DIR}/events.parquet' ORDER BY event_id"
+    ).fetchall()
+    series = {
+        "event_type": [et for _e, et, _u, _v, _d in rows],
+        "user_id": [str(u) for _e, _et, u, _v, _d in rows],
+        "value_i": [str(int(math.floor(v)))
+                    for _e, _et, _u, v, _d in rows],
+        "day": [d for _e, _et, _u, _v, d in rows],
+        "row_hash": [hashlib.md5(str(e).encode()).hexdigest()
+                     for e, _et, _u, _v, _d in rows],
+    }
+    got = {r.col: r for r in STAGED_QUERIES["q_encoding_advisor"](
+        spark, SF_DIR).collect()}
+    for col, vs in series.items():
+        n = len(vs)
+        nd = len(set(vs))
+        runs = 1 + sum(1 for a, b in zip(vs, vs[1:]) if a != b)
+        plain = sum(len(v) for v in vs)
+        rle_b = 0
+        prev = None
+        for v in vs:
+            if v != prev:
+                rle_b += len(v) + 4
+                prev = v
+        bits = (nd - 1).bit_length()
+        dict_b = sum(len(v) for v in set(vs)) + (n * bits + 7) // 8
+        r = got[col]
+        assert (r.n, r.n_distinct, r.n_runs) == (n, nd, runs)
+        assert (r.bytes_plain, r.bytes_rle, r.bytes_dict) == (
+            plain, rle_b, dict_b)
+        advice = ("rle" if rle_b <= plain and rle_b <= dict_b
+                  else "dict" if dict_b <= plain else "plain")
+        assert r.advice == advice
+    # substance: the chooser exercises ALL THREE branches across the
+    # five profiled columns
+    assert {r.advice for r in got.values()} == {"plain", "dict", "rle"}
+
+
+def test_merkle_levels_witness(spark, duck):
+    import hashlib
+    rows = duck.sql(
+        f"SELECT l_orderkey, l_linenumber, l_partkey FROM "
+        f"'{SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    l0 = collections.defaultdict(list)
+    for ok, ln, pk in rows:
+        l0[ok // 64].append(
+            hashlib.md5(f"{ok}|{ln}|{pk}".encode()).hexdigest())
+    l1 = {b: (hashlib.md5("".join(sorted(hs)).encode()).hexdigest(),
+              len(hs))
+          for b, hs in l0.items()}
+    l2g = collections.defaultdict(list)
+    for b, (h, _n) in l1.items():
+        l2g[b // 16].append(h)
+    l2 = {b: (hashlib.md5("".join(sorted(hs)).encode()).hexdigest(),
+              len(hs))
+          for b, hs in l2g.items()}
+    got = {(r.level, r.node): (r.h, r.n_children)
+           for r in STAGED_QUERIES["q_merkle_levels"](
+               spark, SF_DIR).collect()}
+    exp = {(1, b): v for b, v in l1.items()}
+    exp |= {(2, b): v for b, v in l2.items()}
+    assert got == exp
+    # substance: the tree actually narrows (fan-in at both levels)
+    assert len(l2) < len(l1) < len(rows)
