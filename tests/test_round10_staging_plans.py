@@ -1,0 +1,74 @@
+"""Plan-shape pins for the round-10 STAGED queries — the same
+`.explain`-level posture checks the catalog batches get
+(test_round10_plan_shapes.py), run at staging time so promotion cannot
+regress a physical plan unnoticed."""
+
+from __future__ import annotations
+
+import pytest
+
+from aws_vpcflowlogs_parquet_spark.plans.staging import STAGED_QUERIES
+
+from .conftest import SF_DIR
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _no_python(plan: str) -> bool:
+    return "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_no_cartesian_no_rowwise_python(spark, name):
+    # universal posture: no cartesian product, no row-at-a-time Python
+    # UDF in any staged plan (broadcast nested-loop against 1-row or
+    # constant-size frames is allowed and asserted per-query below)
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, (name, plan)
+    assert _no_python(plan), (name, plan)
+
+
+def test_group_lcp_two_mergeable_aggs_no_join(spark):
+    plan = _executed(STAGED_QUERIES["q_group_lcp"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    # string min/max may plan as Sort- or ObjectHashAggregate; the pin
+    # is that SOME aggregate pair exists and nothing else shuffles
+    assert "Aggregate" in plan, plan
+
+
+def test_ema_crossover_scan_is_agg_side_fold(spark):
+    # the prefix scan lives inside a projection over a hash agg —
+    # no window operator, no iterative joins
+    plan = _executed(STAGED_QUERIES["q_ema_crossover"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+
+
+def test_er_score_is_equi_join_on_block_key(spark):
+    # the pair join must be a hash join keyed on the block (noun),
+    # never a nested-loop over all pairs
+    plan = _executed(STAGED_QUERIES["q_er_score"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_flow_stitch_single_agg_no_join(spark):
+    plan = _executed(STAGED_QUERIES["q_flow_stitch"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+
+
+def test_table_checksum_no_join_mergeable_aggs(spark):
+    plan = _executed(STAGED_QUERIES["q_table_checksum"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial/final
+
+
+def test_reconciliation_joins_are_equi_keyed(spark):
+    plan = _executed(STAGED_QUERIES["q_reconciliation"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_merkle_levels_no_join(spark):
+    plan = _executed(STAGED_QUERIES["q_merkle_levels"](spark, SF_DIR))
+    assert "Join" not in plan, plan
