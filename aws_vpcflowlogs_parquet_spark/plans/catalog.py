@@ -24736,3 +24736,250 @@ def q_stream_ohlc(spark, sf_dir):
         F.substring("smax", 27, 4).cast("bigint").alias("close"),
         "n_ticks",
     )
+
+
+# --- promoted from plans/staging.py at round-10 close (driver
+# slots 46-48 of the 50-query window were free) ---
+
+
+@register(
+    "q_ema_crossover",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT g.user_id, g.b, CAST(COALESCE(c.v, 0) AS DOUBLE) AS v
+      FROM (SELECT u.user_id, r.b
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (SELECT unnest(range(0, 32)) AS b) r) g
+      LEFT JOIN (
+        SELECT user_id,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 32 AS b,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM events GROUP BY user_id, b
+      ) c ON c.user_id = g.user_id AND c.b = g.b
+    ),
+    ema(user_id, t, f, s) AS (
+      SELECT user_id, CAST(0 AS BIGINT), v, v FROM base WHERE b = 0
+      UNION ALL
+      SELECT e.user_id, e.t + 1,
+             0.5 * b.v + 0.5 * e.f,
+             0.125 * b.v + 0.875 * e.s
+      FROM ema e JOIN base b
+        ON b.user_id = e.user_id AND b.b = e.t + 1
+      WHERE e.t < 31
+    ),
+    sg AS (
+      SELECT user_id, t, f, s,
+             CASE WHEN f > s THEN 1 WHEN f < s THEN -1 ELSE 0 END AS sgn
+      FROM ema
+    ),
+    lagged AS (
+      SELECT user_id, t, f, s, sgn,
+             lag(sgn) OVER (PARTITION BY user_id ORDER BY t) AS prev
+      FROM sg
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND sgn != prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+           CAST(SUM(CASE WHEN prev IS NOT NULL AND sgn > prev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+           MAX(CASE WHEN t = 31 THEN f END) AS final_fast,
+           MAX(CASE WHEN t = 31 THEN s END) AS final_slow
+    FROM lagged GROUP BY user_id
+    """,
+)
+def q_ema_crossover(spark, sf_dir):
+    """EMA CROSSOVER SIGNALS: a fast (α=1/2) and slow (α=1/8)
+    exponential moving average over each key's 32-bucket activity
+    series, with the count of sign flips of fast−slow — q_sma_crossover
+    with RECURSIVE state instead of finite windows, and q_ewma/
+    q_holt_smoothing extended from final-state folds to a PREFIX SCAN
+    (the crossover needs every intermediate state, not just the last).
+
+    The Spark side runs the scan as an APPEND FOLD: one F.aggregate
+    whose accumulator is the growing array of [fast, slow] pairs
+    (element_at(acc, -1) reads the previous state, concat appends the
+    next — Spark's aggregate separates accumulator type from element
+    type, so the array-of-pairs state is legal where DuckDB's
+    list_reduce, which forces acc ≡ element, is not). The DuckDB
+    oracle therefore scans a DIFFERENT way — a recursive CTE stepping
+    t→t+1 per key — making the two sides independent implementations
+    of the same recurrence. Both state the update in the identical
+    dyadic linear form (0.5x+0.5f; 0.125x+0.875s), so every
+    intermediate double is bit-exact and the flip counts match
+    integer-for-integer. Embarrassingly parallel across keys; the scan
+    never leaves the executor."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "user_id",
+        (
+            (F.unix_timestamp("ts").cast("bigint") / 3600).cast("bigint")
+            % 32
+        ).alias("b"),
+    ).agg(F.count("*").cast("bigint").alias("v"))
+    grid = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(32).select(F.col("id").alias("b")))
+        )
+    )
+    series = (
+        grid.join(counts, ["user_id", "b"], "left")
+        .select(
+            "user_id",
+            "b",
+            F.coalesce("v", F.lit(0)).cast("double").alias("v"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(b, v))),"
+                " p -> p.v)"
+            ).alias("xs")
+        )
+    )
+    scanned = series.select(
+        "user_id",
+        F.expr(
+            "aggregate(slice(xs, 2, 31),"
+            " array(array(element_at(xs, 1), element_at(xs, 1))),"
+            " (acc, x) -> concat(acc, array(array("
+            "   0.5 * x + 0.5 * element_at(element_at(acc, -1), 1),"
+            "   0.125 * x + 0.875 * element_at(element_at(acc, -1), 2)"
+            " ))))"
+        ).alias("p"),
+    )
+    sgn = (
+        "transform(p, q -> CASE WHEN element_at(q, 1) > element_at(q, 2)"
+        " THEN 1 WHEN element_at(q, 1) < element_at(q, 2) THEN -1"
+        " ELSE 0 END)"
+    )
+    return scanned.select(
+        "user_id",
+        F.expr(
+            f"CAST(size(filter(sequence(2, 32), i ->"
+            f" element_at({sgn}, i) != element_at({sgn}, i - 1)))"
+            f" AS BIGINT)"
+        ).alias("n_cross"),
+        F.expr(
+            f"CAST(size(filter(sequence(2, 32), i ->"
+            f" element_at({sgn}, i) > element_at({sgn}, i - 1)))"
+            f" AS BIGINT)"
+        ).alias("n_up"),
+        F.expr("element_at(element_at(p, 32), 1)").alias("final_fast"),
+        F.expr("element_at(element_at(p, 32), 2)").alias("final_slow"),
+    )
+
+
+@register(
+    "q_table_checksum",
+    oracle="""
+    WITH hashed AS (
+      SELECT l_returnflag, l_linestatus,
+             ('0x' || substring(md5(concat_ws('|',
+                CAST(l_orderkey AS VARCHAR),
+                CAST(l_linenumber AS VARCHAR),
+                CAST(l_partkey AS VARCHAR),
+                CAST(CAST(floor(l_quantity) AS BIGINT) AS VARCHAR))),
+                1, 15))::BIGINT AS h
+      FROM lineitem
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(bit_xor(h) AS BIGINT) AS xor_sum,
+           CAST(SUM(h % 1000003) AS BIGINT) AS mod_sum
+    FROM hashed GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_table_checksum(spark, sf_dir):
+    """ORDER-INSENSITIVE TABLE CHECKSUM per partition group — the
+    integrity primitive replication / migration audits run on both
+    sides of a copy (compare checksums, not rows): md5 each row's
+    canonical key projection to a 60-bit integer, then combine with
+    TWO commutative reductions — XOR (catches any single-row
+    difference, cancels on even duplicates) and a modular SUM (catches
+    the even-duplicate case XOR misses) — plus the row count. A
+    mismatch in any of the three localizes to the partition group,
+    turning a table-diff into a partition-diff.
+
+    Both reductions are mergeable O(1)-state aggregates (map-side
+    combine does almost all the work; the shuffle carries 3 integers
+    per group) — exactly the shape that still works at 100 TB where a
+    row-level anti-join diff would not. The mod_sum stays far inside
+    int64 (≤ 1000003 · rows)."""
+    li = _t(spark, sf_dir, "lineitem")
+    hashed = li.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("l_orderkey").cast("string"),
+                        F.col("l_linenumber").cast("string"),
+                        F.col("l_partkey").cast("string"),
+                        F.floor("l_quantity").cast("bigint").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    return hashed.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("bit_xor(h)").cast("bigint").alias("xor_sum"),
+        F.sum(F.col("h") % 1000003).cast("bigint").alias("mod_sum"),
+    )
+
+
+@register(
+    "q_crdt_gcounter",
+    oracle="""
+    WITH states AS (
+      SELECT user_id % 20 AS key, event_id % 3 AS replica,
+             CAST(floor(value) AS BIGINT) AS observed
+      FROM events
+    ),
+    merged AS (
+      SELECT key, replica, CAST(MAX(observed) AS BIGINT) AS rmax
+      FROM states GROUP BY key, replica
+    )
+    SELECT key,
+           CAST(COUNT(*) AS BIGINT) AS n_replicas,
+           CAST(SUM(rmax) AS BIGINT) AS merged_total,
+           CAST(MAX(rmax) AS BIGINT) AS max_replica
+    FROM merged GROUP BY key
+    """,
+)
+def q_crdt_gcounter(spark, sf_dir):
+    """G-COUNTER CRDT MERGE — the grow-only counter's convergence rule
+    (the simplest state-based CRDT): each replica's component only
+    grows, merge takes the per-replica MAX, and the counter's value is
+    the sum of merged components. Events model gossiped state
+    snapshots (key, replica, observed component); replaying them in
+    ANY order through max-then-sum yields the same result — the
+    join-semilattice property that makes CRDT merge shuffle-safe,
+    retry-safe, and partial-aggregation-safe at 100 TB (MAX is
+    idempotent, commutative, associative — exactly Spark's partial-agg
+    contract, which is why this query is two plain hash aggs and
+    nothing else).
+
+    The witness replays snapshots in randomized orders and checks
+    convergence to the same state — the CRDT property itself, not just
+    the number."""
+    ev = _t(spark, sf_dir, "events")
+    merged = ev.groupBy(
+        (F.col("user_id") % 20).alias("key"),
+        (F.col("event_id") % 3).alias("replica"),
+    ).agg(F.max(F.floor("value").cast("bigint")).cast("bigint").alias("rmax"))
+    return merged.groupBy("key").agg(
+        F.count("*").cast("bigint").alias("n_replicas"),
+        F.sum("rmax").cast("bigint").alias("merged_total"),
+        F.max("rmax").cast("bigint").alias("max_replica"),
+    )

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import pytest
 
+from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
 from aws_vpcflowlogs_parquet_spark.plans.staging import STAGED_QUERIES
 
 from .conftest import SF_DIR
@@ -41,7 +42,7 @@ def test_group_lcp_two_mergeable_aggs_no_join(spark):
 def test_ema_crossover_scan_is_agg_side_fold(spark):
     # the prefix scan lives inside a projection over a hash agg —
     # no window operator, no iterative joins
-    plan = _executed(STAGED_QUERIES["q_ema_crossover"](spark, SF_DIR))
+    plan = _executed(QUERIES["q_ema_crossover"](spark, SF_DIR))
     assert "Window" not in plan, plan
 
 
@@ -59,7 +60,7 @@ def test_flow_stitch_single_agg_no_join(spark):
 
 
 def test_table_checksum_no_join_mergeable_aggs(spark):
-    plan = _executed(STAGED_QUERIES["q_table_checksum"](spark, SF_DIR))
+    plan = _executed(QUERIES["q_table_checksum"](spark, SF_DIR))
     assert "Join" not in plan, plan
     assert plan.count("HashAggregate") >= 2, plan  # partial/final
 

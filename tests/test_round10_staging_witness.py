@@ -11,6 +11,7 @@ import math
 import duckdb
 import pytest
 
+from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
 from aws_vpcflowlogs_parquet_spark.plans.staging import STAGED_QUERIES
 
 from .conftest import SF_DIR
@@ -67,7 +68,7 @@ def test_ema_crossover_witness(spark, duck):
         n_up = sum(1 for a, b in zip(signs, signs[1:]) if b > a)
         exp[u] = (n_cross, n_up, f, s)
     got = {r.user_id: (r.n_cross, r.n_up, r.final_fast, r.final_slow)
-           for r in STAGED_QUERIES["q_ema_crossover"](
+           for r in QUERIES["q_ema_crossover"](
                spark, SF_DIR).collect()}
     assert set(got) == set(exp)
     for u, (nc, nu, ff, fs) in exp.items():
@@ -374,7 +375,7 @@ def test_table_checksum_witness(spark, duck):
         a[2] += h % 1000003
     got = {(r.l_returnflag, r.l_linestatus):
            (r.n, r.xor_sum, r.mod_sum)
-           for r in STAGED_QUERIES["q_table_checksum"](
+           for r in QUERIES["q_table_checksum"](
                spark, SF_DIR).collect()}
     assert got == {k: tuple(v) for k, v in agg.items()}
     # substance: a single-row perturbation flips the checksum
@@ -637,7 +638,7 @@ def test_crdt_gcounter_witness(spark, duck):
         a[1] += v
         a[2] = max(a[2], v)
     got = {r.key: (r.n_replicas, r.merged_total, r.max_replica)
-           for r in STAGED_QUERIES["q_crdt_gcounter"](
+           for r in QUERIES["q_crdt_gcounter"](
                spark, SF_DIR).collect()}
     assert got == {k: tuple(v) for k, v in merged.items()}
 
