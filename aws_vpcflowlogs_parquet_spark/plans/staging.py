@@ -2164,3 +2164,510 @@ def q_merkle_levels(spark, sf_dir):
             "n_children",
         )
     )
+
+
+@staged(
+    "q_mix_rate_decomposition",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS seg, CAST(event_id % 2 AS BIGINT) AS p,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN CAST(floor(value) AS BIGINT) % 4 = 0
+                           THEN 1 ELSE 0 END) AS BIGINT) AS c
+      FROM events GROUP BY seg, p
+    ),
+    tot AS (
+      SELECT p, CAST(SUM(n) AS BIGINT) AS np FROM cells GROUP BY p
+    ),
+    wide AS (
+      SELECT c0.seg,
+             c0.n AS n0, c0.c AS conv0, c1.n AS n1, c1.c AS conv1,
+             t0.np AS np0, t1.np AS np1
+      FROM cells c0
+      JOIN cells c1 ON c0.seg = c1.seg AND c0.p = 0 AND c1.p = 1
+      JOIN tot t0 ON t0.p = 0
+      JOIN tot t1 ON t1.p = 1
+    )
+    SELECT seg, n0, n1, conv0, conv1,
+           CAST(n0 AS DOUBLE) / CAST(np0 AS DOUBLE) AS share0,
+           CAST(n1 AS DOUBLE) / CAST(np1 AS DOUBLE) AS share1,
+           CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate0,
+           CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS rate1,
+           (CAST(n1 AS DOUBLE) / CAST(np1 AS DOUBLE)
+            - CAST(n0 AS DOUBLE) / CAST(np0 AS DOUBLE))
+           * (CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS mix_effect,
+           (CAST(n0 AS DOUBLE) / CAST(np0 AS DOUBLE))
+           * (CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE)) AS rate_effect,
+           (CAST(n1 AS DOUBLE) / CAST(np1 AS DOUBLE)
+            - CAST(n0 AS DOUBLE) / CAST(np0 AS DOUBLE))
+           * (CAST(conv1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+              - CAST(conv0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             AS interaction
+    FROM wide
+    """,
+)
+def q_mix_rate_decomposition(spark, sf_dir):
+    """MIX/RATE DECOMPOSITION of a KPI change — the metric-tree
+    explainer ("why did the overall conversion rate move?"): between
+    two periods, each segment's contribution splits into a MIX effect
+    (its traffic share shifted, valued at the old rate), a RATE effect
+    (its own rate moved, weighted by the old share), and the
+    interaction — and the three terms per segment SUM EXACTLY to the
+    overall ΔR, the accounting identity the witness pins (because
+    R_p = Σ_s share_sp·rate_sp telescopes).
+
+    One (segment × period) cell aggregation, a per-period total
+    broadcast, and fixed division chains written in the identical
+    operation order on both engines — every effect is a product of two
+    differences of single divisions off the integer lattice."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.col("event_type").alias("seg"),
+        (F.col("event_id") % 2).cast("bigint").alias("p"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.floor("value").cast("bigint") % 4 == 0, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("c"),
+    )
+    tot = cells.groupBy("p").agg(F.sum("n").cast("bigint").alias("np"))
+    c0 = cells.filter("p = 0").select(
+        "seg",
+        F.col("n").alias("n0"),
+        F.col("c").alias("conv0"),
+    )
+    c1 = cells.filter("p = 1").select(
+        "seg",
+        F.col("n").alias("n1"),
+        F.col("c").alias("conv1"),
+    )
+    t0 = tot.filter("p = 0").select(F.col("np").alias("np0"))
+    t1 = tot.filter("p = 1").select(F.col("np").alias("np1"))
+    wide = (
+        c0.join(c1, "seg")
+        .crossJoin(F.broadcast(t0))
+        .crossJoin(F.broadcast(t1))
+    )
+    share0 = F.col("n0").cast("double") / F.col("np0").cast("double")
+    share1 = F.col("n1").cast("double") / F.col("np1").cast("double")
+    rate0 = F.col("conv0").cast("double") / F.col("n0").cast("double")
+    rate1 = F.col("conv1").cast("double") / F.col("n1").cast("double")
+    return wide.select(
+        "seg",
+        "n0",
+        "n1",
+        "conv0",
+        "conv1",
+        share0.alias("share0"),
+        share1.alias("share1"),
+        rate0.alias("rate0"),
+        rate1.alias("rate1"),
+        ((share1 - share0) * rate0).alias("mix_effect"),
+        (share0 * (rate1 - rate0)).alias("rate_effect"),
+        ((share1 - share0) * (rate1 - rate0)).alias("interaction"),
+    )
+
+
+@staged(
+    "q_t_closeness",
+    oracle="""
+    WITH rows_ AS (
+      SELECT user_id % 10 AS grp,
+             CAST(floor(value) AS BIGINT) % 8 AS attr
+      FROM events
+    ),
+    grid AS (
+      SELECT g.grp, a.attr, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      FROM (SELECT DISTINCT grp FROM rows_) g
+      CROSS JOIN (SELECT unnest(range(0, 8)) AS attr) a
+      LEFT JOIN (SELECT grp, attr, COUNT(*) AS n
+                 FROM rows_ GROUP BY grp, attr) c
+        ON c.grp = g.grp AND c.attr = a.attr
+    ),
+    cums AS (
+      SELECT grp, attr, n,
+             CAST(SUM(n) OVER (PARTITION BY grp ORDER BY attr)
+                  AS BIGINT) AS cum_g,
+             CAST(SUM(n) OVER (PARTITION BY grp) AS BIGINT) AS n_g
+      FROM grid
+    ),
+    gcdf AS (
+      SELECT attr,
+             CAST(SUM(SUM(n)) OVER (ORDER BY attr) AS BIGINT) AS cum_all,
+             CAST(SUM(SUM(n)) OVER () AS BIGINT) AS n_all
+      FROM grid GROUP BY attr
+    )
+    SELECT c.grp, MAX(c.n_g) AS n_g,
+           CAST(SUM(abs(c.cum_g * g.n_all - g.cum_all * c.n_g))
+                AS BIGINT) AS emd_num,
+           CAST(SUM(abs(c.cum_g * g.n_all - g.cum_all * c.n_g))
+                AS DOUBLE)
+             / CAST(MAX(c.n_g) * MAX(g.n_all) * 7 AS DOUBLE) AS emd,
+           CASE WHEN CAST(SUM(abs(c.cum_g * g.n_all
+                                  - g.cum_all * c.n_g)) AS DOUBLE)
+                     / CAST(MAX(c.n_g) * MAX(g.n_all) * 7 AS DOUBLE)
+                     <= 0.25
+                THEN 1 ELSE 0 END AS t_ok
+    FROM cums c JOIN gcdf g ON c.attr = g.attr
+    GROUP BY c.grp
+    """,
+)
+def q_t_closeness(spark, sf_dir):
+    """T-CLOSENESS audit — the third rung of the privacy ladder
+    (q_k_anonymity: groups big enough; q_l_diversity: enough distinct
+    sensitive values; this: the group's sensitive-attribute
+    DISTRIBUTION must sit within t of the global one, or the group
+    leaks by skew): for an ORDERED sensitive attribute the distance is
+    the Earth Mover's Distance, which in 1-D collapses to the mean
+    absolute CDF gap — Σ_j |F_g(j) − F(j)| / (m−1).
+
+    The whole computation stays on the integer lattice by clearing
+    denominators: |cum_g·N − cum_all·n_g| summed over the 8-level
+    attribute grid (dense per group, so absent levels contribute their
+    true zero mass), divided ONCE by n_g·N·(m−1). Per-group cumulative
+    windows run over the bounded attribute domain; the global CDF is
+    an 8-row broadcast. t = 0.25 flags the leaking groups."""
+    ev = _t(spark, sf_dir, "events")
+    rows_ = ev.select(
+        (F.col("user_id") % 10).alias("grp"),
+        (F.floor("value").cast("bigint") % 8).alias("attr"),
+    )
+    counts = rows_.groupBy("grp", "attr").agg(F.count("*").alias("n"))
+    grid = (
+        rows_.select("grp")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(8).select(F.col("id").alias("attr")))
+        )
+        .join(counts, ["grp", "attr"], "left")
+        .select(
+            "grp",
+            "attr",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+        )
+    )
+    wg = Window.partitionBy("grp").orderBy("attr")
+    wga = Window.partitionBy("grp")
+    cums = grid.select(
+        "grp",
+        "attr",
+        F.sum("n").over(wg).cast("bigint").alias("cum_g"),
+        F.sum("n").over(wga).cast("bigint").alias("n_g"),
+    )
+    # the 8-row global CDF via a triangular self-join rather than an
+    # unpartitioned window: same result, keeps the catalog's
+    # no-unpartitioned-window posture (and the WindowExec warning out
+    # of the logs) on a frame this small
+    gn = grid.groupBy("attr").agg(F.sum("n").cast("bigint").alias("gn"))
+    glob = (
+        gn.alias("a")
+        .join(F.broadcast(gn.alias("b")),
+              F.col("b.attr") <= F.col("a.attr"))
+        .groupBy(F.col("a.attr").alias("attr"))
+        .agg(F.sum("b.gn").cast("bigint").alias("cum_all"))
+        .crossJoin(
+            F.broadcast(
+                gn.agg(F.sum("gn").cast("bigint").alias("n_all"))
+            )
+        )
+    )
+    term = F.abs(
+        F.col("cum_g") * F.col("n_all") - F.col("cum_all") * F.col("n_g")
+    )
+    emd = F.col("emd_num").cast("double") / (
+        F.col("n_g") * F.col("n_all") * 7
+    ).cast("double")
+    return (
+        cums.join(F.broadcast(glob), "attr")
+        .groupBy("grp")
+        .agg(
+            F.max("n_g").cast("bigint").alias("n_g"),
+            F.sum(term).cast("bigint").alias("emd_num"),
+            F.max("n_all").cast("bigint").alias("n_all"),
+        )
+        .select(
+            "grp",
+            "n_g",
+            "emd_num",
+            emd.alias("emd"),
+            F.when(emd <= 0.25, 1).otherwise(0).alias("t_ok"),
+        )
+    )
+
+
+@staged(
+    "q_conformal_interval",
+    oracle="""
+    WITH cal AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_cal,
+             CAST(SUM(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sx
+      FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+    ),
+    cal_resid AS (
+      SELECT e.event_type,
+             abs(CAST(floor(e.value) AS BIGINT) * c.n_cal - c.sx)
+               AS rnum,
+             ROW_NUMBER() OVER (PARTITION BY e.event_type
+               ORDER BY abs(CAST(floor(e.value) AS BIGINT) * c.n_cal
+                            - c.sx), e.event_id) AS rk,
+             c.n_cal, c.sx
+      FROM events e JOIN cal c ON e.event_type = c.event_type
+      WHERE e.event_id % 2 = 0
+    ),
+    qhat AS (
+      SELECT event_type, n_cal, sx,
+             CAST(rnum AS BIGINT) AS q_num
+      FROM cal_resid
+      WHERE rk = least(CAST(ceil(0.9 * (n_cal + 1)) AS BIGINT), n_cal)
+    ),
+    test_ AS (
+      SELECT q.event_type, q.n_cal, q.q_num,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN abs(CAST(floor(e.value) AS BIGINT)
+                                    * q.n_cal - q.sx) <= q.q_num
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM events e JOIN qhat q ON e.event_type = q.event_type
+      WHERE e.event_id % 2 = 1
+      GROUP BY q.event_type, q.n_cal, q.q_num
+    )
+    SELECT event_type, n_cal, n_test, q_num,
+           CAST(q_num AS DOUBLE) / CAST(n_cal AS DOUBLE) AS q_hat,
+           CAST(n_covered AS DOUBLE) / CAST(n_test AS DOUBLE)
+             AS coverage
+    FROM test_
+    """,
+)
+def q_conformal_interval(spark, sf_dir):
+    """SPLIT-CONFORMAL PREDICTION INTERVALS — the distribution-free
+    calibration wrapper every production model gets before its
+    point predictions ship ("the interval covers 90% of future points,
+    guaranteed"): even rows calibrate, odd rows test; the predictor is
+    the per-key calibration mean; q̂ is the ⌈0.9(n+1)⌉-th smallest
+    calibration residual; coverage on the test half should land near
+    (and, by the conformal guarantee, in expectation at least) 90%.
+
+    The exactness trick: residuals are |x − sx/n| — a DIVISION — but
+    their per-key ORDER is decided entirely by the integer numerator
+    |x·n − sx| (same denominator within a key), so ranking, the q̂
+    order statistic, and every coverage comparison run on the integer
+    lattice; only the two reported ratios divide. One ranking window
+    per key + one broadcast of the 1-row-per-key q̂ frame."""
+    ev = _t(spark, sf_dir, "events")
+    cal_rows = ev.filter(F.col("event_id") % 2 == 0)
+    cal = cal_rows.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_cal"),
+        F.sum(F.floor("value").cast("bigint")).cast("bigint").alias("sx"),
+    )
+    joined = cal_rows.join(F.broadcast(cal), "event_type")
+    rnum = F.abs(
+        F.floor("value").cast("bigint") * F.col("n_cal") - F.col("sx")
+    )
+    ranked = joined.select(
+        "event_type",
+        "n_cal",
+        "sx",
+        rnum.alias("rnum"),
+        F.row_number()
+        .over(
+            Window.partitionBy("event_type").orderBy(
+                rnum, F.col("event_id")
+            )
+        )
+        .alias("rk"),
+    )
+    qhat = ranked.filter(
+        F.col("rk")
+        == F.least(
+            F.ceil(0.9 * (F.col("n_cal") + 1)).cast("bigint"),
+            F.col("n_cal"),
+        )
+    ).select(
+        "event_type",
+        "n_cal",
+        "sx",
+        F.col("rnum").cast("bigint").alias("q_num"),
+    )
+    test = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "q_num")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.floor("value").cast("bigint") * F.col("n_cal")
+                        - F.col("sx")
+                    )
+                    <= F.col("q_num"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    return test.select(
+        "event_type",
+        "n_cal",
+        "n_test",
+        "q_num",
+        (F.col("q_num").cast("double") / F.col("n_cal").cast("double"))
+        .alias("q_hat"),
+        (
+            F.col("n_covered").cast("double")
+            / F.col("n_test").cast("double")
+        ).alias("coverage"),
+    )
+
+
+@staged(
+    "q_apdex",
+    oracle="""
+    WITH scored AS (
+      SELECT event_type,
+             CASE WHEN CAST(floor(value) AS BIGINT) <= 100 THEN 'sat'
+                  WHEN CAST(floor(value) AS BIGINT) <= 300 THEN 'tol'
+                  ELSE 'fru' END AS bucket
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN bucket = 'sat' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_satisfied,
+           CAST(SUM(CASE WHEN bucket = 'tol' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tolerating,
+           CAST(SUM(CASE WHEN bucket = 'fru' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_frustrated,
+           (CAST(SUM(CASE WHEN bucket = 'sat' THEN 1 ELSE 0 END)
+                 AS DOUBLE)
+            + CAST(SUM(CASE WHEN bucket = 'tol' THEN 1 ELSE 0 END)
+                   AS DOUBLE) / 2.0)
+           / CAST(COUNT(*) AS DOUBLE) AS apdex
+    FROM scored GROUP BY event_type
+    """,
+)
+def q_apdex(spark, sf_dir):
+    """APDEX SCORE per key — the SLO industry's standard user-satisfaction
+    rollup (Apdex_T = (satisfied + tolerating/2) / total with
+    tolerating ≤ 4T): threshold T = 100 on the integer value lattice,
+    so every bucket edge is an exact comparison and the score is one
+    fixed division chain off three counts. One map-side-combined agg;
+    the half-weight is applied to the COUNT (ties impossible), never to
+    per-row doubles. Complements q_slo_burn (budget consumption over
+    time) with the point-in-time satisfaction summary."""
+    ev = _t(spark, sf_dir, "events")
+    px = F.floor("value").cast("bigint")
+    scored = ev.select(
+        "event_type",
+        F.when(px <= 100, F.lit("sat"))
+        .when(px <= 300, F.lit("tol"))
+        .otherwise(F.lit("fru"))
+        .alias("bucket"),
+    )
+    sat = F.sum(F.when(F.col("bucket") == "sat", 1).otherwise(0))
+    tol = F.sum(F.when(F.col("bucket") == "tol", 1).otherwise(0))
+    fru = F.sum(F.when(F.col("bucket") == "fru", 1).otherwise(0))
+    return scored.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        sat.cast("bigint").alias("n_satisfied"),
+        tol.cast("bigint").alias("n_tolerating"),
+        fru.cast("bigint").alias("n_frustrated"),
+        (
+            (sat.cast("double") + tol.cast("double") / F.lit(2.0))
+            / F.count("*").cast("double")
+        ).alias("apdex"),
+    )
+
+
+@staged(
+    "q_backfill_plan",
+    oracle="""
+    WITH bounds AS (
+      SELECT event_type,
+             date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events GROUP BY event_type
+    ),
+    spine AS (
+      SELECT b.event_type,
+             unnest(generate_series(b.lo, b.hi,
+                                    INTERVAL 1 HOUR)) AS hour
+      FROM bounds b
+    ),
+    have AS (
+      SELECT DISTINCT event_type, date_trunc('hour', ts) AS hour
+      FROM events
+    ),
+    missing AS (
+      SELECT s.event_type, s.hour,
+             CAST(floor(epoch(s.hour)) AS BIGINT) // 3600
+             - ROW_NUMBER() OVER (PARTITION BY s.event_type
+                                  ORDER BY s.hour) AS island
+      FROM spine s LEFT JOIN have h
+        ON h.event_type = s.event_type AND h.hour = s.hour
+      WHERE h.hour IS NULL
+    )
+    SELECT event_type,
+           strftime(MIN(hour), '%Y-%m-%d %H:%M:%S') AS gap_start,
+           strftime(MAX(hour), '%Y-%m-%d %H:%M:%S') AS gap_end,
+           CAST(COUNT(*) AS BIGINT) AS n_hours
+    FROM missing GROUP BY event_type, island
+    """,
+)
+def q_backfill_plan(spark, sf_dir):
+    """BACKFILL PLANNER — the operational readout over q_gap_fill's
+    dense spine: instead of zero-filling missing (key, hour) cells,
+    EMIT them as merged contiguous ranges (gap_start, gap_end,
+    n_hours) — exactly the job list an orchestrator submits to repair
+    a feed, one run per island rather than one per hour.
+
+    Islands merge by the gaps-and-islands identity on the hour lattice
+    (epoch//3600 − row_number is constant exactly on consecutive
+    missing hours); the spine is derived per key from its own observed
+    bounds (no external calendar), the anti-join finds holes, and the
+    per-key window runs over the bounded spine, not raw events.
+    Timestamps compare as formatted strings per the catalog's
+    exactness rules."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.expr("sequence(lo, hi, interval 1 hour)")
+        ).alias("hour"),
+    )
+    have = ev.select(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).distinct()
+    missing = (
+        spine.join(have, ["event_type", "hour"], "left_anti")
+        .select(
+            "event_type",
+            "hour",
+            (
+                F.expr(
+                    "CAST(floor(unix_timestamp(hour)) AS BIGINT) div 3600"
+                )
+                - F.row_number().over(
+                    Window.partitionBy("event_type").orderBy("hour")
+                )
+            ).alias("island"),
+        )
+    )
+    return missing.groupBy("event_type", "island").agg(
+        F.date_format(F.min("hour"), "yyyy-MM-dd HH:mm:ss").alias(
+            "gap_start"
+        ),
+        F.date_format(F.max("hour"), "yyyy-MM-dd HH:mm:ss").alias(
+            "gap_end"
+        ),
+        F.count("*").cast("bigint").alias("n_hours"),
+    ).drop("island")

@@ -736,3 +736,159 @@ def test_merkle_levels_witness(spark, duck):
     assert got == exp
     # substance: the tree actually narrows (fan-in at both levels)
     assert len(l2) < len(l1) < len(rows)
+
+
+def test_mix_rate_decomposition_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, event_id, value FROM "
+        f"'{SF_DIR}/events.parquet'"
+    ).fetchall()
+    cells = collections.defaultdict(lambda: [0, 0])
+    for et, eid, v in rows:
+        c = cells[(et, eid % 2)]
+        c[0] += 1
+        c[1] += 1 if int(math.floor(v)) % 4 == 0 else 0
+    np0 = sum(n for (et, p), (n, _c) in cells.items() if p == 0)
+    np1 = sum(n for (et, p), (n, _c) in cells.items() if p == 1)
+    got = {r.seg: r for r in STAGED_QUERIES["q_mix_rate_decomposition"](
+        spark, SF_DIR).collect()}
+    total_effect = 0.0
+    for seg in {et for (et, _p) in cells}:
+        n0, c0 = cells[(seg, 0)]
+        n1, c1 = cells[(seg, 1)]
+        s0, s1 = n0 / np0, n1 / np1
+        r0, r1 = c0 / n0, c1 / n1
+        r = got[seg]
+        assert (r.n0, r.n1, r.conv0, r.conv1) == (n0, n1, c0, c1)
+        assert abs(r.mix_effect - (s1 - s0) * r0) < 1e-12
+        assert abs(r.rate_effect - s0 * (r1 - r0)) < 1e-12
+        assert abs(r.interaction - (s1 - s0) * (r1 - r0)) < 1e-12
+        total_effect += r.mix_effect + r.rate_effect + r.interaction
+    # the accounting identity: segment effects sum to the overall ΔR
+    R0 = sum(c for (et, p), (n, c) in cells.items() if p == 0) / np0
+    R1 = sum(c for (et, p), (n, c) in cells.items() if p == 1) / np1
+    assert abs(total_effect - (R1 - R0)) < 1e-9
+
+
+def test_t_closeness_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(lambda: [0] * 8)
+    glob = [0] * 8
+    for uid, v in rows:
+        a = int(math.floor(v)) % 8
+        per[uid % 10][a] += 1
+        glob[a] += 1
+    n_all = sum(glob)
+    got = {r.grp: (r.n_g, r.emd_num, r.emd, r.t_ok)
+           for r in STAGED_QUERIES["q_t_closeness"](
+               spark, SF_DIR).collect()}
+    assert set(got) == set(per)
+    for g, hist in per.items():
+        n_g = sum(hist)
+        cg = ca = 0
+        num = 0
+        for j in range(8):
+            cg += hist[j]
+            ca += glob[j]
+            num += abs(cg * n_all - ca * n_g)
+        emd = num / (n_g * n_all * 7)
+        gn, gnum, gemd, gok = got[g]
+        assert (gn, gnum) == (n_g, num)
+        assert abs(gemd - emd) < 1e-12
+        assert gok == (1 if emd <= 0.25 else 0)
+        # EMD is a proper normalized distance
+        assert 0.0 <= emd <= 1.0
+
+
+def test_conformal_interval_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, event_id, value FROM "
+        f"'{SF_DIR}/events.parquet'"
+    ).fetchall()
+    cal = collections.defaultdict(list)
+    test = collections.defaultdict(list)
+    for et, eid, v in rows:
+        (cal if eid % 2 == 0 else test)[et].append(
+            (int(math.floor(v)), eid))
+    got = {r.event_type: r for r in STAGED_QUERIES["q_conformal_interval"](
+        spark, SF_DIR).collect()}
+    for et, xs in cal.items():
+        n = len(xs)
+        sx = sum(x for x, _e in xs)
+        resid = sorted((abs(x * n - sx), e) for x, e in xs)
+        k = min(math.ceil(0.9 * (n + 1)), n)
+        q_num = resid[k - 1][0]
+        covered = sum(1 for x, _e in test[et]
+                      if abs(x * n - sx) <= q_num)
+        r = got[et]
+        assert (r.n_cal, r.n_test, r.q_num) == (n, len(test[et]), q_num)
+        assert abs(r.coverage - covered / len(test[et])) < 1e-12
+        # the conformal guarantee: coverage concentrates near 90%
+        assert 0.80 <= r.coverage <= 1.0
+
+
+def test_apdex_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, value FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    agg = collections.defaultdict(lambda: [0, 0, 0])
+    for et, v in rows:
+        p = int(math.floor(v))
+        a = agg[et]
+        if p <= 100:
+            a[0] += 1
+        elif p <= 300:
+            a[1] += 1
+        else:
+            a[2] += 1
+    got = {r.event_type: r for r in STAGED_QUERIES["q_apdex"](
+        spark, SF_DIR).collect()}
+    for et, (s, t, f) in agg.items():
+        r = got[et]
+        n = s + t + f
+        assert (r.n, r.n_satisfied, r.n_tolerating, r.n_frustrated) == (
+            n, s, t, f)
+        assert abs(r.apdex - (s + t / 2.0) / n) < 1e-12
+        assert 0.0 <= r.apdex <= 1.0
+    # substance: all three buckets are populated somewhere
+    assert any(a[2] > 0 for a in agg.values())
+
+
+def test_backfill_plan_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, "
+        f"CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 "
+        f"FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    import datetime
+    per = collections.defaultdict(set)
+    for et, h in rows:
+        per[et].add(h)
+    exp = set()
+    for et, hs in per.items():
+        lo, hi = min(hs), max(hs)
+        missing = sorted(set(range(lo, hi + 1)) - hs)
+        i = 0
+        while i < len(missing):
+            j = i
+            while j + 1 < len(missing) and missing[j + 1] == missing[j] + 1:
+                j += 1
+            fmt = "%Y-%m-%d %H:%M:%S"
+            exp.add((
+                et,
+                datetime.datetime.fromtimestamp(
+                    missing[i] * 3600, datetime.UTC).strftime(fmt),
+                datetime.datetime.fromtimestamp(
+                    missing[j] * 3600, datetime.UTC).strftime(fmt),
+                j - i + 1,
+            ))
+            i = j + 1
+    got = {(r.event_type, r.gap_start, r.gap_end, r.n_hours)
+           for r in STAGED_QUERIES["q_backfill_plan"](
+               spark, SF_DIR).collect()}
+    assert got == exp
+    # substance: there are real gaps to backfill, and they merge
+    assert len(exp) > 0
+    assert any(n > 1 for _t, _s, _e, n in exp)
