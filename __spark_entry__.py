@@ -155,6 +155,25 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "q_haar_wavelet", "q_multiset_ops", "q_fifo_costing", "q_waterfill",
     "q_k_anonymity", "q_union_area_rects", "q_bitemporal_asof",
     "q_late_arriving_dim", "q_postings_compression", "q_holt_smoothing",
+    # round 10 (CORRECTNESS_r10.json): 50/50 pass — the 48 new round-10
+    # mechanisms (below) plus the q_parse_project / q_flowlog_parse
+    # routine re-checks (already listed in round 1 above).
+    "q_stream_topk", "q_stream_late_dedup", "q_stream_late_data",
+    "q_scd2_replay", "q_event_debounce", "q_max_concurrency",
+    "q_interval_scheduling", "q_temporal_sum_timeline",
+    "q_largest_remainder", "q_dhondt", "q_l_diversity",
+    "q_partition_digest", "q_knn_reciprocity", "q_anova_f", "q_wilson_ci",
+    "q_mcnemar", "q_benjamini_hochberg", "q_rolling_median",
+    "q_ip_lpm_route", "q_lift_deciles", "q_percentile_interp",
+    "q_consistent_hashing", "q_latency_histogram", "q_ledger_replay",
+    "q_holt_winters", "q_queue_replay", "q_token_bucket", "q_ab_cuped",
+    "q_winnowing", "q_sssp_bellman_ford", "q_sparse_matmul",
+    "q_cidr_merge", "q_quantile_normalization", "q_drawdown",
+    "q_url_canonicalize", "q_grid_stencil", "q_bin_packing_nextfit",
+    "q_bollinger", "q_tree_lca", "q_unicode_nfc", "q_luhn_check",
+    "q_knapsack_greedy", "q_sma_crossover", "q_phonetic_blocking",
+    "q_stream_ohlc", "q_ema_crossover", "q_table_checksum",
+    "q_crdt_gcounter",
 })
 
 
