@@ -1,16 +1,46 @@
-"""Plan-shape pins for the round-10 STAGED queries — the same
-`.explain`-level posture checks the catalog batches get
-(test_round10_plan_shapes.py), run at staging time so promotion cannot
-regress a physical plan unnoticed."""
+"""Plan-shape pins for the 27 round-10-staged queries, PROMOTED to the
+catalog in round 11 — the same `.explain`-level posture checks the
+catalog batches get (test_round10_plan_shapes.py); repointed at the
+catalog registry when the `@staged` blocks moved (r10 VERDICT item 1)."""
 
 from __future__ import annotations
 
 import pytest
 
 from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
-from aws_vpcflowlogs_parquet_spark.plans.staging import STAGED_QUERIES
 
 from .conftest import SF_DIR
+
+# the 27 round-10-staged queries, now registered in the catalog
+PROMOTED_R10 = [
+    "q_group_lcp",
+    "q_histogram_equalize",
+    "q_ratio_delta_method",
+    "q_h_index",
+    "q_linear_interpolate",
+    "q_csv_sniff",
+    "q_outlier_iqr",
+    "q_readability",
+    "q_forecast_backtest",
+    "q_ua_parse",
+    "q_modularity",
+    "q_er_score",
+    "q_flow_stitch",
+    "q_feature_hash_audit",
+    "q_revenue_recognition",
+    "q_diff_in_diff",
+    "q_grid_hotspot",
+    "q_reconciliation",
+    "q_sampling_temperature",
+    "q_span_f1",
+    "q_encoding_advisor",
+    "q_merkle_levels",
+    "q_mix_rate_decomposition",
+    "q_t_closeness",
+    "q_conformal_interval",
+    "q_apdex",
+    "q_backfill_plan",
+]
 
 
 def _executed(df) -> str:
@@ -21,18 +51,18 @@ def _no_python(plan: str) -> bool:
     return "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+@pytest.mark.parametrize("name", sorted(PROMOTED_R10))
 def test_staged_no_cartesian_no_rowwise_python(spark, name):
     # universal posture: no cartesian product, no row-at-a-time Python
     # UDF in any staged plan (broadcast nested-loop against 1-row or
     # constant-size frames is allowed and asserted per-query below)
-    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    plan = _executed(QUERIES[name](spark, SF_DIR))
     assert "CartesianProduct" not in plan, (name, plan)
     assert _no_python(plan), (name, plan)
 
 
 def test_group_lcp_two_mergeable_aggs_no_join(spark):
-    plan = _executed(STAGED_QUERIES["q_group_lcp"](spark, SF_DIR))
+    plan = _executed(QUERIES["q_group_lcp"](spark, SF_DIR))
     assert "Join" not in plan, plan
     # string min/max may plan as Sort- or ObjectHashAggregate; the pin
     # is that SOME aggregate pair exists and nothing else shuffles
@@ -49,13 +79,13 @@ def test_ema_crossover_scan_is_agg_side_fold(spark):
 def test_er_score_is_equi_join_on_block_key(spark):
     # the pair join must be a hash join keyed on the block (noun),
     # never a nested-loop over all pairs
-    plan = _executed(STAGED_QUERIES["q_er_score"](spark, SF_DIR))
+    plan = _executed(QUERIES["q_er_score"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
 
 
 def test_flow_stitch_single_agg_no_join(spark):
-    plan = _executed(STAGED_QUERIES["q_flow_stitch"](spark, SF_DIR))
+    plan = _executed(QUERIES["q_flow_stitch"](spark, SF_DIR))
     assert "Join" not in plan, plan
 
 
@@ -66,10 +96,10 @@ def test_table_checksum_no_join_mergeable_aggs(spark):
 
 
 def test_reconciliation_joins_are_equi_keyed(spark):
-    plan = _executed(STAGED_QUERIES["q_reconciliation"](spark, SF_DIR))
+    plan = _executed(QUERIES["q_reconciliation"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_merkle_levels_no_join(spark):
-    plan = _executed(STAGED_QUERIES["q_merkle_levels"](spark, SF_DIR))
+    plan = _executed(QUERIES["q_merkle_levels"](spark, SF_DIR))
     assert "Join" not in plan, plan

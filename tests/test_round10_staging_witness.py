@@ -1,6 +1,7 @@
-"""Pure-Python witnesses for the round-10 STAGED queries (plans/
-staging.py) at sf0.001 — independent recomputation, the third leg next
-to the Spark build and the DuckDB oracle, run at staging time so
+"""Pure-Python witnesses for the 27 round-10-staged queries (promoted
+to plans/catalog.py in round 11) at sf0.001 — independent
+recomputation, the third leg next to the Spark build and the DuckDB
+oracle, written at staging time so
 promotion to the catalog is a move, not a build."""
 
 from __future__ import annotations
@@ -12,7 +13,6 @@ import duckdb
 import pytest
 
 from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
-from aws_vpcflowlogs_parquet_spark.plans.staging import STAGED_QUERIES
 
 from .conftest import SF_DIR
 
@@ -40,7 +40,7 @@ def test_group_lcp_witness(spark, duck):
                 lcp = lcp[:-1]
         exp[et] = (len(paths), len(lcp), lcp)
     got = {r.event_type: (r.n_paths, r.lcp_len, r.lcp)
-           for r in STAGED_QUERIES["q_group_lcp"](spark, SF_DIR).collect()}
+           for r in QUERIES["q_group_lcp"](spark, SF_DIR).collect()}
     assert got == exp
     # substance: the shared prefix extends past the constant scheme
     # into real data (the per-type segment), but never to a whole path
@@ -99,7 +99,7 @@ def test_histogram_equalize_witness(spark, duck):
                      if total > cdf_min else 0)
             exp[(et, pix)] = (h[pix], cdf, remap)
     got = {(r.event_type, r.pix): (r.n, r.cdf, r.remap)
-           for r in STAGED_QUERIES["q_histogram_equalize"](
+           for r in QUERIES["q_histogram_equalize"](
                spark, SF_DIR).collect()}
     assert got == exp
     # substance: the remap actually spreads (monotone, hits 255 at top)
@@ -115,7 +115,7 @@ def test_ratio_delta_method_witness(spark, duck):
     for eid, uid, v in rows:
         per[eid % 2].append((1 + uid % 7, int(math.floor(v)) % 5))
     got = {r.variant: (r.n, r.ratio, r.se)
-           for r in STAGED_QUERIES["q_ratio_delta_method"](
+           for r in QUERIES["q_ratio_delta_method"](
                spark, SF_DIR).collect()}
     assert set(got) == set(per)
     for var, xy in per.items():
@@ -153,7 +153,7 @@ def test_h_index_witness(spark, duck):
                 h = rn
         exp[src] = (len(cs), h)
     got = {r.source: (r.n_docs, r.h_index)
-           for r in STAGED_QUERIES["q_h_index"](spark, SF_DIR).collect()}
+           for r in QUERIES["q_h_index"](spark, SF_DIR).collect()}
     assert got == exp
     # substance: h is interior (neither 0 nor the full doc count)
     assert all(0 < h < n for n, h in exp.values())
@@ -180,7 +180,7 @@ def test_linear_interpolate_witness(spark, duck):
                     exp[(t, b)] = (xs[b],
                                    xs[lo] + (xs[hi] - xs[lo]) * frac)
     got = {(r.event_type, r.b): (r.observed, r.interp)
-           for r in STAGED_QUERIES["q_linear_interpolate"](
+           for r in QUERIES["q_linear_interpolate"](
                spark, SF_DIR).collect()}
     assert got == exp
     # substance: real gaps got repaired with non-flat lines
@@ -214,7 +214,7 @@ def test_csv_sniff_witness(spark, duck):
         exp[src] = (detected, fields, len(lines))
         assert detected == planted  # the sniffer must recover the plant
     got = {r.source: (r.delim, r.n_fields, r.n_lines)
-           for r in STAGED_QUERIES["q_csv_sniff"](spark, SF_DIR).collect()}
+           for r in QUERIES["q_csv_sniff"](spark, SF_DIR).collect()}
     assert got == exp
 
 
@@ -226,7 +226,7 @@ def test_outlier_iqr_witness(spark, duck):
     per = collections.defaultdict(list)
     for et, eid, v in rows:
         per[et].append((int(math.floor(v)), eid))
-    got = {r.event_type: r for r in STAGED_QUERIES["q_outlier_iqr"](
+    got = {r.event_type: r for r in QUERIES["q_outlier_iqr"](
         spark, SF_DIR).collect()}
     assert set(got) == set(per)
     for et, xs in per.items():
@@ -267,7 +267,7 @@ def test_readability_witness(spark, duck):
         a[1] += words
         a[2] += sents
         a[3] += syls
-    got = {r.source: r for r in STAGED_QUERIES["q_readability"](
+    got = {r.source: r for r in QUERIES["q_readability"](
         spark, SF_DIR).collect()}
     assert set(got) == set(agg)
     for src, (nd, w, s, sy) in agg.items():
@@ -300,7 +300,7 @@ def test_forecast_backtest_witness(spark, duck):
     got = {r.event_type:
            (r.n_evals, r.ae_naive, r.ae_snaive, r.mae_naive,
             r.mae_snaive, r.winner)
-           for r in STAGED_QUERIES["q_forecast_backtest"](
+           for r in QUERIES["q_forecast_backtest"](
                spark, SF_DIR).collect()}
     assert got == exp
 
@@ -320,7 +320,7 @@ def test_ua_parse_witness(spark, duck):
         a[1] = min(a[1], major)
         a[2] = max(a[2], major)
     got = {(r.browser, r.os): (r.n, r.min_major, r.max_major)
-           for r in STAGED_QUERIES["q_ua_parse"](spark, SF_DIR).collect()}
+           for r in QUERIES["q_ua_parse"](spark, SF_DIR).collect()}
     assert got == {k: tuple(v) for k, v in agg.items()}
     # substance: the full 3x3 family/os grid is populated
     assert len(got) == 9
@@ -344,7 +344,7 @@ def test_modularity_witness(spark, duck):
         d_c[a % 4] += 1
         d_c[b % 4] += 1
     got = {r.community: (r.e_c, r.d_c, r.q_contrib)
-           for r in STAGED_QUERIES["q_modularity"](
+           for r in QUERIES["q_modularity"](
                spark, SF_DIR).collect()}
     assert set(got) == set(d_c)
     q_total = 0.0
@@ -407,7 +407,7 @@ def test_er_score_witness(spark, duck):
                 agg[verdict][0] += 1
                 agg[verdict][1] += score
     got = {r.verdict: (r.n_pairs, r.score_sum, r.avg_score)
-           for r in STAGED_QUERIES["q_er_score"](spark, SF_DIR).collect()}
+           for r in QUERIES["q_er_score"](spark, SF_DIR).collect()}
     assert set(got) == set(agg)
     for v, (n, s) in agg.items():
         gn, gs, ga = got[v]
@@ -437,7 +437,7 @@ def test_flow_stitch_witness(spark, duck):
             a[3] += byt
     got = {(r.lo, r.hi):
            (r.n_fwd, r.n_rev, r.bytes_fwd, r.bytes_rev, r.bidirectional)
-           for r in STAGED_QUERIES["q_flow_stitch"](
+           for r in QUERIES["q_flow_stitch"](
                spark, SF_DIR).collect()}
     exp = {k: (nf, nr, bf, br, 1 if (nf > 0 and nr > 0) else 0)
            for k, (nf, nr, bf, br) in agg.items()}
@@ -461,7 +461,7 @@ def test_feature_hash_audit_witness(spark, duck):
     hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
           for t in toks]
     got = {r.n_buckets: (r.n_features, r.n_used_buckets, r.n_collisions)
-           for r in STAGED_QUERIES["q_feature_hash_audit"](
+           for r in QUERIES["q_feature_hash_audit"](
                spark, SF_DIR).collect()}
     for nb in (256, 1024, 4096):
         used = len({h % nb for h in hs})
@@ -495,7 +495,7 @@ def test_revenue_recognition_witness(spark, duck):
         assert sum(cents // np_ + (1 if k < cents % np_ else 0)
                    for k in range(np_)) == cents
     got = {r.period: (r.n_slices, r.recognized_cents)
-           for r in STAGED_QUERIES["q_revenue_recognition"](
+           for r in QUERIES["q_revenue_recognition"](
                spark, SF_DIR).collect()}
     assert got == {k: tuple(v) for k, v in agg.items()}
 
@@ -511,7 +511,7 @@ def test_diff_in_diff_witness(spark, duck):
         c[1] += int(math.floor(v))
     m = {k: s / n for k, (n, s) in cells.items()}
     did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
-    got = STAGED_QUERIES["q_diff_in_diff"](spark, SF_DIR).collect()
+    got = QUERIES["q_diff_in_diff"](spark, SF_DIR).collect()
     assert len(got) == 4
     for r in got:
         n, s = cells[(r.treated, r.post)]
@@ -547,7 +547,7 @@ def test_grid_hotspot_witness(spark, duck):
         if z > 2.0:
             exp[key] = (lsum, k, z)
     got = {(r.x, r.y): (r.lsum, r.k, r.z)
-           for r in STAGED_QUERIES["q_grid_hotspot"](
+           for r in QUERIES["q_grid_hotspot"](
                spark, SF_DIR).collect()}
     assert set(got) == set(exp)
     for key, (ls, k, z) in exp.items():
@@ -584,7 +584,7 @@ def test_reconciliation_witness(spark, duck):
         a[3] += abs(oc - lc)
     got = {r.status: (r.n_orders, r.order_cents, r.line_cents,
                       r.abs_gap_cents)
-           for r in STAGED_QUERIES["q_reconciliation"](
+           for r in QUERIES["q_reconciliation"](
                spark, SF_DIR).collect()}
     assert got == {k: tuple(v) for k, v in agg.items()}
 
@@ -599,7 +599,7 @@ def test_sampling_temperature_witness(spark, duck):
     ntot = sum(n for _s, n in rows)
     wtot = sum(wq.values())
     got = {r.source: (r.n, r.w_q, r.share, r.alloc_10k, r.boost)
-           for r in STAGED_QUERIES["q_sampling_temperature"](
+           for r in QUERIES["q_sampling_temperature"](
                spark, SF_DIR).collect()}
     for src, n in rows:
         gn, gw, gs, ga, gb = got[src]
@@ -654,7 +654,7 @@ def test_span_f1_witness(spark, duck):
         a[0] += 1 if did % 3 == 1 else 0  # span 1 exact iff drift == 0
         a[0] += 1  # span 2 always exact
     got = {r.source: (r.tp, r.n_gold, r.precision_, r.f1)
-           for r in STAGED_QUERIES["q_span_f1"](spark, SF_DIR).collect()}
+           for r in QUERIES["q_span_f1"](spark, SF_DIR).collect()}
     assert set(got) == set(agg)
     for src, (tp, n) in agg.items():
         gtp, gn, gp, gf1 = got[src]
@@ -682,7 +682,7 @@ def test_encoding_advisor_witness(spark, duck):
         "row_hash": [hashlib.md5(str(e).encode()).hexdigest()
                      for e, _et, _u, _v, _d in rows],
     }
-    got = {r.col: r for r in STAGED_QUERIES["q_encoding_advisor"](
+    got = {r.col: r for r in QUERIES["q_encoding_advisor"](
         spark, SF_DIR).collect()}
     for col, vs in series.items():
         n = len(vs)
@@ -729,7 +729,7 @@ def test_merkle_levels_witness(spark, duck):
               len(hs))
           for b, hs in l2g.items()}
     got = {(r.level, r.node): (r.h, r.n_children)
-           for r in STAGED_QUERIES["q_merkle_levels"](
+           for r in QUERIES["q_merkle_levels"](
                spark, SF_DIR).collect()}
     exp = {(1, b): v for b, v in l1.items()}
     exp |= {(2, b): v for b, v in l2.items()}
@@ -750,7 +750,7 @@ def test_mix_rate_decomposition_witness(spark, duck):
         c[1] += 1 if int(math.floor(v)) % 4 == 0 else 0
     np0 = sum(n for (et, p), (n, _c) in cells.items() if p == 0)
     np1 = sum(n for (et, p), (n, _c) in cells.items() if p == 1)
-    got = {r.seg: r for r in STAGED_QUERIES["q_mix_rate_decomposition"](
+    got = {r.seg: r for r in QUERIES["q_mix_rate_decomposition"](
         spark, SF_DIR).collect()}
     total_effect = 0.0
     for seg in {et for (et, _p) in cells}:
@@ -782,7 +782,7 @@ def test_t_closeness_witness(spark, duck):
         glob[a] += 1
     n_all = sum(glob)
     got = {r.grp: (r.n_g, r.emd_num, r.emd, r.t_ok)
-           for r in STAGED_QUERIES["q_t_closeness"](
+           for r in QUERIES["q_t_closeness"](
                spark, SF_DIR).collect()}
     assert set(got) == set(per)
     for g, hist in per.items():
@@ -812,7 +812,7 @@ def test_conformal_interval_witness(spark, duck):
     for et, eid, v in rows:
         (cal if eid % 2 == 0 else test)[et].append(
             (int(math.floor(v)), eid))
-    got = {r.event_type: r for r in STAGED_QUERIES["q_conformal_interval"](
+    got = {r.event_type: r for r in QUERIES["q_conformal_interval"](
         spark, SF_DIR).collect()}
     for et, xs in cal.items():
         n = len(xs)
@@ -843,7 +843,7 @@ def test_apdex_witness(spark, duck):
             a[1] += 1
         else:
             a[2] += 1
-    got = {r.event_type: r for r in STAGED_QUERIES["q_apdex"](
+    got = {r.event_type: r for r in QUERIES["q_apdex"](
         spark, SF_DIR).collect()}
     for et, (s, t, f) in agg.items():
         r = got[et]
@@ -886,7 +886,7 @@ def test_backfill_plan_witness(spark, duck):
             ))
             i = j + 1
     got = {(r.event_type, r.gap_start, r.gap_end, r.n_hours)
-           for r in STAGED_QUERIES["q_backfill_plan"](
+           for r in QUERIES["q_backfill_plan"](
                spark, SF_DIR).collect()}
     assert got == exp
     # substance: there are real gaps to backfill, and they merge
