@@ -66,22 +66,40 @@ def main() -> None:
         lambda pdf: pdf.head(1), schema="id long, g long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Steady-state timing, denoised (r10 VERDICT item 3: the sub-2 s
+    # tail swung up to ~2× between single runs — scheduler noise, not
+    # regression signal). Every query runs twice (the first execution
+    # pays one-time JIT/codegen a long-lived cluster amortizes away);
+    # queries in the noise-prone short tail get a THIRD run and report
+    # the median of 3, heavy queries (≥ 2 s, where scheduler jitter is
+    # proportionally small) keep the prior best-of-2 so total bench
+    # wall stays bounded. SPARK_GRAFT_BENCH_RUNS=n forces median-of-n
+    # for every query (quiet-host artifact runs).
+    forced = os.environ.get("SPARK_GRAFT_BENCH_RUNS")
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
-        # steady-state timing: best of 2 runs — the first execution of a
-        # query shape pays one-time JIT/codegen compilation that a
-        # long-lived cluster amortizes away
-        best = float("inf")
-        for _ in range(2):
+
+        def _one_run() -> float:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
             # queries are self-contained: drop any blocks an operator
             # persisted (minhash/ngram/cluster staging) so later timings
             # aren't polluted by another query's cache pressure —
             # measured 2.2× on the total
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
+            return dt
+
+        samples = [_one_run(), _one_run()]
+        want = int(forced) if forced else (3 if min(samples) < 2.0 else 2)
+        while len(samples) < want:
+            samples.append(_one_run())
+        samples.sort()
+        # odd n → true median; even n → best (min of 2 is the prior
+        # rounds' steady-state convention for the stable heavy tail)
+        timings[name] = round(
+            samples[len(samples) // 2] if len(samples) % 2 else samples[0], 3
+        )
 
     total = round(sum(timings.values()), 3)
     # The driver's stdout capture truncated the round-2 line once it
