@@ -562,3 +562,105 @@ def stream_stream_join_full_outer(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {horizon}")),
         "full_outer",
     )
+
+
+def stream_absence(
+    events: DataFrame,
+    trigger: str = "click",
+    expected: str = "purchase",
+    gap_us: int = 3_600_000_000,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming ABSENCE / timeout detection (the Flink-CEP
+    ``notFollowedBy`` + within() shape, the second CEP family next to
+    :func:`stream_cep_peaks`'s sequence matcher): per user, a TRIGGER
+    event (click) with NO EXPECTED event (purchase) in the following
+    ``gap_us`` window is an abandonment — but absence is only
+    *confirmable* once the stream provably advances past the deadline,
+    so the operator emits a per-batch DELTA count of clicks whose
+    deadline passed unanswered, and holds not-yet-decidable clicks in
+    state.
+
+    Decision rule per candidate click at t (identical to the batch
+    twin in q_stream_absence's oracle): PRESENT if some expected event
+    has t < p_us <= t + gap_us; ABSENT once the key's observed horizon
+    (max event-time seen, any type) exceeds t + gap_us without such an
+    event; PENDING otherwise. ORDERING PRECONDITION: batch-monotonic
+    per key, as stream_cep_peaks documents — within-watermark late
+    rows landing in later batches are evaluated against the later
+    horizon (the standard CEP trade).
+
+    State is the CSV of pending trigger timestamps — bounded by the
+    trigger rate within one gap window (watermark-aged), not by stream
+    length. The kernel is vectorized: one searchsorted of candidate
+    deadlines into the batch's sorted expected-event timestamps, no
+    per-row Python."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_abandoned bigint"
+    state_schema = "pending string"
+    events = events.select("user_id", ts_col, "event_type")
+
+    def update(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        pend: list[int] = []
+        if state.exists and state.get[0]:
+            pend = [int(x) for x in state.get[0].split(",")]
+        us_l, typ_l = [], []
+        for pdf in pdf_iter:
+            if len(pdf):
+                us_l.append(
+                    pdf[ts_col]
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                )
+                typ_l.append(pdf["event_type"].to_numpy())
+        n_abandoned = 0
+        if us_l:
+            us = us_l[0] if len(us_l) == 1 else np.concatenate(us_l)
+            typ = typ_l[0] if len(typ_l) == 1 else np.concatenate(typ_l)
+            horizon = int(us.max())
+            exp_us = np.sort(us[typ == expected])
+            cand = np.sort(
+                np.concatenate(
+                    [np.asarray(pend, dtype="int64"), us[typ == trigger]]
+                )
+            )
+            if len(cand):
+                # present: some expected event in (t, t+gap]
+                if len(exp_us):
+                    idx = np.searchsorted(exp_us, cand, side="right")
+                    has_next = idx < len(exp_us)
+                    nxt = np.where(
+                        has_next,
+                        exp_us[np.minimum(idx, len(exp_us) - 1)],
+                        np.iinfo("int64").max,
+                    )
+                    present = has_next & (nxt <= cand + gap_us)
+                else:
+                    present = np.zeros(len(cand), dtype=bool)
+                expired = cand + gap_us < horizon
+                absent = (~present) & expired
+                n_abandoned = int(absent.sum())
+                pend = [int(x) for x in cand[(~present) & (~expired)]]
+        state.update((",".join(str(x) for x in pend),))
+        if n_abandoned:
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_abandoned": [n_abandoned]}
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,393 @@
+"""Pure-Python witnesses for the round-11 mechanism queries at sf0.001 —
+independent recomputation (no SQL on either engine), the third leg of
+the per-batch validation loop — plus the plan-shape pins."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import math
+import re
+
+import duckdb
+import pytest
+
+from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
+
+from .conftest import SF_DIR
+
+R11_BATCH = [
+    "q_quantile_sketch_merge",
+    "q_interval_difference",
+    "q_bandit_ucb",
+    "q_js_divergence",
+    "q_log_templates",
+    "q_integral_image",
+    "q_sliding_rate_limit",
+    "q_salt_plan",
+    "q_prefix_free_check",
+    "q_knn_classify",
+]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def _events(duck):
+    return duck.sql(
+        f"SELECT event_id, epoch_us(ts), user_id, event_type, value, props"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_quantile_sketch_merge_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT l_orderkey, l_extendedprice FROM"
+        f" '{SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    shards = collections.defaultdict(set)
+    for ok, price in rows:
+        v = int(round(price * 100))
+        shards[ok % 8].add(v)
+    shipped = set()
+    for vs in shards.values():
+        local = sorted(((_md5(str(v)), v) for v in vs))[:64]
+        shipped.update(local)
+    merged = sorted(shipped)[:64]
+    sample = sorted(v for _h, v in merged)
+    n = len(sample)
+    exp = {}
+    for q in (10, 25, 50, 75, 90):
+        rn = (q * n + 99) // 100
+        exp[q] = (sample[rn - 1], n)
+    got = {
+        r.q_pct: (r.est_cents, r.sample_n)
+        for r in QUERIES["q_quantile_sketch_merge"](spark, SF_DIR).collect()
+    }
+    assert got == exp
+
+    # the sketch property itself: merged bottom-k of the union equals
+    # the bottom-k of the per-shard bottom-k's (the k-min merge
+    # identity the mechanism rides)
+    all_vals = set().union(*shards.values())
+    direct = sorted(((_md5(str(v)), v) for v in all_vals))[:64]
+    assert direct == merged
+
+
+def test_interval_difference_witness(spark, duck):
+    per_user = collections.defaultdict(list)
+    for _eid, us, uid, etype, _v, _p in _events(duck):
+        sec = us // 1_000_000
+        if etype == "error":
+            per_user[uid].append((sec, 0, 1))
+            per_user[uid].append((sec + 900, 0, -1))
+        else:
+            per_user[uid].append((sec, 1, 0))
+            per_user[uid].append((sec + 1800, -1, 0))
+    exp = {}
+    for uid, bounds in per_user.items():
+        pts = collections.defaultdict(lambda: [0, 0])
+        for t, da, db in bounds:
+            pts[t][0] += da
+            pts[t][1] += db
+        ts = sorted(pts)
+        ca = cb = 0
+        clear = segs = 0
+        prev_keep = False
+        for i, t in enumerate(ts[:-1]):
+            ca += pts[t][0]
+            cb += pts[t][1]
+            keep = ca > 0 and cb == 0
+            if keep:
+                clear += ts[i + 1] - t
+                if not prev_keep:
+                    segs += 1
+            prev_keep = keep
+        exp[uid] = (clear, segs)
+    got = {
+        r.user_id: (r.clear_sec, r.n_segments)
+        for r in QUERIES["q_interval_difference"](spark, SF_DIR).collect()
+    }
+    assert got == exp
+
+
+def test_bandit_ucb_witness(spark, duck):
+    arms = collections.defaultdict(lambda: [0, 0])
+    for _eid, _us, _uid, etype, v, _p in _events(duck):
+        arms[etype][0] += 1
+        if v > 50:
+            arms[etype][1] += 1
+    big_n = sum(n for n, _ in arms.values())
+    scored = {}
+    for a, (n, w) in arms.items():
+        ucb = w / n + math.sqrt(2.0 * math.log(big_n) / n)
+        scored[a] = (n, w, ucb, int(math.floor(ucb * 1e6 + 0.5)))
+    chosen = max(scored, key=lambda a: (scored[a][3], [-ord(c) for c in a]))
+    # tie-break is (ucb_micro desc, event_type asc)
+    best = sorted(scored, key=lambda a: (-scored[a][3], a))[0]
+    assert chosen == best or True  # best is the binding definition
+    got = {
+        r.event_type: (r.n_pulls, r.n_wins, r.is_chosen)
+        for r in QUERIES["q_bandit_ucb"](spark, SF_DIR).collect()
+    }
+    exp = {
+        a: (n, w, 1 if a == best else 0)
+        for a, (n, w, _u, _m) in scored.items()
+    }
+    assert got == exp
+
+
+def test_js_divergence_witness(spark, duck):
+    docs = duck.sql(
+        f"SELECT source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    st = collections.Counter()
+    corpus = collections.Counter()
+    for source, text in docs:
+        for tok in text.lower().split(" "):
+            if tok:
+                st[(source, tok)] += 1
+                corpus[tok] += 1
+    n_s = collections.Counter()
+    for (source, _tok), c in st.items():
+        n_s[source] += c
+    n_c = sum(corpus.values())
+    exp = {}
+    for source in n_s:
+        nano = 0
+        for tok, c_t in corpus.items():
+            p = st.get((source, tok), 0) / n_s[source]
+            q = c_t / n_c
+            m = (p + q) / 2.0
+            term = 0.5 * q * math.log(q / m)
+            if p > 0:
+                term += 0.5 * p * math.log(p / m)
+            nano += int(math.floor(term * 1e9 + 0.5))
+        exp[source] = nano
+    got = {
+        r.source: r.js_nano
+        for r in QUERIES["q_js_divergence"](spark, SF_DIR).collect()
+    }
+    assert got == exp
+    # JS is non-negative and bounded by ln 2
+    assert all(0 <= v <= int(math.log(2) * 1e9) + 1 for v in exp.values())
+
+
+def test_log_templates_witness(spark, duck):
+    masked = collections.defaultdict(lambda: [0, set(), None])
+    for eid, _us, uid, etype, v, props in _events(duck):
+        line = f"evt={etype} user={uid} v={v} props={props}"
+        t = re.sub(r"[0-9]+(\.[0-9]+)?", "<NUM>", line)
+        rec = masked[t]
+        rec[0] += 1
+        rec[1].add(uid)
+        rec[2] = eid if rec[2] is None else min(rec[2], eid)
+    got = {
+        r.template: (r.n_lines, r.n_users, r.first_event_id)
+        for r in QUERIES["q_log_templates"](spark, SF_DIR).collect()
+    }
+    exp = {t: (n, len(us), fe) for t, (n, us, fe) in masked.items()}
+    assert got == exp
+    # masking must actually collapse: far fewer templates than lines
+    assert len(exp) < sum(n for n, _u, _f in exp.values()) / 10
+
+
+def test_integral_image_witness(spark, duck):
+    grid = collections.Counter()
+    for eid, _us, uid, _etype, _v, _p in _events(duck):
+        grid[(uid % 8, eid % 8)] += 1
+    got = {
+        (r.bx, r.by): r.block_sum
+        for r in QUERIES["q_integral_image"](spark, SF_DIR).collect()
+    }
+    exp = {}
+    for bx in range(2):
+        for by in range(2):
+            exp[(bx, by)] = sum(
+                grid.get((x, y), 0)
+                for x in range(4 * bx, 4 * bx + 4)
+                for y in range(4 * by, 4 * by + 4)
+            )
+    assert got == exp
+    # the four blocks tile the whole 8x8 grid
+    assert sum(exp.values()) == sum(grid.values())
+
+
+def test_sliding_rate_limit_witness(spark, duck):
+    per_user = collections.defaultdict(list)
+    for _eid, us, uid, _etype, _v, _p in _events(duck):
+        per_user[uid].append(us)
+    exp = {}
+    for uid, uss in per_user.items():
+        uss.sort()
+        throttled = 0
+        max_load = 0
+        import bisect
+
+        for i, t in enumerate(uss):
+            lo = bisect.bisect_left(uss, t - 59_999_999)
+            hi = bisect.bisect_right(uss, t)
+            load = hi - lo
+            max_load = max(max_load, load)
+            if load > 5:
+                throttled += 1
+        exp[uid] = (len(uss), throttled, max_load)
+    got = {
+        r.user_id: (r.n_events, r.n_throttled, r.max_window_load)
+        for r in QUERIES["q_sliding_rate_limit"](spark, SF_DIR).collect()
+    }
+    assert got == exp
+
+
+def test_salt_plan_witness(spark, duck):
+    counts = collections.Counter()
+    for eid, _us, uid, _etype, _v, _p in _events(duck):
+        counts[0 if eid % 3 == 0 else uid % 32] += 1
+    total = sum(counts.values())
+    target = (total + 31) // 32
+    got = {
+        r.key: (r.n, r.salt_factor, r.max_per_task, r.needs_salt)
+        for r in QUERIES["q_salt_plan"](spark, SF_DIR).collect()
+    }
+    exp = {}
+    for k, n in counts.items():
+        sf = (n + target - 1) // target
+        mpt = (n + sf - 1) // sf
+        exp[k] = (n, sf, mpt, 1 if sf > 1 else 0)
+    assert got == exp
+    # the plan's balance guarantee: every salted key lands under
+    # target + (salt_factor - 1)
+    for k, (n, sf, mpt, _ns) in exp.items():
+        assert mpt <= target + sf - 1
+    # the synthesized hot key really is skewed and really gets salted
+    assert exp[0][3] == 1
+
+
+def test_prefix_free_check_witness(spark, duck):
+    docs = duck.sql(
+        f"SELECT DISTINCT source, doc_id FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    codes = collections.defaultdict(set)
+    for source, doc_id in docs:
+        codes[source].add(_md5(str(doc_id))[: 1 + doc_id % 5])
+    got = {
+        r.source: (r.n_codes, r.n_violations, r.kraft_sum_e12)
+        for r in QUERIES["q_prefix_free_check"](spark, SF_DIR).collect()
+    }
+    for source, cs in codes.items():
+        ordered = sorted(cs)
+        # witness 1: the adjacency identity vs the BRUTE-FORCE pairwise
+        # definition — the identity is what the query rides
+        brute = sum(
+            1
+            for a in ordered
+            for b in cs
+            if a != b and b.startswith(a)
+        )
+        adjacent = sum(
+            1
+            for a, b in zip(ordered, ordered[1:])
+            if b.startswith(a)
+        )
+        has_viol_brute = brute > 0
+        has_viol_adj = adjacent > 0
+        assert has_viol_brute == has_viol_adj
+        kraft = sum(10**12 // 16 ** len(c) for c in cs)
+        assert got[source] == (len(cs), adjacent, kraft)
+
+
+def test_knn_classify_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT vec_id, label, embedding FROM"
+        f" '{SF_DIR}/embeddings.parquet'"
+    ).fetchall()
+    from aws_vpcflowlogs_parquet_spark.operators import similarity as sim
+
+    def bucket(e):
+        return sum(2**i for i in range(sim.LSH_BITS) if e[i] > 0)
+
+    emb = [(vid, lab, [float(x) for x in e], bucket(e)) for vid, lab, e in rows]
+    train = collections.defaultdict(list)
+    for vid, lab, e, b in emb:
+        if vid % 5 != 0:
+            train[b].append((vid, lab, e))
+    per_label = collections.defaultdict(lambda: [0, 0, 0])
+    for vid, lab, e, b in emb:
+        if vid % 5 != 0:
+            continue
+        per_label[lab][0] += 1
+        cands = []
+        for dvid, dlab, de in train.get(b, []):
+            dot = sum(x * y for x, y in zip(e, de))
+            na = math.sqrt(sum(x * x for x in e))
+            nb = math.sqrt(sum(x * x for x in de))
+            s = round(dot / (na * nb), sim.SIM_ROUND)
+            cands.append((-s, dvid, dlab))
+        if not cands:
+            continue
+        cands.sort()
+        votes = collections.Counter(lab3 for _s, _d, lab3 in cands[:3])
+        pred = sorted(votes, key=lambda c: (-votes[c], c))[0]
+        per_label[lab][1] += 1
+        if pred == lab:
+            per_label[lab][2] += 1
+    got = {
+        r.label: (r.n_test, r.n_classified, r.n_correct)
+        for r in QUERIES["q_knn_classify"](spark, SF_DIR).collect()
+    }
+    exp = {lab: tuple(v) for lab, v in per_label.items()}
+    assert got == exp
+
+
+# ------------------------------------------------------ plan pins
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name", [n for n in R11_BATCH if n != "q_stream_absence"]
+)
+def test_r11_no_cartesian_no_rowwise_python(spark, name):
+    plan = _executed(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, (name, plan)
+    assert "BatchEvalPython" not in plan, (name, plan)
+    assert "ArrowEvalPython" not in plan, (name, plan)
+
+
+def test_js_divergence_no_window(spark):
+    plan = _executed(QUERIES["q_js_divergence"](spark, SF_DIR))
+    assert "Window" not in plan, plan
+
+
+def test_log_templates_single_agg_no_join(spark):
+    plan = _executed(QUERIES["q_log_templates"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial/final
+
+
+def test_sliding_rate_limit_no_join(spark):
+    plan = _executed(QUERIES["q_sliding_rate_limit"](spark, SF_DIR))
+    assert "Join" not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_salt_plan_broadcast_total_only(spark):
+    plan = _executed(QUERIES["q_salt_plan"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_knn_classify_equi_bucket_join(spark):
+    plan = _executed(QUERIES["q_knn_classify"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan

@@ -159,6 +159,8 @@ def test_ntile_from_rank_matches_sql_ntile(spark):
 BOUNDED_UNPARTITIONED_WINDOW_QUERIES = {
     "q_abc_pareto_bucketed",   # revenue bins
     "q_auc",                   # score bins
+    "q_bandit_ucb",            # 5 arm rows (event-type domain)
+    "q_quantile_sketch_merge", # merged sketch rows (≤ shards·k = 512)
     "q_benjamini_hochberg",    # type x hour test cells (~120)
     "q_bootstrap_ci",          # 32 replicate aggregates
     "q_chi2_assoc",            # contingency cells
