@@ -391,3 +391,224 @@ def test_knn_classify_equi_bucket_join(spark):
     plan = _executed(QUERIES["q_knn_classify"](spark, SF_DIR))
     assert "CartesianProduct" not in plan, plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+# ----------------------------------------------- batch C witnesses
+
+
+def test_chao1_ndv_witness(spark, duck):
+    docs = duck.sql(
+        f"SELECT source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    tf = collections.Counter()
+    for source, text in docs:
+        for tok in text.lower().split(" "):
+            if tok:
+                tf[(source, tok)] += 1
+    per_src = collections.defaultdict(lambda: [0, 0, 0, 0])  # d n f1 f2
+    for (source, _tok), r in tf.items():
+        rec = per_src[source]
+        rec[0] += 1
+        rec[1] += r
+        if r == 1:
+            rec[2] += 1
+        elif r == 2:
+            rec[3] += 1
+    got = {
+        r.source: (r.d, r.n, r.f1, r.f2, r.chao1_milli)
+        for r in QUERIES["q_chao1_ndv"](spark, SF_DIR).collect()
+    }
+    exp = {
+        s: (d, n, f1, f2, d * 1000 + (f1 * (f1 - 1) * 1000) // (2 * (f2 + 1)))
+        for s, (d, n, f1, f2) in per_src.items()
+    }
+    assert got == exp
+    # Chao1 never estimates FEWER species than observed
+    assert all(v[4] >= v[0] * 1000 for v in exp.values())
+
+
+def test_psi_stability_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, value,"
+        f" CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    cells = collections.Counter()
+    for etype, v, period in rows:
+        b = min(int(v // 33), 9)
+        cells[(etype, period, b)] += 1
+    types = sorted({t for t, _p, _b in cells})
+    got = {
+        r.event_type: (r.psi_nano, r.n_ref, r.n_cur)
+        for r in QUERIES["q_psi_stability"](spark, SF_DIR).collect()
+    }
+    for t in types:
+        n_ref = sum(cells.get((t, 0, b), 0) for b in range(10))
+        n_cur = sum(cells.get((t, 1, b), 0) for b in range(10))
+        nano = 0
+        for b in range(10):
+            p = (cells.get((t, 0, b), 0) + 1) / (n_ref + 10)
+            q = (cells.get((t, 1, b), 0) + 1) / (n_cur + 10)
+            nano += int(math.floor((q - p) * math.log(q / p) * 1e9 + 0.5))
+        assert got[t] == (nano, n_ref, n_cur), t
+        assert nano >= -10  # PSI terms sum to a nonnegative metric
+
+
+def test_capture_recapture_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_id, user_id FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    a = {u for e, u in rows if e % 2 == 0}
+    b = {u for e, u in rows if e % 2 == 1}
+    m = len(a & b)
+    exp = (
+        len(a),
+        len(b),
+        m,
+        len(a | b),
+        (len(a) + 1) * (len(b) + 1) // (m + 1) - 1,
+    )
+    r = QUERIES["q_capture_recapture"](spark, SF_DIR).collect()[0]
+    assert (r.n_a, r.n_b, r.m_overlap, r.n_true, r.n_hat_chapman) == exp
+
+
+def test_sketch_rank_error_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT l_orderkey, l_extendedprice FROM"
+        f" '{SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    shards = collections.defaultdict(set)
+    for ok, price in rows:
+        shards[ok % 8].add(int(round(price * 100)))
+    shipped = set()
+    for vs in shards.values():
+        shipped.update(sorted(((_md5(str(v)), v) for v in vs))[:64])
+    sample = sorted(v for _h, v in sorted(shipped)[:64])
+    n = len(sample)
+    uni = sorted(set().union(*shards.values()))
+    d = len(uni)
+    import bisect
+
+    got = {
+        r.q_pct: (r.est_cents, r.rank_ppm, r.abs_err_ppm)
+        for r in QUERIES["q_sketch_rank_error"](spark, SF_DIR).collect()
+    }
+    for q in (10, 25, 50, 75, 90):
+        est = sample[(q * n + 99) // 100 - 1]
+        true_le = bisect.bisect_right(uni, est)
+        rank_ppm = true_le * 1000000 // d
+        assert got[q] == (est, rank_ppm, abs(rank_ppm - q * 10000))
+    # the sketch certification itself: every estimate within ~3/sqrt(k)
+    # of target rank (k = 64 -> 375000 ppm is the loose outer bound)
+    assert all(err <= 375000 for _e, _r, err in got.values())
+
+
+def test_l_moments_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT l_returnflag, CAST(floor(l_extendedprice) AS BIGINT)"
+        f" FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for g, v in rows:
+        per[g].append(v)
+    got = {
+        r.grp: (r.n, r.s0, r.s1, r.s2)
+        for r in QUERIES["q_l_moments"](spark, SF_DIR).collect()
+    }
+    for g, vs in per.items():
+        vs.sort()
+        n = len(vs)
+        s0 = sum(vs)
+        s1 = sum((i) * v for i, v in enumerate(vs))  # (rank-1) with rank=i+1
+        s2 = sum((i) * (i - 1) * v for i, v in enumerate(vs))
+        assert got[g] == (n, s0, s1, s2), g
+        # L-scale is positive for non-degenerate samples
+        b0 = s0 / n
+        b1 = s1 / (n * (n - 1))
+        assert 2 * b1 - b0 > 0
+
+
+def test_sequential_probe_witness(spark, duck):
+    import datetime
+
+    rows = duck.sql(
+        f"SELECT user_id, value, ts FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    got = {
+        r.look: (r.n_a, r.x_a, r.n_b, r.x_b, r.crossed)
+        for r in QUERIES["q_sequential_probe"](spark, SF_DIR).collect()
+    }
+    bounds = {1: 4877000, 2: 3357000, 3: 2680000, 4: 2290000, 5: 2031000}
+    t0 = datetime.datetime(2024, 1, 1)
+    for look in range(1, 6):
+        cutoff = t0 + datetime.timedelta(days=6 * look)
+        na = xa = nb = xb = 0
+        for uid, v, ts in rows:
+            if ts >= cutoff:
+                continue
+            if uid % 2 == 0:
+                na += 1
+                xa += 1 if v > 50 else 0
+            else:
+                nb += 1
+                xb += 1 if v > 50 else 0
+        pp = (xa + xb) / (na + nb)
+        z = (xa / na - xb / nb) / math.sqrt(
+            pp * (1 - pp) * (1 / na + 1 / nb)
+        )
+        crossed = 1 if abs(int(math.floor(z * 1e6 + 0.5))) >= bounds[look] else 0
+        assert got[look] == (na, xa, nb, xb, crossed), look
+
+
+def test_dedup_threshold_sweep_witness(spark, duck):
+    docs = duck.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+
+    def shingles(text):
+        tk = [t for t in text.lower().split(" ") if t]
+        return {
+            " ".join(tk[i : i + 3]) for i in range(len(tk) - 2)
+        } if len(tk) >= 3 else set()
+
+    sh = {d: shingles(t) for d, t in docs}
+    sh = {d: s for d, s in sh.items() if s}
+    ids = sorted(sh)
+    exp = {0.25: [0, set()], 0.5: [0, set()], 0.75: [0, set()]}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            o = len(sh[a] & sh[b])
+            u = len(sh[a] | sh[b])
+            if o == 0:
+                continue
+            j = o / u
+            for th in exp:
+                if j >= th:
+                    exp[th][0] += 1
+                    exp[th][1].update((a, b))
+    got = {
+        r.threshold: (r.n_pairs, r.n_docs_affected)
+        for r in QUERIES["q_dedup_threshold_sweep"](spark, SF_DIR).collect()
+    }
+    assert got == {th: (n, len(ds)) for th, (n, ds) in exp.items()}
+    # monotone: tighter threshold, fewer pairs
+    assert got[0.25][0] >= got[0.5][0] >= got[0.75][0]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_chao1_ndv",
+        "q_psi_stability",
+        "q_capture_recapture",
+        "q_sketch_rank_error",
+        "q_l_moments",
+        "q_sequential_probe",
+        "q_dedup_threshold_sweep",
+    ],
+)
+def test_r11_batch_c_no_cartesian_no_python(spark, name):
+    plan = _executed(QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, (name, plan)
+    assert "BatchEvalPython" not in plan, (name, plan)
+    assert "ArrowEvalPython" not in plan, (name, plan)

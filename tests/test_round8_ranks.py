@@ -161,6 +161,7 @@ BOUNDED_UNPARTITIONED_WINDOW_QUERIES = {
     "q_auc",                   # score bins
     "q_bandit_ucb",            # 5 arm rows (event-type domain)
     "q_quantile_sketch_merge", # merged sketch rows (≤ shards·k = 512)
+    "q_sketch_rank_error",     # same bounded sketch relation (≤ 512)
     "q_benjamini_hochberg",    # type x hour test cells (~120)
     "q_bootstrap_ci",          # 32 replicate aggregates
     "q_chi2_assoc",            # contingency cells
