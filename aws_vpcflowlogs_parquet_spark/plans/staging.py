@@ -47,3 +47,1006 @@ def staged(name: str, oracle: str):
         return wrapped
 
     return deco
+
+
+# =====================================================================
+# Round-11 staged batch — built past the driver's 50-pending cap
+# (45 pending after the round-11 catalog batches); promotion target:
+# round 12. Same contract as catalog.py: exact DuckDB oracle at
+# sf0.001 AND sf0.01 (tests/test_staging_oracle.py), pure-Python
+# witnesses (tests/test_round11_staging_witness.py), plan pins.
+# =====================================================================
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from ..sources.tables import load_table  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@staged(
+    "q_retry_backoff_conformance",
+    oracle="""
+    WITH err AS (
+      SELECT user_id, epoch_us(ts) AS us
+      FROM events WHERE event_type = 'error'
+    ),
+    gaps AS (
+      SELECT user_id, us,
+             us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+               AS gap
+      FROM err
+    ),
+    chains AS (
+      SELECT user_id, us, gap,
+             CAST(SUM(CASE WHEN gap IS NULL OR gap >= 7200000000
+                           THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY us
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS chain_id
+      FROM gaps
+    ),
+    withg AS (
+      SELECT user_id, chain_id, us,
+             CASE WHEN us - lag(us) OVER w < 7200000000
+                  THEN us - lag(us) OVER w END AS g
+      FROM chains
+      WINDOW w AS (PARTITION BY user_id, chain_id ORDER BY us)
+    ),
+    steps AS (
+      SELECT user_id, chain_id, g,
+             lag(g) OVER (PARTITION BY user_id, chain_id ORDER BY us)
+               AS g_prev
+      FROM withg
+    ),
+    judged AS (
+      SELECT user_id, chain_id,
+             CAST(COUNT(*) AS BIGINT) AS chain_len,
+             CAST(SUM(CASE WHEN g IS NOT NULL AND g_prev IS NOT NULL
+                            AND g < 2 * g_prev THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_violations
+      FROM steps GROUP BY user_id, chain_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chains,
+           CAST(SUM(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_conformant,
+           CAST(MAX(chain_len) AS BIGINT) AS longest_chain
+    FROM judged GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_retry_backoff_conformance(spark, sf_dir):
+    """EXPONENTIAL-BACKOFF CONFORMANCE audit — the client-behavior
+    check an API owner runs on error telemetry (misbehaving clients
+    that retry LINEARLY during outages are the thundering herd): per
+    user, consecutive errors within 2 h form one retry CHAIN
+    (gaps-and-islands: a chain-id running sum over the new-chain
+    flag), and a chain is conformant iff every inter-retry gap at
+    least DOUBLES the previous one (g_i >= 2·g_{i-1}, integer
+    microseconds — the exponential-backoff contract). Three stacked
+    windows share ONE (user, time) partitioning: the session flag,
+    the per-chain gap, and the gap's lag; per-user rollup reports
+    chain counts, conformant counts, and the longest chain.
+
+    At 100 TB: one exchange on user_id carries the whole audit; the
+    chain segmentation is the same running-sum mechanism as
+    q_gaps_islands and q_backfill_plan, applied to protocol
+    conformance."""
+    ev = _t(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.expr("unix_micros(ts)").alias("us")
+    )
+    wu = Window.partitionBy("user_id").orderBy("us")
+    gaps = err.withColumn("gap", F.col("us") - F.lag("us").over(wu))
+    new_chain = F.when(
+        F.col("gap").isNull() | (F.col("gap") >= 7200000000), 1
+    ).otherwise(0)
+    chains = gaps.withColumn(
+        "chain_id",
+        F.sum(new_chain)
+        .over(wu.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint"),
+    )
+    wc = Window.partitionBy("user_id", "chain_id").orderBy("us")
+    g = F.when(
+        F.col("us") - F.lag("us").over(wc) < 7200000000,
+        F.col("us") - F.lag("us").over(wc),
+    )
+    steps = chains.select(
+        "user_id",
+        "chain_id",
+        g.alias("g"),
+        F.lag(g).over(wc).alias("g_prev"),
+    )
+    judged = steps.groupBy("user_id", "chain_id").agg(
+        F.count("*").cast("bigint").alias("chain_len"),
+        F.sum(
+            F.when(
+                F.col("g").isNotNull()
+                & F.col("g_prev").isNotNull()
+                & (F.col("g") < 2 * F.col("g_prev")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_violations"),
+    )
+    return (
+        judged.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chains"),
+            F.sum(F.when(F.col("n_violations") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_conformant"),
+            F.max("chain_len").cast("bigint").alias("longest_chain"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@staged(
+    "q_krippendorff_alpha",
+    oracle="""
+    WITH ratings AS (
+      SELECT user_id % 50 AS unit,
+             LEAST(CAST(floor(value / 50) AS INT), 6) AS c
+      FROM events
+    ),
+    nuc AS (
+      SELECT unit, c, CAST(COUNT(*) AS BIGINT) AS n_uc
+      FROM ratings GROUP BY unit, c
+    ),
+    mu AS (
+      SELECT unit, CAST(SUM(n_uc) AS BIGINT) AS m_u
+      FROM nuc GROUP BY unit
+      HAVING SUM(n_uc) >= 2
+    ),
+    do_num AS (
+      SELECT CAST(SUM(12 * n.n_uc * (m.m_u - n.n_uc) // (m.m_u - 1))
+               AS BIGINT) AS do12,
+             CAST(SUM(n.n_uc) AS BIGINT) AS big_n
+      FROM nuc n JOIN mu m ON m.unit = n.unit
+    ),
+    margins AS (
+      SELECT c, CAST(SUM(n.n_uc) AS BIGINT) AS n_c
+      FROM nuc n JOIN mu m ON m.unit = n.unit
+      GROUP BY c
+    ),
+    de_num AS (
+      SELECT CAST(SUM(n_c * ((SELECT big_n FROM do_num) - n_c))
+               AS BIGINT) AS de
+      FROM margins
+    )
+    SELECT d.do12, d.big_n, e.de,
+           1.0 - (CAST(d.do12 AS DOUBLE) * CAST(d.big_n - 1 AS DOUBLE))
+                 / (12.0 * CAST(e.de AS DOUBLE)) AS alpha
+    FROM do_num d, de_num e
+    """,
+)
+def q_krippendorff_alpha(spark, sf_dir):
+    """KRIPPENDORFF'S ALPHA (nominal) — the labeling-ops agreement
+    metric that, unlike q_judge_kappa's pairwise Cohen form, handles
+    ANY number of raters per unit and missing ratings natively: units
+    are user cohorts, categories are value buckets, and alpha =
+    1 − Do/De over the coincidence counts. The exactness trick: Do's
+    per-unit terms divide by (m_u − 1) ∈ {1..4} (unequal rater counts
+    per unit), so the sum is scaled by 12 = lcm(1,2,3,4) FIRST —
+    12·n_uc(m_u−n_uc)/(m_u−1) is then an exact integer for every unit
+    — and De's margin form shares the single denominator N(N−1), so
+    alpha assembles from three BIGINT numerators with ONE floating
+    division chain at readout. Units with a single rating drop out
+    (they carry no agreement information), exactly per the estimator's
+    definition.
+
+    At 100 TB: two hash aggs (unit×category, then unit) + a bounded
+    margin agg — the coincidence matrix never materializes beyond
+    |categories| rows."""
+    ev = _t(spark, sf_dir, "events")
+    ratings = ev.select(
+        (F.col("user_id") % 50).alias("unit"),
+        F.least(
+            F.floor(F.col("value") / 50).cast("int"), F.lit(6)
+        ).alias("c"),
+    )
+    nuc = ratings.groupBy("unit", "c").agg(
+        F.count("*").cast("bigint").alias("n_uc")
+    )
+    mu = (
+        nuc.groupBy("unit")
+        .agg(F.sum("n_uc").cast("bigint").alias("m_u"))
+        .filter(F.col("m_u") >= 2)
+    )
+    joined = nuc.join(mu, "unit")
+    do_num = joined.agg(
+        F.sum(
+            F.expr("(12 * n_uc * (m_u - n_uc)) div (m_u - 1)")
+        )
+        .cast("bigint")
+        .alias("do12"),
+        F.sum("n_uc").cast("bigint").alias("big_n"),
+    )
+    margins = joined.groupBy("c").agg(
+        F.sum("n_uc").cast("bigint").alias("n_c")
+    )
+    de_num = margins.crossJoin(F.broadcast(do_num)).agg(
+        F.sum(F.col("n_c") * (F.col("big_n") - F.col("n_c")))
+        .cast("bigint")
+        .alias("de")
+    )
+    return do_num.crossJoin(F.broadcast(de_num)).select(
+        "do12",
+        "big_n",
+        "de",
+        (
+            F.lit(1.0)
+            - (
+                F.col("do12").cast("double")
+                * (F.col("big_n") - 1).cast("double")
+            )
+            / (F.lit(12.0) * F.col("de").cast("double"))
+        ).alias("alpha"),
+    )
+
+
+@staged(
+    "q_join_order_plan",
+    oracle="""
+    WITH stats AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_c,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_o,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_l,
+             (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+              FROM orders) AS ndv_oc,
+             (SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT)
+              FROM customer) AS ndv_cc,
+             (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT)
+              FROM lineitem) AS ndv_lo,
+             (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT)
+              FROM orders) AS ndv_oo
+    ),
+    est AS (
+      SELECT *,
+             n_c * n_o // GREATEST(ndv_cc, ndv_oc) AS co,
+             n_o * n_l // GREATEST(ndv_oo, ndv_lo) AS ol
+      FROM stats
+    ),
+    plans AS (
+      SELECT 'co_then_l' AS plan_name, co AS inter1,
+             co * n_l // GREATEST(ndv_oo, ndv_lo) AS inter2,
+             co + co * n_l // GREATEST(ndv_oo, ndv_lo) AS est_cost
+      FROM est
+      UNION ALL
+      SELECT 'ol_then_c', ol,
+             ol * n_c // GREATEST(ndv_cc, ndv_oc),
+             ol + ol * n_c // GREATEST(ndv_cc, ndv_oc)
+      FROM est
+      UNION ALL
+      SELECT 'cl_cross_then_o', n_c * n_l,
+             n_c * n_l * n_o
+               // GREATEST(ndv_cc, ndv_oc)
+               // GREATEST(ndv_oo, ndv_lo),
+             n_c * n_l + n_c * n_l * n_o
+               // GREATEST(ndv_cc, ndv_oc)
+               // GREATEST(ndv_oo, ndv_lo)
+      FROM est
+    )
+    SELECT plan_name, inter1, inter2, est_cost,
+           CAST(CASE WHEN est_cost = (SELECT MIN(est_cost) FROM plans)
+                THEN 1 ELSE 0 END AS INT) AS is_best
+    FROM plans ORDER BY plan_name
+    """,
+)
+def q_join_order_plan(spark, sf_dir):
+    """JOIN-ORDER ENUMERATION with textbook cardinality estimates —
+    the System-R kernel in miniature, run AS a query (engine
+    introspection turned into data): for the customer⋈orders⋈lineitem
+    chain, estimate each left-deep plan's intermediate sizes with the
+    standard |A⋈B| = |A||B|/max(ndv_a, ndv_b) formula from REAL
+    distinct counts, cost = Σ intermediates, and flag the argmin —
+    which must be a chain order, never the cross-product order (the
+    planner lesson the query materializes; is_best pins it). Every
+    estimate is integer floor arithmetic from exact counts; the plan
+    grid is three rows assembled from one broadcast stats row.
+
+    This is what Catalyst's CBO does internally with ANALYZE stats
+    (q_analyze_stats collects them); surfacing the arithmetic as a
+    relational readout makes the cost model auditable and testable.
+    At 100 TB: six scalar aggregates (each map-side combined), then
+    bounded-row arithmetic."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    stats = (
+        c.agg(
+            F.count("*").cast("bigint").alias("n_c"),
+            F.countDistinct("c_custkey").cast("bigint").alias("ndv_cc"),
+        )
+        .crossJoin(
+            F.broadcast(
+                o.agg(
+                    F.count("*").cast("bigint").alias("n_o"),
+                    F.countDistinct("o_custkey")
+                    .cast("bigint")
+                    .alias("ndv_oc"),
+                    F.countDistinct("o_orderkey")
+                    .cast("bigint")
+                    .alias("ndv_oo"),
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                li.agg(
+                    F.count("*").cast("bigint").alias("n_l"),
+                    F.countDistinct("l_orderkey")
+                    .cast("bigint")
+                    .alias("ndv_lo"),
+                )
+            )
+        )
+    )
+    est = stats.select(
+        "*",
+        F.expr("n_c * n_o div GREATEST(ndv_cc, ndv_oc)").alias("co"),
+        F.expr("n_o * n_l div GREATEST(ndv_oo, ndv_lo)").alias("ol"),
+    )
+    plans = (
+        est.select(
+            F.lit("co_then_l").alias("plan_name"),
+            F.col("co").alias("inter1"),
+            F.expr("co * n_l div GREATEST(ndv_oo, ndv_lo)").alias("inter2"),
+            F.expr(
+                "co + co * n_l div GREATEST(ndv_oo, ndv_lo)"
+            ).alias("est_cost"),
+        )
+        .unionByName(
+            est.select(
+                F.lit("ol_then_c").alias("plan_name"),
+                F.col("ol").alias("inter1"),
+                F.expr("ol * n_c div GREATEST(ndv_cc, ndv_oc)").alias(
+                    "inter2"
+                ),
+                F.expr(
+                    "ol + ol * n_c div GREATEST(ndv_cc, ndv_oc)"
+                ).alias("est_cost"),
+            )
+        )
+        .unionByName(
+            est.select(
+                F.lit("cl_cross_then_o").alias("plan_name"),
+                F.expr("n_c * n_l").alias("inter1"),
+                F.expr(
+                    "n_c * n_l * n_o div GREATEST(ndv_cc, ndv_oc)"
+                    " div GREATEST(ndv_oo, ndv_lo)"
+                ).alias("inter2"),
+                F.expr(
+                    "n_c * n_l + n_c * n_l * n_o"
+                    " div GREATEST(ndv_cc, ndv_oc)"
+                    " div GREATEST(ndv_oo, ndv_lo)"
+                ).alias("est_cost"),
+            )
+        )
+    )
+    best = plans.agg(F.min("est_cost").alias("min_cost"))
+    return (
+        plans.crossJoin(F.broadcast(best))
+        .select(
+            "plan_name",
+            "inter1",
+            "inter2",
+            "est_cost",
+            F.when(F.col("est_cost") == F.col("min_cost"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("is_best"),
+        )
+        .orderBy("plan_name")
+    )
+
+
+@staged(
+    "q_newsvendor",
+    oracle="""
+    WITH demand AS (
+      SELECT p.p_brand AS brand,
+             CAST(floor(l.l_quantity) AS BIGINT) AS d
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    ranked AS (
+      SELECT brand, d,
+             CAST(row_number() OVER (PARTITION BY brand ORDER BY d)
+               AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY brand) AS BIGINT) AS n
+      FROM demand
+    ),
+    qstar AS (
+      SELECT brand, MIN(d) AS q_star, MAX(n) AS n
+      FROM ranked WHERE rn * 4 >= n * 3
+      GROUP BY brand
+    )
+    SELECT d.brand, q.n, q.q_star,
+           CAST(SUM(CASE WHEN q.q_star > d.d
+                         THEN (q.q_star - d.d) * 1 ELSE 0 END)
+             AS BIGINT) AS overage_cost,
+           CAST(SUM(CASE WHEN d.d > q.q_star
+                         THEN (d.d - q.q_star) * 3 ELSE 0 END)
+             AS BIGINT) AS underage_cost
+    FROM demand d JOIN qstar q ON q.brand = d.brand
+    GROUP BY d.brand, q.n, q.q_star
+    ORDER BY d.brand
+    """,
+)
+def q_newsvendor(spark, sf_dir):
+    """NEWSVENDOR stocking policy per brand — the one-period
+    inventory optimum every supply-chain pipeline recomputes nightly:
+    with underage cost cu = 3 and overage co = 1, the optimal stock
+    q* is the demand distribution's critical quantile at
+    cu/(cu+co) = 3/4, read EXACTLY from the empirical CDF by the
+    integer cross-multiplication rn·4 ≥ n·3 (no percentile_cont
+    interpolation, no floats — the smallest demand whose rank clears
+    the ratio IS the argmin of expected cost on the empirical
+    distribution). The realized-cost backtest rides the same scan:
+    Σ co·(q*−d)+ + Σ cu·(d−q*)+, all on the integer demand lattice —
+    so the policy AND its cost audit are one query.
+
+    At 100 TB: rank window per brand + two joins against the bounded
+    per-brand policy row — the q_percentile_disc machinery pointed at
+    a decision problem."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    demand = li.join(p, li.l_partkey == p.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.floor("l_quantity").cast("bigint").alias("d"),
+    )
+    wb = Window.partitionBy("brand")
+    ranked = demand.select(
+        "brand",
+        "d",
+        F.row_number().over(wb.orderBy("d")).cast("bigint").alias("rn"),
+        F.count("*").over(wb).cast("bigint").alias("n"),
+    )
+    qstar = (
+        ranked.filter(F.col("rn") * 4 >= F.col("n") * 3)
+        .groupBy("brand")
+        .agg(F.min("d").alias("q_star"), F.max("n").alias("n"))
+    )
+    return (
+        demand.join(F.broadcast(qstar), "brand")
+        .groupBy("brand", "n", "q_star")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("q_star") > F.col("d"),
+                    (F.col("q_star") - F.col("d")) * 1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("overage_cost"),
+            F.sum(
+                F.when(
+                    F.col("d") > F.col("q_star"),
+                    (F.col("d") - F.col("q_star")) * 3,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("underage_cost"),
+        )
+        .select(
+            "brand", "n", "q_star", "overage_cost", "underage_cost"
+        )
+        .orderBy("brand")
+    )
+
+
+@staged(
+    "q_pinball_eval",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS y,
+             epoch_us(ts) AS us, event_id
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, y,
+             lag(y, 1) OVER w AS yhat1,
+             lag(y, 7) OVER w AS yhat7
+      FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    scored AS (
+      SELECT user_id,
+             GREATEST(9 * (y - yhat1), -(y - yhat1)) AS l1,
+             GREATEST(9 * (y - yhat7), -(y - yhat7)) AS l7
+      FROM lagged WHERE yhat1 IS NOT NULL AND yhat7 IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(l1) AS BIGINT) AS loss10_naive1,
+           CAST(SUM(l7) AS BIGINT) AS loss10_naive7,
+           CASE WHEN SUM(l1) <= SUM(l7) THEN 'naive1' ELSE 'naive7' END
+             AS winner
+    FROM scored GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_pinball_eval(spark, sf_dir):
+    """PINBALL (quantile) LOSS model evaluation at τ = 0.9 — the
+    scoring rule for quantile forecasts (what you minimize when the
+    target is P90 capacity, not the mean): for two baseline predictors
+    (naive-1 = last value, naive-7 = 7-back seasonal naive), score
+    Σ max(τ(y−ŷ), (τ−1)(y−ŷ)) per user. With τ = 9/10 the loss scales
+    by 10 onto the INTEGER lattice: max(9d, −d) over cent-valued
+    residuals — so the winner verdict (the query's point) is decided
+    on exact integers, never on float sums. Rows where either
+    predictor lacks history drop from BOTH scores, keeping the
+    comparison paired — the same fairness rule as q_forecast_backtest,
+    here under an asymmetric loss.
+
+    At 100 TB: two lags share one (user, time) window partitioning —
+    single exchange — then one map-side-combined agg."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+        F.expr("unix_micros(ts)").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    lagged = seq.select(
+        "user_id",
+        "y",
+        F.lag("y", 1).over(w).alias("yhat1"),
+        F.lag("y", 7).over(w).alias("yhat7"),
+    ).filter(F.col("yhat1").isNotNull() & F.col("yhat7").isNotNull())
+    d1 = F.col("y") - F.col("yhat1")
+    d7 = F.col("y") - F.col("yhat7")
+    scored = lagged.select(
+        "user_id",
+        F.greatest(F.lit(9) * d1, -d1).alias("l1"),
+        F.greatest(F.lit(9) * d7, -d7).alias("l7"),
+    )
+    return (
+        scored.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_scored"),
+            F.sum("l1").cast("bigint").alias("loss10_naive1"),
+            F.sum("l7").cast("bigint").alias("loss10_naive7"),
+        )
+        .select(
+            "user_id",
+            "n_scored",
+            "loss10_naive1",
+            "loss10_naive7",
+            F.when(
+                F.col("loss10_naive1") <= F.col("loss10_naive7"), "naive1"
+            )
+            .otherwise("naive7")
+            .alias("winner"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@staged(
+    "q_rrf_fusion",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, source, n_chars,
+             len(list_filter(string_split(lower(text), ' '),
+                 x -> x = 'data')) AS hits
+      FROM documents
+    ),
+    r1 AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY hits DESC, doc_id) AS rank1
+      FROM base
+    ),
+    r2 AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars ASC, doc_id) AS rank2
+      FROM base
+    ),
+    fused AS (
+      SELECT r1.source, r1.doc_id,
+             CAST(1000000000000 // (60 + r1.rank1)
+                + 1000000000000 // (60 + r2.rank2) AS BIGINT) AS rrf_e12
+      FROM r1 JOIN r2 ON r1.doc_id = r2.doc_id AND r1.source = r2.source
+    )
+    SELECT source, doc_id, rrf_e12, fused_rank
+    FROM (
+      SELECT source, doc_id, rrf_e12,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY rrf_e12 DESC, doc_id) AS BIGINT) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= 3
+    ORDER BY source, fused_rank
+    """,
+)
+def q_rrf_fusion(spark, sf_dir):
+    """RECIPROCAL RANK FUSION — the standard hybrid-retrieval combiner
+    (BM25 list + vector list → one ranking, the RRF of Cormack et
+    al. every RAG stack ships): score = Σ_r 1/(60 + rank_r) over the
+    per-source keyword ranking (hits on a probe term) and a
+    length-prior ranking. The reciprocal terms are IRRATIONAL in
+    general, so each is materialized as floor(10^12/(60+rank)) — the
+    e12 integer lattice — making the fused ORDER engine-exact (sum of
+    integers), not a float artifact; ranks themselves come from
+    total-ordered row_number windows (tie-broken by doc_id) and the
+    fusion is one equi-join on (source, doc) + one rank window, all
+    partitioned by source.
+
+    At 100 TB: two rank windows sharing the source partitioning, one
+    co-partitioned join, one WindowGroupLimit top-3 — the fusion adds
+    no shuffle beyond the rankings themselves."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), " "),
+                lambda x: x == F.lit("data"),
+            )
+        ).alias("hits"),
+    )
+    ws = Window.partitionBy("source")
+    r1 = base.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(ws.orderBy(F.desc("hits"), F.asc("doc_id")))
+        .alias("rank1"),
+    )
+    r2 = base.select(
+        "doc_id",
+        "source",
+        F.row_number()
+        .over(ws.orderBy(F.asc("n_chars"), F.asc("doc_id")))
+        .alias("rank2"),
+    )
+    fused = r1.join(r2, ["doc_id", "source"]).select(
+        "source",
+        "doc_id",
+        F.expr(
+            "CAST(1000000000000 div (60 + rank1)"
+            " + 1000000000000 div (60 + rank2) AS BIGINT)"
+        ).alias("rrf_e12"),
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(ws.orderBy(F.desc("rrf_e12"), F.asc("doc_id")))
+            .cast("bigint"),
+        )
+        .filter(F.col("fused_rank") <= 3)
+        .orderBy("source", "fused_rank")
+    )
+
+
+@staged(
+    "q_spc_control_chart",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY event_id) - 1 AS rn
+      FROM events
+    ),
+    grouped AS (
+      SELECT event_type, rn // 5 AS g,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(MAX(x) - MIN(x) AS BIGINT) AS r,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM seq GROUP BY event_type, rn // 5
+      HAVING COUNT(*) = 5
+    ),
+    phase1 AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(s) AS BIGINT) AS ts,
+             CAST(SUM(r) AS BIGINT) AS tr
+      FROM grouped WHERE g < 20 GROUP BY event_type
+    ),
+    judged AS (
+      SELECT gr.event_type, gr.g,
+             CASE WHEN abs(gr.s * p.m - p.ts) * 200 > 577 * p.tr
+                  THEN 1 ELSE 0 END AS rule1,
+             CASE WHEN abs(gr.s * p.m - p.ts) * 600 > 2 * 577 * p.tr
+                  THEN 1 ELSE 0 END AS warn2s
+      FROM grouped gr JOIN phase1 p ON p.event_type = gr.event_type
+    )
+    SELECT j.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_subgroups,
+           CAST(SUM(rule1) AS BIGINT) AS n_rule1,
+           CAST(SUM(warn2s) AS BIGINT) AS n_beyond_2sigma,
+           MAX(p.m) AS m_phase1
+    FROM judged j JOIN phase1 p ON p.event_type = j.event_type
+    GROUP BY j.event_type ORDER BY j.event_type
+    """,
+)
+def q_spc_control_chart(spark, sf_dir):
+    """SHEWHART X̄-R CONTROL CHART audit — the SPC mechanism behind
+    every manufacturing/SLO quality gate: 5-observation subgroups in
+    event order, phase-1 limits from the first 20 subgroups
+    (x̄̄ ± A2·R̄ with the standard A2 = 0.577 constant for n = 5), and
+    every subgroup judged against them. The whole decision lives on
+    the integer lattice by cross-multiplication: |x̄_g − x̄̄| > A2·R̄
+    with subgroup SUMS s = 5x̄_g becomes |s·m − TS|·200 > 577·TR
+    (both sides BIGINT — the 1000-scaled A2 and the 5 from the
+    subgroup size fold into the 200), and the 2σ warning line is the
+    same inequality at ⅔ the width (×600 vs 2·577). No float ever
+    decides a violation. Partial trailing subgroups are dropped (the
+    chart's own convention).
+
+    At 100 TB: one rank window per type (event order), one subgroup
+    agg, one broadcast phase-1 row per type — the q_anomaly_zscore
+    family upgraded to the subgroup-range methodology."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("x"),
+        (
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("event_id")
+            )
+            - 1
+        ).alias("rn"),
+    )
+    grouped = (
+        seq.groupBy("event_type", (F.col("rn") / 5).cast("bigint").alias("g"))
+        .agg(
+            F.sum("x").cast("bigint").alias("s"),
+            (F.max("x") - F.min("x")).cast("bigint").alias("r"),
+            F.count("*").alias("k"),
+        )
+        .filter(F.col("k") == 5)
+    )
+    phase1 = (
+        grouped.filter(F.col("g") < 20)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("m"),
+            F.sum("s").cast("bigint").alias("ts"),
+            F.sum("r").cast("bigint").alias("tr"),
+        )
+    )
+    judged = grouped.join(F.broadcast(phase1), "event_type").select(
+        "event_type",
+        "m",
+        F.when(
+            F.abs(F.col("s") * F.col("m") - F.col("ts")) * 200
+            > 577 * F.col("tr"),
+            1,
+        )
+        .otherwise(0)
+        .alias("rule1"),
+        F.when(
+            F.abs(F.col("s") * F.col("m") - F.col("ts")) * 600
+            > 2 * 577 * F.col("tr"),
+            1,
+        )
+        .otherwise(0)
+        .alias("warn2s"),
+    )
+    return (
+        judged.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_subgroups"),
+            F.sum("rule1").cast("bigint").alias("n_rule1"),
+            F.sum("warn2s").cast("bigint").alias("n_beyond_2sigma"),
+            F.max("m").alias("m_phase1"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@staged(
+    "q_kendall_w",
+    oracle="""
+    WITH scores AS (
+      SELECT CAST(event_id % 3 AS INT) AS rater,
+             CAST(user_id % 10 AS BIGINT) AS item,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS score
+      FROM events GROUP BY 1, 2
+    ),
+    ranks AS (
+      SELECT rater, item,
+             CAST(row_number() OVER (PARTITION BY rater
+               ORDER BY score DESC, item) AS BIGINT) AS rk
+      FROM scores
+    ),
+    rsums AS (
+      SELECT item, CAST(SUM(rk) AS BIGINT) AS r_i,
+             CAST(COUNT(*) AS BIGINT) AS m_chk
+      FROM ranks GROUP BY item
+    ),
+    agg AS (
+      SELECT CAST(SUM(r_i * r_i) AS BIGINT) AS s2,
+             CAST(SUM(r_i) AS BIGINT) AS s1,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MAX(m_chk) AS BIGINT) AS m
+      FROM rsums
+    )
+    SELECT n, m, s2,
+           (12.0 * CAST(s2 AS DOUBLE)
+            - 3.0 * CAST(m * m * n * (n + 1) * (n + 1) AS DOUBLE))
+           / CAST(m * m * n * (n * n - 1) AS DOUBLE) AS kendall_w
+    FROM agg
+    """,
+)
+def q_kendall_w(spark, sf_dir):
+    """KENDALL'S W (coefficient of concordance) — do m independent
+    rankers agree on an item ordering? The multi-rater generalization
+    of rank correlation (q_spearman is the m = 2 case; q_judge_kappa
+    and q_krippendorff_alpha are its categorical cousins): three
+    raters each rank ten items by their summed observed score, and
+    W = (12·ΣR_i² − 3m²n(n+1)²) / (m²n(n²−1)) reads agreement off the
+    rank-sum dispersion. ΣR_i² and ΣR_i stay BIGINT (ranks from
+    total-ordered row_number with the (score desc, item) tie-break —
+    the deterministic-ranks convention documented at q_spearman);
+    W itself is ONE floating division at readout. W = 1 is perfect
+    concordance; W = 0 is the random-ranking null.
+
+    At 100 TB: one score agg (map-side combined), one rank window per
+    rater, two bounded aggs."""
+    ev = _t(spark, sf_dir, "events")
+    scores = ev.groupBy(
+        (F.col("event_id") % 3).cast("int").alias("rater"),
+        (F.col("user_id") % 10).cast("bigint").alias("item"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("score")
+    )
+    wr = Window.partitionBy("rater").orderBy(F.desc("score"), F.asc("item"))
+    ranks = scores.select(
+        "rater",
+        "item",
+        F.row_number().over(wr).cast("bigint").alias("rk"),
+    )
+    rsums = ranks.groupBy("item").agg(
+        F.sum("rk").cast("bigint").alias("r_i"),
+        F.count("*").cast("bigint").alias("m_chk"),
+    )
+    agg = rsums.agg(
+        F.sum(F.col("r_i") * F.col("r_i")).cast("bigint").alias("s2"),
+        F.sum("r_i").cast("bigint").alias("s1"),
+        F.count("*").cast("bigint").alias("n"),
+        F.max("m_chk").cast("bigint").alias("m"),
+    )
+    return agg.select(
+        "n",
+        "m",
+        "s2",
+        (
+            (
+                F.lit(12.0) * F.col("s2").cast("double")
+                - F.lit(3.0)
+                * (
+                    F.col("m")
+                    * F.col("m")
+                    * F.col("n")
+                    * (F.col("n") + 1)
+                    * (F.col("n") + 1)
+                ).cast("double")
+            )
+            / (
+                F.col("m")
+                * F.col("m")
+                * F.col("n")
+                * (F.col("n") * F.col("n") - 1)
+            ).cast("double")
+        ).alias("kendall_w"),
+    )
+
+
+@staged(
+    "q_harmonic_centrality",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT
+             LEAST(user_id % 41, (2 * user_id + event_id) % 41) AS lo,
+             GREATEST(user_id % 41, (2 * user_id + event_id) % 41) AS hi
+      FROM events
+      WHERE user_id % 41 != (2 * user_id + event_id) % 41
+    ),
+    sym AS (
+      SELECT lo AS a, hi AS b FROM raw
+      UNION ALL SELECT hi, lo FROM raw
+    ),
+    d1 AS (
+      SELECT s.a AS seed, s.b AS node FROM sym s WHERE s.a < 4
+    ),
+    d2 AS (
+      SELECT d.seed, s.b AS node
+      FROM d1 d JOIN sym s ON s.a = d.node
+    ),
+    d3 AS (
+      SELECT d.seed, s.b AS node
+      FROM (SELECT DISTINCT seed, node FROM d2) d
+      JOIN sym s ON s.a = d.node
+    ),
+    dist AS (
+      SELECT seed, node, MIN(d) AS d FROM (
+        SELECT seed, node, 1 AS d FROM d1
+        UNION ALL SELECT seed, node, 2 FROM d2
+        UNION ALL SELECT seed, node, 3 FROM d3
+      ) u
+      WHERE node != seed
+      GROUP BY seed, node
+    )
+    SELECT seed,
+           CAST(COUNT(*) AS BIGINT) AS n_reached_3,
+           CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_e6
+    FROM dist GROUP BY seed ORDER BY seed
+    """,
+)
+def q_harmonic_centrality(spark, sf_dir):
+    """HARMONIC CENTRALITY (3-hop truncated) from seed nodes — the
+    centrality that stays finite on disconnected graphs (Boldi &
+    Vigna's recommendation over closeness): H(s) = Σ_v 1/d(s,v),
+    truncated at radius 3 (the production form — full-radius
+    centrality on a big graph is a multi-source BFS you cap). The
+    Spark side runs the BSP frontier expansion the 100 TB job would:
+    per-round DISTINCT frontier join against the symmetric edge list,
+    distances resolved by MIN over rounds; the reciprocal weights live
+    on the e6 integer lattice (1e6/d for d ∈ {1,2,3} is exact), so
+    the centrality is an exact integer. Oracle unrolls the same three
+    rounds as chained CTEs — independent join order, same fixpoint.
+
+    At 100 TB: 3 frontier equi-joins (each keyed on the edge source,
+    frontier deduped per round so fan-out is bounded by |V| per seed,
+    never path-count), one MIN agg, one rollup — the q_recursive_bfs
+    machinery pointed at a centrality readout."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id") % 41
+    v = (2 * F.col("user_id") + F.col("event_id")) % 41
+    raw = (
+        ev.filter(u != v)
+        .select(F.least(u, v).alias("lo"), F.greatest(u, v).alias("hi"))
+        .distinct()
+    )
+    sym = raw.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b")
+    ).unionByName(raw.select(F.col("hi").alias("a"), F.col("lo").alias("b")))
+    d1 = (
+        sym.filter(F.col("a") < 4)
+        .select(F.col("a").alias("seed"), F.col("b").alias("node"))
+        .distinct()
+    )
+    d2 = (
+        d1.join(sym, d1.node == sym.a)
+        .select("seed", F.col("b").alias("node"))
+        .distinct()
+    )
+    d3 = (
+        d2.join(sym, d2.node == sym.a)
+        .select("seed", F.col("b").alias("node"))
+        .distinct()
+    )
+    dist = (
+        d1.withColumn("d", F.lit(1))
+        .unionByName(d2.withColumn("d", F.lit(2)))
+        .unionByName(d3.withColumn("d", F.lit(3)))
+        .filter(F.col("node") != F.col("seed"))
+        .groupBy("seed", "node")
+        .agg(F.min("d").alias("d"))
+    )
+    return (
+        dist.groupBy("seed")
+        .agg(
+            F.count("*").cast("bigint").alias("n_reached_3"),
+            F.sum(F.expr("1000000 div d")).cast("bigint").alias(
+                "harmonic_e6"
+            ),
+        )
+        .orderBy("seed")
+    )

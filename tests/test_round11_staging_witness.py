@@ -1,0 +1,324 @@
+"""Pure-Python witnesses for the round-11 STAGED queries (plans/
+staging.py) at sf0.001 — independent recomputation, the third leg next
+to the Spark build and the DuckDB oracle, run at staging time so
+promotion is a move, not a build — plus plan pins."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import duckdb
+import pytest
+
+from aws_vpcflowlogs_parquet_spark.plans.staging import STAGED_QUERIES
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def _events(duck):
+    return duck.sql(
+        f"SELECT event_id, epoch_us(ts), user_id, event_type, value"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+
+
+def test_retry_backoff_conformance_witness(spark, duck):
+    per_user = collections.defaultdict(list)
+    for _eid, us, uid, etype, _v in _events(duck):
+        if etype == "error":
+            per_user[uid].append(us)
+    exp = {}
+    for uid, uss in per_user.items():
+        uss.sort()
+        chains = []
+        cur = [uss[0]]
+        for prev, nxt in zip(uss, uss[1:]):
+            if nxt - prev >= 7_200_000_000:
+                chains.append(cur)
+                cur = [nxt]
+            else:
+                cur.append(nxt)
+        chains.append(cur)
+        n_conf = 0
+        for ch in chains:
+            gaps = [b - a for a, b in zip(ch, ch[1:])]
+            ok = all(g2 >= 2 * g1 for g1, g2 in zip(gaps, gaps[1:]))
+            if ok:
+                n_conf += 1
+        exp[uid] = (len(chains), n_conf, max(len(c) for c in chains))
+    got = {
+        r.user_id: (r.n_chains, r.n_conformant, r.longest_chain)
+        for r in STAGED_QUERIES["q_retry_backoff_conformance"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_krippendorff_alpha_witness(spark, duck):
+    ratings = collections.Counter()
+    for _eid, _us, uid, _etype, v in _events(duck):
+        ratings[(uid % 50, min(int(v // 50), 6))] += 1
+    m_u = collections.Counter()
+    for (u, _c), n in ratings.items():
+        m_u[u] += n
+    kept = {u for u, m in m_u.items() if m >= 2}
+    do12 = 0
+    big_n = 0
+    margins = collections.Counter()
+    for (u, c), n in ratings.items():
+        if u not in kept:
+            continue
+        do12 += 12 * n * (m_u[u] - n) // (m_u[u] - 1)
+        big_n += n
+        margins[c] += n
+    de = sum(n_c * (big_n - n_c) for n_c in margins.values())
+    r = STAGED_QUERIES["q_krippendorff_alpha"](spark, SF_DIR).collect()[0]
+    assert (r.do12, r.big_n, r.de) == (do12, big_n, de)
+    alpha = 1.0 - (do12 * (big_n - 1)) / (12.0 * de)
+    assert abs(r.alpha - alpha) < 1e-12
+    assert -1.0 <= alpha <= 1.0
+
+
+def test_join_order_plan_witness(spark, duck):
+    n_c, ndv_cc = duck.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT c_custkey)"
+        f" FROM '{SF_DIR}/customer.parquet'"
+    ).fetchone()
+    n_o, ndv_oc, ndv_oo = duck.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT o_custkey),"
+        f" COUNT(DISTINCT o_orderkey) FROM '{SF_DIR}/orders.parquet'"
+    ).fetchone()
+    n_l, ndv_lo = duck.sql(
+        f"SELECT COUNT(*), COUNT(DISTINCT l_orderkey)"
+        f" FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchone()
+    co = n_c * n_o // max(ndv_cc, ndv_oc)
+    ol = n_o * n_l // max(ndv_oo, ndv_lo)
+    exp = {
+        "co_then_l": co + co * n_l // max(ndv_oo, ndv_lo),
+        "ol_then_c": ol + ol * n_c // max(ndv_cc, ndv_oc),
+        "cl_cross_then_o": n_c * n_l
+        + n_c * n_l * n_o // max(ndv_cc, ndv_oc) // max(ndv_oo, ndv_lo),
+    }
+    best = min(exp, key=exp.get)
+    got = {
+        r.plan_name: (r.est_cost, r.is_best)
+        for r in STAGED_QUERIES["q_join_order_plan"](spark, SF_DIR).collect()
+    }
+    assert got == {k: (v, 1 if k == best else 0) for k, v in exp.items()}
+    # the cross-product plan must never win
+    assert best != "cl_cross_then_o"
+
+
+def test_newsvendor_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT p.p_brand, CAST(floor(l.l_quantity) AS BIGINT)"
+        f" FROM '{SF_DIR}/lineitem.parquet' l"
+        f" JOIN '{SF_DIR}/part.parquet' p ON p.p_partkey = l.l_partkey"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for b, d in rows:
+        per[b].append(d)
+    got = {
+        r.brand: (r.n, r.q_star, r.overage_cost, r.underage_cost)
+        for r in STAGED_QUERIES["q_newsvendor"](spark, SF_DIR).collect()
+    }
+    for b, ds in per.items():
+        ds.sort()
+        n = len(ds)
+        qs = next(d for i, d in enumerate(ds) if (i + 1) * 4 >= n * 3)
+        over = sum(qs - d for d in ds if d < qs)
+        under = 3 * sum(d - qs for d in ds if d > qs)
+        assert got[b] == (n, qs, over, under), b
+        # q* minimizes empirical newsvendor cost among observed levels
+        def cost(q):
+            return sum(max(q - d, 0) + 3 * max(d - q, 0) for d in ds)
+
+        assert all(cost(qs) <= cost(q) for q in set(ds))
+
+
+def test_pinball_eval_witness(spark, duck):
+    per = collections.defaultdict(list)
+    for eid, us, uid, _etype, v in _events(duck):
+        per[uid].append((us, eid, int(round(v * 100))))
+    got = {
+        r.user_id: (r.n_scored, r.loss10_naive1, r.loss10_naive7, r.winner)
+        for r in STAGED_QUERIES["q_pinball_eval"](spark, SF_DIR).collect()
+    }
+    for uid, seq in per.items():
+        seq.sort()
+        ys = [y for _u, _e, y in seq]
+        n = l1 = l7 = 0
+        for i in range(7, len(ys)):
+            d1 = ys[i] - ys[i - 1]
+            d7 = ys[i] - ys[i - 7]
+            l1 += max(9 * d1, -d1)
+            l7 += max(9 * d7, -d7)
+            n += 1
+        if n == 0:
+            assert uid not in got
+            continue
+        w = "naive1" if l1 <= l7 else "naive7"
+        assert got[uid] == (n, l1, l7, w), uid
+
+
+def test_rrf_fusion_witness(spark, duck):
+    docs = duck.sql(
+        f"SELECT doc_id, source, n_chars, text"
+        f" FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for d, s, nc, t in docs:
+        hits = sum(1 for tok in t.lower().split(" ") if tok == "data")
+        per[s].append((d, nc, hits))
+    got = collections.defaultdict(dict)
+    for r in STAGED_QUERIES["q_rrf_fusion"](spark, SF_DIR).collect():
+        got[r.source][r.fused_rank] = (r.doc_id, r.rrf_e12)
+    for s, rows in per.items():
+        r1 = {
+            d: i + 1
+            for i, (d, _nc, _h) in enumerate(
+                sorted(rows, key=lambda x: (-x[2], x[0]))
+            )
+        }
+        r2 = {
+            d: i + 1
+            for i, (d, _nc, _h) in enumerate(
+                sorted(rows, key=lambda x: (x[1], x[0]))
+            )
+        }
+        fused = sorted(
+            (
+                (10**12 // (60 + r1[d]) + 10**12 // (60 + r2[d]), d)
+                for d, _nc, _h in rows
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rk in (1, 2, 3):
+            sc, d = fused[rk - 1]
+            assert got[s][rk] == (d, sc), (s, rk)
+
+
+def test_spc_control_chart_witness(spark, duck):
+    per = collections.defaultdict(list)
+    for eid, _us, _uid, etype, v in _events(duck):
+        per[etype].append((eid, int(round(v * 100))))
+    got = {
+        r.event_type: (r.n_subgroups, r.n_rule1, r.n_beyond_2sigma)
+        for r in STAGED_QUERIES["q_spc_control_chart"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for etype, rows in per.items():
+        rows.sort()
+        xs = [x for _e, x in rows]
+        groups = [
+            xs[i : i + 5] for i in range(0, len(xs) - len(xs) % 5, 5)
+        ]
+        phase1 = groups[:20]
+        m = len(phase1)
+        ts = sum(sum(g) for g in phase1)
+        tr = sum(max(g) - min(g) for g in phase1)
+        r1 = sum(
+            1 for g in groups if abs(sum(g) * m - ts) * 200 > 577 * tr
+        )
+        w2 = sum(
+            1 for g in groups if abs(sum(g) * m - ts) * 600 > 2 * 577 * tr
+        )
+        assert got[etype] == (len(groups), r1, w2), etype
+
+
+def test_kendall_w_witness(spark, duck):
+    scores = collections.Counter()
+    for eid, _us, uid, _etype, v in _events(duck):
+        scores[(eid % 3, uid % 10)] += int(round(v * 100))
+    rsum = collections.Counter()
+    for rater in range(3):
+        items = sorted(
+            ((scores[(rater, i)], i) for i in range(10)),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rk, (_s, i) in enumerate(items, 1):
+            rsum[i] += rk
+    s2 = sum(r * r for r in rsum.values())
+    n, m = 10, 3
+    w = (12.0 * s2 - 3.0 * m * m * n * (n + 1) ** 2) / (
+        m * m * n * (n * n - 1)
+    )
+    r = STAGED_QUERIES["q_kendall_w"](spark, SF_DIR).collect()[0]
+    assert (r.n, r.m, r.s2) == (n, m, s2)
+    assert abs(r.kendall_w - w) < 1e-12
+    assert 0.0 <= w <= 1.0
+
+
+def test_harmonic_centrality_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, event_id FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    edges = set()
+    for uid, eid in rows:
+        a, b = uid % 41, (2 * uid + eid) % 41
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    got = {
+        r.seed: (r.n_reached_3, r.harmonic_e6)
+        for r in STAGED_QUERIES["q_harmonic_centrality"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for seed in range(4):
+        if seed not in adj:
+            assert seed not in got
+            continue
+        dist = {seed: 0}
+        frontier = {seed}
+        for d in (1, 2, 3):
+            nxt = set()
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in dist:
+                        dist[v] = d
+                        nxt.add(v)
+            frontier = nxt
+        reached = {v: d for v, d in dist.items() if v != seed}
+        h = sum(1_000_000 // d for d in reached.values())
+        assert got[seed] == (len(reached), h), seed
+
+
+# ------------------------------------------------------ plan pins
+
+
+def _executed(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_r11_no_cartesian_no_python(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, (name, plan)
+    assert "BatchEvalPython" not in plan, (name, plan)
+    assert "ArrowEvalPython" not in plan, (name, plan)
+
+
+def test_pinball_single_window_partitioning(spark):
+    # both lags must share one exchange on user_id
+    plan = _executed(STAGED_QUERIES["q_pinball_eval"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
+
+
+def test_harmonic_no_cartesian_frontier(spark):
+    plan = _executed(STAGED_QUERIES["q_harmonic_centrality"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan

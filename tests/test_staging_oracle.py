@@ -32,3 +32,31 @@ def test_staged_query_matches_oracle(spark, duck, name):
 @pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
 def test_staged_query_nonempty(spark, name):
     assert STAGED_QUERIES[name](spark, SF_DIR).limit(1).count() == 1, name
+
+
+# 10x re-check: the same gate at sf0.01 (the driver's own scale factor)
+# so promotion-time behavior is pinned at BOTH scales before the move.
+SF01_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck01():
+    import duckdb
+
+    from aws_vpcflowlogs_parquet_spark.sources.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{SF01_DIR}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_QUERIES))
+def test_staged_query_matches_oracle_sf01(spark, duck01, name):
+    sdf = STAGED_QUERIES[name](spark, SF01_DIR)
+    ok, msg = compare_spark_duck(sdf, duck01, STAGED_ORACLES[name])
+    assert ok, f"{name}: {msg}"
