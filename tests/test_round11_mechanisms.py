@@ -512,7 +512,7 @@ def test_l_moments_witness(spark, duck):
     for g, v in rows:
         per[g].append(v)
     got = {
-        r.grp: (r.n, r.s0, r.s1, r.s2)
+        r.grp: (r.n, r.s0, r.s1, r.s2_hi, r.s2_lo)
         for r in QUERIES["q_l_moments"](spark, SF_DIR).collect()
     }
     for g, vs in per.items():
@@ -520,8 +520,12 @@ def test_l_moments_witness(spark, duck):
         n = len(vs)
         s0 = sum(vs)
         s1 = sum((i) * v for i, v in enumerate(vs))  # (rank-1) with rank=i+1
+        s2_hi = sum((i) * (i - 1) * v // 10**9 for i, v in enumerate(vs))
+        s2_lo = sum((i) * (i - 1) * v % 10**9 for i, v in enumerate(vs))
+        assert got[g] == (n, s0, s1, s2_hi, s2_lo), g
+        # the split recombines to the true rank-weighted sum
         s2 = sum((i) * (i - 1) * v for i, v in enumerate(vs))
-        assert got[g] == (n, s0, s1, s2), g
+        assert s2_hi * 10**9 + s2_lo == s2
         # L-scale is positive for non-degenerate samples
         b0 = s0 / n
         b1 = s1 / (n * (n - 1))
