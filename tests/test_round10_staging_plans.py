@@ -76,12 +76,17 @@ def test_ema_crossover_scan_is_agg_side_fold(spark):
     assert "Window" not in plan, plan
 
 
-def test_er_score_is_equi_join_on_block_key(spark):
-    # the pair join must be a hash join keyed on the block (noun),
-    # never a nested-loop over all pairs
+def test_er_score_never_materializes_pairs(spark):
+    # round-11 rework: the pair relation must NOT exist — verdict
+    # counts come from inclusion-exclusion over marginal histograms
+    # (scalar aggregates + 1-row broadcasts + bounded offset joins).
+    # The only non-broadcast joins allowed are the size-offset
+    # histogram equi-joins; no self-join of parts on the block key.
     plan = _executed(QUERIES["q_er_score"](spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the old shape's signature: a sort-merge self-join on noun with
+    # the p_partkey range residual
+    assert "p_partkey" not in plan, plan
 
 
 def test_flow_stitch_single_agg_no_join(spark):
