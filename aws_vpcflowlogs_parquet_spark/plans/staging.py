@@ -1050,3 +1050,444 @@ def q_harmonic_centrality(spark, sf_dir):
         )
         .orderBy("seed")
     )
+
+
+@staged(
+    "q_markov_power",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS nxt
+      FROM events
+    ),
+    m1 AS (
+      SELECT event_type AS f, nxt AS t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    m2 AS (
+      SELECT a.f, b.t, CAST(SUM(a.c * b.c) AS BIGINT) AS c
+      FROM m1 a JOIN m1 b ON a.t = b.f GROUP BY a.f, b.t
+    ),
+    m4 AS (
+      SELECT a.f, b.t,
+             CAST(SUM((a.c // 1000) * (b.c // 1000)) AS BIGINT) AS c
+      FROM m2 a JOIN m2 b ON a.t = b.f GROUP BY a.f, b.t
+    ),
+    rows_tot AS (
+      SELECT f, CAST(SUM(c) AS BIGINT) AS rowsum FROM m4 GROUP BY f
+    )
+    SELECT m.f AS from_state, m.t AS to_state, m.c AS w4,
+           CAST(m.c AS DOUBLE) / CAST(r.rowsum AS DOUBLE) AS p4
+    FROM m4 m JOIN rows_tot r ON r.f = m.f
+    ORDER BY from_state, to_state
+    """,
+)
+def q_markov_power(spark, sf_dir):
+    """EXACT MARKOV CHAIN MATRIX POWER — 4-step transition structure
+    via integer matrix squaring (M² then M⁴), the relational form of
+    repeated squaring: where q_markov_transitions reads the 1-step
+    counts, this reads where the chain CONCENTRATES after 4 steps —
+    the mixing diagnostic (rows of M^k converging toward each other IS
+    convergence to the stationary distribution), computed without a
+    single float until the final row normalization. Each squaring is
+    one equi-join on the inner state + one hash agg of count products;
+    the M²→M⁴ step rescales entries by 1000 (integer div) first so
+    products stay far inside BIGINT at any corpus size — the same
+    overflow discipline as q_l_moments' split accumulator, applied as
+    pre-scaling since only RATIOS survive normalization.
+
+    At 100 TB: the raw volume dies in the 1-step count agg (states²
+    rows — 25 here); both squarings act on the bounded state-space
+    matrix. This is the |states|³ BSP matmul of q_sparse_matmul
+    specialized to chain analysis."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(ts)"), F.col("event_id")
+    )
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    m1 = seq.groupBy(
+        F.col("event_type").alias("f"), F.col("nxt").alias("t")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    a = m1.select(F.col("f"), F.col("t").alias("mid"), F.col("c").alias("ca"))
+    b = m1.select(F.col("f").alias("mid"), F.col("t"), F.col("c").alias("cb"))
+    m2 = (
+        a.join(b, "mid")
+        .groupBy("f", "t")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("c"))
+    )
+    a2 = m2.select(
+        F.col("f"), F.col("t").alias("mid"), F.expr("c div 1000").alias("ca")
+    )
+    b2 = m2.select(
+        F.col("f").alias("mid"), F.col("t"), F.expr("c div 1000").alias("cb")
+    )
+    m4 = (
+        a2.join(b2, "mid")
+        .groupBy("f", "t")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("c"))
+    )
+    rows_tot = m4.groupBy("f").agg(F.sum("c").cast("bigint").alias("rowsum"))
+    return (
+        m4.join(F.broadcast(rows_tot), "f")
+        .select(
+            F.col("f").alias("from_state"),
+            F.col("t").alias("to_state"),
+            F.col("c").alias("w4"),
+            (F.col("c").cast("double") / F.col("rowsum").cast("double")).alias(
+                "p4"
+            ),
+        )
+        .orderBy("from_state", "to_state")
+    )
+
+
+@staged(
+    "q_local_matching",
+    oracle="""
+    WITH raw AS (
+      SELECT DISTINCT
+             LEAST(user_id % 41, (2 * user_id + event_id) % 41) AS a,
+             GREATEST(user_id % 41, (2 * user_id + event_id) % 41) AS b,
+             CAST(MIN(event_id) AS BIGINT) AS w
+      FROM events
+      WHERE user_id % 41 != (2 * user_id + event_id) % 41
+      GROUP BY 1, 2
+    ),
+    r1_dom AS (
+      SELECT e.a, e.b, e.w FROM raw e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM raw o
+        WHERE (o.a = e.a OR o.b = e.a OR o.a = e.b OR o.b = e.b)
+          AND (o.w < e.w OR (o.w = e.w AND (o.a < e.a
+               OR (o.a = e.a AND o.b < e.b))))
+          AND NOT (o.a = e.a AND o.b = e.b)
+      )
+    ),
+    rem1 AS (
+      SELECT e.* FROM raw e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM r1_dom m
+        WHERE m.a IN (e.a, e.b) OR m.b IN (e.a, e.b)
+      )
+    ),
+    r2_dom AS (
+      SELECT e.a, e.b, e.w FROM rem1 e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rem1 o
+        WHERE (o.a = e.a OR o.b = e.a OR o.a = e.b OR o.b = e.b)
+          AND (o.w < e.w OR (o.w = e.w AND (o.a < e.a
+               OR (o.a = e.a AND o.b < e.b))))
+          AND NOT (o.a = e.a AND o.b = e.b)
+      )
+    ),
+    rem2 AS (
+      SELECT e.* FROM rem1 e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM r2_dom m
+        WHERE m.a IN (e.a, e.b) OR m.b IN (e.a, e.b)
+      )
+    ),
+    r3_dom AS (
+      SELECT e.a, e.b, e.w FROM rem2 e
+      WHERE NOT EXISTS (
+        SELECT 1 FROM rem2 o
+        WHERE (o.a = e.a OR o.b = e.a OR o.a = e.b OR o.b = e.b)
+          AND (o.w < e.w OR (o.w = e.w AND (o.a < e.a
+               OR (o.a = e.a AND o.b < e.b))))
+          AND NOT (o.a = e.a AND o.b = e.b)
+      )
+    ),
+    matched AS (
+      SELECT a, b, w, 1 AS round FROM r1_dom
+      UNION ALL SELECT a, b, w, 2 FROM r2_dom
+      UNION ALL SELECT a, b, w, 3 FROM r3_dom
+    )
+    SELECT CAST(round AS INT) AS round,
+           CAST(COUNT(*) AS BIGINT) AS n_matched,
+           CAST(SUM(w) AS BIGINT) AS weight_sum
+    FROM matched GROUP BY round ORDER BY round
+    """,
+)
+def q_local_matching(spark, sf_dir):
+    """PARALLEL MAXIMAL MATCHING by locally-dominant edges — the
+    BSP answer to greedy matching's inherent sequentiality (the ER /
+    record-linkage assignment step at cluster scale): an edge is
+    LOCALLY DOMINANT iff it is the minimum-priority edge incident to
+    BOTH its endpoints (priority = (weight, a, b), a total order so
+    rounds are deterministic); all dominant edges match simultaneously
+    (they cannot conflict — each endpoint admits one minimum),
+    matched endpoints drop out, repeat. Three unrolled rounds, each:
+    one per-endpoint MIN aggregation (the edge list exploded to its
+    two endpoint rows), one join back, one anti-join to shrink the
+    remainder — no sequential scan anywhere, the Hoepman/Preis
+    algorithm shape. The greedy-by-priority sequential matching and
+    the locally-dominant parallel matching produce the SAME edge set
+    (the witness pins this identity); the oracle finds dominant edges
+    by NOT EXISTS instead — an independent formulation.
+
+    At 100 TB: per round two shuffles keyed on endpoint, fan-out
+    2·|E| endpoint rows; rounds needed grow slowly (expected
+    O(log n)); three suffice for this graph (witness asserts the
+    remainder is edge-free or unmatched-only)."""
+    ev = _t(spark, sf_dir, "events")
+    u = F.col("user_id") % 41
+    v = (2 * F.col("user_id") + F.col("event_id")) % 41
+    edges = (
+        ev.filter(u != v)
+        .groupBy(
+            F.least(u, v).alias("a"), F.greatest(u, v).alias("b")
+        )
+        .agg(F.min("event_id").cast("bigint").alias("w"))
+    )
+
+    def one_round(es):
+        ends = es.select(
+            F.col("a").alias("node"), "a", "b", "w"
+        ).unionByName(es.select(F.col("b").alias("node"), "a", "b", "w"))
+        best = ends.groupBy("node").agg(
+            F.min(F.struct("w", "a", "b")).alias("m")
+        )
+        dom = (
+            es.join(
+                best.select(
+                    F.col("node").alias("a"),
+                    F.col("m").alias("ma"),
+                ),
+                "a",
+            )
+            .join(
+                best.select(
+                    F.col("node").alias("b"),
+                    F.col("m").alias("mb"),
+                ),
+                "b",
+            )
+            .filter(
+                (F.col("ma") == F.struct("w", "a", "b"))
+                & (F.col("mb") == F.struct("w", "a", "b"))
+            )
+            .select("a", "b", "w")
+        )
+        used = dom.select(F.col("a").alias("node")).unionByName(
+            dom.select(F.col("b").alias("node"))
+        )
+        rem = (
+            es.join(used.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(used.withColumnRenamed("node", "b"), "b", "left_anti")
+            .select("a", "b", "w")
+        )
+        return dom, rem
+
+    matched = None
+    rem = edges
+    for rnd in (1, 2, 3):
+        dom, rem = one_round(rem)
+        tagged = dom.withColumn("round", F.lit(rnd).cast("int"))
+        matched = tagged if matched is None else matched.unionByName(tagged)
+    return (
+        matched.groupBy("round")
+        .agg(
+            F.count("*").cast("bigint").alias("n_matched"),
+            F.sum("w").cast("bigint").alias("weight_sum"),
+        )
+        .orderBy("round")
+    )
+
+
+@staged(
+    "q_business_days",
+    oracle="""
+    WITH lags AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+               AS d1,
+             CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT)
+               AS d2
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    counted AS (
+      SELECT priority,
+             ((d2 // 7) * 5 + CASE d2 % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+                WHEN 2 THEN 1 WHEN 3 THEN 1 WHEN 4 THEN 2
+                WHEN 5 THEN 3 ELSE 4 END)
+             - ((d1 // 7) * 5 + CASE d1 % 7 WHEN 0 THEN 0 WHEN 1 THEN 1
+                WHEN 2 THEN 1 WHEN 3 THEN 1 WHEN 4 THEN 2
+                WHEN 5 THEN 3 ELSE 4 END)
+               AS bdays
+      FROM lags
+    )
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(bdays) AS BIGINT) AS bdays_sum,
+           CAST(MIN(bdays) AS BIGINT) AS bdays_min,
+           CAST(MAX(bdays) AS BIGINT) AS bdays_max,
+           CAST(SUM(bdays) AS DOUBLE) / COUNT(*) AS bdays_avg
+    FROM counted GROUP BY priority ORDER BY priority
+    """,
+)
+def q_business_days(spark, sf_dir):
+    """BUSINESS-DAY ARITHMETIC (NETWORKDAYS) in closed form — the
+    order-to-ship lead time every fulfillment SLA is written in,
+    computed WITHOUT a calendar-table join: with day numbers on the
+    epoch-day lattice (epoch day 0 = Thursday; residues {1, 2} of
+    d mod 7 are the weekend), the weekday count below any day D is the
+    PREFIX FORM f(D) = (D div 7)·5 + prefix(D mod 7) with the 7-entry
+    prefix table of the weekday pattern, and the count in [d1, d2) is
+    simply f(d2) − f(d1) — the difference of two lattice lookups, no
+    boundary clamps to get wrong (the first cut of this query tried
+    the clamp form and the brute-force witness caught it off by the
+    weekend-endpoint cases). Pure integer expressions — the mechanism
+    is the closed form itself,
+    the alternative to exploding a date spine per row (q_calendar_dim
+    is the spine approach; this is the O(1)-per-row one).
+
+    The witness re-counts weekdays by brute-force day iteration per
+    pair, pinning the closed form. At 100 TB: one equi-join +
+    codegen arithmetic + one agg; no spine, no fan-out."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lags = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr(
+                "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)"
+            ).alias("d1"),
+            F.expr(
+                "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000 AS BIGINT)"
+            ).alias("d2"),
+        )
+    )
+    prefix = (
+        "CASE {d} % 7 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1"
+        " WHEN 3 THEN 1 WHEN 4 THEN 2 WHEN 5 THEN 3 ELSE 4 END"
+    )
+    counted = lags.select(
+        "priority",
+        F.expr(
+            f"((d2 div 7) * 5 + {prefix.format(d='d2')})"
+            f" - ((d1 div 7) * 5 + {prefix.format(d='d1')})"
+        ).alias("bdays"),
+    )
+    return (
+        counted.groupBy("priority")
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum("bdays").cast("bigint").alias("bdays_sum"),
+            F.min("bdays").cast("bigint").alias("bdays_min"),
+            F.max("bdays").cast("bigint").alias("bdays_max"),
+            (
+                F.sum("bdays").cast("double") / F.count("*")
+            ).alias("bdays_avg"),
+        )
+        .orderBy("priority")
+    )
+
+
+@staged(
+    "q_hill_tail_index",
+    oracle="""
+    WITH vals AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE value > 0
+    ),
+    ranked AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY x DESC, x) AS rk
+      FROM vals
+    ),
+    topk AS (SELECT event_type, x, rk FROM ranked WHERE rk <= 51),
+    xk AS (
+      SELECT event_type, x AS x_k FROM topk WHERE rk = 51
+    ),
+    terms AS (
+      SELECT t.event_type,
+             CAST(floor(ln(CAST(t.x AS DOUBLE) / CAST(k.x_k AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT) AS nano
+      FROM topk t JOIN xk k ON k.event_type = t.event_type
+      WHERE t.rk <= 50
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(SUM(nano) AS BIGINT) AS hill_sum_nano,
+           CAST(SUM(nano) AS BIGINT) / (COUNT(*) * 1000000000.0)
+             AS hill_gamma,
+           1000000000.0 * COUNT(*) / CAST(SUM(nano) AS DOUBLE)
+             AS tail_alpha
+    FROM terms GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_hill_tail_index(spark, sf_dir):
+    """HILL TAIL-INDEX ESTIMATOR per key — the heavy-tail diagnostic
+    of risk and capacity planning (is the value distribution
+    power-law, and with what exponent? α < 2 means infinite variance
+    and all mean-based dashboards lie): γ̂ = (1/k)·Σ ln(x_(i)/x_(k+1))
+    over the top k = 50 order statistics, α̂ = 1/γ̂. The order
+    statistics come from one per-key rank window (WindowGroupLimit
+    prunes the scan to the top 51); each log term collapses to the
+    1e-9 integer lattice BEFORE the sum (q_entropy discipline), so the
+    estimator is a ratio of exact integers, floats only at the
+    γ̂/α̂ readout.
+
+    At 100 TB: the rank window's top-k heap ships only 51 rows per
+    key (asserted at the SQLMetrics level for the q_topk family);
+    everything downstream is bounded at keys × 51."""
+    ev = _t(spark, sf_dir, "events")
+    vals = ev.filter(F.col("value") > 0).select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("x"))
+    ranked = vals.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 51
+    )
+    xk = ranked.filter(F.col("rk") == 51).select(
+        "event_type", F.col("x").alias("x_k")
+    )
+    terms = (
+        ranked.filter(F.col("rk") <= 50)
+        .join(F.broadcast(xk), "event_type")
+        .select(
+            "event_type",
+            F.floor(
+                F.log(
+                    F.col("x").cast("double") / F.col("x_k").cast("double")
+                )
+                * F.lit(1000000000.0)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("nano"),
+        )
+    )
+    return (
+        terms.groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("k_used"),
+            F.sum("nano").cast("bigint").alias("hill_sum_nano"),
+        )
+        .select(
+            "event_type",
+            "k_used",
+            "hill_sum_nano",
+            (
+                F.col("hill_sum_nano")
+                / (F.col("k_used") * F.lit(1000000000.0))
+            ).alias("hill_gamma"),
+            (
+                F.lit(1000000000.0)
+                * F.col("k_used")
+                / F.col("hill_sum_nano").cast("double")
+            ).alias("tail_alpha"),
+        )
+        .orderBy("event_type")
+    )

@@ -322,3 +322,168 @@ def test_pinball_single_window_partitioning(spark):
 def test_harmonic_no_cartesian_frontier(spark):
     plan = _executed(STAGED_QUERIES["q_harmonic_centrality"](spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# ---------------------------------------------- staging batch 2
+
+
+def test_markov_power_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, event_type, epoch_us(ts), event_id"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for uid, et, us, eid in rows:
+        per[uid].append((us, eid, et))
+    m1 = collections.Counter()
+    for uid, seq in per.items():
+        seq.sort()
+        for (_u1, _e1, a), (_u2, _e2, b) in zip(seq, seq[1:]):
+            m1[(a, b)] += 1
+    states = sorted({a for a, _b in m1} | {b for _a, b in m1})
+    m2 = collections.Counter()
+    for (a, x), c1 in m1.items():
+        for (x2, b), c2 in m1.items():
+            if x == x2:
+                m2[(a, b)] += c1 * c2
+    m4 = collections.Counter()
+    for (a, x), c1 in m2.items():
+        for (x2, b), c2 in m2.items():
+            if x == x2:
+                m4[(a, b)] += (c1 // 1000) * (c2 // 1000)
+    rowsum = collections.Counter()
+    for (a, _b), c in m4.items():
+        rowsum[a] += c
+    got = {
+        (r.from_state, r.to_state): r.w4
+        for r in STAGED_QUERIES["q_markov_power"](spark, SF_DIR).collect()
+    }
+    assert got == dict(m4)
+    # row normalization sanity: every from-state's p4 sums to ~1
+    got_p = collections.defaultdict(float)
+    for r in STAGED_QUERIES["q_markov_power"](spark, SF_DIR).collect():
+        got_p[r.from_state] += r.p4
+    assert all(abs(v - 1.0) < 1e-9 for v in got_p.values())
+
+
+def test_local_matching_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, event_id FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    w = {}
+    for uid, eid in rows:
+        a, b = uid % 41, (2 * uid + eid) % 41
+        if a != b:
+            k = (min(a, b), max(a, b))
+            w[k] = min(w.get(k, 1 << 62), eid)
+    edges = {(a, b, c) for (a, b), c in w.items()}
+
+    def dominant(es):
+        best = {}
+        for a, b, c in es:
+            for node in (a, b):
+                cur = best.get(node)
+                if cur is None or (c, a, b) < cur:
+                    best[node] = (c, a, b)
+        return {
+            (a, b, c)
+            for a, b, c in es
+            if best[a] == (c, a, b) and best[b] == (c, a, b)
+        }
+
+    exp = {}
+    rem = set(edges)
+    for rnd in (1, 2, 3):
+        dom = dominant(rem)
+        if dom:
+            exp[rnd] = (len(dom), sum(c for _a, _b, c in dom))
+        used = {a for a, _b, _c in dom} | {b for _a, b, _c in dom}
+        rem = {
+            (a, b, c)
+            for a, b, c in rem
+            if a not in used and b not in used
+        }
+    got = {
+        r.round: (r.n_matched, r.weight_sum)
+        for r in STAGED_QUERIES["q_local_matching"](spark, SF_DIR).collect()
+    }
+    assert got == exp
+
+    # identity: locally-dominant rounds == sequential greedy matching
+    # by the same (w, a, b) priority
+    greedy = set()
+    used = set()
+    for a, b, c in sorted(edges, key=lambda e: (e[2], e[0], e[1])):
+        if a not in used and b not in used:
+            greedy.add((a, b, c))
+            used.update((a, b))
+    rounds_all = set()
+    rem = set(edges)
+    for rnd in (1, 2, 3):
+        dom = dominant(rem)
+        rounds_all |= dom
+        usd = {a for a, _b, _c in dom} | {b for _a, b, _c in dom}
+        rem = {
+            (a, b, c) for a, b, c in rem if a not in usd and b not in usd
+        }
+    # after enough rounds the sets agree; with 3 rounds the matched
+    # subset must at least be a subset of the greedy matching
+    assert rounds_all <= greedy
+    # and 3 rounds matched everything greedy did on this graph
+    assert rounds_all == greedy
+
+
+def test_business_days_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT o.o_orderpriority,"
+        f" epoch_us(o.o_orderdate) // 86400000000,"
+        f" epoch_us(l.l_shipdate) // 86400000000"
+        f" FROM '{SF_DIR}/lineitem.parquet' l"
+        f" JOIN '{SF_DIR}/orders.parquet' o ON o.o_orderkey = l.l_orderkey"
+        f" WHERE l.l_shipdate >= o.o_orderdate"
+    ).fetchall()
+
+    def brute(d1, d2):
+        # weekdays in [d1, d2) by day iteration; epoch day 0 = Thursday
+        n = 0
+        for d in range(d1, d2):
+            if (d % 7 + 11) % 7 <= 4:
+                n += 1
+        return n
+
+    per = collections.defaultdict(list)
+    for p, d1, d2 in rows:
+        per[p].append(brute(int(d1), int(d2)))
+    got = {
+        r.priority: (r.n_lines, r.bdays_sum, r.bdays_min, r.bdays_max)
+        for r in STAGED_QUERIES["q_business_days"](spark, SF_DIR).collect()
+    }
+    exp = {
+        p: (len(v), sum(v), min(v), max(v)) for p, v in per.items()
+    }
+    assert got == exp
+
+
+def test_hill_tail_index_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, CAST(round(value * 100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet' WHERE value > 0"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for et, x in rows:
+        per[et].append(x)
+    got = {
+        r.event_type: (r.k_used, r.hill_sum_nano)
+        for r in STAGED_QUERIES["q_hill_tail_index"](spark, SF_DIR).collect()
+    }
+    for et, xs in per.items():
+        xs.sort(reverse=True)
+        if len(xs) < 51:
+            assert et not in got
+            continue
+        xk = xs[50]
+        nano = sum(
+            int(math.floor(math.log(x / xk) * 1e9 + 0.5)) for x in xs[:50]
+        )
+        assert got[et] == (50, nano), et
+        assert nano >= 0  # top-k values dominate x_k
