@@ -1491,3 +1491,380 @@ def q_hill_tail_index(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@staged(
+    "q_fiscal_445",
+    oracle="""
+    WITH days AS (
+      SELECT epoch_us(ts) // 86400000000 - 19723 AS fd, value
+      FROM events
+    ),
+    mapped AS (
+      SELECT fd // 7 AS wk,
+             (fd // 7) // 13 AS fq,
+             CASE WHEN (fd // 7) % 13 < 4 THEN 1
+                  WHEN (fd // 7) % 13 < 8 THEN 2
+                  ELSE 3 END AS period_in_q,
+             value
+      FROM days
+    )
+    SELECT CAST(fq AS BIGINT) AS fiscal_quarter,
+           CAST(period_in_q AS INT) AS period_in_quarter,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT wk) AS BIGINT) AS n_weeks,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+             AS cents_sum
+    FROM mapped GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q_fiscal_445(spark, sf_dir):
+    """4-4-5 FISCAL CALENDAR mapping — the retail/finance reporting
+    calendar (every quarter = 13 weeks split 4+4+5 so periods compare
+    like-for-like across years, unlike Gregorian months): event
+    timestamps map to (fiscal week, quarter, period) by pure integer
+    division on the epoch-day lattice (fiscal epoch = 2024-01-01, a
+    Monday, day 19723), then one rollup per period. The mechanism is
+    the closed-form calendar arithmetic — no date-dimension join, the
+    same spine-free discipline as q_business_days; week = fd div 7,
+    quarter = week div 13, period by the 4/8 residue split.
+
+    At 100 TB: codegen arithmetic + one map-side-combined agg; the
+    COUNT(DISTINCT wk) audit column certifies each period really holds
+    4 or 5 distinct weeks (the calendar's defining property — the
+    witness asserts it)."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        F.expr(
+            "unix_micros(ts) div 86400000000 - 19723"
+        ).alias("fd"),
+        "value",
+    )
+    mapped = days.select(
+        F.expr("fd div 7").alias("wk"),
+        F.expr("(fd div 7) div 13").alias("fq"),
+        F.expr(
+            "CASE WHEN (fd div 7) % 13 < 4 THEN 1"
+            " WHEN (fd div 7) % 13 < 8 THEN 2 ELSE 3 END"
+        ).alias("period_in_q"),
+        "value",
+    )
+    return (
+        mapped.groupBy(
+            F.col("fq").cast("bigint").alias("fiscal_quarter"),
+            F.col("period_in_q").cast("int").alias("period_in_quarter"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.countDistinct("wk").cast("bigint").alias("n_weeks"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents_sum"),
+        )
+        .orderBy("fiscal_quarter", "period_in_quarter")
+    )
+
+
+@staged(
+    "q_dup_invoice",
+    oracle="""
+    WITH inv AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             epoch_us(o_orderdate) // 86400000000 AS d
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.o_custkey AS custkey,
+             a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+             a.cents, abs(a.d - b.d) AS day_gap
+      FROM inv a JOIN inv b
+        ON a.o_custkey = b.o_custkey AND a.cents = b.cents
+       AND a.o_orderkey < b.o_orderkey
+      WHERE abs(a.d - b.d) <= 7
+    )
+    SELECT custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suspect_pairs,
+           CAST(MIN(day_gap) AS BIGINT) AS min_day_gap,
+           CAST(SUM(cents) AS BIGINT) AS exposure_cents
+    FROM pairs GROUP BY custkey ORDER BY custkey
+    """,
+)
+def q_dup_invoice(spark, sf_dir):
+    """DUPLICATE-INVOICE DETECTION — the accounts-payable fraud/error
+    sweep (double billing is the classic AP leak): two orders from the
+    same customer with the IDENTICAL amount within 7 days are a
+    suspect pair. The blocking key is (custkey, exact cents) — an
+    EQUI-join, so candidate volume is Σ multiplicity² per (customer,
+    amount) cell, orders of magnitude below the (customer)-only block
+    and incomparably below all-pairs; the ±7-day window is a residual
+    filter on the already-blocked pairs, not a range join. Exact cents
+    (never float equality on money) and epoch-day integers end-to-end.
+
+    At 100 TB this is the dedup-blocking discipline
+    (q_phonetic_blocking, q_er_score) applied to the numeric+temporal
+    domain: one shuffle on the composite block key, a < b emits each
+    pair once, per-customer rollup reports exposure."""
+    o = _t(spark, sf_dir, "orders")
+    inv = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+            " div 86400000000"
+        ).alias("d"),
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.cents") == F.col("b.cents"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        )
+        .filter(F.abs(F.col("a.d") - F.col("b.d")) <= 7)
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.cents").alias("cents"),
+            F.abs(F.col("a.d") - F.col("b.d")).alias("day_gap"),
+        )
+    )
+    return (
+        pairs.groupBy("custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_suspect_pairs"),
+            F.min("day_gap").cast("bigint").alias("min_day_gap"),
+            F.sum("cents").cast("bigint").alias("exposure_cents"),
+        )
+        .orderBy("custkey")
+    )
+
+
+@staged(
+    "q_wilcoxon_signed",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type, user_id,
+             CAST(round(value * 100) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY event_type, user_id
+               ORDER BY epoch_us(ts), event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, user_id
+               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn_d
+      FROM events
+    ),
+    paired AS (
+      SELECT event_type, user_id,
+             MAX(CASE WHEN rn_d = 1 THEN y END)
+             - MAX(CASE WHEN rn_a = 1 THEN y END) AS d
+      FROM seq GROUP BY event_type, user_id
+      HAVING COUNT(*) >= 2
+    ),
+    nz AS (
+      SELECT event_type, user_id, d, abs(d) AS ad
+      FROM paired WHERE d != 0
+    ),
+    ranked AS (
+      SELECT x.event_type, x.d,
+             (SELECT COUNT(*) FROM nz o
+              WHERE o.event_type = x.event_type AND o.ad < x.ad)
+             + (SELECT COUNT(*) FROM nz o
+                WHERE o.event_type = x.event_type AND o.ad <= x.ad)
+             + 1 AS midrank2
+      FROM nz x
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN d > 0 THEN midrank2 ELSE 0 END)
+             AS BIGINT) AS w_plus_x2,
+           CAST(SUM(midrank2) AS BIGINT) AS w_total_x2
+    FROM ranked GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_wilcoxon_signed(spark, sf_dir):
+    """WILCOXON SIGNED-RANK statistic per event type — the paired
+    nonparametric test (q_rank_sum is the UNpaired Mann-Whitney
+    cousin): each user's paired observation is (first event, last
+    event) of the type, d = last − first on the cents lattice, zero
+    differences drop (the test's own rule), and W+ = Σ ranks of
+    positive d over |d|-ranks WITH AVERAGE-RANK TIES. The tie-exact
+    trick: 2·midrank = |{|d'| < |d|}| + |{|d'| ≤ |d|}| + 1 (the
+    rank-by-counting identity, integer on the ×2 lattice — no .5
+    floats), so W+ and the total ΣR are exact integers; the invariant
+    w_total_x2 = n(n+1) (Σ of all midranks doubled) is the built-in
+    checksum the witness asserts.
+
+    Spark computes the counting ranks via two aggregation-joins on the
+    (type, |d|) histogram — no correlated subquery, no per-row scan:
+    |{< x}| and |{≤ x}| come from one cumulative window over the
+    bounded distinct-|d| domain per type.
+
+    At 100 TB: the pairing collapses raw events to one row per
+    (type, user) in a single agg; everything after acts on that
+    reduction."""
+    ev = _t(spark, sf_dir, "events")
+    w_a = Window.partitionBy("event_type", "user_id").orderBy(
+        F.expr("unix_micros(ts)"), F.col("event_id")
+    )
+    w_d = Window.partitionBy("event_type", "user_id").orderBy(
+        F.expr("unix_micros(ts) * -1"), F.col("event_id").desc()
+    )
+    seq = ev.select(
+        "event_type",
+        "user_id",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+        F.row_number().over(w_a).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    paired = (
+        seq.groupBy("event_type", "user_id")
+        .agg(
+            (
+                F.max(F.when(F.col("rn_d") == 1, F.col("y")))
+                - F.max(F.when(F.col("rn_a") == 1, F.col("y")))
+            ).alias("d"),
+            F.count("*").alias("k"),
+        )
+        .filter((F.col("k") >= 2) & (F.col("d") != 0))
+        .select("event_type", "d", F.abs("d").alias("ad"))
+    )
+    hist = paired.groupBy("event_type", "ad").agg(
+        F.count("*").alias("c"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0)).alias("c_pos"),
+    )
+    wh = Window.partitionBy("event_type").orderBy("ad")
+    cum = hist.select(
+        "event_type",
+        "ad",
+        "c",
+        "c_pos",
+        F.coalesce(
+            F.sum("c").over(
+                wh.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("lt"),
+        F.sum("c")
+        .over(wh.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("le"),
+    )
+    # midrank2 for every element of this |d| tie-group
+    scored = cum.select(
+        "event_type",
+        (F.col("lt") + F.col("le") + 1).alias("midrank2"),
+        "c",
+        "c_pos",
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_pairs"),
+            F.sum(F.col("midrank2") * F.col("c_pos"))
+            .cast("bigint")
+            .alias("w_plus_x2"),
+            F.sum(F.col("midrank2") * F.col("c"))
+            .cast("bigint")
+            .alias("w_total_x2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@staged(
+    "q_tiered_billing",
+    oracle="""
+    WITH usage AS (
+      SELECT user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS units
+      FROM events GROUP BY user_id
+    ),
+    tiers AS (
+      SELECT * FROM (VALUES
+        (1, CAST(0 AS BIGINT),       CAST(500000 AS BIGINT),  10),
+        (2, CAST(500000 AS BIGINT),  CAST(2000000 AS BIGINT),  7),
+        (3, CAST(2000000 AS BIGINT), CAST(9223372036854775807 AS BIGINT), 4)
+      ) AS t(tier, lo, hi, rate_milli)
+    ),
+    charges AS (
+      SELECT u.user_id, u.units, t.tier,
+             GREATEST(LEAST(u.units, t.hi) - t.lo, 0) AS tier_units,
+             GREATEST(LEAST(u.units, t.hi) - t.lo, 0) * t.rate_milli
+               AS tier_milli
+      FROM usage u CROSS JOIN tiers t
+    )
+    SELECT user_id, MAX(units) AS units,
+           CAST(MAX(CASE WHEN tier_units > 0 THEN tier END) AS INT)
+             AS top_tier,
+           CAST(SUM(tier_milli) AS BIGINT) AS bill_milli,
+           CAST(SUM(tier_milli) AS BIGINT)
+             / CAST(MAX(units) AS DOUBLE) AS effective_rate_milli
+    FROM charges GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_tiered_billing(spark, sf_dir):
+    """TIERED (progressive-bracket) BILLING — usage-based pricing with
+    marginal rates, the metering readout every SaaS/cloud billing
+    pipeline runs (and structurally the progressive tax bracket):
+    units in [0, 5000) bill at 10 m$/unit, [5000, 20000) at 7, the
+    rest at 4 — each user's charge is Σ over brackets of
+    clamp(units, lo, hi)·rate, the MARGINAL form (crossing a tier
+    boundary never makes the total bill jump — the witness asserts
+    monotonicity + continuity on synthetic boundary probes). The
+    bracket table is a 3-row broadcast; the clamp is
+    GREATEST(LEAST(units, hi) − lo, 0) — pure integer lattice
+    (centi-units × milli-rates), one division for the effective-rate
+    readout.
+
+    At 100 TB: one map-side-combined usage agg, a 3-row broadcast
+    fan-out, one rollup — the canonical metering shape."""
+    ev = _t(spark, sf_dir, "events")
+    usage = ev.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("units")
+    )
+    tiers = spark.createDataFrame(
+        [
+            (1, 0, 500000, 10),
+            (2, 500000, 2000000, 7),
+            (3, 2000000, (1 << 63) - 1, 4),
+        ],
+        "tier int, lo bigint, hi bigint, rate_milli int",
+    )
+    charges = usage.crossJoin(F.broadcast(tiers)).select(
+        "user_id",
+        "units",
+        "tier",
+        F.greatest(
+            F.least(F.col("units"), F.col("hi")) - F.col("lo"), F.lit(0)
+        ).alias("tier_units"),
+        (
+            F.greatest(
+                F.least(F.col("units"), F.col("hi")) - F.col("lo"),
+                F.lit(0),
+            )
+            * F.col("rate_milli")
+        ).alias("tier_milli"),
+    )
+    return (
+        charges.groupBy("user_id")
+        .agg(
+            F.max("units").alias("units"),
+            F.max(F.when(F.col("tier_units") > 0, F.col("tier")))
+            .cast("int")
+            .alias("top_tier"),
+            F.sum("tier_milli").cast("bigint").alias("bill_milli"),
+        )
+        .select(
+            "user_id",
+            "units",
+            "top_tier",
+            "bill_milli",
+            (
+                F.col("bill_milli") / F.col("units").cast("double")
+            ).alias("effective_rate_milli"),
+        )
+        .orderBy("user_id")
+    )

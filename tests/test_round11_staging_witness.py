@@ -487,3 +487,142 @@ def test_hill_tail_index_witness(spark, duck):
         )
         assert got[et] == (50, nano), et
         assert nano >= 0  # top-k values dominate x_k
+
+
+# ---------------------------------------------- staging batch 3
+
+
+def test_fiscal_445_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT epoch_us(ts) // 86400000000 - 19723,"
+        f" CAST(round(value * 100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    agg = collections.defaultdict(lambda: [0, set(), 0])
+    for fd, cents in rows:
+        wk = fd // 7
+        fq = wk // 13
+        pos = wk % 13
+        p = 1 if pos < 4 else (2 if pos < 8 else 3)
+        rec = agg[(fq, p)]
+        rec[0] += 1
+        rec[1].add(wk)
+        rec[2] += cents
+    got = {
+        (r.fiscal_quarter, r.period_in_quarter): (
+            r.n_events,
+            r.n_weeks,
+            r.cents_sum,
+        )
+        for r in STAGED_QUERIES["q_fiscal_445"](spark, SF_DIR).collect()
+    }
+    exp = {k: (n, len(wks), c) for k, (n, wks, c) in agg.items()}
+    assert got == exp
+    # the 4-4-5 defining property: full periods hold 4 or 5 weeks
+    # (edge periods truncated by the data range may hold fewer)
+    full = [v[1] for k, v in exp.items()]
+    assert all(1 <= w <= 5 for w in full)
+
+
+def test_dup_invoice_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT o_orderkey, o_custkey,"
+        f" CAST(round(o_totalprice * 100) AS BIGINT),"
+        f" epoch_us(o_orderdate) // 86400000000"
+        f" FROM '{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    by_block = collections.defaultdict(list)
+    for ok_, ck, cents, d in rows:
+        by_block[(ck, cents)].append((ok_, d))
+    exp = collections.defaultdict(lambda: [0, 1 << 62, 0])
+    for (ck, cents), mem in by_block.items():
+        mem.sort()
+        for i, (oa, da) in enumerate(mem):
+            for ob, db in mem[i + 1 :]:
+                gap = abs(da - db)
+                if gap <= 7:
+                    rec = exp[ck]
+                    rec[0] += 1
+                    rec[1] = min(rec[1], gap)
+                    rec[2] += cents
+    got = {
+        r.custkey: (r.n_suspect_pairs, r.min_day_gap, r.exposure_cents)
+        for r in STAGED_QUERIES["q_dup_invoice"](spark, SF_DIR).collect()
+    }
+    assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_wilcoxon_signed_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, user_id, epoch_us(ts), event_id,"
+        f" CAST(round(value * 100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for et, uid, us, eid, y in rows:
+        per[(et, uid)].append((us, eid, y))
+    ds = collections.defaultdict(list)
+    for (et, uid), seq in per.items():
+        if len(seq) < 2:
+            continue
+        seq.sort()
+        d = seq[-1][2] - seq[0][2]
+        if d != 0:
+            ds[et].append(d)
+    got = {
+        r.event_type: (r.n_pairs, r.w_plus_x2, r.w_total_x2)
+        for r in STAGED_QUERIES["q_wilcoxon_signed"](spark, SF_DIR).collect()
+    }
+    for et, dd in ds.items():
+        ads = sorted(abs(d) for d in dd)
+        import bisect
+
+        wp2 = 0
+        wt2 = 0
+        for d in dd:
+            lt = bisect.bisect_left(ads, abs(d))
+            le = bisect.bisect_right(ads, abs(d))
+            mid2 = lt + le + 1
+            wt2 += mid2
+            if d > 0:
+                wp2 += mid2
+        n = len(dd)
+        assert got[et] == (n, wp2, wt2), et
+        # checksum: doubled midranks over all elements sum to n(n+1)
+        assert wt2 == n * (n + 1)
+
+
+def test_tiered_billing_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, CAST(round(value * 100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    usage = collections.Counter()
+    for uid, cents in rows:
+        usage[uid] += cents
+    tiers = [(1, 0, 500000, 10), (2, 500000, 2000000, 7), (3, 2000000, (1 << 63) - 1, 4)]
+
+    def bill(units):
+        total = 0
+        top = None
+        for tier, lo, hi, rate in tiers:
+            tu = max(min(units, hi) - lo, 0)
+            total += tu * rate
+            if tu > 0:
+                top = tier
+        return total, top
+
+    got = {
+        r.user_id: (r.units, r.top_tier, r.bill_milli)
+        for r in STAGED_QUERIES["q_tiered_billing"](spark, SF_DIR).collect()
+    }
+    exp = {}
+    for uid, u in usage.items():
+        b, t = bill(u)
+        exp[uid] = (u, t, b)
+    assert got == exp
+    # marginal-form properties: monotone and continuous at boundaries
+    for probe in (499999, 500000, 500001, 1999999, 2000000, 2000001):
+        lo_b, _ = bill(probe - 1)
+        hi_b, _ = bill(probe)
+        assert 0 <= hi_b - lo_b <= 10  # one unit adds at most top rate
