@@ -60,6 +60,8 @@ def staged(name: str, oracle: str):
 from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from ..caching import track_persist  # noqa: E402
+from ..operators import dedup as dd  # noqa: E402
 from ..sources.tables import load_table  # noqa: E402
 
 
@@ -1865,6 +1867,200 @@ def q_tiered_billing(spark, sf_dir):
             (
                 F.col("bill_milli") / F.col("units").cast("double")
             ).alias("effective_rate_milli"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@staged(
+    "q_lsh_tuning_curve",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> x != '') AS tk
+      FROM documents
+    ),
+    sigs AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(tk) >= 3 THEN
+               list_transform(generate_series(1, len(tk) - 2),
+                 i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+             ELSE [] END) AS sh
+      FROM t
+    ),
+    ne AS MATERIALIZED (SELECT doc_id, sh FROM sigs WHERE len(sh) > 0),
+    pairs AS MATERIALIZED (
+      SELECT CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(a.sh) + len(b.sh)
+                      - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               AS s
+      FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+      WHERE 5 * len(list_intersect(a.sh, b.sh)) >= len(a.sh) + len(b.sh)
+    ),
+    configs AS (
+      SELECT * FROM (VALUES
+        (1, 16), (2, 8), (4, 4), (8, 2), (16, 1)) AS c(r, b)
+    ),
+    scored AS (
+      SELECT c.r, c.b,
+             CAST(floor((1.0 - power(1.0 - power(p.s, c.r), c.b))
+               * 1000000000.0 + 0.5) AS BIGINT) AS hit_nano
+      FROM pairs p CROSS JOIN configs c
+    )
+    SELECT r, b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(hit_nano) AS BIGINT) AS recall_sum_nano,
+           CAST(SUM(hit_nano) AS BIGINT)
+             / (COUNT(*) * 1000000000.0) AS expected_recall
+    FROM scored GROUP BY r, b ORDER BY r
+    """,
+)
+def q_lsh_tuning_curve(spark, sf_dir):
+    """LSH BANDING S-CURVE TUNING — which (rows r, bands b) split of a
+    16-permutation MinHash budget should the dedup pipeline run? For a
+    pair at Jaccard s, banded LSH finds it with probability
+    1 − (1 − s^r)^b; sweeping the five budget-preserving configs over
+    the corpus's ACTUAL qualifying-pair similarity distribution (the
+    prefix-filtered exact pair relation at the policy floor, shared
+    machinery with q_dedup_threshold_sweep) turns the textbook S-curve
+    into a data-driven expected-recall table — the choice between
+    (4,4) and (2,8) is exactly what q_lsh_recall later audits
+    empirically. The powers are INTEGER exponents, so both engines
+    evaluate the same repeated-multiplication tree (no libm pow
+    divergence: s^r with r ∈ {1,2,4,8,16} is exact double
+    multiplication), and each per-pair hit probability collapses to
+    the 1e-9 lattice BEFORE averaging.
+
+    At 100 TB: the pair relation is the cost (shared, prefix-blocked);
+    the sweep is a 5-row broadcast fan-out + one agg."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = track_persist(dd.prefix_filtered_pairs(docs, 1, 5)).select(
+        F.col("jaccard").alias("s")
+    )
+    configs = spark.createDataFrame(
+        [(1, 16), (2, 8), (4, 4), (8, 2), (16, 1)], "r int, b int"
+    )
+    scored = pairs.crossJoin(F.broadcast(configs)).select(
+        "r",
+        "b",
+        F.floor(
+            (
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0) - F.pow(F.col("s"), F.col("r")),
+                    F.col("b"),
+                )
+            )
+            * F.lit(1000000000.0)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("hit_nano"),
+    )
+    return (
+        scored.groupBy("r", "b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.sum("hit_nano").cast("bigint").alias("recall_sum_nano"),
+        )
+        .select(
+            "r",
+            "b",
+            "n_pairs",
+            "recall_sum_nano",
+            (
+                F.col("recall_sum_nano")
+                / (F.col("n_pairs") * F.lit(1000000000.0))
+            ).alias("expected_recall"),
+        )
+        .orderBy("r")
+    )
+
+
+@staged(
+    "q_churn_labels",
+    oracle="""
+    WITH cutoff AS (
+      SELECT TIMESTAMP '2024-01-21 00:00:00' AS t_cut,
+             TIMESTAMP '2024-01-31 00:00:00' AS t_end
+    ),
+    feats AS (
+      SELECT e.user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_before,
+             CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_before,
+             CAST(MAX(epoch_us(e.ts)) AS BIGINT) AS last_seen_us,
+             CAST((SELECT epoch_us(t_cut) FROM cutoff)
+                  - MAX(epoch_us(e.ts)) AS BIGINT) AS recency_us
+      FROM events e
+      WHERE e.ts < (SELECT t_cut FROM cutoff)
+      GROUP BY e.user_id
+    ),
+    labels AS (
+      SELECT f.user_id, f.n_before, f.cents_before, f.recency_us,
+             CAST(CASE WHEN EXISTS (
+               SELECT 1 FROM events a, cutoff c
+               WHERE a.user_id = f.user_id
+                 AND a.ts >= c.t_cut AND a.ts < c.t_end
+             ) THEN 0 ELSE 1 END AS INT) AS churned
+      FROM feats f
+    )
+    SELECT * FROM labels ORDER BY user_id
+    """,
+)
+def q_churn_labels(spark, sf_dir):
+    """CHURN LABEL CONSTRUCTION — the training-set builder every churn
+    model starts from, with the point-in-time discipline made
+    structural: features (activity count, spend, recency) computed
+    STRICTLY before the cutoff (one filtered scan — nothing after
+    t_cut can reach a feature column, the leakage q_pit_audit hunts
+    for), label = no activity in the [cutoff, horizon) observation
+    window (left-anti semantics). Recency on the integer microsecond
+    lattice; spend in exact cents.
+
+    At 100 TB: one pre-cutoff agg + one post-cutoff distinct +
+    left-anti join — the label window scan is cheap because the
+    predicate pushes to the partition level when events are
+    dt-partitioned (the layout operators' case for date clustering)."""
+    ev = _t(spark, sf_dir, "events")
+    t_cut = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    t_end = F.lit("2024-01-31 00:00:00").cast("timestamp")
+    feats = (
+        ev.filter(F.col("ts") < t_cut)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_before"),
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents_before"),
+            F.max(F.expr("unix_micros(ts)")).cast("bigint").alias(
+                "last_seen_us"
+            ),
+        )
+        .withColumn(
+            "recency_us",
+            (
+                F.unix_micros(t_cut) - F.col("last_seen_us")
+            ).cast("bigint"),
+        )
+    )
+    active_after = (
+        ev.filter((F.col("ts") >= t_cut) & (F.col("ts") < t_end))
+        .select("user_id")
+        .distinct()
+        .withColumn("act", F.lit(1))
+    )
+    return (
+        feats.join(active_after, "user_id", "left")
+        .select(
+            "user_id",
+            "n_before",
+            "cents_before",
+            "recency_us",
+            F.when(F.col("act").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("churned"),
         )
         .orderBy("user_id")
     )

@@ -626,3 +626,86 @@ def test_tiered_billing_witness(spark, duck):
         lo_b, _ = bill(probe - 1)
         hi_b, _ = bill(probe)
         assert 0 <= hi_b - lo_b <= 10  # one unit adds at most top rate
+
+
+def test_lsh_tuning_curve_witness(spark, duck):
+    docs = duck.sql(
+        f"SELECT doc_id, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+
+    def shingles(text):
+        tk = [t for t in text.lower().split(" ") if t]
+        return (
+            {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+            if len(tk) >= 3
+            else set()
+        )
+
+    sh = {d: s for d, s in ((d, shingles(t)) for d, t in docs) if s}
+    ids = sorted(sh)
+    sims = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            o = len(sh[a] & sh[b])
+            if o and 5 * o >= len(sh[a]) + len(sh[b]):
+                sims.append(o / (len(sh[a]) + len(sh[b]) - o))
+    got = {
+        (r.r, r.b): (r.n_pairs, r.recall_sum_nano)
+        for r in STAGED_QUERIES["q_lsh_tuning_curve"](
+            spark, SF_DIR
+        ).collect()
+    }
+    recalls = {}
+    for rr, bb in ((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)):
+        nano = sum(
+            int(math.floor((1.0 - (1.0 - s**rr) ** bb) * 1e9 + 0.5))
+            for s in sims
+        )
+        assert got[(rr, bb)] == (len(sims), nano), (rr, bb)
+        recalls[(rr, bb)] = nano
+    # the S-curve property: more bands (fewer rows/band) => higher
+    # recall on the same pair set
+    assert recalls[(1, 16)] >= recalls[(4, 4)] >= recalls[(16, 1)]
+
+
+def test_churn_labels_witness(spark, duck):
+    import datetime
+
+    rows = duck.sql(
+        f"SELECT user_id, epoch_us(ts),"
+        f" CAST(round(value * 100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    t_cut = int(
+        datetime.datetime(
+            2024, 1, 21, tzinfo=datetime.timezone.utc
+        ).timestamp()
+        * 1e6
+    )
+    t_end = int(
+        datetime.datetime(
+            2024, 1, 31, tzinfo=datetime.timezone.utc
+        ).timestamp()
+        * 1e6
+    )
+    feats = collections.defaultdict(lambda: [0, 0, 0])
+    active_after = set()
+    for uid, us, cents in rows:
+        if us < t_cut:
+            rec = feats[uid]
+            rec[0] += 1
+            rec[1] += cents
+            rec[2] = max(rec[2], us)
+        elif us < t_end:
+            active_after.add(uid)
+    got = {
+        r.user_id: (r.n_before, r.cents_before, r.recency_us, r.churned)
+        for r in STAGED_QUERIES["q_churn_labels"](spark, SF_DIR).collect()
+    }
+    exp = {
+        uid: (n, c, t_cut - last, 0 if uid in active_after else 1)
+        for uid, (n, c, last) in feats.items()
+    }
+    assert got == exp
+    # leakage guard: every feature strictly precedes the cutoff
+    assert all(rec[2] > 0 for rec in got.values())
