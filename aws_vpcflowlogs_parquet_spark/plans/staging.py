@@ -1570,15 +1570,20 @@ def q_fiscal_445(spark, sf_dir):
 @staged(
     "q_dup_invoice",
     oracle="""
-    WITH inv AS (
+    WITH base AS (
       SELECT o_orderkey, o_custkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
              epoch_us(o_orderdate) // 86400000000 AS d
       FROM orders
     ),
+    inv AS (
+      SELECT o_orderkey, o_custkey, cents, d FROM base
+      UNION ALL
+      SELECT o_orderkey + 1000000000, o_custkey, cents, d + 3
+      FROM base WHERE o_orderkey % 40 = 0
+    ),
     pairs AS (
       SELECT a.o_custkey AS custkey,
-             a.o_orderkey AS order_a, b.o_orderkey AS order_b,
              a.cents, abs(a.d - b.d) AS day_gap
       FROM inv a JOIN inv b
         ON a.o_custkey = b.o_custkey AND a.cents = b.cents
@@ -1594,21 +1599,26 @@ def q_fiscal_445(spark, sf_dir):
 )
 def q_dup_invoice(spark, sf_dir):
     """DUPLICATE-INVOICE DETECTION — the accounts-payable fraud/error
-    sweep (double billing is the classic AP leak): two orders from the
-    same customer with the IDENTICAL amount within 7 days are a
-    suspect pair. The blocking key is (custkey, exact cents) — an
-    EQUI-join, so candidate volume is Σ multiplicity² per (customer,
-    amount) cell, orders of magnitude below the (customer)-only block
-    and incomparably below all-pairs; the ±7-day window is a residual
-    filter on the already-blocked pairs, not a range join. Exact cents
-    (never float equality on money) and epoch-day integers end-to-end.
+    sweep (double billing is the classic AP leak): two postings from
+    the same customer with the IDENTICAL amount within 7 days are a
+    suspect pair. The fixture's random prices never collide (verified
+    at all three SFs), so the feed PLANTS the pathology
+    deterministically — every 40th order is re-posted 3 days later
+    under a shifted key, the retry-double-post shape — and the
+    detector must recover exactly the planted pairs (the witness
+    asserts the recovered set ≡ the plant; the same planted-trap
+    discipline as q_ua_parse's Safari trap and q_span_f1's boundary
+    drift).
 
-    At 100 TB this is the dedup-blocking discipline
-    (q_phonetic_blocking, q_er_score) applied to the numeric+temporal
-    domain: one shuffle on the composite block key, a < b emits each
-    pair once, per-customer rollup reports exposure."""
+    The blocking key is (custkey, exact cents) — an EQUI-join, so
+    candidate volume is Σ multiplicity² per (customer, amount) cell,
+    orders of magnitude below a customer-only block; the ±7-day window
+    is a residual filter on already-blocked pairs, not a range join.
+    Exact cents (never float equality on money) and epoch-day integers
+    end-to-end. At 100 TB: the dedup-blocking discipline
+    (q_phonetic_blocking, q_er_score) on the numeric+temporal domain."""
     o = _t(spark, sf_dir, "orders")
-    inv = o.select(
+    base = o.select(
         "o_orderkey",
         "o_custkey",
         F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
@@ -1616,6 +1626,14 @@ def q_dup_invoice(spark, sf_dir):
             "unix_micros(CAST(o_orderdate AS TIMESTAMP))"
             " div 86400000000"
         ).alias("d"),
+    )
+    inv = base.unionByName(
+        base.filter(F.col("o_orderkey") % 40 == 0).select(
+            (F.col("o_orderkey") + 1000000000).alias("o_orderkey"),
+            "o_custkey",
+            "cents",
+            (F.col("d") + 3).alias("d"),
+        )
     )
     a = inv.alias("a")
     b = inv.alias("b")

@@ -531,10 +531,16 @@ def test_dup_invoice_witness(spark, duck):
         f" epoch_us(o_orderdate) // 86400000000"
         f" FROM '{SF_DIR}/orders.parquet'"
     ).fetchall()
+    feed = list(rows) + [
+        (ok_ + 1_000_000_000, ck, cents, d + 3)
+        for ok_, ck, cents, d in rows
+        if ok_ % 40 == 0
+    ]
     by_block = collections.defaultdict(list)
-    for ok_, ck, cents, d in rows:
+    for ok_, ck, cents, d in feed:
         by_block[(ck, cents)].append((ok_, d))
     exp = collections.defaultdict(lambda: [0, 1 << 62, 0])
+    n_pairs_total = 0
     for (ck, cents), mem in by_block.items():
         mem.sort()
         for i, (oa, da) in enumerate(mem):
@@ -545,11 +551,18 @@ def test_dup_invoice_witness(spark, duck):
                     rec[0] += 1
                     rec[1] = min(rec[1], gap)
                     rec[2] += cents
+                    n_pairs_total += 1
     got = {
         r.custkey: (r.n_suspect_pairs, r.min_day_gap, r.exposure_cents)
         for r in STAGED_QUERIES["q_dup_invoice"](spark, SF_DIR).collect()
     }
     assert got == {k: tuple(v) for k, v in exp.items()}
+    # the detector recovers EXACTLY the plant: the fixture's organic
+    # prices never collide (checked at all three SFs), so every
+    # suspect pair is one planted re-post and min gap is the plant's 3
+    n_planted = sum(1 for ok_, *_rest in rows if ok_ % 40 == 0)
+    assert n_pairs_total == n_planted
+    assert all(v[1] == 3 for v in exp.values())
 
 
 def test_wilcoxon_signed_witness(spark, duck):
