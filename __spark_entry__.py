@@ -174,6 +174,23 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "q_knapsack_greedy", "q_sma_crossover", "q_phonetic_blocking",
     "q_stream_ohlc", "q_ema_crossover", "q_table_checksum",
     "q_crdt_gcounter",
+    # round 11 (CORRECTNESS_r11.json): 50/50 pass — the 27 round-10-staged
+    # promotions, the 18 new round-11 mechanisms, and 5 routine re-checks
+    # (already listed in round 1 above).
+    "q_group_lcp", "q_histogram_equalize", "q_ratio_delta_method",
+    "q_h_index", "q_linear_interpolate", "q_csv_sniff", "q_outlier_iqr",
+    "q_readability", "q_forecast_backtest", "q_ua_parse", "q_modularity",
+    "q_er_score", "q_flow_stitch", "q_feature_hash_audit",
+    "q_revenue_recognition", "q_diff_in_diff", "q_grid_hotspot",
+    "q_reconciliation", "q_sampling_temperature", "q_span_f1",
+    "q_encoding_advisor", "q_merkle_levels", "q_mix_rate_decomposition",
+    "q_t_closeness", "q_conformal_interval", "q_apdex", "q_backfill_plan",
+    "q_quantile_sketch_merge", "q_interval_difference", "q_bandit_ucb",
+    "q_js_divergence", "q_log_templates", "q_integral_image",
+    "q_sliding_rate_limit", "q_salt_plan", "q_stream_absence",
+    "q_prefix_free_check", "q_knn_classify", "q_chao1_ndv",
+    "q_psi_stability", "q_capture_recapture", "q_sketch_rank_error",
+    "q_l_moments", "q_sequential_probe", "q_dedup_threshold_sweep",
 })
 
 

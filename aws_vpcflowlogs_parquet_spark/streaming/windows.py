@@ -664,3 +664,95 @@ def stream_absence(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_funnel(
+    events: DataFrame,
+    stages: tuple[str, str, str] = ("view", "click", "purchase"),
+    within_us: int = 172_800_000_000,
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming 3-STAGE FUNNEL matcher (the Flink-CEP ``next/followedBy``
+    sequence-with-deadline shape — the third CEP family next to
+    :func:`stream_cep_peaks`'s local-extremum matcher and
+    :func:`stream_absence`'s notFollowedBy): per user, match the
+    EARLIEST deterministic chain v = first ``stages[0]`` event,
+    c = first ``stages[1]`` strictly after v, p = first ``stages[2]``
+    strictly after c; the funnel COMPLETES iff p - v <= ``within_us``.
+
+    Emits (user_id, v_us, c_us, p_us) exactly once when the chain
+    resolves within the window; a chain that resolves OUTSIDE the
+    window emits nothing and closes — earliest-chain semantics make
+    the decision final either way, which is what makes the operator's
+    output independent of batch boundaries (given the same
+    batch-monotonic-per-key ordering precondition stream_cep_peaks
+    documents). State is three int64 stage marks + a done flag — O(1)
+    per key regardless of stream length, the property that lets the
+    operator run forever at 100 TB/day. The kernel is vectorized
+    (three masked mins per batch), no per-row Python."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s1, s2, s3 = stages
+    out_schema = "user_id bigint, v_us bigint, c_us bigint, p_us bigint"
+    state_schema = "v bigint, c bigint, done int"
+    events = events.select("user_id", ts_col, "event_type")
+
+    def update(key, pdf_iter, state: GroupState):
+        import numpy as np
+
+        v, c, done = (-1, -1, 0)
+        if state.exists:
+            v, c, done = (int(state.get[0]), int(state.get[1]), int(state.get[2]))
+        us_l, typ_l = [], []
+        for pdf in pdf_iter:
+            if len(pdf):
+                us_l.append(
+                    pdf[ts_col]
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                )
+                typ_l.append(pdf["event_type"].to_numpy())
+        rows = None
+        if us_l and not done:
+            us = us_l[0] if len(us_l) == 1 else np.concatenate(us_l)
+            typ = typ_l[0] if len(typ_l) == 1 else np.concatenate(typ_l)
+            if v < 0:
+                m = us[typ == s1]
+                if len(m):
+                    v = int(m.min())
+            if v >= 0 and c < 0:
+                m = us[(typ == s2) & (us > v)]
+                if len(m):
+                    c = int(m.min())
+            if c >= 0:
+                m = us[(typ == s3) & (us > c)]
+                if len(m):
+                    p = int(m.min())
+                    done = 1
+                    if p - v <= within_us:
+                        rows = pd.DataFrame(
+                            {
+                                "user_id": [key[0]],
+                                "v_us": [v],
+                                "c_us": [c],
+                                "p_us": [p],
+                            }
+                        )
+        state.update((v, c, done))
+        if rows is not None:
+            yield rows
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,7 +1,8 @@
-"""Pure-Python witnesses for the round-11 STAGED queries (plans/
-staging.py) at sf0.001 — independent recomputation, the third leg next
-to the Spark build and the DuckDB oracle, run at staging time so
-promotion is a move, not a build — plus plan pins."""
+"""Pure-Python witnesses for the 19 round-11-staged queries (promoted
+to plans/catalog.py in round 12) at sf0.001 — independent
+recomputation, the third leg next to the Spark build and the DuckDB
+oracle, written at staging time so promotion to the catalog is a move,
+not a build — plus plan pins (now pointed at the catalog registry)."""
 
 from __future__ import annotations
 
@@ -11,7 +12,21 @@ import math
 import duckdb
 import pytest
 
-from aws_vpcflowlogs_parquet_spark.plans.staging import STAGED_QUERIES
+from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES as _CAT
+
+_R11_PROMOTED = sorted(
+    n for n in _CAT
+    if n in {
+        "q_retry_backoff_conformance", "q_krippendorff_alpha",
+        "q_join_order_plan", "q_newsvendor", "q_pinball_eval",
+        "q_rrf_fusion", "q_spc_control_chart", "q_kendall_w",
+        "q_harmonic_centrality", "q_markov_power", "q_local_matching",
+        "q_business_days", "q_hill_tail_index", "q_fiscal_445",
+        "q_dup_invoice", "q_wilcoxon_signed", "q_tiered_billing",
+        "q_lsh_tuning_curve", "q_churn_labels",
+    }
+)
+STAGED_QUERIES = {n: _CAT[n] for n in _R11_PROMOTED}
 
 from .conftest import SF_DIR
 

@@ -1,0 +1,470 @@
+"""Pure-Python witnesses for the round-12 catalog batches at sf0.001 —
+independent recomputation, the third leg next to the Spark build and
+the DuckDB oracle — plus plan pins for the scale-critical shapes."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+import math
+from fractions import Fraction
+
+import duckdb
+import pytest
+
+from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def _events(duck):
+    return duck.sql(
+        f"SELECT event_id, epoch_us(ts), user_id, event_type, value,"
+        f" CAST(ts AS DATE)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+
+
+def _docs(duck):
+    return duck.sql(
+        f"SELECT doc_id, lang, source, n_chars"
+        f" FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+
+
+# ---------------------------------------------------------- batch 1
+
+
+def _truss_edges(duck):
+    return set(
+        map(
+            tuple,
+            duck.sql(
+                f"""
+        SELECT DISTINCT
+               least((3*user_id + 7*event_id) % 149,
+                     (5*user_id + event_id*event_id) % 149) AS lo,
+               greatest((3*user_id + 7*event_id) % 149,
+                        (5*user_id + event_id*event_id) % 149) AS hi
+        FROM '{SF_DIR}/events.parquet'
+        WHERE (3*user_id + 7*event_id) % 149
+              != (5*user_id + event_id*event_id) % 149
+        """
+            ).fetchall(),
+        )
+    )
+
+
+def _support(edges):
+    adj = collections.defaultdict(set)
+    for lo, hi in edges:
+        adj[lo].add(hi)
+        adj[hi].add(lo)
+    return {e: len(adj[e[0]] & adj[e[1]]) for e in edges}
+
+
+def test_ktruss_witness(spark, duck):
+    edges = _truss_edges(duck)
+    for _ in range(5):
+        sup = _support(edges)
+        edges = {e for e in edges if sup[e] >= 2}
+    exp = {e: s for e, s in _support(edges).items()}
+    got = {
+        (r.lo, r.hi): r.support
+        for r in QUERIES["q_ktruss"](spark, SF_DIR).collect()
+    }
+    assert got == exp
+    assert len(got) > 0  # peeling must not empty the fixture graph
+
+
+def test_ktruss_actually_peels(duck):
+    # the fixture graph must exercise the peeling loop (not converge
+    # trivially at round 0) — the reason the projection is mod-149,
+    # not the dense mod-41 of q_kcore.
+    edges = _truss_edges(duck)
+    sup = _support(edges)
+    survivors = {e for e in edges if sup[e] >= 2}
+    assert len(survivors) < len(edges)
+
+
+def test_segment_overlap_bucketed_witness(spark, duck):
+    segs = collections.defaultdict(set)
+    for _eid, _us, uid, etype, val, _d in _events(duck):
+        segs[f"{etype}:{int(math.floor(val)) % 4}"].add(uid)
+    rows = QUERIES["q_segment_overlap_bucketed"](spark, SF_DIR).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        a, b = segs[r.t1], segs[r.t2]
+        assert r.t1 < r.t2
+        assert r.n_inter == len(a & b) and r.n_inter > 0
+        assert r.n1 == len(a) and r.n2 == len(b)
+        assert r.jaccard == pytest.approx(
+            len(a & b) / len(a | b), abs=1e-12
+        )
+        seen.add((r.t1, r.t2))
+    # every overlapping pair is present
+    keys = sorted(segs)
+    for i, t1 in enumerate(keys):
+        for t2 in keys[i + 1 :]:
+            if segs[t1] & segs[t2]:
+                assert (t1, t2) in seen
+
+
+def test_stream_funnel_witness(spark, duck):
+    per_user = collections.defaultdict(list)
+    for _eid, us, uid, etype, _v, _d in _events(duck):
+        per_user[uid].append((us, etype))
+    exp = {}
+    for uid, evs in per_user.items():
+        evs.sort()
+        v = min((us for us, t in evs if t == "view"), default=None)
+        if v is None:
+            continue
+        c = min(
+            (us for us, t in evs if t == "click" and us > v), default=None
+        )
+        if c is None:
+            continue
+        p = min(
+            (us for us, t in evs if t == "purchase" and us > c),
+            default=None,
+        )
+        if p is None or p - v > 172_800_000_000:
+            continue
+        exp[uid] = (v, c, p)
+    got = {
+        r.user_id: (r.v_us, r.c_us, r.p_us)
+        for r in QUERIES["q_stream_funnel"](spark, SF_DIR).collect()
+    }
+    assert got == exp and got
+
+
+def test_stream_funnel_cross_batch(spark, tmp_path):
+    """Funnel chains must complete ACROSS batch boundaries (view in
+    batch 1, purchase only in batch 2): feed the same events as an
+    event-time-ordered two-file stream and require the same
+    completions as the single-batch run."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from aws_vpcflowlogs_parquet_spark.sources.tables import stream_events
+    from aws_vpcflowlogs_parquet_spark.streaming.windows import stream_funnel
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    ts = tbl.column("ts")
+    cut = pc.quantile(ts.cast("int64"), q=0.5).to_pylist()[0]
+    mask = pc.less(ts.cast("int64"), int(cut))
+    pq.write_table(tbl.filter(mask), src / "events.parquet")
+    stream = stream_events(spark, str(src))
+    out = stream_funnel(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("r12_funnel_x")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT COUNT(*) AS n FROM r12_funnel_x").collect()[
+            0
+        ]["n"]
+        pq.write_table(tbl.filter(pc.invert(mask)), src / "events2.parquet")
+        q.processAllAvailable()
+        got = {
+            r.user_id: (r.v_us, r.c_us, r.p_us)
+            for r in spark.sql("SELECT * FROM r12_funnel_x").collect()
+        }
+    finally:
+        q.stop()
+    single = {
+        r.user_id: (r.v_us, r.c_us, r.p_us)
+        for r in QUERIES["q_stream_funnel"](spark, SF_DIR).collect()
+    }
+    assert got == single
+    # each completion emitted exactly once across both batches
+    assert len(got) == spark.sql(
+        "SELECT COUNT(*) AS n FROM r12_funnel_x"
+    ).collect()[0]["n"]
+    assert n1 <= len(got)
+
+
+# ---------------------------------------------------------- batch 2
+
+
+def test_mann_kendall_witness(spark, duck):
+    daily = collections.defaultdict(dict)
+    for _eid, _us, _uid, etype, val, d in _events(duck):
+        daily[etype][d] = daily[etype].get(d, 0) + round(val * 100)
+    for r in QUERIES["q_mann_kendall"](spark, SF_DIR).collect():
+        xs = [x for _, x in sorted(daily[r.event_type].items())]
+        n = len(xs)
+        s = sum(
+            (xs[j] > xs[i]) - (xs[j] < xs[i])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        cnt = collections.Counter(xs)
+        tie = sum(
+            t * (t - 1) * (2 * t + 5) for t in cnt.values() if t > 1
+        )
+        var18 = n * (n - 1) * (2 * n + 5) - tie
+        assert (r.n, r.s_stat, r.var_x18) == (n, s, var18)
+        zexp = (
+            (s - 1 if s > 0 else s + 1 if s < 0 else 0)
+            / math.sqrt(var18 / 18.0)
+            if var18
+            else 0.0
+        )
+        assert r.zstat == pytest.approx(zexp, rel=1e-12)
+
+
+def test_adamic_adar_witness(spark, duck):
+    edges = set(
+        map(
+            tuple,
+            duck.sql(
+                f"""
+        SELECT DISTINCT least(user_id % 41, (2*user_id + event_id) % 41),
+               greatest(user_id % 41, (2*user_id + event_id) % 41)
+        FROM '{SF_DIR}/events.parquet'
+        WHERE user_id % 41 != (2*user_id + event_id) % 41"""
+            ).fetchall(),
+        )
+    )
+    adj = collections.defaultdict(set)
+    for lo, hi in edges:
+        adj[lo].add(hi)
+        adj[hi].add(lo)
+    scores = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1 :]:
+            if (u, v) in edges:
+                continue
+            common = adj[u] & adj[v]
+            if not common:
+                continue
+            nano = sum(
+                int(math.floor(1e9 / math.log(len(adj[w])) + 0.5))
+                for w in common
+            )
+            scores[(u, v)] = (len(common), nano)
+    top = sorted(
+        scores.items(), key=lambda kv: (-kv[1][1], kv[0])
+    )[:20]
+    exp = [(u, v, c, nano) for (u, v), (c, nano) in top]
+    got = [
+        (r.u, r.v, r.n_common, r.aa_nano)
+        for r in QUERIES["q_adamic_adar"](spark, SF_DIR).collect()
+    ]
+    assert got == exp
+
+
+def _bloom_pos(k: int, i: int, m: int) -> int:
+    h = hashlib.md5(f"{k}:{i}".encode()).hexdigest()
+    return int(h[:8], 16) % m
+
+
+def test_bloom_fpr_audit_witness(spark, duck):
+    members = {
+        r[0]
+        for r in duck.sql(
+            f"SELECT o_custkey FROM '{SF_DIR}/orders.parquet'"
+            f" GROUP BY o_custkey HAVING COUNT(*) >= 10"
+        ).fetchall()
+    }
+    custs = {
+        r[0]
+        for r in duck.sql(
+            f"SELECT c_custkey FROM '{SF_DIR}/customer.parquet'"
+        ).fetchall()
+    }
+    probes = custs - members
+    exp = {}
+    for m, h in [(64, 2), (256, 3), (1024, 4)]:
+        bits = {
+            _bloom_pos(k, i, m) for k in members for i in range(1, h + 1)
+        }
+        n_fp = sum(
+            all(_bloom_pos(k, i, m) in bits for i in range(1, h + 1))
+            for k in probes
+        )
+        exp[(m, h)] = (len(members), len(probes), n_fp, len(bits))
+    got = {
+        (r.m, r.h): (r.n_members, r.n_probes, r.n_fp, r.n_bits_set)
+        for r in QUERIES["q_bloom_fpr_audit"](spark, SF_DIR).collect()
+    }
+    assert got == exp
+    # the sizing sweep must show the FPR falling as m grows
+    rows = sorted(exp.items())
+    fprs = [fp / np for (_m, _h), (_nm, np, fp, _b) in rows]
+    assert fprs[0] >= fprs[-1]
+
+
+def test_grubbs_witness(spark, duck):
+    groups = collections.defaultdict(list)
+    for eid, _us, _uid, etype, val, _d in _events(duck):
+        groups[etype].append((round(val * 100), eid))
+    for r in QUERIES["q_grubbs_test"](spark, SF_DIR).collect():
+        xs = groups[r.event_type]
+        n = len(xs)
+        s = sum(x for x, _ in xs)
+        q = sum(x * x for x, _ in xs)
+        best = min(xs, key=lambda t: (-abs(n * t[0] - s), t[0], t[1]))
+        dev = abs(n * best[0] - s)
+        assert (r.n, r.event_id, r.x_cents, r.dev_num) == (
+            n,
+            best[1],
+            best[0],
+            dev,
+        )
+        gexp = (dev / n) / math.sqrt((q - s * s / n) / (n - 1))
+        assert r.g == pytest.approx(gexp, rel=1e-12)
+
+
+def test_friedman_witness(spark, duck):
+    cell = collections.defaultdict(dict)
+    for _eid, _us, _uid, etype, val, d in _events(duck):
+        cell[d][etype] = cell[d].get(etype, 0) + round(val * 100)
+    blocks = [v for v in cell.values() if len(v) == 5]
+    r2_sum = collections.Counter()
+    for blk in blocks:
+        vals = list(blk.values())
+        for t, x in blk.items():
+            lt = sum(y < x for y in vals)
+            eq = sum(y == x for y in vals)
+            r2_sum[t] += 2 * lt + eq + 1
+    nblocks = len(blocks)
+    ssq = sum(v * v for v in r2_sum.values())
+    chi2 = 3.0 * ssq / (nblocks * 5.0 * 6.0) - 3.0 * nblocks * 6.0
+    rows = QUERIES["q_friedman_test"](spark, SF_DIR).collect()
+    assert {r.event_type: r.r2_sum for r in rows} == dict(r2_sum)
+    for r in rows:
+        assert r.n_blocks == nblocks
+        assert r.chi2_f == pytest.approx(chi2, rel=1e-12)
+    # rank-sum checksum: sum over treatments = n * k(k+1)
+    assert sum(r2_sum.values()) == nblocks * 5 * 6
+
+
+def test_cochran_q_witness(spark, duck):
+    cnt = collections.Counter()
+    for _eid, _us, uid, etype, _v, _d in _events(duck):
+        if etype in ("view", "click", "purchase"):
+            cnt[(uid, etype)] += 1
+    users = {u for u, _ in cnt}
+    x = {
+        (u, t): 1 if cnt.get((u, t), 0) >= 13 else 0
+        for u in users
+        for t in ("view", "click", "purchase")
+    }
+    ri = {u: sum(x[(u, t)] for t in ("view", "click", "purchase")) for u in users}
+    cj = {
+        t: sum(x[(u, t)] for u in users)
+        for t in ("view", "click", "purchase")
+    }
+    n_total = sum(ri.values())
+    q_num = 2 * (3 * sum(c * c for c in cj.values()) - n_total * n_total)
+    q_den = 3 * n_total - sum(r * r for r in ri.values())
+    (row,) = QUERIES["q_cochran_q"](spark, SF_DIR).collect()
+    assert (row.k, row.n_blocks, row.n_total) == (3, len(users), n_total)
+    assert (row.q_num, row.q_den) == (q_num, q_den)
+    assert q_den > 0  # non-degenerate design, probed at every sf
+    assert row.q == pytest.approx(q_num / q_den, rel=1e-12)
+
+
+_W10 = [
+    1000000000000, 630929753571, 500000000000, 430676558073,
+    386852807235, 356207187108, 333333333333, 315464876786,
+    301029995664, 289064826318,
+]
+
+
+def test_ndcg_weights_are_the_log2_lattice():
+    for i, w in enumerate(_W10, start=1):
+        assert w == round(1e12 / math.log2(i + 1))
+
+
+def test_ndcg_eval_witness(spark, duck):
+    per_src = collections.defaultdict(list)
+    for doc_id, lang, source, n_chars in _docs(duck):
+        rel = 2 if lang == "en" else 1 if lang == "fr" else 0
+        per_src[source].append((n_chars, doc_id, rel))
+    for r in QUERIES["q_ndcg_eval"](spark, SF_DIR).collect():
+        docs = sorted(per_src[r.source], key=lambda t: (-t[0], t[1]))
+        dcg = sum(rel * w for (_c, _d, rel), w in zip(docs[:10], _W10))
+        ideal = sorted((rel for _c, _d, rel in docs), reverse=True)
+        idcg = sum(rel * w for rel, w in zip(ideal[:10], _W10))
+        nrel = sum(1 for _c, _d, rel in docs if rel > 0)
+        assert (r.n_rel, r.dcg_num, r.idcg_num) == (nrel, dcg, idcg)
+        assert idcg > 0
+        assert r.ndcg == pytest.approx(dcg / idcg, rel=1e-12)
+
+
+def test_map_eval_witness(spark, duck):
+    L = 26771144400
+    per_src = collections.defaultdict(list)
+    for doc_id, lang, source, n_chars in _docs(duck):
+        per_src[source].append((n_chars, doc_id, 1 if lang == "en" else 0))
+    for r in QUERIES["q_map_eval"](spark, SF_DIR).collect():
+        docs = sorted(per_src[r.source], key=lambda t: (-t[0], t[1]))
+        hits, ap_num = 0, 0
+        for k, (_c, _d, rel) in enumerate(docs, start=1):
+            hits += rel
+            if rel:
+                assert (L * hits) % k == 0  # exact-lattice invariant
+                ap_num += L * hits // k
+        nrel = sum(rel for _c, _d, rel in docs)
+        assert (r.n_rel, r.ap_num) == (nrel, ap_num)
+        exp_ap = Fraction(ap_num, L * nrel)
+        assert r.ap == pytest.approx(float(exp_ap), rel=1e-12)
+
+
+# ------------------------------------------------------------ plan pins
+
+
+def _executed(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_python_row_udfs_in_round12_batch(spark):
+    for name in (
+        "q_ktruss",
+        "q_segment_overlap_bucketed",
+        "q_mann_kendall",
+        "q_adamic_adar",
+        "q_bloom_fpr_audit",
+        "q_grubbs_test",
+        "q_friedman_test",
+        "q_cochran_q",
+        "q_ndcg_eval",
+        "q_map_eval",
+    ):
+        plan = _executed(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_bloom_audit_broadcasts_the_filter(spark):
+    plan = _executed(QUERIES["q_bloom_fpr_audit"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_map_eval_single_window_partitioning(spark):
+    # rank window and running sum share the (source) partitioning —
+    # exactly one hash-partitioning exchange on source feeds both
+    # (count within the AQE final plan only; the toString repeats the
+    # tree in the initial-plan section).
+    plan = _executed(QUERIES["q_map_eval"](spark, SF_DIR))
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("hashpartitioning(source") == 1, final
