@@ -468,3 +468,243 @@ def test_map_eval_single_window_partitioning(spark):
     plan = _executed(QUERIES["q_map_eval"](spark, SF_DIR))
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("hashpartitioning(source") == 1, final
+
+
+# ---------------------------------------------------------- batch 3
+
+
+def test_path_counts_witness(spark, duck):
+    edges = set(
+        map(
+            tuple,
+            duck.sql(
+                f"""
+        SELECT DISTINCT least(user_id % 41, (2*user_id + event_id) % 41),
+               greatest(user_id % 41, (2*user_id + event_id) % 41)
+        FROM '{SF_DIR}/events.parquet'
+        WHERE user_id % 41 != (2*user_id + event_id) % 41"""
+            ).fetchall(),
+        )
+    )
+    adj = collections.defaultdict(set)
+    for lo, hi in edges:
+        adj[lo].add(hi)
+        adj[hi].add(lo)
+    sigma = {s: 1 for s in (0, 1, 2, 3)}
+    dist = {s: 0 for s in sigma}
+    frontier = dict(sigma)
+    for d in (1, 2, 3):
+        nxt = collections.Counter()
+        for u, su in frontier.items():
+            for v in adj[u]:
+                if v not in dist:
+                    nxt[v] += su
+        for v, sv in nxt.items():
+            dist[v] = d
+            sigma[v] = sv
+        frontier = dict(nxt)
+    got = {
+        r.n: (r.dist, r.sigma)
+        for r in QUERIES["q_path_counts"](spark, SF_DIR).collect()
+    }
+    assert got == {n: (dist[n], sigma[n]) for n in sigma}
+    assert any(s > 1 for s in sigma.values())  # real multiplicity
+
+
+def test_lifo_costing_witness(spark, duck):
+    rows = duck.sql(
+        f"""SELECT l_partkey % 2000, CAST(l_quantity AS BIGINT),
+               l_partkey % 20 + 1, l_linenumber % 2,
+               l_shipdate, l_orderkey, l_linenumber, l_partkey, l_suppkey
+        FROM '{SF_DIR}/lineitem.parquet'"""
+    ).fetchall()
+    buys = collections.defaultdict(list)
+    demand = collections.Counter()
+    for key, qty, cost, side, *order in rows:
+        if side == 0:
+            buys[key].append((tuple(order), qty, cost))
+        else:
+            demand[key] += qty
+    for r in QUERIES["q_lifo_costing"](spark, SF_DIR).collect():
+        layers = sorted(buys[r.key], reverse=True)  # latest first
+        q = demand[r.key]
+        cogs = end = matched = 0
+        rem = q
+        for _o, qty, cost in layers:
+            m = min(qty, max(rem, 0))
+            rem -= m
+            cogs += m * cost
+            end += (qty - m) * cost
+            matched += m
+        assert (
+            r.cogs_cost,
+            r.ending_cost,
+            r.matched_units,
+            r.unmet_demand,
+        ) == (cogs, end, matched, max(0, rem))
+
+
+def test_peak_prominence_witness(spark, duck):
+    daily = collections.defaultdict(dict)
+    for _eid, _us, _uid, etype, val, d in _events(duck):
+        daily[etype][d] = daily[etype].get(d, 0) + round(val * 100)
+    exp = {}
+    for etype, series in daily.items():
+        days = sorted(series)
+        for i in range(1, len(days) - 1):
+            x, p, n = (
+                series[days[i]],
+                series[days[i - 1]],
+                series[days[i + 1]],
+            )
+            if x > p and x > n:
+                exp[(etype, days[i])] = (x, x - p, x - n, min(x - p, x - n))
+    got = {
+        (r.event_type, r.d): (
+            r.x,
+            r.left_rise,
+            r.right_drop,
+            r.prominence_min,
+        )
+        for r in QUERIES["q_peak_prominence"](spark, SF_DIR).collect()
+    }
+    assert got == exp and got
+
+
+def test_clustering_coeff_witness(spark, duck):
+    edges = set(
+        map(
+            tuple,
+            duck.sql(
+                f"""
+        SELECT DISTINCT least(user_id % 41, (2*user_id + event_id) % 41),
+               greatest(user_id % 41, (2*user_id + event_id) % 41)
+        FROM '{SF_DIR}/events.parquet'
+        WHERE user_id % 41 != (2*user_id + event_id) % 41"""
+            ).fetchall(),
+        )
+    )
+    adj = collections.defaultdict(set)
+    for lo, hi in edges:
+        adj[lo].add(hi)
+        adj[hi].add(lo)
+    for r in QUERIES["q_clustering_coeff"](spark, SF_DIR).collect():
+        d = len(adj[r.n])
+        tri = sum(
+            1
+            for u in adj[r.n]
+            for v in adj[r.n]
+            if u < v and v in adj[u]
+        )
+        assert (r.d, r.n_tri) == (d, tri)
+        assert r.clustering == pytest.approx(
+            2.0 * tri / (d * (d - 1)), rel=1e-12
+        )
+
+
+def test_ecod_outlier_witness(spark, duck):
+    groups = collections.defaultdict(list)
+    for eid, _us, _uid, etype, val, _d in _events(duck):
+        groups[etype].append((round(val * 100), eid))
+    rows = QUERIES["q_ecod_outlier"](spark, SF_DIR).collect()
+    by_type = collections.defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for etype, xs in groups.items():
+        n = len(xs)
+        svals = sorted(x for x, _ in xs)
+        import bisect
+
+        def score(x):
+            le = bisect.bisect_right(svals, x)
+            ge = n - bisect.bisect_left(svals, x)
+            return int(
+                math.floor(-math.log(le / n) * 1e9 + 0.5)
+            ) + int(math.floor(-math.log(ge / n) * 1e9 + 0.5))
+
+        ranked = sorted(
+            ((score(x), x, eid) for x, eid in xs),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[:5]
+        got = [
+            (r.score_nano, r.x_cents, r.event_id)
+            for r in sorted(by_type[etype], key=lambda r: r.rn)
+        ]
+        assert got == ranked, etype
+
+
+def test_jarque_bera_witness(spark, duck):
+    groups = collections.defaultdict(list)
+    for _eid, _us, _uid, etype, val, _d in _events(duck):
+        groups[etype].append(int(math.floor(val)))
+    for r in QUERIES["q_jarque_bera"](spark, SF_DIR).collect():
+        xs = groups[r.event_type]
+        n = len(xs)
+        mu = sum(xs) / n
+        m2 = sum(x * x for x in xs) / n - mu * mu
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        skew = m3 / m2**1.5
+        kurt = m4 / m2**2 - 3.0
+        jb = n / 6.0 * (skew**2 + kurt**2 / 4.0)
+        assert r.n == n
+        assert r.skewness == pytest.approx(skew, rel=1e-9)
+        assert r.kurt_excess == pytest.approx(kurt, rel=1e-9)
+        assert r.jb == pytest.approx(jb, rel=1e-9)
+        assert r.reject_normal == (1 if r.jb > 5.99 else 0)
+
+
+def test_page_hinkley_witness(spark, duck):
+    daily = collections.defaultdict(dict)
+    for _eid, _us, _uid, etype, val, d in _events(duck):
+        daily[etype][d] = daily[etype].get(d, 0) + round(val * 100)
+    for r in QUERIES["q_page_hinkley"](spark, SF_DIR).collect():
+        series = [x for _, x in sorted(daily[r.event_type].items())]
+        days = sorted(daily[r.event_type])
+        n, s = len(series), sum(series)
+        best = None
+        cum, mn = 0, None
+        for t, (d, x) in enumerate(zip(days, series), start=1):
+            cum += x
+            m_t = n * cum - t * s
+            mn = m_t if mn is None else min(mn, m_t)
+            ph = m_t - mn
+            if best is None or ph > best[0]:
+                best = (ph, d)
+        assert (r.n_days, r.change_day, r.ph_max) == (n, best[1], best[0])
+
+
+def test_wasserstein_bucketed_witness(spark, duck):
+    ca, cb = collections.Counter(), collections.Counter()
+    for _eid, _us, _uid, etype, val, _d in _events(duck):
+        b = round(val * 100) // 64
+        if etype == "click":
+            ca[b] += 1
+        elif etype == "view":
+            cb[b] += 1
+    na, nb = sum(ca.values()), sum(cb.values())
+    cuma = cumb = w1_num = 0
+    for b in sorted(set(ca) | set(cb)):
+        cuma += ca[b]
+        cumb += cb[b]
+        w1_num += abs(cuma * nb - cumb * na) * 64
+    (row,) = QUERIES["q_wasserstein_bucketed"](spark, SF_DIR).collect()
+    assert (row.n_a, row.n_b, row.w1_num) == (na, nb, w1_num)
+    assert row.w1 == pytest.approx(w1_num / (na * nb * 100.0), rel=1e-12)
+    assert w1_num > 0
+
+
+def test_no_python_row_udfs_in_round12_batch3(spark):
+    for name in (
+        "q_path_counts",
+        "q_lifo_costing",
+        "q_peak_prominence",
+        "q_clustering_coeff",
+        "q_ecod_outlier",
+        "q_jarque_bera",
+        "q_page_hinkley",
+        "q_wasserstein_bucketed",
+    ):
+        plan = _executed(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name

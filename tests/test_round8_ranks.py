@@ -187,6 +187,7 @@ BOUNDED_UNPARTITIONED_WINDOW_QUERIES = {
     "q_token_budget",          # source aggregates capped by take
     "q_union_area_rects",      # ≤400 distinct x boundaries (slab cut)
     "q_vocab_growth",          # vocab-first-day bins
+    "q_wasserstein_bucketed",  # ~800 value-bucket cells (64-cent grid)
     "q_waterfill",             # distinct-demand breakpoints (≤ ~50)
     "q_zipf_check",            # top-30 tokens
 }
