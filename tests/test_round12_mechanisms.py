@@ -708,3 +708,226 @@ def test_no_python_row_udfs_in_round12_batch3(spark):
         plan = _executed(QUERIES[name](spark, SF_DIR))
         assert "BatchEvalPython" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------- batch 4
+
+
+def test_mutual_info_witness(spark, duck):
+    cells = collections.Counter()
+    for _eid, _us, _uid, etype, val, _d in _events(duck):
+        cells[(etype, round(val * 100) // 12500)] += 1
+    n = sum(cells.values())
+    mt = collections.Counter()
+    mb = collections.Counter()
+    for (t, b), c in cells.items():
+        mt[t] += c
+        mb[b] += c
+    mi_nano_n = sum(
+        c * int(math.floor(math.log(c * n / (mt[t] * mb[b])) * 1e9 + 0.5))
+        for (t, b), c in cells.items()
+    )
+    ht = sum(
+        c * int(math.floor(-math.log(c / n) * 1e9 + 0.5))
+        for c in mt.values()
+    )
+    hb = sum(
+        c * int(math.floor(-math.log(c / n) * 1e9 + 0.5))
+        for c in mb.values()
+    )
+    (row,) = QUERIES["q_mutual_info"](spark, SF_DIR).collect()
+    assert (row.n, row.mi_nano_n, row.ht_nano_n, row.hb_nano_n) == (
+        n,
+        mi_nano_n,
+        ht,
+        hb,
+    )
+    assert 0 <= row.mi_nats  # MI is nonnegative (up to lattice rounding)
+
+
+def _mod41_graph(duck):
+    edges = set(
+        map(
+            tuple,
+            duck.sql(
+                f"""
+        SELECT DISTINCT least(user_id % 41, (2*user_id + event_id) % 41),
+               greatest(user_id % 41, (2*user_id + event_id) % 41)
+        FROM '{SF_DIR}/events.parquet'
+        WHERE user_id % 41 != (2*user_id + event_id) % 41"""
+            ).fetchall(),
+        )
+    )
+    adj = collections.defaultdict(set)
+    for lo, hi in edges:
+        adj[lo].add(hi)
+        adj[hi].add(lo)
+    return edges, adj
+
+
+def test_rich_club_witness(spark, duck):
+    edges, adj = _mod41_graph(duck)
+    for r in QUERIES["q_rich_club"](spark, SF_DIR).collect():
+        club = {n for n in adj if len(adj[n]) > r.k}
+        ek = sum(1 for lo, hi in edges if lo in club and hi in club)
+        assert (r.n_k, r.e_k) == (len(club), ek)
+        assert r.phi == pytest.approx(
+            2.0 * ek / (len(club) * (len(club) - 1)), rel=1e-12
+        )
+
+
+def test_power_analysis_witness(spark, duck):
+    za, zb = 1.959963984540054, 0.8416212335729143
+    groups = collections.defaultdict(lambda: [0, 0])
+    for _eid, _us, _uid, etype, val, _d in _events(duck):
+        groups[etype][0] += 1
+        groups[etype][1] += 1 if val > 250 else 0
+    for r in QUERIES["q_power_analysis"](spark, SF_DIR).collect():
+        n, k = groups[r.event_type]
+        assert k > 0
+        p1 = k / n
+        p2 = p1 * 1.1
+        pbar = (p1 + p2) / 2.0
+        req = (
+            za * math.sqrt(2 * pbar * (1 - pbar))
+            + zb * math.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+        ) ** 2 / (p2 - p1) ** 2
+        assert (r.n, r.k) == (n, k)
+        assert r.n_required == pytest.approx(req, rel=1e-9)
+        assert r.n_required_ceil == math.ceil(r.n_required)
+
+
+def test_knee_detection_witness(spark, duck):
+    spend = {
+        ck: s
+        for ck, s in duck.sql(
+            f"""SELECT o_custkey,
+               SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            FROM '{SF_DIR}/orders.parquet' GROUP BY o_custkey"""
+        ).fetchall()
+    }
+    bkt = collections.defaultdict(lambda: [0, 0])
+    for s in spend.values():
+        bkt[s // 65536][0] += 1
+        bkt[s // 65536][1] += s
+    nn = sum(v[0] for v in bkt.values())
+    ss = sum(v[1] for v in bkt.values())
+    x = y = 0
+    best = None
+    for b in sorted(bkt, reverse=True):
+        x += bkt[b][0]
+        y += bkt[b][1]
+        d = abs(y * nn - x * ss)
+        if best is None or d > best[0]:
+            best = (d, b, x, y)
+    (row,) = QUERIES["q_knee_detection"](spark, SF_DIR).collect()
+    assert (
+        row.knee_bucket,
+        row.n_cust_at_knee,
+        row.rev_at_knee,
+        row.n_total,
+        row.rev_total,
+        row.dist_num,
+    ) == (best[1], best[2], best[3], nn, ss, best[0])
+
+
+def test_ljung_box_witness(spark, duck):
+    daily = collections.defaultdict(dict)
+    for _eid, _us, _uid, etype, val, d in _events(duck):
+        daily[etype][d] = daily[etype].get(d, 0) + round(val * 100)
+    for r in QUERIES["q_ljung_box"](spark, SF_DIR).collect():
+        xs = [x // 1024 for _, x in sorted(daily[r.event_type].items())]
+        n, s = len(xs), sum(xs)
+        dev = [n * x - s for x in xs]
+        den = sum(d * d for d in dev)
+        nums = [
+            sum(dev[t] * dev[t + k] for t in range(n - k))
+            for k in (1, 2, 3, 4, 5)
+        ]
+        assert (r.n, r.den) == (n, den)
+        assert [r.num1, r.num2, r.num3, r.num4, r.num5] == nums
+        q = (
+            n
+            * (n + 2.0)
+            * sum(
+                (nk / den) ** 2 / (n - k)
+                for k, nk in zip((1, 2, 3, 4, 5), nums)
+            )
+        )
+        assert r.q_lb == pytest.approx(q, rel=1e-9)
+
+
+def test_pca_closed_form_witness(spark, duck):
+    groups = collections.defaultdict(list)
+    rows = duck.sql(
+        f"SELECT event_type, CAST(round(value*100) AS BIGINT),"
+        f" CAST(date_part('hour', ts) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    for etype, x, y in rows:
+        groups[etype].append((x, y))
+    for r in QUERIES["q_pca_closed_form"](spark, SF_DIR).collect():
+        pts = groups[r.event_type]
+        n = len(pts)
+        mx = sum(x for x, _ in pts) / n
+        my = sum(y for _, y in pts) / n
+        vx = sum(x * x for x, _ in pts) / n - mx * mx
+        vy = sum(y * y for _, y in pts) / n - my * my
+        cxy = sum(x * y for x, y in pts) / n - mx * my
+        tr, det = vx + vy, vx * vy - cxy * cxy
+        disc = math.sqrt(tr * tr - 4 * det)
+        l1, l2 = (tr + disc) / 2, (tr - disc) / 2
+        assert r.var_x == pytest.approx(vx, rel=1e-9)
+        assert r.lambda1 == pytest.approx(l1, rel=1e-9)
+        assert r.lambda2 == pytest.approx(l2, rel=1e-9)
+        # eigen identity: lambda1 + lambda2 = trace
+        assert r.lambda1 + r.lambda2 == pytest.approx(tr, rel=1e-9)
+        if cxy:
+            assert r.pc1_slope == pytest.approx((l1 - vx) / cxy, rel=1e-9)
+
+
+def test_luby_mis_witness(spark, duck):
+    edges, adj = _mod41_graph(duck)
+
+    def pri(n):
+        return int(hashlib.md5(str(n).encode()).hexdigest()[:12], 16) * 41 + n
+
+    rem = set(adj)
+    exp = {}
+    for rnd in (1, 2, 3):
+        mis = {
+            n
+            for n in rem
+            if all(pri(n) < pri(m) for m in adj[n] if m in rem)
+        }
+        for n in mis:
+            exp[n] = rnd
+        rem -= mis | {m for n in mis for m in adj[n]}
+    got = {
+        r.n: r.round for r in QUERIES["q_luby_mis"](spark, SF_DIR).collect()
+    }
+    assert got == exp
+    # independence: no two MIS members are adjacent
+    mis_nodes = set(got)
+    assert not any(
+        hi in mis_nodes and lo in mis_nodes for lo, hi in edges
+    )
+    # maximality at convergence: every remaining node has a MIS neighbor
+    if not rem:
+        for n in adj:
+            assert n in mis_nodes or any(m in mis_nodes for m in adj[n])
+
+
+def test_no_python_row_udfs_in_round12_batch4(spark):
+    for name in (
+        "q_mutual_info",
+        "q_rich_club",
+        "q_power_analysis",
+        "q_knee_detection",
+        "q_ljung_box",
+        "q_pca_closed_form",
+        "q_luby_mis",
+    ):
+        plan = _executed(QUERIES[name](spark, SF_DIR))
+        assert "BatchEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
