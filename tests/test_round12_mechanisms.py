@@ -415,8 +415,10 @@ def test_map_eval_witness(spark, duck):
     per_src = collections.defaultdict(list)
     for doc_id, lang, source, n_chars in _docs(duck):
         per_src[source].append((n_chars, doc_id, 1 if lang == "en" else 0))
+    seen = set()
     for r in QUERIES["q_map_eval"](spark, SF_DIR).collect():
-        docs = sorted(per_src[r.source], key=lambda t: (-t[0], t[1]))
+        seen.add(r.source)
+        docs = sorted(per_src[r.source], key=lambda t: (-t[0], t[1]))[:25]
         hits, ap_num = 0, 0
         for k, (_c, _d, rel) in enumerate(docs, start=1):
             hits += rel
@@ -424,9 +426,15 @@ def test_map_eval_witness(spark, duck):
                 assert (L * hits) % k == 0  # exact-lattice invariant
                 ap_num += L * hits // k
         nrel = sum(rel for _c, _d, rel in docs)
+        assert nrel > 0
         assert (r.n_rel, r.ap_num) == (nrel, ap_num)
         exp_ap = Fraction(ap_num, L * nrel)
         assert r.ap == pytest.approx(float(exp_ap), rel=1e-12)
+    # every source with a relevant doc in its top-25 is present
+    for source, docs in per_src.items():
+        top = sorted(docs, key=lambda t: (-t[0], t[1]))[:25]
+        if any(rel for _c, _d, rel in top):
+            assert source in seen
 
 
 # ------------------------------------------------------------ plan pins
