@@ -44,3 +44,643 @@ def staged(name: str, oracle: str):
         return wrapped
 
     return deco
+
+
+# =====================================================================
+# Round-12 staged batch — built past the driver's 50-pending cap
+# (45 pending after the round-12 catalog batches); promotion target:
+# round 13. Same contract as catalog.py: exact DuckDB oracle at
+# sf0.001 AND sf0.01 (tests/test_staging_oracle.py), pure-Python
+# witnesses (tests/test_round12_staging_witness.py), plan pins.
+# =====================================================================
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from ..caching import track_persist  # noqa: E402
+from ..sources.tables import load_table  # noqa: E402
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@staged(
+    "q_turning_points",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    lagged AS (
+      SELECT event_type, x,
+             lag(x) OVER (PARTITION BY event_type ORDER BY d) AS prev,
+             lead(x) OVER (PARTITION BY event_type ORDER BY d) AS nxt
+      FROM daily
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN prev IS NOT NULL AND nxt IS NOT NULL
+               AND ((x > prev AND x > nxt) OR (x < prev AND x < nxt))
+               THEN 1 ELSE 0 END) AS BIGINT) AS t_count
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, n, t_count,
+           (CAST(t_count AS DOUBLE) - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0)
+             / sqrt((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0) AS zstat
+    FROM agg ORDER BY event_type
+    """,
+)
+def q_turning_points(spark, sf_dir):
+    """TURNING-POINTS randomness test per key — does the daily series
+    alternate like noise, or is it smoother/rougher than chance (the
+    cheapest IID screen next to q_runs_test's sign runs): count strict
+    local extrema T; under IID, E[T] = 2(n-2)/3, Var = (16n-29)/90.
+    The count is decided entirely in BIGINT on the daily exact-cents
+    lattice (strict inequalities, so ties never count a spurious
+    extremum); z is one identical float chain. One lag + one lead on
+    ONE (key, day) window. At 100 TB: the daily agg kills raw
+    volume."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x").over(w).alias("prev"),
+        F.lead("x").over(w).alias("nxt"),
+    )
+    is_tp = (
+        F.col("prev").isNotNull()
+        & F.col("nxt").isNotNull()
+        & (
+            ((F.col("x") > F.col("prev")) & (F.col("x") > F.col("nxt")))
+            | ((F.col("x") < F.col("prev")) & (F.col("x") < F.col("nxt")))
+        )
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(is_tp, 1).otherwise(0)).cast("bigint").alias("t_count"),
+    )
+    z = (
+        F.col("t_count").cast("double")
+        - 2.0 * (F.col("n") - 2).cast("double") / 3.0
+    ) / F.sqrt((16.0 * F.col("n").cast("double") - 29.0) / 90.0)
+    return agg.select(
+        "event_type", "n", "t_count", z.alias("zstat")
+    ).orderBy("event_type")
+
+
+@staged(
+    "q_ar1_unit_root",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               // 1024 AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pairs AS (
+      SELECT event_type, x AS y,
+             lag(x) OVER (PARTITION BY event_type ORDER BY d) AS xl
+      FROM daily
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xl) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(xl * xl) AS BIGINT) AS sxx,
+             CAST(SUM(xl * y) AS BIGINT) AS sxy
+      FROM pairs WHERE xl IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, n AS n_pairs,
+           CAST(n * sxy - sx * sy AS BIGINT) AS rho_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS rho_den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS rho
+    FROM sums ORDER BY event_type
+    """,
+)
+def q_ar1_unit_root(spark, sf_dir):
+    """AR(1) PERSISTENCE per key — the unit-root screen (rho near 1
+    means shocks persist and the series needs differencing before any
+    q_trend_ols / q_holt_smoothing-style model): regress x_t on
+    x_{t-1} with intercept; rho = (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2), both
+    sides exact BIGINT on the quantized daily lattice (the q_ljung_box
+    discipline — numerator and denominator are reported as the exact
+    integers the division reads from). One lag window + one aggregate.
+    At 100 TB: bounded daily domain per key."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            " div 1024"
+        ).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = daily.select(
+        "event_type",
+        F.col("x").alias("y"),
+        F.lag("x").over(w).alias("xl"),
+    ).filter(F.col("xl").isNotNull())
+    sums = pairs.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xl").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("xl") * F.col("xl")).cast("bigint").alias("sxx"),
+        F.sum(F.col("xl") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "bigint"
+    )
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "bigint"
+    )
+    return sums.select(
+        "event_type",
+        F.col("n").alias("n_pairs"),
+        num.alias("rho_num"),
+        den.alias("rho_den"),
+        (num.cast("double") / den.cast("double")).alias("rho"),
+    ).orderBy("event_type")
+
+
+@staged(
+    "q_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+               % 7 AS INT) AS dow,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    parts AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q,
+             CAST(SUM(CASE WHEN dow = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ng0,
+             CAST(SUM(CASE WHEN dow = 0 THEN x ELSE 0 END) AS BIGINT) AS sg0,
+             CAST(SUM(CASE WHEN dow = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ng1,
+             CAST(SUM(CASE WHEN dow = 1 THEN x ELSE 0 END) AS BIGINT) AS sg1,
+             CAST(SUM(CASE WHEN dow = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ng2,
+             CAST(SUM(CASE WHEN dow = 2 THEN x ELSE 0 END) AS BIGINT) AS sg2,
+             CAST(SUM(CASE WHEN dow = 3 THEN 1 ELSE 0 END) AS BIGINT) AS ng3,
+             CAST(SUM(CASE WHEN dow = 3 THEN x ELSE 0 END) AS BIGINT) AS sg3,
+             CAST(SUM(CASE WHEN dow = 4 THEN 1 ELSE 0 END) AS BIGINT) AS ng4,
+             CAST(SUM(CASE WHEN dow = 4 THEN x ELSE 0 END) AS BIGINT) AS sg4,
+             CAST(SUM(CASE WHEN dow = 5 THEN 1 ELSE 0 END) AS BIGINT) AS ng5,
+             CAST(SUM(CASE WHEN dow = 5 THEN x ELSE 0 END) AS BIGINT) AS sg5,
+             CAST(SUM(CASE WHEN dow = 6 THEN 1 ELSE 0 END) AS BIGINT) AS ng6,
+             CAST(SUM(CASE WHEN dow = 6 THEN x ELSE 0 END) AS BIGINT) AS sg6
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n,
+           1.0 - (CAST(q AS DOUBLE) - ((CASE WHEN ng0 = 0 THEN 0.0 ELSE CAST(sg0 AS DOUBLE) * CAST(sg0 AS DOUBLE) / CAST(ng0 AS DOUBLE) END) + (CASE WHEN ng1 = 0 THEN 0.0 ELSE CAST(sg1 AS DOUBLE) * CAST(sg1 AS DOUBLE) / CAST(ng1 AS DOUBLE) END) + (CASE WHEN ng2 = 0 THEN 0.0 ELSE CAST(sg2 AS DOUBLE) * CAST(sg2 AS DOUBLE) / CAST(ng2 AS DOUBLE) END) + (CASE WHEN ng3 = 0 THEN 0.0 ELSE CAST(sg3 AS DOUBLE) * CAST(sg3 AS DOUBLE) / CAST(ng3 AS DOUBLE) END) + (CASE WHEN ng4 = 0 THEN 0.0 ELSE CAST(sg4 AS DOUBLE) * CAST(sg4 AS DOUBLE) / CAST(ng4 AS DOUBLE) END) + (CASE WHEN ng5 = 0 THEN 0.0 ELSE CAST(sg5 AS DOUBLE) * CAST(sg5 AS DOUBLE) / CAST(ng5 AS DOUBLE) END) + (CASE WHEN ng6 = 0 THEN 0.0 ELSE CAST(sg6 AS DOUBLE) * CAST(sg6 AS DOUBLE) / CAST(ng6 AS DOUBLE) END)))
+             / (CAST(q AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE)) AS strength
+    FROM parts ORDER BY event_type
+    """,
+)
+def q_seasonal_strength(spark, sf_dir):
+    """DAY-OF-WEEK SEASONALITY STRENGTH per key — the variance-
+    explained readout (1 - SSE_within / SSE_total over dow groups,
+    i.e. the R^2 of the weekly profile) that decides whether
+    q_seasonal_baseline's dow model is worth applying. Exactness
+    discipline: the dow domain is pinned to 7 FIXED conditional
+    aggregates (dow from an anchor-date day-count mod 7 — NOT the
+    engines' dayofweek(), whose week-start conventions differ), so
+    the within-group term is a FIXED-ORDER 7-term float chain over
+    exact BIGINT (n_g, s_g) cells — no order-sensitive float
+    aggregation anywhere (the q_ewma fixed-taps discipline). At
+    100 TB: one scan, 14 conditional aggregates + the daily
+    pre-agg."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("x")
+    ).withColumn(
+        "dow",
+        (F.datediff(F.col("d"), F.lit("1995-01-01")) % 7).cast("int"),
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    ]
+    for k in range(7):
+        aggs.append(
+            F.sum(F.when(F.col("dow") == k, 1).otherwise(0))
+            .cast("bigint")
+            .alias("ng%d" % k)
+        )
+        aggs.append(
+            F.sum(F.when(F.col("dow") == k, F.col("x")).otherwise(0))
+            .cast("bigint")
+            .alias("sg%d" % k)
+        )
+    parts = daily.groupBy("event_type").agg(*aggs)
+    within = None
+    for k in range(7):
+        term = F.when(F.col("ng%d" % k) == 0, 0.0).otherwise(
+            F.col("sg%d" % k).cast("double")
+            * F.col("sg%d" % k).cast("double")
+            / F.col("ng%d" % k).cast("double")
+        )
+        within = term if within is None else within + term
+    strength = 1.0 - (F.col("q").cast("double") - within) / (
+        F.col("q").cast("double")
+        - F.col("s").cast("double")
+        * F.col("s").cast("double")
+        / F.col("n").cast("double")
+    )
+    return parts.select(
+        "event_type", "n", strength.alias("strength")
+    ).orderBy("event_type")
+
+
+_COHD = (
+    "((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+    " - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))"
+    " / sqrt((("
+    "CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)"
+    " / CAST(n1 AS DOUBLE)) + ("
+    "CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)"
+    " / CAST(n2 AS DOUBLE)))"
+    " / CAST(n1 + n2 - 2 AS DOUBLE)))"
+)
+
+
+@staged(
+    "q_cohens_d",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    sums AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN x ELSE 0 END)
+          AS BIGINT) AS s1,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN x * x ELSE 0 END)
+          AS BIGINT) AS q1,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+          AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN x ELSE 0 END)
+          AS BIGINT) AS s2,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN x * x ELSE 0 END)
+          AS BIGINT) AS q2
+      FROM g
+    )
+    SELECT n1, n2, {_COHD} AS cohens_d,
+           {_COHD} * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0))
+             AS hedges_g
+    FROM sums
+    """,
+)
+def q_cohens_d(spark, sf_dir):
+    """COHEN'S D effect size (click vs purchase values) with the
+    Hedges' g small-sample correction — the magnitude companion to
+    q_ab_test's significance verdict (a significant-but-tiny effect
+    and a huge-but-noisy one read the same p-value; d is what you
+    size decisions on). Six exact BIGINT sufficient statistics in ONE
+    conditional aggregate (single scan, no join); d and g are one
+    shared readout expression text (the q_jarque_bera discipline).
+    At 100 TB: the cheapest shape there is."""
+    ev = _t(spark, sf_dir, "events")
+    g = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("x")
+    )
+    is1 = F.col("event_type") == "click"
+    is2 = F.col("event_type") == "purchase"
+    sums = g.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(is1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(is1, F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+        F.sum(F.when(is2, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(is2, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s2"),
+        F.sum(F.when(is2, F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("q2"),
+    )
+    return sums.select(
+        "n1",
+        "n2",
+        F.expr(_COHD).alias("cohens_d"),
+        F.expr(
+            f"{_COHD} * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE)"
+            f" - 9.0))"
+        ).alias("hedges_g"),
+    )
+
+
+_CPK_SIG = (
+    "sqrt((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+)
+
+
+@staged(
+    "q_process_capability",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q,
+             CAST(SUM(CASE WHEN x > 45000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_above,
+             CAST(SUM(CASE WHEN x < 500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_below
+      FROM v GROUP BY event_type
+    )
+    SELECT event_type, n, n_above, n_below,
+           (45000.0 - 500.0) / (6.0 * {_CPK_SIG}) AS cp,
+           LEAST(45000.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE),
+                 CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - 500.0)
+             / (3.0 * {_CPK_SIG}) AS cpk
+    FROM sums ORDER BY event_type
+    """,
+)
+def q_process_capability(spark, sf_dir):
+    """PROCESS CAPABILITY indices Cp / Cpk per key against fixed spec
+    limits (USL = 450.00, LSL = 5.00) — the SPC readout that pairs
+    with q_spc_control_chart's violation detection (the chart says
+    out-of-CONTROL; Cp/Cpk say whether an in-control process even fits
+    the SPEC): exact (n, S, Q) moments plus exact INTEGER out-of-spec
+    counts (the lattice comparisons x > 45000 / x < 500 never touch a
+    float) in one conditional aggregate; the index chains are one
+    shared readout text. At 100 TB: one map-side-combined scan."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("x")
+    )
+    sums = v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+        F.sum(F.when(F.col("x") > 45000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_above"),
+        F.sum(F.when(F.col("x") < 500, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_below"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        "n_above",
+        "n_below",
+        F.expr(f"(45000.0 - 500.0) / (6.0 * {_CPK_SIG})").alias("cp"),
+        F.expr(
+            f"LEAST(45000.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE),"
+            f" CAST(s AS DOUBLE) / CAST(n AS DOUBLE) - 500.0)"
+            f" / (3.0 * {_CPK_SIG})"
+        ).alias("cpk"),
+    ).orderBy("event_type")
+
+
+@staged(
+    "q_cohort_ltv",
+    oracle="""
+    WITH om AS (
+      SELECT o_custkey,
+             CAST(date_diff('month', DATE '1995-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS m,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    first_m AS (
+      SELECT o_custkey, MIN(m) AS cohort FROM om GROUP BY o_custkey
+    ),
+    ages AS (SELECT * FROM (VALUES (1), (3), (6), (12)) AS t(k)),
+    cell AS (
+      SELECT f.cohort, a.k, om.o_custkey,
+             CAST(SUM(CASE WHEN om.m < f.cohort + a.k
+               THEN om.cents ELSE 0 END) AS BIGINT) AS spend_k
+      FROM om
+      JOIN first_m f ON f.o_custkey = om.o_custkey
+      CROSS JOIN ages a
+      GROUP BY f.cohort, a.k, om.o_custkey
+    )
+    SELECT cohort, k,
+           CAST(COUNT(*) AS BIGINT) AS n_cust,
+           CAST(SUM(spend_k) AS BIGINT) AS total_cents,
+           CAST(SUM(spend_k) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 100.0 AS ltv_avg
+    FROM cell GROUP BY cohort, k ORDER BY cohort, k
+    """,
+)
+def q_cohort_ltv(spark, sf_dir):
+    """COHORT LTV CURVE at fixed ages (1/3/6/12 months since first
+    order) — the revenue companion to q_cohort_retention's activity
+    triangle: per cohort month, the average cumulative spend within
+    each age horizon. The fixed-age formulation needs NO dense month
+    spine (a customer's k-month spend is one conditional sum against
+    their own cohort start — a 4-row broadcast fan-out, the
+    q_tiered_billing shape), months are anchor-based integer
+    arithmetic (no engine week/month convention in sight), and
+    everything is exact cents until the single readout division.
+    At 100 TB: one scan + broadcast first-order frame."""
+    o = _t(spark, sf_dir, "orders")
+    om = o.select(
+        "o_custkey",
+        (
+            (F.year("o_orderdate") - 1995) * 12
+            + F.month("o_orderdate")
+            - 1
+        )
+        .cast("bigint")
+        .alias("m"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    om = track_persist(om)
+    first_m = om.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    ages = spark.createDataFrame([(1,), (3,), (6,), (12,)], "k int")
+    cell = (
+        om.join(first_m, "o_custkey")
+        .crossJoin(F.broadcast(ages))
+        .groupBy("cohort", "k", "o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("m") < F.col("cohort") + F.col("k"),
+                    F.col("cents"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("spend_k")
+        )
+    )
+    return (
+        cell.groupBy("cohort", "k")
+        .agg(
+            F.count("*").cast("bigint").alias("n_cust"),
+            F.sum("spend_k").cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "cohort",
+            "k",
+            "n_cust",
+            "total_cents",
+            (
+                F.col("total_cents").cast("double")
+                / F.col("n_cust").cast("double")
+                / 100.0
+            ).alias("ltv_avg"),
+        )
+        .orderBy("cohort", "k")
+    )
+
+
+@staged(
+    "q_xyz_volatility",
+    oracle="""
+    WITH monthly AS (
+      SELECT l_partkey % 500 AS pk,
+             date_trunc('month', l_shipdate) AS m,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem GROUP BY l_partkey % 500,
+             date_trunc('month', l_shipdate)
+    ),
+    stats AS (
+      SELECT pk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s,
+             CAST(SUM(q * q) AS BIGINT) AS ss
+      FROM monthly GROUP BY pk HAVING COUNT(*) >= 2
+    ),
+    classed AS (
+      SELECT pk,
+             CASE WHEN 4 * n * ss <= 5 * s * s THEN 'X'
+                  WHEN n * ss <= 2 * s * s THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM stats
+    )
+    SELECT xyz_class, CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM classed GROUP BY xyz_class ORDER BY xyz_class
+    """,
+)
+def q_xyz_volatility(spark, sf_dir):
+    """XYZ DEMAND-VOLATILITY CLASSIFICATION — the variability axis
+    that pairs with q_abc_pareto's value axis in inventory planning
+    (X = steady, Y = variable, Z = erratic, by coefficient of
+    variation over active months): the class thresholds cv < 0.5 and
+    cv < 1 are decided by EXACT integer cross-multiplication —
+    cv^2 <= t^2  <=>  n*SS - S^2 <= t^2 * S^2  <=>  the all-BIGINT
+    inequalities 4*n*SS <= 5*S^2 and n*SS <= 2*S^2 — so no float ever
+    classifies a part. Raw lineitem dies in the monthly demand agg.
+    Magnitude: n*SS <= 80 months * (SUM q)^2-scale ~ 1e13 at sf1.
+    At 100 TB: two hash aggs, nothing else."""
+    li = _t(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        (F.col("l_partkey") % 500).alias("pk"),
+        F.date_trunc("month", "l_shipdate").alias("m"),
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("q"))
+    stats = (
+        monthly.groupBy("pk")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("q").cast("bigint").alias("s"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("ss"),
+        )
+        .filter(F.col("n") >= 2)
+    )
+    cls = F.when(
+        4 * F.col("n") * F.col("ss") <= 5 * F.col("s") * F.col("s"), "X"
+    ).when(F.col("n") * F.col("ss") <= 2 * F.col("s") * F.col("s"), "Y").otherwise(
+        "Z"
+    )
+    return (
+        stats.select(cls.alias("xyz_class"))
+        .groupBy("xyz_class")
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+        .orderBy("xyz_class")
+    )
+
+
+@staged(
+    "q_stream_ewma",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    fold AS (
+      SELECT user_id, rn, x AS e FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.user_id, s.rn, (3 * s.x + 7 * f.e) // 10
+      FROM fold f
+      JOIN seq s ON s.user_id = f.user_id AND s.rn = f.rn + 1
+    ),
+    last_rn AS (
+      SELECT user_id, CAST(MAX(rn) AS BIGINT) AS n_events
+      FROM seq GROUP BY user_id
+    )
+    SELECT l.user_id, l.n_events, CAST(f.e AS BIGINT) AS ewma_cents
+    FROM last_rn l
+    JOIN fold f ON f.user_id = l.user_id AND f.rn = l.n_events
+    ORDER BY l.user_id
+    """,
+)
+def q_stream_ewma(spark, sf_dir):
+    """STREAMING EXACT EWMA per user — the stateful sequential fold
+    e_t = (3*x_t + 7*e_{t-1}) div 10 on the cents lattice (alpha=0.3
+    with floor rounding, e_1 = x_1), the operator class where
+    streaming is STRONGER than batch: q_ewma truncates the recurrence
+    to 8 taps to stay parallel, while the stream pays O(1)/event in
+    per-key state (streaming/windows.py stream_ewma,
+    applyInPandasWithState; two int64s of state) and is EXACT. The
+    integer recurrence is what makes cross-engine parity possible at
+    all — the DuckDB oracle replays the identical fold as a bounded
+    RECURSIVE CTE over per-user row numbers (~70 steps on this
+    fixture), something float EWMA could never hash-match. In update
+    mode every batch re-emits the running fold per key; the LAST
+    emission per key is the full-sequence value, which is what the
+    availableNow single-batch run returns and the cross-batch test
+    pins (tests/test_round12_staging_witness.py). At 100 TB/day:
+    state is 16 bytes/key, emission is one row per key per batch."""
+    from ..streaming.windows import stream_ewma
+    from .catalog import _run_stream_to_parquet, _staged_event_stream
+
+    stream = _staged_event_stream(spark, sf_dir, "q_stream_ewma")
+    out = stream_ewma(stream)
+    emitted = _run_stream_to_parquet(
+        spark, out, "q_stream_ewma", mode="update"
+    )
+    return emitted.select("user_id", "n_events", "ewma_cents").orderBy(
+        "user_id"
+    )

@@ -1,0 +1,294 @@
+"""Pure-Python witnesses for the round-12 STAGED queries (plans/
+staging.py) at sf0.001 — independent recomputation, the third leg next
+to the Spark build and the DuckDB oracle, written at staging time so
+promotion to the catalog is a move, not a build — plus plan pins."""
+
+from __future__ import annotations
+
+import collections
+import math
+
+import duckdb
+import pytest
+
+from aws_vpcflowlogs_parquet_spark.plans.staging import STAGED_QUERIES
+
+from .conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    yield con
+    con.close()
+
+
+def _events(duck):
+    return duck.sql(
+        f"SELECT event_id, epoch_us(ts), user_id, event_type, value,"
+        f" CAST(ts AS DATE)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+
+
+def _daily_cents(duck):
+    daily = collections.defaultdict(dict)
+    for _eid, _us, _uid, etype, val, d in _events(duck):
+        daily[etype][d] = daily[etype].get(d, 0) + round(val * 100)
+    return daily
+
+
+def test_turning_points_witness(spark, duck):
+    daily = _daily_cents(duck)
+    for r in STAGED_QUERIES["q_turning_points"](spark, SF_DIR).collect():
+        xs = [x for _, x in sorted(daily[r.event_type].items())]
+        n = len(xs)
+        t = sum(
+            1
+            for i in range(1, n - 1)
+            if (xs[i] > xs[i - 1] and xs[i] > xs[i + 1])
+            or (xs[i] < xs[i - 1] and xs[i] < xs[i + 1])
+        )
+        assert (r.n, r.t_count) == (n, t)
+        z = (t - 2.0 * (n - 2) / 3.0) / math.sqrt((16.0 * n - 29.0) / 90.0)
+        assert r.zstat == pytest.approx(z, rel=1e-12)
+
+
+def test_ar1_unit_root_witness(spark, duck):
+    daily = _daily_cents(duck)
+    for r in STAGED_QUERIES["q_ar1_unit_root"](spark, SF_DIR).collect():
+        xs = [x // 1024 for _, x in sorted(daily[r.event_type].items())]
+        pairs = list(zip(xs, xs[1:]))
+        n = len(pairs)
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        sxx = sum(a * a for a, _ in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        num, den = n * sxy - sx * sy, n * sxx - sx * sx
+        assert (r.n_pairs, r.rho_num, r.rho_den) == (n, num, den)
+        assert r.rho == pytest.approx(num / den, rel=1e-12)
+        assert abs(r.rho) < 1.5  # sanity: a daily sum series, not junk
+
+
+def test_seasonal_strength_witness(spark, duck):
+    import datetime
+
+    daily = _daily_cents(duck)
+    anchor = datetime.date(1995, 1, 1)
+    for r in STAGED_QUERIES["q_seasonal_strength"](
+        spark, SF_DIR
+    ).collect():
+        cells = sorted(daily[r.event_type].items())
+        n = len(cells)
+        s = sum(x for _, x in cells)
+        q = sum(x * x for _, x in cells)
+        groups = collections.defaultdict(list)
+        for d, x in cells:
+            groups[(d - anchor).days % 7].append(x)
+        within = sum(
+            sum(g) * sum(g) / len(g) for _k, g in sorted(groups.items())
+        )
+        strength = 1.0 - (q - within) / (q - s * s / n)
+        assert r.n == n
+        assert r.strength == pytest.approx(strength, rel=1e-9)
+        assert 0.0 <= r.strength <= 1.0 or r.strength < 0.1
+
+
+def test_cohens_d_witness(spark, duck):
+    g1, g2 = [], []
+    for _eid, _us, _uid, etype, val, _d in _events(duck):
+        if etype == "click":
+            g1.append(round(val * 100))
+        elif etype == "purchase":
+            g2.append(round(val * 100))
+    n1, n2 = len(g1), len(g2)
+    m1, m2 = sum(g1) / n1, sum(g2) / n2
+    ss1 = sum(x * x for x in g1) - sum(g1) ** 2 / n1
+    ss2 = sum(x * x for x in g2) - sum(g2) ** 2 / n2
+    sp = math.sqrt((ss1 + ss2) / (n1 + n2 - 2))
+    d = (m1 - m2) / sp
+    g = d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0))
+    (row,) = STAGED_QUERIES["q_cohens_d"](spark, SF_DIR).collect()
+    assert (row.n1, row.n2) == (n1, n2)
+    assert row.cohens_d == pytest.approx(d, rel=1e-9)
+    assert row.hedges_g == pytest.approx(g, rel=1e-9)
+    assert abs(row.hedges_g) < abs(row.cohens_d)
+
+
+def test_process_capability_witness(spark, duck):
+    groups = collections.defaultdict(list)
+    for _eid, _us, _uid, etype, val, _d in _events(duck):
+        groups[etype].append(round(val * 100))
+    for r in STAGED_QUERIES["q_process_capability"](
+        spark, SF_DIR
+    ).collect():
+        xs = groups[r.event_type]
+        n = len(xs)
+        s, q = sum(xs), sum(x * x for x in xs)
+        sig = math.sqrt((q - s * s / n) / (n - 1))
+        mu = s / n
+        assert (r.n, r.n_above, r.n_below) == (
+            n,
+            sum(x > 45000 for x in xs),
+            sum(x < 500 for x in xs),
+        )
+        assert r.cp == pytest.approx((45000 - 500) / (6 * sig), rel=1e-9)
+        assert r.cpk == pytest.approx(
+            min(45000 - mu, mu - 500) / (3 * sig), rel=1e-9
+        )
+        assert r.cpk <= r.cp + 1e-12  # Cpk never exceeds Cp
+
+
+def test_cohort_ltv_witness(spark, duck):
+    rows = duck.sql(
+        f"""SELECT o_custkey,
+           (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+        FROM '{SF_DIR}/orders.parquet'"""
+    ).fetchall()
+    per_cust = collections.defaultdict(list)
+    for ck, m, cents in rows:
+        per_cust[ck].append((m, cents))
+    exp = collections.defaultdict(lambda: [0, 0])
+    for ck, lst in per_cust.items():
+        cohort = min(m for m, _ in lst)
+        for k in (1, 3, 6, 12):
+            spend = sum(c for m, c in lst if m < cohort + k)
+            cell = exp[(cohort, k)]
+            cell[0] += 1
+            cell[1] += spend
+    got = {
+        (r.cohort, r.k): (r.n_cust, r.total_cents, r.ltv_avg)
+        for r in STAGED_QUERIES["q_cohort_ltv"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(exp)
+    for key, (nc, tot) in exp.items():
+        gn, gt, ga = got[key]
+        assert (gn, gt) == (nc, tot)
+        assert ga == pytest.approx(tot / nc / 100.0, rel=1e-12)
+    # LTV is monotone in the age horizon for every cohort
+    for (cohort, k), (nc, tot) in exp.items():
+        if (cohort, 12) in exp:
+            assert exp[(cohort, 12)][1] >= tot
+
+
+def test_xyz_volatility_witness(spark, duck):
+    rows = duck.sql(
+        f"""SELECT l_partkey % 500,
+           date_trunc('month', l_shipdate),
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        FROM '{SF_DIR}/lineitem.parquet'
+        GROUP BY 1, 2"""
+    ).fetchall()
+    per_pk = collections.defaultdict(list)
+    for pk, _m, q in rows:
+        per_pk[pk].append(q)
+    exp = collections.Counter()
+    for pk, qs in per_pk.items():
+        n = len(qs)
+        if n < 2:
+            continue
+        s, ss = sum(qs), sum(q * q for q in qs)
+        if 4 * n * ss <= 5 * s * s:
+            exp["X"] += 1
+        elif n * ss <= 2 * s * s:
+            exp["Y"] += 1
+        else:
+            exp["Z"] += 1
+    got = {
+        r.xyz_class: r.n_parts
+        for r in STAGED_QUERIES["q_xyz_volatility"](spark, SF_DIR).collect()
+    }
+    assert got == dict(exp)
+
+
+def _ewma_fold(xs):
+    e = 0
+    for i, x in enumerate(xs):
+        e = x if i == 0 else (3 * x + 7 * e) // 10
+    return e
+
+
+def test_stream_ewma_witness(spark, duck):
+    per_user = collections.defaultdict(list)
+    for eid, us, uid, _etype, val, _d in _events(duck):
+        per_user[uid].append((us, eid, int(math.floor(val * 100.0 + 0.5))))
+    exp = {}
+    for uid, lst in per_user.items():
+        lst.sort()
+        exp[uid] = (len(lst), _ewma_fold([x for _, _, x in lst]))
+    got = {
+        r.user_id: (r.n_events, r.ewma_cents)
+        for r in STAGED_QUERIES["q_stream_ewma"](spark, SF_DIR).collect()
+    }
+    assert got == exp and got
+
+
+def test_stream_ewma_cross_batch(spark, tmp_path):
+    """The integer fold must carry across batch boundaries bit-exactly:
+    a two-file event-time split stream's LAST emission per key equals
+    the single-batch fold."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from aws_vpcflowlogs_parquet_spark.sources.tables import stream_events
+    from aws_vpcflowlogs_parquet_spark.streaming.windows import stream_ewma
+
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    tbl = pq.read_table(f"{SF_DIR}/events.parquet")
+    ts = tbl.column("ts")
+    cut = pc.quantile(ts.cast("int64"), q=0.5).to_pylist()[0]
+    mask = pc.less(ts.cast("int64"), int(cut))
+    pq.write_table(tbl.filter(mask), src / "events.parquet")
+    stream = stream_ewma(stream_events(spark, str(src)))
+    q = (
+        stream.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("r12_ewma_x")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pq.write_table(tbl.filter(pc.invert(mask)), src / "events2.parquet")
+        q.processAllAvailable()
+        # last emission per key = the one with the max n_events
+        got = {
+            r.user_id: (r.n_events, r.ewma_cents)
+            for r in spark.sql(
+                """SELECT user_id, n_events, ewma_cents FROM (
+                     SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY n_events DESC) AS rn FROM r12_ewma_x
+                   ) WHERE rn = 1"""
+            ).collect()
+        }
+    finally:
+        q.stop()
+    single = {
+        r.user_id: (r.n_events, r.ewma_cents)
+        for r in STAGED_QUERIES["q_stream_ewma"](spark, SF_DIR).collect()
+    }
+    assert got == single
+
+
+def _executed(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_turning_points",
+        "q_ar1_unit_root",
+        "q_seasonal_strength",
+        "q_cohens_d",
+        "q_process_capability",
+        "q_cohort_ltv",
+        "q_xyz_volatility",
+    ],
+)
+def test_no_python_row_udfs_in_round12_staged(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
