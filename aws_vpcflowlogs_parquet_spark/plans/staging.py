@@ -684,3 +684,238 @@ def q_stream_ewma(spark, sf_dir):
     return emitted.select("user_id", "n_events", "ewma_cents").orderBy(
         "user_id"
     )
+
+
+@staged(
+    "q_simpson_paradox",
+    oracle="""
+    WITH raw AS (
+      SELECT event_type,
+             CAST(date_part('hour', ts) AS BIGINT) AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    grp AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM raw GROUP BY event_type
+    ),
+    pooled AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n,
+             CAST(SUM(sx) AS BIGINT) AS sx,
+             CAST(SUM(sy) AS BIGINT) AS sy,
+             CAST(SUM(sxy) AS BIGINT) AS sxy
+      FROM grp
+    )
+    SELECT g.event_type,
+           CAST(g.n * g.sxy - g.sx * g.sy AS BIGINT) AS group_num,
+           CAST(p.n * p.sxy - p.sx * p.sy AS BIGINT) AS pooled_num,
+           CAST(CASE WHEN (g.n * g.sxy - g.sx * g.sy)
+                          * (p.n * p.sxy - p.sx * p.sy) < 0
+                THEN 1 ELSE 0 END AS INT) AS sign_flip
+    FROM grp g CROSS JOIN pooled p
+    ORDER BY g.event_type
+    """,
+)
+def q_simpson_paradox(spark, sf_dir):
+    """SIMPSON'S PARADOX DETECTOR — does the value-vs-hour trend
+    REVERSE inside any stratum relative to the pooled trend (the
+    aggregation trap every dashboard rollup risks)? The OLS slope
+    SIGN is fully determined by the exact BIGINT numerator
+    n*Sxy - Sx*Sy, so both the per-group and pooled directions — and
+    the flip verdict itself — are decided on the integer lattice
+    without computing a single slope. One conditional aggregate per
+    stratum + a 4-term pooled re-sum of the same sufficient
+    statistics (no second scan). Magnitude: pooled n*Sxy ~ 1.2e18 at
+    sf1 — inside int64, bound noted with the headroom family. At
+    100 TB: one scan, strata-bounded everything."""
+    ev = _t(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("y"),
+    )
+    grp = raw.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    grp = track_persist(grp)
+    pooled = grp.agg(
+        F.sum("n").cast("bigint").alias("pn"),
+        F.sum("sx").cast("bigint").alias("psx"),
+        F.sum("sy").cast("bigint").alias("psy"),
+        F.sum("sxy").cast("bigint").alias("psxy"),
+    )
+    gnum = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "bigint"
+    )
+    pnum = (
+        F.col("pn") * F.col("psxy") - F.col("psx") * F.col("psy")
+    ).cast("bigint")
+    return (
+        grp.crossJoin(F.broadcast(pooled))
+        .select(
+            "event_type",
+            gnum.alias("group_num"),
+            pnum.alias("pooled_num"),
+            F.when(gnum * pnum < 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("sign_flip"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_ME_THRESHOLDS = (10000, 20000, 30000)
+
+
+@staged(
+    "q_mean_excess",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+      FROM events
+    ),
+    th AS (SELECT * FROM (VALUES
+      {', '.join(f'({u})' for u in _ME_THRESHOLDS)}) AS t(u)),
+    agg AS (
+      SELECT v.event_type, th.u,
+             CAST(COUNT(*) AS BIGINT) AS n_exceed,
+             CAST(SUM(v.x - th.u) AS BIGINT) AS sum_excess
+      FROM v JOIN th ON v.x > th.u
+      GROUP BY v.event_type, th.u
+    )
+    SELECT event_type, u, n_exceed, sum_excess,
+           CAST(sum_excess AS DOUBLE) / CAST(n_exceed AS DOUBLE)
+             AS mean_excess
+    FROM agg ORDER BY event_type, u
+    """,
+)
+def q_mean_excess(spark, sf_dir):
+    """MEAN-EXCESS (mean residual life) readout at three thresholds —
+    the EVT diagnostic that pairs with q_hill_tail_index: a mean-
+    excess function that RISES with the threshold indicates a heavier-
+    than-exponential tail (GPD shape > 0), the regime where p99-based
+    capacity planning under-provisions. Exceedances and excess sums
+    are exact BIGINTs from one scan against a 3-row broadcast
+    threshold table (the q_tiered_billing fan-out shape); the mean is
+    the single readout division. At 100 TB: one scan, 3x keys
+    cells."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("x")
+    )
+    th = spark.createDataFrame(
+        [(u,) for u in _ME_THRESHOLDS], "u bigint"
+    )
+    agg = (
+        v.join(F.broadcast(th), v.x > th.u)
+        .groupBy("event_type", "u")
+        .agg(
+            F.count("*").cast("bigint").alias("n_exceed"),
+            F.sum(F.col("x") - F.col("u")).cast("bigint").alias("sum_excess"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "u",
+        "n_exceed",
+        "sum_excess",
+        (
+            F.col("sum_excess").cast("double")
+            / F.col("n_exceed").cast("double")
+        ).alias("mean_excess"),
+    ).orderBy("event_type", "u")
+
+
+@staged(
+    "q_interarrival_cv",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev
+      FROM events
+    ),
+    gaps AS (
+      SELECT user_id, (us - prev) // 1000000 AS g
+      FROM seq WHERE prev IS NOT NULL
+    ),
+    sums AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_gaps,
+             CAST(SUM(g) AS BIGINT) AS sum_s,
+             CAST(SUM(g * g) AS BIGINT) AS sum_s2
+      FROM gaps GROUP BY user_id HAVING SUM(g) > 0
+    )
+    SELECT user_id, n_gaps, sum_s, sum_s2,
+           CAST(n_gaps AS DOUBLE) * CAST(sum_s2 AS DOUBLE)
+             / (CAST(sum_s AS DOUBLE) * CAST(sum_s AS DOUBLE)) - 1.0
+             AS cv2,
+           CAST(CASE WHEN n_gaps * sum_s2 > 2 * sum_s * sum_s
+                THEN 1 ELSE 0 END AS INT) AS overdispersed
+    FROM sums ORDER BY user_id
+    """,
+)
+def q_interarrival_cv(spark, sf_dir):
+    """INTERARRIVAL COEFFICIENT-OF-VARIATION test per user — is the
+    arrival process Poisson-like (CV ~ 1), bursty (CV > 1, the
+    q_burstiness regime) or pacemaker-regular (CV < 1, bot-like —
+    the q_beaconing signal generalized)? Gaps are integer seconds
+    (micro gaps squared would overflow int64 at month spans —
+    documented); CV^2 = n*Sum g^2 / (Sum g)^2 - 1 reads from exact
+    BIGINTs, and the overdispersion VERDICT is the exact integer
+    inequality n*S2 > 2*S^2 (CV^2 > 1) — no float judges. One lag
+    window per user + one aggregate. At 100 TB: per-key sequential
+    state is one timestamp; this is the q_event_rate_alert family."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.expr("unix_micros(ts)"), F.col("event_id")
+    )
+    seq = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.lag(F.expr("unix_micros(ts)")).over(w).alias("prev"),
+    )
+    gaps = seq.filter(F.col("prev").isNotNull()).select(
+        "user_id",
+        F.expr("(us - prev) div 1000000").alias("g"),
+    )
+    sums = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_gaps"),
+            F.sum("g").cast("bigint").alias("sum_s"),
+            F.sum(F.col("g") * F.col("g")).cast("bigint").alias("sum_s2"),
+        )
+        .filter(F.col("sum_s") > 0)
+    )
+    cv2 = (
+        F.col("n_gaps").cast("double")
+        * F.col("sum_s2").cast("double")
+        / (F.col("sum_s").cast("double") * F.col("sum_s").cast("double"))
+        - 1.0
+    )
+    over = (
+        F.when(
+            F.col("n_gaps") * F.col("sum_s2")
+            > 2 * F.col("sum_s") * F.col("sum_s"),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    return sums.select(
+        "user_id",
+        "n_gaps",
+        "sum_s",
+        "sum_s2",
+        cv2.alias("cv2"),
+        over.alias("overdispersed"),
+    ).orderBy("user_id")

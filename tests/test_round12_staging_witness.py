@@ -292,3 +292,76 @@ def test_no_python_row_udfs_in_round12_staged(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ------------------------------------------------ staging batch 2
+
+
+def test_simpson_paradox_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, CAST(date_part('hour', ts) AS BIGINT),"
+        f" CAST(round(value*100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    grp = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for etype, x, y in rows:
+        g = grp[etype]
+        g[0] += 1
+        g[1] += x
+        g[2] += y
+        g[3] += x * y
+    pn = sum(g[0] for g in grp.values())
+    psx = sum(g[1] for g in grp.values())
+    psy = sum(g[2] for g in grp.values())
+    psxy = sum(g[3] for g in grp.values())
+    pnum = pn * psxy - psx * psy
+    for r in STAGED_QUERIES["q_simpson_paradox"](spark, SF_DIR).collect():
+        n, sx, sy, sxy = grp[r.event_type]
+        gnum = n * sxy - sx * sy
+        assert (r.group_num, r.pooled_num) == (gnum, pnum)
+        assert r.sign_flip == (1 if gnum * pnum < 0 else 0)
+
+
+def test_mean_excess_witness(spark, duck):
+    groups = collections.defaultdict(list)
+    for _eid, _us, _uid, etype, val, _d in _events(duck):
+        groups[etype].append(round(val * 100))
+    rows = STAGED_QUERIES["q_mean_excess"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        ex = [x - r.u for x in groups[r.event_type] if x > r.u]
+        assert (r.n_exceed, r.sum_excess) == (len(ex), sum(ex))
+        assert r.mean_excess == pytest.approx(
+            sum(ex) / len(ex), rel=1e-12
+        )
+    # completeness: every (type, threshold) with exceedances appears
+    present = {(r.event_type, r.u) for r in rows}
+    for etype, xs in groups.items():
+        for u in (10000, 20000, 30000):
+            if any(x > u for x in xs):
+                assert (etype, u) in present
+
+
+def test_interarrival_cv_witness(spark, duck):
+    per_user = collections.defaultdict(list)
+    for eid, us, uid, _etype, _v, _d in _events(duck):
+        per_user[uid].append((us, eid))
+    for r in STAGED_QUERIES["q_interarrival_cv"](spark, SF_DIR).collect():
+        evs = sorted(per_user[r.user_id])
+        gaps = [
+            (b[0] - a[0]) // 1_000_000 for a, b in zip(evs, evs[1:])
+        ]
+        n, s, s2 = len(gaps), sum(gaps), sum(g * g for g in gaps)
+        assert (r.n_gaps, r.sum_s, r.sum_s2) == (n, s, s2)
+        assert r.cv2 == pytest.approx(n * s2 / (s * s) - 1.0, rel=1e-12)
+        assert r.overdispersed == (1 if n * s2 > 2 * s * s else 0)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_simpson_paradox", "q_mean_excess", "q_interarrival_cv"],
+)
+def test_no_python_row_udfs_in_round12_staged_b2(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
