@@ -713,8 +713,13 @@ def q_stream_ewma(spark, sf_dir):
     SELECT g.event_type,
            CAST(g.n * g.sxy - g.sx * g.sy AS BIGINT) AS group_num,
            CAST(p.n * p.sxy - p.sx * p.sy AS BIGINT) AS pooled_num,
-           CAST(CASE WHEN (g.n * g.sxy - g.sx * g.sy)
-                          * (p.n * p.sxy - p.sx * p.sy) < 0
+           CAST(CASE WHEN
+                (CASE WHEN g.n * g.sxy - g.sx * g.sy < 0 THEN -1
+                      WHEN g.n * g.sxy - g.sx * g.sy > 0 THEN 1
+                      ELSE 0 END)
+                * (CASE WHEN p.n * p.sxy - p.sx * p.sy < 0 THEN -1
+                        WHEN p.n * p.sxy - p.sx * p.sy > 0 THEN 1
+                        ELSE 0 END) < 0
                 THEN 1 ELSE 0 END AS INT) AS sign_flip
     FROM grp g CROSS JOIN pooled p
     ORDER BY g.event_type
@@ -730,8 +735,12 @@ def q_simpson_paradox(spark, sf_dir):
     without computing a single slope. One conditional aggregate per
     stratum + a 4-term pooled re-sum of the same sufficient
     statistics (no second scan). Magnitude: pooled n*Sxy ~ 1.2e18 at
-    sf1 — inside int64, bound noted with the headroom family. At
-    100 TB: one scan, strata-bounded everything."""
+    sf1 — inside int64, bound noted with the headroom family; the
+    flip verdict multiplies the two SIGNS (+-1), never the two
+    numerators — their product overflows int64 already at sf0.01
+    (caught by the staging sf0.01 gate: DuckDB silently promotes to
+    HUGEINT where Spark wraps). At 100 TB: one scan, strata-bounded
+    everything."""
     ev = _t(spark, sf_dir, "events")
     raw = ev.select(
         "event_type",
@@ -763,7 +772,12 @@ def q_simpson_paradox(spark, sf_dir):
             "event_type",
             gnum.alias("group_num"),
             pnum.alias("pooled_num"),
-            F.when(gnum * pnum < 0, 1)
+            F.when(
+                F.signum(gnum.cast("double")).cast("int")
+                * F.signum(pnum.cast("double")).cast("int")
+                < 0,
+                1,
+            )
             .otherwise(0)
             .cast("int")
             .alias("sign_flip"),
