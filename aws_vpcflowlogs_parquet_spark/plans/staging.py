@@ -933,3 +933,261 @@ def q_interarrival_cv(spark, sf_dir):
         cv2.alias("cv2"),
         over.alias("overdispersed"),
     ).orderBy("user_id")
+
+
+def _shap_v(s: int) -> str:
+    """SQL expression for coalition value v(S): converted users whose
+    touched-set is contained in bitmask ``s`` (8-cell fixed sum)."""
+    ks = [k for k in range(8) if k & ~s == 0]
+    return "(" + " + ".join(f"c{k}" for k in ks) + ")"
+
+
+_SHAP_PHI = {
+    # phi_i * 6 = 2(v({i})-v(0)) + (v({i,j})-v({j})) + (v({i,k})-v({k}))
+    #           + 2(v(N)-v(N\{i}))   for n=3 players (bits 1=view,
+    # 2=click, 4=purchase)
+    "view": (
+        f"(2 * ({_shap_v(1)} - {_shap_v(0)})"
+        f" + ({_shap_v(3)} - {_shap_v(2)})"
+        f" + ({_shap_v(5)} - {_shap_v(4)})"
+        f" + 2 * ({_shap_v(7)} - {_shap_v(6)}))"
+    ),
+    "click": (
+        f"(2 * ({_shap_v(2)} - {_shap_v(0)})"
+        f" + ({_shap_v(3)} - {_shap_v(1)})"
+        f" + ({_shap_v(6)} - {_shap_v(4)})"
+        f" + 2 * ({_shap_v(7)} - {_shap_v(5)}))"
+    ),
+    "purchase": (
+        f"(2 * ({_shap_v(4)} - {_shap_v(0)})"
+        f" + ({_shap_v(5)} - {_shap_v(1)})"
+        f" + ({_shap_v(6)} - {_shap_v(2)})"
+        f" + 2 * ({_shap_v(7)} - {_shap_v(3)}))"
+    ),
+}
+
+
+def _shapley_oracle() -> str:
+    cells = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN bits = {k} AND conv = 1 THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS c{k}"
+        for k in range(8)
+    )
+    arms = "\n      UNION ALL ".join(
+        f"SELECT '{ch}' AS channel,"
+        f" CAST({expr} AS BIGINT) AS phi_x6,"
+        f" CAST({expr} AS DOUBLE) / 6.0 AS phi,"
+        f" CAST({_shap_v(7)} - {_shap_v(0)} AS BIGINT) AS total_attributed"
+        f" FROM cells"
+        for ch, expr in _SHAP_PHI.items()
+    )
+    return f"""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             + 2 * MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             + 4 * MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS bits,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS conv
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT {cells}
+      FROM per_user
+    )
+    SELECT * FROM (
+      {arms}
+    ) ORDER BY channel
+    """
+
+
+@staged("q_shapley_attribution", oracle=_shapley_oracle())
+def q_shapley_attribution(spark, sf_dir):
+    """SHAPLEY-VALUE CHANNEL ATTRIBUTION — the principled division of
+    conversions among touchpoints (the game-theoretic upgrade of
+    q_attribution's positional rules): with 3 channels the Shapley sum
+    has 4 coalition strata with weights {2,1,1,2}/6, so phi*6 is an
+    EXACT BIGINT linear combination of the 8 coalition values, each of
+    which is a fixed sum of the 8 (touched-set, converted) cells —
+    the whole computation is one per-user presence aggregate + one
+    8-cell conditional aggregate + a fixed expression per channel.
+    v(S) = converted users reachable through channels in S
+    (touched-set containment). The efficiency axiom
+    sum(phi) = v(N) - v(empty) is witness-pinned. At 100 TB: two hash
+    aggs, 8 cells, zero joins."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            + 2
+            * F.max(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            + 4
+            * F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+        ).alias("bits"),
+        F.max(
+            F.when(F.col("event_type") == "signup", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    cells = per_user.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("bits") == k) & (F.col("conv") == 1), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"c{k}")
+            for k in range(8)
+        ]
+    )
+    cells = track_persist(cells)
+    arms = None
+    for ch, expr in _SHAP_PHI.items():
+        arm = cells.select(
+            F.lit(ch).alias("channel"),
+            F.expr(f"CAST({expr} AS BIGINT)").alias("phi_x6"),
+            F.expr(f"CAST({expr} AS DOUBLE) / 6.0").alias("phi"),
+            F.expr(
+                f"CAST({_shap_v(7)} - {_shap_v(0)} AS BIGINT)"
+            ).alias("total_attributed"),
+        )
+        arms = arm if arms is None else arms.unionByName(arm)
+    return arms.orderBy("channel")
+
+
+_DECAY_W = [
+    (0, 1000000000), (1, 900000000), (2, 810000000), (3, 729000000),
+    (4, 656100000), (5, 590490000), (6, 531441000), (7, 478296900),
+    (8, 430467210), (9, 387420489), (10, 348678440), (11, 313810596),
+    (12, 282429536), (13, 254186583), (14, 228767925), (15, 205891132),
+    (16, 185302019), (17, 166771817), (18, 150094635), (19, 135085172),
+    (20, 121576655), (21, 109418989), (22, 98477090), (23, 88629381),
+    (24, 79766443), (25, 71789799), (26, 64610819), (27, 58149737),
+    (28, 52334763), (29, 47101287), (30, 42391158),
+]  # round(1e9 * 0.9^d) — FROZEN so no engine ever computes a pow
+
+
+@staged(
+    "q_decay_activity",
+    oracle=f"""
+    WITH w(d, wt) AS (VALUES
+      {', '.join(f'({d}, {wt})' for d, wt in _DECAY_W)}),
+    aged AS (
+      SELECT user_id,
+             date_diff('day', CAST(ts AS DATE), DATE '2024-01-31') AS age
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(w.wt) AS BIGINT) AS score_nano
+    FROM aged JOIN w ON w.d = aged.age
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_decay_activity(spark, sf_dir):
+    """RECENCY-DECAYED ACTIVITY SCORE per user (half-life-style
+    engagement weighting, the time-aware upgrade of a plain event
+    count and the scoring side of q_rfm's recency bucket): weight
+    0.9^age_days, with the 31 weights FROZEN as integer nano
+    constants (the q_ndcg_eval discipline — no pow() at query time in
+    either engine), so the score is an exact BIGINT dot product via
+    one broadcast join against the weight dim. Events older than the
+    window drop out by the inner join — exactly how a production
+    decay score bounds its lookback. At 100 TB: one scan + broadcast
+    31-row dim."""
+    ev = _t(spark, sf_dir, "events")
+    w = F.broadcast(
+        spark.createDataFrame(_DECAY_W, "d int, wt bigint")
+    )
+    aged = ev.select(
+        "user_id",
+        F.datediff(F.lit("2024-01-31"), F.col("ts").cast("date")).alias(
+            "age"
+        ),
+    )
+    return (
+        aged.join(w, aged.age == w.d)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.sum("wt").cast("bigint").alias("score_nano"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@staged(
+    "q_pythagorean_means",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE value > 0
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(CAST(floor(ln(CAST(x AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS lnsum_nano,
+             CAST(SUM(1000000000000 // x) AS BIGINT) AS inv_pico
+      FROM v GROUP BY event_type
+    )
+    SELECT event_type, n, s, lnsum_nano, inv_pico,
+           CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS am,
+           CAST(lnsum_nano AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 1000000000.0) AS gm_ln,
+           CAST(n AS DOUBLE) * 1000000000000.0
+             / CAST(inv_pico AS DOUBLE) AS hm
+    FROM sums ORDER BY event_type
+    """,
+)
+def q_pythagorean_means(spark, sf_dir):
+    """PYTHAGOREAN MEANS per key — arithmetic, geometric, harmonic
+    (the three averages that disagree exactly when the distribution
+    is skewed; GM for growth rates, HM for rates/ratios — using the
+    wrong one is a classic metrics bug, and AM >= GM >= HM is
+    witness-pinned): AM reads from the exact cents sum; GM's log
+    terms and HM's reciprocals are materialized on integer lattices
+    BEFORE summing (1e-9 ln units, 1e-12 reciprocal units — the
+    q_hill_tail_index discipline), so all three numerators are exact
+    BIGINTs. The geometric mean is reported in LOG form (gm_ln):
+    exponentiating at readout is NOT portable — java.lang.Math.exp
+    and C libm exp disagree by 1 ulp (caught by the staging sf0.01
+    gate), while the division chain is IEEE-exactly shared. At
+    100 TB: one map-side-combined aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("value") > 0).select(
+        "event_type", F.expr("CAST(round(value * 100) AS BIGINT)").alias("x")
+    )
+    sums = v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(
+            F.floor(
+                F.log(F.col("x").cast("double")) * 1000000000.0 + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("lnsum_nano"),
+        F.sum(F.expr("1000000000000 div x")).cast("bigint").alias("inv_pico"),
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        "s",
+        "lnsum_nano",
+        "inv_pico",
+        (F.col("s").cast("double") / F.col("n").cast("double")).alias("am"),
+        (
+            F.col("lnsum_nano").cast("double")
+            / (F.col("n").cast("double") * 1000000000.0)
+        ).alias("gm_ln"),
+        (
+            F.col("n").cast("double")
+            * 1000000000000.0
+            / F.col("inv_pico").cast("double")
+        ).alias("hm"),
+    ).orderBy("event_type")

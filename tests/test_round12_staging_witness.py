@@ -365,3 +365,97 @@ def test_no_python_row_udfs_in_round12_staged_b2(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ------------------------------------------------ staging batch 3
+
+
+def test_shapley_attribution_witness(spark, duck):
+    per_user = collections.defaultdict(lambda: [0, 0])
+    touched = collections.defaultdict(set)
+    for _eid, _us, uid, etype, _v, _d in _events(duck):
+        if etype in ("view", "click", "purchase"):
+            touched[uid].add(etype)
+        if etype == "signup":
+            per_user[uid][1] = 1
+        per_user[uid][0] = 1
+    cnt = collections.Counter()
+    for uid in per_user:
+        if per_user[uid][1]:
+            bits = (
+                ("view" in touched[uid])
+                + 2 * ("click" in touched[uid])
+                + 4 * ("purchase" in touched[uid])
+            )
+            cnt[bits] += 1
+
+    def v(s):
+        return sum(c for k, c in cnt.items() if k & ~s == 0)
+
+    exp = {
+        "view": 2 * (v(1) - v(0)) + (v(3) - v(2)) + (v(5) - v(4))
+        + 2 * (v(7) - v(6)),
+        "click": 2 * (v(2) - v(0)) + (v(3) - v(1)) + (v(6) - v(4))
+        + 2 * (v(7) - v(5)),
+        "purchase": 2 * (v(4) - v(0)) + (v(5) - v(1)) + (v(6) - v(2))
+        + 2 * (v(7) - v(3)),
+    }
+    rows = STAGED_QUERIES["q_shapley_attribution"](spark, SF_DIR).collect()
+    got = {r.channel: r.phi_x6 for r in rows}
+    assert got == exp
+    for r in rows:
+        assert r.total_attributed == v(7) - v(0)
+        assert r.phi == pytest.approx(r.phi_x6 / 6.0, rel=1e-15)
+    # efficiency axiom: the phis split exactly v(N) - v(empty)
+    assert sum(exp.values()) == 6 * (v(7) - v(0))
+
+
+def test_decay_activity_witness(spark, duck):
+    import datetime
+
+    ref = datetime.date(2024, 1, 31)
+    w = {d: round(1e9 * 0.9**d) for d in range(31)}
+    per_user = collections.defaultdict(lambda: [0, 0])
+    for _eid, _us, uid, _etype, _v, d in _events(duck):
+        age = (ref - d).days
+        if age in w:
+            per_user[uid][0] += 1
+            per_user[uid][1] += w[age]
+    got = {
+        r.user_id: (r.n_events, r.score_nano)
+        for r in STAGED_QUERIES["q_decay_activity"](spark, SF_DIR).collect()
+    }
+    assert got == {u: tuple(v) for u, v in per_user.items() if v[0]}
+
+
+def test_pythagorean_means_witness(spark, duck):
+    groups = collections.defaultdict(list)
+    for _eid, _us, _uid, etype, val, _d in _events(duck):
+        if val > 0:
+            groups[etype].append(round(val * 100))
+    for r in STAGED_QUERIES["q_pythagorean_means"](
+        spark, SF_DIR
+    ).collect():
+        xs = groups[r.event_type]
+        n, s = len(xs), sum(xs)
+        lnsum = sum(
+            int(math.floor(math.log(x) * 1e9 + 0.5)) for x in xs
+        )
+        inv = sum(10**12 // x for x in xs)
+        assert (r.n, r.s, r.lnsum_nano, r.inv_pico) == (n, s, lnsum, inv)
+        assert r.am == pytest.approx(s / n, rel=1e-12)
+        assert r.gm_ln == pytest.approx(lnsum / (n * 1e9), rel=1e-12)
+        assert r.hm == pytest.approx(n * 1e12 / inv, rel=1e-12)
+        # the mean inequality chain (strict unless degenerate)
+        gm = math.exp(r.gm_ln)
+        assert r.am >= gm - 1e-6 and gm >= r.hm - 1e-6
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_shapley_attribution", "q_decay_activity", "q_pythagorean_means"],
+)
+def test_no_python_row_udfs_in_round12_staged_b3(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name

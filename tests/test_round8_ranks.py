@@ -175,6 +175,7 @@ BOUNDED_UNPARTITIONED_WINDOW_QUERIES = {
     "q_hazard_rate",           # lifetime-day bins
     "q_kaplan_meier",          # lifetime-day bins (reverse risk sets)
     "q_key_skew",              # top-k key counts
+    "q_knee_detection",        # spend-bucket curve (bounded by range)
     "q_ks_drift",              # value bins
     "q_lift_deciles",          # 10 score bands
     "q_lorenz_bucketed",       # spend bins
