@@ -1191,3 +1191,394 @@ def q_pythagorean_means(spark, sf_dir):
             / F.col("inv_pico").cast("double")
         ).alias("hm"),
     ).orderBy("event_type")
+
+
+@staged(
+    "q_srm_check",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':srm'),
+               1, 8))::BIGINT % 2 AS arm,
+             user_id
+      FROM events
+    ),
+    arms AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT CASE WHEN arm = 0 THEN user_id END)
+               AS BIGINT) AS n_a,
+             CAST(COUNT(DISTINCT CASE WHEN arm = 1 THEN user_id END)
+               AS BIGINT) AS n_b
+      FROM assigned GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) AS DOUBLE)
+             / CAST(n_a + n_b AS DOUBLE) AS chi2,
+           CAST(CASE WHEN (n_a - n_b) * (n_a - n_b) * 100
+                          > 384 * (n_a + n_b)
+                THEN 1 ELSE 0 END AS INT) AS srm_flag
+    FROM arms ORDER BY event_type
+    """,
+)
+def q_srm_check(spark, sf_dir):
+    """SAMPLE-RATIO MISMATCH check per experiment slice — the
+    assignment-integrity gate every A/B readout (q_ab_test, q_ab_cuped)
+    must pass FIRST (a biased split invalidates any lift estimate):
+    users hash deterministically into two arms (engine-portable md5,
+    the q_sample_hash discipline), per-slice distinct-user arm counts
+    are exact, the chi-square-vs-50/50 statistic (a-b)^2/(a+b) is one
+    division of exact BIGINTs, and the alpha=0.05 VERDICT is the
+    exact integer inequality 100*(a-b)^2 > 384*(a+b) — no float
+    judges. At 100 TB: one scan + two distinct-count reductions."""
+    ev = _t(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":srm"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    assigned = ev.select("event_type", arm.alias("arm"), "user_id")
+    arms = assigned.groupBy("event_type").agg(
+        F.countDistinct(
+            F.when(F.col("arm") == 0, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_a"),
+        F.countDistinct(
+            F.when(F.col("arm") == 1, F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    d = F.col("n_a") - F.col("n_b")
+    return arms.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        ((d * d).cast("double") / (F.col("n_a") + F.col("n_b")).cast("double")).alias(
+            "chi2"
+        ),
+        F.when(d * d * 100 > 384 * (F.col("n_a") + F.col("n_b")), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("srm_flag"),
+    ).orderBy("event_type")
+
+
+@staged(
+    "q_price_volume_mix",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey % 100 AS pk,
+             CASE WHEN year(l_shipdate) < 1998 THEN 0 ELSE 1 END AS period,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS r,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT pk,
+             CAST(SUM(CASE WHEN period = 0 THEN r ELSE 0 END)
+               AS BIGINT) AS r0,
+             CAST(SUM(CASE WHEN period = 1 THEN r ELSE 0 END)
+               AS BIGINT) AS r1,
+             CAST(SUM(CASE WHEN period = 0 THEN q ELSE 0 END)
+               AS BIGINT) AS q0,
+             CAST(SUM(CASE WHEN period = 1 THEN q ELSE 0 END)
+               AS BIGINT) AS q1
+      FROM li GROUP BY pk
+      HAVING SUM(CASE WHEN period = 0 THEN q ELSE 0 END) > 0
+         AND SUM(CASE WHEN period = 1 THEN q ELSE 0 END) > 0
+    )
+    SELECT pk, r0, r1, q0, q1,
+           CAST(r1 * q0 - r0 * q1 AS BIGINT) AS price_eff_xq0,
+           CAST(r0 * (q1 - q0) AS BIGINT) AS volume_eff_xq0,
+           CAST(r1 * q0 - r0 * q1 AS DOUBLE) / CAST(q0 AS DOUBLE)
+             / 100.0 AS price_effect,
+           CAST(r0 * (q1 - q0) AS DOUBLE) / CAST(q0 AS DOUBLE)
+             / 100.0 AS volume_effect
+    FROM agg ORDER BY pk
+    """,
+)
+def q_price_volume_mix(spark, sf_dir):
+    """PRICE/VOLUME BRIDGE per product bucket — the revenue-variance
+    decomposition every finance review runs (how much of the
+    period-over-period revenue change came from realized-price moves
+    vs volume moves?): with p_i = R_i/Q_i, the decomposition
+    dR = (p1-p0)*Q1 + p0*(Q1-Q0) becomes EXACT on the x Q0 lattice —
+    price_eff*Q0 = R1*Q0 - R0*Q1 and volume_eff*Q0 = R0*(Q1-Q0), both
+    BIGINT, and their sum telescopes to (R1-R0)*Q0 by construction
+    (the witness pins this bridge identity per bucket). One
+    conditional aggregate per bucket, both-periods-present buckets
+    only (new/discontinued lines are their own bridge row in
+    production — out of scope here, documented). Magnitude: R*Q <=
+    ~1e16 at sf1. At 100 TB: one scan, one hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        (F.col("l_partkey") % 100).alias("pk"),
+        F.when(F.year("l_shipdate") < 1998, 0).otherwise(1).alias("period"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+        .cast("bigint")
+        .alias("r"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    agg = (
+        base.groupBy("pk")
+        .agg(
+            F.sum(F.when(F.col("period") == 0, F.col("r")).otherwise(0))
+            .cast("bigint")
+            .alias("r0"),
+            F.sum(F.when(F.col("period") == 1, F.col("r")).otherwise(0))
+            .cast("bigint")
+            .alias("r1"),
+            F.sum(F.when(F.col("period") == 0, F.col("q")).otherwise(0))
+            .cast("bigint")
+            .alias("q0"),
+            F.sum(F.when(F.col("period") == 1, F.col("q")).otherwise(0))
+            .cast("bigint")
+            .alias("q1"),
+        )
+        .filter((F.col("q0") > 0) & (F.col("q1") > 0))
+    )
+    price_num = (
+        F.col("r1") * F.col("q0") - F.col("r0") * F.col("q1")
+    ).cast("bigint")
+    vol_num = (F.col("r0") * (F.col("q1") - F.col("q0"))).cast("bigint")
+    return agg.select(
+        "pk",
+        "r0",
+        "r1",
+        "q0",
+        "q1",
+        price_num.alias("price_eff_xq0"),
+        vol_num.alias("volume_eff_xq0"),
+        (price_num.cast("double") / F.col("q0").cast("double") / 100.0).alias(
+            "price_effect"
+        ),
+        (vol_num.cast("double") / F.col("q0").cast("double") / 100.0).alias(
+            "volume_effect"
+        ),
+    ).orderBy("pk")
+
+
+@staged(
+    "q_fleiss_kappa",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(round(value * 100) AS BIGINT) // 12500 AS cat,
+             row_number() OVER (PARTITION BY CAST(ts AS DATE)
+               ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events
+    ),
+    panel AS (
+      SELECT d, cat FROM ranked WHERE rn <= 20
+    ),
+    full_days AS (
+      SELECT d FROM panel GROUP BY d HAVING COUNT(*) = 20
+    ),
+    cells AS (
+      SELECT p.d, p.cat, CAST(COUNT(*) AS BIGINT) AS nij
+      FROM panel p JOIN full_days USING (d)
+      GROUP BY p.d, p.cat
+    ),
+    per_item AS (
+      SELECT d, CAST(SUM(nij * nij) - 20 AS BIGINT) AS pi_num
+      FROM cells GROUP BY d
+    ),
+    totals AS (
+      SELECT cat, CAST(SUM(nij) AS BIGINT) AS tj FROM cells GROUP BY cat
+    ),
+    agg AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM per_item) AS n_items,
+             (SELECT CAST(SUM(pi_num) AS BIGINT) FROM per_item)
+               AS pbar_num,
+             (SELECT CAST(SUM(tj * tj) AS BIGINT) FROM totals) AS pe_num
+    )
+    SELECT n_items, pbar_num, pe_num,
+           (CAST(pbar_num AS DOUBLE) / (CAST(n_items AS DOUBLE) * 380.0)
+            - CAST(pe_num AS DOUBLE)
+              / (400.0 * CAST(n_items AS DOUBLE)
+                 * CAST(n_items AS DOUBLE)))
+           / (1.0 - CAST(pe_num AS DOUBLE)
+              / (400.0 * CAST(n_items AS DOUBLE)
+                 * CAST(n_items AS DOUBLE))) AS kappa
+    FROM agg
+    """,
+)
+def q_fleiss_kappa(spark, sf_dir):
+    """FLEISS' KAPPA — multi-rater agreement at FIXED panel size
+    (n = 20 raters per item), the equal-panel member of the
+    agreement family next to q_judge_kappa (two raters) and
+    q_krippendorff_alpha (unequal panels): items are days, the panel
+    is the deterministic first-20 events per day (total (ts,
+    event_id) order), categories are value bands. Both the per-item
+    agreement numerators (sum n_ij^2 - n, exact on the x n(n-1) = 380
+    lattice) and the chance-agreement numerator (sum T_j^2 on the
+    (nN)^2 lattice) are exact BIGINTs; kappa is one identical float
+    chain. Days with fewer than 20 events drop out by definition.
+    At 100 TB: one rank window + two bounded aggs."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy(F.col("ts").cast("date")).orderBy(
+        F.expr("unix_micros(ts)"), F.col("event_id")
+    )
+    ranked = ev.select(
+        F.col("ts").cast("date").alias("d"),
+        F.expr("CAST(round(value * 100) AS BIGINT) div 12500").alias("cat"),
+        F.row_number().over(w).alias("rn"),
+    )
+    panel = ranked.filter(F.col("rn") <= 20).select("d", "cat")
+    panel = track_persist(panel)
+    full_days = (
+        panel.groupBy("d").agg(F.count("*").alias("c")).filter(
+            F.col("c") == 20
+        ).select("d")
+    )
+    cells = (
+        panel.join(F.broadcast(full_days), "d")
+        .groupBy("d", "cat")
+        .agg(F.count("*").cast("bigint").alias("nij"))
+    )
+    cells = track_persist(cells)
+    per_item = cells.groupBy("d").agg(
+        (F.sum(F.col("nij") * F.col("nij")) - 20)
+        .cast("bigint")
+        .alias("pi_num")
+    )
+    totals = cells.groupBy("cat").agg(
+        F.sum("nij").cast("bigint").alias("tj")
+    )
+    a1 = per_item.agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum("pi_num").cast("bigint").alias("pbar_num"),
+    )
+    a2 = totals.agg(
+        F.sum(F.col("tj") * F.col("tj")).cast("bigint").alias("pe_num")
+    )
+    nd = F.col("n_items").cast("double")
+    pbar = F.col("pbar_num").cast("double") / (nd * 380.0)
+    pe = F.col("pe_num").cast("double") / (400.0 * nd * nd)
+    return a1.crossJoin(F.broadcast(a2)).select(
+        "n_items",
+        "pbar_num",
+        "pe_num",
+        ((pbar - pe) / (1.0 - pe)).alias("kappa"),
+    )
+
+
+def _set_cover_oracle() -> str:
+    parts = [
+        """
+    WITH toks AS (
+      SELECT source,
+             list_filter(string_split(lower(text), ' '),
+               x -> x != '') AS tk
+      FROM documents
+    ),
+    m AS MATERIALIZED (
+      SELECT DISTINCT source, t FROM (
+        SELECT source,
+               unnest(CASE WHEN len(tk) >= 2 THEN
+                 list_transform(generate_series(1, len(tk) - 1),
+                   i -> concat_ws(' ', tk[i], tk[i + 1]))
+               ELSE [] END) AS t
+        FROM toks
+      )
+    ),
+    u0 AS MATERIALIZED (SELECT DISTINCT t FROM m)"""
+    ]
+    for r in (1, 2, 3, 4):
+        parts.append(
+            f""",
+    w{r} AS MATERIALIZED (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM m JOIN u{r - 1} USING (t)
+      GROUP BY source ORDER BY n_new DESC, source LIMIT 1
+    ),
+    u{r} AS MATERIALIZED (
+      SELECT t FROM u{r - 1}
+      WHERE t NOT IN (SELECT m.t FROM m
+                      JOIN w{r} ON w{r}.source = m.source)
+    )"""
+        )
+    arms = "\n      UNION ALL ".join(
+        f"SELECT {r} AS round, source, n_new,"
+        f" (SELECT CAST(COUNT(*) AS BIGINT) FROM u{r}) AS n_remaining"
+        f" FROM w{r}"
+        for r in (1, 2, 3, 4)
+    )
+    parts.append(f"""
+    SELECT * FROM (
+      {arms}
+    ) ORDER BY round""")
+    return "".join(parts)
+
+
+@staged("q_set_cover_greedy", oracle=_set_cover_oracle())
+def q_set_cover_greedy(spark, sf_dir):
+    """GREEDY SET COVER over (source -> vocabulary) — which data
+    sources to ingest FIRST to cover the most vocabulary (the
+    ln(n)-approximate coverage-planning primitive behind corpus
+    acquisition and test-suite minimization): 4 unrolled greedy
+    rounds, each one hash agg over the (source, token) membership
+    restricted to the uncovered set + a total-ordered argmax
+    (count DESC, source) + an anti-join shrink, with per-round
+    localCheckpoint (the q_ktruss lineage discipline). Rounds are
+    deterministic, so the oracle unrolls the identical greedy as
+    chained MATERIALIZED CTEs with LIMIT-1 argmax. The universe is
+    word BIGRAMS (the fixture's unigram vocabulary is 30 words and
+    every source covers it — degenerate; bigrams give a real 4-round
+    trajectory, probed 755/128/20/3 at sf0.001). The membership
+    relation is bigram-distinct per source — bounded by vocabulary,
+    not corpus size; at 100 TB that relation is the only thing that
+    grows and it is the natural pre-aggregate."""
+    docs = _t(spark, sf_dir, "documents")
+    m = (
+        docs.select(
+            "source",
+            F.expr(
+                "filter(split(lower(text), ' '), x -> x != '')"
+            ).alias("tk"),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(tk) >= 2 THEN"
+                    " transform(sequence(1, size(tk) - 1),"
+                    " i -> concat_ws(' ', element_at(tk, i),"
+                    " element_at(tk, i + 1)))"
+                    " ELSE array() END"
+                )
+            ).alias("t"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    u = m.select("t").distinct().localCheckpoint(eager=True)
+    out = None
+    for rnd in (1, 2, 3, 4):
+        counts = m.join(u, "t", "left_semi").groupBy("source").agg(
+            F.count("*").cast("bigint").alias("n_new")
+        )
+        winner = counts.orderBy(F.desc("n_new"), "source").limit(
+            1
+        ).localCheckpoint(eager=True)
+        covered = m.join(
+            F.broadcast(winner.select("source")), "source", "left_semi"
+        ).select("t")
+        u = u.join(covered, "t", "left_anti").localCheckpoint(eager=True)
+        rem = u.agg(F.count("*").cast("bigint").alias("n_remaining"))
+        arm = (
+            winner.select(
+                F.lit(rnd).cast("int").alias("round"), "source", "n_new"
+            )
+            .crossJoin(F.broadcast(rem))
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out.orderBy("round")

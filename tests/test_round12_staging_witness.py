@@ -6,6 +6,7 @@ promotion to the catalog is a move, not a build — plus plan pins."""
 from __future__ import annotations
 
 import collections
+import hashlib
 import math
 
 import duckdb
@@ -456,6 +457,128 @@ def test_pythagorean_means_witness(spark, duck):
     ["q_shapley_attribution", "q_decay_activity", "q_pythagorean_means"],
 )
 def test_no_python_row_udfs_in_round12_staged_b3(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
+
+
+# ------------------------------------------------ staging batch 4
+
+
+def test_srm_check_witness(spark, duck):
+    per_type = collections.defaultdict(lambda: [set(), set()])
+    for _eid, _us, uid, etype, _v, _d in _events(duck):
+        arm = int(hashlib.md5(f"{uid}:srm".encode()).hexdigest()[:8], 16) % 2
+        per_type[etype][arm].add(uid)
+    for r in STAGED_QUERIES["q_srm_check"](spark, SF_DIR).collect():
+        a, b = len(per_type[r.event_type][0]), len(per_type[r.event_type][1])
+        assert (r.n_a, r.n_b) == (a, b)
+        assert r.chi2 == pytest.approx((a - b) ** 2 / (a + b), rel=1e-12)
+        assert r.srm_flag == (1 if 100 * (a - b) ** 2 > 384 * (a + b) else 0)
+
+
+def test_price_volume_mix_witness(spark, duck):
+    rows = duck.sql(
+        f"""SELECT l_partkey % 100,
+           CASE WHEN year(l_shipdate) < 1998 THEN 0 ELSE 1 END,
+           CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT),
+           CAST(l_quantity AS BIGINT)
+        FROM '{SF_DIR}/lineitem.parquet'"""
+    ).fetchall()
+    agg = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for pk, period, r, q in rows:
+        cell = agg[pk]
+        cell[period] += r
+        cell[2 + period] += q
+    got = {
+        r.pk: r
+        for r in STAGED_QUERIES["q_price_volume_mix"](
+            spark, SF_DIR
+        ).collect()
+    }
+    for pk, (r0, r1, q0, q1) in agg.items():
+        if q0 == 0 or q1 == 0:
+            assert pk not in got
+            continue
+        g = got[pk]
+        assert (g.r0, g.r1, g.q0, g.q1) == (r0, r1, q0, q1)
+        assert g.price_eff_xq0 == r1 * q0 - r0 * q1
+        assert g.volume_eff_xq0 == r0 * (q1 - q0)
+        # bridge identity: price + volume telescopes to (R1-R0)*Q0
+        assert g.price_eff_xq0 + g.volume_eff_xq0 == (r1 - r0) * q0
+
+
+def test_fleiss_kappa_witness(spark, duck):
+    per_day = collections.defaultdict(list)
+    for eid, us, _uid, _etype, val, d in _events(duck):
+        per_day[d].append((us, eid, round(val * 100) // 12500))
+    cells = collections.defaultdict(collections.Counter)
+    for d, evs in per_day.items():
+        evs.sort()
+        if len(evs) < 20:
+            continue
+        for _us, _eid, cat in evs[:20]:
+            cells[d][cat] += 1
+    n_items = len(cells)
+    pbar_num = sum(
+        sum(c * c for c in cnt.values()) - 20 for cnt in cells.values()
+    )
+    tj = collections.Counter()
+    for cnt in cells.values():
+        tj.update(cnt)
+    pe_num = sum(t * t for t in tj.values())
+    (row,) = STAGED_QUERIES["q_fleiss_kappa"](spark, SF_DIR).collect()
+    assert (row.n_items, row.pbar_num, row.pe_num) == (
+        n_items,
+        pbar_num,
+        pe_num,
+    )
+    pbar = pbar_num / (n_items * 380.0)
+    pe = pe_num / (400.0 * n_items * n_items)
+    assert row.kappa == pytest.approx((pbar - pe) / (1 - pe), rel=1e-9)
+    assert -1.0 <= row.kappa <= 1.0
+
+
+def test_set_cover_greedy_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT source, lower(text) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    member = collections.defaultdict(set)
+    for source, text in rows:
+        tk = [x for x in text.split(" ") if x]
+        for i in range(len(tk) - 1):
+            member[source].add(f"{tk[i]} {tk[i + 1]}")
+    uncovered = set().union(*member.values())
+    exp = []
+    for rnd in (1, 2, 3, 4):
+        # total order: count DESC then source ASC
+        best = sorted(
+            member, key=lambda s: (-len(member[s] & uncovered), s)
+        )[0]
+        n_new = len(member[best] & uncovered)
+        uncovered -= member[best]
+        exp.append((rnd, best, n_new, len(uncovered)))
+    got = [
+        (r.round, r.source, r.n_new, r.n_remaining)
+        for r in STAGED_QUERIES["q_set_cover_greedy"](
+            spark, SF_DIR
+        ).collect()
+    ]
+    assert got == exp
+    # greedy makes progress every round on this fixture
+    assert all(n > 0 for _r, _s, n, _u in exp)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_srm_check",
+        "q_price_volume_mix",
+        "q_fleiss_kappa",
+        "q_set_cover_greedy",
+    ],
+)
+def test_no_python_row_udfs_in_round12_staged_b4(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
