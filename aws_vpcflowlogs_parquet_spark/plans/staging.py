@@ -1582,3 +1582,582 @@ def q_set_cover_greedy(spark, sf_dir):
         )
         out = arm if out is None else out.unionByName(arm)
     return out.orderBy("round")
+
+
+# =====================================================================
+# Round-13 staged batch 5 — classical-statistics completions: the
+# inequality-decomposition, k-group rank test, 2x2 epidemiology and
+# variance-homogeneity screens the catalog's test family still lacked.
+# Same contract: exact DuckDB oracle at sf0.001 AND sf0.01, pure-Python
+# witnesses, plan pins.
+# =====================================================================
+
+
+@staged(
+    "q_theil_index",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderpriority AS g,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    gs AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(cents) AS BIGINT) AS s_g
+      FROM x GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n, CAST(SUM(s_g) AS BIGINT) AS s
+      FROM gs
+    ),
+    terms AS (
+      SELECT x.g,
+             CAST(floor(
+               (CAST(x.cents AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                / CAST(tot.s AS DOUBLE))
+               * ln(CAST(x.cents AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                    / CAST(tot.s AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT) AS tot_nano,
+             CAST(floor(
+               (CAST(x.cents AS DOUBLE) * CAST(gs.n_g AS DOUBLE)
+                / CAST(gs.s_g AS DOUBLE))
+               * ln(CAST(x.cents AS DOUBLE) * CAST(gs.n_g AS DOUBLE)
+                    / CAST(gs.s_g AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT) AS win_nano
+      FROM x JOIN gs ON gs.g = x.g CROSS JOIN tot
+    )
+    SELECT terms.g AS g, gs.n_g, gs.s_g,
+           CAST(SUM(terms.win_nano) AS BIGINT) AS within_nano_sum,
+           CAST(SUM(terms.tot_nano) AS BIGINT) AS total_nano_sum,
+           CAST(floor(
+             (CAST(gs.s_g AS DOUBLE) / CAST(tot.s AS DOUBLE))
+             * ln((CAST(gs.s_g AS DOUBLE) * CAST(tot.n AS DOUBLE))
+                  / (CAST(tot.s AS DOUBLE) * CAST(gs.n_g AS DOUBLE)))
+             * 1000000000.0 + 0.5) AS BIGINT) AS between_nano,
+           CAST(SUM(terms.win_nano) AS DOUBLE)
+             / (CAST(gs.n_g AS DOUBLE) * 1000000000.0) AS theil_g
+    FROM terms JOIN gs ON gs.g = terms.g CROSS JOIN tot
+    GROUP BY terms.g, gs.n_g, gs.s_g, tot.s, tot.n
+    ORDER BY g
+    """,
+)
+def q_theil_index(spark, sf_dir):
+    """THEIL T INEQUALITY INDEX with the within/between decomposition
+    (the additive-decomposability property Gini lacks — the reason
+    national statistics offices use Theil to split inequality into
+    group effects): per priority group g, T_g = (1/n_g) sum
+    (x/mu_g) ln(x/mu_g), the group's share of the global index
+    (sum over the group of the global-mu terms), and the between-group
+    term s_g ln(mu_g/mu). Every ln term is materialized on the 1e-9
+    nano lattice BEFORE the count-weighted exact BIGINT sums (the
+    q_mutual_info discipline) so emitted numerators are exact; the one
+    emitted double is a single division chain. Dataflow: one bounded
+    group-stats agg (5 rows, broadcast back) + one per-row term agg —
+    two scans of a 2-column projection; at 100 TB the projection is
+    what crosses the wire and the second scan's input dies in a
+    map-side combine on 5 keys. Witness pins the decomposition
+    identity T_total ~= T_between + sum s_g T_g on the lattice."""
+    x = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("g"),
+            F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+    )
+    x = track_persist(x)
+    gs = x.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("cents").cast("bigint").alias("s_g"),
+    )
+    gs = track_persist(gs)
+    tot = gs.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+    )
+    nano = lambda col: F.floor(col * 1000000000.0 + 0.5).cast(  # noqa: E731
+        "bigint"
+    )
+    xd = F.col("cents").cast("double")
+    r_tot = xd * F.col("n").cast("double") / F.col("s").cast("double")
+    r_win = xd * F.col("n_g").cast("double") / F.col("s_g").cast("double")
+    terms = (
+        x.join(F.broadcast(gs), "g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            nano(r_tot * F.log(r_tot)).alias("tot_nano"),
+            nano(r_win * F.log(r_win)).alias("win_nano"),
+        )
+    )
+    agg = terms.groupBy("g").agg(
+        F.sum("win_nano").cast("bigint").alias("within_nano_sum"),
+        F.sum("tot_nano").cast("bigint").alias("total_nano_sum"),
+    )
+    s_share = F.col("s_g").cast("double") / F.col("s").cast("double")
+    between = F.log(
+        (F.col("s_g").cast("double") * F.col("n").cast("double"))
+        / (F.col("s").cast("double") * F.col("n_g").cast("double"))
+    )
+    return (
+        agg.join(F.broadcast(gs), "g")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            "n_g",
+            "s_g",
+            "within_nano_sum",
+            "total_nano_sum",
+            nano(s_share * between).alias("between_nano"),
+            (
+                F.col("within_nano_sum").cast("double")
+                / (F.col("n_g").cast("double") * 1000000000.0)
+            ).alias("theil_g"),
+        )
+        .orderBy("g")
+    )
+
+
+@staged(
+    "q_kruskal_wallis",
+    oracle="""
+    WITH cells AS (
+      SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_returnflag, CAST(l_quantity AS BIGINT)
+    ),
+    marg AS (
+      SELECT v, CAST(SUM(c) AS BIGINT) AS t FROM cells GROUP BY v
+    ),
+    cum AS (
+      SELECT v, t,
+             CAST(COALESCE(SUM(t) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS bef
+      FROM marg
+    ),
+    r2 AS (
+      SELECT cells.g,
+             CAST(SUM(cells.c * (2 * cum.bef + cum.t + 1)) AS BIGINT)
+               AS r2_g,
+             CAST(SUM(cells.c) AS BIGINT) AS n_g
+      FROM cells JOIN cum ON cum.v = cells.v
+      GROUP BY cells.g
+    ),
+    tots AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n FROM r2),
+    ties AS (
+      SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum FROM marg
+    ),
+    piv AS (
+      SELECT
+        MAX(CASE WHEN g = 'A' THEN r2_g END) AS r2_a,
+        MAX(CASE WHEN g = 'N' THEN r2_g END) AS r2_n,
+        MAX(CASE WHEN g = 'R' THEN r2_g END) AS r2_r,
+        MAX(CASE WHEN g = 'A' THEN n_g END) AS n_a,
+        MAX(CASE WHEN g = 'N' THEN n_g END) AS n_n,
+        MAX(CASE WHEN g = 'R' THEN n_g END) AS n_r
+      FROM r2
+    )
+    SELECT tots.n AS n, piv.n_a, piv.n_n, piv.n_r,
+           piv.r2_a, piv.r2_n, piv.r2_r, ties.tie_sum,
+           (3.0 * CAST(piv.r2_a AS DOUBLE) * CAST(piv.r2_a AS DOUBLE)
+              / (CAST(piv.n_a AS DOUBLE) * CAST(tots.n AS DOUBLE)
+                 * CAST(tots.n + 1 AS DOUBLE))
+            + 3.0 * CAST(piv.r2_n AS DOUBLE) * CAST(piv.r2_n AS DOUBLE)
+              / (CAST(piv.n_n AS DOUBLE) * CAST(tots.n AS DOUBLE)
+                 * CAST(tots.n + 1 AS DOUBLE))
+            + 3.0 * CAST(piv.r2_r AS DOUBLE) * CAST(piv.r2_r AS DOUBLE)
+              / (CAST(piv.n_r AS DOUBLE) * CAST(tots.n AS DOUBLE)
+                 * CAST(tots.n + 1 AS DOUBLE))
+            - 3.0 * CAST(tots.n + 1 AS DOUBLE))
+           / (1.0 - CAST(ties.tie_sum AS DOUBLE)
+                / (CAST(tots.n AS DOUBLE) * CAST(tots.n AS DOUBLE)
+                   * CAST(tots.n AS DOUBLE) - CAST(tots.n AS DOUBLE)))
+             AS h_corrected
+    FROM piv CROSS JOIN tots CROSS JOIN ties
+    """,
+)
+def q_kruskal_wallis(spark, sf_dir):
+    """KRUSKAL-WALLIS H — the k-group rank ANOVA completing the
+    nonparametric ladder (q_rank_sum is the 2-group Mann-Whitney,
+    q_friedman_test the blocked design; this is the one-way k-sample
+    test with tie correction). NO global sort: l_quantity lives on a
+    50-value lattice, so midranks come from the (flag x quantity)
+    contingency table — 2*R_g = sum_v c_gv*(2*cum_before_v + t_v + 1),
+    exact BIGINT (the doubled-midrank lattice absorbs the .5s); the
+    tie term sum(t^3 - t) is exact on the same 50-row marginal. H is
+    ONE written float chain over the 3-group pivot (fixed evaluation
+    order — never a float SUM across groups), divided by the tie
+    correction. The only window is a cumulative count over the 50-row
+    value marginal (bounded by the lattice, never by data — needs a
+    BOUNDED_UNPARTITIONED_WINDOW allowlist row at promotion). At
+    100 TB: raw volume dies in the 150-cell contingency agg."""
+    cells = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("g"),
+            F.col("l_quantity").cast("bigint").alias("v"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    cells = track_persist(cells)
+    marg = cells.groupBy("v").agg(F.sum("c").cast("bigint").alias("t"))
+    w = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = marg.select(
+        "v",
+        "t",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint").alias("bef"),
+    )
+    r2 = (
+        cells.join(F.broadcast(cum), "v")
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("c") * (2 * F.col("bef") + F.col("t") + 1)
+            )
+            .cast("bigint")
+            .alias("r2_g"),
+            F.sum("c").cast("bigint").alias("n_g"),
+        )
+    )
+    piv = r2.agg(
+        F.max(F.when(F.col("g") == "A", F.col("r2_g"))).alias("r2_a"),
+        F.max(F.when(F.col("g") == "N", F.col("r2_g"))).alias("r2_n"),
+        F.max(F.when(F.col("g") == "R", F.col("r2_g"))).alias("r2_r"),
+        F.max(F.when(F.col("g") == "A", F.col("n_g"))).alias("n_a"),
+        F.max(F.when(F.col("g") == "N", F.col("n_g"))).alias("n_n"),
+        F.max(F.when(F.col("g") == "R", F.col("n_g"))).alias("n_r"),
+        F.sum("n_g").cast("bigint").alias("n"),
+    )
+    ties = marg.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("bigint")
+        .alias("tie_sum")
+    )
+    nd = F.col("n").cast("double")
+    np1 = (F.col("n") + 1).cast("double")
+
+    def contrib(r2c, nc):
+        return (
+            3.0
+            * F.col(r2c).cast("double")
+            * F.col(r2c).cast("double")
+            / (F.col(nc).cast("double") * nd * np1)
+        )
+
+    h = (
+        contrib("r2_a", "n_a")
+        + contrib("r2_n", "n_n")
+        + contrib("r2_r", "n_r")
+        - 3.0 * np1
+    )
+    c_tie = 1.0 - F.col("tie_sum").cast("double") / (nd * nd * nd - nd)
+    return piv.crossJoin(F.broadcast(ties)).select(
+        "n",
+        "n_a",
+        "n_n",
+        "n_r",
+        "r2_a",
+        "r2_n",
+        "r2_r",
+        "tie_sum",
+        (h / c_tie).alias("h_corrected"),
+    )
+
+
+@staged(
+    "q_odds_ratio",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS t,
+        CAST(SUM(CASE WHEN user_id % 2 = 0
+          AND round(value * 100) > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        CAST(SUM(CASE WHEN user_id % 2 = 0
+          AND round(value * 100) <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN user_id % 2 = 1
+          AND round(value * 100) > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN user_id % 2 = 1
+          AND round(value * 100) <= 5000 THEN 1 ELSE 0 END) AS BIGINT) AS d
+      FROM events GROUP BY event_type
+    ),
+    adj AS (
+      SELECT t, a, b, c, d,
+             CASE WHEN a * b * c * d = 0 THEN 1 ELSE 0 END AS haldane,
+             2 * a + CASE WHEN a * b * c * d = 0 THEN 1 ELSE 0 END AS aa,
+             2 * b + CASE WHEN a * b * c * d = 0 THEN 1 ELSE 0 END AS bb,
+             2 * c + CASE WHEN a * b * c * d = 0 THEN 1 ELSE 0 END AS cc,
+             2 * d + CASE WHEN a * b * c * d = 0 THEN 1 ELSE 0 END AS dd
+      FROM cells
+    ),
+    stats AS (
+      SELECT t, a, b, c, d, haldane,
+             CAST(aa * dd AS DOUBLE) / CAST(bb * cc AS DOUBLE) AS or_hat,
+             sqrt(2.0 / CAST(aa AS DOUBLE) + 2.0 / CAST(bb AS DOUBLE)
+                  + 2.0 / CAST(cc AS DOUBLE) + 2.0 / CAST(dd AS DOUBLE))
+               AS se_log_or,
+             CAST(floor(ln(CAST(aa * dd AS DOUBLE)
+                           / CAST(bb * cc AS DOUBLE))
+                  * 1000000000.0 + 0.5) AS BIGINT) AS log_or_nano
+      FROM adj
+    )
+    SELECT t, a, b, c, d, haldane, or_hat, se_log_or, log_or_nano,
+           log_or_nano - CAST(floor(1.96 * se_log_or * 1000000000.0
+             + 0.5) AS BIGINT) AS ci_lo_nano,
+           log_or_nano + CAST(floor(1.96 * se_log_or * 1000000000.0
+             + 0.5) AS BIGINT) AS ci_hi_nano
+    FROM stats ORDER BY t
+    """,
+)
+def q_odds_ratio(spark, sf_dir):
+    """2x2 ODDS RATIO per event type with Wald CI — the epidemiology /
+    feature-screen cell next to q_mcnemar (paired) and q_wilson_ci
+    (single proportion): exposure = user parity (the q_ab_test arm
+    hash), outcome = value > 50.00 decided on the exact cents lattice.
+    The Haldane-Anscombe zero-cell correction (+0.5 each) runs on the
+    DOUBLED lattice so the adjusted cells stay exact BIGINTs; or_hat is
+    ONE division of exact integer products; the CI is carried in LOG
+    form on the 1e-9 lattice (exp() is 1-ulp non-portable across
+    engines — the q_pythagorean_means finding) with the half-width
+    quantized before the exact integer +-. One conditional agg per
+    type; at 100 TB the 2x2 cells are the only state."""
+    cents_hi = F.expr("round(value * 100) > 5000")
+    even = F.col("user_id") % 2 == 0
+    cells = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("t"))
+        .agg(
+            F.sum(F.when(even & cents_hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(even & ~cents_hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("b"),
+            F.sum(F.when(~even & cents_hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("c"),
+            F.sum(F.when(~even & ~cents_hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    hald = F.when(
+        F.col("a") * F.col("b") * F.col("c") * F.col("d") == 0, 1
+    ).otherwise(0)
+    adj = cells.select(
+        "t",
+        "a",
+        "b",
+        "c",
+        "d",
+        hald.alias("haldane"),
+        (2 * F.col("a") + hald).alias("aa"),
+        (2 * F.col("b") + hald).alias("bb"),
+        (2 * F.col("c") + hald).alias("cc"),
+        (2 * F.col("d") + hald).alias("dd"),
+    )
+    ratio = (F.col("aa") * F.col("dd")).cast("double") / (
+        F.col("bb") * F.col("cc")
+    ).cast("double")
+    se = F.sqrt(
+        2.0 / F.col("aa").cast("double")
+        + 2.0 / F.col("bb").cast("double")
+        + 2.0 / F.col("cc").cast("double")
+        + 2.0 / F.col("dd").cast("double")
+    )
+    nano = lambda col: F.floor(col * 1000000000.0 + 0.5).cast(  # noqa: E731
+        "bigint"
+    )
+    stats = adj.select(
+        "t",
+        "a",
+        "b",
+        "c",
+        "d",
+        "haldane",
+        ratio.alias("or_hat"),
+        se.alias("se_log_or"),
+        nano(F.log(ratio)).alias("log_or_nano"),
+    )
+    half = nano(1.96 * F.col("se_log_or"))
+    return stats.select(
+        "t",
+        "a",
+        "b",
+        "c",
+        "d",
+        "haldane",
+        "or_hat",
+        "se_log_or",
+        "log_or_nano",
+        (F.col("log_or_nano") - half).alias("ci_lo_nano"),
+        (F.col("log_or_nano") + half).alias("ci_hi_nano"),
+    ).orderBy("t")
+
+
+@staged(
+    "q_levene_test",
+    oracle="""
+    WITH x AS (
+      SELECT event_type AS g,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    cells AS (
+      SELECT g, cents, CAST(COUNT(*) AS BIGINT) AS c
+      FROM x GROUP BY g, cents
+    ),
+    cum AS (
+      SELECT g, cents, c,
+             CAST(SUM(c) OVER (PARTITION BY g ORDER BY cents)
+               AS BIGINT) AS cm,
+             CAST(SUM(c) OVER (PARTITION BY g) AS BIGINT) AS n_g
+      FROM cells
+    ),
+    med AS (
+      SELECT g,
+             CAST(MIN(CASE WHEN cm >= (n_g + 1) // 2 THEN cents END)
+               AS BIGINT)
+             + CAST(MIN(CASE WHEN cm >= (n_g + 2) // 2 THEN cents END)
+               AS BIGINT) AS med2
+      FROM cum GROUP BY g
+    ),
+    dev AS (
+      SELECT x.g, ABS(2 * x.cents - med.med2) AS z
+      FROM x JOIN med ON med.g = x.g
+    ),
+    gs AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(z) AS BIGINT) AS z_g,
+             CAST(SUM(z * z) AS BIGINT) AS q_g
+      FROM dev GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(z_g) AS BIGINT) AS z,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM gs
+    ),
+    terms AS (
+      SELECT gs.g,
+        CAST(floor(CAST(gs.n_g AS DOUBLE)
+          * (CAST(gs.z_g AS DOUBLE) / CAST(gs.n_g AS DOUBLE)
+             - CAST(tot.z AS DOUBLE) / CAST(tot.n AS DOUBLE))
+          * (CAST(gs.z_g AS DOUBLE) / CAST(gs.n_g AS DOUBLE)
+             - CAST(tot.z AS DOUBLE) / CAST(tot.n AS DOUBLE))
+          * 1000.0 + 0.5) AS BIGINT) AS num_milli,
+        CAST(floor((CAST(gs.q_g AS DOUBLE)
+          - CAST(gs.z_g AS DOUBLE) * CAST(gs.z_g AS DOUBLE)
+            / CAST(gs.n_g AS DOUBLE))
+          * 1000.0 + 0.5) AS BIGINT) AS den_milli
+      FROM gs CROSS JOIN tot
+    )
+    SELECT tot.n AS n, tot.k AS k,
+           CAST(SUM(num_milli) AS BIGINT) AS num_milli,
+           CAST(SUM(den_milli) AS BIGINT) AS den_milli,
+           (CAST(tot.n AS DOUBLE) - CAST(tot.k AS DOUBLE))
+             / (CAST(tot.k AS DOUBLE) - 1.0)
+             * CAST(SUM(num_milli) AS DOUBLE)
+             / CAST(SUM(den_milli) AS DOUBLE) AS w
+    FROM terms CROSS JOIN tot GROUP BY tot.n, tot.k
+    """,
+)
+def q_levene_test(spark, sf_dir):
+    """BROWN-FORSYTHE (median-based Levene) variance-homogeneity test —
+    the precondition screen q_anova_f silently assumes (equal group
+    variances) made checkable: W = ((N-k)/(k-1)) * between-SS(z) /
+    within-SS(z) over z = |x - median_g|. Group medians are exact on
+    the DOUBLED cents lattice (med2 = x_(k1) + x_(k2), order stats by
+    cumulative counting over per-group value cells — bounded by the
+    32751-step cents range, never by rows); deviations 2|x| - med2 stay
+    exact BIGINTs, so n_g, sum z, sum z^2 are exact sufficient stats.
+    Between/within SS terms are quantized to the 1e-3 lattice per
+    GROUP (5 rows) before the exact sums — z_g^2 would overflow int64
+    raw at sf1, the double chain with milli quantization holds to
+    ~1e17 (headroom documented). Dataflow: one cells agg + broadcast
+    median join + one stats agg; the only windows run over per-group
+    value cells. At 100 TB the cents-cell agg bounds all state."""
+    x = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("g"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        )
+    )
+    x = track_persist(x)
+    cells = x.groupBy("g", "cents").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("g")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("g")
+    cum = cells.select(
+        "g",
+        "cents",
+        F.sum("c").over(wcum).cast("bigint").alias("cm"),
+        F.sum("c").over(wall).cast("bigint").alias("n_g"),
+    )
+    k1 = F.expr("(n_g + 1) div 2")
+    k2 = F.expr("(n_g + 2) div 2")
+    med = cum.groupBy("g").agg(
+        (
+            F.min(F.when(F.col("cm") >= k1, F.col("cents"))).cast("bigint")
+            + F.min(F.when(F.col("cm") >= k2, F.col("cents"))).cast(
+                "bigint"
+            )
+        ).alias("med2")
+    )
+    dev = x.join(F.broadcast(med), "g").select(
+        "g", F.abs(2 * F.col("cents") - F.col("med2")).alias("z")
+    )
+    gs = dev.groupBy("g").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("z").cast("bigint").alias("z_g"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("q_g"),
+    )
+    gs = track_persist(gs)
+    tot = gs.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("z_g").cast("bigint").alias("z"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    milli = lambda col: F.floor(col * 1000.0 + 0.5).cast(  # noqa: E731
+        "bigint"
+    )
+    zbar_diff = F.col("z_g").cast("double") / F.col("n_g").cast(
+        "double"
+    ) - F.col("z").cast("double") / F.col("n").cast("double")
+    terms = gs.crossJoin(F.broadcast(tot)).select(
+        "g",
+        milli(F.col("n_g").cast("double") * zbar_diff * zbar_diff).alias(
+            "num_milli"
+        ),
+        milli(
+            F.col("q_g").cast("double")
+            - F.col("z_g").cast("double")
+            * F.col("z_g").cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("den_milli"),
+    )
+    agg = terms.agg(
+        F.sum("num_milli").cast("bigint").alias("num_milli"),
+        F.sum("den_milli").cast("bigint").alias("den_milli"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "n",
+        "k",
+        "num_milli",
+        "den_milli",
+        (
+            (F.col("n").cast("double") - F.col("k").cast("double"))
+            / (F.col("k").cast("double") - 1.0)
+            * F.col("num_milli").cast("double")
+            / F.col("den_milli").cast("double")
+        ).alias("w"),
+    )

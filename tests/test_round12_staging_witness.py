@@ -582,3 +582,172 @@ def test_no_python_row_udfs_in_round12_staged_b4(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ------------------------------------------------ staging batch 5
+# (round-13 candidates: classical-statistics completions)
+
+
+def test_theil_index_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT o_orderpriority, CAST(round(o_totalprice*100) AS BIGINT)"
+        f" FROM '{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    by_g = collections.defaultdict(list)
+    for g, cents in rows:
+        by_g[g].append(cents)
+    n = sum(len(v) for v in by_g.values())
+    s = sum(sum(v) for v in by_g.values())
+    got = {
+        r.g: r for r in STAGED_QUERIES["q_theil_index"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(by_g)
+    t_total_nano = 0
+    t_between = 0.0
+    t_within_weighted = 0.0
+    for g, xs in by_g.items():
+        r = got[g]
+        n_g, s_g = len(xs), sum(xs)
+        assert (r.n_g, r.s_g) == (n_g, s_g)
+        win = sum(
+            math.floor((x * n_g / s_g) * math.log(x * n_g / s_g) * 1e9 + 0.5)
+            for x in xs
+        )
+        tot = sum(
+            math.floor((x * n / s) * math.log(x * n / s) * 1e9 + 0.5)
+            for x in xs
+        )
+        # each lattice term can differ by 1 ulp across libm's ln
+        assert abs(r.within_nano_sum - win) <= n_g
+        assert abs(r.total_nano_sum - tot) <= n_g
+        bet = math.floor(
+            (s_g / s) * math.log((s_g * n) / (s * n_g)) * 1e9 + 0.5
+        )
+        assert abs(r.between_nano - bet) <= 1
+        assert r.theil_g == pytest.approx(
+            r.within_nano_sum / (n_g * 1e9), rel=1e-12
+        )
+        t_total_nano += r.total_nano_sum
+        t_between += r.between_nano / 1e9
+        t_within_weighted += (s_g / s) * (r.within_nano_sum / (n_g * 1e9))
+    # the decomposition identity T = T_between + sum s_g T_g (additive
+    # decomposability -- the property that makes Theil the group-level
+    # inequality index) holds on the lattice
+    assert t_total_nano / (n * 1e9) == pytest.approx(
+        t_between + t_within_weighted, abs=1e-5
+    )
+
+
+def test_kruskal_wallis_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT l_returnflag, CAST(l_quantity AS BIGINT)"
+        f" FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    n = len(rows)
+    # midranks via value counting (independent of the SQL): rank of
+    # value v spans (before, before + t], midrank*2 = 2*before + t + 1
+    cnt = collections.Counter(v for _g, v in rows)
+    bef, start = {}, 0
+    for v in sorted(cnt):
+        bef[v] = start
+        start += cnt[v]
+    r2 = collections.defaultdict(int)
+    ng = collections.Counter()
+    for g, v in rows:
+        r2[g] += 2 * bef[v] + cnt[v] + 1
+        ng[g] += 1
+    assert sum(r2.values()) == n * (n + 1)  # doubled rank sum identity
+    tie_sum = sum(t**3 - t for t in cnt.values())
+    r = STAGED_QUERIES["q_kruskal_wallis"](spark, SF_DIR).collect()[0]
+    assert (r.n, r.tie_sum) == (n, tie_sum)
+    assert (r.n_a, r.n_n, r.n_r) == (ng["A"], ng["N"], ng["R"])
+    assert (r.r2_a, r.r2_n, r.r2_r) == (r2["A"], r2["N"], r2["R"])
+    h = (
+        sum(3.0 * r2[g] * r2[g] / (ng[g] * n * (n + 1)) for g in "ANR")
+        - 3.0 * (n + 1)
+    )
+    c = 1.0 - tie_sum / (float(n) ** 3 - n)
+    assert r.h_corrected == pytest.approx(h / c, rel=1e-9)
+    assert r.h_corrected >= 0.0
+
+
+def test_odds_ratio_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, user_id, CAST(round(value*100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    cells = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for t, uid, cents in rows:
+        exposed, out = uid % 2 == 0, cents > 5000
+        idx = (0 if out else 1) if exposed else (2 if out else 3)
+        cells[t][idx] += 1
+    got = {
+        r.t: r for r in STAGED_QUERIES["q_odds_ratio"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(cells)
+    for t, (a, b, c, d) in cells.items():
+        r = got[t]
+        assert (r.a, r.b, r.c, r.d) == (a, b, c, d)
+        hald = 1 if a * b * c * d == 0 else 0
+        assert r.haldane == hald
+        aa, bb, cc, dd = (2 * x + hald for x in (a, b, c, d))
+        assert r.or_hat == pytest.approx((aa * dd) / (bb * cc), rel=1e-15)
+        se = math.sqrt(2.0 / aa + 2.0 / bb + 2.0 / cc + 2.0 / dd)
+        assert r.se_log_or == pytest.approx(se, rel=1e-12)
+        lor = math.floor(math.log((aa * dd) / (bb * cc)) * 1e9 + 0.5)
+        assert abs(r.log_or_nano - lor) <= 1
+        width = math.floor(1.96 * se * 1e9 + 0.5)
+        assert abs((r.ci_hi_nano - r.ci_lo_nano) - 2 * width) <= 2
+        assert r.ci_lo_nano <= r.log_or_nano <= r.ci_hi_nano
+
+
+def test_levene_test_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, CAST(round(value*100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    by_g = collections.defaultdict(list)
+    for g, cents in rows:
+        by_g[g].append(cents)
+    zs = {}
+    for g, xs in by_g.items():
+        xs.sort()
+        m = len(xs)
+        med2 = xs[(m + 1) // 2 - 1] + xs[(m + 2) // 2 - 1]
+        zs[g] = [abs(2 * x - med2) for x in xs]
+    n = sum(len(v) for v in zs.values())
+    k = len(zs)
+    zbar = sum(sum(v) for v in zs.values()) / n
+    num = sum(
+        math.floor(len(v) * (sum(v) / len(v) - zbar) ** 2 * 1e3 + 0.5)
+        for v in zs.values()
+    )
+    den = sum(
+        math.floor(
+            (sum(z * z for z in v) - sum(v) * sum(v) / len(v)) * 1e3 + 0.5
+        )
+        for v in zs.values()
+    )
+    r = STAGED_QUERIES["q_levene_test"](spark, SF_DIR).collect()[0]
+    assert (r.n, r.k) == (n, k)
+    assert abs(r.num_milli - num) <= k
+    assert abs(r.den_milli - den) <= k
+    assert r.w == pytest.approx(
+        (n - k) / (k - 1) * r.num_milli / r.den_milli, rel=1e-12
+    )
+    assert r.w >= 0.0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_theil_index",
+        "q_kruskal_wallis",
+        "q_odds_ratio",
+        "q_levene_test",
+    ],
+)
+def test_no_python_row_udfs_in_round12_staged_b5(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
