@@ -2161,3 +2161,534 @@ def q_levene_test(spark, sf_dir):
             / F.col("den_milli").cast("double")
         ).alias("w"),
     )
+
+
+# =====================================================================
+# Round-13 staged batch 6 — actuarial / financial mechanisms: runoff
+# triangle projection, exact integer annuity fold, lattice IRR, and
+# the German-tank serial estimator.
+# =====================================================================
+
+# left-associative 12-fold product chain: both engines parse a*b*c
+# left-assoc and each IEEE multiply is correctly rounded, so the text
+# being identical makes the double bit-identical (no pow(), which is
+# 1-ulp non-portable like exp() — the q_pythagorean_means finding)
+_Q12 = "(" + " * ".join(["q"] * 12) + ")"
+
+
+@staged(
+    "q_chain_ladder",
+    oracle="""
+    WITH tri AS (
+      SELECT CAST(year(o_orderdate) - 1995 AS BIGINT) AS y,
+             CAST(o_orderkey % 4 AS BIGINT) AS d,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS inc
+      FROM orders
+      WHERE (year(o_orderdate) - 1995) + (o_orderkey % 4) <= 6
+      GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT y.y, d.d FROM range(0, 7) AS y(y), range(0, 4) AS d(d)
+      WHERE y.y + d.d <= 6
+    ),
+    cum AS (
+      SELECT grid.y, grid.d,
+             CAST(SUM(COALESCE(t2.inc, 0)) OVER (
+               PARTITION BY grid.y ORDER BY grid.d) AS BIGINT) AS c,
+             CAST(LEAST(3, 6 - grid.y) AS BIGINT) AS l_y
+      FROM grid LEFT JOIN tri t2 ON t2.y = grid.y AND t2.d = grid.d
+    ),
+    fac AS (
+      SELECT
+        CAST(SUM(CASE WHEN d = 1 AND l_y >= 1 THEN c END) AS BIGINT) AS nu0,
+        CAST(SUM(CASE WHEN d = 0 AND l_y >= 1 THEN c END) AS BIGINT) AS de0,
+        CAST(SUM(CASE WHEN d = 2 AND l_y >= 2 THEN c END) AS BIGINT) AS nu1,
+        CAST(SUM(CASE WHEN d = 1 AND l_y >= 2 THEN c END) AS BIGINT) AS de1,
+        CAST(SUM(CASE WHEN d = 3 AND l_y >= 3 THEN c END) AS BIGINT) AS nu2,
+        CAST(SUM(CASE WHEN d = 2 AND l_y >= 3 THEN c END) AS BIGINT) AS de2
+      FROM cum
+    ),
+    latest AS (
+      SELECT y, l_y, MAX(CASE WHEN d = l_y THEN c END) AS c_latest
+      FROM cum GROUP BY y, l_y
+    )
+    SELECT latest.y + 1995 AS origin_year, latest.l_y AS latest_dev,
+           CAST(latest.c_latest AS BIGINT) AS c_latest,
+           fac.nu0, fac.de0, fac.nu1, fac.de1, fac.nu2, fac.de2,
+           CASE latest.l_y
+             WHEN 3 THEN CAST(latest.c_latest AS DOUBLE)
+             WHEN 2 THEN CAST(latest.c_latest AS DOUBLE)
+               * (CAST(fac.nu2 AS DOUBLE) / CAST(fac.de2 AS DOUBLE))
+             WHEN 1 THEN CAST(latest.c_latest AS DOUBLE)
+               * (CAST(fac.nu1 AS DOUBLE) / CAST(fac.de1 AS DOUBLE))
+               * (CAST(fac.nu2 AS DOUBLE) / CAST(fac.de2 AS DOUBLE))
+             ELSE CAST(latest.c_latest AS DOUBLE)
+               * (CAST(fac.nu0 AS DOUBLE) / CAST(fac.de0 AS DOUBLE))
+               * (CAST(fac.nu1 AS DOUBLE) / CAST(fac.de1 AS DOUBLE))
+               * (CAST(fac.nu2 AS DOUBLE) / CAST(fac.de2 AS DOUBLE))
+           END AS ultimate
+    FROM latest CROSS JOIN fac ORDER BY origin_year
+    """,
+)
+def q_chain_ladder(spark, sf_dir):
+    """CHAIN-LADDER runoff-triangle projection — the actuarial
+    reserving mechanism (volume-weighted age-to-age development
+    factors, ultimates by factor roll-forward): origin year x
+    deterministic dev bucket (orderkey mod 4), censored to the runoff
+    triangle y + d <= 6 so late origins genuinely lack tail
+    development and the projection is real. Cumulative paid per cell
+    is exact BIGINT cents over a DENSE 25-cell literal grid (absent
+    cells coalesce to 0 — no missing-diagonal bugs); each factor
+    f_d = sum C_{*,d+1} / sum C_{*,d} over origins observed at BOTH
+    ages (the classical estimator) is ONE division of exact BIGINTs;
+    ultimates multiply <= 3 factors in a CASE with fixed
+    left-to-right order, so the double chain is engine-portable.
+    Windows run over <= 4 dev cells per origin. At 100 TB: raw
+    volume dies in the 25-cell triangle agg; factors and ultimates
+    are O(1) readouts."""
+    tri = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.year("o_orderdate") - 1995)
+            + (F.col("o_orderkey") % 4)
+            <= 6
+        )
+        .groupBy(
+            (F.year("o_orderdate") - 1995).cast("bigint").alias("y"),
+            (F.col("o_orderkey") % 4).cast("bigint").alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("inc")
+        )
+    )
+    grid = (
+        spark.range(7)
+        .select(F.col("id").cast("bigint").alias("y"))
+        .crossJoin(
+            spark.range(4).select(F.col("id").cast("bigint").alias("d"))
+        )
+        .filter(F.col("y") + F.col("d") <= 6)
+    )
+    wcum = (
+        Window.partitionBy("y")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(F.broadcast(tri), ["y", "d"], "left")
+        .select(
+            "y",
+            "d",
+            F.coalesce(F.col("inc"), F.lit(0)).alias("inc"),
+            F.least(F.lit(3), 6 - F.col("y")).cast("bigint").alias("l_y"),
+        )
+        .select(
+            "y",
+            "d",
+            "l_y",
+            F.sum("inc").over(wcum).cast("bigint").alias("c"),
+        )
+    )
+    cum = track_persist(cum)
+
+    def fpart(dn, dd, lmin):
+        return [
+            F.sum(
+                F.when((F.col("d") == dn) & (F.col("l_y") >= lmin), F.col("c"))
+            )
+            .cast("bigint")
+            .alias(f"nu{dd}"),
+            F.sum(
+                F.when((F.col("d") == dd) & (F.col("l_y") >= lmin), F.col("c"))
+            )
+            .cast("bigint")
+            .alias(f"de{dd}"),
+        ]
+
+    fac = cum.agg(*(fpart(1, 0, 1) + fpart(2, 1, 2) + fpart(3, 2, 3)))
+    latest = cum.groupBy("y", "l_y").agg(
+        F.max(F.when(F.col("d") == F.col("l_y"), F.col("c"))).alias(
+            "c_latest"
+        )
+    )
+
+    def f(i):
+        return F.col(f"nu{i}").cast("double") / F.col(f"de{i}").cast(
+            "double"
+        )
+
+    cl = F.col("c_latest").cast("double")
+    ult = (
+        F.when(F.col("l_y") == 3, cl)
+        .when(F.col("l_y") == 2, cl * f(2))
+        .when(F.col("l_y") == 1, cl * f(1) * f(2))
+        .otherwise(cl * f(0) * f(1) * f(2))
+    )
+    return (
+        latest.crossJoin(F.broadcast(fac))
+        .select(
+            (F.col("y") + 1995).alias("origin_year"),
+            F.col("l_y").alias("latest_dev"),
+            F.col("c_latest").cast("bigint").alias("c_latest"),
+            "nu0",
+            "de0",
+            "nu1",
+            "de1",
+            "nu2",
+            "de2",
+            ult.alias("ultimate"),
+        )
+        .orderBy("origin_year")
+    )
+
+
+@staged(
+    "q_amortization_schedule",
+    oracle=f"""
+    WITH RECURSIVE loans AS (
+      SELECT c_custkey AS id,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS p,
+             CAST(300 + 25 * (c_nationkey % 10) AS BIGINT) AS rbp
+      FROM customer WHERE c_acctbal > 0
+    ),
+    pay AS (
+      SELECT id, p, rbp,
+        CAST(floor(
+          CAST(p AS DOUBLE) * (CAST(rbp AS DOUBLE) / 120000.0) * {_Q12}
+          / ({_Q12} - 1.0) + 0.5) AS BIGINT) AS a
+      FROM (SELECT *, 1.0 + CAST(rbp AS DOUBLE) / 120000.0 AS q
+            FROM loans)
+    ),
+    sched AS (
+      SELECT id, rbp, a, 0 AS k, CAST(0 AS BIGINT) AS pay_c,
+             CAST(0 AS BIGINT) AS int_c, CAST(0 AS BIGINT) AS prin_c,
+             p AS bal
+      FROM pay
+      UNION ALL
+      SELECT id, rbp, a, k + 1,
+        CASE WHEN k + 1 = 12 THEN bal + (bal * rbp) // 120000
+             ELSE LEAST(a, bal + (bal * rbp) // 120000) END,
+        (bal * rbp) // 120000,
+        CASE WHEN k + 1 = 12 THEN bal
+             ELSE LEAST(a, bal + (bal * rbp) // 120000)
+               - (bal * rbp) // 120000 END,
+        CASE WHEN k + 1 = 12 THEN CAST(0 AS BIGINT)
+             ELSE bal - (LEAST(a, bal + (bal * rbp) // 120000)
+               - (bal * rbp) // 120000) END
+      FROM sched WHERE k < 12
+    )
+    SELECT id, k, pay_c, int_c, prin_c, bal
+    FROM sched WHERE k >= 1 ORDER BY id, k
+    """,
+)
+def q_amortization_schedule(spark, sf_dir):
+    """LOAN AMORTIZATION SCHEDULE as an EXACT INTEGER FOLD — the
+    ledger-family sequential recurrence (q_stream_ewma / q_ledger_replay
+    discipline) applied to annuities: balance_k = balance_{k-1} -
+    (payment - interest_k) with interest_k = (bal*rbp) div 120000
+    decided entirely on the cents x basis-point integer lattice (bal
+    <= 1e8 cents x rbp <= 525 = 5e10 — double-exact, so floor(x/120000)
+    == integer div for the nonneg operands; documented bound). The
+    fixed payment uses q^12 as a LEFT-ASSOCIATIVE 12-fold product
+    chain — identical text on both engines makes the double
+    bit-identical without pow() (1-ulp non-portable, the
+    q_pythagorean_means finding) — then ONE floor quantization to
+    cents. Month 12 pays off the remainder exactly (balance pinned to
+    0 by the witness). Spark runs the fold per loan inside ONE
+    F.aggregate over sequence(1,12) with an append-array accumulator
+    (the q_ema_crossover shape — no shuffle, no window, map-only);
+    the oracle replays the identical fold as a bounded RECURSIVE CTE.
+    At 100 TB: embarrassingly parallel per loan; 12 rows out per
+    loan."""
+    loans = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(
+            F.col("c_custkey").alias("id"),
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("p"),
+            (300 + 25 * (F.col("c_nationkey") % 10))
+            .cast("bigint")
+            .alias("rbp"),
+        )
+    )
+    q = 1.0 + F.col("rbp").cast("double") / 120000.0
+    q12 = q * q * q * q * q * q * q * q * q * q * q * q
+    pay = loans.select(
+        "id",
+        "p",
+        "rbp",
+        F.floor(
+            F.col("p").cast("double")
+            * (F.col("rbp").cast("double") / 120000.0)
+            * q12
+            / (q12 - 1.0)
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("a"),
+    )
+    row_t = (
+        "array<struct<k:int,pay_c:bigint,int_c:bigint,"
+        "prin_c:bigint,bal:bigint>>"
+    )
+
+    def step(acc, k):
+        bal = acc["bal"]
+        intc = F.floor(
+            (bal * F.col("rbp")).cast("double") / 120000.0
+        ).cast("bigint")
+        payc = F.when(k == 12, bal + intc).otherwise(
+            F.least(F.col("a"), bal + intc)
+        )
+        princ = (payc - intc).cast("bigint")
+        nbal = (bal - princ).cast("bigint")
+        row = F.struct(
+            k.cast("int").alias("k"),
+            payc.cast("bigint").alias("pay_c"),
+            intc.cast("bigint").alias("int_c"),
+            princ.alias("prin_c"),
+            nbal.alias("bal"),
+        )
+        return F.struct(
+            nbal.alias("bal"),
+            F.array_append(acc["rows"], row).alias("rows"),
+        )
+
+    folded = pay.select(
+        "id",
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(12)),
+            F.struct(
+                F.col("p").alias("bal"),
+                F.array().cast(row_t).alias("rows"),
+            ),
+            step,
+        )["rows"].alias("rows"),
+    )
+    r = F.col("r")
+    return (
+        folded.select("id", F.explode("rows").alias("r"))
+        .select(
+            "id",
+            r["k"].alias("k"),
+            r["pay_c"].alias("pay_c"),
+            r["int_c"].alias("int_c"),
+            r["prin_c"].alias("prin_c"),
+            r["bal"].alias("bal"),
+        )
+        .orderBy("id", "k")
+    )
+
+
+@staged(
+    "q_irr_lattice",
+    oracle="""
+    WITH cf AS (
+      SELECT o_orderpriority AS g,
+        CAST(-((9 * SUM(CASE WHEN year(o_orderdate) = 1995
+          THEN CAST(round(o_totalprice * 100) AS BIGINT) END)) // 5)
+          AS BIGINT) AS cf0,
+        CAST(SUM(CASE WHEN year(o_orderdate) = 1996
+          THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+          AS cf1,
+        CAST(SUM(CASE WHEN year(o_orderdate) = 1997
+          THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+          AS cf2,
+        CAST(SUM(CASE WHEN year(o_orderdate) = 1998
+          THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS BIGINT)
+          AS cf3
+      FROM orders WHERE year(o_orderdate) <= 1998
+      GROUP BY o_orderpriority
+    ),
+    grid AS (SELECT CAST(m AS BIGINT) AS m FROM range(0, 4097) AS t(m)),
+    npv AS (
+      SELECT cf.g, grid.m,
+        CAST(cf.cf0 AS HUGEINT) * CAST((1024 + grid.m) AS HUGEINT)
+          * CAST((1024 + grid.m) AS HUGEINT)
+          * CAST((1024 + grid.m) AS HUGEINT)
+        + CAST(cf.cf1 AS HUGEINT) * CAST((1024 + grid.m) AS HUGEINT)
+          * CAST((1024 + grid.m) AS HUGEINT) * CAST(1024 AS HUGEINT)
+        + CAST(cf.cf2 AS HUGEINT) * CAST((1024 + grid.m) AS HUGEINT)
+          * CAST(1024 AS HUGEINT) * CAST(1024 AS HUGEINT)
+        + CAST(cf.cf3 AS HUGEINT) * CAST(1024 AS HUGEINT)
+          * CAST(1024 AS HUGEINT) * CAST(1024 AS HUGEINT) AS p
+      FROM cf CROSS JOIN grid
+    ),
+    star AS (
+      SELECT g, CAST(MAX(CASE WHEN p > 0 THEN m END) AS BIGINT) AS m_star
+      FROM npv GROUP BY g
+    )
+    SELECT star.g AS g, cf.cf0, cf.cf1, cf.cf2, cf.cf3, star.m_star,
+           CAST(star.m_star AS DOUBLE) / 1024.0 AS irr_lo,
+           CAST(a.p AS DECIMAL(38, 0)) AS p_at,
+           CAST(b.p AS DECIMAL(38, 0)) AS p_next
+    FROM star
+    JOIN cf ON cf.g = star.g
+    LEFT JOIN npv a ON a.g = star.g AND a.m = star.m_star
+    LEFT JOIN npv b ON b.g = star.g AND b.m = star.m_star + 1
+    ORDER BY g
+    """,
+)
+def q_irr_lattice(spark, sf_dir):
+    """EXACT-LATTICE IRR — internal rate of return located WITHOUT a
+    single float sign decision: cash flows per priority (year-0
+    outlay = -(9*s div 5), i.e. 1.8x the 1995 cents integer-exactly —
+    a 2x outlay left 1-URGENT never breaking even at sf0.001 —
+    inflows 1996-98) make NPV(r) a cubic in
+    d = 1+r; on the rate lattice r = m/1024 the sign of NPV equals
+    the sign of the EXACT integer polynomial P(m) = cf0*(1024+m)^3 +
+    cf1*(1024+m)^2*1024 + cf2*(1024+m)*1024^2 + cf3*1024^3 (<= ~1e21
+    at sf0.1 — HUGEINT on the oracle, DECIMAL(38,0) on Spark, the
+    q_knee_detection precedent). NPV is strictly decreasing in r
+    (cf0 < 0, inflows after — monotonicity witness-pinned), so the
+    IRR bracket is the argmax m with P(m) > 0 over the 4097-point
+    broadcast grid — ONE bounded fan-out + one argmax agg instead of
+    serial bisection (the grid version of q_quantile_bisect's
+    rank-by-counting: at 100 TB the cells are 5 groups x 4097 —
+    O(1) vs data). Emitted p_at/p_next are the exact bracketing sign
+    proof; irr_lo = m_star/1024 is one division."""
+    o = _t(spark, sf_dir, "orders").filter(F.year("o_orderdate") <= 1998)
+
+    def cfy(yr, i):
+        s = F.sum(
+            F.when(
+                F.year("o_orderdate") == yr,
+                F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+            )
+        )
+        if i == 0:
+            # 1.8x outlay, integer-exact: -((9*s) div 5); the x2 form
+            # left 1-URGENT at sf0.001 never breaking even (NPV(0)<0)
+            return (-F.expr("CAST((9 * {0}) div 5 AS BIGINT)".format(
+                "SUM(CASE WHEN year(o_orderdate) = 1995 THEN "
+                "CAST(round(o_totalprice * 100) AS BIGINT) END)"
+            ))).cast("bigint").alias("cf0")
+        return s.cast("bigint").alias(f"cf{i}")
+
+    cf = o.groupBy(F.col("o_orderpriority").alias("g")).agg(
+        cfy(1995, 0), cfy(1996, 1), cfy(1997, 2), cfy(1998, 3)
+    )
+    grid = spark.range(4097).select(F.col("id").cast("bigint").alias("m"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    nd = dec(1024 + F.col("m"))
+    s1024 = dec(F.lit(1024))
+    p = (
+        dec(F.col("cf0")) * nd * nd * nd
+        + dec(F.col("cf1")) * nd * nd * s1024
+        + dec(F.col("cf2")) * nd * s1024 * s1024
+        + dec(F.col("cf3")) * s1024 * s1024 * s1024
+    )
+    npv = cf.crossJoin(F.broadcast(grid)).select(
+        "g", "m", "cf0", "cf1", "cf2", "cf3", p.alias("p")
+    )
+    npv = track_persist(npv)
+    star = npv.groupBy("g").agg(
+        F.max(F.when(F.col("p") > 0, F.col("m")))
+        .cast("bigint")
+        .alias("m_star")
+    )
+    a = npv.select(
+        F.col("g").alias("ga"),
+        F.col("m").alias("ma"),
+        F.col("p").alias("p_at"),
+    )
+    b = npv.select(
+        F.col("g").alias("gb"),
+        F.col("m").alias("mb"),
+        F.col("p").alias("p_next"),
+    )
+    return (
+        star.join(F.broadcast(cf), "g")
+        .join(
+            F.broadcast(a),
+            (F.col("ga") == F.col("g"))
+            & (F.col("ma") == F.col("m_star")),
+            "left",
+        )
+        .join(
+            F.broadcast(b),
+            (F.col("gb") == F.col("g"))
+            & (F.col("mb") == F.col("m_star") + 1),
+            "left",
+        )
+        .select(
+            "g",
+            "cf0",
+            "cf1",
+            "cf2",
+            "cf3",
+            "m_star",
+            (F.col("m_star").cast("double") / 1024.0).alias("irr_lo"),
+            "p_at",
+            "p_next",
+        )
+        .orderBy("g")
+    )
+
+
+@staged(
+    "q_german_tank",
+    oracle="""
+    WITH gs AS (
+      SELECT o_orderpriority AS g,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(MAX(o_orderkey) AS BIGINT) AS m,
+             CAST(SUM(o_orderkey) AS BIGINT) AS s
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT g, k, m, s,
+           CAST(m * (k + 1) - k AS BIGINT) AS mvue_num,
+           CAST(m * (k + 1) - k AS DOUBLE) / CAST(k AS DOUBLE) AS mvue,
+           CAST(2 * s - k AS DOUBLE) / CAST(k AS DOUBLE) AS moment,
+           CAST(floor((ln(CAST(m AS DOUBLE))
+             - ln(0.05) / CAST(k AS DOUBLE)) * 1000000000.0 + 0.5)
+             AS BIGINT) AS ln_upper_nano
+    FROM gs ORDER BY g
+    """,
+)
+def q_german_tank(spark, sf_dir):
+    """GERMAN-TANK population estimator per stratum — the
+    serial-number capture estimate (the frequentist cousin of
+    q_capture_recapture): each priority class samples the global
+    orderkey space, and N-hat is recovered three ways — MVUE
+    m + m/k - 1 (emitted as the EXACT integer numerator m(k+1) - k
+    plus one division), the moment estimator 2*mean - 1 = (2s - k)/k
+    (same exact-numerator discipline), and the (1-alpha) upper
+    confidence bound m * alpha^(-1/k) carried in LOG form on the 1e-9
+    lattice (ln m - ln(0.05)/k — no pow()/exp(), the
+    q_pythagorean_means finding). All sufficient stats (k, max, sum)
+    are one map-side-combined agg — the textbook mergeable-statistic
+    shape; at 100 TB nothing but the 5 group rows survives the
+    scan."""
+    gs = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("g"))
+        .agg(
+            F.count("*").cast("bigint").alias("k"),
+            F.max("o_orderkey").cast("bigint").alias("m"),
+            F.sum("o_orderkey").cast("bigint").alias("s"),
+        )
+    )
+    nano = lambda col: F.floor(col * 1000000000.0 + 0.5).cast(  # noqa: E731
+        "bigint"
+    )
+    kd = F.col("k").cast("double")
+    return gs.select(
+        "g",
+        "k",
+        "m",
+        "s",
+        (F.col("m") * (F.col("k") + 1) - F.col("k"))
+        .cast("bigint")
+        .alias("mvue_num"),
+        (
+            (F.col("m") * (F.col("k") + 1) - F.col("k")).cast("double") / kd
+        ).alias("mvue"),
+        ((2 * F.col("s") - F.col("k")).cast("double") / kd).alias("moment"),
+        nano(
+            F.log(F.col("m").cast("double")) - F.log(F.lit(0.05)) / kd
+        ).alias("ln_upper_nano"),
+    ).orderBy("g")

@@ -751,3 +751,163 @@ def test_no_python_row_udfs_in_round12_staged_b5(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ------------------------------------------------ staging batch 6
+# (round-13 candidates: actuarial / financial mechanisms)
+
+
+def test_chain_ladder_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT year(o_orderdate) - 1995, o_orderkey % 4,"
+        f" CAST(round(o_totalprice*100) AS BIGINT)"
+        f" FROM '{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    inc = collections.defaultdict(int)
+    for y, d, cents in rows:
+        if y + d <= 6:
+            inc[(y, d)] += cents
+    cum = {}
+    for y in range(7):
+        run = 0
+        for d in range(min(3, 6 - y) + 1):
+            run += inc.get((y, d), 0)
+            cum[(y, d)] = run
+    nu, de = {}, {}
+    for d in range(3):
+        ys = [y for y in range(7) if min(3, 6 - y) >= d + 1]
+        nu[d] = sum(cum[(y, d + 1)] for y in ys)
+        de[d] = sum(cum[(y, d)] for y in ys)
+    got = {
+        r.origin_year: r
+        for r in STAGED_QUERIES["q_chain_ladder"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(range(1995, 2002))
+    for y in range(7):
+        r = got[1995 + y]
+        ly = min(3, 6 - y)
+        assert (r.latest_dev, r.c_latest) == (ly, cum[(y, ly)])
+        assert (r.nu0, r.de0, r.nu1, r.de1, r.nu2, r.de2) == (
+            nu[0], de[0], nu[1], de[1], nu[2], de[2],
+        )
+        ult = float(cum[(y, ly)])
+        for d in range(ly, 3):
+            ult = ult * (nu[d] / de[d])
+        assert r.ultimate == pytest.approx(ult, rel=1e-12)
+        # fully-developed origins project to themselves; censored
+        # origins develop upward (factors > 1 on a cumulative triangle)
+        if ly == 3:
+            assert r.ultimate == float(r.c_latest)
+        else:
+            assert r.ultimate >= float(r.c_latest)
+
+
+def test_amortization_schedule_witness(spark, duck):
+    loans = duck.sql(
+        f"SELECT c_custkey, CAST(round(c_acctbal*100) AS BIGINT),"
+        f" 300 + 25 * (c_nationkey % 10)"
+        f" FROM '{SF_DIR}/customer.parquet' WHERE c_acctbal > 0"
+    ).fetchall()
+    got = collections.defaultdict(dict)
+    for r in STAGED_QUERIES["q_amortization_schedule"](
+        spark, SF_DIR
+    ).collect():
+        got[r.id][r.k] = (r.pay_c, r.int_c, r.prin_c, r.bal)
+    assert set(got) == {cid for cid, _p, _r in loans}
+    for cid, p, rbp in loans:
+        i = rbp / 120000.0
+        q = 1.0 + i
+        q12 = q * q * q * q * q * q * q * q * q * q * q * q
+        a = math.floor(p * i * q12 / (q12 - 1.0) + 0.5)
+        bal = p
+        for k in range(1, 13):
+            intc = (bal * rbp) // 120000
+            payc = bal + intc if k == 12 else min(a, bal + intc)
+            prin = payc - intc
+            bal -= prin
+            assert got[cid][k] == (payc, intc, prin, bal), (cid, k)
+        assert bal == 0  # month 12 pays off exactly
+        # total principal repaid equals the loan
+        assert sum(v[2] for v in got[cid].values()) == p
+
+
+def test_irr_lattice_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT o_orderpriority, year(o_orderdate),"
+        f" CAST(round(o_totalprice*100) AS BIGINT)"
+        f" FROM '{SF_DIR}/orders.parquet'"
+        f" WHERE year(o_orderdate) <= 1998"
+    ).fetchall()
+    s0 = collections.defaultdict(int)
+    cf = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for g, y, cents in rows:
+        if y == 1995:
+            s0[g] += cents
+        else:
+            cf[g][y - 1995] += cents
+    for g in s0:
+        cf[g][0] = -((9 * s0[g]) // 5)
+
+    def poly(c, m):  # exact arbitrary-precision integer sign oracle
+        nd, s = 1024 + m, 1024
+        return (
+            c[0] * nd**3 + c[1] * nd**2 * s + c[2] * nd * s**2 + c[3] * s**3
+        )
+
+    got = {
+        r.g: r for r in STAGED_QUERIES["q_irr_lattice"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(cf)
+    for g, c in cf.items():
+        r = got[g]
+        assert (r.cf0, r.cf1, r.cf2, r.cf3) == tuple(c)
+        m_star = max(m for m in range(4097) if poly(c, m) > 0)
+        assert r.m_star == m_star
+        assert 0 < m_star < 4096  # root strictly inside the lattice
+        assert int(r.p_at) == poly(c, m_star) and int(r.p_at) > 0
+        assert int(r.p_next) == poly(c, m_star + 1) and int(r.p_next) <= 0
+        assert r.irr_lo == pytest.approx(m_star / 1024.0, rel=1e-15)
+        # NPV strictly decreasing on the lattice (the bracketing proof)
+        vals = [poly(c, m) for m in range(0, 4097, 512)]
+        assert all(x > y for x, y in zip(vals, vals[1:]))
+
+
+def test_german_tank_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT o_orderpriority, o_orderkey"
+        f" FROM '{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    by_g = collections.defaultdict(list)
+    for g, key in rows:
+        by_g[g].append(key)
+    got = {
+        r.g: r for r in STAGED_QUERIES["q_german_tank"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(by_g)
+    for g, ks in by_g.items():
+        r = got[g]
+        k, m, s = len(ks), max(ks), sum(ks)
+        assert (r.k, r.m, r.s) == (k, m, s)
+        assert r.mvue_num == m * (k + 1) - k
+        assert r.mvue == pytest.approx((m * (k + 1) - k) / k, rel=1e-15)
+        assert r.moment == pytest.approx((2 * s - k) / k, rel=1e-15)
+        ln_up = math.floor(
+            (math.log(m) - math.log(0.05) / k) * 1e9 + 0.5
+        )
+        assert abs(r.ln_upper_nano - ln_up) <= 1
+        assert r.mvue >= m  # the estimator always sits above the max
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_chain_ladder",
+        "q_amortization_schedule",
+        "q_irr_lattice",
+        "q_german_tank",
+    ],
+)
+def test_no_python_row_udfs_in_round12_staged_b6(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
