@@ -2692,3 +2692,495 @@ def q_german_tank(spark, sf_dir):
             F.log(F.col("m").cast("double")) - F.log(F.lit(0.05)) / kd
         ).alias("ln_upper_nano"),
     ).orderBy("g")
+
+
+# =====================================================================
+# Round-13 staged batch 7 — survey weighting, stylometry, districting
+# and fairness audits.
+# =====================================================================
+
+from ..operators import dedup as dd  # noqa: E402
+
+# same single-space tokenizer the catalog's document family uses
+# (operators/dedup.py TOKENS_EXPR <-> catalog.py _DUCK_TOKENS)
+_DUCK_TOKENS_STAGING = (
+    "list_filter(string_split(lower(text), ' '), t -> t != '')"
+)
+
+@staged(
+    "q_ipf_raking",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS t, CAST(user_id % 4 AS BIGINT) AS b,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, user_id % 4
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM cells),
+    w0 AS (SELECT t, b, n, CAST(1000000000 AS BIGINT) AS w FROM cells),
+    w1 AS (
+      SELECT c.t, c.b, c.n,
+        CAST(floor(CAST(c.w AS DOUBLE) * CAST(tot.n_tot AS DOUBLE)
+          * 1000000000.0 / (5.0 * CAST(rm.s AS DOUBLE)) + 0.5)
+          AS BIGINT) AS w
+      FROM w0 c
+      JOIN (SELECT t, CAST(SUM(n * w) AS BIGINT) AS s FROM w0
+            GROUP BY t) rm ON rm.t = c.t
+      CROSS JOIN tot
+    ),
+    w2 AS (
+      SELECT c.t, c.b, c.n,
+        CAST(floor(CAST(c.w AS DOUBLE) * CAST(tot.n_tot AS DOUBLE)
+          * 1000000000.0 / (4.0 * CAST(cm.s AS DOUBLE)) + 0.5)
+          AS BIGINT) AS w
+      FROM w1 c
+      JOIN (SELECT b, CAST(SUM(n * w) AS BIGINT) AS s FROM w1
+            GROUP BY b) cm ON cm.b = c.b
+      CROSS JOIN tot
+    ),
+    w3 AS (
+      SELECT c.t, c.b, c.n,
+        CAST(floor(CAST(c.w AS DOUBLE) * CAST(tot.n_tot AS DOUBLE)
+          * 1000000000.0 / (5.0 * CAST(rm.s AS DOUBLE)) + 0.5)
+          AS BIGINT) AS w
+      FROM w2 c
+      JOIN (SELECT t, CAST(SUM(n * w) AS BIGINT) AS s FROM w2
+            GROUP BY t) rm ON rm.t = c.t
+      CROSS JOIN tot
+    ),
+    w4 AS (
+      SELECT c.t, c.b, c.n,
+        CAST(floor(CAST(c.w AS DOUBLE) * CAST(tot.n_tot AS DOUBLE)
+          * 1000000000.0 / (4.0 * CAST(cm.s AS DOUBLE)) + 0.5)
+          AS BIGINT) AS w
+      FROM w3 c
+      JOIN (SELECT b, CAST(SUM(n * w) AS BIGINT) AS s FROM w3
+            GROUP BY b) cm ON cm.b = c.b
+      CROSS JOIN tot
+    ),
+    w5 AS (
+      SELECT c.t, c.b, c.n,
+        CAST(floor(CAST(c.w AS DOUBLE) * CAST(tot.n_tot AS DOUBLE)
+          * 1000000000.0 / (5.0 * CAST(rm.s AS DOUBLE)) + 0.5)
+          AS BIGINT) AS w
+      FROM w4 c
+      JOIN (SELECT t, CAST(SUM(n * w) AS BIGINT) AS s FROM w4
+            GROUP BY t) rm ON rm.t = c.t
+      CROSS JOIN tot
+    ),
+    w6 AS (
+      SELECT c.t, c.b, c.n,
+        CAST(floor(CAST(c.w AS DOUBLE) * CAST(tot.n_tot AS DOUBLE)
+          * 1000000000.0 / (4.0 * CAST(cm.s AS DOUBLE)) + 0.5)
+          AS BIGINT) AS w
+      FROM w5 c
+      JOIN (SELECT b, CAST(SUM(n * w) AS BIGINT) AS s FROM w5
+            GROUP BY b) cm ON cm.b = c.b
+      CROSS JOIN tot
+    )
+    SELECT t, b, n, w AS w_nano,
+           CAST(n * w AS DOUBLE) / 1000000000.0 AS fitted
+    FROM w6 ORDER BY t, b
+    """,
+)
+def q_ipf_raking(spark, sf_dir):
+    """ITERATIVE PROPORTIONAL FITTING (survey raking) — the
+    matrix-scaling mechanism behind post-stratification weighting and
+    doubly-constrained gravity models: 3 full sweeps alternately scale
+    the (event_type x user-bucket) weight table so row sums match the
+    uniform 1/5 target and column sums the uniform 1/4 target. The
+    CLASSIC algorithm is a float fixpoint; here every weight lives on
+    the 1e-9 nano lattice as a BIGINT and each margin sum S = sum n*w
+    is EXACT integer arithmetic, so the adjustment ratio is one
+    identical double chain (w * n_tot * 1e9 / (k * S), floor +0.5) and
+    the whole iteration is bit-deterministic across engines and
+    partitionings — lattice IPF. Spark: 6 unrolled margin-agg +
+    broadcast-join steps over the 20-cell relation; the oracle unrolls
+    the identical 6 CTEs. At 100 TB: raw volume dies in the first
+    cell agg; every sweep is O(cells)."""
+    cells = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            (F.col("user_id") % 4).cast("bigint").alias("b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = cells.agg(F.sum("n").cast("bigint").alias("n_tot"))
+    w = cells.select(
+        "t", "b", "n", F.lit(1000000000).cast("bigint").alias("w")
+    ).crossJoin(F.broadcast(tot))
+    for step in range(6):
+        key, k = (("t", 5.0) if step % 2 == 0 else ("b", 4.0))
+        marg = w.groupBy(key).agg(
+            F.sum(F.col("n") * F.col("w")).cast("bigint").alias("s")
+        )
+        w = (
+            w.join(F.broadcast(marg), key)
+            .select(
+                "t",
+                "b",
+                "n",
+                F.floor(
+                    F.col("w").cast("double")
+                    * F.col("n_tot").cast("double")
+                    * 1000000000.0
+                    / (F.lit(k) * F.col("s").cast("double"))
+                    + 0.5
+                )
+                .cast("bigint")
+                .alias("w"),
+                "n_tot",
+            )
+        )
+    return w.select(
+        "t",
+        "b",
+        "n",
+        F.col("w").alias("w_nano"),
+        (
+            (F.col("n") * F.col("w")).cast("double") / 1000000000.0
+        ).alias("fitted"),
+    ).orderBy("t", "b")
+
+
+@staged(
+    "q_burrows_delta",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, unnest({_DUCK_TOKENS_STAGING}) AS tk
+      FROM documents
+    ),
+    topw AS (
+      SELECT tk FROM (
+        SELECT tk, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tk
+        ORDER BY c DESC, tk LIMIT 15
+      )
+    ),
+    stot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS total
+      FROM toks GROUP BY source
+    ),
+    cnt AS (
+      SELECT toks.source, toks.tk, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks JOIN topw ON topw.tk = toks.tk
+      GROUP BY toks.source, toks.tk
+    ),
+    grid AS (
+      SELECT stot.source, topw.tk, stot.total,
+             CAST(COALESCE(cnt.c, 0) AS BIGINT) AS c
+      FROM stot CROSS JOIN topw
+      LEFT JOIN cnt ON cnt.source = stot.source AND cnt.tk = topw.tk
+    ),
+    f AS (
+      SELECT source, tk, CAST((c * 1000000000) // total AS BIGINT)
+        AS f_nano
+      FROM grid
+    ),
+    wstats AS (
+      SELECT tk, CAST(COUNT(*) AS BIGINT) AS s,
+             CAST(SUM(f_nano) AS BIGINT) AS f1,
+             CAST(SUM(f_nano * f_nano) AS BIGINT) AS f2
+      FROM f GROUP BY tk
+    ),
+    z AS (
+      SELECT f.source, f.tk,
+        CASE WHEN wstats.s * wstats.f2 - wstats.f1 * wstats.f1 = 0
+          THEN CAST(0 AS BIGINT)
+          ELSE CAST(floor(
+            CAST(wstats.s * f.f_nano - wstats.f1 AS DOUBLE)
+            / sqrt(CAST(wstats.s * wstats.f2
+                        - wstats.f1 * wstats.f1 AS DOUBLE))
+            * 1000000.0 + 0.5) AS BIGINT) END AS z_micro
+      FROM f JOIN wstats ON wstats.tk = f.tk
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(ABS(a.z_micro - b.z_micro)) AS BIGINT)
+             AS sum_absz_micro,
+           CAST(SUM(ABS(a.z_micro - b.z_micro)) AS DOUBLE)
+             / 15000000.0 AS delta
+    FROM z a JOIN z b ON a.tk = b.tk AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def q_burrows_delta(spark, sf_dir):
+    """BURROWS' DELTA authorship/stylometry distance between sources —
+    the forensic-linguistics screen (z-scored relative frequencies of
+    the top-15 function words, mean absolute z difference per source
+    pair): relative frequencies are EXACT integer-division nanos
+    (c*1e9 div total); per-word cross-source moments F1 = sum f,
+    F2 = sum f^2 are exact BIGINTs so z = (S*f - F1)/sqrt(S*F2 - F1^2)
+    is one identical chain (the constant-word degenerate case is
+    decided by the EXACT integer discriminant = 0, not a NaN); z is
+    re-latticed at 1e-6 so the pairwise |z_a - z_b| sums are exact
+    integer arithmetic and delta is ONE division. Dense 20x15
+    source-word grid (absent counts coalesce to 0 — a missing cell IS
+    a style signal). At 100 TB: token volume dies in the (source,
+    word) agg; the pair join runs on 300 bounded z rows."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(dd.tokens_col("text")).alias("tk")
+    )
+    toks = track_persist(toks)
+    topw = (
+        toks.groupBy("tk")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "tk")
+        .limit(15)
+        .select("tk")
+    )
+    stot = toks.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("total")
+    )
+    cnt = (
+        toks.join(F.broadcast(topw), "tk")
+        .groupBy("source", "tk")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    grid = (
+        stot.crossJoin(F.broadcast(topw))
+        .join(F.broadcast(cnt), ["source", "tk"], "left")
+        .select(
+            "source",
+            "tk",
+            F.expr("CAST((COALESCE(c, 0) * 1000000000) div total AS BIGINT)")
+            .alias("f_nano"),
+        )
+    )
+    wstats = grid.groupBy("tk").agg(
+        F.count("*").cast("bigint").alias("s"),
+        F.sum("f_nano").cast("bigint").alias("f1"),
+        F.sum(F.col("f_nano") * F.col("f_nano"))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    disc = F.col("s") * F.col("f2") - F.col("f1") * F.col("f1")
+    z = (
+        grid.join(F.broadcast(wstats), "tk")
+        .select(
+            "source",
+            "tk",
+            F.when(disc == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.floor(
+                    (F.col("s") * F.col("f_nano") - F.col("f1")).cast(
+                        "double"
+                    )
+                    / F.sqrt(disc.cast("double"))
+                    * 1000000.0
+                    + 0.5
+                ).cast("bigint")
+            )
+            .alias("z_micro"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("source_a"),
+        "tk",
+        F.col("z_micro").alias("za"),
+    )
+    b = z.select(
+        F.col("source").alias("source_b"),
+        "tk",
+        F.col("z_micro").alias("zb"),
+    )
+    return (
+        a.join(
+            F.broadcast(b),
+            (a["tk"] == b["tk"]) & (F.col("source_a") < F.col("source_b")),
+        )
+        .drop(b["tk"])
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.abs(F.col("za") - F.col("zb")))
+            .cast("bigint")
+            .alias("sum_absz_micro")
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "sum_absz_micro",
+            (F.col("sum_absz_micro").cast("double") / 15000000.0).alias(
+                "delta"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+@staged(
+    "q_efficiency_gap",
+    oracle="""
+    WITH votes AS (
+      SELECT CAST(o_custkey % 15 AS BIGINT) AS d,
+        CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END)
+          AS BIGINT) AS va,
+        CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+          AS BIGINT) AS vb
+      FROM orders GROUP BY o_custkey % 15
+    ),
+    wasted AS (
+      SELECT d, va, vb,
+        CASE WHEN va > vb THEN 'A' WHEN vb > va THEN 'B'
+          ELSE 'TIE' END AS winner,
+        CASE WHEN va > vb THEN va - ((va + vb) // 2 + 1)
+          ELSE va END AS wasted_a,
+        CASE WHEN vb > va THEN vb - ((va + vb) // 2 + 1)
+          ELSE vb END AS wasted_b
+      FROM votes
+    ),
+    tot AS (
+      SELECT CAST(SUM(wasted_a) AS BIGINT) AS wa,
+             CAST(SUM(wasted_b) AS BIGINT) AS wb,
+             CAST(SUM(va + vb) AS BIGINT) AS v
+      FROM wasted
+    )
+    SELECT wasted.d, wasted.va, wasted.vb, wasted.winner,
+           CAST(wasted.wasted_a AS BIGINT) AS wasted_a,
+           CAST(wasted.wasted_b AS BIGINT) AS wasted_b,
+           (CAST(tot.wa AS DOUBLE) - CAST(tot.wb AS DOUBLE))
+             / CAST(tot.v AS DOUBLE) AS efficiency_gap
+    FROM wasted CROSS JOIN tot ORDER BY wasted.d
+    """,
+)
+def q_efficiency_gap(spark, sf_dir):
+    """EFFICIENCY GAP districting audit — the wasted-votes asymmetry
+    measure from the gerrymandering literature (Stephanopoulos-McGhee):
+    districts = custkey mod 15, party by orderkey parity (a
+    deterministic near-50/50 electorate, so winners genuinely vary by
+    district); a winner's wasted votes are the surplus above the
+    majority threshold floor(total/2)+1, a loser's are ALL its votes;
+    EG = (sum wasted_A - sum wasted_B) / total votes. Every count,
+    threshold and surplus is decided in exact BIGINT arithmetic
+    (integer-div threshold identical on both engines); the single
+    emitted double is one subtraction + division over the 1-row
+    broadcast totals. At 100 TB: one conditional agg on the district
+    key, then O(districts) readout."""
+    votes = (
+        _t(spark, sf_dir, "orders")
+        .groupBy((F.col("o_custkey") % 15).cast("bigint").alias("d"))
+        .agg(
+            F.sum(F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("va"),
+            F.sum(F.when(F.col("o_orderkey") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("vb"),
+        )
+    )
+    thresh = F.expr("(va + vb) div 2 + 1")
+    wasted = votes.select(
+        "d",
+        "va",
+        "vb",
+        F.when(F.col("va") > F.col("vb"), "A")
+        .when(F.col("vb") > F.col("va"), "B")
+        .otherwise("TIE")
+        .alias("winner"),
+        F.when(F.col("va") > F.col("vb"), F.col("va") - thresh)
+        .otherwise(F.col("va"))
+        .cast("bigint")
+        .alias("wasted_a"),
+        F.when(F.col("vb") > F.col("va"), F.col("vb") - thresh)
+        .otherwise(F.col("vb"))
+        .cast("bigint")
+        .alias("wasted_b"),
+    )
+    wasted = track_persist(wasted)
+    tot = wasted.agg(
+        F.sum("wasted_a").cast("bigint").alias("wa"),
+        F.sum("wasted_b").cast("bigint").alias("wb"),
+        F.sum(F.col("va") + F.col("vb")).cast("bigint").alias("v"),
+    )
+    return (
+        wasted.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "va",
+            "vb",
+            "winner",
+            "wasted_a",
+            "wasted_b",
+            (
+                (F.col("wa").cast("double") - F.col("wb").cast("double"))
+                / F.col("v").cast("double")
+            ).alias("efficiency_gap"),
+        )
+        .orderBy("d")
+    )
+
+
+@staged(
+    "q_jain_fairness",
+    oracle="""
+    WITH peruser AS (
+      SELECT event_type AS t, user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY event_type, user_id
+    ),
+    gs AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS sum_cents,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+               AS DECIMAL(38, 0)) AS sumsq,
+             CAST(MAX(x) AS BIGINT) AS max_cents,
+             CAST(MIN(x) AS BIGINT) AS min_cents
+      FROM peruser GROUP BY t
+    )
+    SELECT t, n_users, sum_cents, sumsq, max_cents, min_cents,
+           (CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE))
+             / (CAST(n_users AS DOUBLE) * CAST(sumsq AS DOUBLE))
+             AS jain,
+           (CAST(10 AS HUGEINT) * CAST(sum_cents AS HUGEINT)
+              * CAST(sum_cents AS HUGEINT)
+            > CAST(9 AS HUGEINT) * CAST(n_users AS HUGEINT)
+              * CAST(sumsq AS HUGEINT)) AS fair
+    FROM gs ORDER BY t
+    """,
+)
+def q_jain_fairness(spark, sf_dir):
+    """JAIN'S FAIRNESS INDEX per event type over per-user spend —
+    the resource-allocation equity gauge networking and scheduler
+    audits use (J = (sum x)^2 / (n * sum x^2), 1 = perfectly fair,
+    1/n = one user holds everything): per-user cents are exact; the
+    squared sum crosses int64 at sf1 so sum x^2 accumulates in
+    HUGEINT/DECIMAL(38,0) (the q_knee_detection precedent); J is one
+    identical double chain over the exact group stats, and the J > 0.9
+    verdict is decided EXACTLY as the integer inequality
+    10*(sum x)^2 > 9*n*sumsq in 128-bit — a float never classifies.
+    At 100 TB: two hash aggs (user-keyed, then type-keyed), both
+    map-side combinable."""
+    peruser = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("t"), "user_id")
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    gs = peruser.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("x").cast("bigint").alias("sum_cents"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sumsq"),
+        F.max("x").cast("bigint").alias("max_cents"),
+        F.min("x").cast("bigint").alias("min_cents"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return gs.select(
+        "t",
+        "n_users",
+        "sum_cents",
+        "sumsq",
+        "max_cents",
+        "min_cents",
+        (
+            (F.col("sum_cents").cast("double") * F.col("sum_cents").cast("double"))
+            / (F.col("n_users").cast("double") * F.col("sumsq").cast("double"))
+        ).alias("jain"),
+        (
+            dec(F.lit(10)) * dec(F.col("sum_cents")) * dec(F.col("sum_cents"))
+            > dec(F.lit(9)) * dec(F.col("n_users")) * F.col("sumsq")
+        ).alias("fair"),
+    ).orderBy("t")

@@ -911,3 +911,181 @@ def test_no_python_row_udfs_in_round12_staged_b6(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ------------------------------------------------ staging batch 7
+# (round-13 candidates: weighting / stylometry / districting / fairness)
+
+
+def test_ipf_raking_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, user_id % 4 FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    n = collections.Counter((t, b) for t, b in rows)
+    n_tot = sum(n.values())
+    w = {c: 10**9 for c in n}
+    for step in range(6):
+        if step % 2 == 0:
+            marg = collections.defaultdict(int)
+            for (t, b), c in n.items():
+                marg[t] += c * w[(t, b)]
+            w = {
+                (t, b): math.floor(
+                    w[(t, b)] * n_tot * 1e9 / (5.0 * marg[t]) + 0.5
+                )
+                for (t, b) in n
+            }
+        else:
+            marg = collections.defaultdict(int)
+            for (t, b), c in n.items():
+                marg[b] += c * w[(t, b)]
+            w = {
+                (t, b): math.floor(
+                    w[(t, b)] * n_tot * 1e9 / (4.0 * marg[b]) + 0.5
+                )
+                for (t, b) in n
+            }
+    got = {
+        (r.t, r.b): r
+        for r in STAGED_QUERIES["q_ipf_raking"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(n)
+    for c in n:
+        assert got[c].n == n[c]
+        assert got[c].w_nano == w[c]
+        assert got[c].fitted == pytest.approx(
+            n[c] * w[c] / 1e9, rel=1e-12
+        )
+    # after the final COLUMN sweep the column margins hit the 1/4
+    # target to lattice precision
+    colsum = collections.defaultdict(float)
+    for (t, b), c in n.items():
+        colsum[b] += c * w[(t, b)] / 1e9
+    for b, s in colsum.items():
+        assert s == pytest.approx(n_tot / 4.0, rel=1e-6)
+
+
+def test_burrows_delta_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT source, text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    toks = []
+    for src, text in rows:
+        toks.extend((src, t) for t in text.lower().split(" ") if t)
+    cnt_all = collections.Counter(t for _s, t in toks)
+    topw = sorted(cnt_all, key=lambda t: (-cnt_all[t], t))[:15]
+    stot = collections.Counter(s for s, _t in toks)
+    cnt = collections.Counter((s, t) for s, t in toks if t in set(topw))
+    f = {
+        (s, t): (cnt.get((s, t), 0) * 10**9) // stot[s]
+        for s in stot
+        for t in topw
+    }
+    srcs = sorted(stot)
+    z = {}
+    for t in topw:
+        vals = [f[(s, t)] for s in srcs]
+        s_n, f1, f2 = len(vals), sum(vals), sum(v * v for v in vals)
+        disc = s_n * f2 - f1 * f1
+        for s in srcs:
+            z[(s, t)] = (
+                0
+                if disc == 0
+                else math.floor(
+                    (s_n * f[(s, t)] - f1) / math.sqrt(disc) * 1e6 + 0.5
+                )
+            )
+    got = {
+        (r.source_a, r.source_b): r
+        for r in STAGED_QUERIES["q_burrows_delta"](spark, SF_DIR).collect()
+    }
+    pairs = [(a, b) for a in srcs for b in srcs if a < b]
+    assert set(got) == set(pairs)
+    for a, b in pairs:
+        sabz = sum(abs(z[(a, t)] - z[(b, t)]) for t in topw)
+        r = got[(a, b)]
+        # each z lattice point can slip 1 ulp across libm sqrt
+        assert abs(r.sum_absz_micro - sabz) <= 15
+        assert r.delta == pytest.approx(
+            r.sum_absz_micro / 15e6, rel=1e-12
+        )
+        assert r.delta >= 0.0
+
+
+def test_efficiency_gap_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT o_custkey % 15, o_orderkey % 2"
+        f" FROM '{SF_DIR}/orders.parquet'"
+    ).fetchall()
+    va = collections.Counter(d for d, p in rows if p == 0)
+    vb = collections.Counter(d for d, p in rows if p == 1)
+    dists = sorted(set(va) | set(vb))
+    wa = wb = v = 0
+    exp = {}
+    for d in dists:
+        a, b = va.get(d, 0), vb.get(d, 0)
+        t = (a + b) // 2 + 1
+        if a > b:
+            winner, w_a, w_b = "A", a - t, b
+        elif b > a:
+            winner, w_a, w_b = "B", a, b - t
+        else:
+            winner, w_a, w_b = "TIE", a, b
+        exp[d] = (a, b, winner, w_a, w_b)
+        wa, wb, v = wa + w_a, wb + w_b, v + a + b
+    got = {
+        r.d: r
+        for r in STAGED_QUERIES["q_efficiency_gap"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(dists)
+    winners = set()
+    for d in dists:
+        r = got[d]
+        assert (r.va, r.vb, r.winner, r.wasted_a, r.wasted_b) == exp[d]
+        assert r.efficiency_gap == pytest.approx((wa - wb) / v, rel=1e-12)
+        winners.add(r.winner)
+    assert {"A", "B"} <= winners  # the electorate genuinely flips
+
+
+def test_jain_fairness_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, user_id, CAST(round(value*100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    x = collections.defaultdict(int)
+    for t, u, c in rows:
+        x[(t, u)] += c
+    by_t = collections.defaultdict(list)
+    for (t, _u), v in x.items():
+        by_t[t].append(v)
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_jain_fairness"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(by_t)
+    for t, xs in by_t.items():
+        r = got[t]
+        n, s, ss = len(xs), sum(xs), sum(v * v for v in xs)
+        assert (r.n_users, r.sum_cents) == (n, s)
+        assert int(r.sumsq) == ss
+        assert (r.max_cents, r.min_cents) == (max(xs), min(xs))
+        assert r.jain == pytest.approx(
+            (float(s) * float(s)) / (float(n) * float(ss)), rel=1e-12
+        )
+        assert 1.0 / n <= r.jain <= 1.0 + 1e-12  # Jain's index bounds
+        assert r.fair == (10 * s * s > 9 * n * ss)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_ipf_raking",
+        "q_burrows_delta",
+        "q_efficiency_gap",
+        "q_jain_fairness",
+    ],
+)
+def test_no_python_row_udfs_in_round12_staged_b7(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
