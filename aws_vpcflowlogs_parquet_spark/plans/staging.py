@@ -3184,3 +3184,435 @@ def q_jain_fairness(spark, sf_dir):
             > dec(F.lit(9)) * dec(F.col("n_users")) * F.col("sumsq")
         ).alias("fair"),
     ).orderBy("t")
+
+
+# =====================================================================
+# Round-13 staged batch 8 — adaptive-gain filtering, Markov-chain
+# information rate, and paired-comparison ranking.
+# =====================================================================
+
+_KF_STEP_SPARK = (
+    " array("
+    "  element_at(acc, 1) + ((element_at(acc, 2) + 4.0)"
+    "   / (element_at(acc, 2) + 4.0 + 64.0))"
+    "   * (element_at(x, 1) - element_at(acc, 1)),"
+    "  (1.0 - ((element_at(acc, 2) + 4.0)"
+    "   / (element_at(acc, 2) + 4.0 + 64.0)))"
+    "   * (element_at(acc, 2) + 4.0))"
+)
+
+_KF_STEP_DUCK = (
+    " [acc[1] + ((acc[2] + 4.0) / (acc[2] + 4.0 + 64.0))"
+    "   * (x[1] - acc[1]),"
+    "  (1.0 - ((acc[2] + 4.0) / (acc[2] + 4.0 + 64.0)))"
+    "   * (acc[2] + 4.0)]"
+)
+
+
+@staged(
+    "q_kalman_1d",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+    ),
+    base AS (
+      SELECT grid.t, grid.d,
+             CAST(COALESCE(daily.cents, 0) AS DOUBLE) / 100.0 AS z
+      FROM grid LEFT JOIN daily
+        ON daily.t = grid.t AND daily.d = grid.d
+    ),
+    series AS (
+      SELECT t, list([z, CAST(0.0 AS DOUBLE)] ORDER BY d) AS xs
+      FROM base GROUP BY t
+    ),
+    filt AS (
+      SELECT t, list_reduce(xs, (acc, x) -> {_KF_STEP_DUCK}) AS st
+      FROM series
+    )
+    SELECT t, CAST(30 AS BIGINT) AS n_days,
+           st[1] AS kf_level, st[2] AS kf_var
+    FROM filt ORDER BY t
+    """,
+)
+def q_kalman_1d(spark, sf_dir):
+    """1-D KALMAN FILTER over each key's daily-revenue series — the
+    ADAPTIVE-GAIN step beyond the fixed-coefficient smoothing ladder
+    (q_ewma -> q_holt_smoothing -> q_holt_winters): the gain
+    K = P1/(P1+R) is recomputed from the state covariance every step
+    (P1 = P + Q, Q=4, R=64 — dyadic literals), so unlike Holt the
+    update cannot be pre-expanded to constant coefficients; instead
+    BOTH engines run the IDENTICAL written operation sequence (every
+    op is +,-,*,/ — correctly rounded — so identical text => identical
+    doubles; the q_holt_smoothing portability argument extended to
+    data-dependent coefficients). Accumulator is the 2-element LIST
+    [x, P] (simultaneous update — the pinned DuckDB struct-lambda
+    quirk), seeded from the first measurement with P0 = 0 (first
+    observation trusted). One dense 30-day grid and one fold per key —
+    no window, no shuffle beyond the daily agg. At 100 TB: raw volume
+    dies in the (key, day) agg."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("t"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+    )
+    base = grid.join(daily, ["t", "d"], "left").select(
+        "t",
+        "d",
+        (
+            F.coalesce("cents", F.lit(0)).cast("double") / 100.0
+        ).alias("z"),
+    )
+    series = base.groupBy("t").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, z))),"
+            " p -> array(p.z, CAST(0.0 AS DOUBLE)))"
+        ).alias("xs")
+    )
+    filt = series.select(
+        "t",
+        F.expr(
+            "aggregate(slice(xs, 2, 29), element_at(xs, 1),"
+            f" (acc, x) -> {_KF_STEP_SPARK})"
+        ).alias("st"),
+    )
+    return filt.select(
+        "t",
+        F.lit(30).cast("bigint").alias("n_days"),
+        F.expr("element_at(st, 1)").alias("kf_level"),
+        F.expr("element_at(st, 2)").alias("kf_var"),
+    ).orderBy("t")
+
+
+@staged(
+    "q_transition_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    cells AS (
+      SELECT cur, nxt, CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY cur, nxt
+    ),
+    margins AS (
+      SELECT cur, CAST(SUM(c) AS BIGINT) AS ct FROM cells GROUP BY cur
+    ),
+    terms AS (
+      SELECT cells.cur, cells.c,
+             margins.ct,
+             cells.c * CAST(floor(ln(CAST(margins.ct AS DOUBLE)
+               / CAST(cells.c AS DOUBLE)) * 1000000000.0 + 0.5)
+               AS BIGINT) AS nano
+      FROM cells JOIN margins ON margins.cur = cells.cur
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n_trans,
+             CAST(SUM(nano) AS BIGINT) AS h_nano_n
+      FROM terms
+    )
+    SELECT terms.cur AS cur, terms.ct AS c_cur,
+           CAST(SUM(terms.nano) AS BIGINT) AS h_state_nano,
+           CAST(SUM(terms.nano) AS DOUBLE)
+             / (CAST(terms.ct AS DOUBLE) * 1000000000.0) AS h_state_nats,
+           tot.n_trans, tot.h_nano_n,
+           CAST(tot.h_nano_n AS DOUBLE)
+             / (CAST(tot.n_trans AS DOUBLE) * 1000000000.0)
+             AS h_cond_nats
+    FROM terms CROSS JOIN tot
+    GROUP BY terms.cur, terms.ct, tot.n_trans, tot.h_nano_n
+    ORDER BY cur
+    """,
+)
+def q_transition_entropy(spark, sf_dir):
+    """CONDITIONAL ENTROPY of the event-type Markov chain — the
+    information-rate summary on top of q_markov_transitions' matrix
+    (H(next|cur) = sum p(x,y) ln(c_x/c_xy); also the chain's
+    perplexity in log form): per-user sequences order by (ts,
+    event_id) — one lead window per user — then the 25-cell transition
+    agg kills raw volume. Every log term is materialized on the 1e-9
+    lattice BEFORE count-weighted exact BIGINT sums (the q_mutual_info
+    discipline): per-state H(next|cur=x) rows plus the exact global
+    numerator attached by broadcast. ln(ct/c) >= 0 always (ct >= c),
+    so the lattice is sign-stable. At 100 TB: one user-keyed window +
+    one bounded agg."""
+    seq = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("nxt"),
+    )
+    cells = (
+        seq.filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    margins = cells.groupBy("cur").agg(
+        F.sum("c").cast("bigint").alias("ct")
+    )
+    terms = cells.join(F.broadcast(margins), "cur").select(
+        "cur",
+        "c",
+        "ct",
+        (
+            F.col("c")
+            * F.floor(
+                F.log(
+                    F.col("ct").cast("double") / F.col("c").cast("double")
+                )
+                * 1000000000.0
+                + 0.5
+            ).cast("bigint")
+        ).alias("nano"),
+    )
+    terms = track_persist(terms)
+    tot = terms.agg(
+        F.sum("c").cast("bigint").alias("n_trans"),
+        F.sum("nano").cast("bigint").alias("h_nano_n"),
+    )
+    return (
+        terms.groupBy("cur", "ct")
+        .agg(F.sum("nano").cast("bigint").alias("h_state_nano"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cur",
+            F.col("ct").alias("c_cur"),
+            "h_state_nano",
+            (
+                F.col("h_state_nano").cast("double")
+                / (F.col("ct").cast("double") * 1000000000.0)
+            ).alias("h_state_nats"),
+            "n_trans",
+            "h_nano_n",
+            (
+                F.col("h_nano_n").cast("double")
+                / (F.col("n_trans").cast("double") * 1000000000.0)
+            ).alias("h_cond_nats"),
+        )
+        .orderBy("cur")
+    )
+
+
+_BT_TYPES = ("click", "error", "purchase", "signup", "view")
+_BT_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_BT_TYPES)
+    for b in _BT_TYPES[i + 1 :]
+]
+
+
+def _bt_oracle() -> str:
+    # single-row pivot: per unordered pair (a<b), match count n_a_b and
+    # a's wins w_a_b (tie -> a, the lexicographically smaller)
+    aggs = []
+    for a, b in _BT_PAIRS:
+        aggs.append(
+            f"CAST(SUM(CASE WHEN t1 = '{a}' AND t2 = '{b}'"
+            f" THEN 1 ELSE 0 END) AS BIGINT) AS n_{a}_{b}"
+        )
+        aggs.append(
+            f"CAST(SUM(CASE WHEN t1 = '{a}' AND t2 = '{b}'"
+            f" AND c1 >= c2 THEN 1 ELSE 0 END) AS BIGINT) AS w_{a}_{b}"
+        )
+    wins = []
+    for t in _BT_TYPES:
+        parts = []
+        for a, b in _BT_PAIRS:
+            if a == t:
+                parts.append(f"w_{a}_{b}")
+            elif b == t:
+                parts.append(f"(n_{a}_{b} - w_{a}_{b})")
+        wins.append(" + ".join(parts) + f" AS wins_{t}")
+
+    def denom(t, pi):
+        parts = []
+        for a, b in _BT_PAIRS:
+            if a == t:
+                parts.append(
+                    f"CAST(n_{a}_{b} AS DOUBLE) / ({pi}_{t} + {pi}_{b})"
+                )
+            elif b == t:
+                parts.append(
+                    f"CAST(n_{a}_{b} AS DOUBLE) / ({pi}_{t} + {pi}_{a})"
+                )
+        return " + ".join(parts)
+
+    it1 = ", ".join(
+        f"CAST(wins_{t} AS DOUBLE) / ({denom(t, 'pi0')}) AS pi1_{t}"
+        for t in _BT_TYPES
+    )
+    it2 = ", ".join(
+        f"CAST(wins_{t} AS DOUBLE) / ({denom(t, 'pi1')}) AS pi2_{t}"
+        for t in _BT_TYPES
+    )
+    pi_sum = " + ".join(f"pi2_{t}" for t in _BT_TYPES)
+    shares = ", ".join(
+        f"CAST(floor(pi2_{t} * 1000000000.0 / ({pi_sum}) + 0.5)"
+        f" AS BIGINT) AS share_{t}_nano"
+        for t in _BT_TYPES
+    )
+    final_cols = ", ".join(
+        [f"wins_{t}" for t in _BT_TYPES]
+        + [f"pi2_{t}" for t in _BT_TYPES]
+    )
+    return f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, event_type AS t,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2, 3
+    ),
+    matches AS (
+      SELECT a.t AS t1, b.t AS t2, a.cents AS c1, b.cents AS c2
+      FROM daily a JOIN daily b
+        ON a.user_id = b.user_id AND a.d = b.d AND a.t < b.t
+    ),
+    piv AS (SELECT {", ".join(aggs)} FROM matches),
+    base AS (SELECT *, {", ".join(wins)},
+             CAST(1.0 AS DOUBLE) AS pi0_click,
+             CAST(1.0 AS DOUBLE) AS pi0_error,
+             CAST(1.0 AS DOUBLE) AS pi0_purchase,
+             CAST(1.0 AS DOUBLE) AS pi0_signup,
+             CAST(1.0 AS DOUBLE) AS pi0_view
+             FROM piv),
+    i1 AS (SELECT *, {it1} FROM base),
+    i2 AS (SELECT *, {it2} FROM i1)
+    SELECT {final_cols}, {shares} FROM i2
+    """
+
+
+@staged("q_bradley_terry", oracle=_bt_oracle())
+def q_bradley_terry(spark, sf_dir):
+    """BRADLEY-TERRY paired-comparison ranking, 2 MM iterations — the
+    ranking-from-pairwise-outcomes mechanism (match quality, LLM
+    preference tuning, sports ratings): a 'match' is two event types
+    co-occurring in one (user, day) cell, won by the larger exact
+    daily cents (ties to the lexicographically smaller — decided on
+    BIGINTs, never floats). The 10 unordered-pair (n, wins) counts
+    pivot to ONE row; the Minorize-Maximize update pi'_i = W_i /
+    sum_j n_ij/(pi_i + pi_j) runs 2 unrolled iterations as FIXED
+    lexicographic 4-term chains — identical written order on both
+    engines, so every double matches bit-exactly; final shares are
+    re-latticed at 1e-9. Spark generates the algebra from the same
+    Python pair list the oracle f-string uses — one source of truth
+    for the term order. At 100 TB: the (user, day, type) agg kills
+    raw volume; the pair join runs per (user, day) key; everything
+    after is a 1-row readout."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "user_id",
+            F.col("ts").cast("date").alias("d"),
+            F.col("event_type").alias("t"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    a = daily.select(
+        "user_id", "d", F.col("t").alias("t1"), F.col("cents").alias("c1")
+    )
+    b = daily.select(
+        "user_id", "d", F.col("t").alias("t2"), F.col("cents").alias("c2")
+    )
+    matches = a.join(b, ["user_id", "d"]).filter(F.col("t1") < F.col("t2"))
+    aggs = []
+    for x, y in _BT_PAIRS:
+        hit = (F.col("t1") == x) & (F.col("t2") == y)
+        aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_{x}_{y}")
+        )
+        aggs.append(
+            F.sum(F.when(hit & (F.col("c1") >= F.col("c2")), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"w_{x}_{y}")
+        )
+    piv = matches.agg(*aggs)
+    wins_exprs = []
+    for t in _BT_TYPES:
+        parts = []
+        for x, y in _BT_PAIRS:
+            if x == t:
+                parts.append(f"w_{x}_{y}")
+            elif y == t:
+                parts.append(f"(n_{x}_{y} - w_{x}_{y})")
+        wins_exprs.append(F.expr(" + ".join(parts)).alias(f"wins_{t}"))
+    base = piv.select(
+        "*",
+        *wins_exprs,
+        *[
+            F.lit(1.0).cast("double").alias(f"pi0_{t}")
+            for t in _BT_TYPES
+        ],
+    )
+
+    def denom(t, pi):
+        parts = []
+        for x, y in _BT_PAIRS:
+            if x == t:
+                parts.append(
+                    f"CAST(n_{x}_{y} AS DOUBLE) / ({pi}_{t} + {pi}_{y})"
+                )
+            elif y == t:
+                parts.append(
+                    f"CAST(n_{x}_{y} AS DOUBLE) / ({pi}_{t} + {pi}_{x})"
+                )
+        return " + ".join(parts)
+
+    i1 = base.select(
+        "*",
+        *[
+            F.expr(
+                f"CAST(wins_{t} AS DOUBLE) / ({denom(t, 'pi0')})"
+            ).alias(f"pi1_{t}")
+            for t in _BT_TYPES
+        ],
+    )
+    i2 = i1.select(
+        "*",
+        *[
+            F.expr(
+                f"CAST(wins_{t} AS DOUBLE) / ({denom(t, 'pi1')})"
+            ).alias(f"pi2_{t}")
+            for t in _BT_TYPES
+        ],
+    )
+    pi_sum = " + ".join(f"pi2_{t}" for t in _BT_TYPES)
+    return i2.select(
+        *[F.col(f"wins_{t}") for t in _BT_TYPES],
+        *[F.col(f"pi2_{t}") for t in _BT_TYPES],
+        *[
+            F.expr(
+                f"CAST(floor(pi2_{t} * 1000000000.0 / ({pi_sum}) + 0.5)"
+                " AS BIGINT)"
+            ).alias(f"share_{t}_nano")
+            for t in _BT_TYPES
+        ],
+    )

@@ -1089,3 +1089,146 @@ def test_no_python_row_udfs_in_round12_staged_b7(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ------------------------------------------------ staging batch 8
+# (round-13 candidates: filtering / information rate / ranking)
+
+
+def test_kalman_1d_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, datediff('day', DATE '2024-01-01',"
+        f" CAST(ts AS DATE)), CAST(round(value*100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    daily = collections.defaultdict(int)
+    types = set()
+    for t, d, c in rows:
+        daily[(t, d)] += c
+        types.add(t)
+    got = {
+        r.t: r for r in STAGED_QUERIES["q_kalman_1d"](spark, SF_DIR).collect()
+    }
+    assert set(got) == types
+    for t in types:
+        zs = [daily.get((t, d), 0) / 100.0 for d in range(30)]
+        x, p = zs[0], 0.0
+        for z in zs[1:]:
+            p1 = p + 4.0
+            kg = p1 / (p1 + 64.0)
+            x = x + kg * (z - x)
+            p = (1.0 - kg) * p1
+        r = got[t]
+        assert r.n_days == 30
+        assert r.kf_level == pytest.approx(x, rel=1e-12)
+        assert r.kf_var == pytest.approx(p, rel=1e-12)
+        # covariance converges toward the steady-state Riccati value
+        # P* = (sqrt(Q^2 + 4 Q R) - Q)/2 for this (Q=4, R=64) pair
+        p_star = (math.sqrt(16.0 + 4 * 4 * 64.0) - 4.0) / 2.0
+        assert r.kf_var == pytest.approx(p_star, rel=1e-6)
+
+
+def test_transition_entropy_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, event_type, ts, event_id"
+        f" FROM '{SF_DIR}/events.parquet' ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    seqs = collections.defaultdict(list)
+    for u, t, _ts, _eid in rows:
+        seqs[u].append(t)
+    cells = collections.Counter()
+    for seq in seqs.values():
+        for cur, nxt in zip(seq, seq[1:]):
+            cells[(cur, nxt)] += 1
+    ct = collections.Counter()
+    for (cur, _n), c in cells.items():
+        ct[cur] += c
+    nano = {
+        k: c * math.floor(math.log(ct[k[0]] / c) * 1e9 + 0.5)
+        for k, c in cells.items()
+    }
+    n_trans = sum(cells.values())
+    h_nano_n = sum(nano.values())
+    got = {
+        r.cur: r
+        for r in STAGED_QUERIES["q_transition_entropy"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(ct)
+    for cur in ct:
+        r = got[cur]
+        state = sum(v for k, v in nano.items() if k[0] == cur)
+        assert r.c_cur == ct[cur]
+        assert abs(r.h_state_nano - state) <= ct[cur]  # 1 nano/term ulp
+        assert r.n_trans == n_trans
+        assert abs(r.h_nano_n - h_nano_n) <= n_trans
+        assert r.h_cond_nats == pytest.approx(
+            r.h_nano_n / (n_trans * 1e9), rel=1e-12
+        )
+        assert 0.0 <= r.h_cond_nats <= math.log(len(ct)) + 1e-9
+
+
+def test_bradley_terry_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, CAST(ts AS DATE), event_type,"
+        f" CAST(round(value*100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    daily = collections.defaultdict(int)
+    for u, d, t, c in rows:
+        daily[(u, d, t)] += c
+    types = ("click", "error", "purchase", "signup", "view")
+    pairs = [
+        (a, b) for i, a in enumerate(types) for b in types[i + 1 :]
+    ]
+    byday = collections.defaultdict(dict)
+    for (u, d, t), c in daily.items():
+        byday[(u, d)][t] = c
+    n = collections.Counter()
+    w = collections.Counter()
+    for _ud, tc in byday.items():
+        present = sorted(tc)
+        for i, a in enumerate(present):
+            for b in present[i + 1 :]:
+                n[(a, b)] += 1
+                if tc[a] >= tc[b]:
+                    w[(a, b)] += 1
+    wins = {
+        t: sum(w[(a, b)] for a, b in pairs if a == t)
+        + sum(n[(a, b)] - w[(a, b)] for a, b in pairs if b == t)
+        for t in types
+    }
+    pi = {t: 1.0 for t in types}
+    for _it in range(2):
+        new = {}
+        for t in types:
+            den = 0.0
+            for a, b in pairs:
+                if a == t:
+                    den += n[(a, b)] / (pi[t] + pi[b])
+                elif b == t:
+                    den += n[(a, b)] / (pi[t] + pi[a])
+            new[t] = wins[t] / den
+        pi = new
+    r = STAGED_QUERIES["q_bradley_terry"](spark, SF_DIR).collect()[0]
+    for t in types:
+        assert getattr(r, f"wins_{t}") == wins[t]
+        assert getattr(r, f"pi2_{t}") == pytest.approx(pi[t], rel=1e-9)
+    s = sum(pi.values())
+    share_sum = 0
+    for t in types:
+        share = math.floor(pi[t] * 1e9 / s + 0.5)
+        assert abs(getattr(r, f"share_{t}_nano") - share) <= 1
+        share_sum += getattr(r, f"share_{t}_nano")
+    assert abs(share_sum - 10**9) <= 5  # shares partition unity
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_kalman_1d", "q_transition_entropy", "q_bradley_terry"],
+)
+def test_no_python_row_udfs_in_round12_staged_b8(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
