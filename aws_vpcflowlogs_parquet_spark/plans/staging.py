@@ -3616,3 +3616,555 @@ def q_bradley_terry(spark, sf_dir):
             for t in _BT_TYPES
         ],
     )
+
+
+# =====================================================================
+# Round-13 staged batch 9 — robust decomposition, sequential testing,
+# spectral analysis, long-memory detection.
+# =====================================================================
+
+import math as _math  # noqa: E402
+
+# SPRT constants FROZEN on the 1e-9 lattice (the q_decay_activity
+# discipline: no ln() at query time for chain constants). Test
+# H1: p=0.55 vs H0: p=0.45, alpha = beta = 0.05.
+_SPRT_STEP_NANO = _math.floor(_math.log(0.55 / 0.45) * 1e9 + 0.5)
+_SPRT_A_NANO = _math.floor(_math.log(19.0) * 1e9 + 0.5)  # ln((1-b)/a)
+
+
+@staged(
+    "q_median_polish",
+    oracle="""
+    WITH cells0 AS (
+      SELECT event_type AS t,
+             CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+               % 7 AS BIGINT) AS dow,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.dow, CAST(COALESCE(c.v, 0) AS BIGINT) AS e
+      FROM (SELECT DISTINCT t FROM cells0) tt
+      CROSS JOIN (SELECT unnest(range(0, 7)) AS dow) dd
+      LEFT JOIN cells0 c ON c.t = tt.t AND c.dow = dd.dow
+    ),
+    rm1 AS (
+      SELECT t, list_sort(list(e))[4] AS m FROM grid GROUP BY t
+    ),
+    s1 AS (
+      SELECT grid.t, grid.dow, grid.e - rm1.m AS e, rm1.m AS r_eff
+      FROM grid JOIN rm1 ON rm1.t = grid.t
+    ),
+    cm1 AS (
+      SELECT dow, list_sort(list(e))[3] AS m FROM s1 GROUP BY dow
+    ),
+    s2 AS (
+      SELECT s1.t, s1.dow, s1.e - cm1.m AS e, s1.r_eff,
+             cm1.m AS c_eff
+      FROM s1 JOIN cm1 ON cm1.dow = s1.dow
+    ),
+    rm2 AS (
+      SELECT t, list_sort(list(e))[4] AS m FROM s2 GROUP BY t
+    ),
+    s3 AS (
+      SELECT s2.t, s2.dow, s2.e - rm2.m AS e,
+             s2.r_eff + rm2.m AS r_eff, s2.c_eff
+      FROM s2 JOIN rm2 ON rm2.t = s2.t
+    ),
+    cm2 AS (
+      SELECT dow, list_sort(list(e))[3] AS m FROM s3 GROUP BY dow
+    )
+    SELECT s3.t AS t, s3.dow AS dow,
+           CAST(s3.e - cm2.m AS BIGINT) AS resid,
+           CAST(s3.r_eff AS BIGINT) AS row_eff,
+           CAST(s3.c_eff + cm2.m AS BIGINT) AS col_eff
+    FROM s3 JOIN cm2 ON cm2.dow = s3.dow
+    ORDER BY t, dow
+    """,
+)
+def q_median_polish(spark, sf_dir):
+    """TUKEY MEDIAN POLISH of the (event_type x day-of-week) revenue
+    table — the ROBUST two-way decomposition (value = row effect +
+    column effect + residual by alternating median sweeps, immune to
+    the outlier cells that wreck a mean-based ANOVA fit): two full
+    row+column sweeps over the dense 5x7 cents grid. Both dimensions
+    are ODD (7 dows, 5 types), so every median is an EXACT lattice
+    element — list_sort(collect)[k] picks it with zero float
+    arithmetic, and the residuals/effects stay exact BIGINTs through
+    all four sweeps (the decomposition identity v = r + c + resid is
+    witness-pinned cell by cell). dow = anchor-mod-7 (engine
+    dayofweek conventions differ — the q_seasonal_strength pin). At
+    100 TB: raw volume dies in the 35-cell agg; each sweep is one
+    7-row or 5-row sorted-list agg + broadcast join."""
+    cells0 = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            (
+                F.datediff(
+                    F.col("ts").cast("date"),
+                    F.lit("2024-01-01").cast("date"),
+                )
+                % 7
+            )
+            .cast("bigint")
+            .alias("dow"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    grid = (
+        cells0.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(7).select(F.col("id").cast("bigint").alias("dow"))
+            )
+        )
+        .join(F.broadcast(cells0), ["t", "dow"], "left")
+        .select(
+            "t", "dow", F.coalesce("v", F.lit(0)).cast("bigint").alias("e")
+        )
+    )
+    med = lambda k: F.expr(  # noqa: E731
+        f"element_at(array_sort(collect_list(e)), {k})"
+    )
+    rm1 = grid.groupBy("t").agg(med(4).alias("m"))
+    s1 = grid.join(F.broadcast(rm1), "t").select(
+        "t",
+        "dow",
+        (F.col("e") - F.col("m")).alias("e"),
+        F.col("m").alias("r_eff"),
+    )
+    cm1 = s1.groupBy("dow").agg(med(3).alias("m"))
+    s2 = s1.join(F.broadcast(cm1), "dow").select(
+        "t",
+        "dow",
+        (F.col("e") - F.col("m")).alias("e"),
+        "r_eff",
+        F.col("m").alias("c_eff"),
+    )
+    rm2 = s2.groupBy("t").agg(med(4).alias("m"))
+    s3 = s2.join(F.broadcast(rm2), "t").select(
+        "t",
+        "dow",
+        (F.col("e") - F.col("m")).alias("e"),
+        (F.col("r_eff") + F.col("m")).alias("r_eff"),
+        "c_eff",
+    )
+    cm2 = s3.groupBy("dow").agg(med(3).alias("m"))
+    return (
+        s3.join(F.broadcast(cm2), "dow")
+        .select(
+            "t",
+            "dow",
+            (F.col("e") - F.col("m")).cast("bigint").alias("resid"),
+            F.col("r_eff").cast("bigint").alias("row_eff"),
+            (F.col("c_eff") + F.col("m")).cast("bigint").alias("col_eff"),
+        )
+        .orderBy("t", "dow")
+    )
+
+
+@staged(
+    "q_sprt_boundary",
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS t,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) AS k,
+             CAST(SUM(CASE WHEN round(value * 100) > 5000
+               THEN 1 ELSE 0 END) OVER (PARTITION BY event_type
+               ORDER BY ts, event_id) AS BIGINT) AS s
+      FROM events
+    ),
+    llr AS (
+      SELECT t, k, (2 * s - k) * {_SPRT_STEP_NANO} AS cum_nano FROM seq
+    ),
+    crossing AS (
+      SELECT t,
+        CAST(MIN(CASE WHEN cum_nano >= {_SPRT_A_NANO}
+          OR cum_nano <= -{_SPRT_A_NANO} THEN k END) AS BIGINT)
+          AS first_cross_k
+      FROM llr GROUP BY t
+    ),
+    finals AS (
+      SELECT t, CAST(MAX(k) AS BIGINT) AS n,
+             CAST(MAX(CASE WHEN k = (SELECT MAX(k) FROM llr l2
+               WHERE l2.t = llr.t) THEN cum_nano END) AS BIGINT)
+               AS llr_final_nano
+      FROM llr GROUP BY t
+    ),
+    at_cross AS (
+      SELECT llr.t, llr.cum_nano
+      FROM llr JOIN crossing ON crossing.t = llr.t
+        AND llr.k = crossing.first_cross_k
+    )
+    SELECT finals.t AS t, finals.n, crossing.first_cross_k,
+           CASE WHEN crossing.first_cross_k IS NULL THEN 'CONTINUE'
+                WHEN at_cross.cum_nano >= {_SPRT_A_NANO} THEN 'H1'
+                ELSE 'H0' END AS decision,
+           finals.llr_final_nano
+    FROM finals
+    JOIN crossing ON crossing.t = finals.t
+    LEFT JOIN at_cross ON at_cross.t = finals.t
+    ORDER BY t
+    """,
+)
+def q_sprt_boundary(spark, sf_dir):
+    """WALD'S SPRT — the continuous-monitoring counterpart of
+    q_sequential_probe's five scheduled looks: the cumulative
+    log-likelihood ratio for H1: p=0.55 vs H0: p=0.45 over each
+    type's event stream (outcome = value > 50.00 on the exact cents
+    lattice) crosses ln(19) to accept H1 or -ln(19) to accept H0.
+    The Bernoulli LLR telescopes to (2*S_k - k) * ln(11/9), so the
+    whole trajectory lives on an EXACT integer lattice: the step
+    constant and boundary are FROZEN 1e-9 literals (no ln() at query
+    time — the q_decay_activity discipline) and every comparison is
+    BIGINT vs BIGINT; the first-crossing index and the H1/H0/CONTINUE
+    verdict can never flip on a float. One ordered prefix-sum window
+    per type + one agg. At 100 TB the per-key window is the only
+    sort; everything downstream is O(keys)."""
+    w = Window.partitionBy("t").orderBy("ts", "event_id")
+    seq = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("t"),
+            "ts",
+            "event_id",
+            F.expr(
+                "CASE WHEN round(value * 100) > 5000 THEN 1 ELSE 0 END"
+            ).alias("y"),
+        )
+        .select(
+            "t",
+            F.row_number().over(w).alias("k"),
+            F.sum("y").over(w).cast("bigint").alias("s"),
+        )
+    )
+    llr = seq.select(
+        "t",
+        "k",
+        ((2 * F.col("s") - F.col("k")) * F.lit(_SPRT_STEP_NANO)).alias(
+            "cum_nano"
+        ),
+    )
+    llr = track_persist(llr)
+    crossed = (
+        F.col("cum_nano") >= _SPRT_A_NANO
+    ) | (F.col("cum_nano") <= -_SPRT_A_NANO)
+    crossing = llr.groupBy("t").agg(
+        F.min(F.when(crossed, F.col("k"))).cast("bigint").alias(
+            "first_cross_k"
+        )
+    )
+    finals = llr.groupBy("t").agg(
+        F.max("k").cast("bigint").alias("n"),
+        F.max_by("cum_nano", "k").cast("bigint").alias("llr_final_nano"),
+    )
+    at_cross = (
+        llr.join(F.broadcast(crossing), "t")
+        .filter(F.col("k") == F.col("first_cross_k"))
+        .select("t", F.col("cum_nano").alias("cross_nano"))
+    )
+    return (
+        finals.join(F.broadcast(crossing), "t")
+        .join(F.broadcast(at_cross), "t", "left")
+        .select(
+            "t",
+            "n",
+            "first_cross_k",
+            F.when(F.col("first_cross_k").isNull(), "CONTINUE")
+            .when(F.col("cross_nano") >= _SPRT_A_NANO, "H1")
+            .otherwise("H0")
+            .alias("decision"),
+            "llr_final_nano",
+        )
+        .orderBy("t")
+    )
+
+
+# Frozen micro-lattice trig table for the 30-day periodogram at
+# frequencies k = 1..4: identical literals on both engines, so the
+# spectral dot products are exact integer arithmetic.
+_PERIO_TRIG = [
+    (
+        k,
+        t,
+        _math.floor(_math.cos(2.0 * _math.pi * k * t / 30.0) * 1e6 + 0.5),
+        _math.floor(_math.sin(2.0 * _math.pi * k * t / 30.0) * 1e6 + 0.5),
+    )
+    for k in range(1, 5)
+    for t in range(30)
+]
+
+_PERIO_VALUES = ", ".join(
+    f"({k}, {t}, {c}, {s})" for k, t, c, s in _PERIO_TRIG
+)
+
+
+@staged(
+    "q_periodogram",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) // 100
+               AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    trig AS (
+      SELECT * FROM (VALUES {_PERIO_VALUES})
+        AS v(k, tt, c_micro, s_micro)
+    ),
+    spec AS (
+      SELECT grid.t, trig.k,
+             CAST(SUM(grid.x * trig.c_micro) AS BIGINT) AS re_micro,
+             CAST(SUM(grid.x * trig.s_micro) AS BIGINT) AS im_micro
+      FROM grid JOIN trig ON trig.tt = grid.d
+      GROUP BY grid.t, trig.k
+    ),
+    pw AS (
+      SELECT t, k, re_micro, im_micro,
+             CAST(CAST(re_micro AS HUGEINT) * CAST(re_micro AS HUGEINT)
+               + CAST(im_micro AS HUGEINT) * CAST(im_micro AS HUGEINT)
+               AS DECIMAL(38, 0)) AS power
+      FROM spec
+    ),
+    best AS (
+      SELECT t, MAX(power) AS bp FROM pw GROUP BY t
+    )
+    SELECT pw.t AS t, pw.k, pw.re_micro, pw.im_micro, pw.power,
+           (pw.power = best.bp) AS dominant
+    FROM pw JOIN best ON best.t = pw.t
+    ORDER BY t, k
+    """,
+)
+def q_periodogram(spark, sf_dir):
+    """PERIODOGRAM of each key's 30-day revenue series at frequencies
+    k = 1..4 cycles/month — the spectral seasonality screen
+    (complements q_seasonal_strength's fixed weekly profile with a
+    frequency SCAN, and q_autocorr's lag domain with the Fourier
+    domain): the 240 cos/sin coefficients are FROZEN 1e-6 lattice
+    literals (computed once in Python, identical on both engines — no
+    trig at query time), so Re/Im are EXACT integer dot products over
+    the dense 30-day dollar grid and the power re^2+im^2 is exact
+    128-bit (HUGEINT / DECIMAL(38,0), the q_knee_detection
+    precedent); the dominant-frequency flag is an exact integer
+    comparison. Daily series uses dollars (cents div 100) so the
+    products hold headroom to sf1 (documented: cents would overflow
+    int64 at sf0.1). At 100 TB: raw volume dies in the (key, day)
+    agg; the trig join fans 30 rows x 4 frequencies per key."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(round(value * 100) AS BIGINT)) div 100"
+                " AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    trig = spark.createDataFrame(
+        _PERIO_TRIG, "k int, tt int, c_micro bigint, s_micro bigint"
+    )
+    spec = (
+        grid.join(F.broadcast(trig), grid["d"] == trig["tt"])
+        .groupBy("t", "k")
+        .agg(
+            F.sum(F.col("x") * F.col("c_micro"))
+            .cast("bigint")
+            .alias("re_micro"),
+            F.sum(F.col("x") * F.col("s_micro"))
+            .cast("bigint")
+            .alias("im_micro"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pw = spec.select(
+        "t",
+        "k",
+        "re_micro",
+        "im_micro",
+        (
+            dec(F.col("re_micro")) * dec(F.col("re_micro"))
+            + dec(F.col("im_micro")) * dec(F.col("im_micro"))
+        )
+        .cast("decimal(38,0)")
+        .alias("power"),
+    )
+    pw = track_persist(pw)
+    best = pw.groupBy("t").agg(F.max("power").alias("bp"))
+    return (
+        pw.join(F.broadcast(best), "t")
+        .select(
+            "t",
+            "k",
+            "re_micro",
+            "im_micro",
+            "power",
+            (F.col("power") == F.col("bp")).alias("dominant"),
+        )
+        .orderBy("t", "k")
+    )
+
+
+@staged(
+    "q_hurst_rs",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) // 100
+               AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    gs AS (
+      SELECT t, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM grid GROUP BY t
+    ),
+    cum AS (
+      SELECT grid.t,
+             CAST(SUM(30 * grid.x - gs.s) OVER (PARTITION BY grid.t
+               ORDER BY grid.d) AS BIGINT) AS c
+      FROM grid JOIN gs ON gs.t = grid.t
+    ),
+    rng AS (
+      SELECT t,
+             CAST(GREATEST(MAX(c), 0) - LEAST(MIN(c), 0) AS BIGINT)
+               AS r_lattice
+      FROM cum GROUP BY t
+    )
+    SELECT rng.t AS t, CAST(30 AS BIGINT) AS n, rng.r_lattice,
+           CAST(30 * gs.ss - gs.s * gs.s AS BIGINT) AS disc,
+           CAST(rng.r_lattice AS DOUBLE)
+             / sqrt(CAST(30 * gs.ss - gs.s * gs.s AS DOUBLE))
+             AS rs_ratio,
+           CAST(floor(ln(CAST(rng.r_lattice AS DOUBLE)
+               / sqrt(CAST(30 * gs.ss - gs.s * gs.s AS DOUBLE)))
+             / ln(15.0) * 1000000000.0 + 0.5) AS BIGINT) AS hurst_nano
+    FROM rng JOIN gs ON gs.t = rng.t
+    ORDER BY t
+    """,
+)
+def q_hurst_rs(spark, sf_dir):
+    """HURST RESCALED-RANGE (R/S) long-memory screen per key — does
+    the daily series wander like a random walk (H~0.5), trend
+    persistently (H>0.5) or mean-revert (H<0.5)? The classic
+    estimator H = ln(R/S)/ln(n/2): cumulative deviations live on the
+    x n lattice (dev = n*x - S, so no division touches the prefix
+    sums — exact BIGINTs through the per-key 30-day window), the
+    range R includes the zero anchor (GREATEST/LEAST vs 0), and the
+    std discriminant n*SS - S^2 is exact integer (dollars, not cents
+    — cents would overflow int64 at sf0.1; documented). R/S is
+    int/sqrt(int) — one identical chain — and H lands on the 1e-9
+    lattice. At 100 TB: raw volume dies in the (key, day) agg; the
+    window runs over 30 bounded cells per key."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(round(value * 100) AS BIGINT)) div 100"
+                " AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    grid = track_persist(grid)
+    gs = grid.groupBy("t").agg(
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    wcum = (
+        Window.partitionBy("t")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.join(F.broadcast(gs), "t").select(
+        "t",
+        F.sum(30 * F.col("x") - F.col("s"))
+        .over(wcum)
+        .cast("bigint")
+        .alias("c"),
+    )
+    rng = cum.groupBy("t").agg(
+        (
+            F.greatest(F.max("c"), F.lit(0))
+            - F.least(F.min("c"), F.lit(0))
+        )
+        .cast("bigint")
+        .alias("r_lattice")
+    )
+    disc = (30 * F.col("ss") - F.col("s") * F.col("s")).cast("bigint")
+    rs = F.col("r_lattice").cast("double") / F.sqrt(
+        F.col("disc").cast("double")
+    )
+    return (
+        rng.join(F.broadcast(gs), "t")
+        .select(
+            "t",
+            F.lit(30).cast("bigint").alias("n"),
+            "r_lattice",
+            disc.alias("disc"),
+        )
+        .select(
+            "t",
+            "n",
+            "r_lattice",
+            "disc",
+            rs.alias("rs_ratio"),
+            F.floor(F.log(rs) / F.log(F.lit(15.0)) * 1000000000.0 + 0.5)
+            .cast("bigint")
+            .alias("hurst_nano"),
+        )
+        .orderBy("t")
+    )

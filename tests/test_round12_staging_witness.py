@@ -1232,3 +1232,155 @@ def test_no_python_row_udfs_in_round12_staged_b8(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ------------------------------------------------ staging batch 9
+# (round-13 candidates: robust decomposition / SPRT / spectral / R-S)
+
+
+def _daily_dollars(duck):
+    rows = duck.sql(
+        f"SELECT event_type, datediff('day', DATE '2024-01-01',"
+        f" CAST(ts AS DATE)), CAST(round(value*100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    cents = collections.defaultdict(int)
+    for t, d, c in rows:
+        cents[(t, d)] += c
+    types = sorted({t for t, _d in cents})
+    return {
+        t: [cents.get((t, d), 0) // 100 for d in range(30)] for t in types
+    }
+
+
+def test_median_polish_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, datediff('day', DATE '2024-01-01',"
+        f" CAST(ts AS DATE)) % 7, CAST(round(value*100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    v = collections.defaultdict(int)
+    for t, dow, c in rows:
+        v[(t, dow)] += c
+    types = sorted({t for t, _d in v})
+    e = {(t, d): v.get((t, d), 0) for t in types for d in range(7)}
+    r_eff = {t: 0 for t in types}
+    c_eff = {d: 0 for d in range(7)}
+    for _sweep in range(2):
+        for t in types:
+            m = sorted(e[(t, d)] for d in range(7))[3]
+            for d in range(7):
+                e[(t, d)] -= m
+            r_eff[t] += m
+        for d in range(7):
+            m = sorted(e[(t, d)] for t in types)[2]
+            for t in types:
+                e[(t, d)] -= m
+            c_eff[d] += m
+    got = {
+        (r.t, r.dow): r
+        for r in STAGED_QUERIES["q_median_polish"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(e)
+    for (t, d), resid in e.items():
+        r = got[(t, d)]
+        assert (r.resid, r.row_eff, r.col_eff) == (
+            resid, r_eff[t], c_eff[d],
+        )
+        # decomposition identity holds cell by cell, exactly
+        assert r.row_eff + r.col_eff + r.resid == v.get((t, d), 0)
+
+
+def test_sprt_boundary_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, ts, event_id,"
+        f" CAST(round(value*100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+        f" ORDER BY event_type, ts, event_id"
+    ).fetchall()
+    step = math.floor(math.log(0.55 / 0.45) * 1e9 + 0.5)
+    bound = math.floor(math.log(19.0) * 1e9 + 0.5)
+    seqs = collections.defaultdict(list)
+    for t, _ts, _eid, c in rows:
+        seqs[t].append(1 if c > 5000 else 0)
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_sprt_boundary"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(seqs)
+    for t, ys in seqs.items():
+        s = 0
+        first, decision = None, "CONTINUE"
+        for k, y in enumerate(ys, 1):
+            s += y
+            cum = (2 * s - k) * step
+            if first is None and (cum >= bound or cum <= -bound):
+                first = k
+                decision = "H1" if cum >= bound else "H0"
+        r = got[t]
+        assert r.n == len(ys)
+        assert r.first_cross_k == first
+        assert r.decision == decision
+        assert r.llr_final_nano == (2 * s - len(ys)) * step
+
+
+def test_periodogram_witness(spark, duck):
+    daily = _daily_dollars(duck)
+    trig = {
+        (k, t): (
+            math.floor(math.cos(2 * math.pi * k * t / 30) * 1e6 + 0.5),
+            math.floor(math.sin(2 * math.pi * k * t / 30) * 1e6 + 0.5),
+        )
+        for k in range(1, 5)
+        for t in range(30)
+    }
+    got = {
+        (r.t, r.k): r
+        for r in STAGED_QUERIES["q_periodogram"](spark, SF_DIR).collect()
+    }
+    assert set(got) == {(t, k) for t in daily for k in range(1, 5)}
+    for t, xs in daily.items():
+        powers = {}
+        for k in range(1, 5):
+            re = sum(x * trig[(k, d)][0] for d, x in enumerate(xs))
+            im = sum(x * trig[(k, d)][1] for d, x in enumerate(xs))
+            powers[k] = re * re + im * im
+            r = got[(t, k)]
+            assert (r.re_micro, r.im_micro) == (re, im)
+            assert int(r.power) == powers[k]
+        best = max(powers.values())
+        doms = [k for k in range(1, 5) if got[(t, k)].dominant]
+        assert doms == [k for k in range(1, 5) if powers[k] == best]
+
+
+def test_hurst_rs_witness(spark, duck):
+    daily = _daily_dollars(duck)
+    got = {
+        r.t: r for r in STAGED_QUERIES["q_hurst_rs"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(daily)
+    for t, xs in daily.items():
+        n, s, ss = 30, sum(xs), sum(x * x for x in xs)
+        cum, c = [], 0
+        for x in xs:
+            c += n * x - s
+            cum.append(c)
+        r_lat = max(max(cum), 0) - min(min(cum), 0)
+        disc = n * ss - s * s
+        r = got[t]
+        assert (r.n, r.r_lattice, r.disc) == (n, r_lat, disc)
+        rs = r_lat / math.sqrt(disc)
+        assert r.rs_ratio == pytest.approx(rs, rel=1e-12)
+        h = math.floor(math.log(rs) / math.log(15.0) * 1e9 + 0.5)
+        assert abs(r.hurst_nano - h) <= 1
+        assert 0.0 < r.hurst_nano / 1e9 <= 1.2  # sane Hurst range
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_median_polish", "q_sprt_boundary", "q_periodogram", "q_hurst_rs"],
+)
+def test_no_python_row_udfs_in_round12_staged_b9(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
