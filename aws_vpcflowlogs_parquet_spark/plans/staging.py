@@ -4168,3 +4168,540 @@ def q_hurst_rs(spark, sf_dir):
         )
         .orderBy("t")
     )
+
+
+# =====================================================================
+# Round-12 staged batch 10 — statistical two-sample family completion
+# (energy distance, Cramer-von Mises), LM smoothing (Good-Turing), and
+# dose-response trend (Cochran-Armitage). Same contract as the rest of
+# this file: exact DuckDB oracle at sf0.001 AND sf0.01, pure-Python
+# witnesses, plan pins. Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_good_turing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), t -> t != '') AS t
+      FROM documents
+    ),
+    occ AS (
+      SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    freq AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM occ GROUP BY g),
+    ff AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+           FROM freq GROUP BY c),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_grams FROM occ),
+    none AS (SELECT CAST(COALESCE(
+               (SELECT n_r FROM ff WHERE r = 1), 0) AS BIGINT) AS n_1),
+    grid AS (SELECT unnest(range(1, 9)) AS r)
+    SELECT CAST(grid.r AS BIGINT) AS r,
+           CAST(COALESCE(cur.n_r, 0) AS BIGINT) AS n_r,
+           CAST(COALESCE(nxt.n_r, 0) AS BIGINT) AS n_next,
+           CASE WHEN COALESCE(cur.n_r, 0) = 0 THEN 0.0
+                ELSE CAST((grid.r + 1) * COALESCE(nxt.n_r, 0) AS DOUBLE)
+                     / CAST(cur.n_r AS DOUBLE) END AS rstar,
+           CASE WHEN COALESCE(cur.n_r, 0) = 0 THEN 0.0
+                ELSE CAST((grid.r + 1) * COALESCE(nxt.n_r, 0) AS DOUBLE)
+                     / CAST(cur.n_r AS DOUBLE)
+                     / CAST(tot.n_grams AS DOUBLE) END AS p_gt,
+           CAST(none.n_1 AS DOUBLE) / CAST(tot.n_grams AS DOUBLE) AS p0
+    FROM grid LEFT JOIN ff cur ON cur.r = grid.r
+              LEFT JOIN ff nxt ON nxt.r = grid.r + 1
+              CROSS JOIN tot CROSS JOIN none
+    ORDER BY r
+    """,
+)
+def q_good_turing(spark, sf_dir):
+    """GOOD-TURING frequency-of-frequencies smoothing over the corpus
+    TRIGRAM model — the classic held-out mass estimator LM pipelines
+    used before Kneser-Ney (Good 1953): N_r = #trigram types seen r
+    times, the discounted count r* = (r+1)N_{r+1}/N_r, the smoothed
+    probability p_GT = r*/N, and the unseen mass P0 = N_1/N.
+    Trigrams, not unigrams: the fixture's unigram vocabulary is
+    degenerate (every token ~900 occurrences, N_1..N_8 all zero —
+    probed; same finding as q_set_cover_greedy), while the trigram
+    histogram populates r = 1..8 at BOTH gate scales. The frequency
+    table and its histogram are EXACT BIGINT; r*, p_GT and P0 are
+    each ONE identical double chain over exact integers, and the
+    8-row output lattice is a literal grid (schema-stable even where
+    N_r = 0 — the zero case is decided by an integer, not a NaN; the
+    N_1 scalar is an aggregate, so an N_1 = 0 corpus yields a row,
+    not an empty frame). Completes the n-gram LM family next to
+    q_ngram_lm / q_unigram_surprisal. At 100 TB: one posexplode +
+    per-doc lead window (the q_dedup_minhash shingle discipline),
+    one gram-keyed hash agg (map-side combined), one count-keyed agg
+    whose output is |distinct frequencies| rows — tiny — then
+    broadcast joins onto an 8-row literal grid."""
+    docs = _t(spark, sf_dir, "documents")
+    from ..operators import dedup as dd
+
+    tok_rows = docs.select(
+        "doc_id", F.posexplode(dd.tokens_col("text")).alias("pos", "t")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    occ = track_persist(
+        tok_rows.select(
+            F.concat_ws(
+                " ",
+                F.col("t"),
+                F.lead("t", 1).over(wdoc),
+                F.lead("t", 2).over(wdoc),
+            ).alias("g"),
+            F.lead("t", 2).over(wdoc).alias("t2"),
+        )
+        .filter(F.col("t2").isNotNull())
+        .select("g")
+    )
+    freq = occ.groupBy("g").agg(F.count("*").cast("bigint").alias("c"))
+    ff = track_persist(
+        freq.groupBy(F.col("c").alias("r")).agg(
+            F.count("*").cast("bigint").alias("n_r")
+        )
+    )
+    tot = occ.agg(F.count("*").cast("bigint").alias("n_grams"))
+    n1 = ff.agg(
+        F.coalesce(
+            F.max(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_1")
+    )
+    grid = spark.range(1, 9).select(F.col("id").cast("bigint").alias("r"))
+    cur = ff.select("r", F.col("n_r").alias("nr_cur"))
+    nxt = ff.select(
+        (F.col("r") - 1).cast("bigint").alias("r"),
+        F.col("n_r").alias("nr_next"),
+    )
+    joined = (
+        grid.join(F.broadcast(cur), "r", "left")
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "r",
+            F.coalesce("nr_cur", F.lit(0)).cast("bigint").alias("n_r"),
+            F.coalesce("nr_next", F.lit(0)).cast("bigint").alias("n_next"),
+            "n_grams",
+            "n_1",
+        )
+    )
+    rstar = F.when(F.col("n_r") == 0, F.lit(0.0)).otherwise(
+        ((F.col("r") + 1) * F.col("n_next")).cast("double")
+        / F.col("n_r").cast("double")
+    )
+    return joined.select(
+        "r",
+        "n_r",
+        "n_next",
+        rstar.alias("rstar"),
+        F.when(F.col("n_r") == 0, F.lit(0.0))
+        .otherwise(
+            ((F.col("r") + 1) * F.col("n_next")).cast("double")
+            / F.col("n_r").cast("double")
+            / F.col("n_grams").cast("double")
+        )
+        .alias("p_gt"),
+        (F.col("n_1").cast("double") / F.col("n_grams").cast("double")).alias(
+            "p0"
+        ),
+    ).orderBy("r")
+
+
+@staged(
+    "q_energy_distance",
+    oracle="""
+    WITH hist AS (
+      SELECT l_linestatus AS ls, l_returnflag AS fl,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem WHERE l_returnflag IN ('A', 'R')
+      GROUP BY 1, 2, 3
+    ),
+    ha AS (SELECT ls, q, c FROM hist WHERE fl = 'A'),
+    hb AS (SELECT ls, q, c FROM hist WHERE fl = 'R'),
+    sab AS (
+      SELECT ha.ls, CAST(SUM(abs(ha.q - hb.q) * ha.c * hb.c) AS BIGINT) AS s
+      FROM ha JOIN hb ON ha.ls = hb.ls GROUP BY ha.ls
+    ),
+    saa AS (
+      SELECT x.ls, CAST(SUM(abs(x.q - y.q) * x.c * y.c) AS BIGINT) AS s
+      FROM ha x JOIN ha y ON x.ls = y.ls GROUP BY x.ls
+    ),
+    sbb AS (
+      SELECT x.ls, CAST(SUM(abs(x.q - y.q) * x.c * y.c) AS BIGINT) AS s
+      FROM hb x JOIN hb y ON x.ls = y.ls GROUP BY x.ls
+    ),
+    ns AS (
+      SELECT ls,
+             CAST(SUM(CASE WHEN fl = 'A' THEN c ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN fl = 'R' THEN c ELSE 0 END) AS BIGINT) AS n_b
+      FROM hist GROUP BY ls
+    )
+    SELECT ns.ls AS ls, ns.n_a, ns.n_b,
+           sab.s AS s_ab, saa.s AS s_aa, sbb.s AS s_bb,
+           2.0 * CAST(sab.s AS DOUBLE)
+               / (CAST(ns.n_a AS DOUBLE) * CAST(ns.n_b AS DOUBLE))
+             - CAST(saa.s AS DOUBLE)
+               / (CAST(ns.n_a AS DOUBLE) * CAST(ns.n_a AS DOUBLE))
+             - CAST(sbb.s AS DOUBLE)
+               / (CAST(ns.n_b AS DOUBLE) * CAST(ns.n_b AS DOUBLE))
+             AS energy
+    FROM ns JOIN sab ON sab.ls = ns.ls
+            JOIN saa ON saa.ls = ns.ls
+            JOIN sbb ON sbb.ls = ns.ls
+    ORDER BY ls
+    """,
+)
+def q_energy_distance(spark, sf_dir):
+    """EXACT 1-D ENERGY DISTANCE two-sample statistic (Szekely-Rizzo
+    E-statistic) between the returnflag A and R quantity
+    distributions per linestatus: D^2 = 2E|X-Y| - E|X-X'| - E|Y-Y'|.
+    The metric-space twin of q_ks_drift / q_wasserstein_bucketed —
+    sensitive to ALL moments, not just location. The pairwise
+    expectation over two samples of millions of rows is computed
+    EXACTLY without any pairwise row join: l_quantity lives on a
+    50-value lattice, so each E-term is a 50x50 histogram outer
+    product — sum |v-w| * c_v * c_w is an exact BIGINT (bounded by
+    49 * n_a * n_b ~ 4e16 at sf1; sf10 would need DECIMAL —
+    documented). The energy readout is ONE identical double chain.
+    At 100 TB: raw volume dies in the (ls, fl, q) hash agg; the
+    outer products join 50-row broadcast frames."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy(
+            F.col("l_linestatus").alias("ls"),
+            F.col("l_returnflag").alias("fl"),
+            F.col("l_quantity").cast("bigint").alias("q"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    li = track_persist(li)
+    ha = li.filter(F.col("fl") == "A").select("ls", "q", "c")
+    hb = li.filter(F.col("fl") == "R").select("ls", "q", "c")
+
+    def _pairsum(x, y, out):
+        xx = x.select("ls", F.col("q").alias("qx"), F.col("c").alias("cx"))
+        yy = y.select("ls", F.col("q").alias("qy"), F.col("c").alias("cy"))
+        return (
+            xx.join(F.broadcast(yy), "ls")
+            .groupBy("ls")
+            .agg(
+                F.sum(
+                    F.abs(F.col("qx") - F.col("qy"))
+                    * F.col("cx")
+                    * F.col("cy")
+                )
+                .cast("bigint")
+                .alias(out)
+            )
+        )
+
+    sab = _pairsum(ha, hb, "s_ab")
+    saa = _pairsum(ha, ha, "s_aa")
+    sbb = _pairsum(hb, hb, "s_bb")
+    ns = li.groupBy("ls").agg(
+        F.sum(F.when(F.col("fl") == "A", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("fl") == "R", F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return (
+        ns.join(F.broadcast(sab), "ls")
+        .join(F.broadcast(saa), "ls")
+        .join(F.broadcast(sbb), "ls")
+        .select(
+            "ls",
+            "n_a",
+            "n_b",
+            "s_ab",
+            "s_aa",
+            "s_bb",
+            (
+                2.0 * d("s_ab") / (d("n_a") * d("n_b"))
+                - d("s_aa") / (d("n_a") * d("n_a"))
+                - d("s_bb") / (d("n_b") * d("n_b"))
+            ).alias("energy"),
+        )
+        .orderBy("ls")
+    )
+
+
+@staged(
+    "q_cramer_von_mises",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS t,
+             CAST(round(value * 100) AS BIGINT) AS v,
+             CASE WHEN datediff('day', DATE '2024-01-01',
+                                CAST(ts AS DATE)) % 7 IN (5, 6)
+                  THEN 1 ELSE 0 END AS we
+      FROM events
+    ),
+    grp AS (
+      SELECT t, v,
+             CAST(SUM(we) AS BIGINT) AS a,
+             CAST(SUM(1 - we) AS BIGINT) AS b
+      FROM base GROUP BY t, v
+    ),
+    cum AS (
+      SELECT t, v, a, b,
+             CAST(SUM(a) OVER (PARTITION BY t ORDER BY v) AS BIGINT)
+               AS ca,
+             CAST(SUM(b) OVER (PARTITION BY t ORDER BY v) AS BIGINT)
+               AS cb
+      FROM grp
+    ),
+    ns AS (
+      SELECT t, CAST(SUM(a) AS BIGINT) AS n, CAST(SUM(b) AS BIGINT) AS m
+      FROM grp GROUP BY t
+    ),
+    num AS (
+      SELECT cum.t,
+             CAST(SUM(
+               CAST(ns.m * cum.ca - ns.n * cum.cb AS HUGEINT)
+               * CAST(ns.m * cum.ca - ns.n * cum.cb AS HUGEINT)
+               * CAST(cum.a + cum.b AS HUGEINT)
+             ) AS DECIMAL(38, 0)) AS t_num
+      FROM cum JOIN ns ON ns.t = cum.t
+      GROUP BY cum.t
+    )
+    SELECT ns.t AS t, ns.n, ns.m, num.t_num,
+           CAST(num.t_num AS DOUBLE)
+             / (CAST(ns.n AS DOUBLE) * CAST(ns.m AS DOUBLE)
+                * CAST(ns.n + ns.m AS DOUBLE)
+                * CAST(ns.n + ns.m AS DOUBLE)) AS tstat,
+           (CAST(1000 AS HUGEINT) * CAST(num.t_num AS HUGEINT)
+            > CAST(461 AS HUGEINT) * CAST(ns.n AS HUGEINT)
+              * CAST(ns.m AS HUGEINT)
+              * CAST(ns.n + ns.m AS HUGEINT)
+              * CAST(ns.n + ns.m AS HUGEINT)) AS reject
+    FROM ns JOIN num ON num.t = ns.t
+    ORDER BY t
+    """,
+)
+def q_cramer_von_mises(spark, sf_dir):
+    """CRAMER-VON MISES two-sample test per event type: does the
+    weekend value distribution differ from the weekday one — the
+    integrated-squared-ECDF-difference twin of q_ks_drift (KS reads
+    the max gap, CvM the whole area, so it catches spread/shape
+    shifts KS misses). The weekend flag uses the anchor-mod-7 idiom
+    (engine dayofweek conventions differ; all fixture timestamps are
+    >= the 2024-01-01 Monday anchor, so the mod is nonnegative).
+    T = sum_z (m*A(z) - n*B(z))^2 * w_z / (n*m*(n+m)^2) with A,B the
+    cumulative counts on the exact cents lattice: the numerator is
+    summed in HUGEINT/DECIMAL(38,0) ((m*A)^2 crosses int64 far below
+    sf1 — the q_jain_fairness precedent), the readout is ONE
+    identical double chain, and the alpha=0.05 verdict (T > 0.461)
+    is decided EXACTLY by the 128-bit integer inequality
+    1000*num > 461*n*m*(n+m)^2 — a float never classifies.
+    At 100 TB: raw volume dies in the (t, v) hash agg; the window
+    runs per type over the bounded distinct-cents lattice."""
+    ev = _t(spark, sf_dir, "events")
+    we = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        % 7
+    ).isin(5, 6)
+    grp = (
+        ev.select(
+            F.col("event_type").alias("t"),
+            F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+            F.when(we, F.lit(1)).otherwise(F.lit(0)).alias("we"),
+        )
+        .groupBy("t", "v")
+        .agg(
+            F.sum("we").cast("bigint").alias("a"),
+            F.sum(1 - F.col("we")).cast("bigint").alias("b"),
+        )
+    )
+    grp = track_persist(grp)
+    wcum = (
+        Window.partitionBy("t")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grp.select(
+        "t",
+        "a",
+        "b",
+        F.sum("a").over(wcum).cast("bigint").alias("ca"),
+        F.sum("b").over(wcum).cast("bigint").alias("cb"),
+    )
+    ns = grp.groupBy("t").agg(
+        F.sum("a").cast("bigint").alias("n"),
+        F.sum("b").cast("bigint").alias("m"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    diff = dec(F.col("m") * F.col("ca") - F.col("n") * F.col("cb"))
+    num = (
+        cum.join(F.broadcast(ns), "t")
+        .groupBy("t")
+        .agg(
+            F.sum(diff * diff * dec(F.col("a") + F.col("b")))
+            .cast("decimal(38,0)")
+            .alias("t_num")
+        )
+    )
+    nm2 = (
+        dec(F.col("n"))
+        * dec(F.col("m"))
+        * dec(F.col("n") + F.col("m"))
+        * dec(F.col("n") + F.col("m"))
+    )
+    return (
+        ns.join(F.broadcast(num), "t")
+        .select(
+            "t",
+            "n",
+            "m",
+            "t_num",
+            (
+                F.col("t_num").cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("m").cast("double")
+                    * (F.col("n") + F.col("m")).cast("double")
+                    * (F.col("n") + F.col("m")).cast("double")
+                )
+            ).alias("tstat"),
+            (dec(F.lit(1000)) * F.col("t_num") > dec(F.lit(461)) * nm2).alias(
+                "reject"
+            ),
+        )
+        .orderBy("t")
+    )
+
+
+@staged(
+    "q_cochran_armitage",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS t,
+             CAST(hour(ts) // 5 AS BIGINT) AS w,
+             CASE WHEN CAST(round(value * 100) AS BIGINT) > 5000
+                  THEN 1 ELSE 0 END AS s
+      FROM events
+    ),
+    cells AS (
+      SELECT t, w, CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(s) AS BIGINT) AS s_i
+      FROM base GROUP BY t, w
+    ),
+    stats AS (
+      SELECT t,
+             CAST(SUM(n_i) AS BIGINT) AS n_total,
+             CAST(SUM(s_i) AS BIGINT) AS s_total,
+             CAST(SUM(w * n_i) AS BIGINT) AS sw_n,
+             CAST(SUM(w * s_i) AS BIGINT) AS sw_s,
+             CAST(SUM(w * w * n_i) AS BIGINT) AS sww_n
+      FROM cells GROUP BY t
+    ),
+    parts AS (
+      SELECT t, n_total, s_total,
+             CAST(n_total * sw_s - s_total * sw_n AS BIGINT) AS trend_num,
+             CAST(CAST(n_total AS HUGEINT)
+                  * CAST(n_total * sw_s - s_total * sw_n AS HUGEINT)
+                  * CAST(n_total * sw_s - s_total * sw_n AS HUGEINT)
+               AS DECIMAL(38, 0)) AS z2_num,
+             CAST(CAST(s_total AS HUGEINT)
+                  * CAST(n_total - s_total AS HUGEINT)
+                  * CAST(CAST(n_total AS HUGEINT) * CAST(sww_n AS HUGEINT)
+                         - CAST(sw_n AS HUGEINT) * CAST(sw_n AS HUGEINT)
+                    AS HUGEINT)
+               AS DECIMAL(38, 0)) AS z2_den
+      FROM stats
+    )
+    SELECT t, n_total, s_total, trend_num, z2_num, z2_den,
+           CASE WHEN z2_den = 0 THEN 0.0
+                ELSE CAST(z2_num AS DOUBLE) / CAST(z2_den AS DOUBLE)
+           END AS z2,
+           (CAST(10000 AS HUGEINT) * CAST(z2_num AS HUGEINT)
+            > CAST(38416 AS HUGEINT) * CAST(z2_den AS HUGEINT)) AS reject
+    FROM parts ORDER BY t
+    """,
+)
+def q_cochran_armitage(spark, sf_dir):
+    """COCHRAN-ARMITAGE trend test per event type: do high-value
+    events (cents > 5000, an exact integer cut) become more or less
+    frequent across ordered time-of-day doses (hour div 5 -> scores
+    0..4)? The dose-response completion of the chi-square family —
+    q_chi2_assoc asks 'associated at all?', this asks 'monotone in
+    the ordered scores?', one extra power-relevant constraint.
+    Everything that decides is integer: the trend numerator
+    N*sum(w*s) - S*sum(w*n) is exact BIGINT, Z^2's numerator
+    N*(trend)^2 and denominator S*(N-S)*(N*sum(w^2 n) - (sum w n)^2)
+    are exact HUGEINT/DECIMAL(38,0) (the q_knee_detection
+    precedent), the degenerate all-success/no-success case is
+    decided by an integer = 0 (not a NaN), and the alpha=0.05
+    verdict (Z^2 > 1.9600^2) is the exact 128-bit inequality
+    10000*num > 38416*den — a float never classifies. At 100 TB:
+    one (t, dose) hash agg kills the raw volume; 5 cells per type
+    feed a second tiny agg."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("t"),
+        (F.hour("ts") / F.lit(5)).cast("bigint").alias("w"),
+        F.when(
+            F.expr("CAST(round(value * 100) AS BIGINT)") > 5000, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("s"),
+    )
+    cells = base.groupBy("t", "w").agg(
+        F.count("*").cast("bigint").alias("n_i"),
+        F.sum("s").cast("bigint").alias("s_i"),
+    )
+    stats = cells.groupBy("t").agg(
+        F.sum("n_i").cast("bigint").alias("n_total"),
+        F.sum("s_i").cast("bigint").alias("s_total"),
+        F.sum(F.col("w") * F.col("n_i")).cast("bigint").alias("sw_n"),
+        F.sum(F.col("w") * F.col("s_i")).cast("bigint").alias("sw_s"),
+        F.sum(F.col("w") * F.col("w") * F.col("n_i"))
+        .cast("bigint")
+        .alias("sww_n"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    trend = (
+        F.col("n_total") * F.col("sw_s") - F.col("s_total") * F.col("sw_n")
+    ).cast("bigint")
+    parts = stats.select(
+        "t",
+        "n_total",
+        "s_total",
+        trend.alias("trend_num"),
+        (dec(F.col("n_total")) * dec(trend) * dec(trend))
+        .cast("decimal(38,0)")
+        .alias("z2_num"),
+        (
+            dec(F.col("s_total"))
+            * dec(F.col("n_total") - F.col("s_total"))
+            * (
+                dec(F.col("n_total")) * dec(F.col("sww_n"))
+                - dec(F.col("sw_n")) * dec(F.col("sw_n"))
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("z2_den"),
+    )
+    return parts.select(
+        "t",
+        "n_total",
+        "s_total",
+        "trend_num",
+        "z2_num",
+        "z2_den",
+        F.when(F.col("z2_den") == 0, F.lit(0.0))
+        .otherwise(F.col("z2_num").cast("double") / F.col("z2_den").cast("double"))
+        .alias("z2"),
+        (dec(F.lit(10000)) * F.col("z2_num") > dec(F.lit(38416)) * F.col("z2_den")).alias(
+            "reject"
+        ),
+    ).orderBy("t")

@@ -1384,3 +1384,153 @@ def test_no_python_row_udfs_in_round12_staged_b9(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 10
+
+
+def test_good_turing_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    freq = collections.Counter()
+    n_grams = 0
+    for (text,) in rows:
+        toks = [t for t in text.lower().split(" ") if t]
+        for i in range(len(toks) - 2):
+            freq[" ".join(toks[i : i + 3])] += 1
+            n_grams += 1
+    ff = collections.Counter(freq.values())
+    got = {
+        r.r: r
+        for r in STAGED_QUERIES["q_good_turing"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(range(1, 9))
+    for r in range(1, 9):
+        g = got[r]
+        assert (g.n_r, g.n_next) == (ff.get(r, 0), ff.get(r + 1, 0))
+        if ff.get(r, 0):
+            rstar = (r + 1) * ff.get(r + 1, 0) / ff[r]
+            assert g.rstar == pytest.approx(rstar, rel=1e-12)
+            assert g.p_gt == pytest.approx(rstar / n_grams, rel=1e-12)
+        else:
+            assert (g.rstar, g.p_gt) == (0.0, 0.0)
+        assert g.p0 == pytest.approx(ff.get(1, 0) / n_grams, rel=1e-12)
+    # Good-Turing discounts singletons below their raw count
+    assert got[1].rstar < 1.0 and got[1].n_r > 0
+
+
+def test_energy_distance_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT l_linestatus, l_returnflag, CAST(l_quantity AS BIGINT)"
+        f" FROM '{SF_DIR}/lineitem.parquet'"
+        f" WHERE l_returnflag IN ('A', 'R')"
+    ).fetchall()
+    hist = collections.defaultdict(collections.Counter)
+    for ls, fl, q in rows:
+        hist[(ls, fl)][q] += 1
+
+    def pairsum(ha, hb):
+        return sum(
+            abs(v - w) * cv * cw
+            for v, cv in ha.items()
+            for w, cw in hb.items()
+        )
+
+    for r in STAGED_QUERIES["q_energy_distance"](spark, SF_DIR).collect():
+        ha, hb = hist[(r.ls, "A")], hist[(r.ls, "R")]
+        na, nb = sum(ha.values()), sum(hb.values())
+        sab, saa, sbb = pairsum(ha, hb), pairsum(ha, ha), pairsum(hb, hb)
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert (r.s_ab, r.s_aa, r.s_bb) == (sab, saa, sbb)
+        e = 2 * sab / (na * nb) - saa / na**2 - sbb / nb**2
+        assert r.energy == pytest.approx(e, rel=1e-12)
+        assert r.energy >= 0.0  # E-distance is a metric: nonnegative
+
+
+def test_cramer_von_mises_witness(spark, duck):
+    import datetime
+
+    rows = duck.sql(
+        f"SELECT event_type, CAST(round(value * 100) AS BIGINT),"
+        f" CAST(ts AS DATE) FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    anchor = datetime.date(2024, 1, 1)
+    samples = collections.defaultdict(lambda: ([], []))
+    for t, v, d in rows:
+        we = (d - anchor).days % 7 in (5, 6)
+        samples[t][0 if we else 1].append(v)
+    for r in STAGED_QUERIES["q_cramer_von_mises"](spark, SF_DIR).collect():
+        wk, wd = samples[r.t]
+        n, m = len(wk), len(wd)
+        assert (r.n, r.m) == (n, m)
+        a = collections.Counter(wk)
+        b = collections.Counter(wd)
+        ca = cb = 0
+        num = 0
+        for v in sorted(set(a) | set(b)):
+            ca += a.get(v, 0)
+            cb += b.get(v, 0)
+            num += (m * ca - n * cb) ** 2 * (a.get(v, 0) + b.get(v, 0))
+        assert int(r.t_num) == num
+        tstat = num / (n * m * (n + m) ** 2)
+        assert r.tstat == pytest.approx(tstat, rel=1e-12)
+        assert r.reject == (1000 * num > 461 * n * m * (n + m) ** 2)
+
+
+def test_cochran_armitage_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, hour(ts) // 5,"
+        f" CAST(round(value * 100) AS BIGINT) > 5000"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    cells = collections.defaultdict(lambda: [0, 0])
+    for t, w, s in rows:
+        cells[(t, w)][0] += 1
+        cells[(t, w)][1] += 1 if s else 0
+    types = sorted({t for t, _ in cells})
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_cochran_armitage"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(types)
+    for t in types:
+        N = sum(cells[(t, w)][0] for w in range(5) if (t, w) in cells)
+        S = sum(cells[(t, w)][1] for w in range(5) if (t, w) in cells)
+        swn = sum(
+            w * cells[(t, w)][0] for w in range(5) if (t, w) in cells
+        )
+        sws = sum(
+            w * cells[(t, w)][1] for w in range(5) if (t, w) in cells
+        )
+        swwn = sum(
+            w * w * cells[(t, w)][0] for w in range(5) if (t, w) in cells
+        )
+        trend = N * sws - S * swn
+        z2n = N * trend * trend
+        z2d = S * (N - S) * (N * swwn - swn * swn)
+        r = got[t]
+        assert (r.n_total, r.s_total, r.trend_num) == (N, S, trend)
+        assert (int(r.z2_num), int(r.z2_den)) == (z2n, z2d)
+        z2 = 0.0 if z2d == 0 else z2n / z2d
+        assert r.z2 == pytest.approx(z2, rel=1e-12)
+        assert r.reject == (10000 * z2n > 38416 * z2d)
+    # the success cut is genuinely mixed on the fixture
+    assert any(0 < got[t].s_total < got[t].n_total for t in types)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_good_turing",
+        "q_energy_distance",
+        "q_cramer_von_mises",
+        "q_cochran_armitage",
+    ],
+)
+def test_no_python_row_udfs_in_round12_staged_b10(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
