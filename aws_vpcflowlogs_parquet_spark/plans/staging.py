@@ -4705,3 +4705,618 @@ def q_cochran_armitage(spark, sf_dir):
             "reject"
         ),
     ).orderBy("t")
+
+
+# =====================================================================
+# Round-12 staged batch 11 — agreement (ICC), survival comparison
+# (log-rank), errors-in-variables regression (Deming), and the median
+# test (Mood). Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_icc_oneway",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS rater,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) // 100
+               AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT rr.rater, dd.d, CAST(COALESCE(daily.y, 0) AS BIGINT) AS y
+      FROM (SELECT DISTINCT rater FROM daily) rr
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.rater = rr.rater AND daily.d = dd.d
+    ),
+    items AS (
+      SELECT d, CAST(SUM(y) AS BIGINT) AS t_i,
+             CAST(SUM(y * y) AS BIGINT) AS yy_i
+      FROM grid GROUP BY d
+    ),
+    gs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(5 AS BIGINT) AS k,
+             CAST(SUM(t_i) AS BIGINT) AS g,
+             CAST(SUM(t_i * t_i) AS BIGINT) AS st2,
+             CAST(SUM(yy_i) AS BIGINT) AS syy
+      FROM items
+    ),
+    ab AS (
+      SELECT n_items, k, g,
+             CAST(n_items * st2 - g * g AS BIGINT) AS a,
+             CAST(k * syy - st2 AS BIGINT) AS b
+      FROM gs
+    )
+    SELECT n_items, k, a, b,
+           CAST((k - 1) * a - (n_items - 1) * b AS BIGINT) AS p,
+           CAST((k - 1) * (a + (n_items - 1) * b) AS BIGINT) AS q,
+           CAST(a AS DOUBLE)
+             / (CAST(n_items AS DOUBLE) * CAST(k AS DOUBLE)
+                * CAST(n_items - 1 AS DOUBLE)) AS msb,
+           CAST(b AS DOUBLE)
+             / (CAST(k AS DOUBLE) * CAST(n_items AS DOUBLE)
+                * CAST(k - 1 AS DOUBLE)) AS msw,
+           CAST((k - 1) * a - (n_items - 1) * b AS DOUBLE)
+             / CAST((k - 1) * (a + (n_items - 1) * b) AS DOUBLE) AS icc,
+           (2 * CAST((k - 1) * a - (n_items - 1) * b AS HUGEINT)
+            > CAST((k - 1) * (a + (n_items - 1) * b) AS HUGEINT))
+             AS reliable
+    FROM ab
+    """,
+)
+def q_icc_oneway(spark, sf_dir):
+    """INTRACLASS CORRELATION ICC(1,1) — the one-way random-effects
+    reliability coefficient that completes the agreement family
+    (q_judge_kappa / q_krippendorff_alpha / q_kendall_w / the staged
+    q_fleiss_kappa rate CATEGORICAL agreement; ICC rates CONTINUOUS
+    agreement): items are the 30 fixture days, 'raters' the 5 event
+    types' daily dollar totals on the zero-filled complete grid (the
+    q_hurst_rs lattice discipline; dollars, not cents — cents would
+    push N*sum(T_i^2) past int64 at sf1, documented). The whole ANOVA
+    decomposition reduces to TWO exact BIGINTs: A = N*sum(T_i^2)-G^2
+    (= Nk(N-1)MSB) and B = k*sum(y^2)-sum(T_i^2) (= Nk(k-1)MSW), so
+    ICC = ((k-1)A - (N-1)B)/((k-1)(A+(N-1)B)) is one division of
+    exact integers and the ICC > 0.5 reliability verdict is the exact
+    128-bit inequality 2P > Q — a float never classifies. At 100 TB:
+    raw volume dies in the (rater, day) hash agg; everything after is
+    a 150-cell lattice."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("rater"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(round(value * 100) AS BIGINT)) div 100"
+                " AS BIGINT)"
+            ).alias("y")
+        )
+    )
+    grid = (
+        daily.select("rater")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["rater", "d"], "left")
+        .select(
+            "rater",
+            "d",
+            F.coalesce("y", F.lit(0)).cast("bigint").alias("y"),
+        )
+    )
+    items = grid.groupBy("d").agg(
+        F.sum("y").cast("bigint").alias("t_i"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("yy_i"),
+    )
+    gs = items.agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.lit(5).cast("bigint").alias("k"),
+        F.sum("t_i").cast("bigint").alias("g"),
+        F.sum(F.col("t_i") * F.col("t_i")).cast("bigint").alias("st2"),
+        F.sum("yy_i").cast("bigint").alias("syy"),
+    )
+    ab = gs.select(
+        "n_items",
+        "k",
+        (F.col("n_items") * F.col("st2") - F.col("g") * F.col("g"))
+        .cast("bigint")
+        .alias("a"),
+        (F.col("k") * F.col("syy") - F.col("st2"))
+        .cast("bigint")
+        .alias("b"),
+    )
+    p = ((F.col("k") - 1) * F.col("a") - (F.col("n_items") - 1) * F.col("b")).cast(
+        "bigint"
+    )
+    q = ((F.col("k") - 1) * (F.col("a") + (F.col("n_items") - 1) * F.col("b"))).cast(
+        "bigint"
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return ab.select(
+        "n_items",
+        "k",
+        "a",
+        "b",
+        p.alias("p"),
+        q.alias("q"),
+        (
+            F.col("a").cast("double")
+            / (
+                F.col("n_items").cast("double")
+                * F.col("k").cast("double")
+                * (F.col("n_items") - 1).cast("double")
+            )
+        ).alias("msb"),
+        (
+            F.col("b").cast("double")
+            / (
+                F.col("k").cast("double")
+                * F.col("n_items").cast("double")
+                * (F.col("k") - 1).cast("double")
+            )
+        ).alias("msw"),
+        (p.cast("double") / q.cast("double")).alias("icc"),
+        (dec(F.lit(2)) * dec(p) > dec(q)).alias("reliable"),
+    )
+
+
+@staged(
+    "q_log_rank",
+    oracle="""
+    WITH life AS (
+      SELECT user_id,
+             datediff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+               AS t,
+             CASE WHEN user_id % 4 != 0 THEN 1 ELSE 0 END AS ev,
+             CAST(CAST('0x' || substring(
+               md5(CAST(user_id AS VARCHAR) || ':lr'), 1, 8) AS BIGINT)
+               % 2 AS BIGINT) AS arm
+      FROM events GROUP BY user_id
+    ),
+    bins AS (
+      SELECT t, arm, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM life GROUP BY t, arm
+    ),
+    grid AS (
+      SELECT tt.t, aa.arm,
+             CAST(COALESCE(bins.d, 0) AS BIGINT) AS d,
+             CAST(COALESCE(bins.c, 0) AS BIGINT) AS c
+      FROM (SELECT DISTINCT t FROM bins) tt
+      CROSS JOIN (SELECT unnest([0, 1]) AS arm) aa
+      LEFT JOIN bins ON bins.t = tt.t AND bins.arm = aa.arm
+    ),
+    risk AS (
+      SELECT t, arm, d,
+             CAST(SUM(c) OVER (PARTITION BY arm ORDER BY t DESC)
+               AS BIGINT) AS n_arm
+      FROM grid
+    ),
+    tbl AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT)
+               AS d1,
+             CAST(SUM(d) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN arm = 1 THEN n_arm ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(n_arm) AS BIGINT) AS n
+      FROM risk GROUP BY t
+    ),
+    terms AS (
+      SELECT t,
+             CAST(floor(CAST(n * d1 - d * n1 AS DOUBLE)
+               / CAST(n AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT)
+               AS u_nano,
+             CASE WHEN n > 1 THEN
+               CAST(floor(CAST(d * n1 * (n - n1) * (n - d) AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    * CAST(n - 1 AS DOUBLE)) * 1000000000.0 + 0.5)
+                 AS BIGINT)
+             ELSE 0 END AS v_nano
+      FROM tbl WHERE d > 0
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+           CAST(SUM(u_nano) AS BIGINT) AS u_nano,
+           CAST(SUM(v_nano) AS BIGINT) AS v_nano,
+           (CAST(SUM(u_nano) AS DOUBLE) / 1000000000.0)
+             * (CAST(SUM(u_nano) AS DOUBLE) / 1000000000.0)
+             / (CAST(SUM(v_nano) AS DOUBLE) / 1000000000.0) AS z2,
+           (CAST(10000 AS HUGEINT)
+              * CAST(SUM(u_nano) AS HUGEINT)
+              * CAST(SUM(u_nano) AS HUGEINT)
+            > CAST(38416 AS HUGEINT) * CAST(1000000000 AS HUGEINT)
+              * CAST(SUM(v_nano) AS HUGEINT)) AS reject
+    FROM terms
+    """,
+)
+def q_log_rank(spark, sf_dir):
+    """LOG-RANK (Mantel-Cox) two-group survival comparison — the
+    hypothesis-test completion of the survival family (q_kaplan_meier
+    draws the curves, q_hazard_rate the rates; log-rank decides
+    whether two arms' curves DIFFER): per-user lifetimes and the
+    25 % censoring rule are shared verbatim with q_kaplan_meier, arms
+    assigned by the engine-portable md5 hash (the q_srm_check
+    discipline). At each death time the O-E term (n*d1 - d*n1)/n and
+    the hypergeometric variance d*n1*(n-n1)*(n-d)/(n^2*(n-1)) have
+    EXACT BIGINT numerators (~n^4 ~ 2.5e16 at sf1 — sf10 would need
+    DECIMAL, documented), are quantized to the 1e-9 lattice BEFORE
+    summing (float sums are order-exact on the lattice), the n=1
+    degenerate variance is decided by an integer guard, and the
+    alpha=0.05 verdict is the exact 128-bit inequality
+    10000*U^2 > 38416e9*V. At 100 TB: one user-keyed agg kills the
+    raw volume; the risk-set window runs over the bounded 2x|day|
+    zero-filled grid."""
+    ev = _t(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":lr"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    life = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date")).alias(
+            "t"
+        ),
+        F.when(F.col("user_id") % 4 != 0, 1).otherwise(0).alias("ev"),
+    ).select("user_id", "t", "ev", arm.alias("arm"))
+    bins = life.groupBy("t", "arm").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    bins = track_persist(bins)
+    grid = (
+        bins.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(2).select(F.col("id").cast("bigint").alias("arm"))
+            )
+        )
+        .join(F.broadcast(bins), ["t", "arm"], "left")
+        .select(
+            "t",
+            "arm",
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("d"),
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("c"),
+        )
+    )
+    w_rev = (
+        Window.partitionBy("arm")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = grid.select(
+        "t", "arm", "d", F.sum("c").over(w_rev).cast("bigint").alias("n_arm")
+    )
+    tbl = risk.groupBy("t").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("d")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum("d").cast("bigint").alias("d"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_arm")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum("n_arm").cast("bigint").alias("n"),
+    )
+    u_nano = F.floor(
+        (F.col("n") * F.col("d1") - F.col("d") * F.col("n1")).cast("double")
+        / F.col("n").cast("double")
+        * 1000000000.0
+        + 0.5
+    ).cast("bigint")
+    v_nano = (
+        F.when(
+            F.col("n") > 1,
+            F.floor(
+                (
+                    F.col("d")
+                    * F.col("n1")
+                    * (F.col("n") - F.col("n1"))
+                    * (F.col("n") - F.col("d"))
+                ).cast("double")
+                / (
+                    F.col("n").cast("double")
+                    * F.col("n").cast("double")
+                    * (F.col("n") - 1).cast("double")
+                )
+                * 1000000000.0
+                + 0.5
+            ).cast("bigint"),
+        )
+        .otherwise(F.lit(0))
+    )
+    terms = tbl.filter(F.col("d") > 0).select(
+        u_nano.alias("u_nano"), v_nano.alias("v_nano")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = terms.agg(
+        F.count("*").cast("bigint").alias("n_times"),
+        F.sum("u_nano").cast("bigint").alias("u_nano"),
+        F.sum("v_nano").cast("bigint").alias("v_nano"),
+    )
+    return agg.select(
+        "n_times",
+        "u_nano",
+        "v_nano",
+        (
+            (F.col("u_nano").cast("double") / 1000000000.0)
+            * (F.col("u_nano").cast("double") / 1000000000.0)
+            / (F.col("v_nano").cast("double") / 1000000000.0)
+        ).alias("z2"),
+        (
+            dec(F.lit(10000)) * dec(F.col("u_nano")) * dec(F.col("u_nano"))
+            > dec(F.lit(38416)) * dec(F.lit(1000000000)) * dec(F.col("v_nano"))
+        ).alias("reject"),
+    )
+
+
+@staged(
+    "q_deming_regression",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) // 100
+               AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'view'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) // 100
+               AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    gs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM daily
+    ),
+    abc AS (
+      SELECT n, sx, sy,
+             CAST(n * sxx - sx * sx AS BIGINT) AS bx,
+             CAST(n * syy - sy * sy AS BIGINT) AS ay,
+             CAST(n * sxy - sx * sy AS BIGINT) AS c
+      FROM gs
+    )
+    SELECT n, bx, ay, c,
+           CASE WHEN c = 0 THEN 0.0 ELSE
+             (CAST(ay - bx AS DOUBLE)
+              + sqrt(CAST(ay - bx AS DOUBLE) * CAST(ay - bx AS DOUBLE)
+                     + 4.0 * CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))
+             / (2.0 * CAST(c AS DOUBLE)) END AS slope,
+           CASE WHEN c = 0 THEN 0.0 ELSE
+             (CAST(sy AS DOUBLE) - (CAST(ay - bx AS DOUBLE)
+                + sqrt(CAST(ay - bx AS DOUBLE) * CAST(ay - bx AS DOUBLE)
+                       + 4.0 * CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))
+               / (2.0 * CAST(c AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) END AS intercept,
+           (c > 0) AS positively_associated
+    FROM abc
+    """,
+)
+def q_deming_regression(spark, sf_dir):
+    """DEMING REGRESSION (errors-in-variables, delta = 1) of daily
+    'view' dollars on daily 'click' dollars — the
+    measurement-error completion of the regression family
+    (q_trend_ols assumes x exact; Deming splits the noise between
+    both axes, the method-comparison standard in lab medicine):
+    slope = (Ay - Bx + sqrt((Ay-Bx)^2 + 4C^2)) / 2C over the three
+    exact centered BIGINT moments Bx = n*Sxx-Sx^2, Ay = n*Syy-Sy^2,
+    C = n*Sxy-SxSy (dollars lattice — cents would cross int64 at
+    sf1, the q_icc_oneway bound). The slope/intercept are each ONE
+    identical double chain whose operands are exact-int casts (both
+    engines round the same integer to the same nearest double), the
+    degenerate C = 0 case is decided by an integer = 0, and the
+    association direction verdict is the exact integer sign of C —
+    a float never classifies. At 100 TB: one day-keyed conditional
+    hash agg kills the raw volume; the moments agg sees 30 rows."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'click'"
+                " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)"
+                " div 100 AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'view'"
+                " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)"
+                " div 100 AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    gs = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    abc = gs.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("bx"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("bigint")
+        .alias("ay"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("c"),
+    )
+    diff = (F.col("ay") - F.col("bx")).cast("double")
+    cd = F.col("c").cast("double")
+    slope = (diff + F.sqrt(diff * diff + 4.0 * cd * cd)) / (2.0 * cd)
+    return abc.select(
+        "n",
+        "bx",
+        "ay",
+        "c",
+        F.when(F.col("c") == 0, F.lit(0.0)).otherwise(slope).alias("slope"),
+        F.when(F.col("c") == 0, F.lit(0.0))
+        .otherwise(
+            (
+                F.col("sy").cast("double")
+                - slope * F.col("sx").cast("double")
+            )
+            / F.col("n").cast("double")
+        )
+        .alias("intercept"),
+        (F.col("c") > 0).alias("positively_associated"),
+    )
+
+
+@staged(
+    "q_mood_median",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS t,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    vh AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY v),
+    med AS (
+      SELECT CAST(MIN(v) AS BIGINT) AS med FROM (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+               (SELECT SUM(c) FROM vh) AS n
+        FROM vh
+      ) WHERE cum >= (n + 1) // 2
+    ),
+    cells AS (
+      SELECT t,
+             CAST(COUNT(*) AS BIGINT) AS n_t,
+             CAST(SUM(CASE WHEN v > (SELECT med FROM med)
+               THEN 1 ELSE 0 END) AS BIGINT) AS above
+      FROM base GROUP BY t
+    ),
+    tots AS (
+      SELECT CAST(SUM(n_t) AS BIGINT) AS n,
+             CAST(SUM(above) AS BIGINT) AS a
+      FROM cells
+    ),
+    terms AS (
+      SELECT cells.t, cells.n_t, cells.above,
+             CAST(cells.n_t - cells.above AS BIGINT) AS below,
+             CAST(floor(
+               CAST(CAST(tots.n * cells.above - cells.n_t * tots.a
+                      AS HUGEINT)
+                    * CAST(tots.n * cells.above - cells.n_t * tots.a
+                      AS HUGEINT) AS DOUBLE)
+               / (CAST(cells.n_t AS DOUBLE) * CAST(tots.a AS DOUBLE)
+                  * CAST(tots.n - tots.a AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT) AS cell_nano
+      FROM cells CROSS JOIN tots
+    )
+    SELECT terms.t, terms.n_t, terms.above, terms.below,
+           terms.cell_nano,
+           (SELECT med FROM med) AS grand_median,
+           (SELECT CAST(SUM(cell_nano) AS BIGINT) FROM terms) AS chi2_nano,
+           ((SELECT SUM(cell_nano) FROM terms) > 9488000000) AS reject
+    FROM terms ORDER BY t
+    """,
+)
+def q_mood_median(spark, sf_dir):
+    """MOOD'S MEDIAN TEST across the 5 event types — the robust
+    k-group location test that completes the rank-test family
+    (q_kruskal_wallis compares mean ranks; Mood only asks 'above or
+    below the pooled median?', maximally outlier-proof): the grand
+    median is selected EXACTLY by cumulative counting on the cents
+    lattice (lower median at (N+1) div 2 — an integer pick, the
+    q_levene_test discipline), the k x 2 above/below table is exact,
+    and the chi-square collapses algebraically to
+    sum_t (N*o_t - n_t*A)^2 / (n_t*A*(N-A)) (the above/below cell
+    numerators are IDENTICAL squared integers — derived, so half the
+    work), each term's numerator in HUGEINT/DECIMAL ((N*o)^2 crosses
+    int64 at sf1), quantized to the 1e-9 lattice BEFORE the exact
+    sum, with the df=4 alpha=0.05 verdict (crit 9.488) decided on
+    that lattice by an integer compare. At 100 TB: one (v) hash agg
+    + one bounded-lattice cumulative for the median, one (t) agg for
+    the table; no data-scale window."""
+    base = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    base = track_persist(base)
+    vh = base.groupBy("v").agg(F.count("*").cast("bigint").alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ntot = vh.agg(F.sum("c").cast("bigint").alias("n"))
+    med = (
+        vh.select("v", F.sum("c").over(wcum).alias("cum"))
+        .crossJoin(F.broadcast(ntot))
+        .filter(F.col("cum") >= F.expr("(n + 1) div 2"))
+        .agg(F.min("v").cast("bigint").alias("med"))
+    )
+    cells = (
+        base.crossJoin(F.broadcast(med))
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_t"),
+            F.sum(F.when(F.col("v") > F.col("med"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("above"),
+            F.max("med").cast("bigint").alias("grand_median"),
+        )
+    )
+    tots = cells.agg(
+        F.sum("n_t").cast("bigint").alias("n"),
+        F.sum("above").cast("bigint").alias("a"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = dec(F.col("n") * F.col("above") - F.col("n_t") * F.col("a"))
+    terms = cells.crossJoin(F.broadcast(tots)).select(
+        "t",
+        "n_t",
+        "above",
+        (F.col("n_t") - F.col("above")).cast("bigint").alias("below"),
+        F.floor(
+            (num * num).cast("double")
+            / (
+                F.col("n_t").cast("double")
+                * F.col("a").cast("double")
+                * (F.col("n") - F.col("a")).cast("double")
+            )
+            * 1000000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("cell_nano"),
+        "grand_median",
+    )
+    terms = track_persist(terms)
+    chi2 = terms.agg(F.sum("cell_nano").cast("bigint").alias("chi2_nano"))
+    return (
+        terms.crossJoin(F.broadcast(chi2))
+        .select(
+            "t",
+            "n_t",
+            "above",
+            "below",
+            "cell_nano",
+            "grand_median",
+            "chi2_nano",
+            (F.col("chi2_nano") > F.lit(9488000000)).alias("reject"),
+        )
+        .orderBy("t")
+    )

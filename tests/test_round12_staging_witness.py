@@ -1534,3 +1534,137 @@ def test_no_python_row_udfs_in_round12_staged_b10(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 11
+
+
+def test_icc_oneway_witness(spark, duck):
+    daily = _daily_cents(duck)
+    types = sorted(daily)
+    grid = {
+        (t, d): daily[t].get(d, 0)
+        for t in types
+        for d in sorted({dd for v in daily.values() for dd in v})
+    }
+    days = sorted({d for _, d in grid})
+    assert len(days) == 30 and len(types) == 5
+    y = {
+        (t, i): daily[t].get(d, 0) // 100
+        for t in types
+        for i, d in enumerate(days)
+    }
+    n, k = 30, 5
+    t_i = [sum(y[(t, i)] for t in types) for i in range(n)]
+    g = sum(t_i)
+    st2 = sum(v * v for v in t_i)
+    syy = sum(v * v for v in y.values())
+    a = n * st2 - g * g
+    b = k * syy - st2
+    p = (k - 1) * a - (n - 1) * b
+    q = (k - 1) * (a + (n - 1) * b)
+    [r] = STAGED_QUERIES["q_icc_oneway"](spark, SF_DIR).collect()
+    assert (r.n_items, r.k, r.a, r.b, r.p, r.q) == (n, k, a, b, p, q)
+    assert r.msb == pytest.approx(a / (n * k * (n - 1)), rel=1e-12)
+    assert r.msw == pytest.approx(b / (k * n * (k - 1)), rel=1e-12)
+    assert r.icc == pytest.approx(p / q, rel=1e-12)
+    assert r.reliable == (2 * p > q)
+    assert -1.0 / (k - 1) <= r.icc <= 1.0  # ICC(1) analytic range
+
+
+def test_log_rank_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, datediff('day', CAST(MIN(ts) AS DATE),"
+        f" CAST(MAX(ts) AS DATE)) FROM '{SF_DIR}/events.parquet'"
+        f" GROUP BY user_id"
+    ).fetchall()
+    life = []
+    for uid, t in rows:
+        arm = int(hashlib.md5(f"{uid}:lr".encode()).hexdigest()[:8], 16) % 2
+        life.append((t, 1 if uid % 4 != 0 else 0, arm))
+    times = sorted({t for t, _, _ in life})
+    u_sum = v_sum = n_times = 0
+    for tt in times:
+        d1 = sum(e for t, e, a in life if t == tt and a == 1)
+        d = sum(e for t, e, _ in life if t == tt)
+        n1 = sum(1 for t, _, a in life if t >= tt and a == 1)
+        n = sum(1 for t, _, _ in life if t >= tt)
+        if d == 0:
+            continue
+        n_times += 1
+        u_sum += math.floor((n * d1 - d * n1) / n * 1e9 + 0.5)
+        if n > 1:
+            v_sum += math.floor(
+                d * n1 * (n - n1) * (n - d) / (n * n * (n - 1)) * 1e9
+                + 0.5
+            )
+    [r] = STAGED_QUERIES["q_log_rank"](spark, SF_DIR).collect()
+    assert (r.n_times, r.u_nano, r.v_nano) == (n_times, u_sum, v_sum)
+    z2 = (u_sum / 1e9) ** 2 / (v_sum / 1e9)
+    assert r.z2 == pytest.approx(z2, rel=1e-12)
+    assert r.reject == (10000 * u_sum * u_sum > 38416 * 10**9 * v_sum)
+
+
+def test_deming_regression_witness(spark, duck):
+    daily = _daily_cents(duck)
+    days = sorted({d for v in daily.values() for d in v})
+    xs = [daily["click"].get(d, 0) // 100 for d in days]
+    ys = [daily["view"].get(d, 0) // 100 for d in days]
+    n = len(days)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(v * v for v in xs)
+    syy = sum(v * v for v in ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    bx = n * sxx - sx * sx
+    ay = n * syy - sy * sy
+    c = n * sxy - sx * sy
+    [r] = STAGED_QUERIES["q_deming_regression"](spark, SF_DIR).collect()
+    assert (r.n, r.bx, r.ay, r.c) == (n, bx, ay, c)
+    slope = (ay - bx + math.sqrt((ay - bx) ** 2 + 4 * c * c)) / (2 * c)
+    assert r.slope == pytest.approx(slope, rel=1e-12)
+    assert r.intercept == pytest.approx((sy - slope * sx) / n, rel=1e-12)
+    assert r.positively_associated == (c > 0)
+    # Deming slope majorizes the OLS slope when both noises share scale
+    assert abs(slope) >= abs(c / bx) - 1e-12
+
+
+def test_mood_median_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, CAST(round(value * 100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    vals = sorted(v for _, v in rows)
+    n = len(vals)
+    med = vals[(n + 1) // 2 - 1]
+    per = collections.defaultdict(lambda: [0, 0])
+    for t, v in rows:
+        per[t][0] += 1
+        per[t][1] += 1 if v > med else 0
+    a = sum(ab for _, ab in per.values())
+    chi2 = 0
+    cells = {}
+    for t, (nt, o) in per.items():
+        num = (n * o - nt * a) ** 2
+        cells[t] = math.floor(num / (nt * a * (n - a)) * 1e9 + 0.5)
+        chi2 += cells[t]
+    got = {
+        r.t: r for r in STAGED_QUERIES["q_mood_median"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per)
+    for t, r in got.items():
+        nt, o = per[t]
+        assert (r.n_t, r.above, r.below) == (nt, o, nt - o)
+        assert r.grand_median == med
+        assert r.cell_nano == cells[t]
+        assert r.chi2_nano == chi2
+        assert r.reject == (chi2 > 9488000000)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_icc_oneway", "q_log_rank", "q_deming_regression", "q_mood_median"],
+)
+def test_no_python_row_udfs_in_round12_staged_b11(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
