@@ -5320,3 +5320,444 @@ def q_mood_median(spark, sf_dir):
         )
         .orderBy("t")
     )
+
+
+# =====================================================================
+# Round-12 staged batch 12 — exact sequential-fold / DP mechanisms:
+# 0/1 knapsack DP (vs an EXHAUSTIVE-enumeration oracle), Elo rating
+# fold (frozen logistic table), Croston intermittent-demand fold.
+# Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_knapsack_dp",
+    oracle="""
+    WITH items AS (
+      SELECT c_nationkey AS nk, c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS v,
+             CAST(1 + c_custkey % 7 AS BIGINT) AS w,
+             row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY round(c_acctbal * 100) DESC, c_custkey
+             ) AS rn
+      FROM customer WHERE c_acctbal > 0
+    ),
+    top AS (SELECT * FROM items WHERE rn <= 10),
+    masks AS (SELECT unnest(range(0, 1024)) AS m),
+    subsets AS (
+      SELECT top.nk, masks.m,
+             CAST(SUM(top.v) AS BIGINT) AS sv,
+             CAST(SUM(top.w) AS BIGINT) AS sw
+      FROM top JOIN masks ON ((masks.m >> (top.rn - 1)) & 1) = 1
+      GROUP BY top.nk, masks.m
+    ),
+    best AS (
+      SELECT nk, CAST(MAX(sv) AS BIGINT) AS best_value
+      FROM subsets WHERE sw <= 15 GROUP BY nk
+    ),
+    counts AS (
+      SELECT nk, CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(v) AS BIGINT) AS total_value
+      FROM top GROUP BY nk
+    )
+    SELECT counts.nk AS nk, counts.n_items, counts.total_value,
+           CAST(COALESCE(best.best_value, 0) AS BIGINT) AS best_value,
+           CAST(15 AS BIGINT) AS capacity
+    FROM counts LEFT JOIN best ON best.nk = counts.nk
+    ORDER BY nk
+    """,
+)
+def q_knapsack_dp(spark, sf_dir):
+    """0/1 KNAPSACK solved EXACTLY by dynamic programming — the
+    optimal completion of q_knapsack_greedy (greedy by density is
+    unboundedly suboptimal; DP is exact): per nation, the top-10
+    positive-balance customers are items (value = cents, weight =
+    1 + custkey % 7, capacity 15), and the Bellman table lives in a
+    16-element BIGINT array folded item-by-item inside ONE
+    F.aggregate (state[c] = best value using capacity <= c; the
+    q_amortization_schedule fold shape — no shuffle, no window,
+    map-only per group). THE ORACLE IS NOT A REPLAY: DuckDB solves
+    the same instances by EXHAUSTIVE 2^10 subset enumeration
+    (bitmask join), so DP-vs-brute-force is a genuinely independent
+    cross-check of optimality, not two copies of one recurrence.
+    All values/weights exact BIGINT; ties in value are irrelevant
+    (max is over values only). At 100 TB: item selection is one
+    windowed top-k per nation; the fold is O(10 x 16) per group."""
+    w_rank = Window.partitionBy("nk").orderBy(
+        F.desc("v"), F.col("c_custkey")
+    )
+    items = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select(
+            F.col("c_nationkey").cast("bigint").alias("nk"),
+            "c_custkey",
+            F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("v"),
+            F.expr("CAST(1 + c_custkey % 7 AS BIGINT)").alias("w"),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 10)
+    )
+    per = items.groupBy("nk").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum("v").cast("bigint").alias("total_value"),
+        F.array_sort(F.collect_list(F.struct("rn", "v", "w"))).alias(
+            "its"
+        ),
+    )
+    dp = F.expr(
+        "element_at(aggregate(its,"
+        " array_repeat(CAST(0 AS BIGINT), 16),"
+        " (acc, it) -> transform(acc, (x, c) ->"
+        "   CASE WHEN c >= it.w"
+        "        THEN greatest(x, element_at(acc, CAST(c - it.w + 1 AS INT))"
+        "                         + it.v)"
+        "        ELSE x END)), 16)"
+    )
+    return per.select(
+        "nk",
+        "n_items",
+        "total_value",
+        dp.cast("bigint").alias("best_value"),
+        F.lit(15).cast("bigint").alias("capacity"),
+    ).orderBy("nk")
+
+
+# Frozen Elo expectation table: E_permille[idx] for rating-diff bucket
+# idx = (clamp(R_b - R_a, +-400000 milli) + 400000) div 25000, i.e.
+# d_elo = idx*25 - 400; E = round(1000 / (1 + 10^(d_elo/400))).
+# Literals (not pow() at query time) — the q_decay_activity discipline.
+_ELO_E = [
+    909, 896, 882, 867, 849, 830, 808, 785, 760, 733, 703,
+    673, 640, 606, 571, 536, 500, 464, 429, 394, 360, 327,
+    297, 267, 240, 215, 192, 170, 151, 133, 118, 104, 91,
+]
+_ELO_PLAYERS = ["click", "error", "purchase", "signup", "view"]
+_ELO_E_SQL = "CASE idx " + " ".join(
+    f"WHEN {i} THEN {e}" for i, e in enumerate(_ELO_E)
+) + " END"
+
+
+def _elo_oracle() -> str:
+    e_case_of = lambda expr: "CASE ((greatest(least(" + expr + (  # noqa: E731
+        ", 400000), -400000) + 400000) // 25000) "
+        + " ".join(f"WHEN {i} THEN {e}" for i, e in enumerate(_ELO_E))
+        + " END"
+    )
+    delta = (
+        "16 * (1000 * g.sa - "
+        + e_case_of("rec.rs[g.ib + 1] - rec.rs[g.ia + 1]")
+        + ")"
+    )
+    players_sql = "[" + ", ".join(f"'{p}'" for p in _ELO_PLAYERS) + "]"
+    idx_case = (
+        "CASE tt.t "
+        + " ".join(f"WHEN '{p}' THEN {i}" for i, p in enumerate(_ELO_PLAYERS))
+        + " END"
+    )
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, CAST({idx_case} AS BIGINT) AS i, dd.d,
+             CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    games AS (
+      SELECT a.d, a.i AS ia, b.i AS ib,
+             CASE WHEN a.x >= b.x THEN 1 ELSE 0 END AS sa,
+             row_number() OVER (ORDER BY a.d, a.i, b.i) AS gn
+      FROM grid a JOIN grid b ON a.d = b.d AND a.i < b.i
+    ),
+    rec AS (
+      SELECT 0 AS k,
+             CAST([1500000, 1500000, 1500000, 1500000, 1500000]
+               AS BIGINT[]) AS rs
+      UNION ALL
+      SELECT k + 1,
+             list_transform(range(1, 6), i ->
+               CASE WHEN i = g.ia + 1 THEN rec.rs[i] + ({delta})
+                    WHEN i = g.ib + 1 THEN rec.rs[i] - ({delta})
+                    ELSE rec.rs[i] END)
+      FROM rec JOIN games g ON g.gn = rec.k + 1
+      WHERE rec.k < (SELECT COUNT(*) FROM games)
+    ),
+    final AS (
+      SELECT rs FROM rec ORDER BY k DESC LIMIT 1
+    ),
+    wins AS (
+      SELECT winner, CAST(COUNT(*) AS BIGINT) AS n_wins FROM (
+        SELECT CASE WHEN sa = 1 THEN ia ELSE ib END AS winner FROM games
+      ) GROUP BY winner
+    )
+    SELECT {players_sql}[p.i + 1] AS player,
+           CAST(final.rs[p.i + 1] AS BIGINT) AS rating_milli,
+           CAST(COALESCE(wins.n_wins, 0) AS BIGINT) AS n_wins,
+           CAST((SELECT COUNT(*) FROM games) // 10 * 4 AS BIGINT)
+             AS n_games
+    FROM (SELECT unnest(range(0, 5)) AS i) p
+    CROSS JOIN final
+    LEFT JOIN wins ON wins.winner = p.i
+    ORDER BY player
+    """
+
+
+@staged("q_elo_ratings", oracle=_elo_oracle())
+def q_elo_ratings(spark, sf_dir):
+    """ELO RATINGS as an EXACT INTEGER SEQUENTIAL FOLD — the online
+    paired-comparison ladder that completes the ranking family
+    (q_bradley_terry fits the same model in BATCH by MM; Elo replays
+    the games one by one, order-sensitive, the way matchmaking
+    actually runs): the 5 event types play a daily round-robin (10
+    games/day, winner = larger exact daily cents, ties to the
+    lexicographic smaller — the q_bradley_terry tie discipline) and
+    ratings update R_a += K*(S_a - E_a) through ONE global
+    F.aggregate fold over the (day, pair)-sorted game array.
+    Everything is integer: ratings in milli-Elo, K = 16, and the
+    logistic expectation comes from a 33-bucket FROZEN permille
+    table (d_elo = idx*25 - 400 — literals, no pow() at query time,
+    the q_decay_activity discipline); the bucket index shifts the
+    clamped diff nonneg BEFORE integer div (negative div semantics
+    differ across engines — documented trap). The fold is zero-sum
+    by construction (witness-pinned: ratings sum to 5*1500000). The
+    oracle replays the identical fold as a bounded RECURSIVE CTE
+    over a list state. At 100 TB: raw volume dies in the (type, day)
+    hash agg; the fold is 300 games x 5-element state, driver-free
+    and bounded by the day domain, not the data."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    idx_case = "CASE t " + " ".join(
+        f"WHEN '{p}' THEN {i}" for i, p in enumerate(_ELO_PLAYERS)
+    ) + " END"
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            F.expr(f"CAST(({idx_case}) AS BIGINT)").alias("i"),
+            "d",
+            F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+        )
+    )
+    grid = track_persist(grid)
+    a = grid.alias("a")
+    b = grid.alias("b")
+    games = a.join(
+        F.broadcast(b),
+        (F.col("a.d") == F.col("b.d")) & (F.col("a.i") < F.col("b.i")),
+    ).select(
+        F.col("a.d").alias("d"),
+        F.col("a.i").alias("ia"),
+        F.col("b.i").alias("ib"),
+        F.when(F.col("a.x") >= F.col("b.x"), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("sa"),
+    )
+    games = track_persist(games)
+    e_arr = "array(" + ", ".join(str(e) for e in _ELO_E) + ")"
+    fold = F.expr(
+        "aggregate(gs,"
+        " array_repeat(CAST(1500000 AS BIGINT), 5),"
+        " (acc, g) -> transform(acc, (r, i) ->"
+        "   CASE"
+        "   WHEN i = g.ia THEN r + 16 * (1000 * g.sa - element_at("
+        + e_arr
+        + ", CAST((greatest(least(element_at(acc, CAST(g.ib + 1 AS INT))"
+        "  - element_at(acc, CAST(g.ia + 1 AS INT)), 400000), -400000)"
+        "  + 400000) div 25000 + 1 AS INT)))"
+        "   WHEN i = g.ib THEN r - 16 * (1000 * g.sa - element_at("
+        + e_arr
+        + ", CAST((greatest(least(element_at(acc, CAST(g.ib + 1 AS INT))"
+        "  - element_at(acc, CAST(g.ia + 1 AS INT)), 400000), -400000)"
+        "  + 400000) div 25000 + 1 AS INT)))"
+        "   ELSE r END))"
+    )
+    folded = games.agg(
+        F.array_sort(F.collect_list(F.struct("d", "ia", "ib", "sa"))).alias(
+            "gs"
+        ),
+        F.count("*").cast("bigint").alias("n_games_total"),
+    ).select(fold.alias("ratings"), "n_games_total")
+    wins = games.groupBy(
+        F.when(F.col("sa") == 1, F.col("ia"))
+        .otherwise(F.col("ib"))
+        .alias("winner")
+    ).agg(F.count("*").cast("bigint").alias("n_wins"))
+    players_arr = "array(" + ", ".join(f"'{p}'" for p in _ELO_PLAYERS) + ")"
+    per = folded.select(
+        F.posexplode("ratings").alias("i", "rating_milli"),
+        "n_games_total",
+    ).select(
+        F.col("i").cast("bigint").alias("i"),
+        F.expr(f"element_at({players_arr}, CAST(i + 1 AS INT))").alias(
+            "player"
+        ),
+        F.col("rating_milli").cast("bigint").alias("rating_milli"),
+        F.expr("CAST(n_games_total div 10 * 4 AS BIGINT)").alias("n_games"),
+    )
+    return (
+        per.join(F.broadcast(wins), per["i"] == wins["winner"], "left")
+        .select(
+            "player",
+            "rating_milli",
+            F.coalesce("n_wins", F.lit(0)).cast("bigint").alias("n_wins"),
+            "n_games",
+        )
+        .orderBy("player")
+    )
+
+
+@staged(
+    "q_croston",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT CAST(user_id % 8 AS BIGINT) AS bk,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS q
+      FROM events WHERE event_type = 'signup' GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT bb.bk, dd.d, CAST(COALESCE(daily.q, 0) AS BIGINT) AS q
+      FROM (SELECT unnest(range(0, 8)) AS bk) bb
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.bk = bb.bk AND daily.d = dd.d
+    ),
+    rec AS (
+      SELECT CAST(bk AS BIGINT) AS bk, -1 AS k, 0 AS seen,
+             CAST(0 AS BIGINT) AS z, CAST(0 AS BIGINT) AS i,
+             CAST(0 AS BIGINT) AS since
+      FROM (SELECT unnest(range(0, 8)) AS bk)
+      UNION ALL
+      SELECT rec.bk, rec.k + 1,
+             CASE WHEN g.q > 0 THEN 1 ELSE rec.seen END,
+             CASE WHEN g.q = 0 THEN rec.z
+                  WHEN rec.seen = 0 THEN g.q
+                  ELSE (3 * g.q + 7 * rec.z) // 10 END,
+             CASE WHEN g.q = 0 THEN rec.i
+                  WHEN rec.seen = 0 THEN (rec.since + 1) * 1000
+                  ELSE (3 * (rec.since + 1) * 1000 + 7 * rec.i) // 10 END,
+             CASE WHEN g.q > 0 THEN 0 ELSE rec.since + 1 END
+      FROM rec JOIN grid g ON g.bk = rec.bk AND g.d = rec.k + 1
+      WHERE rec.k < 29
+    ),
+    final AS (
+      SELECT bk, z, i FROM rec WHERE k = 29
+    ),
+    nd AS (
+      SELECT bk, CAST(SUM(CASE WHEN q > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_demands
+      FROM grid GROUP BY bk
+    )
+    SELECT final.bk AS bk, nd.n_demands,
+           CAST(final.z AS BIGINT) AS z_cents,
+           CAST(final.i AS BIGINT) AS i_milli,
+           CASE WHEN final.i = 0 THEN 0.0
+                ELSE CAST(final.z AS DOUBLE) * 1000.0
+                     / CAST(final.i AS DOUBLE) END AS forecast
+    FROM final JOIN nd ON nd.bk = final.bk
+    ORDER BY bk
+    """,
+)
+def q_croston(spark, sf_dir):
+    """CROSTON'S METHOD for intermittent demand — the supply-chain
+    forecaster for sparse series (separate EWMAs over the nonzero
+    demand SIZES and the INTERVALS between them; plain EWMA biases
+    toward zero on sparse series, Croston's ratio z/i does not):
+    8 user-bucket series of daily signup cents over the zero-filled
+    30-day grid, folded day-by-day in ONE F.aggregate per series
+    (the q_stream_ewma fold discipline). Both EWMAs use the exact
+    integer form new = (3x + 7old) div 10 with ALL operands
+    nonnegative (negative integer division rounds differently
+    across engines — the q_elo_ratings shift trap, avoided by
+    construction here); intervals carry milli-day units so the
+    smoothing keeps resolution. First demand initializes (the
+    standard Croston start), demandless series read forecast 0 via
+    an integer guard. The oracle replays the identical fold as a
+    bounded RECURSIVE CTE (30 steps x 8 parallel series). At
+    100 TB: raw volume dies in the (bucket, day) hash agg; the fold
+    is 30 steps over a 4-field state per series."""
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "signup"
+    )
+    daily = ev.groupBy(
+        F.expr("CAST(user_id % 8 AS BIGINT)").alias("bk"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+    ).agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("q")
+    )
+    grid = (
+        spark.range(8)
+        .select(F.col("id").cast("bigint").alias("bk"))
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["bk", "d"], "left")
+        .select(
+            "bk", "d", F.coalesce("q", F.lit(0)).cast("bigint").alias("q")
+        )
+    )
+    per = grid.groupBy("bk").agg(
+        F.array_sort(F.collect_list(F.struct("d", "q"))).alias("days"),
+        F.sum(F.when(F.col("q") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_demands"),
+    )
+    fold = F.expr(
+        "aggregate(days,"
+        " struct(CAST(0 AS INT) AS seen, CAST(0 AS BIGINT) AS z,"
+        "        CAST(0 AS BIGINT) AS i, CAST(0 AS BIGINT) AS since),"
+        " (acc, g) -> struct("
+        "   CASE WHEN g.q > 0 THEN 1 ELSE acc.seen END AS seen,"
+        "   CASE WHEN g.q = 0 THEN acc.z"
+        "        WHEN acc.seen = 0 THEN g.q"
+        "        ELSE (3 * g.q + 7 * acc.z) div 10 END AS z,"
+        "   CASE WHEN g.q = 0 THEN acc.i"
+        "        WHEN acc.seen = 0 THEN (acc.since + 1) * 1000"
+        "        ELSE (3 * (acc.since + 1) * 1000 + 7 * acc.i) div 10"
+        "        END AS i,"
+        "   CASE WHEN g.q > 0 THEN CAST(0 AS BIGINT)"
+        "        ELSE acc.since + 1 END AS since))"
+    )
+    return (
+        per.select("bk", "n_demands", fold.alias("st"))
+        .select(
+            "bk",
+            "n_demands",
+            F.col("st")["z"].cast("bigint").alias("z_cents"),
+            F.col("st")["i"].cast("bigint").alias("i_milli"),
+            F.when(F.col("st")["i"] == 0, F.lit(0.0))
+            .otherwise(
+                F.col("st")["z"].cast("double")
+                * 1000.0
+                / F.col("st")["i"].cast("double")
+            )
+            .alias("forecast"),
+        )
+        .orderBy("bk")
+    )

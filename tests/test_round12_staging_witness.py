@@ -1668,3 +1668,121 @@ def test_no_python_row_udfs_in_round12_staged_b11(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 12
+
+
+def test_knapsack_dp_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT c_nationkey, c_custkey, CAST(round(c_acctbal * 100)"
+        f" AS BIGINT) FROM '{SF_DIR}/customer.parquet'"
+        f" WHERE c_acctbal > 0"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for nk, ck, v in rows:
+        per[nk].append((v, ck))
+    got = {
+        r.nk: r
+        for r in STAGED_QUERIES["q_knapsack_dp"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per)
+    for nk, items in per.items():
+        top = sorted(items, key=lambda t: (-t[0], t[1]))[:10]
+        wv = [(1 + ck % 7, v) for v, ck in top]
+        best = 0
+        for mask in range(1 << len(wv)):
+            w = sum(wv[i][0] for i in range(len(wv)) if mask >> i & 1)
+            v = sum(wv[i][1] for i in range(len(wv)) if mask >> i & 1)
+            if w <= 15:
+                best = max(best, v)
+        r = got[nk]
+        assert (r.n_items, r.capacity) == (len(wv), 15)
+        assert r.total_value == sum(v for _, v in wv)
+        assert r.best_value == best
+        assert r.best_value <= r.total_value
+
+
+def test_elo_ratings_witness(spark, duck):
+    from aws_vpcflowlogs_parquet_spark.plans.staging import (
+        _ELO_E,
+        _ELO_PLAYERS,
+    )
+
+    daily = _daily_cents(duck)
+    days = sorted({d for v in daily.values() for d in v})
+    ratings = [1500000] * 5
+    wins = [0] * 5
+    n_games = 0
+    for d in days:
+        for ia in range(5):
+            for ib in range(ia + 1, 5):
+                xa = daily[_ELO_PLAYERS[ia]].get(d, 0)
+                xb = daily[_ELO_PLAYERS[ib]].get(d, 0)
+                sa = 1 if xa >= xb else 0
+                idx = (
+                    max(min(ratings[ib] - ratings[ia], 400000), -400000)
+                    + 400000
+                ) // 25000
+                delta = 16 * (1000 * sa - _ELO_E[idx])
+                ratings[ia] += delta
+                ratings[ib] -= delta
+                wins[ia if sa else ib] += 1
+                n_games += 1
+    got = {
+        r.player: r
+        for r in STAGED_QUERIES["q_elo_ratings"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(_ELO_PLAYERS)
+    for i, p in enumerate(_ELO_PLAYERS):
+        assert got[p].rating_milli == ratings[i], p
+        assert got[p].n_wins == wins[i], p
+        assert got[p].n_games == n_games // 10 * 4
+    # Elo is zero-sum: total rating mass is invariant
+    assert sum(r.rating_milli for r in got.values()) == 5 * 1500000
+
+
+def test_croston_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id % 8, CAST(ts AS DATE),"
+        f" CAST(round(value * 100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet' WHERE event_type = 'signup'"
+    ).fetchall()
+    import datetime
+
+    anchor = datetime.date(2024, 1, 1)
+    daily = collections.defaultdict(int)
+    for bk, d, c in rows:
+        daily[(bk, (d - anchor).days)] += c
+    got = {
+        r.bk: r for r in STAGED_QUERIES["q_croston"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(range(8))
+    for bk in range(8):
+        seen, z, i, since, nd = 0, 0, 0, 0, 0
+        for d in range(30):
+            q = daily.get((bk, d), 0)
+            if q > 0:
+                nd += 1
+                if seen == 0:
+                    z, i, seen = q, (since + 1) * 1000, 1
+                else:
+                    z = (3 * q + 7 * z) // 10
+                    i = (3 * (since + 1) * 1000 + 7 * i) // 10
+                since = 0
+            else:
+                since += 1
+        r = got[bk]
+        assert (r.n_demands, r.z_cents, r.i_milli) == (nd, z, i)
+        fc = 0.0 if i == 0 else z * 1000 / i
+        assert r.forecast == pytest.approx(fc, rel=1e-12)
+        assert r.i_milli >= 1000 or r.n_demands == 0  # interval >= 1 day
+
+
+@pytest.mark.parametrize(
+    "name", ["q_knapsack_dp", "q_elo_ratings", "q_croston"]
+)
+def test_no_python_row_udfs_in_round12_staged_b12(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
