@@ -5761,3 +5761,526 @@ def q_croston(spark, sf_dir):
         )
         .orderBy("bk")
     )
+
+
+# =====================================================================
+# Round-12 staged batch 13 — robust estimation (Hodges-Lehmann via
+# histogram self-convolution), ordered-alternative rank test (Page's
+# L), and directed-motif counting (cyclic vs transitive triangles).
+# Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_hodges_lehmann",
+    oracle="""
+    WITH hist AS (
+      SELECT l_returnflag AS fl, CAST(l_quantity AS BIGINT) AS v,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    pairsums AS (
+      SELECT x.fl, CAST(x.v + y.v AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN x.v < y.v THEN x.c * y.c
+                           WHEN x.v = y.v THEN x.c * (x.c + 1) // 2
+                           ELSE 0 END) AS BIGINT) AS m
+      FROM hist x JOIN hist y ON x.fl = y.fl
+      GROUP BY x.fl, x.v + y.v
+    ),
+    nz AS (SELECT fl, s, m FROM pairsums WHERE m > 0),
+    tot AS (
+      SELECT fl, CAST(SUM(m) AS BIGINT) AS m_pairs FROM nz GROUP BY fl
+    ),
+    cum AS (
+      SELECT nz.fl, nz.s,
+             SUM(nz.m) OVER (PARTITION BY nz.fl ORDER BY nz.s) AS cm,
+             tot.m_pairs
+      FROM nz JOIN tot ON tot.fl = nz.fl
+    ),
+    pick AS (
+      SELECT fl, CAST(MIN(s) AS BIGINT) AS s_star
+      FROM cum WHERE cm >= (m_pairs + 1) // 2 GROUP BY fl
+    ),
+    ns AS (
+      SELECT fl, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY fl
+    )
+    SELECT ns.fl AS fl, ns.n, tot.m_pairs, pick.s_star,
+           CAST(pick.s_star AS DOUBLE) / 2.0 AS hl_estimate
+    FROM ns JOIN tot ON tot.fl = ns.fl JOIN pick ON pick.fl = ns.fl
+    ORDER BY fl
+    """,
+)
+def q_hodges_lehmann(spark, sf_dir):
+    """HODGES-LEHMANN pseudomedian per returnflag — the rank-based
+    robust location estimator (median of all n(n+1)/2 Walsh averages
+    (x_i+x_j)/2, i<=j; 29% breakdown, ~95% Gaussian efficiency — the
+    estimator behind the Wilcoxon CI, completing q_wilcoxon_signed /
+    q_trimmed_mean / q_weighted_median): the quadratic pair set is
+    NEVER materialized — l_quantity lives on a 50-value lattice, so
+    the Walsh-average multiset is an exact HISTOGRAM SELF-CONVOLUTION
+    (i<j pairs c_v*c_w, diagonal c_v(c_v+1)/2 — exact BIGINTs,
+    ~n^2/4 <= 1e13 at sf1), and the median of ~99 sum-lattice cells
+    is picked EXACTLY by cumulative counting at (M+1) div 2 (integer
+    div — the q_mood_median discipline). HL = s*/2 is the only
+    division, at readout. At 100 TB: raw volume dies in the
+    (fl, v) hash agg; the convolution joins 50-row broadcast frames;
+    the cumulative runs over 99 cells per group."""
+    hist = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("fl"),
+            F.col("l_quantity").cast("bigint").alias("v"),
+        )
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    hist = track_persist(hist)
+    x = hist.select("fl", F.col("v").alias("vx"), F.col("c").alias("cx"))
+    y = hist.select("fl", F.col("v").alias("vy"), F.col("c").alias("cy"))
+    pairsums = (
+        x.join(F.broadcast(y), "fl")
+        .groupBy("fl", (F.col("vx") + F.col("vy")).cast("bigint").alias("s"))
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vx") < F.col("vy"), F.col("cx") * F.col("cy")
+                )
+                .when(
+                    F.col("vx") == F.col("vy"),
+                    F.expr("cx * (cx + 1) div 2"),
+                )
+                .otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("m")
+        )
+        .filter(F.col("m") > 0)
+    )
+    pairsums = track_persist(pairsums)
+    tot = pairsums.groupBy("fl").agg(
+        F.sum("m").cast("bigint").alias("m_pairs")
+    )
+    wcum = (
+        Window.partitionBy("fl")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pick = (
+        pairsums.select("fl", "s", F.sum("m").over(wcum).alias("cm"))
+        .join(F.broadcast(tot), "fl")
+        .filter(F.col("cm") >= F.expr("(m_pairs + 1) div 2"))
+        .groupBy("fl")
+        .agg(F.min("s").cast("bigint").alias("s_star"))
+    )
+    ns = hist.groupBy("fl").agg(F.sum("c").cast("bigint").alias("n"))
+    return (
+        ns.join(F.broadcast(tot), "fl")
+        .join(F.broadcast(pick), "fl")
+        .select(
+            "fl",
+            "n",
+            "m_pairs",
+            "s_star",
+            (F.col("s_star").cast("double") / 2.0).alias("hl_estimate"),
+        )
+        .orderBy("fl")
+    )
+
+
+@staged(
+    "q_page_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x,
+             CASE tt.t WHEN 'click' THEN 1 WHEN 'error' THEN 2
+                       WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4
+                       WHEN 'view' THEN 5 END AS j
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    ranked AS (
+      SELECT a.t, a.j,
+             CAST(SUM(CASE WHEN b.x < a.x THEN 2
+                           WHEN b.x = a.x THEN 1 ELSE 0 END) + 1
+               AS BIGINT) AS r2
+      FROM grid a JOIN grid b ON a.d = b.d
+      GROUP BY a.t, a.j, a.d
+    ),
+    sums AS (
+      SELECT t, j, CAST(SUM(r2) AS BIGINT) AS r2_sum
+      FROM ranked GROUP BY t, j
+    ),
+    l AS (
+      SELECT CAST(SUM(j * r2_sum) AS BIGINT) AS l2 FROM sums
+    )
+    SELECT sums.t AS t, sums.j, sums.r2_sum, l.l2,
+           (CAST(l.l2 AS DOUBLE) / 2.0 - 30.0 * 5.0 * 36.0 / 4.0)
+             / sqrt(30.0 * 25.0 * 36.0 * 4.0 / 144.0) AS z,
+           (CAST(l.l2 AS DOUBLE) / 2.0
+            > 30.0 * 5.0 * 36.0 / 4.0
+              + 1.6449
+                * sqrt(30.0 * 25.0 * 36.0 * 4.0 / 144.0)) AS increasing
+    FROM sums CROSS JOIN l
+    ORDER BY t
+    """,
+)
+def q_page_trend(spark, sf_dir):
+    """PAGE'S L TEST for ordered alternatives — the trend-powered
+    refinement of q_friedman_test (Friedman asks 'any treatment
+    difference across blocks?'; Page asks 'monotone in the
+    HYPOTHESIZED order?' — here the frozen lexicographic type order,
+    scores j = 1..5): within each of the 30 day-blocks the 5 types'
+    exact daily cents are rank-scored with DOUBLED midranks (2x
+    keeps ties on the integer lattice — the q_kruskal_wallis
+    discipline; zero-filled cells CAN tie at zero), built by
+    COUNTING comparisons on the 5x5 per-day join (no sort), and
+    L2 = sum_j j*R2_j is an exact BIGINT. The z readout and the
+    one-sided alpha=0.05 'increasing' call are identical double
+    chains over frozen constants (b=30, k=5 -> E[L]=1350,
+    sigma^2=750). At 100 TB: raw volume dies in the (type, day) hash
+    agg; ranking joins 150-row broadcast frames."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    jcase = (
+        "CASE t WHEN 'click' THEN 1 WHEN 'error' THEN 2"
+        " WHEN 'purchase' THEN 3 WHEN 'signup' THEN 4"
+        " WHEN 'view' THEN 5 END"
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t",
+            "d",
+            F.coalesce("x", F.lit(0)).cast("bigint").alias("x"),
+            F.expr(f"CAST(({jcase}) AS BIGINT)").alias("j"),
+        )
+    )
+    grid = track_persist(grid)
+    a = grid.alias("a")
+    b = grid.alias("b")
+    ranked = (
+        a.join(F.broadcast(b), F.col("a.d") == F.col("b.d"))
+        .groupBy(
+            F.col("a.t").alias("t"), F.col("a.j").alias("j"), F.col("a.d")
+        )
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("b.x") < F.col("a.x"), 2)
+                    .when(F.col("b.x") == F.col("a.x"), 1)
+                    .otherwise(0)
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("r2")
+        )
+    )
+    sums = ranked.groupBy("t", "j").agg(
+        F.sum("r2").cast("bigint").alias("r2_sum")
+    )
+    sums = track_persist(sums)
+    l2 = sums.agg(
+        F.sum(F.col("j") * F.col("r2_sum")).cast("bigint").alias("l2")
+    )
+    e_l = 30.0 * 5.0 * 36.0 / 4.0
+    sd = "sqrt(30.0 * 25.0 * 36.0 * 4.0 / 144.0)"
+    return (
+        sums.crossJoin(F.broadcast(l2))
+        .select(
+            "t",
+            "j",
+            "r2_sum",
+            "l2",
+            F.expr(
+                f"(CAST(l2 AS DOUBLE) / 2.0 - {e_l!r}) / {sd}"
+            ).alias("z"),
+            F.expr(
+                f"CAST(l2 AS DOUBLE) / 2.0 > {e_l!r} + 1.6449 * {sd}"
+            ).alias("increasing"),
+        )
+        .orderBy("t")
+    )
+
+
+@staged(
+    "q_triad_motifs",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT CAST(user_id % 97 AS BIGINT) AS src,
+             CAST((2 * user_id + event_id) % 97 AS BIGINT) AS dst
+      FROM events
+      WHERE user_id % 97 != (2 * user_id + event_id) % 97
+    ),
+    mut AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_recip
+      FROM edges e JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    ),
+    p2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_path2
+      FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+      WHERE e2.dst != e1.src
+    ),
+    cyc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cyclic3
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e2.dst AND e3.dst = e1.src
+      WHERE e1.src < e1.dst AND e1.src < e2.dst
+    ),
+    tra AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_trans3
+      FROM edges e1
+      JOIN edges e2 ON e2.src = e1.dst
+      JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+      WHERE e2.dst != e1.src
+    ),
+    ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges)
+    SELECT ne.n_edges, CAST(mut.n_recip // 2 AS BIGINT) AS n_mutual_pairs,
+           p2.n_path2, cyc.n_cyclic3, tra.n_trans3,
+           CAST((tra.n_trans3 * 1000000) // p2.n_path2 AS BIGINT)
+             AS closure_micro,
+           CAST(tra.n_trans3 AS DOUBLE) / CAST(p2.n_path2 AS DOUBLE)
+             AS closure
+    FROM ne CROSS JOIN mut CROSS JOIN p2 CROSS JOIN cyc CROSS JOIN tra
+    """,
+)
+def q_triad_motifs(spark, sf_dir):
+    """DIRECTED TRIAD MOTIF COUNTS over the mod-97 interaction graph
+    — the directed completion of q_triangle_count /
+    q_clustering_coeff (undirected triangles can't tell feed-forward
+    from feedback; the cyclic-vs-transitive split is THE
+    motif-finding result on regulatory/information networks):
+    2-paths u->v->w, CYCLIC triangles (u->v->w->u, counted once via
+    the min-node rotation anchor u < v AND u < w — an exact integer
+    canonicalization, no division by 3), and TRANSITIVE pattern
+    occurrences (u->v->w plus the u->w shortcut, identified uniquely
+    by their ordered 2-path). The edge projection is shared verbatim
+    with q_reciprocity (mod-97, so the node set — and every join
+    below — is lattice-bounded regardless of data scale). All counts
+    exact BIGINT; the feed-forward closure ratio rides the
+    integer-micro lattice plus one identical double division. At
+    100 TB: raw volume dies in the distinct-edge projection; the
+    triangle joins co-partition on the 97-node key space."""
+    ev = _t(spark, sf_dir, "events")
+    src = F.col("user_id") % 97
+    dst = (F.lit(2) * F.col("user_id") + F.col("event_id")) % 97
+    edges = (
+        ev.select(
+            src.cast("bigint").alias("src"), dst.cast("bigint").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = track_persist(edges)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    mut = (
+        e1.join(
+            F.broadcast(e2),
+            (F.col("e2.src") == F.col("e1.dst"))
+            & (F.col("e2.dst") == F.col("e1.src")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_recip"))
+        .select(
+            F.expr("CAST(n_recip div 2 AS BIGINT)").alias("n_mutual_pairs")
+        )
+    )
+    p2 = (
+        e1.join(F.broadcast(e2), F.col("e2.src") == F.col("e1.dst"))
+        .filter(F.col("e2.dst") != F.col("e1.src"))
+        .agg(F.count("*").cast("bigint").alias("n_path2"))
+    )
+    cyc = (
+        e1.join(F.broadcast(e2), F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.src") == F.col("e2.dst"))
+            & (F.col("e3.dst") == F.col("e1.src")),
+        )
+        .filter(
+            (F.col("e1.src") < F.col("e1.dst"))
+            & (F.col("e1.src") < F.col("e2.dst"))
+        )
+        .agg(F.count("*").cast("bigint").alias("n_cyclic3"))
+    )
+    tra = (
+        e1.join(F.broadcast(e2), F.col("e2.src") == F.col("e1.dst"))
+        .filter(F.col("e2.dst") != F.col("e1.src"))
+        .join(
+            F.broadcast(e3),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_trans3"))
+    )
+    ne = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        ne.crossJoin(F.broadcast(mut))
+        .crossJoin(F.broadcast(p2))
+        .crossJoin(F.broadcast(cyc))
+        .crossJoin(F.broadcast(tra))
+        .select(
+            "n_edges",
+            "n_mutual_pairs",
+            "n_path2",
+            "n_cyclic3",
+            "n_trans3",
+            F.expr(
+                "CAST((n_trans3 * 1000000) div n_path2 AS BIGINT)"
+            ).alias("closure_micro"),
+            (
+                F.col("n_trans3").cast("double")
+                / F.col("n_path2").cast("double")
+            ).alias("closure"),
+        )
+    )
+
+
+def _dtw_cells():
+    """The 49 DTW DP cell expressions in dependency order, shared
+    textually by both engines (generated from one loop — the
+    q_bradley_terry discipline). Cell names d{i}_{j}; inputs xa0..xa6,
+    xb0..xb6."""
+    cells = []
+    for i in range(7):
+        for j in range(7):
+            cost = f"abs(xa{i} - xb{j})"
+            if i == 0 and j == 0:
+                e = cost
+            elif i == 0:
+                e = f"{cost} + d0_{j - 1}"
+            elif j == 0:
+                e = f"{cost} + d{i - 1}_0"
+            else:
+                e = (
+                    f"{cost} + least(d{i - 1}_{j}, d{i}_{j - 1},"
+                    f" d{i - 1}_{j - 1})"
+                )
+            cells.append((f"d{i}_{j}", e))
+    return cells
+
+
+def _dtw_oracle() -> str:
+    lateral = ",\n             ".join(
+        f"{e} AS {n}" for n, e in _dtw_cells()
+    )
+    l1 = " + ".join(f"abs(xa{k} - xb{k})" for k in range(7))
+    prof_cells = ", ".join(
+        f"CAST(SUM(CASE WHEN dow = {k} THEN c ELSE 0 END) // 100"
+        f" AS BIGINT) AS p{k}"
+        for k in range(7)
+    )
+    return f"""
+    WITH base AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) % 7
+               AS dow,
+             CAST(round(value * 100) AS BIGINT) AS c
+      FROM events
+    ),
+    prof AS (
+      SELECT t, {prof_cells} FROM base GROUP BY t
+    ),
+    pairs AS (
+      SELECT a.t AS ta, b.t AS tb,
+             a.p0 AS xa0, a.p1 AS xa1, a.p2 AS xa2, a.p3 AS xa3,
+             a.p4 AS xa4, a.p5 AS xa5, a.p6 AS xa6,
+             b.p0 AS xb0, b.p1 AS xb1, b.p2 AS xb2, b.p3 AS xb3,
+             b.p4 AS xb4, b.p5 AS xb5, b.p6 AS xb6
+      FROM prof a JOIN prof b ON a.t < b.t
+    ),
+    dp AS (
+      SELECT ta, tb,
+             {lateral},
+             CAST({l1} AS BIGINT) AS l1_diag
+      FROM pairs
+    )
+    SELECT ta, tb, CAST(d6_6 AS BIGINT) AS dtw, l1_diag
+    FROM dp ORDER BY ta, tb
+    """
+
+
+@staged("q_dtw_distance", oracle=_dtw_oracle())
+def q_dtw_distance(spark, sf_dir):
+    """DYNAMIC TIME WARPING distance between every pair of event
+    types' weekly profiles — the elastic-alignment similarity measure
+    (two series with the same shape shifted by a day should be NEAR;
+    every lockstep metric in the catalog — q_cross_corr,
+    q_source_similarity, the staged q_burrows_delta — calls them
+    far): profiles are the 7 FIXED day-of-week conditional dollar
+    aggregates (anchor-mod-7, the q_seasonal_strength discipline),
+    and the full 7x7 Bellman table is UNROLLED into 49 integer cell
+    expressions generated from ONE Python loop for both engines
+    (Spark chained column projections, DuckDB lateral column
+    aliases) — every |x_i - y_j| cost and every
+    least(up, left, diag) recurrence is exact BIGINT end to end; no
+    float ever enters. The witness pins DTW <= the lockstep L1
+    diagonal (warping can only help) and DTW >= |sum x - sum y|
+    intuition is NOT claimed (false in general). At 100 TB: raw
+    volume dies in the per-type dow agg; the DP is 49 scalar
+    expressions over a 10-row broadcast pair frame."""
+    base = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            % 7
+        ).alias("dow"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("c"),
+    )
+    prof = base.groupBy("t").agg(
+        *[
+            F.expr(
+                f"CAST(SUM(CASE WHEN dow = {k} THEN c ELSE 0 END) div 100"
+                f" AS BIGINT)"
+            ).alias(f"p{k}")
+            for k in range(7)
+        ]
+    )
+    prof = track_persist(prof)
+    a = prof.alias("a")
+    b = prof.alias("b")
+    pairs = a.join(
+        F.broadcast(b), F.col("a.t") < F.col("b.t")
+    ).select(
+        F.col("a.t").alias("ta"),
+        F.col("b.t").alias("tb"),
+        *[F.col(f"a.p{k}").alias(f"xa{k}") for k in range(7)],
+        *[F.col(f"b.p{k}").alias(f"xb{k}") for k in range(7)],
+    )
+    dp = pairs
+    for name, expr in _dtw_cells():
+        dp = dp.withColumn(name, F.expr(expr))
+    l1 = " + ".join(f"abs(xa{k} - xb{k})" for k in range(7))
+    return dp.select(
+        "ta",
+        "tb",
+        F.col("d6_6").cast("bigint").alias("dtw"),
+        F.expr(f"CAST({l1} AS BIGINT)").alias("l1_diag"),
+    ).orderBy("ta", "tb")

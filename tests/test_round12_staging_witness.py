@@ -1786,3 +1786,152 @@ def test_no_python_row_udfs_in_round12_staged_b12(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 13
+
+
+def test_hodges_lehmann_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT l_returnflag, CAST(l_quantity AS BIGINT)"
+        f" FROM '{SF_DIR}/lineitem.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for fl, q in rows:
+        per[fl].append(q)
+    got = {
+        r.fl: r
+        for r in STAGED_QUERIES["q_hodges_lehmann"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per)
+    for fl, xs in per.items():
+        n = len(xs)
+        xs = sorted(xs)
+        walsh = sorted(
+            xs[i] + xs[j] for i in range(n) for j in range(i, n)
+        )
+        m = len(walsh)
+        s_star = walsh[(m + 1) // 2 - 1]
+        r = got[fl]
+        assert (r.n, r.m_pairs, r.s_star) == (n, m, s_star)
+        assert r.hl_estimate == pytest.approx(s_star / 2.0)
+        # HL sits inside the sample range
+        assert xs[0] <= r.hl_estimate <= xs[-1]
+
+
+def test_page_trend_witness(spark, duck):
+    daily = _daily_cents(duck)
+    types = sorted(daily)
+    days = sorted({d for v in daily.values() for d in v})
+    assert len(days) == 30
+    r2_sum = dict.fromkeys(types, 0)
+    for d in days:
+        vals = {t: daily[t].get(d, 0) for t in types}
+        for t in types:
+            r2 = (
+                sum(
+                    2 if vals[u] < vals[t] else (1 if vals[u] == vals[t] else 0)
+                    for u in types
+                )
+                + 1
+            )
+            r2_sum[t] += r2
+    l2 = sum((j + 1) * r2_sum[t] for j, t in enumerate(types))
+    got = {
+        r.t: r for r in STAGED_QUERIES["q_page_trend"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(types)
+    e_l, sd = 30 * 5 * 36 / 4.0, math.sqrt(30 * 25 * 36 * 4 / 144.0)
+    for j, t in enumerate(types):
+        r = got[t]
+        assert (r.j, r.r2_sum, r.l2) == (j + 1, r2_sum[t], l2)
+        assert r.z == pytest.approx((l2 / 2.0 - e_l) / sd, rel=1e-12)
+        assert r.increasing == (l2 / 2.0 > e_l + 1.6449 * sd)
+    # doubled ranks over 30 blocks of 5 always total 30 * (2+4+...+10)
+    assert sum(r2_sum.values()) == 30 * 30
+
+
+def test_triad_motifs_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT DISTINCT user_id % 97,"
+        f" (2 * user_id + event_id) % 97 FROM '{SF_DIR}/events.parquet'"
+        f" WHERE user_id % 97 != (2 * user_id + event_id) % 97"
+    ).fetchall()
+    edges = set(rows)
+    n_mutual = sum(1 for s, d in edges if (d, s) in edges) // 2
+    p2 = sum(
+        1
+        for s, d in edges
+        for d2 in [e[1] for e in edges if e[0] == d]
+        if d2 != s
+    )
+    cyc = sum(
+        1
+        for (u, v) in edges
+        for (v2, w) in edges
+        if v2 == v and (w, u) in edges and u < v and u < w
+    )
+    tra = sum(
+        1
+        for (u, v) in edges
+        for (v2, w) in edges
+        if v2 == v and w != u and (u, w) in edges
+    )
+    [r] = STAGED_QUERIES["q_triad_motifs"](spark, SF_DIR).collect()
+    assert (r.n_edges, r.n_mutual_pairs) == (len(edges), n_mutual)
+    assert (r.n_path2, r.n_cyclic3, r.n_trans3) == (p2, cyc, tra)
+    assert r.closure_micro == r.n_trans3 * 1000000 // r.n_path2
+    assert r.closure == pytest.approx(tra / p2, rel=1e-12)
+
+
+def test_dtw_distance_witness(spark, duck):
+    daily = _daily_cents(duck)
+    import datetime
+
+    anchor = datetime.date(2024, 1, 1)
+    prof = {}
+    for t, per_day in daily.items():
+        p = [0] * 7
+        for d, c in per_day.items():
+            p[(d - anchor).days % 7] += c
+        prof[t] = [v // 100 for v in p]
+
+    def dtw(x, y):
+        big = float("inf")
+        d = [[big] * 7 for _ in range(7)]
+        for i in range(7):
+            for j in range(7):
+                cost = abs(x[i] - y[j])
+                if i == 0 and j == 0:
+                    d[i][j] = cost
+                elif i == 0:
+                    d[i][j] = cost + d[0][j - 1]
+                elif j == 0:
+                    d[i][j] = cost + d[i - 1][0]
+                else:
+                    d[i][j] = cost + min(
+                        d[i - 1][j], d[i][j - 1], d[i - 1][j - 1]
+                    )
+        return d[6][6]
+
+    rows = STAGED_QUERIES["q_dtw_distance"](spark, SF_DIR).collect()
+    types = sorted(prof)
+    assert [(r.ta, r.tb) for r in rows] == [
+        (a, b) for a in types for b in types if a < b
+    ]
+    for r in rows:
+        x, y = prof[r.ta], prof[r.tb]
+        assert r.dtw == dtw(x, y)
+        l1 = sum(abs(a - b) for a, b in zip(x, y))
+        assert r.l1_diag == l1
+        assert r.dtw <= l1  # warping can only help
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_hodges_lehmann", "q_page_trend", "q_triad_motifs", "q_dtw_distance"],
+)
+def test_no_python_row_udfs_in_round12_staged_b13(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
