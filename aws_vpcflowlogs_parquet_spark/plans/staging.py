@@ -6284,3 +6284,460 @@ def q_dtw_distance(spark, sf_dir):
         F.col("d6_6").cast("bigint").alias("dtw"),
         F.expr(f"CAST({l1} AS BIGINT)").alias("l1_diag"),
     ).orderBy("ta", "tb")
+
+
+# =====================================================================
+# Round-12 staged batch 14 — stratified association (Mantel-Haenszel),
+# cumulative hazard (Nelson-Aalen), queueing identity audit (Little's
+# law, sweep-vs-direct exact cross-check), and optimal coding cost
+# (Huffman fold). Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_mantel_haenszel",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS t,
+             CAST(CAST('0x' || substring(
+               md5(CAST(user_id AS VARCHAR) || ':mh'), 1, 8) AS BIGINT)
+               % 2 AS BIGINT) AS exposed,
+             CASE WHEN CAST(round(value * 100) AS BIGINT) > 5000
+                  THEN 1 ELSE 0 END AS hit
+      FROM events
+    ),
+    cells AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN exposed = 1 AND hit = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN exposed = 1 AND hit = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN exposed = 0 AND hit = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN exposed = 0 AND hit = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS d
+      FROM base GROUP BY t
+    ),
+    terms AS (
+      SELECT t, a, b, c, d,
+             CAST(a + b + c + d AS BIGINT) AS n,
+             CAST(floor(CAST(a * d AS DOUBLE) / CAST(a + b + c + d
+               AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT) AS r_nano,
+             CAST(floor(CAST(b * c AS DOUBLE) / CAST(a + b + c + d
+               AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT) AS s_nano
+      FROM cells
+    ),
+    tot AS (
+      SELECT CAST(SUM(r_nano) AS BIGINT) AS num_nano,
+             CAST(SUM(s_nano) AS BIGINT) AS den_nano
+      FROM terms
+    )
+    SELECT terms.t AS t, terms.a, terms.b, terms.c, terms.d,
+           terms.r_nano, terms.s_nano,
+           tot.num_nano, tot.den_nano,
+           CAST(tot.num_nano AS DOUBLE) / CAST(tot.den_nano AS DOUBLE)
+             AS or_mh,
+           (tot.num_nano > tot.den_nano) AS harmful
+    FROM terms CROSS JOIN tot
+    ORDER BY t
+    """,
+)
+def q_mantel_haenszel(spark, sf_dir):
+    """MANTEL-HAENSZEL common odds ratio across the 5 event-type
+    strata — the confounder-adjusted completion of the staged
+    q_odds_ratio (a pooled 2x2 table can reverse the true effect —
+    q_simpson_paradox DETECTS that inversion; MH estimates the
+    stratum-adjusted effect that survives it):
+    OR_MH = sum_i(a_i d_i/n_i) / sum_i(b_i c_i/n_i) with md5-portable
+    exposure arms (the q_srm_check discipline) and the exact-cut
+    outcome shared with q_cochran_armitage. Every per-stratum
+    product a*d, b*c is exact BIGINT; the per-stratum ratio is
+    quantized to the 1e-9 lattice BEFORE the exact integer sums
+    (the q_log_rank discipline), OR_MH is one division of exact
+    lattice integers, and the OR > 1 'harmful' verdict is the exact
+    integer compare num_nano > den_nano — a float never classifies.
+    At 100 TB: one (stratum, arm, outcome) hash agg kills the raw
+    volume; 5 strata feed a scalar reduce."""
+    ev = _t(spark, sf_dir, "events")
+    exposed = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":mh"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    hit = F.when(
+        F.expr("CAST(round(value * 100) AS BIGINT)") > 5000, 1
+    ).otherwise(0)
+    base = ev.select(
+        F.col("event_type").alias("t"),
+        exposed.alias("exposed"),
+        hit.alias("hit"),
+    )
+    cells = base.groupBy("t").agg(
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("hit") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when((F.col("exposed") == 1) & (F.col("hit") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("hit") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when((F.col("exposed") == 0) & (F.col("hit") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("bigint")
+    terms = cells.select(
+        "t",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.floor(
+            (F.col("a") * F.col("d")).cast("double")
+            / n.cast("double")
+            * 1000000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("r_nano"),
+        F.floor(
+            (F.col("b") * F.col("c")).cast("double")
+            / n.cast("double")
+            * 1000000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("s_nano"),
+    )
+    terms = track_persist(terms)
+    tot = terms.agg(
+        F.sum("r_nano").cast("bigint").alias("num_nano"),
+        F.sum("s_nano").cast("bigint").alias("den_nano"),
+    )
+    return (
+        terms.crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            "a",
+            "b",
+            "c",
+            "d",
+            "r_nano",
+            "s_nano",
+            "num_nano",
+            "den_nano",
+            (
+                F.col("num_nano").cast("double")
+                / F.col("den_nano").cast("double")
+            ).alias("or_mh"),
+            (F.col("num_nano") > F.col("den_nano")).alias("harmful"),
+        )
+        .orderBy("t")
+    )
+
+
+@staged(
+    "q_nelson_aalen",
+    oracle="""
+    WITH life AS (
+      SELECT user_id,
+             datediff('day', CAST(MIN(ts) AS DATE), CAST(MAX(ts) AS DATE))
+               AS t,
+             CASE WHEN user_id % 4 != 0 THEN 1 ELSE 0 END AS ev
+      FROM events GROUP BY user_id
+    ),
+    bins AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM life GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d,
+             CAST(SUM(c) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+      FROM bins
+    ),
+    steps AS (
+      SELECT t, d, n_risk,
+             CAST(floor(CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE)
+               * 1000000000.0 + 0.5) AS BIGINT) AS h_nano
+      FROM risk WHERE d > 0
+    )
+    SELECT t AS t_days, d AS n_events, n_risk, h_nano,
+           CAST(SUM(h_nano) OVER (ORDER BY t) AS BIGINT) AS hcum_nano,
+           CAST(SUM(h_nano) OVER (ORDER BY t) AS DOUBLE) / 1000000000.0
+             AS h_cum
+    FROM steps ORDER BY t
+    """,
+)
+def q_nelson_aalen(spark, sf_dir):
+    """NELSON-AALEN cumulative hazard estimator H(t) = sum_{s<=t}
+    d(s)/n(s) — the additive twin of q_kaplan_meier's multiplicative
+    survival product (KM multiplies survival factors; NA sums hazard
+    increments, better-behaved for small risk sets, and H = -ln S
+    asymptotically — the LOG-form survival curve, kept in log form
+    because exp() is 1-ulp non-portable across engines, the
+    q_pythagorean_means finding): lifetime construction and the
+    deterministic 25% censoring rule shared verbatim with
+    q_kaplan_meier, per-step hazard d/n quantized to the 1e-9
+    lattice, and the cumulative is an EXACT integer prefix sum over
+    death times — no float accumulates. At 100 TB: one user-keyed
+    agg kills the raw volume; both windows run over the bounded day
+    domain; needs a BOUNDED_UNPARTITIONED_WINDOW allowlist row at
+    promotion (day-domain cums, the q_kaplan_meier precedent)."""
+    ev = _t(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.datediff(F.max("ts").cast("date"), F.min("ts").cast("date")).alias(
+            "t"
+        ),
+        F.when(F.col("user_id") % 4 != 0, 1).otherwise(0).alias("ev"),
+    )
+    bins = life.groupBy("t").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("c"),
+    )
+    w_rev = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = bins.select(
+        "t", "d", F.sum("c").over(w_rev).cast("bigint").alias("n_risk")
+    ).filter(F.col("d") > 0)
+    steps = risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.floor(
+            F.col("d").cast("double")
+            / F.col("n_risk").cast("double")
+            * 1000000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("h_nano"),
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return steps.select(
+        F.col("t").alias("t_days"),
+        F.col("d").alias("n_events"),
+        "n_risk",
+        "h_nano",
+        F.sum("h_nano").over(w_cum).cast("bigint").alias("hcum_nano"),
+        (F.sum("h_nano").over(w_cum).cast("double") / 1000000000.0).alias(
+            "h_cum"
+        ),
+    ).orderBy("t_days")
+
+
+@staged(
+    "q_little_law",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id,
+             CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT) AS arr,
+             CAST(epoch_us(MAX(ts)) // 1000000 AS BIGINT) AS dep
+      FROM events GROUP BY user_id
+    ),
+    direct AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(dep - arr) AS BIGINT) AS total_wait_s,
+             CAST(MIN(arr) AS BIGINT) AS t0,
+             CAST(MAX(dep) AS BIGINT) AS t1
+      FROM sess
+    ),
+    pts AS (
+      SELECT arr AS ts, CAST(1 AS BIGINT) AS delta FROM sess
+      UNION ALL
+      SELECT dep AS ts, CAST(-1 AS BIGINT) AS delta FROM sess
+    ),
+    tl AS (
+      SELECT ts, CAST(SUM(delta) AS BIGINT) AS d
+      FROM pts GROUP BY ts
+    ),
+    sweep AS (
+      SELECT ts,
+             CAST(SUM(d) OVER (ORDER BY ts) AS BIGINT) AS active,
+             CAST(LEAD(ts) OVER (ORDER BY ts) - ts AS BIGINT) AS span
+      FROM tl
+    ),
+    area AS (
+      SELECT CAST(SUM(active * span) AS BIGINT) AS area_s
+      FROM sweep WHERE span IS NOT NULL
+    )
+    SELECT direct.n_users, direct.total_wait_s, area.area_s,
+           CAST(direct.t1 - direct.t0 AS BIGINT) AS horizon_s,
+           (direct.total_wait_s = area.area_s) AS identity_exact,
+           CAST(direct.n_users AS DOUBLE) * 3600.0
+             / CAST(direct.t1 - direct.t0 AS DOUBLE) AS lambda_per_hr,
+           CAST(direct.total_wait_s AS DOUBLE)
+             / CAST(direct.n_users AS DOUBLE) AS w_mean_s,
+           CAST(area.area_s AS DOUBLE)
+             / CAST(direct.t1 - direct.t0 AS DOUBLE) AS l_avg
+    FROM direct CROSS JOIN area
+    """,
+)
+def q_little_law(spark, sf_dir):
+    """LITTLE'S LAW AUDIT (L = lambda * W) over user sessions — the
+    queueing-theory conservation identity every capacity model rests
+    on, checked the strong way: the time-average number-in-system L
+    is computed TWICE by genuinely different routes — (1) directly
+    as sum of session durations / horizon, and (2) by the +-1
+    TIMELINE SWEEP (arrival/departure deltas, cumulative active
+    count, exact active*span integral — the q_temporal_sum_timeline
+    machinery used as an auditor). Both are exact integer SECONDS,
+    so the identity_exact column is an integer EQUALITY, not an
+    epsilon test (the q_knapsack_dp two-routes discipline — sweep
+    vs direct is a real cross-check, not a replay; Little's identity
+    telescopes only because every interval is counted once, which
+    the sweep verifies structurally). lambda, W-bar and L are one
+    identical double chain each. At 100 TB: one user-keyed agg
+    kills the raw volume; the sweep runs over the distinct
+    arrival/departure second lattice — needs a
+    BOUNDED_UNPARTITIONED_WINDOW allowlist row at promotion (the
+    cum runs over |distinct seconds| <= 2*|users| rows)."""
+    sess = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr("CAST(unix_micros(MIN(ts)) div 1000000 AS BIGINT)").alias(
+                "arr"
+            ),
+            F.expr("CAST(unix_micros(MAX(ts)) div 1000000 AS BIGINT)").alias(
+                "dep"
+            ),
+        )
+    )
+    sess = track_persist(sess)
+    direct = sess.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.col("dep") - F.col("arr")).cast("bigint").alias(
+            "total_wait_s"
+        ),
+        F.min("arr").cast("bigint").alias("t0"),
+        F.max("dep").cast("bigint").alias("t1"),
+    )
+    pts = sess.select(
+        F.col("arr").alias("ts"), F.lit(1).cast("bigint").alias("delta")
+    ).unionAll(
+        sess.select(
+            F.col("dep").alias("ts"), F.lit(-1).cast("bigint").alias("delta")
+        )
+    )
+    tl = pts.groupBy("ts").agg(F.sum("delta").cast("bigint").alias("d"))
+    w_ord = Window.orderBy("ts")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sweep = tl.select(
+        "ts",
+        F.sum("d").over(w_cum).cast("bigint").alias("active"),
+        (F.lead("ts").over(w_ord) - F.col("ts")).cast("bigint").alias(
+            "span"
+        ),
+    )
+    area = sweep.filter(F.col("span").isNotNull()).agg(
+        F.sum(F.col("active") * F.col("span")).cast("bigint").alias("area_s")
+    )
+    return direct.crossJoin(F.broadcast(area)).select(
+        "n_users",
+        "total_wait_s",
+        "area_s",
+        (F.col("t1") - F.col("t0")).cast("bigint").alias("horizon_s"),
+        (F.col("total_wait_s") == F.col("area_s")).alias("identity_exact"),
+        (
+            F.col("n_users").cast("double")
+            * 3600.0
+            / (F.col("t1") - F.col("t0")).cast("double")
+        ).alias("lambda_per_hr"),
+        (
+            F.col("total_wait_s").cast("double")
+            / F.col("n_users").cast("double")
+        ).alias("w_mean_s"),
+        (
+            F.col("area_s").cast("double")
+            / (F.col("t1") - F.col("t0")).cast("double")
+        ).alias("l_avg"),
+    )
+
+
+@staged(
+    "q_huffman_cost",
+    oracle="""
+    WITH RECURSIVE weights AS (
+      SELECT CAST(user_id % 8 AS BIGINT) AS sym,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM events GROUP BY 1
+    ),
+    init AS (
+      SELECT 0 AS k, list_sort(list(w)) AS ws, CAST(0 AS BIGINT) AS cost
+      FROM weights
+    ),
+    merged AS (
+      SELECT k, ws, cost FROM init
+      UNION ALL
+      SELECT k + 1,
+             list_sort(list_append(ws[3:], ws[1] + ws[2])),
+             cost + ws[1] + ws[2]
+      FROM merged WHERE k < 7
+    )
+    SELECT CAST(8 AS BIGINT) AS n_symbols,
+           (SELECT CAST(SUM(w) AS BIGINT) FROM weights) AS total_weight,
+           CAST(cost AS BIGINT) AS huffman_cost,
+           CAST(cost AS DOUBLE)
+             / (SELECT CAST(SUM(w) AS DOUBLE) FROM weights) AS avg_bits
+    FROM merged WHERE k = 7
+    """,
+)
+def q_huffman_cost(spark, sf_dir):
+    """HUFFMAN OPTIMAL PREFIX-CODE COST over the 8 user-bucket symbol
+    weights — the information-theory floor for any entropy coder
+    (q_entropy gives the Shannon LOWER bound; Huffman is the
+    achievable integer-bit optimum; q_postings_compression /
+    q_encoding_advisor pick codecs — this prices the best possible
+    one): the classic greedy (merge the two lightest subtrees, cost
+    += merged weight, 7 merges for 8 symbols) runs as ONE
+    F.aggregate fold over a SORTED-LIST state — total cost depends
+    only on the weight MULTISET (tie-order between equal weights
+    provably cannot change the sum of merged weights), so
+    re-sorting each round is a deterministic canonicalization, not
+    a tie gamble. All weights and costs exact BIGINT. The oracle
+    replays the fold as a 7-step recursive CTE on a DuckDB list
+    state; the WITNESS solves it independently with a Python heap
+    (heapq Huffman — the textbook implementation, a genuinely
+    different algorithmic route). At 100 TB: one hash agg to 8
+    weights; the fold is 7 steps over an 8-element array."""
+    weights = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.expr("CAST(user_id % 8 AS BIGINT)").alias("sym"))
+        .agg(F.count("*").cast("bigint").alias("w"))
+    )
+    folded = weights.agg(
+        F.array_sort(F.collect_list("w")).alias("ws"),
+        F.sum("w").cast("bigint").alias("total_weight"),
+    ).select(
+        "total_weight",
+        F.expr(
+            "aggregate(sequence(1, 7),"
+            " struct(ws AS ws, CAST(0 AS BIGINT) AS cost),"
+            " (acc, k) -> struct("
+            "   array_sort(array_append(slice(acc.ws, 3, size(acc.ws) - 2),"
+            "     element_at(acc.ws, 1) + element_at(acc.ws, 2))) AS ws,"
+            "   acc.cost + element_at(acc.ws, 1) + element_at(acc.ws, 2)"
+            "     AS cost))"
+        ).alias("st"),
+    )
+    return folded.select(
+        F.lit(8).cast("bigint").alias("n_symbols"),
+        "total_weight",
+        F.col("st")["cost"].cast("bigint").alias("huffman_cost"),
+        (
+            F.col("st")["cost"].cast("double")
+            / F.col("total_weight").cast("double")
+        ).alias("avg_bits"),
+    )

@@ -1935,3 +1935,138 @@ def test_no_python_row_udfs_in_round12_staged_b13(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 14
+
+
+def test_mantel_haenszel_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, user_id,"
+        f" CAST(round(value * 100) AS BIGINT) > 5000"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    cells = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for t, uid, hit in rows:
+        exp = int(hashlib.md5(f"{uid}:mh".encode()).hexdigest()[:8], 16) % 2
+        i = (
+            0
+            if (exp and hit)
+            else 1 if exp else 2 if hit else 3
+        )
+        cells[t][i] += 1
+    num = den = 0
+    rs = {}
+    for t, (a, b, c, d) in cells.items():
+        n = a + b + c + d
+        r_nano = math.floor(a * d / n * 1e9 + 0.5)
+        s_nano = math.floor(b * c / n * 1e9 + 0.5)
+        rs[t] = (a, b, c, d, r_nano, s_nano)
+        num += r_nano
+        den += s_nano
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_mantel_haenszel"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(cells)
+    for t, r in got.items():
+        a, b, c, d, r_nano, s_nano = rs[t]
+        assert (r.a, r.b, r.c, r.d) == (a, b, c, d)
+        assert (r.r_nano, r.s_nano) == (r_nano, s_nano)
+        assert (r.num_nano, r.den_nano) == (num, den)
+        assert r.or_mh == pytest.approx(num / den, rel=1e-12)
+        assert r.harmful == (num > den)
+
+
+def test_nelson_aalen_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, datediff('day', CAST(MIN(ts) AS DATE),"
+        f" CAST(MAX(ts) AS DATE)) FROM '{SF_DIR}/events.parquet'"
+        f" GROUP BY user_id"
+    ).fetchall()
+    life = [(t, 1 if uid % 4 != 0 else 0) for uid, t in rows]
+    times = sorted({t for t, _ in life})
+    cum = 0
+    expect = []
+    for tt in times:
+        d = sum(e for t, e in life if t == tt)
+        n = sum(1 for t, _ in life if t >= tt)
+        if d == 0:
+            continue
+        h = math.floor(d / n * 1e9 + 0.5)
+        cum += h
+        expect.append((tt, d, n, h, cum))
+    rows2 = STAGED_QUERIES["q_nelson_aalen"](spark, SF_DIR).collect()
+    assert [
+        (r.t_days, r.n_events, r.n_risk, r.h_nano, r.hcum_nano)
+        for r in rows2
+    ] == expect
+    for r in rows2:
+        assert r.h_cum == pytest.approx(r.hcum_nano / 1e9, rel=1e-12)
+    # H is nondecreasing and dominates -ln(S_KM) partial sums' first term
+    assert all(
+        a.hcum_nano <= b.hcum_nano for a, b in zip(rows2, rows2[1:])
+    )
+
+
+def test_little_law_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, CAST(epoch_us(MIN(ts)) // 1000000 AS BIGINT),"
+        f" CAST(epoch_us(MAX(ts)) // 1000000 AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    n = len(rows)
+    wait = sum(dep - arr for _, arr, dep in rows)
+    t0 = min(arr for _, arr, _ in rows)
+    t1 = max(dep for _, _, dep in rows)
+    # independent sweep
+    deltas = collections.Counter()
+    for _, arr, dep in rows:
+        deltas[arr] += 1
+        deltas[dep] -= 1
+    pts = sorted(deltas)
+    area = 0
+    active = 0
+    for a, b in zip(pts, pts[1:]):
+        active += deltas[a]
+        area += active * (b - a)
+    [r] = STAGED_QUERIES["q_little_law"](spark, SF_DIR).collect()
+    assert (r.n_users, r.total_wait_s, r.area_s) == (n, wait, area)
+    assert r.horizon_s == t1 - t0
+    assert r.identity_exact and wait == area  # Little's law, exactly
+    assert r.lambda_per_hr == pytest.approx(n * 3600 / (t1 - t0), rel=1e-12)
+    assert r.w_mean_s == pytest.approx(wait / n, rel=1e-12)
+    assert r.l_avg == pytest.approx(area / (t1 - t0), rel=1e-12)
+
+
+def test_huffman_cost_witness(spark, duck):
+    import heapq
+
+    rows = duck.sql(
+        f"SELECT user_id % 8, COUNT(*) FROM '{SF_DIR}/events.parquet'"
+        f" GROUP BY 1"
+    ).fetchall()
+    heap = sorted(int(w) for _, w in rows)
+    heapq.heapify(heap)
+    cost = 0
+    while len(heap) > 1:
+        a = heapq.heappop(heap)
+        b = heapq.heappop(heap)
+        cost += a + b
+        heapq.heappush(heap, a + b)
+    total = sum(int(w) for _, w in rows)
+    [r] = STAGED_QUERIES["q_huffman_cost"](spark, SF_DIR).collect()
+    assert (r.n_symbols, r.total_weight, r.huffman_cost) == (8, total, cost)
+    assert r.avg_bits == pytest.approx(cost / total, rel=1e-12)
+    # Huffman cost for 8 roughly-equal weights is ~3 bits/symbol
+    assert 1.0 <= r.avg_bits <= 7.0
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_mantel_haenszel", "q_nelson_aalen", "q_little_law", "q_huffman_cost"],
+)
+def test_no_python_row_udfs_in_round12_staged_b14(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
