@@ -6741,3 +6741,565 @@ def q_huffman_cost(spark, sf_dir):
             / F.col("total_weight").cast("double")
         ).alias("avg_bits"),
     )
+
+
+# =====================================================================
+# Round-12 staged batch 15 — OR / matching / text-mining mechanisms:
+# northwest-corner transportation start, Gale-Shapley stable matching
+# (stability verified independently), RAKE keyword extraction.
+# Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_transportation_nw",
+    oracle="""
+    WITH RECURSIVE sup AS (
+      SELECT dense_rank() OVER (ORDER BY c.c_mktsegment) - 1 AS i,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS s
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment
+    ),
+    dem AS (
+      SELECT dense_rank() OVER (ORDER BY o.o_orderpriority) - 1 AS j,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS d
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderpriority
+    ),
+    init AS (
+      SELECT 0 AS k, 0 AS ci, 0 AS cj,
+             (SELECT list(s ORDER BY i) FROM sup) AS si,
+             (SELECT list(d ORDER BY j) FROM dem) AS dj,
+             CAST([] AS STRUCT(i INT, j INT, q BIGINT)[]) AS allocs
+    ),
+    steps AS (
+      SELECT * FROM init
+      UNION ALL
+      SELECT k + 1,
+             CASE WHEN least(si[ci + 1], dj[cj + 1]) = si[ci + 1]
+                   AND ci < 4 THEN ci + 1 ELSE ci END,
+             CASE WHEN least(si[ci + 1], dj[cj + 1]) = si[ci + 1]
+                   AND ci < 4 THEN cj
+                  WHEN cj < 4 THEN cj + 1 ELSE cj END,
+             list_transform(range(1, 6), x ->
+               CASE WHEN x = ci + 1
+                    THEN si[x] - least(si[ci + 1], dj[cj + 1])
+                    ELSE si[x] END),
+             list_transform(range(1, 6), x ->
+               CASE WHEN x = cj + 1
+                    THEN dj[x] - least(si[ci + 1], dj[cj + 1])
+                    ELSE dj[x] END),
+             list_append(allocs,
+               {'i': ci, 'j': cj,
+                'q': least(si[ci + 1], dj[cj + 1])})
+      FROM steps WHERE k < 9
+    ),
+    final AS (SELECT allocs FROM steps WHERE k = 9),
+    cells AS (
+      SELECT final.allocs[nn.n].i AS i, final.allocs[nn.n].j AS j,
+             final.allocs[nn.n].q AS q, CAST(nn.n AS BIGINT) AS step
+      FROM final CROSS JOIN (SELECT unnest(range(1, 10)) AS n) nn
+    )
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(q AS BIGINT) AS alloc, step
+    FROM cells WHERE q > 0 ORDER BY step
+    """,
+)
+def q_transportation_nw(spark, sf_dir):
+    """NORTHWEST-CORNER initial solution to the balanced
+    transportation problem — the classic OR starting tableau
+    (supplies = quantity by customer segment, demands = quantity by
+    order priority: TWO PARTITIONS OF THE SAME LINEITEM TOTAL, so
+    the instance is exactly balanced BY CONSTRUCTION, no slack
+    fudge): walk the 5x5 tableau from the NW corner, ship
+    min(supply_i, demand_j), advance the exhausted side (supply
+    first on simultaneous exhaustion — a deterministic degeneracy
+    rule shared by both engines), 9 steps total (i+j goes 0 to 8).
+    The whole walk is ONE F.aggregate fold over sequence(1,9) with a
+    (supplies, demands, cursor, allocations) state — exact BIGINT
+    quantities throughout. The witness replays in Python AND pins
+    the feasibility invariants (row sums = supplies, column sums =
+    demands, at most m+n-1 positive cells). At 100 TB: two hash
+    aggs (segment, priority) kill the raw volume; the fold is 9
+    steps over 5-element arrays."""
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    cs = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = li.select(
+        "l_orderkey", F.col("l_quantity").cast("bigint").alias("q")
+    ).join(
+        F.broadcast(od), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    sup = (
+        joined.join(F.broadcast(cs), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(F.sum("q").cast("bigint").alias("s"))
+        .select(
+            (F.dense_rank().over(Window.orderBy("c_mktsegment")) - 1).alias(
+                "i"
+            ),
+            "s",
+        )
+    )
+    dem = (
+        joined.groupBy("o_orderpriority")
+        .agg(F.sum("q").cast("bigint").alias("d"))
+        .select(
+            (
+                F.dense_rank().over(Window.orderBy("o_orderpriority")) - 1
+            ).alias("j"),
+            "d",
+        )
+    )
+    si = sup.agg(
+        F.expr("transform(array_sort(collect_list(struct(i, s))), x -> x.s)")
+        .alias("si")
+    )
+    dj = dem.agg(
+        F.expr("transform(array_sort(collect_list(struct(j, d))), x -> x.d)")
+        .alias("dj")
+    )
+    fold = F.expr(
+        "aggregate(sequence(1, 9),"
+        " struct(CAST(0 AS INT) AS ci, CAST(0 AS INT) AS cj,"
+        "        si AS si, dj AS dj,"
+        "        CAST(array() AS"
+        "          ARRAY<STRUCT<i: INT, j: INT, q: BIGINT>>) AS allocs),"
+        " (acc, k) -> struct("
+        "   CASE WHEN least(element_at(acc.si, acc.ci + 1),"
+        "                   element_at(acc.dj, acc.cj + 1))"
+        "             = element_at(acc.si, acc.ci + 1)"
+        "         AND acc.ci < 4 THEN acc.ci + 1 ELSE acc.ci END AS ci,"
+        "   CASE WHEN least(element_at(acc.si, acc.ci + 1),"
+        "                   element_at(acc.dj, acc.cj + 1))"
+        "             = element_at(acc.si, acc.ci + 1)"
+        "         AND acc.ci < 4 THEN acc.cj"
+        "        WHEN acc.cj < 4 THEN acc.cj + 1 ELSE acc.cj END AS cj,"
+        "   transform(acc.si, (x, xi) ->"
+        "     CASE WHEN xi = acc.ci"
+        "          THEN x - least(element_at(acc.si, acc.ci + 1),"
+        "                         element_at(acc.dj, acc.cj + 1))"
+        "          ELSE x END) AS si,"
+        "   transform(acc.dj, (x, xi) ->"
+        "     CASE WHEN xi = acc.cj"
+        "          THEN x - least(element_at(acc.si, acc.ci + 1),"
+        "                         element_at(acc.dj, acc.cj + 1))"
+        "          ELSE x END) AS dj,"
+        "   array_append(acc.allocs, struct(acc.ci AS i, acc.cj AS j,"
+        "     least(element_at(acc.si, acc.ci + 1),"
+        "           element_at(acc.dj, acc.cj + 1)) AS q)) AS allocs))"
+        ".allocs"
+    )
+    folded = si.crossJoin(F.broadcast(dj)).select(fold.alias("allocs"))
+    return (
+        folded.select(F.posexplode("allocs").alias("pos", "a"))
+        .select(
+            F.col("a")["i"].cast("bigint").alias("i"),
+            F.col("a")["j"].cast("bigint").alias("j"),
+            F.col("a")["q"].cast("bigint").alias("alloc"),
+            (F.col("pos") + 1).cast("bigint").alias("step"),
+        )
+        .filter(F.col("alloc") > 0)
+        .orderBy("step")
+    )
+
+
+_GS_SEGS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD"]
+_GS_PRIS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"]
+
+
+def _gs_step(d: str) -> dict:
+    """Gale-Shapley single-proposal step expressions for dialect d in
+    {'spark', 'duck'} — generated from one template so the two engines
+    cannot drift. State: nx (next-preference index per man), cur
+    (engaged man per woman, -1 = free); constants pmf (man-preference
+    woman indices, flattened 4x4) and wrf (woman's rank of man,
+    flattened 4x4)."""
+    if d == "spark":
+        el = lambda a, i: f"element_at({a}, CAST({i} + 1 AS INT))"  # noqa: E731
+        flt = "filter(sequence(0, 3), i -> NOT array_contains(acc.cur, i)"
+        flt += " AND element_at(acc.nx, CAST(i + 1 AS INT)) < 4)"
+        m = f"try_element_at({flt}, 1)"
+        nx, cur = "acc.nx", "acc.cur"
+    else:
+        el = lambda a, i: f"{a}[({i}) + 1]"  # noqa: E731
+        flt = (
+            "list_filter(range(0, 4), i -> NOT list_contains(rec.cur, i)"
+            " AND rec.nx[i + 1] < 4)"
+        )
+        m = f"({flt})[1]"
+        nx, cur = "rec.nx", "rec.cur"
+    j = el("pmf", f"{m} * 4 + {el(nx, m)}")
+    curj = el(cur, j)
+    engage = (
+        f"CASE WHEN {curj} = -1 THEN TRUE"
+        f" ELSE {el('wrf', f'{j} * 4 + {m}')}"
+        f" < {el('wrf', f'{j} * 4 + {curj}')} END"
+    )
+    if d == "spark":
+        new_nx = (
+            f"CASE WHEN {m} IS NULL THEN acc.nx ELSE"
+            f" transform(acc.nx, (x, i) ->"
+            f" CASE WHEN i = {m} THEN x + 1 ELSE x END) END"
+        )
+        new_cur = (
+            f"CASE WHEN {m} IS NULL THEN acc.cur"
+            f" WHEN {engage} THEN transform(acc.cur, (x, i) ->"
+            f" CASE WHEN i = {j} THEN {m} ELSE x END)"
+            f" ELSE acc.cur END"
+        )
+    else:
+        new_nx = (
+            f"CASE WHEN {m} IS NULL THEN rec.nx ELSE"
+            f" list_transform(range(0, 4), i ->"
+            f" CASE WHEN i = {m} THEN rec.nx[i + 1] + 1"
+            f" ELSE rec.nx[i + 1] END) END"
+        )
+        new_cur = (
+            f"CASE WHEN {m} IS NULL THEN rec.cur"
+            f" WHEN {engage} THEN list_transform(range(0, 4), i ->"
+            f" CASE WHEN i = {j} THEN {m} ELSE rec.cur[i + 1] END)"
+            f" ELSE rec.cur END"
+        )
+    return {"nx": new_nx, "cur": new_cur}
+
+
+def _gs_oracle() -> str:
+    st = _gs_step("duck")
+    segs = ", ".join(f"'{s}'" for s in _GS_SEGS)
+    pris = ", ".join(f"'{p}'" for p in _GS_PRIS)
+    return f"""
+    WITH RECURSIVE aff AS (
+      SELECT list_position([{segs}], c.c_mktsegment) - 1 AS i,
+             list_position([{pris}], o.o_orderpriority) - 1 AS j,
+             CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS a
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ({segs})
+        AND o.o_orderpriority IN ({pris})
+      GROUP BY 1, 2
+    ),
+    pm AS (
+      SELECT i, list(j ORDER BY a DESC, j) AS prefs
+      FROM aff GROUP BY i
+    ),
+    wr AS (
+      SELECT j, i,
+             row_number() OVER (PARTITION BY j ORDER BY a DESC, i) AS rk
+      FROM aff
+    ),
+    const AS (
+      SELECT
+        (SELECT flatten(list(prefs ORDER BY i)) FROM pm) AS pmf,
+        (SELECT list(rk ORDER BY j, i) FROM wr) AS wrf
+    ),
+    rec AS (
+      SELECT 0 AS k, [0, 0, 0, 0] AS nx, [-1, -1, -1, -1] AS cur
+      UNION ALL
+      SELECT rec.k + 1, {st['nx']}, {st['cur']}
+      FROM rec CROSS JOIN const WHERE rec.k < 16
+    ),
+    final AS (SELECT cur FROM rec WHERE k = 16),
+    out AS (
+      SELECT jj.j AS j, final.cur[jj.j + 1] AS m
+      FROM final CROSS JOIN (SELECT unnest(range(0, 4)) AS j) jj
+    )
+    SELECT [{pris}][out.j + 1] AS acceptor,
+           [{segs}][out.m + 1] AS proposer,
+           CAST(aff.a AS BIGINT) AS affinity_cents,
+           CAST((SELECT rk FROM wr WHERE wr.j = out.j AND wr.i = out.m)
+             AS BIGINT) AS acceptor_rank_of_match,
+           CAST(list_position((SELECT prefs FROM pm WHERE pm.i = out.m),
+             out.j) AS BIGINT) AS proposer_rank_of_match
+    FROM out JOIN aff ON aff.i = out.m AND aff.j = out.j
+    ORDER BY acceptor
+    """
+
+
+@staged("q_gale_shapley", oracle=_gs_oracle())
+def q_gale_shapley(spark, sf_dir):
+    """GALE-SHAPLEY STABLE MATCHING between the 4 lex-first customer
+    segments (proposers) and 4 lex-first order priorities
+    (acceptors), preferences from exact order-cents affinities —
+    the deferred-acceptance mechanism (the 2012 Nobel algorithm;
+    q_local_matching is greedy and can leave BLOCKING PAIRS, GS
+    provably cannot): the serial single-proposal loop runs as ONE
+    F.aggregate fold over sequence(1,16) (n^2 proposals bounds
+    termination for n=4) with a (next-index[4], engaged[4]) state;
+    the step expression — lowest free proposer, his next choice,
+    the acceptor's exact-rank trade-up test — is GENERATED FROM ONE
+    PYTHON TEMPLATE for both engines (_gs_step — the q_dtw_distance
+    discipline), preferences and ranks are exact-integer-derived
+    (affinity desc, index tiebreak), and the no-proposer-left step
+    is an explicit NULL-guarded no-op (try_element_at / DuckDB
+    out-of-range NULL — same semantics, test-pinned). The WITNESS
+    does not replay: it independently verifies STABILITY (no
+    blocking pair exists) and man-optimality vs textbook Python GS.
+    At 100 TB: one (segment, priority) hash agg kills the raw
+    volume; the fold is 16 steps over two 4-element arrays."""
+    st = _gs_step("spark")
+    segs_sql = ", ".join(f"'{s}'" for s in _GS_SEGS)
+    pris_sql = ", ".join(f"'{p}'" for p in _GS_PRIS)
+    od = _t(spark, sf_dir, "orders")
+    cs = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    aff = (
+        od.join(F.broadcast(cs), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            F.col("c_mktsegment").isin(*_GS_SEGS)
+            & F.col("o_orderpriority").isin(*_GS_PRIS)
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.sum(F.expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("a")
+        )
+        .select(
+            (
+                F.expr(f"array_position(array({segs_sql}), c_mktsegment)")
+                - 1
+            )
+            .cast("int")
+            .alias("i"),
+            (
+                F.expr(f"array_position(array({pris_sql}), o_orderpriority)")
+                - 1
+            )
+            .cast("int")
+            .alias("j"),
+            "a",
+        )
+    )
+    aff = track_persist(aff)
+    w_pm = Window.partitionBy("i").orderBy(F.desc("a"), "j")
+    pm = (
+        aff.select("i", "j", F.row_number().over(w_pm).alias("k"))
+        .groupBy("i")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(k, j))),"
+                " x -> x.j)"
+            ).alias("prefs")
+        )
+    )
+    w_wr = Window.partitionBy("j").orderBy(F.desc("a"), "i")
+    wr = aff.select(
+        "j", "i", F.row_number().over(w_wr).cast("int").alias("rk")
+    )
+    wr = track_persist(wr)
+    pmf = pm.agg(
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(i, prefs))),"
+            " x -> x.prefs))"
+        ).alias("pmf")
+    )
+    wrf = wr.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, i, rk))),"
+            " x -> x.rk)"
+        ).alias("wrf")
+    )
+    fold = F.expr(
+        "aggregate(sequence(1, 16),"
+        " struct(array(0, 0, 0, 0) AS nx,"
+        "        array(-1, -1, -1, -1) AS cur),"
+        f" (acc, k) -> struct(({st['nx']}) AS nx, ({st['cur']}) AS cur))"
+        ".cur"
+    )
+    final = pmf.crossJoin(F.broadcast(wrf)).select(fold.alias("cur"))
+    out = final.select(F.posexplode("cur").alias("oj", "om"))
+    aff2 = aff.select(
+        F.col("i").alias("ai"), F.col("j").alias("aj"), "a"
+    )
+    wr2 = wr.select(
+        F.col("j").alias("wj"), F.col("i").alias("wi"),
+        F.col("rk").alias("w_rk"),
+    )
+    pm2 = pm.select(F.col("i").alias("pi"), "prefs")
+    return (
+        out.join(
+            F.broadcast(aff2),
+            (F.col("ai") == F.col("om")) & (F.col("aj") == F.col("oj")),
+        )
+        .join(
+            F.broadcast(wr2),
+            (F.col("wj") == F.col("oj")) & (F.col("wi") == F.col("om")),
+        )
+        .join(F.broadcast(pm2), F.col("pi") == F.col("om"))
+        .select(
+            F.expr(
+                f"element_at(array({pris_sql}), CAST(oj + 1 AS INT))"
+            ).alias("acceptor"),
+            F.expr(
+                f"element_at(array({segs_sql}), CAST(om + 1 AS INT))"
+            ).alias("proposer"),
+            F.col("a").cast("bigint").alias("affinity_cents"),
+            F.col("w_rk").cast("bigint").alias("acceptor_rank_of_match"),
+            F.expr("CAST(array_position(prefs, oj) AS BIGINT)").alias(
+                "proposer_rank_of_match"
+            ),
+        )
+        .orderBy("acceptor")
+    )
+
+
+@staged(
+    "q_rake_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, CAST(p.n AS BIGINT) AS pos, p.t AS t
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x != '')
+                 AS ts
+        FROM documents
+      ) d, (SELECT unnest(range(1, 2001)) AS n) nn,
+      LATERAL (SELECT nn.n AS n, d.ts[nn.n] AS t) p
+      WHERE nn.n <= len(d.ts)
+    ),
+    flagged AS (
+      SELECT doc_id, pos, t,
+             CASE WHEN t IN ('a', 'the') THEN 1 ELSE 0 END AS stop,
+             SUM(CASE WHEN t IN ('a', 'the') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+      FROM tok
+    ),
+    phr AS (
+      SELECT doc_id, isl,
+             list_aggregate(list(t ORDER BY pos), 'string_agg', ' ')
+               AS phrase,
+             list(t ORDER BY pos) AS words,
+             CAST(len(list(t)) AS BIGINT) AS plen
+      FROM flagged WHERE stop = 0 GROUP BY doc_id, isl
+    ),
+    wstat AS (
+      SELECT w.t AS t, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(phr.plen) AS BIGINT) AS deg
+      FROM phr, LATERAL (SELECT unnest(phr.words) AS t) w
+      GROUP BY w.t
+    ),
+    wscore AS (
+      SELECT t, CAST(floor(CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE)
+               * 1000000000.0 + 0.5) AS BIGINT) AS s_nano
+      FROM wstat
+    ),
+    ptype AS (
+      SELECT phrase, words, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM phr GROUP BY phrase, words
+    ),
+    scored AS (
+      SELECT p.phrase, p.n_occurrences,
+             CAST(len(p.words) AS BIGINT) AS n_words,
+             CAST(SUM(ws.s_nano) AS BIGINT) AS score_nano
+      FROM ptype p, LATERAL (SELECT unnest(p.words) AS t) w
+      JOIN wscore ws ON ws.t = w.t
+      GROUP BY p.phrase, p.n_occurrences, p.words
+    )
+    SELECT phrase, n_words, n_occurrences, score_nano,
+           CAST(score_nano AS DOUBLE) / 1000000000.0 AS score
+    FROM scored ORDER BY score_nano DESC, phrase LIMIT 10
+    """,
+)
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rapid Automatic Keyword Extraction,
+    Rose et al. 2010) over the corpus — the phrase-level keyword
+    scorer that completes the text-mining family (q_tfidf ranks
+    single terms by document discrimination; RAKE ranks STOPWORD-
+    DELIMITED PHRASES by internal co-occurrence degree/frequency):
+    candidate phrases are maximal non-stopword runs (frozen
+    stopwords {'a','the'} — the fixture's function words), carved
+    relationally with the gaps-islands cumulative-stopword-count
+    window (the q_gaps_islands discipline, per-doc partitions); word
+    degree (sum of host-phrase lengths) and frequency are exact
+    BIGINTs over phrase OCCURRENCES; the deg/freq word score is
+    quantized to the 1e-9 lattice BEFORE phrase-level exact sums
+    (the q_log_rank discipline), so the top-10 ranking and its
+    (score desc, phrase asc) tiebreak are decided on exact
+    integers — a float never orders the output. At 100 TB: one
+    posexplode + per-doc window, two token-keyed hash aggs, a
+    phrase-type agg bounded by the phrase-type space, and a
+    TakeOrdered(10) — no global sort of the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    from ..operators import dedup as dd
+
+    tok = docs.select(
+        "doc_id", F.posexplode(dd.tokens_col("text")).alias("pos", "t")
+    )
+    stop = F.col("t").isin("a", "the")
+    w_isl = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = tok.select(
+        "doc_id",
+        "pos",
+        "t",
+        F.when(stop, 1).otherwise(0).alias("stop"),
+        F.sum(F.when(stop, 1).otherwise(0)).over(w_isl).alias("isl"),
+    )
+    phr = (
+        flagged.filter(F.col("stop") == 0)
+        .groupBy("doc_id", "isl")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, t))),"
+                " x -> x.t)"
+            ).alias("words")
+        )
+        .select(
+            F.concat_ws(" ", F.col("words")).alias("phrase"),
+            "words",
+            F.size("words").cast("bigint").alias("plen"),
+        )
+    )
+    phr = track_persist(phr)
+    wstat = (
+        phr.select(F.explode("words").alias("t"), "plen")
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("plen").cast("bigint").alias("deg"),
+        )
+    )
+    wscore = wstat.select(
+        "t",
+        F.floor(
+            F.col("deg").cast("double")
+            / F.col("freq").cast("double")
+            * 1000000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("s_nano"),
+    )
+    ptype = phr.groupBy("phrase", "words").agg(
+        F.count("*").cast("bigint").alias("n_occurrences")
+    )
+    scored = (
+        ptype.select(
+            "phrase",
+            "n_occurrences",
+            F.size("words").cast("bigint").alias("n_words"),
+            F.explode("words").alias("t"),
+        )
+        .join(F.broadcast(wscore), "t")
+        .groupBy("phrase", "n_words", "n_occurrences")
+        .agg(F.sum("s_nano").cast("bigint").alias("score_nano"))
+    )
+    return (
+        scored.select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            "score_nano",
+            (F.col("score_nano").cast("double") / 1000000000.0).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.desc("score_nano"), "phrase")
+        .limit(10)
+    )

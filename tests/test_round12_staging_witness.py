@@ -2070,3 +2070,188 @@ def test_no_python_row_udfs_in_round12_staged_b14(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 15
+
+
+def _gs_instance(duck):
+    rows = duck.sql(
+        f"SELECT c.c_mktsegment, o.o_orderpriority,"
+        f" SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))"
+        f" FROM '{SF_DIR}/orders.parquet' o"
+        f" JOIN '{SF_DIR}/customer.parquet' c"
+        f" ON c.c_custkey = o.o_custkey"
+        f" GROUP BY 1, 2"
+    ).fetchall()
+    from aws_vpcflowlogs_parquet_spark.plans.staging import (
+        _GS_PRIS,
+        _GS_SEGS,
+    )
+
+    aff = {}
+    for seg, pri, a in rows:
+        if seg in _GS_SEGS and pri in _GS_PRIS:
+            aff[(_GS_SEGS.index(seg), _GS_PRIS.index(pri))] = int(a)
+    return aff
+
+
+def test_transportation_nw_witness(spark, duck):
+    sup_rows = duck.sql(
+        f"SELECT c.c_mktsegment, SUM(CAST(l.l_quantity AS BIGINT))"
+        f" FROM '{SF_DIR}/lineitem.parquet' l"
+        f" JOIN '{SF_DIR}/orders.parquet' o ON o.o_orderkey = l.l_orderkey"
+        f" JOIN '{SF_DIR}/customer.parquet' c ON c.c_custkey = o.o_custkey"
+        f" GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    dem_rows = duck.sql(
+        f"SELECT o.o_orderpriority, SUM(CAST(l.l_quantity AS BIGINT))"
+        f" FROM '{SF_DIR}/lineitem.parquet' l"
+        f" JOIN '{SF_DIR}/orders.parquet' o ON o.o_orderkey = l.l_orderkey"
+        f" GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    si = [int(s) for _, s in sup_rows]
+    dj = [int(d) for _, d in dem_rows]
+    assert sum(si) == sum(dj)  # balanced by construction
+    sup0, dem0 = si[:], dj[:]
+    i = j = 0
+    allocs = []
+    for step in range(1, 10):
+        q = min(si[i], dj[j])
+        allocs.append((i, j, q, step))
+        si[i] -= q
+        dj[j] -= q
+        if si[i] == 0 and i < 4:
+            i += 1
+        elif j < 4:
+            j += 1
+    rows = STAGED_QUERIES["q_transportation_nw"](spark, SF_DIR).collect()
+    assert [(r.i, r.j, r.alloc, r.step) for r in rows] == [
+        a for a in allocs if a[2] > 0
+    ]
+    # feasibility invariants
+    row_sums = collections.Counter()
+    col_sums = collections.Counter()
+    for r in rows:
+        row_sums[r.i] += r.alloc
+        col_sums[r.j] += r.alloc
+    assert [row_sums[k] for k in range(5)] == sup0
+    assert [col_sums[k] for k in range(5)] == dem0
+    assert len(rows) <= 9  # at most m + n - 1 basic cells
+
+
+def test_gale_shapley_witness(spark, duck):
+    from aws_vpcflowlogs_parquet_spark.plans.staging import (
+        _GS_PRIS,
+        _GS_SEGS,
+    )
+
+    aff = _gs_instance(duck)
+    assert len(aff) == 16  # every cell populated on the fixture
+    pm = {
+        i: sorted(range(4), key=lambda j: (-aff[(i, j)], j))
+        for i in range(4)
+    }
+    wrank = {
+        j: {
+            i: rank
+            for rank, i in enumerate(
+                sorted(range(4), key=lambda i: (-aff[(i, j)], i)), 1
+            )
+        }
+        for j in range(4)
+    }
+    # textbook serial GS (independent implementation)
+    nxt = [0] * 4
+    cur = [-1] * 4
+    while True:
+        free = [
+            m
+            for m in range(4)
+            if m not in cur and nxt[m] < 4
+        ]
+        if not free:
+            break
+        m = free[0]
+        j = pm[m][nxt[m]]
+        nxt[m] += 1
+        if cur[j] == -1 or wrank[j][m] < wrank[j][cur[j]]:
+            cur[j] = m
+    rows = STAGED_QUERIES["q_gale_shapley"](spark, SF_DIR).collect()
+    got = {r.acceptor: r for r in rows}
+    assert len(rows) == 4
+    match = {}
+    for j in range(4):
+        r = got[_GS_PRIS[j]]
+        m = _GS_SEGS.index(r.proposer)
+        match[j] = m
+        assert m == cur[j]  # man-optimal matching reproduced
+        assert r.affinity_cents == aff[(m, j)]
+        assert r.acceptor_rank_of_match == wrank[j][m]
+        assert r.proposer_rank_of_match == pm[m].index(j) + 1
+    # STABILITY: no blocking pair (m, j) where both prefer each other
+    for m in range(4):
+        jm = next(j for j, mm in match.items() if mm == m)
+        for j in range(4):
+            if j == jm:
+                continue
+            m_prefers = pm[m].index(j) < pm[m].index(jm)
+            w_prefers = wrank[j][m] < wrank[j][match[j]]
+            assert not (m_prefers and w_prefers), (m, j)
+
+
+def test_rake_keywords_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+    ).fetchall()
+    phrases = []
+    for (text,) in rows:
+        toks = [t for t in text.lower().split(" ") if t]
+        run = []
+        for t in toks:
+            if t in ("a", "the"):
+                if run:
+                    phrases.append(tuple(run))
+                run = []
+            else:
+                run.append(t)
+        if run:
+            phrases.append(tuple(run))
+    freq = collections.Counter()
+    deg = collections.Counter()
+    for p in phrases:
+        for w in p:
+            freq[w] += 1
+            deg[w] += len(p)
+    wscore = {
+        w: math.floor(deg[w] / freq[w] * 1e9 + 0.5) for w in freq
+    }
+    ptype = collections.Counter(phrases)
+    scored = sorted(
+        (
+            (-sum(wscore[w] for w in p), " ".join(p), len(p), n)
+            for p, n in ptype.items()
+        ),
+    )[:10]
+    got = STAGED_QUERIES["q_rake_keywords"](spark, SF_DIR).collect()
+    assert len(got) == 10
+    for r, (neg, phrase, n_words, n_occ) in zip(got, scored):
+        assert r.phrase == phrase
+        assert (r.n_words, r.n_occurrences, r.score_nano) == (
+            n_words,
+            n_occ,
+            -neg,
+        )
+        assert r.score == pytest.approx(-neg / 1e9, rel=1e-12)
+    # RAKE favors longer phrases: top phrase has >= 2 words
+    assert got[0].n_words >= 2
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_transportation_nw", "q_gale_shapley", "q_rake_keywords"],
+)
+def test_no_python_row_udfs_in_round12_staged_b15(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
