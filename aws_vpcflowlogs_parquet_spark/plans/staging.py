@@ -7303,3 +7303,295 @@ def q_rake_keywords(spark, sf_dir):
         .orderBy(F.desc("score_nano"), "phrase")
         .limit(10)
     )
+
+
+# =====================================================================
+# Round-12 staged batch 16 — tail risk (CVaR/expected shortfall),
+# inequality in log form (mean log deviation / Theil L), and edit
+# distance by nested DP fold vs the oracle's BUILT-IN levenshtein.
+# Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_cvar_es",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS t, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    vh AS (
+      SELECT t, v, CAST(COUNT(*) AS BIGINT) AS c FROM base GROUP BY t, v
+    ),
+    ns AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM vh GROUP BY t),
+    cum AS (
+      SELECT vh.t, vh.v,
+             CAST(SUM(vh.c) OVER (PARTITION BY vh.t ORDER BY vh.v)
+               AS BIGINT) AS cm,
+             ns.n
+      FROM vh JOIN ns ON ns.t = vh.t
+    ),
+    var95 AS (
+      SELECT t, CAST(MIN(v) AS BIGINT) AS var_cents
+      FROM cum WHERE cm >= (19 * n + 19) // 20 GROUP BY t
+    ),
+    tail AS (
+      SELECT vh.t,
+             CAST(SUM(vh.c) AS BIGINT) AS tail_n,
+             CAST(SUM(vh.v * vh.c) AS BIGINT) AS tail_sum
+      FROM vh JOIN var95 ON var95.t = vh.t
+      WHERE vh.v >= var95.var_cents GROUP BY vh.t
+    )
+    SELECT ns.t AS t, ns.n, var95.var_cents, tail.tail_n, tail.tail_sum,
+           CAST(tail.tail_sum AS DOUBLE) / CAST(tail.tail_n AS DOUBLE)
+             AS es_cents
+    FROM ns JOIN var95 ON var95.t = ns.t JOIN tail ON tail.t = ns.t
+    ORDER BY t
+    """,
+)
+def q_cvar_es(spark, sf_dir):
+    """VALUE-AT-RISK AND EXPECTED SHORTFALL (CVaR) at the 95% level
+    per event type — the coherent tail-risk pair that completes the
+    risk family (q_drawdown reads path risk, q_percentiles the
+    central quantiles; ES prices the TAIL MEAN, the
+    Basel/risk-budgeting standard, and unlike VaR it is
+    subadditive): VaR95 is picked EXACTLY by cumulative counting on
+    the cents lattice at ceil(0.95n) = (19n+19) div 20 (integer
+    ceiling — the q_mood_median selection discipline), the tail
+    {v >= VaR} count and sum are exact BIGINTs (the discrete
+    'mean of observations >= VaR' convention, documented), and ES
+    is ONE division at readout. The witness pins coherence:
+    ES >= VaR always. At 100 TB: raw volume dies in the (t, v)
+    hash agg; the cumulative runs per type over the bounded
+    distinct-cents lattice."""
+    base = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    vh = base.groupBy("t", "v").agg(F.count("*").cast("bigint").alias("c"))
+    vh = track_persist(vh)
+    ns = vh.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
+    wcum = (
+        Window.partitionBy("t")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    var95 = (
+        vh.select("t", "v", F.sum("c").over(wcum).alias("cm"))
+        .join(F.broadcast(ns), "t")
+        .filter(F.col("cm") >= F.expr("(19 * n + 19) div 20"))
+        .groupBy("t")
+        .agg(F.min("v").cast("bigint").alias("var_cents"))
+    )
+    tail = (
+        vh.join(F.broadcast(var95), "t")
+        .filter(F.col("v") >= F.col("var_cents"))
+        .groupBy("t")
+        .agg(
+            F.sum("c").cast("bigint").alias("tail_n"),
+            F.sum(F.col("v") * F.col("c")).cast("bigint").alias("tail_sum"),
+        )
+    )
+    return (
+        ns.join(F.broadcast(var95), "t")
+        .join(F.broadcast(tail), "t")
+        .select(
+            "t",
+            "n",
+            "var_cents",
+            "tail_n",
+            "tail_sum",
+            (
+                F.col("tail_sum").cast("double")
+                / F.col("tail_n").cast("double")
+            ).alias("es_cents"),
+        )
+        .orderBy("t")
+    )
+
+
+@staged(
+    "q_mean_log_deviation",
+    oracle="""
+    WITH peruser AS (
+      SELECT event_type AS t, user_id,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY event_type, user_id
+    ),
+    pos AS (SELECT t, x FROM peruser WHERE x > 0),
+    lns AS (
+      SELECT t, x,
+             CAST(floor(ln(CAST(x AS DOUBLE)) * 1000000000.0 + 0.5)
+               AS BIGINT) AS ln_nano
+      FROM pos
+    ),
+    gs AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_cents,
+             CAST(SUM(ln_nano) AS BIGINT) AS sum_ln_nano
+      FROM lns GROUP BY t
+    ),
+    parts AS (
+      SELECT t, n, sum_cents, sum_ln_nano,
+             CAST(floor(ln(CAST(sum_cents AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT) AS ln_mean_nano
+      FROM gs
+    )
+    SELECT t, n, sum_cents, sum_ln_nano, ln_mean_nano,
+           CAST(ln_mean_nano AS DOUBLE) / 1000000000.0
+             - CAST(sum_ln_nano AS DOUBLE) / 1000000000.0
+               / CAST(n AS DOUBLE) AS mld,
+           (10 * (CAST(ln_mean_nano AS HUGEINT) * CAST(n AS HUGEINT)
+                  - CAST(sum_ln_nano AS HUGEINT))
+            > CAST(1000000000 AS HUGEINT) * CAST(n AS HUGEINT))
+             AS unequal
+    FROM parts ORDER BY t
+    """,
+)
+def q_mean_log_deviation(spark, sf_dir):
+    """MEAN LOG DEVIATION (Theil's L / the GE(0) entropy index /
+    Atkinson eps=1 in LOG FORM) of per-user spend per event type —
+    the inequality-trio completion (q_gini is rank-based, the
+    staged q_theil_index is GE(1); MLD is GE(0), the
+    between-group-decomposable index most sensitive to the BOTTOM
+    of the distribution): MLD = ln(mean) - mean(ln x). Each ln(x)
+    of an exact integer is quantized to the 1e-9 lattice BEFORE the
+    exact BIGINT sum (the q_theil_index discipline — float sums
+    never run in data order), ln(mean) is one identical chain
+    quantized the same way, the zero-spend guard is an integer
+    filter x > 0 (documented: ln(0) would poison the sum), and the
+    MLD > 0.1 inequality verdict is decided EXACTLY in 128-bit:
+    10*(ln_mean_nano*n - sum_ln_nano) > 1e9*n. Atkinson itself
+    (1 - exp(-MLD)) is NOT reported — exp() is 1-ulp non-portable
+    (the q_pythagorean_means finding); MLD IS its log form. At
+    100 TB: two hash aggs (user-keyed then type-keyed), both
+    map-side combinable."""
+    peruser = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("t"), "user_id")
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+        .filter(F.col("x") > 0)
+    )
+    lns = peruser.select(
+        "t",
+        "x",
+        F.floor(F.log(F.col("x").cast("double")) * 1000000000.0 + 0.5)
+        .cast("bigint")
+        .alias("ln_nano"),
+    )
+    gs = lns.groupBy("t").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sum_cents"),
+        F.sum("ln_nano").cast("bigint").alias("sum_ln_nano"),
+    )
+    parts = gs.select(
+        "t",
+        "n",
+        "sum_cents",
+        "sum_ln_nano",
+        F.floor(
+            F.log(F.col("sum_cents").cast("double") / F.col("n").cast("double"))
+            * 1000000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("ln_mean_nano"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    return parts.select(
+        "t",
+        "n",
+        "sum_cents",
+        "sum_ln_nano",
+        "ln_mean_nano",
+        (
+            F.col("ln_mean_nano").cast("double") / 1000000000.0
+            - F.col("sum_ln_nano").cast("double")
+            / 1000000000.0
+            / F.col("n").cast("double")
+        ).alias("mld"),
+        (
+            F.lit(10).cast("decimal(38,0)")
+            * (
+                dec(F.col("ln_mean_nano")) * dec(F.col("n"))
+                - dec(F.col("sum_ln_nano"))
+            )
+            > dec(F.lit(1000000000)) * dec(F.col("n"))
+        ).alias("unequal"),
+    ).orderBy("t")
+
+
+@staged(
+    "q_edit_distance_dp",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part
+    ),
+    ranked AS (
+      SELECT p_name, row_number() OVER (ORDER BY p_name) AS rn
+      FROM names
+    ),
+    pairs AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM ranked a JOIN ranked b ON b.rn = a.rn + 1
+    )
+    SELECT name_a, name_b,
+           CAST(length(name_a) AS BIGINT) AS len_a,
+           CAST(length(name_b) AS BIGINT) AS len_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS edit_distance
+    FROM pairs ORDER BY name_a, name_b
+    """,
+)
+def q_edit_distance_dp(spark, sf_dir):
+    """LEVENSHTEIN EDIT DISTANCE between lexicographically adjacent
+    part names, computed by a NESTED Wagner-Fischer DP FOLD — two
+    genuinely independent implementations face off: Spark runs the
+    full dynamic program (outer F.aggregate over the second string's
+    characters, inner F.aggregate building each DP row left-to-right
+    with the insert/delete/substitute recurrence — every cell an
+    exact integer, the q_dtw_distance Bellman discipline stretched
+    to variable-length strings), while THE ORACLE CALLS DUCKDB'S
+    BUILT-IN levenshtein() — a C implementation sharing zero code
+    with the fold (the q_knapsack_dp two-routes discipline). The
+    fold never touches Spark's own levenshtein built-in, so the DP
+    itself is what's verified. At 100 TB: the distinct-name frame is
+    vocabulary-bounded; each pair's DP is O(|a|*|b|) scalar work
+    inside one projection — embarrassingly parallel, no shuffle
+    after the rank join."""
+    names = _t(spark, sf_dir, "part").select("p_name").distinct()
+    ranked = names.select(
+        "p_name", F.row_number().over(Window.orderBy("p_name")).alias("rn")
+    )
+    a = ranked.select(
+        F.col("p_name").alias("name_a"), F.col("rn").alias("ra")
+    )
+    b = ranked.select(
+        F.col("p_name").alias("name_b"), F.col("rn").alias("rb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("rb") == F.col("ra") + 1)
+    dp = F.expr(
+        "element_at("
+        " aggregate(filter(split(name_b, ''), ch -> ch != ''),"
+        "  sequence(0, length(name_a)),"
+        "  (row, ch2) -> aggregate("
+        "    sequence(1, length(name_a)),"
+        "    array(element_at(row, 1) + 1),"
+        "    (nr, i) -> array_append(nr, least("
+        "      element_at(row, CAST(i + 1 AS INT)) + 1,"
+        "      element_at(nr, CAST(i AS INT)) + 1,"
+        "      element_at(row, CAST(i AS INT))"
+        "        + CASE WHEN substring(name_a, CAST(i AS INT), 1) = ch2"
+        "               THEN 0 ELSE 1 END)))),"
+        " CAST(length(name_a) + 1 AS INT))"
+    )
+    return pairs.select(
+        "name_a",
+        "name_b",
+        F.length("name_a").cast("bigint").alias("len_a"),
+        F.length("name_b").cast("bigint").alias("len_b"),
+        dp.cast("bigint").alias("edit_distance"),
+    ).orderBy("name_a", "name_b")

@@ -2255,3 +2255,107 @@ def test_no_python_row_udfs_in_round12_staged_b15(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 16
+
+
+def test_cvar_es_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, CAST(round(value * 100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for t, v in rows:
+        per[t].append(v)
+    got = {
+        r.t: r for r in STAGED_QUERIES["q_cvar_es"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per)
+    for t, xs in per.items():
+        xs = sorted(xs)
+        n = len(xs)
+        var = xs[(19 * n + 19) // 20 - 1]
+        tail = [v for v in xs if v >= var]
+        r = got[t]
+        assert (r.n, r.var_cents) == (n, var)
+        assert (r.tail_n, r.tail_sum) == (len(tail), sum(tail))
+        assert r.es_cents == pytest.approx(sum(tail) / len(tail), rel=1e-12)
+        assert r.es_cents >= r.var_cents  # ES dominates VaR (coherence)
+        assert r.tail_n <= n - (19 * n + 19) // 20 + len(
+            [v for v in xs if v == var]
+        )
+
+
+def test_mean_log_deviation_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, user_id,"
+        f" SUM(CAST(round(value * 100) AS BIGINT))"
+        f" FROM '{SF_DIR}/events.parquet' GROUP BY 1, 2"
+    ).fetchall()
+    per = collections.defaultdict(list)
+    for t, _, x in rows:
+        if x > 0:
+            per[t].append(int(x))
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_mean_log_deviation"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for t, xs in per.items():
+        n = len(xs)
+        sum_ln = sum(math.floor(math.log(x) * 1e9 + 0.5) for x in xs)
+        ln_mean = math.floor(math.log(sum(xs) / n) * 1e9 + 0.5)
+        r = got[t]
+        assert (r.n, r.sum_cents) == (n, sum(xs))
+        assert (r.sum_ln_nano, r.ln_mean_nano) == (sum_ln, ln_mean)
+        mld = ln_mean / 1e9 - sum_ln / 1e9 / n
+        assert r.mld == pytest.approx(mld, rel=1e-9)
+        assert r.mld >= -1e-9  # Jensen: ln(mean) >= mean(ln)
+        assert r.unequal == (10 * (ln_mean * n - sum_ln) > 10**9 * n)
+
+
+def test_edit_distance_dp_witness(spark, duck):
+    names = sorted(
+        n
+        for (n,) in duck.sql(
+            f"SELECT DISTINCT p_name FROM '{SF_DIR}/part.parquet'"
+        ).fetchall()
+    )
+
+    def lev(a, b):
+        prev = list(range(len(a) + 1))
+        for j, cb in enumerate(b, 1):
+            cur = [j]
+            for i, ca in enumerate(a, 1):
+                cur.append(
+                    min(
+                        prev[i] + 1,
+                        cur[i - 1] + 1,
+                        prev[i - 1] + (0 if ca == cb else 1),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = STAGED_QUERIES["q_edit_distance_dp"](spark, SF_DIR).collect()
+    assert [(r.name_a, r.name_b) for r in rows] == list(
+        zip(names, names[1:])
+    )
+    for r in rows:
+        d = lev(r.name_a, r.name_b)
+        assert r.edit_distance == d
+        assert (r.len_a, r.len_b) == (len(r.name_a), len(r.name_b))
+        # metric bounds
+        assert abs(r.len_a - r.len_b) <= d <= max(r.len_a, r.len_b)
+
+
+@pytest.mark.parametrize(
+    "name", ["q_cvar_es", "q_mean_log_deviation", "q_edit_distance_dp"]
+)
+def test_no_python_row_udfs_in_round12_staged_b16(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
