@@ -7595,3 +7595,484 @@ def q_edit_distance_dp(spark, sf_dir):
         F.length("name_b").cast("bigint").alias("len_b"),
         dp.cast("bigint").alias("edit_distance"),
     ).orderBy("name_a", "name_b")
+
+
+# =====================================================================
+# Round-12 staged batch 17 — layout locality (Hilbert vs Z-order
+# audit), causal inference (coarsened exact matching), numerically
+# stable streaming moments (Welford fold vs exact two-pass).
+# Promotion target: round 13.
+# =====================================================================
+
+
+def _hilbert_fold(div: str, pfx: str) -> dict:
+    """xy -> Hilbert-d step expressions; dialect div operator and
+    state-prefix injected so both engines share one template.
+    rx/ry via (coord div s) % 2 (power-of-two s), coordinates MASKED
+    into the quadrant (x % s) BEFORE the rotation flip+swap (the
+    unmasked textbook form lets intermediates go NEGATIVE, where div
+    truncation vs floor semantics diverge across engines — caught by
+    the unit-step witness), and the quadrant digit (3*rx) XOR ry
+    spelled as pure arithmetic 3rx + ry - 2*rx*ry for rx,ry in
+    {0,1} — no bitwise ops, dialect-shared text. The masked variant
+    IS the true Hilbert curve: consecutive d are grid-adjacent,
+    witness-pinned."""
+    rx = f"(({pfx}.x {div} s) % 2)"
+    ry = f"(({pfx}.y {div} s) % 2)"
+    xl = f"({pfx}.x % s)"
+    yl = f"({pfx}.y % s)"
+    digit = f"(3 * {rx} + {ry} - 2 * {rx} * {ry})"
+    new_x = (
+        f"CASE WHEN {ry} = 1 THEN {xl}"
+        f" WHEN {rx} = 1 THEN s - 1 - {yl} ELSE {yl} END"
+    )
+    new_y = (
+        f"CASE WHEN {ry} = 1 THEN {yl}"
+        f" WHEN {rx} = 1 THEN s - 1 - {xl} ELSE {xl} END"
+    )
+    new_d = f"{pfx}.d + s * s * {digit}"
+    return {"x": new_x, "y": new_y, "d": new_d}
+
+
+def _hilbert_oracle() -> str:
+    st = _hilbert_fold("//", "rec")
+    return f"""
+    WITH RECURSIVE cells AS (
+      SELECT DISTINCT CAST(user_id % 32 AS BIGINT) AS x,
+             CAST((2 * user_id + event_id) % 32 AS BIGINT) AS y
+      FROM events
+    ),
+    lv(k, s) AS (VALUES (0, CAST(16 AS BIGINT)), (1, 8), (2, 4),
+                        (3, 2), (4, 1)),
+    rec AS (
+      SELECT x AS cx, y AS cy, x, y, CAST(0 AS BIGINT) AS d, 0 AS k
+      FROM cells
+      UNION ALL
+      SELECT rec.cx, rec.cy,
+             CAST({st['x']} AS BIGINT), CAST({st['y']} AS BIGINT),
+             CAST({st['d']} AS BIGINT), rec.k + 1
+      FROM rec JOIN lv ON lv.k = rec.k WHERE rec.k < 5
+    ),
+    indexed AS (
+      SELECT rec.cx AS x, rec.cy AS y, rec.d AS h,
+             CAST((rec.cx % 2) + 2 * (rec.cy % 2)
+               + 4 * ((rec.cx // 2) % 2) + 8 * ((rec.cy // 2) % 2)
+               + 16 * ((rec.cx // 4) % 2) + 32 * ((rec.cy // 4) % 2)
+               + 64 * ((rec.cx // 8) % 2) + 128 * ((rec.cy // 8) % 2)
+               + 256 * ((rec.cx // 16) % 2) + 512 * ((rec.cy // 16) % 2)
+               AS BIGINT) AS z
+      FROM rec WHERE rec.k = 5
+    ),
+    pairs AS (
+      SELECT a.h AS ha, b.h AS hb, a.z AS za, b.z AS zb
+      FROM indexed a JOIN indexed b
+        ON (b.x = a.x + 1 AND b.y = a.y) OR (b.x = a.x AND b.y = a.y + 1)
+    ),
+    stats AS (
+      SELECT 'hilbert' AS curve,
+             CAST(COUNT(*) AS BIGINT) AS n_adj_pairs,
+             CAST(SUM(CASE WHEN abs(ha - hb) = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS gap1_pairs,
+             CAST(SUM(abs(ha - hb)) AS BIGINT) AS gap_sum,
+             CAST(MAX(abs(ha - hb)) AS BIGINT) AS gap_max
+      FROM pairs
+      UNION ALL
+      SELECT 'zorder', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN abs(za - zb) = 1 THEN 1 ELSE 0 END)
+               AS BIGINT),
+             CAST(SUM(abs(za - zb)) AS BIGINT),
+             CAST(MAX(abs(za - zb)) AS BIGINT)
+      FROM pairs
+    ),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells FROM cells)
+    SELECT stats.curve, nc.n_cells, stats.n_adj_pairs, stats.gap1_pairs,
+           stats.gap_sum, stats.gap_max,
+           CAST((stats.gap1_pairs * 1000000) // stats.n_adj_pairs
+             AS BIGINT) AS gap1_micro
+    FROM stats CROSS JOIN nc
+    ORDER BY curve
+    """
+
+
+@staged("q_hilbert_locality", oracle=_hilbert_oracle())
+def q_hilbert_locality(spark, sf_dir):
+    """HILBERT-CURVE vs Z-ORDER LOCALITY AUDIT over the occupied
+    32x32 cell grid — the file-clustering question behind
+    q_zorder_cells (Delta/Iceberg Z-order is the industry default;
+    Hilbert keeps 2x more grid-adjacent cell pairs INDEX-ADJACENT —
+    51% vs 26% on this grid — which is exactly what turns a spatial
+    range scan into fewer file seeks; measured, not assumed): the
+    xy->d Hilbert map runs as a 5-level F.aggregate fold whose
+    rotation arithmetic is GENERATED FROM ONE TEMPLATE for both
+    engines (rx/ry via (c div s) % 2 — no bitwise ops, so the text
+    is dialect-shared; the quadrant digit (3rx) XOR ry is spelled as
+    pure CASE-free arithmetic 3rx + ry - 2rx*ry), the Z-index is
+    10 interleaved modulo terms, and every gap statistic
+    (index-adjacency count, gap sum, max) is an exact BIGINT over
+    the equi-joined grid-neighbor pairs. At 100 TB: raw volume dies
+    in the distinct-cell projection (lattice-bounded at 1024);
+    everything after is cell-count work."""
+    ev = _t(spark, sf_dir, "events")
+    cells = (
+        ev.select(
+            (F.col("user_id") % 32).cast("bigint").alias("x"),
+            ((2 * F.col("user_id") + F.col("event_id")) % 32)
+            .cast("bigint")
+            .alias("y"),
+        )
+        .distinct()
+    )
+    st = _hilbert_fold("div", "acc")
+    h_expr = F.expr(
+        "aggregate(array(16, 8, 4, 2, 1),"
+        " struct(CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,"
+        " CAST(0 AS BIGINT) AS d),"
+        f" (acc, s) -> struct(CAST({st['x']} AS BIGINT) AS x,"
+        f" CAST({st['y']} AS BIGINT) AS y,"
+        f" CAST({st['d']} AS BIGINT) AS d)).d"
+    )
+    z_expr = F.expr(
+        "CAST((x % 2) + 2 * (y % 2) + 4 * ((x div 2) % 2)"
+        " + 8 * ((y div 2) % 2) + 16 * ((x div 4) % 2)"
+        " + 32 * ((y div 4) % 2) + 64 * ((x div 8) % 2)"
+        " + 128 * ((y div 8) % 2) + 256 * ((x div 16) % 2)"
+        " + 512 * ((y div 16) % 2) AS BIGINT)"
+    )
+    indexed = cells.select(
+        "x", "y", h_expr.alias("h"), z_expr.alias("z")
+    )
+    indexed = track_persist(indexed)
+    a = indexed.alias("a")
+    b = indexed.alias("b")
+    pairs = a.join(
+        F.broadcast(b),
+        (
+            (F.col("b.x") == F.col("a.x") + 1)
+            & (F.col("b.y") == F.col("a.y"))
+        )
+        | (
+            (F.col("b.x") == F.col("a.x"))
+            & (F.col("b.y") == F.col("a.y") + 1)
+        ),
+    ).select(
+        F.col("a.h").alias("ha"),
+        F.col("b.h").alias("hb"),
+        F.col("a.z").alias("za"),
+        F.col("b.z").alias("zb"),
+    )
+    pairs = track_persist(pairs)
+
+    def _stats(ca, cb, label):
+        gap = F.abs(F.col(ca) - F.col(cb))
+        return pairs.agg(
+            F.lit(label).alias("curve"),
+            F.count("*").cast("bigint").alias("n_adj_pairs"),
+            F.sum(F.when(gap == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("gap1_pairs"),
+            F.sum(gap).cast("bigint").alias("gap_sum"),
+            F.max(gap).cast("bigint").alias("gap_max"),
+        )
+
+    stats = _stats("ha", "hb", "hilbert").unionAll(
+        _stats("za", "zb", "zorder")
+    )
+    nc = cells.agg(F.count("*").cast("bigint").alias("n_cells"))
+    return (
+        stats.crossJoin(F.broadcast(nc))
+        .select(
+            "curve",
+            "n_cells",
+            "n_adj_pairs",
+            "gap1_pairs",
+            "gap_sum",
+            "gap_max",
+            F.expr(
+                "CAST((gap1_pairs * 1000000) div n_adj_pairs AS BIGINT)"
+            ).alias("gap1_micro"),
+        )
+        .orderBy("curve")
+    )
+
+
+@staged(
+    "q_cem_matching",
+    oracle="""
+    WITH users AS (
+      SELECT user_id,
+             CAST(CAST('0x' || substring(
+               md5(CAST(user_id AS VARCHAR) || ':cem'), 1, 8) AS BIGINT)
+               % 2 AS BIGINT) AS treated,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS y,
+             CAST(LEAST(COUNT(*) // 10, 5) AS BIGINT) AS cb,
+             CAST(LEAST(datediff('day', CAST(MIN(ts) AS DATE),
+               CAST(MAX(ts) AS DATE)) // 10, 2) AS BIGINT) AS sb
+      FROM events GROUP BY user_id
+    ),
+    bins AS (
+      SELECT sb, cb,
+             CAST(SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS m_t,
+             CAST(SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS m_c,
+             CAST(SUM(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS sum_y_t,
+             CAST(SUM(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS sum_y_c
+      FROM users GROUP BY sb, cb
+    ),
+    matched AS (
+      SELECT sb, cb, m_t, m_c, sum_y_t, sum_y_c,
+             CAST(floor(CAST(m_t * sum_y_c AS DOUBLE)
+               / CAST(m_c AS DOUBLE) + 0.5) AS BIGINT) AS cf_cents
+      FROM bins WHERE m_t > 0 AND m_c > 0
+    ),
+    tot AS (
+      SELECT CAST(SUM(m_t) AS BIGINT) AS n_matched,
+             CAST(SUM(sum_y_t) AS BIGINT) AS y_t_total,
+             CAST(SUM(cf_cents) AS BIGINT) AS cf_total
+      FROM matched
+    )
+    SELECT matched.sb, matched.cb, matched.m_t, matched.m_c,
+           matched.sum_y_t, matched.sum_y_c, matched.cf_cents,
+           tot.n_matched,
+           (CAST(tot.y_t_total AS DOUBLE) - CAST(tot.cf_total AS DOUBLE))
+             / CAST(tot.n_matched AS DOUBLE) AS att_cents
+    FROM matched CROSS JOIN tot
+    ORDER BY sb, cb
+    """,
+)
+def q_cem_matching(spark, sf_dir):
+    """COARSENED EXACT MATCHING (Iacus-King-Porro) average treatment
+    effect on the treated — the matching-based completion of the
+    causal family (q_diff_in_diff needs parallel trends, q_ab_cuped
+    a pre-period covariate; CEM prunes to covariate-balanced strata
+    FIRST, the design-before-analysis doctrine): users are coarsened
+    on exact integer bins (event-count decile capped at 5, activity
+    -span bucket), treatment is the engine-portable md5 arm, strata
+    missing either arm are PRUNED (the CEM common-support rule, an
+    integer filter), and each stratum's counterfactual spend
+    m_t*sum_y_c/m_c is an exact-BIGINT product with ONE half-up
+    quantization to cents (documented). ATT is one identical double
+    chain over the exact stratum totals. At 100 TB: one user-keyed
+    agg kills the raw volume; strata are a bounded 3x6 lattice."""
+    ev = _t(spark, sf_dir, "events")
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.col("user_id").cast("string"), F.lit(":cem"))
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    users = ev.groupBy("user_id").agg(
+        F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+        .cast("bigint")
+        .alias("y"),
+        F.expr("CAST(LEAST(COUNT(*) div 10, 5) AS BIGINT)").alias("cb"),
+        F.least(
+            (
+                F.datediff(
+                    F.max("ts").cast("date"), F.min("ts").cast("date")
+                )
+                / F.lit(10)
+            ).cast("bigint"),
+            F.lit(2),
+        )
+        .cast("bigint")
+        .alias("sb"),
+    ).select("user_id", "y", "cb", "sb", arm.alias("treated"))
+    bins = users.groupBy("sb", "cb").agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("m_t"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("m_c"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_y_t"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_y_c"),
+    )
+    matched = bins.filter((F.col("m_t") > 0) & (F.col("m_c") > 0)).select(
+        "sb",
+        "cb",
+        "m_t",
+        "m_c",
+        "sum_y_t",
+        "sum_y_c",
+        F.floor(
+            (F.col("m_t") * F.col("sum_y_c")).cast("double")
+            / F.col("m_c").cast("double")
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("cf_cents"),
+    )
+    matched = track_persist(matched)
+    tot = matched.agg(
+        F.sum("m_t").cast("bigint").alias("n_matched"),
+        F.sum("sum_y_t").cast("bigint").alias("y_t_total"),
+        F.sum("cf_cents").cast("bigint").alias("cf_total"),
+    )
+    return (
+        matched.crossJoin(F.broadcast(tot))
+        .select(
+            "sb",
+            "cb",
+            "m_t",
+            "m_c",
+            "sum_y_t",
+            "sum_y_c",
+            "cf_cents",
+            "n_matched",
+            (
+                (
+                    F.col("y_t_total").cast("double")
+                    - F.col("cf_total").cast("double")
+                )
+                / F.col("n_matched").cast("double")
+            ).alias("att_cents"),
+        )
+        .orderBy("sb", "cb")
+    )
+
+
+@staged(
+    "q_welford_fold",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) // 100
+               AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    rec AS (
+      SELECT t, -1 AS k, CAST(0.0 AS DOUBLE) AS mean,
+             CAST(0.0 AS DOUBLE) AS m2
+      FROM (SELECT DISTINCT t FROM grid)
+      UNION ALL
+      SELECT rec.t, rec.k + 1,
+             rec.mean + (CAST(g.x AS DOUBLE) - rec.mean)
+               / CAST(rec.k + 2 AS DOUBLE),
+             rec.m2 + (CAST(g.x AS DOUBLE) - rec.mean)
+               * (CAST(g.x AS DOUBLE)
+                  - (rec.mean + (CAST(g.x AS DOUBLE) - rec.mean)
+                     / CAST(rec.k + 2 AS DOUBLE)))
+      FROM rec JOIN grid g ON g.t = rec.t AND g.d = rec.k + 1
+      WHERE rec.k < 29
+    ),
+    wf AS (SELECT t, mean, m2 FROM rec WHERE k = 29),
+    exact AS (
+      SELECT t, CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS ss
+      FROM grid GROUP BY t
+    )
+    SELECT wf.t AS t, exact.s AS sum_dollars, exact.ss AS sumsq,
+           wf.m2 / 29.0 AS var_welford,
+           CAST(30 * exact.ss - exact.s * exact.s AS DOUBLE)
+             / (30.0 * 29.0) AS var_exact,
+           (abs(wf.m2 / 29.0
+                - CAST(30 * exact.ss - exact.s * exact.s AS DOUBLE)
+                  / (30.0 * 29.0))
+            < 0.000001 * (1.0
+                + CAST(30 * exact.ss - exact.s * exact.s AS DOUBLE)
+                  / (30.0 * 29.0))) AS agree
+    FROM wf JOIN exact ON exact.t = wf.t
+    ORDER BY t
+    """,
+)
+def q_welford_fold(spark, sf_dir):
+    """WELFORD'S ONLINE VARIANCE as a sequential fold, cross-checked
+    against the exact integer two-pass form — the numerically-stable
+    streaming-moments mechanism (q_stats_moments uses the catastrophic
+    -cancellation-prone sum-of-squares form, safe ONLY because the
+    engine keeps it on the exact integer lattice; Welford is what a
+    float-only streaming system must run, and this query PROVES the
+    two agree): the fold updates (mean, M2) day by day in ONE
+    F.aggregate per type — the float sequence is identical text on
+    both engines (the q_kaplan_meier IEEE-fold discipline) so the
+    result is bit-reproducible cross-engine — while the exact route
+    computes 30*SS - S^2 on BIGINTs. The 'agree' verdict compares
+    the two routes at 1e-6 relative tolerance — a genuinely
+    different-algebra cross-check (the q_knapsack_dp two-routes
+    discipline), computed by the identical chain on both engines.
+    At 100 TB: raw volume dies in the (t, day) agg; the fold is 30
+    steps per type."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(round(value * 100) AS BIGINT)) div 100"
+                " AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    per = grid.groupBy("t").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, x))), e -> e.x)"
+        ).alias("xs"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("ss"),
+    )
+    wf = F.expr(
+        "aggregate(xs,"
+        " struct(CAST(0 AS BIGINT) AS k, CAST(0.0 AS DOUBLE) AS mean,"
+        "        CAST(0.0 AS DOUBLE) AS m2),"
+        " (acc, xv) -> struct(acc.k + 1,"
+        "   acc.mean + (CAST(xv AS DOUBLE) - acc.mean)"
+        "     / CAST(acc.k + 1 AS DOUBLE),"
+        "   acc.m2 + (CAST(xv AS DOUBLE) - acc.mean)"
+        "     * (CAST(xv AS DOUBLE)"
+        "        - (acc.mean + (CAST(xv AS DOUBLE) - acc.mean)"
+        "           / CAST(acc.k + 1 AS DOUBLE)))))"
+    )
+    ve = (
+        (30 * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        / (30.0 * 29.0)
+    )
+    vw = F.col("st")["m2"] / 29.0
+    return (
+        per.select("t", "s", "ss", wf.alias("st"))
+        .select(
+            "t",
+            F.col("s").alias("sum_dollars"),
+            F.col("ss").alias("sumsq"),
+            vw.alias("var_welford"),
+            ve.alias("var_exact"),
+            (F.abs(vw - ve) < 0.000001 * (1.0 + ve)).alias("agree"),
+        )
+        .orderBy("t")
+    )

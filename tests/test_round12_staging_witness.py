@@ -2359,3 +2359,144 @@ def test_no_python_row_udfs_in_round12_staged_b16(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 17
+
+
+def test_hilbert_locality_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT DISTINCT user_id % 32, (2 * user_id + event_id) % 32"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    cells = {(int(x), int(y)) for x, y in rows}
+
+    def xy2d(x, y):
+        d = 0
+        s = 16
+        while s > 0:
+            rx = (x // s) % 2
+            ry = (y // s) % 2
+            d += s * s * ((3 * rx) ^ ry)
+            xl, yl = x % s, y % s
+            if ry == 0:
+                if rx == 1:
+                    xl, yl = s - 1 - xl, s - 1 - yl
+                xl, yl = yl, xl
+            x, y = xl, yl
+            s //= 2
+        return d
+
+    # the defining Hilbert property: consecutive indices are
+    # grid-adjacent (unit Manhattan steps) — pins the masked variant
+    inv = {xy2d(x, y): (x, y) for x in range(32) for y in range(32)}
+    assert len(inv) == 1024
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(1023)
+    )
+
+    def zi(x, y):
+        d = 0
+        for b in range(5):
+            d |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return d
+
+    pairs = [
+        (a, b)
+        for a in cells
+        for b in [(a[0] + 1, a[1]), (a[0], a[1] + 1)]
+        if b in cells
+    ]
+    got = {
+        r.curve: r
+        for r in STAGED_QUERIES["q_hilbert_locality"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == {"hilbert", "zorder"}
+    for curve, f in [("hilbert", xy2d), ("zorder", zi)]:
+        gaps = [abs(f(*a) - f(*b)) for a, b in pairs]
+        r = got[curve]
+        assert (r.n_cells, r.n_adj_pairs) == (len(cells), len(gaps))
+        assert r.gap1_pairs == sum(1 for g in gaps if g == 1)
+        assert (r.gap_sum, r.gap_max) == (sum(gaps), max(gaps))
+        assert r.gap1_micro == r.gap1_pairs * 1000000 // r.n_adj_pairs
+    # the thesis: Hilbert preserves adjacency better than Z-order
+    assert got["hilbert"].gap1_micro > got["zorder"].gap1_micro
+
+
+def test_cem_matching_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, SUM(CAST(round(value * 100) AS BIGINT)),"
+        f" LEAST(COUNT(*) // 10, 5),"
+        f" LEAST(datediff('day', CAST(MIN(ts) AS DATE),"
+        f" CAST(MAX(ts) AS DATE)) // 10, 2)"
+        f" FROM '{SF_DIR}/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    bins = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for uid, y, cb, sb in rows:
+        tr = int(hashlib.md5(f"{uid}:cem".encode()).hexdigest()[:8], 16) % 2
+        b = bins[(int(sb), int(cb))]
+        if tr:
+            b[0] += 1
+            b[2] += int(y)
+        else:
+            b[1] += 1
+            b[3] += int(y)
+    matched = {
+        k: v for k, v in bins.items() if v[0] > 0 and v[1] > 0
+    }
+    n_matched = sum(v[0] for v in matched.values())
+    y_t = sum(v[2] for v in matched.values())
+    cf = sum(
+        math.floor(v[0] * v[3] / v[1] + 0.5) for v in matched.values()
+    )
+    got = {
+        (r.sb, r.cb): r
+        for r in STAGED_QUERIES["q_cem_matching"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(matched)
+    for k, (mt, mc, syt, syc) in matched.items():
+        r = got[k]
+        assert (r.m_t, r.m_c, r.sum_y_t, r.sum_y_c) == (mt, mc, syt, syc)
+        assert r.cf_cents == math.floor(mt * syc / mc + 0.5)
+        assert r.n_matched == n_matched
+        assert r.att_cents == pytest.approx(
+            (y_t - cf) / n_matched, rel=1e-12
+        )
+
+
+def test_welford_fold_witness(spark, duck):
+    daily = _daily_cents(duck)
+    days = sorted({d for v in daily.values() for d in v})
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_welford_fold"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(daily)
+    for t in daily:
+        xs = [daily[t].get(d, 0) // 100 for d in days]
+        n, mean, m2 = 0, 0.0, 0.0
+        for x in xs:
+            n += 1
+            nm = mean + (x - mean) / n
+            m2 = m2 + (x - mean) * (x - nm)
+            mean = nm
+        s, ss = sum(xs), sum(v * v for v in xs)
+        r = got[t]
+        assert (r.sum_dollars, r.sumsq) == (s, ss)
+        assert r.var_welford == pytest.approx(m2 / 29.0, rel=1e-12)
+        ve = (30 * ss - s * s) / (30.0 * 29.0)
+        assert r.var_exact == pytest.approx(ve, rel=1e-12)
+        assert r.agree  # the two algebraic routes coincide
+        assert abs(r.var_welford - ve) < 1e-6 * (1 + ve)
+
+
+@pytest.mark.parametrize(
+    "name", ["q_hilbert_locality", "q_cem_matching", "q_welford_fold"]
+)
+def test_no_python_row_udfs_in_round12_staged_b17(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
