@@ -8076,3 +8076,485 @@ def q_welford_fold(spark, sf_dir):
         )
         .orderBy("t")
     )
+
+
+# =====================================================================
+# Round-12 staged batch 18 — forecasting (theta method), time-series
+# identification (PACF by Durbin-Levinson), and routing (greedy TSP
+# vs the exhaustive optimum). Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_theta_forecast",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    rec AS (
+      SELECT g.t, 0 AS k, g.x AS e FROM grid g WHERE g.d = 0
+      UNION ALL
+      SELECT rec.t, rec.k + 1, (3 * g.x + 7 * rec.e) // 10
+      FROM rec JOIN grid g ON g.t = rec.t AND g.d = rec.k + 1
+      WHERE rec.k < 29
+    ),
+    ses AS (SELECT t, CAST(e AS BIGINT) AS ses_cents FROM rec WHERE k = 29),
+    ols AS (
+      SELECT t,
+             CAST(30 * SUM(d * x) - SUM(d) * SUM(x) AS BIGINT)
+               AS slope_num,
+             CAST(67425 AS BIGINT) AS slope_den
+      FROM grid GROUP BY t
+    ),
+    ms AS (
+      SELECT t, CAST(SUM(x) AS BIGINT) AS s, CAST(SUM(d * x) AS BIGINT)
+               AS sdx
+      FROM grid GROUP BY t
+    )
+    SELECT ses.t AS t, ses.ses_cents, ols.slope_num, ols.slope_den,
+           CAST(ms.s AS DOUBLE) / 30.0
+             + CAST(ols.slope_num AS DOUBLE) / 67425.0 * (30.0 - 14.5)
+             AS trend30_cents,
+           0.5 * (CAST(ms.s AS DOUBLE) / 30.0
+                  + CAST(ols.slope_num AS DOUBLE) / 67425.0
+                    * (30.0 - 14.5))
+             + 0.5 * CAST(ses.ses_cents AS DOUBLE) AS theta_forecast
+    FROM ses JOIN ols ON ols.t = ses.t JOIN ms ON ms.t = ses.t
+    ORDER BY t
+    """,
+)
+def q_theta_forecast(spark, sf_dir):
+    """THETA-METHOD one-step forecast (Assimakopoulos-Nikolopoulos,
+    the M3-competition winner) per event type — the hybrid that
+    completes the forecasting ladder (q_ewma smooths level,
+    q_trend_ols fits drift, q_holt_smoothing couples them
+    recursively; theta AVERAGES the two decoupled theta-lines, the
+    documented standard two-line form): the theta=2 line is the
+    exact integer SES fold e = (3x+7e) div 10 over the zero-filled
+    30-day grid (the q_stream_ewma discipline, all operands nonneg),
+    the theta=0 line is the OLS trend whose slope numerator is an
+    exact BIGINT over the FROZEN day design (denominator
+    30*8555 - 435^2 = 67425, a literal), its day-30 extrapolation
+    mean + slope*(30 - 14.5) is one identical double chain, and the
+    forecast is the equal-weight average of the two lines. At
+    100 TB: raw volume dies in the (t, day) hash agg; the fold is
+    30 steps per type."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    per = grid.groupBy("t").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, x))), e -> e.x)"
+        ).alias("xs"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("d") * F.col("x")).cast("bigint").alias("sdx"),
+    )
+    ses = F.expr(
+        "aggregate(slice(xs, 2, 29), element_at(xs, 1),"
+        " (e, xv) -> (3 * xv + 7 * e) div 10)"
+    )
+    slope_num = (30 * F.col("sdx") - 435 * F.col("s")).cast("bigint")
+    trend30 = (
+        F.col("s").cast("double") / 30.0
+        + slope_num.cast("double") / 67425.0 * (30.0 - 14.5)
+    )
+    return per.select(
+        "t",
+        ses.cast("bigint").alias("ses_cents"),
+        slope_num.alias("slope_num"),
+        F.lit(67425).cast("bigint").alias("slope_den"),
+        trend30.alias("trend30_cents"),
+        (0.5 * trend30 + 0.5 * ses.cast("double")).alias("theta_forecast"),
+    ).orderBy("t")
+
+
+@staged(
+    "q_pacf_durbin",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) // 100
+               AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    ss AS (SELECT t, CAST(SUM(x) AS BIGINT) AS s FROM grid GROUP BY t),
+    lagged AS (
+      SELECT g.t, g.d, 30 * g.x - ss.s AS cx,
+             lag(30 * g.x - ss.s, 1) OVER w AS c1,
+             lag(30 * g.x - ss.s, 2) OVER w AS c2,
+             lag(30 * g.x - ss.s, 3) OVER w AS c3,
+             lag(30 * g.x - ss.s, 4) OVER w AS c4,
+             lag(30 * g.x - ss.s, 5) OVER w AS c5
+      FROM grid g JOIN ss ON ss.t = g.t
+      WINDOW w AS (PARTITION BY g.t ORDER BY g.d)
+    ),
+    acov AS (
+      SELECT t,
+             CAST(SUM(cx * cx) AS BIGINT) AS a0,
+             CAST(SUM(CASE WHEN c1 IS NOT NULL THEN cx * c1 ELSE 0 END)
+               AS BIGINT) AS a1,
+             CAST(SUM(CASE WHEN c2 IS NOT NULL THEN cx * c2 ELSE 0 END)
+               AS BIGINT) AS a2,
+             CAST(SUM(CASE WHEN c3 IS NOT NULL THEN cx * c3 ELSE 0 END)
+               AS BIGINT) AS a3,
+             CAST(SUM(CASE WHEN c4 IS NOT NULL THEN cx * c4 ELSE 0 END)
+               AS BIGINT) AS a4,
+             CAST(SUM(CASE WHEN c5 IS NOT NULL THEN cx * c5 ELSE 0 END)
+               AS BIGINT) AS a5
+      FROM lagged GROUP BY t
+    ),
+    rs AS (
+      SELECT t, a0, a1, a2, a3, a4, a5,
+             [CAST(a1 AS DOUBLE) / a0, CAST(a2 AS DOUBLE) / a0,
+              CAST(a3 AS DOUBLE) / a0, CAST(a4 AS DOUBLE) / a0,
+              CAST(a5 AS DOUBLE) / a0] AS r
+      FROM acov
+    ),
+    dl AS (
+      SELECT t, a0, a1, a2, a3, a4, a5, r, 1 AS k,
+             [r[1]] AS phi, [r[1]] AS pacf
+      FROM rs
+      UNION ALL
+      SELECT t, a0, a1, a2, a3, a4, a5, r, k + 1,
+             list_append(
+               list_transform(range(1, k + 1), j ->
+                 phi[j] - ((r[k + 1]
+                     - list_sum(list_transform(range(1, k + 1),
+                         i -> phi[i] * r[k + 1 - i])))
+                    / (1.0 - list_sum(list_transform(range(1, k + 1),
+                         i -> phi[i] * r[i])))) * phi[k + 1 - j]),
+               (r[k + 1]
+                - list_sum(list_transform(range(1, k + 1),
+                    i -> phi[i] * r[k + 1 - i])))
+               / (1.0 - list_sum(list_transform(range(1, k + 1),
+                    i -> phi[i] * r[i])))),
+             list_append(pacf,
+               (r[k + 1]
+                - list_sum(list_transform(range(1, k + 1),
+                    i -> phi[i] * r[k + 1 - i])))
+               / (1.0 - list_sum(list_transform(range(1, k + 1),
+                    i -> phi[i] * r[i]))))
+      FROM dl WHERE k < 5
+    )
+    SELECT t, a0, a1, a2, a3, a4, a5,
+           pacf[1] AS pacf1, pacf[2] AS pacf2, pacf[3] AS pacf3,
+           pacf[4] AS pacf4, pacf[5] AS pacf5
+    FROM dl WHERE k = 5 ORDER BY t
+    """,
+)
+def q_pacf_durbin(spark, sf_dir):
+    """PARTIAL AUTOCORRELATION to lag 5 by the DURBIN-LEVINSON
+    recursion — the AR-order identification tool that completes the
+    time-series ID family (q_autocorr reads raw correlation, which
+    CONFOUNDS direct and propagated dependence; PACF removes the
+    intermediate lags, the Box-Jenkins AR(p) cutoff diagnostic):
+    autocovariances are EXACT BIGINTs on the x30 centered lattice
+    (c_t = 30x_t - S, the q_hurst_rs no-division discipline; lag
+    windows over the bounded 30-day grid), the r_k = A_k/A_0 ratios
+    and the whole 5-step Levinson recursion are IDENTICAL float
+    chains on both engines (one F.aggregate fold carrying the phi
+    array — the q_welford_fold IEEE-fold discipline; the oracle
+    replays it as a 5-step recursive CTE on a list state). At
+    100 TB: raw volume dies in the (t, day) hash agg; the recursion
+    is 5 steps over a <=5-element array per type."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(round(value * 100) AS BIGINT)) div 100"
+                " AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    ss = grid.groupBy("t").agg(F.sum("x").cast("bigint").alias("s"))
+    w = Window.partitionBy("t").orderBy("d")
+    cx = (30 * F.col("x") - F.col("s")).cast("bigint")
+    lagged = grid.join(F.broadcast(ss), "t").select(
+        "t",
+        cx.alias("cx"),
+        *[F.lag(cx, k).over(w).alias(f"c{k}") for k in range(1, 6)],
+    )
+    acov = lagged.groupBy("t").agg(
+        F.sum(F.col("cx") * F.col("cx")).cast("bigint").alias("a0"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"c{k}").isNotNull(),
+                    F.col("cx") * F.col(f"c{k}"),
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"a{k}")
+            for k in range(1, 6)
+        ],
+    )
+    rs = acov.select(
+        "t",
+        "a0",
+        "a1",
+        "a2",
+        "a3",
+        "a4",
+        "a5",
+        F.expr(
+            "array(CAST(a1 AS DOUBLE) / a0, CAST(a2 AS DOUBLE) / a0,"
+            " CAST(a3 AS DOUBLE) / a0, CAST(a4 AS DOUBLE) / a0,"
+            " CAST(a5 AS DOUBLE) / a0)"
+        ).alias("r"),
+    )
+    phikk = (
+        "(element_at(r, CAST(acc.k + 1 AS INT))"
+        " - aggregate(sequence(1, acc.k), CAST(0.0 AS DOUBLE),"
+        "     (sm, i) -> sm + element_at(acc.phi, CAST(i AS INT))"
+        "       * element_at(r, CAST(acc.k + 1 - i AS INT))))"
+        " / (1.0 - aggregate(sequence(1, acc.k), CAST(0.0 AS DOUBLE),"
+        "     (sm, i) -> sm + element_at(acc.phi, CAST(i AS INT))"
+        "       * element_at(r, CAST(i AS INT))))"
+    )
+    dl = F.expr(
+        "aggregate(sequence(2, 5),"
+        " struct(CAST(1 AS INT) AS k,"
+        "        array(element_at(r, 1)) AS phi,"
+        "        array(element_at(r, 1)) AS pacf),"
+        " (acc, step) -> struct(acc.k + 1,"
+        f"  array_append(transform(sequence(1, acc.k), j ->"
+        f"    element_at(acc.phi, CAST(j AS INT)) - ({phikk})"
+        f"      * element_at(acc.phi, CAST(acc.k + 1 - j AS INT))),"
+        f"    {phikk}),"
+        f"  array_append(acc.pacf, {phikk})))"
+        ".pacf"
+    )
+    return rs.select(
+        "t",
+        "a0",
+        "a1",
+        "a2",
+        "a3",
+        "a4",
+        "a5",
+        dl.alias("pacf"),
+    ).select(
+        "t",
+        "a0",
+        "a1",
+        "a2",
+        "a3",
+        "a4",
+        "a5",
+        *[
+            F.expr(f"element_at(pacf, {k})").alias(f"pacf{k}")
+            for k in range(1, 6)
+        ],
+    ).orderBy("t")
+
+
+@staged(
+    "q_tsp_greedy",
+    oracle="""
+    WITH RECURSIVE cities AS (
+      SELECT CAST(user_id % 8 AS BIGINT) AS c,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) % 97 AS BIGINT)
+               AS cx,
+             CAST(COUNT(*) % 89 AS BIGINT) AS cy
+      FROM events GROUP BY 1
+    ),
+    dmt AS (
+      SELECT (SELECT list(cx ORDER BY c) FROM cities) AS xs,
+             (SELECT list(cy ORDER BY c) FROM cities) AS ys
+    ),
+    dm AS (
+      SELECT flatten(list_transform(range(0, 8), i ->
+               list_transform(range(0, 8), j ->
+                 (xs[i + 1] - xs[j + 1]) * (xs[i + 1] - xs[j + 1])
+                 + (ys[i + 1] - ys[j + 1]) * (ys[i + 1] - ys[j + 1]))))
+               AS d
+      FROM dmt
+    ),
+    rec AS (
+      SELECT 0 AS k, 0 AS cur, [0] AS vis,
+             CAST([{'c': 0, 'dsq': 0}]
+               AS STRUCT(c BIGINT, dsq BIGINT)[]) AS path
+      UNION ALL
+      SELECT rec.k + 1,
+             CAST(list_reduce(
+               list_transform(
+                 list_filter(range(0, 8),
+                   cc -> NOT list_contains(rec.vis, cc)),
+                 cc -> {'b': cc, 'bd': dm.d[rec.cur * 8 + cc + 1]}),
+               (st, e) -> CASE WHEN e.bd < st.bd THEN e ELSE st END).b
+               AS INT),
+             list_append(rec.vis, list_reduce(
+               list_transform(
+                 list_filter(range(0, 8),
+                   cc -> NOT list_contains(rec.vis, cc)),
+                 cc -> {'b': cc, 'bd': dm.d[rec.cur * 8 + cc + 1]}),
+               (st, e) -> CASE WHEN e.bd < st.bd THEN e ELSE st END).b),
+             list_append(rec.path,
+               {'c': CAST(list_reduce(
+                  list_transform(
+                    list_filter(range(0, 8),
+                      cc -> NOT list_contains(rec.vis, cc)),
+                    cc -> {'b': cc, 'bd': dm.d[rec.cur * 8 + cc + 1]}),
+                  (st, e) -> CASE WHEN e.bd < st.bd THEN e ELSE st END).b
+                  AS BIGINT),
+                'dsq': CAST(list_reduce(
+                  list_transform(
+                    list_filter(range(0, 8),
+                      cc -> NOT list_contains(rec.vis, cc)),
+                    cc -> {'b': cc, 'bd': dm.d[rec.cur * 8 + cc + 1]}),
+                  (st, e) -> CASE WHEN e.bd < st.bd THEN e ELSE st END).bd
+                  AS BIGINT)})
+      FROM rec CROSS JOIN dm WHERE rec.k < 7
+    ),
+    final AS (SELECT path FROM rec WHERE k = 7),
+    tour AS (
+      SELECT CAST(nn.n - 1 AS BIGINT) AS pos,
+             CAST(final.path[nn.n].c AS BIGINT) AS city,
+             CAST(final.path[nn.n].dsq AS BIGINT) AS leg_dsq
+      FROM final CROSS JOIN (SELECT unnest(range(1, 9)) AS n) nn
+    ),
+    tot AS (SELECT CAST(SUM(leg_dsq) AS BIGINT) AS total_dsq FROM tour)
+    SELECT tour.pos, tour.city, tour.leg_dsq, tot.total_dsq
+    FROM tour CROSS JOIN tot ORDER BY tour.pos
+    """,
+)
+def q_tsp_greedy(spark, sf_dir):
+    """GREEDY NEAREST-NEIGHBOR TSP tour over 8 derived city points —
+    the routing-heuristic completion of the OR family (q_knapsack_dp
+    packs, q_transportation_nw ships, q_gale_shapley matches; NN
+    tours): cities are the 8 user buckets placed at exact integer
+    coordinates (cents-total mod 97, count mod 89), the 8x8
+    SQUARED-Euclidean distance matrix is exact BIGINT (argmin over
+    d^2 equals argmin over d — monotone, so no sqrt ever runs), and
+    the 7-step greedy walk is ONE F.aggregate fold whose per-step
+    argmin is an inner fold over the unvisited set with a
+    strictly-less update (first-index tiebreak, deterministic on
+    both engines — the oracle's list_reduce seeds with the first
+    candidate, provably the same rule). The WITNESS brute-forces all
+    7! = 5040 open tours from city 0 and pins optimum <= greedy —
+    the two-routes discipline, plus the permutation-validity pins.
+    At 100 TB: one hash agg to 8 city rows; the fold is 7 steps
+    over an 8x8 literal-sized matrix."""
+    cities = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.expr("CAST(user_id % 8 AS BIGINT)").alias("c"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(round(value * 100) AS BIGINT)) % 97"
+                " AS BIGINT)"
+            ).alias("cx"),
+            F.expr("CAST(COUNT(*) % 89 AS BIGINT)").alias("cy"),
+        )
+    )
+    dm = cities.agg(
+        F.expr(
+            "flatten(transform(sequence(0, 7), i ->"
+            " transform(sequence(0, 7), j ->"
+            " (element_at(transform(array_sort(collect_list(struct(c, cx))),"
+            "    e -> e.cx), CAST(i + 1 AS INT))"
+            "  - element_at(transform(array_sort(collect_list(struct(c, cx))),"
+            "    e -> e.cx), CAST(j + 1 AS INT)))"
+            " * (element_at(transform(array_sort(collect_list(struct(c, cx))),"
+            "    e -> e.cx), CAST(i + 1 AS INT))"
+            "  - element_at(transform(array_sort(collect_list(struct(c, cx))),"
+            "    e -> e.cx), CAST(j + 1 AS INT)))"
+            " + (element_at(transform(array_sort(collect_list(struct(c, cy))),"
+            "    e -> e.cy), CAST(i + 1 AS INT))"
+            "  - element_at(transform(array_sort(collect_list(struct(c, cy))),"
+            "    e -> e.cy), CAST(j + 1 AS INT)))"
+            " * (element_at(transform(array_sort(collect_list(struct(c, cy))),"
+            "    e -> e.cy), CAST(i + 1 AS INT))"
+            "  - element_at(transform(array_sort(collect_list(struct(c, cy))),"
+            "    e -> e.cy), CAST(j + 1 AS INT))))))"
+        ).alias("d")
+    )
+    best = (
+        "aggregate("
+        " filter(sequence(0, 7), cc -> NOT array_contains(acc.vis, cc)),"
+        " struct(CAST(-1 AS INT) AS b,"
+        "        CAST(9223372036854775807 AS BIGINT) AS bd),"
+        " (st, cc) -> CASE"
+        "   WHEN element_at(d, CAST(acc.cur * 8 + cc + 1 AS INT)) < st.bd"
+        "   THEN struct(CAST(cc AS INT) AS b,"
+        "     element_at(d, CAST(acc.cur * 8 + cc + 1 AS INT)) AS bd)"
+        "   ELSE st END)"
+    )
+    fold = F.expr(
+        "aggregate(sequence(1, 7),"
+        " struct(CAST(0 AS INT) AS cur, array(0) AS vis,"
+        "   array(struct(CAST(0 AS BIGINT) AS c, CAST(0 AS BIGINT) AS dsq))"
+        "     AS path),"
+        f" (acc, k) -> struct(({best}).b AS cur,"
+        f"   array_append(acc.vis, ({best}).b) AS vis,"
+        f"   array_append(acc.path, struct(CAST(({best}).b AS BIGINT) AS c,"
+        f"     ({best}).bd AS dsq)) AS path))"
+        ".path"
+    )
+    folded = dm.select(fold.alias("path"))
+    tour = folded.select(F.posexplode("path").alias("pos", "p")).select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("p")["c"].cast("bigint").alias("city"),
+        F.col("p")["dsq"].cast("bigint").alias("leg_dsq"),
+    )
+    tour = track_persist(tour)
+    tot = tour.agg(F.sum("leg_dsq").cast("bigint").alias("total_dsq"))
+    return (
+        tour.crossJoin(F.broadcast(tot))
+        .select("pos", "city", "leg_dsq", "total_dsq")
+        .orderBy("pos")
+    )

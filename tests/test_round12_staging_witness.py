@@ -2500,3 +2500,121 @@ def test_no_python_row_udfs_in_round12_staged_b17(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 18
+
+
+def test_theta_forecast_witness(spark, duck):
+    daily = _daily_cents(duck)
+    days = sorted({d for v in daily.values() for d in v})
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_theta_forecast"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(daily)
+    for t in daily:
+        xs = [daily[t].get(d, 0) for d in days]
+        e = xs[0]
+        for x in xs[1:]:
+            e = (3 * x + 7 * e) // 10
+        s = sum(xs)
+        sdx = sum(d * x for d, x in enumerate(xs))
+        slope_num = 30 * sdx - 435 * s
+        trend30 = s / 30.0 + slope_num / 67425.0 * (30.0 - 14.5)
+        r = got[t]
+        assert (r.ses_cents, r.slope_num, r.slope_den) == (
+            e,
+            slope_num,
+            67425,
+        )
+        assert r.trend30_cents == pytest.approx(trend30, rel=1e-12)
+        assert r.theta_forecast == pytest.approx(
+            0.5 * trend30 + 0.5 * e, rel=1e-12
+        )
+
+
+def test_pacf_durbin_witness(spark, duck):
+    daily = _daily_cents(duck)
+    days = sorted({d for v in daily.values() for d in v})
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_pacf_durbin"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(daily)
+    for t in daily:
+        xs = [daily[t].get(d, 0) // 100 for d in days]
+        s = sum(xs)
+        cx = [30 * x - s for x in xs]
+        a = [sum(c * c for c in cx)] + [
+            sum(cx[i] * cx[i - k] for i in range(k, 30))
+            for k in range(1, 6)
+        ]
+        r_ = [a[k] / a[0] for k in range(1, 6)]
+        phi = [r_[0]]
+        pacf = [r_[0]]
+        for k in range(1, 5):
+            num = r_[k] - sum(phi[i] * r_[k - 1 - i] for i in range(k))
+            den = 1.0 - sum(phi[i] * r_[i] for i in range(k))
+            pk = num / den
+            phi = [phi[j] - pk * phi[k - 1 - j] for j in range(k)] + [pk]
+            pacf.append(pk)
+        row = got[t]
+        assert [
+            row.a0, row.a1, row.a2, row.a3, row.a4, row.a5
+        ] == a
+        for k in range(5):
+            assert getattr(row, f"pacf{k + 1}") == pytest.approx(
+                pacf[k], rel=1e-9
+            )
+        assert getattr(row, "pacf1") == pytest.approx(r_[0], rel=1e-12)
+
+
+def test_tsp_greedy_witness(spark, duck):
+    import itertools
+
+    rows = duck.sql(
+        f"SELECT user_id % 8,"
+        f" SUM(CAST(round(value * 100) AS BIGINT)) % 97, COUNT(*) % 89"
+        f" FROM '{SF_DIR}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    pts = {int(c): (int(x), int(y)) for c, x, y in rows}
+    assert set(pts) == set(range(8))
+
+    def dsq(a, b):
+        return (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+
+    # greedy replay
+    cur, vis, legs = 0, {0}, [(0, 0)]
+    for _ in range(7):
+        best = min(
+            (c for c in range(8) if c not in vis),
+            key=lambda c: (dsq(cur, c), c),
+        )
+        legs.append((best, dsq(cur, best)))
+        vis.add(best)
+        cur = best
+    total = sum(d for _, d in legs)
+    got = STAGED_QUERIES["q_tsp_greedy"](spark, SF_DIR).collect()
+    assert [(r.city, r.leg_dsq) for r in got] == legs
+    assert sorted(r.city for r in got) == list(range(8))  # a permutation
+    assert all(r.total_dsq == total for r in got)
+    # exhaustive optimum over all open tours from city 0
+    opt = min(
+        sum(
+            dsq(p[i], p[i + 1]) for i in range(7)
+        )
+        for p in (
+            (0,) + perm for perm in itertools.permutations(range(1, 8))
+        )
+    )
+    assert opt <= total  # greedy never beats the optimum
+
+
+@pytest.mark.parametrize(
+    "name", ["q_theta_forecast", "q_pacf_durbin", "q_tsp_greedy"]
+)
+def test_no_python_row_udfs_in_round12_staged_b18(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
