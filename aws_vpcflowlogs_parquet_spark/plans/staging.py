@@ -8558,3 +8558,649 @@ def q_tsp_greedy(spark, sf_dir):
         .select("pos", "city", "leg_dsq", "total_dsq")
         .orderBy("pos")
     )
+
+
+# =====================================================================
+# Round-12 staged batch 19 — classifier operating point (Youden J),
+# probabilistic-forecast decomposition (Murphy/Brier), voting power
+# (Banzhaf), and social choice (Condorcet vs Borda).
+# Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_youden_j",
+    oracle="""
+    WITH ev AS (
+      SELECT CAST(floor(value * 2) AS BIGINT) AS score_bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    bins AS (
+      SELECT score_bin, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(SUM(1 - y) AS BIGINT) AS neg
+      FROM ev GROUP BY score_bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(pos) AS BIGINT) AS p, CAST(SUM(neg) AS BIGINT) AS n
+      FROM bins
+    ),
+    cum AS (
+      SELECT score_bin,
+             CAST(SUM(pos) OVER (ORDER BY score_bin DESC) AS BIGINT) AS tp,
+             CAST(SUM(neg) OVER (ORDER BY score_bin DESC) AS BIGINT) AS fp
+      FROM bins
+    ),
+    scored AS (
+      SELECT cum.score_bin, cum.tp, cum.fp, tot.p, tot.n,
+             CAST(tot.n * cum.tp - tot.p * cum.fp AS BIGINT) AS j_num
+      FROM cum CROSS JOIN tot
+    ),
+    best AS (
+      SELECT * FROM scored
+      ORDER BY j_num DESC, score_bin LIMIT 1
+    )
+    SELECT score_bin AS best_bin, p, n, tp, fp,
+           CAST(p - tp AS BIGINT) AS fn, CAST(n - fp AS BIGINT) AS tn,
+           j_num,
+           CAST(tp AS DOUBLE) / p AS sensitivity,
+           CAST(n - fp AS DOUBLE) / n AS specificity,
+           CAST(tp AS DOUBLE) / p + CAST(n - fp AS DOUBLE) / n - 1.0
+             AS youden_j
+    FROM best
+    """,
+)
+def q_youden_j(spark, sf_dir):
+    """YOUDEN'S J OPTIMAL OPERATING POINT on the ROC curve — the
+    threshold-selection completion of q_auc / q_eval_confusion (AUC
+    summarizes the whole curve; a deployed classifier needs ONE
+    threshold, and J = sensitivity + specificity - 1 is the standard
+    balanced pick): same purchase-vs-click labels and half-unit
+    score lattice as q_auc, TP/FP by one reverse cumulative over the
+    bounded bin domain, and the argmax is decided ENTIRELY on exact
+    integers — maximizing J is maximizing N*TP - P*FP (the common
+    positive denominator P*N cancels — derived), with the
+    (j_num desc, bin asc) tiebreak on the lattice, so a float never
+    picks the threshold. Sensitivity/specificity/J are identical
+    double chains at readout. At 100 TB: one hash agg to the score
+    lattice; the sweep is bounded-domain (the q_auc posture); needs
+    a BOUNDED_UNPARTITIONED_WINDOW allowlist row at promotion."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.floor(F.col("value") * 2).cast("bigint").alias("score_bin"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    bins = ev.groupBy("score_bin").agg(
+        F.sum("y").cast("bigint").alias("pos"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+    )
+    bins = track_persist(bins)
+    tot = bins.agg(
+        F.sum("pos").cast("bigint").alias("p"),
+        F.sum("neg").cast("bigint").alias("n"),
+    )
+    w_rev = Window.orderBy(F.desc("score_bin")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "score_bin",
+        F.sum("pos").over(w_rev).cast("bigint").alias("tp"),
+        F.sum("neg").over(w_rev).cast("bigint").alias("fp"),
+    )
+    scored = cum.crossJoin(F.broadcast(tot)).select(
+        "score_bin",
+        "tp",
+        "fp",
+        "p",
+        "n",
+        (F.col("n") * F.col("tp") - F.col("p") * F.col("fp"))
+        .cast("bigint")
+        .alias("j_num"),
+    )
+    best = scored.orderBy(F.desc("j_num"), "score_bin").limit(1)
+    sens = F.col("tp").cast("double") / F.col("p")
+    spec = (F.col("n") - F.col("fp")).cast("double") / F.col("n")
+    return best.select(
+        F.col("score_bin").alias("best_bin"),
+        "p",
+        "n",
+        "tp",
+        "fp",
+        (F.col("p") - F.col("tp")).cast("bigint").alias("fn"),
+        (F.col("n") - F.col("fp")).cast("bigint").alias("tn"),
+        "j_num",
+        sens.alias("sensitivity"),
+        spec.alias("specificity"),
+        (sens + spec - 1.0).alias("youden_j"),
+    )
+
+
+@staged(
+    "q_brier_decomposition",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(event_id % 100 AS BIGINT) AS p100,
+             CASE WHEN event_type = 'purchase' THEN CAST(1 AS BIGINT)
+                  ELSE CAST(0 AS BIGINT) END AS y
+      FROM events
+    ),
+    bins AS (
+      SELECT CAST(p100 // 10 AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_k,
+             CAST(SUM(p100) AS BIGINT) AS sp,
+             CAST(SUM(p100 * p100) AS BIGINT) AS spp,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(p100 * y) AS BIGINT) AS spy
+      FROM scored GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_k) AS BIGINT) AS n, CAST(SUM(sy) AS BIGINT) AS sy,
+             CAST(SUM(sp) AS BIGINT) AS sp
+      FROM bins
+    ),
+    brier AS (
+      SELECT CAST(SUM((p100 - 100 * y) * (p100 - 100 * y)) AS BIGINT)
+               AS brier_num
+      FROM scored
+    ),
+    terms AS (
+      SELECT bins.bin, bins.n_k, bins.sp, bins.sy,
+             CAST(floor(
+               CAST(CAST(bins.sp - 100 * bins.sy AS HUGEINT)
+                    * CAST(bins.sp - 100 * bins.sy AS HUGEINT) AS DOUBLE)
+               / CAST(bins.n_k AS DOUBLE) / 10000.0
+               * 1000000000.0 / CAST(tot.n AS DOUBLE) + 0.5) AS BIGINT)
+               AS rel_nano,
+             CAST(floor(
+               CAST(CAST(tot.n * bins.sy - bins.n_k * tot.sy AS HUGEINT)
+                    * CAST(tot.n * bins.sy - bins.n_k * tot.sy AS HUGEINT)
+                 AS DOUBLE)
+               / CAST(bins.n_k AS DOUBLE) / CAST(tot.n AS DOUBLE)
+               / CAST(tot.n AS DOUBLE) * 1000000000.0
+               / CAST(tot.n AS DOUBLE) + 0.5) AS BIGINT) AS res_nano,
+             CAST(floor(
+               (CAST(bins.spp AS DOUBLE)
+                - CAST(CAST(bins.sp AS HUGEINT) * CAST(bins.sp AS HUGEINT)
+                    AS DOUBLE) / CAST(bins.n_k AS DOUBLE)) / 10000.0
+               * 1000000000.0 / CAST(tot.n AS DOUBLE) + 0.5) AS BIGINT)
+               AS wbv_nano,
+             CAST(floor(
+               (CAST(bins.spy AS DOUBLE)
+                - CAST(CAST(bins.sp AS HUGEINT) * CAST(bins.sy AS HUGEINT)
+                    AS DOUBLE) / CAST(bins.n_k AS DOUBLE)) / 100.0
+               * 1000000000.0 / CAST(tot.n AS DOUBLE) + 0.5) AS BIGINT)
+               AS wbc_nano
+      FROM bins CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT CAST(SUM(rel_nano) AS BIGINT) AS rel_nano,
+             CAST(SUM(res_nano) AS BIGINT) AS res_nano,
+             CAST(SUM(wbv_nano) AS BIGINT) AS wbv_nano,
+             CAST(SUM(wbc_nano) AS BIGINT) AS wbc_nano
+      FROM terms
+    )
+    SELECT terms.bin, terms.n_k, terms.sp, terms.sy,
+           terms.rel_nano AS bin_rel_nano,
+           agg.rel_nano, agg.res_nano, agg.wbv_nano, agg.wbc_nano,
+           CAST(brier.brier_num AS DOUBLE)
+             / (CAST(tot.n AS DOUBLE) * 10000.0) AS brier,
+           CAST(tot.sy AS DOUBLE) / tot.n
+             * (1.0 - CAST(tot.sy AS DOUBLE) / tot.n) AS uncertainty,
+           (abs(CAST(brier.brier_num AS DOUBLE)
+                  / (CAST(tot.n AS DOUBLE) * 10000.0)
+                - (CAST(agg.rel_nano AS DOUBLE) / 1000000000.0
+                   - CAST(agg.res_nano AS DOUBLE) / 1000000000.0
+                   + CAST(tot.sy AS DOUBLE) / tot.n
+                     * (1.0 - CAST(tot.sy AS DOUBLE) / tot.n)
+                   + CAST(agg.wbv_nano AS DOUBLE) / 1000000000.0
+                   - 2.0 * CAST(agg.wbc_nano AS DOUBLE) / 1000000000.0))
+            < 0.000001) AS identity_holds
+    FROM terms CROSS JOIN agg CROSS JOIN tot CROSS JOIN brier
+    ORDER BY terms.bin
+    """,
+)
+def q_brier_decomposition(spark, sf_dir):
+    """MURPHY DECOMPOSITION of the Brier score — reliability minus
+    resolution plus uncertainty (plus the within-bin variance term
+    of the GENERALIZED decomposition, without which the identity is
+    false for non-constant bins — derived and witness-pinned): the
+    probabilistic-eval completion of q_calibration (calibration
+    SHOWS the reliability diagram; Murphy's algebra says how much of
+    the Brier score each defect contributes). The GENERALIZED form
+    needs BOTH extra terms — within-bin variance AND minus twice the
+    within-bin p,y covariance (Brier = REL - RES + UNC + WBV -
+    2*WBC); dropping WBC breaks the identity by ~1e-3 on this
+    fixture, caught by the witness. Same p100 = event_id
+    % 100 score and purchase labels as q_calibration; the raw Brier
+    numerator and every per-bin squared numerator are exact
+    BIGINT/HUGEINT on the centi-probability lattice; per-bin
+    REL/RES/WBV terms are quantized to the 1e-9 lattice BEFORE the
+    exact sums (the q_log_rank discipline), and the identity check
+    |Brier - (REL - RES + UNC + WBV)| < 1e-6 is computed by the
+    identical chain on both engines. At 100 TB: one scan, one
+    10-bin hash agg, constant state."""
+    scored = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 100).cast("bigint").alias("p100"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    scored = track_persist(scored)
+    bins = scored.groupBy(
+        F.expr("CAST(p100 div 10 AS BIGINT)").alias("bin")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_k"),
+        F.sum("p100").cast("bigint").alias("sp"),
+        F.sum(F.col("p100") * F.col("p100")).cast("bigint").alias("spp"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("p100") * F.col("y")).cast("bigint").alias("spy"),
+    )
+    bins = track_persist(bins)
+    tot = bins.agg(
+        F.sum("n_k").cast("bigint").alias("n"),
+        F.sum("sy").cast("bigint").alias("sy_tot"),
+        F.sum("sp").cast("bigint").alias("sp_tot"),
+    )
+    err = F.col("p100") - 100 * F.col("y")
+    brier = scored.agg(
+        F.sum(err * err).cast("bigint").alias("brier_num")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    rel_d = dec(F.col("sp") - 100 * F.col("sy"))
+    res_d = dec(F.col("n") * F.col("sy") - F.col("n_k") * F.col("sy_tot"))
+    terms = bins.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_k",
+        "sp",
+        "sy",
+        "n",
+        "sy_tot",
+        F.floor(
+            (rel_d * rel_d).cast("double")
+            / F.col("n_k").cast("double")
+            / 10000.0
+            * 1000000000.0
+            / F.col("n").cast("double")
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("rel_nano"),
+        F.floor(
+            (res_d * res_d).cast("double")
+            / F.col("n_k").cast("double")
+            / F.col("n").cast("double")
+            / F.col("n").cast("double")
+            * 1000000000.0
+            / F.col("n").cast("double")
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("res_nano"),
+        F.floor(
+            (
+                F.col("spp").cast("double")
+                - (dec(F.col("sp")) * dec(F.col("sp"))).cast("double")
+                / F.col("n_k").cast("double")
+            )
+            / 10000.0
+            * 1000000000.0
+            / F.col("n").cast("double")
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("wbv_nano"),
+        F.floor(
+            (
+                F.col("spy").cast("double")
+                - (dec(F.col("sp")) * dec(F.col("sy"))).cast("double")
+                / F.col("n_k").cast("double")
+            )
+            / 100.0
+            * 1000000000.0
+            / F.col("n").cast("double")
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("wbc_nano"),
+    )
+    terms = track_persist(terms)
+    agg = terms.agg(
+        F.sum("rel_nano").cast("bigint").alias("rel_nano_t"),
+        F.sum("res_nano").cast("bigint").alias("res_nano_t"),
+        F.sum("wbv_nano").cast("bigint").alias("wbv_nano_t"),
+        F.sum("wbc_nano").cast("bigint").alias("wbc_nano_t"),
+    )
+    ybar = F.col("sy_tot").cast("double") / F.col("n")
+    brier_d = F.col("brier_num").cast("double") / (
+        F.col("n").cast("double") * 10000.0
+    )
+    unc = ybar * (1.0 - ybar)
+    recon = (
+        F.col("rel_nano_t").cast("double") / 1000000000.0
+        - F.col("res_nano_t").cast("double") / 1000000000.0
+        + unc
+        + F.col("wbv_nano_t").cast("double") / 1000000000.0
+        - 2.0 * F.col("wbc_nano_t").cast("double") / 1000000000.0
+    )
+    return (
+        terms.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(brier))
+        .select(
+            "bin",
+            "n_k",
+            "sp",
+            "sy",
+            F.col("rel_nano").alias("bin_rel_nano"),
+            F.col("rel_nano_t").alias("rel_nano"),
+            F.col("res_nano_t").alias("res_nano"),
+            F.col("wbv_nano_t").alias("wbv_nano"),
+            F.col("wbc_nano_t").alias("wbc_nano"),
+            brier_d.alias("brier"),
+            unc.alias("uncertainty"),
+            (F.abs(brier_d - recon) < 0.000001).alias("identity_holds"),
+        )
+        .orderBy("bin")
+    )
+
+
+@staged(
+    "q_banzhaf_power",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    winners AS (
+      SELECT d, t FROM (
+        SELECT d, t,
+               row_number() OVER (PARTITION BY d ORDER BY x DESC, t)
+                 AS rn
+        FROM daily
+      ) WHERE rn = 1
+    ),
+    seats AS (
+      SELECT tt.t,
+             CAST(list_position(['click', 'error', 'purchase', 'signup',
+               'view'], tt.t) - 1 AS BIGINT) AS i,
+             CAST(COALESCE(w.n, 0) AS BIGINT) AS w
+      FROM (SELECT DISTINCT event_type AS t FROM events) tt
+      LEFT JOIN (SELECT t, COUNT(*) AS n FROM winners GROUP BY t) w
+        ON w.t = tt.t
+    ),
+    masks AS (SELECT CAST(unnest(range(0, 32)) AS BIGINT) AS m),
+    totals AS (
+      SELECT masks.m,
+             CAST(COALESCE(SUM(CASE WHEN ((masks.m >> seats.i) & 1) = 1
+               THEN seats.w END), 0) AS BIGINT) AS tw
+      FROM masks LEFT JOIN seats ON ((masks.m >> seats.i) & 1) = 1
+      GROUP BY masks.m
+    ),
+    swings AS (
+      SELECT seats.t, seats.i, seats.w,
+             CAST(SUM(CASE WHEN ((totals.m >> seats.i) & 1) = 0
+               AND totals.tw < 16 AND totals.tw + seats.w >= 16
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_swings
+      FROM seats CROSS JOIN totals
+      GROUP BY seats.t, seats.i, seats.w
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_swings) AS BIGINT) AS total_swings FROM swings
+    )
+    SELECT swings.t AS t, swings.w AS seats, swings.n_swings,
+           tot.total_swings,
+           CASE WHEN tot.total_swings = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((swings.n_swings * 1000000)
+                          // tot.total_swings AS BIGINT) END
+             AS banzhaf_micro,
+           CASE WHEN tot.total_swings = 0 THEN 0.0
+                ELSE CAST(swings.n_swings AS DOUBLE)
+                     / CAST(tot.total_swings AS DOUBLE) END AS banzhaf
+    FROM swings CROSS JOIN tot
+    ORDER BY t
+    """,
+)
+def q_banzhaf_power(spark, sf_dir):
+    """BANZHAF VOTING POWER INDEX over the daily-winner 'parliament'
+    — the voting-power completion of the election family (q_dhondt /
+    q_largest_remainder apportion seats, the staged q_efficiency_gap
+    audits districts; Banzhaf measures what seats are WORTH: the
+    fraction of coalitions a party can swing, which is famously NOT
+    proportional to seat share): seats = days won (exact daily-cents
+    argmax with lexicographic tiebreak, 30 seats, quota 16 =
+    majority), all 2^5 coalitions enumerated on a 32-row literal
+    mask grid (the q_shapley_attribution discipline scaled to 5
+    players), swing counts exact BIGINT via the integer bracket
+    T < quota <= T + w, and the zero-total degenerate case is
+    decided by an integer guard. The power ratio rides the micro
+    lattice plus one identical double division. At 100 TB: raw
+    volume dies in the (t, day) agg; the enumeration is a 5x32
+    broadcast join."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    w_day = Window.partitionBy("d").orderBy(F.desc("x"), "t")
+    winners = (
+        daily.select("d", "t", F.row_number().over(w_day).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .groupBy("t")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    seats = (
+        daily.select("t")
+        .distinct()
+        .join(F.broadcast(winners), "t", "left")
+        .select(
+            "t",
+            F.expr(
+                "CAST(array_position(array('click', 'error', 'purchase',"
+                " 'signup', 'view'), t) - 1 AS BIGINT)"
+            ).alias("i"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("w"),
+        )
+    )
+    seats = track_persist(seats)
+    masks = spark.range(32).select(F.col("id").cast("bigint").alias("m"))
+    totals = (
+        masks.join(
+            F.broadcast(seats),
+            F.expr("((m div CAST(pow(2, i) AS BIGINT)) % 2) = 1"),
+            "left",
+        )
+        .groupBy("m")
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).cast("bigint").alias("tw"))
+    )
+    swings = (
+        seats.crossJoin(F.broadcast(totals))
+        .groupBy("t", "i", "w")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.expr("((m div CAST(pow(2, i) AS BIGINT)) % 2) = 0"))
+                    & (F.col("tw") < 16)
+                    & (F.col("tw") + F.col("w") >= 16),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_swings")
+        )
+    )
+    swings = track_persist(swings)
+    tot = swings.agg(
+        F.sum("n_swings").cast("bigint").alias("total_swings")
+    )
+    return (
+        swings.crossJoin(F.broadcast(tot))
+        .select(
+            "t",
+            F.col("w").alias("seats"),
+            "n_swings",
+            "total_swings",
+            F.when(F.col("total_swings") == 0, F.lit(0).cast("bigint"))
+            .otherwise(
+                F.expr(
+                    "CAST((n_swings * 1000000) div total_swings AS BIGINT)"
+                )
+            )
+            .alias("banzhaf_micro"),
+            F.when(F.col("total_swings") == 0, F.lit(0.0))
+            .otherwise(
+                F.col("n_swings").cast("double")
+                / F.col("total_swings").cast("double")
+            )
+            .alias("banzhaf"),
+        )
+        .orderBy("t")
+    )
+
+
+@staged(
+    "q_condorcet_borda",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    ranked AS (
+      SELECT t, d,
+             row_number() OVER (PARTITION BY d ORDER BY x DESC, t) AS rk
+      FROM grid
+    ),
+    borda AS (
+      SELECT t, CAST(SUM(5 - rk) AS BIGINT) AS borda_score
+      FROM ranked GROUP BY t
+    ),
+    pair AS (
+      SELECT a.t AS ta, b.t AS tb,
+             CAST(SUM(CASE WHEN a.rk < b.rk THEN 1 ELSE 0 END) AS BIGINT)
+               AS a_beats
+      FROM ranked a JOIN ranked b ON a.d = b.d AND a.t != b.t
+      GROUP BY a.t, b.t
+    ),
+    hw AS (
+      SELECT ta AS t,
+             CAST(SUM(CASE WHEN a_beats > 15 THEN 1 ELSE 0 END) AS BIGINT)
+               AS pairwise_wins
+      FROM pair GROUP BY ta
+    ),
+    bw AS (
+      SELECT t FROM borda ORDER BY borda_score DESC, t LIMIT 1
+    )
+    SELECT borda.t AS t, borda.borda_score, hw.pairwise_wins,
+           (hw.pairwise_wins = 4) AS is_condorcet_winner,
+           (borda.t = (SELECT t FROM bw)) AS is_borda_winner
+    FROM borda JOIN hw ON hw.t = borda.t
+    ORDER BY t
+    """,
+)
+def q_condorcet_borda(spark, sf_dir):
+    """CONDORCET vs BORDA over 30 daily ballots — the social-choice
+    completion of the election family (apportionment and power
+    indices divide seats; THIS asks who should win at all, and the
+    two classic rules famously disagree — Borda can elect a
+    candidate the majority beats head-to-head): each day ranks the
+    5 event types by exact daily cents (row_number with the
+    lexicographic tiebreak — a STRICT ballot, so pairwise totals
+    always sum to 30 and 'beats' means > 15, never a float or a
+    draw), Borda scores 5 - rank summed as exact BIGINTs, the
+    head-to-head matrix is one counting self-join on the 150-row
+    grid, the Condorcet winner is the integer predicate
+    pairwise_wins = 4, and the Borda winner is the
+    (score desc, t asc) lattice argmax. At 100 TB: raw volume dies
+    in the (t, day) agg; everything after is 150-row work."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    w_day = Window.partitionBy("d").orderBy(F.desc("x"), "t")
+    ranked = grid.select(
+        "t", "d", F.row_number().over(w_day).cast("bigint").alias("rk")
+    )
+    ranked = track_persist(ranked)
+    borda = ranked.groupBy("t").agg(
+        F.sum(5 - F.col("rk")).cast("bigint").alias("borda_score")
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    pair = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.d") == F.col("b.d")) & (F.col("a.t") != F.col("b.t")),
+        )
+        .groupBy(F.col("a.t").alias("ta"), F.col("b.t").alias("tb"))
+        .agg(
+            F.sum(
+                F.when(F.col("a.rk") < F.col("b.rk"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("a_beats")
+        )
+    )
+    hw = pair.groupBy(F.col("ta").alias("t")).agg(
+        F.sum(F.when(F.col("a_beats") > 15, 1).otherwise(0))
+        .cast("bigint")
+        .alias("pairwise_wins")
+    )
+    bw = borda.orderBy(F.desc("borda_score"), "t").limit(1).select(
+        F.col("t").alias("winner_t"), F.lit(1).alias("one")
+    )
+    return (
+        borda.join(F.broadcast(hw), "t")
+        .join(F.broadcast(bw), borda["t"] == bw["winner_t"], "left")
+        .select(
+            "t",
+            "borda_score",
+            "pairwise_wins",
+            (F.col("pairwise_wins") == 4).alias("is_condorcet_winner"),
+            F.col("one").isNotNull().alias("is_borda_winner"),
+        )
+        .orderBy("t")
+    )

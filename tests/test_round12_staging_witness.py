@@ -2618,3 +2618,180 @@ def test_no_python_row_udfs_in_round12_staged_b18(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 19
+
+
+def test_youden_j_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT CAST(floor(value * 2) AS BIGINT),"
+        f" CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        f" FROM '{SF_DIR}/events.parquet'"
+        f" WHERE event_type IN ('purchase', 'click')"
+    ).fetchall()
+    p = sum(y for _, y in rows)
+    n = len(rows) - p
+    bins = sorted({b for b, _ in rows})
+    best = None
+    for thr in bins:
+        tp = sum(1 for b, y in rows if b >= thr and y == 1)
+        fp = sum(1 for b, y in rows if b >= thr and y == 0)
+        jn = n * tp - p * fp
+        key = (-jn, thr)
+        if best is None or key < best[0]:
+            best = (key, thr, tp, fp, jn)
+    _, thr, tp, fp, jn = best
+    [r] = STAGED_QUERIES["q_youden_j"](spark, SF_DIR).collect()
+    assert (r.best_bin, r.p, r.n, r.tp, r.fp, r.j_num) == (
+        thr,
+        p,
+        n,
+        tp,
+        fp,
+        jn,
+    )
+    assert (r.fn, r.tn) == (p - tp, n - fp)
+    assert r.sensitivity == pytest.approx(tp / p, rel=1e-12)
+    assert r.specificity == pytest.approx((n - fp) / n, rel=1e-12)
+    assert r.youden_j == pytest.approx(tp / p + (n - fp) / n - 1, rel=1e-9)
+    assert -1.0 <= r.youden_j <= 1.0
+
+
+def test_brier_decomposition_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_id % 100,"
+        f" CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    n = len(rows)
+    sy = sum(y for _, y in rows)
+    brier_num = sum((p - 100 * y) ** 2 for p, y in rows)
+    bins = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    for p, y in rows:
+        b = bins[p // 10]
+        b[0] += 1
+        b[1] += p
+        b[2] += p * p
+        b[3] += y
+        b[4] += p * y
+    rel = res = wbv = wbc = 0
+    for nk, sp, spp, syk, spy in bins.values():
+        rel += math.floor((sp - 100 * syk) ** 2 / nk / 1e4 * 1e9 / n + 0.5)
+        res += math.floor(
+            (n * syk - nk * sy) ** 2 / nk / n / n * 1e9 / n + 0.5
+        )
+        wbv += math.floor((spp - sp * sp / nk) / 1e4 * 1e9 / n + 0.5)
+        wbc += math.floor((spy - sp * syk / nk) / 1e2 * 1e9 / n + 0.5)
+    got = STAGED_QUERIES["q_brier_decomposition"](spark, SF_DIR).collect()
+    assert len(got) == len(bins)
+    ybar = sy / n
+    for r in got:
+        nk, sp, spp, syk, spy = bins[r.bin]
+        assert (r.n_k, r.sp, r.sy) == (nk, sp, syk)
+        assert (r.rel_nano, r.res_nano, r.wbv_nano, r.wbc_nano) == (
+            rel,
+            res,
+            wbv,
+            wbc,
+        )
+        assert r.brier == pytest.approx(brier_num / n / 1e4, rel=1e-12)
+        assert r.uncertainty == pytest.approx(ybar * (1 - ybar), rel=1e-12)
+        assert r.identity_holds  # Murphy's generalized identity
+        recon = (
+            rel / 1e9
+            - res / 1e9
+            + ybar * (1 - ybar)
+            + wbv / 1e9
+            - 2 * wbc / 1e9
+        )
+        assert abs(r.brier - recon) < 1e-6
+
+
+def test_banzhaf_power_witness(spark, duck):
+    daily = _daily_cents(duck)
+    days = sorted({d for v in daily.values() for d in v})
+    types = sorted(daily)
+    seats = collections.Counter()
+    for d in days:
+        seats[
+            max(types, key=lambda t: (daily[t].get(d, 0), [-ord(c) for c in t]))
+        ] += 1
+    w = [seats.get(t, 0) for t in types]
+    assert sum(w) == 30
+    swings = [0] * 5
+    for m in range(32):
+        tw = sum(w[i] for i in range(5) if m >> i & 1)
+        for i in range(5):
+            if not (m >> i & 1) and tw < 16 <= tw + w[i]:
+                swings[i] += 1
+    total = sum(swings)
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_banzhaf_power"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(types)
+    for i, t in enumerate(types):
+        r = got[t]
+        assert (r.seats, r.n_swings, r.total_swings) == (
+            w[i],
+            swings[i],
+            total,
+        )
+        if total:
+            assert r.banzhaf_micro == swings[i] * 1000000 // total
+            assert r.banzhaf == pytest.approx(swings[i] / total, rel=1e-12)
+
+
+def test_condorcet_borda_witness(spark, duck):
+    daily = _daily_cents(duck)
+    days = sorted({d for v in daily.values() for d in v})
+    types = sorted(daily)
+    borda = collections.Counter()
+    beats = collections.Counter()
+    for d in days:
+        order = sorted(types, key=lambda t: (-daily[t].get(d, 0), t))
+        for rk, t in enumerate(order, 1):
+            borda[t] += 5 - rk
+        for i, a in enumerate(order):
+            for b in order[i + 1 :]:
+                beats[(a, b)] += 1
+    wins = {
+        t: sum(
+            1
+            for u in types
+            if u != t and beats.get((t, u), 0) > 15
+        )
+        for t in types
+    }
+    bw = max(types, key=lambda t: (borda[t], [-ord(c) for c in t]))
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_condorcet_borda"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(types)
+    for t in types:
+        r = got[t]
+        assert (r.borda_score, r.pairwise_wins) == (borda[t], wins[t])
+        assert r.is_condorcet_winner == (wins[t] == 4)
+        assert r.is_borda_winner == (t == bw)
+    # Borda points over strict ballots always total 30 * (0+1+2+3+4)
+    assert sum(borda.values()) == 30 * 10
+    assert sum(1 for t in types if got[t].is_borda_winner) == 1
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q_youden_j",
+        "q_brier_decomposition",
+        "q_banzhaf_power",
+        "q_condorcet_borda",
+    ],
+)
+def test_no_python_row_udfs_in_round12_staged_b19(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
