@@ -9204,3 +9204,449 @@ def q_condorcet_borda(spark, sf_dir):
         )
         .orderBy("t")
     )
+
+
+# =====================================================================
+# Round-12 staged batch 20 — more social choice / market mechanisms:
+# instant-runoff elimination, EXHAUSTIVE Kemeny rank aggregation
+# (120 permutations), and double-auction market clearing.
+# Promotion target: round 13.
+# =====================================================================
+
+_IRV_DAILY = """
+    daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    ranked AS (
+      SELECT t, d,
+             row_number() OVER (PARTITION BY d ORDER BY x DESC, t) AS rk
+      FROM grid
+    )
+"""
+
+
+def _irv_oracle() -> str:
+    # four unrolled elimination rounds; each loser picked by
+    # (first-choice count asc, t asc) over the remaining candidates.
+    steps = []
+    prev_elim = "CAST([] AS VARCHAR[])"
+    for r in range(1, 5):
+        steps.append(f"""
+    fc{r} AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS votes FROM (
+        SELECT d, t FROM (
+          SELECT d, t,
+                 row_number() OVER (PARTITION BY d ORDER BY rk) AS pos
+          FROM ranked WHERE NOT list_contains(({prev_elim}), t)
+        ) WHERE pos = 1
+      ) GROUP BY t
+    ),
+    all{r} AS (
+      SELECT tt.t, CAST(COALESCE(fc{r}.votes, 0) AS BIGINT) AS votes
+      FROM (SELECT DISTINCT t FROM ranked
+            WHERE NOT list_contains(({prev_elim}), t)) tt
+      LEFT JOIN fc{r} ON fc{r}.t = tt.t
+    ),
+    out{r} AS (
+      SELECT t FROM all{r} ORDER BY votes, t LIMIT 1
+    ),
+    elim{r} AS (
+      SELECT list_append(({prev_elim}), (SELECT t FROM out{r})) AS e
+    )""")
+        prev_elim = f"(SELECT e FROM elim{r})"
+    rounds_sql = ",".join(steps)
+    return f"""
+    WITH {_IRV_DAILY},{rounds_sql},
+    rounds AS (
+      SELECT 1 AS rnd, (SELECT t FROM out1) AS eliminated
+      UNION ALL SELECT 2, (SELECT t FROM out2)
+      UNION ALL SELECT 3, (SELECT t FROM out3)
+      UNION ALL SELECT 4, (SELECT t FROM out4)
+    ),
+    winner AS (
+      SELECT t FROM (SELECT DISTINCT t FROM ranked)
+      WHERE NOT list_contains((SELECT e FROM elim4), t)
+    )
+    SELECT CAST(rounds.rnd AS BIGINT) AS rnd, rounds.eliminated,
+           (SELECT t FROM winner) AS winner
+    FROM rounds ORDER BY rnd
+    """
+
+
+@staged("q_instant_runoff", oracle=_irv_oracle())
+def q_instant_runoff(spark, sf_dir):
+    """INSTANT-RUNOFF VOTING (ranked-choice elimination) over the 30
+    strict daily ballots — the sequential member of the social-choice
+    family (q_condorcet_borda evaluates one-shot rules; IRV
+    eliminates iteratively and can disagree with BOTH): four
+    elimination rounds, each counting exact first-choice votes among
+    the REMAINING candidates (per-ballot argmin rank via one window
+    over the 150-row grid) and eliminating the (votes asc, t asc)
+    loser — candidates with ZERO first-choice votes still eliminate
+    correctly via the left-join zero-fill (a dropped candidate must
+    not vanish from the tally, caught at construction). Every round
+    is exact-integer decided; the four rounds chain as broadcast
+    scalar joins (bounded data: 5 candidates). At 100 TB: raw
+    volume dies in the (t, day) agg; each round is 150-row work."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    w_day = Window.partitionBy("d").orderBy(F.desc("x"), "t")
+    ranked = grid.select(
+        "t", "d", F.row_number().over(w_day).cast("bigint").alias("rk")
+    )
+    ranked = track_persist(ranked)
+    cands = ranked.select("t").distinct()
+    eliminated = []  # list of 1-row DataFrames with column `et`
+    rounds = []
+    remaining = cands
+    cur_ranked = ranked
+    for rnd in range(1, 5):
+        w_pos = Window.partitionBy("d").orderBy("rk")
+        fc = (
+            cur_ranked.select(
+                "d", "t", F.row_number().over(w_pos).alias("pos")
+            )
+            .filter(F.col("pos") == 1)
+            .groupBy("t")
+            .agg(F.count("*").cast("bigint").alias("votes"))
+        )
+        tally = remaining.join(F.broadcast(fc), "t", "left").select(
+            "t", F.coalesce("votes", F.lit(0)).cast("bigint").alias("votes")
+        )
+        out = tally.orderBy("votes", "t").limit(1).select(
+            F.col("t").alias("et")
+        )
+        out = track_persist(out)
+        rounds.append(
+            out.select(
+                F.lit(rnd).cast("bigint").alias("rnd"),
+                F.col("et").alias("eliminated"),
+            )
+        )
+        remaining = remaining.join(
+            F.broadcast(out), remaining["t"] == out["et"], "left_anti"
+        )
+        cur_ranked = cur_ranked.join(
+            F.broadcast(out), cur_ranked["t"] == out["et"], "left_anti"
+        )
+    winner = remaining.select(F.col("t").alias("winner"))
+    res = rounds[0]
+    for r in rounds[1:]:
+        res = res.unionAll(r)
+    return res.crossJoin(F.broadcast(winner)).orderBy("rnd")
+
+
+def _kemeny_perms():
+    import itertools
+
+    return list(itertools.permutations(range(5)))
+
+
+def _kemeny_oracle() -> str:
+    perm_rows = ", ".join(
+        f"({pid}, {p[0]}, {p[1]}, {p[2]}, {p[3]}, {p[4]})"
+        for pid, p in enumerate(_kemeny_perms())
+    )
+    return f"""
+    WITH {_IRV_DAILY},
+    idx AS (
+      SELECT t, CAST(list_position(['click', 'error', 'purchase',
+        'signup', 'view'], t) - 1 AS BIGINT) AS i
+      FROM (SELECT DISTINCT t FROM ranked)
+    ),
+    beats AS (
+      SELECT ia.i AS a, ib.i AS b,
+             CAST(SUM(CASE WHEN ra.rk < rb.rk THEN 1 ELSE 0 END)
+               AS BIGINT) AS n
+      FROM ranked ra
+      JOIN ranked rb ON ra.d = rb.d AND ra.t != rb.t
+      JOIN idx ia ON ia.t = ra.t
+      JOIN idx ib ON ib.t = rb.t
+      GROUP BY ia.i, ib.i
+    ),
+    perms(pid, c0, c1, c2, c3, c4) AS (VALUES {perm_rows}),
+    pcells AS (
+      SELECT pid, 0 AS pos, c0 AS ci FROM perms
+      UNION ALL SELECT pid, 1, c1 FROM perms
+      UNION ALL SELECT pid, 2, c2 FROM perms
+      UNION ALL SELECT pid, 3, c3 FROM perms
+      UNION ALL SELECT pid, 4, c4 FROM perms
+    ),
+    costs AS (
+      SELECT x.pid, CAST(SUM(beats.n) AS BIGINT) AS cost
+      FROM pcells x JOIN pcells y ON y.pid = x.pid AND x.pos < y.pos
+      JOIN beats ON beats.a = y.ci AND beats.b = x.ci
+      GROUP BY x.pid
+    ),
+    best AS (SELECT pid, cost FROM costs ORDER BY cost, pid LIMIT 1)
+    SELECT CAST(pc.pos AS BIGINT) AS pos,
+           ['click', 'error', 'purchase', 'signup', 'view'][pc.ci + 1]
+             AS candidate,
+           best.cost AS kemeny_cost, CAST(best.pid AS BIGINT) AS perm_id
+    FROM best JOIN pcells pc ON pc.pid = best.pid
+    ORDER BY pos
+    """
+
+
+@staged("q_kemeny_exhaustive", oracle=_kemeny_oracle())
+def q_kemeny_exhaustive(spark, sf_dir):
+    """EXHAUSTIVE KEMENY-YOUNG rank aggregation over the 30 strict
+    daily ballots — the OPTIMAL social-choice rule (the maximum-
+    likelihood ordering under noise, NP-hard in general, solved
+    EXACTLY here because 5 candidates admit full 5! enumeration —
+    the q_knapsack_dp small-instance-exhaustive discipline): the
+    pairwise-disagreement matrix comes from the same strict ballots
+    as q_condorcet_borda, all 120 permutations are a LITERAL table
+    generated from one Python itertools call for both engines (ids
+    in lexicographic order, so the (cost asc, pid asc) tiebreak is
+    itself lexicographic), and every cost is an exact BIGINT sum of
+    beats-counts over the 10 ordered pairs per permutation. Output
+    is the optimal ordering, one row per position. At 100 TB: raw
+    volume dies in the (t, day) agg; the enumeration is a
+    600x600-cell broadcast self-join — constant size."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    w_day = Window.partitionBy("d").orderBy(F.desc("x"), "t")
+    ranked = grid.select(
+        "t",
+        "d",
+        F.row_number().over(w_day).cast("bigint").alias("rk"),
+        F.expr(
+            "CAST(array_position(array('click', 'error', 'purchase',"
+            " 'signup', 'view'), t) - 1 AS BIGINT)"
+        ).alias("i"),
+    )
+    ranked = track_persist(ranked)
+    ra = ranked.alias("ra")
+    rb = ranked.alias("rb")
+    beats = (
+        ra.join(
+            F.broadcast(rb),
+            (F.col("ra.d") == F.col("rb.d"))
+            & (F.col("ra.t") != F.col("rb.t")),
+        )
+        .groupBy(
+            F.col("ra.i").alias("a"), F.col("rb.i").alias("b")
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("ra.rk") < F.col("rb.rk"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n")
+        )
+    )
+    perm_rows = [
+        (pid, pos, ci)
+        for pid, p in enumerate(_kemeny_perms())
+        for pos, ci in enumerate(p)
+    ]
+    pcells = spark.createDataFrame(
+        perm_rows, "pid BIGINT, pos BIGINT, ci BIGINT"
+    )
+    x = pcells.alias("x")
+    y = pcells.alias("y")
+    costs = (
+        x.join(
+            F.broadcast(y),
+            (F.col("y.pid") == F.col("x.pid"))
+            & (F.col("x.pos") < F.col("y.pos")),
+        )
+        .join(
+            F.broadcast(beats),
+            (F.col("a") == F.col("y.ci")) & (F.col("b") == F.col("x.ci")),
+        )
+        .groupBy(F.col("x.pid").alias("pid"))
+        .agg(F.sum("n").cast("bigint").alias("cost"))
+    )
+    best = costs.orderBy("cost", "pid").limit(1).select(
+        F.col("pid").alias("bpid"), "cost"
+    )
+    return (
+        best.join(F.broadcast(pcells), F.col("bpid") == pcells["pid"])
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            F.expr(
+                "element_at(array('click', 'error', 'purchase', 'signup',"
+                " 'view'), CAST(ci + 1 AS INT))"
+            ).alias("candidate"),
+            F.col("cost").alias("kemeny_cost"),
+            F.col("bpid").cast("bigint").alias("perm_id"),
+        )
+        .orderBy("pos")
+    )
+
+
+@staged(
+    "q_double_auction",
+    oracle="""
+    WITH bids AS (
+      SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT))
+        AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    asks AS (
+      SELECT user_id, CAST(SUM(CAST(round(value * 100) AS BIGINT))
+        AS BIGINT) AS v
+      FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    lattice AS (
+      SELECT v FROM bids UNION SELECT v FROM asks
+    ),
+    curves AS (
+      SELECT l.v,
+             CAST((SELECT COUNT(*) FROM bids WHERE bids.v >= l.v)
+               AS BIGINT) AS demand,
+             CAST((SELECT COUNT(*) FROM asks WHERE asks.v <= l.v)
+               AS BIGINT) AS supply
+      FROM lattice l
+    ),
+    traded AS (
+      SELECT v, LEAST(demand, supply) AS n_trades, demand, supply
+      FROM curves
+    ),
+    best AS (
+      SELECT v, n_trades, demand, supply FROM traded
+      ORDER BY n_trades DESC, v LIMIT 1
+    ),
+    ns AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM bids) AS n_buyers,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM asks) AS n_sellers
+    )
+    SELECT ns.n_buyers, ns.n_sellers,
+           best.v AS clearing_price_cents,
+           best.n_trades, best.demand AS demand_at_clear,
+           best.supply AS supply_at_clear
+    FROM ns CROSS JOIN best
+    """,
+)
+def q_double_auction(spark, sf_dir):
+    """DOUBLE-AUCTION MARKET CLEARING — the market-design completion
+    of the mechanism family (q_dhondt apportions, q_gale_shapley
+    matches, the staged q_banzhaf_power weighs; a call auction
+    CLEARS: buyers bid their per-user purchase cents, sellers ask
+    their per-user click cents, and the clearing price maximizes
+    executed trades): the textbook sorted-order formulation (k* =
+    max k with bid_(k) >= ask_(k)) would need a GLOBAL SORT of all
+    participants — instead the demand curve #bids >= v and supply
+    curve #asks <= v are built by cumulative counting on the cents
+    LATTICE (derived equivalence: max_v min(demand(v), supply(v))
+    equals k* — no row-cardinality sort anywhere), trades and both
+    curve values are exact BIGINTs, and the (trades desc, v asc)
+    clearing pick is lattice-decided. At 100 TB: two user-keyed
+    aggs, two bounded-lattice cumulative windows — needs a
+    BOUNDED_UNPARTITIONED_WINDOW allowlist row at promotion."""
+    ev = _t(spark, sf_dir, "events")
+
+    def side(et):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .groupBy("user_id")
+            .agg(
+                F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+                .cast("bigint")
+                .alias("v")
+            )
+        )
+
+    bids, asks = side("purchase"), side("click")
+    bh = bids.groupBy("v").agg(F.count("*").cast("bigint").alias("nb"))
+    ah = asks.groupBy("v").agg(F.count("*").cast("bigint").alias("na"))
+    lattice = (
+        bh.select("v")
+        .unionAll(ah.select("v"))
+        .distinct()
+        .join(F.broadcast(bh), "v", "left")
+        .join(F.broadcast(ah), "v", "left")
+        .select(
+            "v",
+            F.coalesce("nb", F.lit(0)).cast("bigint").alias("nb"),
+            F.coalesce("na", F.lit(0)).cast("bigint").alias("na"),
+        )
+    )
+    w_ge = Window.orderBy(F.desc("v")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_le = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curves = lattice.select(
+        "v",
+        F.sum("nb").over(w_ge).cast("bigint").alias("demand"),
+        F.sum("na").over(w_le).cast("bigint").alias("supply"),
+    )
+    traded = curves.select(
+        "v",
+        F.least("demand", "supply").cast("bigint").alias("n_trades"),
+        "demand",
+        "supply",
+    )
+    best = traded.orderBy(F.desc("n_trades"), "v").limit(1)
+    ns = bids.agg(F.count("*").cast("bigint").alias("n_buyers")).crossJoin(
+        F.broadcast(
+            asks.agg(F.count("*").cast("bigint").alias("n_sellers"))
+        )
+    )
+    return ns.crossJoin(F.broadcast(best)).select(
+        "n_buyers",
+        "n_sellers",
+        F.col("v").alias("clearing_price_cents"),
+        "n_trades",
+        F.col("demand").alias("demand_at_clear"),
+        F.col("supply").alias("supply_at_clear"),
+    )

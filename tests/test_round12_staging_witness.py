@@ -2795,3 +2795,109 @@ def test_no_python_row_udfs_in_round12_staged_b19(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 20
+
+
+def _strict_ballots(duck):
+    daily = _daily_cents(duck)
+    days = sorted({d for v in daily.values() for d in v})
+    types = sorted(daily)
+    return [
+        sorted(types, key=lambda t: (-daily[t].get(d, 0), t)) for d in days
+    ]
+
+
+def test_instant_runoff_witness(spark, duck):
+    ballots = _strict_ballots(duck)
+    remaining = sorted({t for b in ballots for t in b})
+    elim_order = []
+    for _ in range(4):
+        votes = collections.Counter()
+        for b in ballots:
+            votes[next(t for t in b if t in remaining)] += 1
+        loser = min(remaining, key=lambda t: (votes.get(t, 0), t))
+        elim_order.append(loser)
+        remaining.remove(loser)
+    rows = STAGED_QUERIES["q_instant_runoff"](spark, SF_DIR).collect()
+    assert [(r.rnd, r.eliminated) for r in rows] == [
+        (i + 1, t) for i, t in enumerate(elim_order)
+    ]
+    assert all(r.winner == remaining[0] for r in rows)
+    assert len(remaining) == 1
+
+
+def test_kemeny_exhaustive_witness(spark, duck):
+    import itertools
+
+    ballots = _strict_ballots(duck)
+    types = sorted({t for b in ballots for t in b})
+    beats = collections.Counter()
+    for b in ballots:
+        for i, a in enumerate(b):
+            for c in b[i + 1 :]:
+                beats[(a, c)] += 1
+    best = None
+    for pid, perm in enumerate(itertools.permutations(range(5))):
+        order = [types[i] for i in perm]
+        cost = sum(
+            beats.get((order[j], order[i]), 0)
+            for i in range(5)
+            for j in range(i + 1, 5)
+        )
+        if best is None or (cost, pid) < best[:2]:
+            best = (cost, pid, order)
+    cost, pid, order = best
+    rows = STAGED_QUERIES["q_kemeny_exhaustive"](spark, SF_DIR).collect()
+    assert [r.candidate for r in rows] == order
+    assert all(r.kemeny_cost == cost and r.perm_id == pid for r in rows)
+    # Kemeny cost can never exceed total pair-ballot mass
+    assert cost <= 30 * 10
+
+
+def test_double_auction_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type, user_id,"
+        f" SUM(CAST(round(value * 100) AS BIGINT))"
+        f" FROM '{SF_DIR}/events.parquet'"
+        f" WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2"
+    ).fetchall()
+    bids = sorted(
+        (int(v) for t, _, v in rows if t == "purchase"), reverse=True
+    )
+    asks = sorted(int(v) for t, _, v in rows if t == "click")
+    # textbook route: k* = max k with bid_(k) >= ask_(k)
+    kstar = 0
+    for k in range(min(len(bids), len(asks))):
+        if bids[k] >= asks[k]:
+            kstar = k + 1
+    # lattice route (the query's derivation)
+    lattice = sorted(set(bids) | set(asks))
+    cands = [
+        (
+            min(
+                sum(1 for b in bids if b >= v),
+                sum(1 for a in asks if a <= v),
+            ),
+            v,
+        )
+        for v in lattice
+    ]
+    n_trades, price = max(cands, key=lambda c: (c[0], -c[1]))
+    [r] = STAGED_QUERIES["q_double_auction"](spark, SF_DIR).collect()
+    assert (r.n_buyers, r.n_sellers) == (len(bids), len(asks))
+    assert r.n_trades == kstar == n_trades  # the two routes agree
+    assert r.clearing_price_cents == price
+    assert r.demand_at_clear >= r.n_trades
+    assert r.supply_at_clear >= r.n_trades
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_instant_runoff", "q_kemeny_exhaustive", "q_double_auction"],
+)
+def test_no_python_row_udfs_in_round12_staged_b20(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
