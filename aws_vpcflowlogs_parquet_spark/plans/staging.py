@@ -9650,3 +9650,402 @@ def q_double_auction(spark, sf_dir):
         F.col("demand").alias("demand_at_clear"),
         F.col("supply").alias("supply_at_clear"),
     )
+
+
+# =====================================================================
+# Round-12 staged batch 21 — online algorithms: optimal stopping
+# (secretary rule), rent-or-buy (ski rental), and cache replacement
+# (LRU vs Belady's OPT). Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_secretary_stop",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    thresh AS (
+      SELECT t, CAST(MAX(x) AS BIGINT) AS bar
+      FROM grid WHERE d < 11 GROUP BY t
+    ),
+    picks AS (
+      SELECT g.t, CAST(MIN(g.d) AS BIGINT) AS pick_day
+      FROM grid g JOIN thresh ON thresh.t = g.t
+      WHERE g.d >= 11 AND g.x > thresh.bar
+      GROUP BY g.t
+    ),
+    best AS (
+      SELECT t, CAST(MAX(x) AS BIGINT) AS best_x FROM grid GROUP BY t
+    ),
+    picked AS (
+      SELECT grid.t, picks.pick_day, grid.x AS picked_x
+      FROM picks JOIN grid ON grid.t = picks.t AND grid.d = picks.pick_day
+    )
+    SELECT best.t AS t, thresh.bar AS threshold_cents,
+           CAST(COALESCE(picked.pick_day, 29) AS BIGINT) AS pick_day,
+           CAST(COALESCE(picked.picked_x,
+             (SELECT x FROM grid g2
+              WHERE g2.t = best.t AND g2.d = 29)) AS BIGINT)
+             AS picked_cents,
+           best.best_x AS best_cents,
+           (COALESCE(picked.picked_x,
+             (SELECT x FROM grid g2 WHERE g2.t = best.t AND g2.d = 29))
+            = best.best_x) AS found_best
+    FROM best JOIN thresh ON thresh.t = best.t
+    LEFT JOIN picked ON picked.t = best.t
+    ORDER BY t
+    """,
+)
+def q_secretary_stop(spark, sf_dir):
+    """THE SECRETARY RULE (1/e optimal-stopping) replayed per event
+    type — the online-decision family opener (every other query sees
+    all data; an online agent must COMMIT: observe the first
+    n/e ~ 11 of 30 days as a calibration window, then take the first
+    later day beating that bar, defaulting to day 29 if none does):
+    the bar, the pick (earliest qualifying day — an exact MIN over
+    an integer predicate), the fallback (a left-join COALESCE to the
+    last day, the documented no-qualifier rule) and the success flag
+    picked = max are ALL integer-decided on exact daily cents. The
+    witness replays the rule AND pins the classic guarantee
+    qualitatively (the rule finds the true max for at least one
+    type on the fixture). At 100 TB: raw volume dies in the
+    (t, day) agg; the rule is bounded-grid work."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    grid = track_persist(grid)
+    thresh = grid.filter(F.col("d") < 11).groupBy("t").agg(
+        F.max("x").cast("bigint").alias("bar")
+    )
+    picks = (
+        grid.join(F.broadcast(thresh), "t")
+        .filter((F.col("d") >= 11) & (F.col("x") > F.col("bar")))
+        .groupBy("t")
+        .agg(F.min("d").cast("bigint").alias("pick_day"))
+    )
+    best = grid.groupBy("t").agg(F.max("x").cast("bigint").alias("best_x"))
+    picked = picks.join(
+        F.broadcast(grid.select("t", F.col("d").alias("pick_day"), "x")),
+        ["t", "pick_day"],
+    ).select("t", "pick_day", F.col("x").alias("picked_x"))
+    last = grid.filter(F.col("d") == 29).select(
+        "t", F.col("x").alias("last_x")
+    )
+    return (
+        best.join(F.broadcast(thresh), "t")
+        .join(F.broadcast(picked), "t", "left")
+        .join(F.broadcast(last), "t")
+        .select(
+            "t",
+            F.col("bar").alias("threshold_cents"),
+            F.coalesce("pick_day", F.lit(29)).cast("bigint").alias(
+                "pick_day"
+            ),
+            F.coalesce("picked_x", "last_x").cast("bigint").alias(
+                "picked_cents"
+            ),
+            F.col("best_x").alias("best_cents"),
+            (
+                F.coalesce("picked_x", "last_x") == F.col("best_x")
+            ).alias("found_best"),
+        )
+        .orderBy("t")
+    )
+
+
+@staged(
+    "q_ski_rental",
+    oracle="""
+    WITH usage AS (
+      SELECT user_id,
+             CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days
+      FROM events GROUP BY user_id
+    ),
+    costs AS (
+      SELECT user_id, days,
+             CAST(LEAST(days, 10) AS BIGINT) AS opt_cost,
+             CAST(CASE WHEN days < 10 THEN days ELSE 20 END AS BIGINT)
+               AS online_cost
+      FROM usage
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(opt_cost) AS BIGINT) AS opt_total,
+             CAST(SUM(online_cost) AS BIGINT) AS online_total,
+             CAST(SUM(CASE WHEN online_cost > 2 * opt_cost THEN 1
+               ELSE 0 END) AS BIGINT) AS ratio_violations
+      FROM costs
+    )
+    SELECT days, CAST(COUNT(*) AS BIGINT) AS n_users_at,
+           CAST(MAX(opt_cost) AS BIGINT) AS opt_cost,
+           CAST(MAX(online_cost) AS BIGINT) AS online_cost,
+           (SELECT n_users FROM tot) AS n_users,
+           (SELECT opt_total FROM tot) AS opt_total,
+           (SELECT online_total FROM tot) AS online_total,
+           (SELECT ratio_violations FROM tot) AS ratio_violations,
+           CAST((SELECT online_total FROM tot) AS DOUBLE)
+             / CAST((SELECT opt_total FROM tot) AS DOUBLE)
+             AS competitive_ratio
+    FROM costs GROUP BY days ORDER BY days
+    """,
+)
+def q_ski_rental(spark, sf_dir):
+    """SKI RENTAL (rent-or-buy) replayed over per-user activity — the
+    canonical 2-competitive online algorithm (rent 1/day until day
+    B = 10, then buy at 20 total; the offline optimum pays
+    min(days, 10)): per-user distinct active days are exact, both
+    cost functions are integer CASE expressions, the aggregate
+    competitive ratio is one division of exact totals, and the
+    2-competitiveness guarantee is checked as an INTEGER predicate
+    per user (online > 2*opt counts violations — provably zero,
+    witness-pinned; the break-even rule's worst case is exactly 2B
+    vs B at days = B). Grouped by usage level so the cost curves are
+    visible. At 100 TB: one user-keyed distinct-day agg, then a
+    bounded 30-row group-by."""
+    usage = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct(F.col("ts").cast("date"))
+            .cast("bigint")
+            .alias("days")
+        )
+    )
+    costs = usage.select(
+        "user_id",
+        "days",
+        F.least("days", F.lit(10)).cast("bigint").alias("opt_cost"),
+        F.when(F.col("days") < 10, F.col("days"))
+        .otherwise(20)
+        .cast("bigint")
+        .alias("online_cost"),
+    )
+    costs = track_persist(costs)
+    tot = costs.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("opt_cost").cast("bigint").alias("opt_total"),
+        F.sum("online_cost").cast("bigint").alias("online_total"),
+        F.sum(
+            F.when(F.col("online_cost") > 2 * F.col("opt_cost"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("ratio_violations"),
+    )
+    return (
+        costs.groupBy("days")
+        .agg(
+            F.count("*").cast("bigint").alias("n_users_at"),
+            F.max("opt_cost").cast("bigint").alias("opt_cost"),
+            F.max("online_cost").cast("bigint").alias("online_cost"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "days",
+            "n_users_at",
+            "opt_cost",
+            "online_cost",
+            "n_users",
+            "opt_total",
+            "online_total",
+            "ratio_violations",
+            (
+                F.col("online_total").cast("double")
+                / F.col("opt_total").cast("double")
+            ).alias("competitive_ratio"),
+        )
+        .orderBy("days")
+    )
+
+
+@staged(
+    "q_lru_vs_belady",
+    oracle="""
+    WITH RECURSIVE toks AS (
+      SELECT user_id,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS pos,
+             event_type AS tok
+      FROM events
+    ),
+    seq AS (
+      SELECT user_id, pos, tok,
+             CAST(COALESCE(lead(pos) OVER (PARTITION BY user_id, tok
+               ORDER BY pos), 1000000000) AS BIGINT) AS nu
+      FROM toks
+    ),
+    lens AS (
+      SELECT user_id, CAST(MAX(pos) AS BIGINT) AS n FROM seq
+      GROUP BY user_id
+    ),
+    rec AS (
+      SELECT user_id, 0 AS k,
+             CAST([] AS VARCHAR[]) AS lru,
+             CAST([] AS STRUCT(t VARCHAR, nu BIGINT)[]) AS opt,
+             CAST(0 AS BIGINT) AS lh, CAST(0 AS BIGINT) AS oh
+      FROM lens
+      UNION ALL
+      SELECT rec.user_id, rec.k + 1,
+             CASE WHEN list_contains(rec.lru, s.tok)
+                  THEN list_prepend(s.tok,
+                    list_filter(rec.lru, e -> e != s.tok))
+                  ELSE list_prepend(s.tok, rec.lru)[1:3] END,
+             CASE WHEN len(list_filter(rec.opt, e -> e.t = s.tok)) > 0
+                  THEN list_transform(rec.opt, e ->
+                    CASE WHEN e.t = s.tok
+                         THEN {'t': s.tok, 'nu': s.nu} ELSE e END)
+                  WHEN len(rec.opt) < 3
+                  THEN list_append(rec.opt, {'t': s.tok, 'nu': s.nu})
+                  ELSE list_append(
+                    list_filter(rec.opt, e -> e.t !=
+                      (list_reduce(rec.opt, (b, e) ->
+                        CASE WHEN e.nu > b.nu
+                               OR (e.nu = b.nu AND e.t > b.t)
+                             THEN e ELSE b END)).t),
+                    {'t': s.tok, 'nu': s.nu}) END,
+             rec.lh + CASE WHEN list_contains(rec.lru, s.tok)
+               THEN 1 ELSE 0 END,
+             rec.oh + CASE WHEN len(list_filter(rec.opt,
+               e -> e.t = s.tok)) > 0 THEN 1 ELSE 0 END
+      FROM rec
+      JOIN seq s ON s.user_id = rec.user_id AND s.pos = rec.k + 1
+    ),
+    final AS (
+      SELECT rec.user_id, rec.lh, rec.oh, lens.n
+      FROM rec JOIN lens ON lens.user_id = rec.user_id
+        AND rec.k = lens.n
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_accesses,
+           CAST(SUM(lh) AS BIGINT) AS lru_hits,
+           CAST(SUM(oh) AS BIGINT) AS opt_hits,
+           CAST(SUM(lh) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS lru_rate,
+           CAST(SUM(oh) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS opt_rate,
+           (SUM(oh) >= SUM(lh)) AS opt_dominates
+    FROM final
+    """,
+)
+def q_lru_vs_belady(spark, sf_dir):
+    """LRU vs BELADY'S OPT cache replacement, replayed exactly over
+    every user's event-type stream (cache of 3 over a 5-symbol
+    alphabet) — the systems-mechanism capstone of the online family
+    (q_secretary_stop decides once, q_ski_rental decides a
+    threshold; a cache decides EVERY access, and OPT needs the
+    future): the per-user access sequence is totally ordered by
+    (ts, event_id), each token carries its NEXT-USE position
+    precomputed relationally (one lead window per (user, type) —
+    the future made available offline, which is exactly why Belady
+    is computable here and not online), and both policies run in
+    ONE F.aggregate fold per user: LRU as a most-recent-first list
+    (hit = membership, an integer predicate), OPT evicting the
+    max-(next_use, type) entry via an inner reduce whose sentinel
+    seed provably loses to every real entry (so Spark's fold and
+    DuckDB's first-element-seeded list_reduce pick the same victim
+    — derived, tie-broken on the type string). Hit counts are exact
+    BIGINTs; OPT >= LRU (Belady optimality) is an integer compare,
+    witness-pinned per-user AND in aggregate. At 100 TB: sequences
+    are per-user bounded (documented); one shuffle to user
+    partitions, folds run map-side."""
+    ev = _t(spark, sf_dir, "events")
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    toks = ev.select(
+        "user_id",
+        F.row_number().over(w_seq).cast("bigint").alias("pos"),
+        F.col("event_type").alias("tok"),
+    )
+    w_nu = Window.partitionBy("user_id", "tok").orderBy("pos")
+    seq = toks.select(
+        "user_id",
+        "pos",
+        "tok",
+        F.coalesce(F.lead("pos").over(w_nu), F.lit(1000000000))
+        .cast("bigint")
+        .alias("nu"),
+    )
+    per = seq.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, tok, nu))),"
+            " e -> struct(e.tok AS tok, e.nu AS nu))"
+        ).alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    victim = (
+        "aggregate(acc.opt,"
+        " struct(CAST('' AS STRING) AS t, CAST(-1 AS BIGINT) AS nu),"
+        " (b, e) -> CASE WHEN e.nu > b.nu OR (e.nu = b.nu AND e.t > b.t)"
+        " THEN e ELSE b END)"
+    )
+    fold = F.expr(
+        "aggregate(s,"
+        " struct(CAST(array() AS ARRAY<STRING>) AS lru,"
+        "   CAST(array() AS ARRAY<STRUCT<t: STRING, nu: BIGINT>>) AS opt,"
+        "   CAST(0 AS BIGINT) AS lh, CAST(0 AS BIGINT) AS oh),"
+        " (acc, g) -> struct("
+        "   CASE WHEN array_contains(acc.lru, g.tok)"
+        "        THEN array_prepend(filter(acc.lru, e -> e != g.tok),"
+        "          g.tok)"
+        "        ELSE slice(array_prepend(acc.lru, g.tok), 1, 3) END"
+        "     AS lru,"
+        "   CASE WHEN size(filter(acc.opt, e -> e.t = g.tok)) > 0"
+        "        THEN transform(acc.opt, e -> CASE WHEN e.t = g.tok"
+        "          THEN struct(g.tok AS t, g.nu AS nu) ELSE e END)"
+        "        WHEN size(acc.opt) < 3"
+        "        THEN array_append(acc.opt, struct(g.tok AS t, g.nu AS nu))"
+        f"       ELSE array_append(filter(acc.opt,"
+        f"         e -> e.t != ({victim}).t),"
+        "          struct(g.tok AS t, g.nu AS nu)) END AS opt,"
+        "   acc.lh + CASE WHEN array_contains(acc.lru, g.tok)"
+        "     THEN 1 ELSE 0 END AS lh,"
+        "   acc.oh + CASE WHEN size(filter(acc.opt, e -> e.t = g.tok)) > 0"
+        "     THEN 1 ELSE 0 END AS oh))"
+    )
+    folded = per.select("user_id", "n", fold.alias("st"))
+    return folded.agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_accesses"),
+        F.sum(F.col("st")["lh"]).cast("bigint").alias("lru_hits"),
+        F.sum(F.col("st")["oh"]).cast("bigint").alias("opt_hits"),
+        (
+            F.sum(F.col("st")["lh"]).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("lru_rate"),
+        (
+            F.sum(F.col("st")["oh"]).cast("double")
+            / F.sum("n").cast("double")
+        ).alias("opt_rate"),
+        (
+            F.sum(F.col("st")["oh"]) >= F.sum(F.col("st")["lh"])
+        ).alias("opt_dominates"),
+    )

@@ -2901,3 +2901,116 @@ def test_no_python_row_udfs_in_round12_staged_b20(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 21
+
+
+def test_secretary_stop_witness(spark, duck):
+    import datetime
+
+    daily = _daily_cents(duck)
+    anchor = datetime.date(2024, 1, 1)
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_secretary_stop"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(daily)
+    found = 0
+    for t in daily:
+        byday = {(d - anchor).days: c for d, c in daily[t].items()}
+        xs = [byday.get(d, 0) for d in range(30)]
+        bar = max(xs[:11])
+        pick = next((d for d in range(11, 30) if xs[d] > bar), 29)
+        r = got[t]
+        assert (r.threshold_cents, r.pick_day) == (bar, pick)
+        assert r.picked_cents == xs[pick]
+        assert r.best_cents == max(xs)
+        assert r.found_best == (xs[pick] == max(xs))
+        found += r.found_best
+    assert found >= 1  # the 1/e rule finds a true max somewhere
+
+
+def test_ski_rental_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE))"
+        f" FROM '{SF_DIR}/events.parquet' GROUP BY user_id"
+    ).fetchall()
+    per_days = collections.Counter()
+    opt_total = online_total = 0
+    for _, days in rows:
+        days = int(days)
+        per_days[days] += 1
+        opt = min(days, 10)
+        online = days if days < 10 else 20
+        opt_total += opt
+        online_total += online
+        assert online <= 2 * opt  # 2-competitive, always
+    got = {
+        r.days: r
+        for r in STAGED_QUERIES["q_ski_rental"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per_days)
+    for days, r in got.items():
+        assert r.n_users_at == per_days[days]
+        assert r.opt_cost == min(days, 10)
+        assert r.online_cost == (days if days < 10 else 20)
+        assert (r.opt_total, r.online_total) == (opt_total, online_total)
+        assert r.ratio_violations == 0
+        assert r.competitive_ratio == pytest.approx(
+            online_total / opt_total, rel=1e-12
+        )
+        assert r.competitive_ratio <= 2.0
+
+
+def test_lru_vs_belady_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id, event_type FROM '{SF_DIR}/events.parquet'"
+        f" ORDER BY user_id, ts, event_id"
+    ).fetchall()
+    seqs = collections.defaultdict(list)
+    for uid, tok in rows:
+        seqs[uid].append(tok)
+    lru_hits = opt_hits = n_acc = 0
+    for seq in seqs.values():
+        n_acc += len(seq)
+        # LRU
+        cache = []
+        for tok in seq:
+            if tok in cache:
+                lru_hits += 1
+                cache.remove(tok)
+            cache.insert(0, tok)
+            cache = cache[:3]
+        # Belady OPT with deterministic (nu desc, t desc) eviction
+        nxt = {}
+        nus = [0] * len(seq)
+        for i in range(len(seq) - 1, -1, -1):
+            nus[i] = nxt.get(seq[i], 10**9)
+            nxt[seq[i]] = i + 1
+        cache2 = {}
+        for i, tok in enumerate(seq):
+            if tok in cache2:
+                opt_hits += 1
+                cache2[tok] = nus[i]
+            elif len(cache2) < 3:
+                cache2[tok] = nus[i]
+            else:
+                victim = max(cache2, key=lambda t: (cache2[t], t))
+                del cache2[victim]
+                cache2[tok] = nus[i]
+    [r] = STAGED_QUERIES["q_lru_vs_belady"](spark, SF_DIR).collect()
+    assert (r.n_users, r.n_accesses) == (len(seqs), n_acc)
+    assert (r.lru_hits, r.opt_hits) == (lru_hits, opt_hits)
+    assert r.lru_rate == pytest.approx(lru_hits / n_acc, rel=1e-12)
+    assert r.opt_rate == pytest.approx(opt_hits / n_acc, rel=1e-12)
+    assert r.opt_dominates and opt_hits >= lru_hits  # Belady optimality
+
+
+@pytest.mark.parametrize(
+    "name", ["q_secretary_stop", "q_ski_rental", "q_lru_vs_belady"]
+)
+def test_no_python_row_udfs_in_round12_staged_b21(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
