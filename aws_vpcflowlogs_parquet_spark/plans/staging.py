@@ -10049,3 +10049,477 @@ def q_lru_vs_belady(spark, sf_dir):
             F.sum(F.col("st")["oh"]) >= F.sum(F.col("st")["lh"])
         ).alias("opt_dominates"),
     )
+
+
+# =====================================================================
+# Round-12 staged batch 22 — distributed-systems + geometry
+# mechanisms: rendezvous (HRW) hashing with the minimal-disruption
+# pin, vector-clock causality classification, Douglas-Peucker
+# polyline simplification with exact integer split decisions.
+# Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_rendezvous_hash",
+    oracle="""
+    WITH keys AS (
+      SELECT DISTINCT user_id FROM events
+    ),
+    nodes AS (SELECT unnest(['n0', 'n1', 'n2', 'n3', 'n4']) AS node),
+    weights AS (
+      SELECT k.user_id, n.node,
+             CAST(CAST('0x' || substring(md5(
+               CAST(k.user_id AS VARCHAR) || '@' || n.node), 1, 15)
+               AS BIGINT) AS BIGINT) AS w
+      FROM keys k CROSS JOIN nodes n
+    ),
+    owner5 AS (
+      SELECT user_id, node FROM (
+        SELECT user_id, node,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY w DESC, node) AS rn
+        FROM weights
+      ) WHERE rn = 1
+    ),
+    owner4 AS (
+      SELECT user_id, node FROM (
+        SELECT user_id, node,
+               row_number() OVER (PARTITION BY user_id
+                 ORDER BY w DESC, node) AS rn
+        FROM weights WHERE node != 'n4'
+      ) WHERE rn = 1
+    ),
+    moved AS (
+      SELECT CAST(SUM(CASE WHEN o5.node != o4.node THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_moved,
+             CAST(SUM(CASE WHEN o5.node != o4.node
+               AND o5.node != 'n4' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_illegal_moves
+      FROM owner5 o5 JOIN owner4 o4 ON o4.user_id = o5.user_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM keys)
+    SELECT o5.node AS node,
+           CAST(COUNT(*) AS BIGINT) AS n_keys_owned,
+           tot.n_keys, moved.n_moved, moved.n_illegal_moves,
+           CAST(moved.n_moved AS DOUBLE) / CAST(tot.n_keys AS DOUBLE)
+             AS moved_fraction
+    FROM owner5 o5 CROSS JOIN tot CROSS JOIN moved
+    GROUP BY o5.node, tot.n_keys, moved.n_moved, moved.n_illegal_moves
+    ORDER BY node
+    """,
+)
+def q_rendezvous_hash(spark, sf_dir):
+    """RENDEZVOUS (highest-random-weight) HASHING with the
+    minimal-disruption audit — the OTHER consistent-placement scheme
+    (q_consistent_hashing walks a ring; HRW gives every key an
+    independent per-node score and takes the argmax, no ring state
+    at all): per-(key, node) weights are engine-portable md5
+    integers (15 hex chars — within the exact int64 range), the
+    owner is a (weight desc, node asc) argmax, and the defining HRW
+    GUARANTEE is verified structurally: removing node n4 moves ONLY
+    the keys n4 owned — n_illegal_moves (keys that moved while
+    their owner survived) is an exact integer pinned to ZERO,
+    because dropping a non-argmax row can never change an argmax
+    (derived). At 100 TB: one distinct-key projection, a 5-way
+    broadcast fan-out, two lattice argmaxes — no resharding state
+    anywhere."""
+    keys = _t(spark, sf_dir, "events").select("user_id").distinct()
+    nodes = spark.createDataFrame(
+        [(f"n{i}",) for i in range(5)], "node STRING"
+    )
+    weights = keys.crossJoin(F.broadcast(nodes)).select(
+        "user_id",
+        "node",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("@"),
+                        F.col("node"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("w"),
+    )
+    weights = track_persist(weights)
+    w_rank = Window.partitionBy("user_id").orderBy(F.desc("w"), "node")
+    owner5 = (
+        weights.select(
+            "user_id", "node", F.row_number().over(w_rank).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "node")
+    )
+    owner4 = (
+        weights.filter(F.col("node") != "n4")
+        .select(
+            "user_id", "node", F.row_number().over(w_rank).alias("rn")
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("node").alias("node4"))
+    )
+    owner5 = track_persist(owner5)
+    moved = owner5.join(owner4, "user_id").agg(
+        F.sum(F.when(F.col("node") != F.col("node4"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_moved"),
+        F.sum(
+            F.when(
+                (F.col("node") != F.col("node4"))
+                & (F.col("node") != "n4"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_illegal_moves"),
+    )
+    tot = keys.agg(F.count("*").cast("bigint").alias("n_keys"))
+    return (
+        owner5.groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_keys_owned"))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(moved))
+        .select(
+            "node",
+            "n_keys_owned",
+            "n_keys",
+            "n_moved",
+            "n_illegal_moves",
+            (
+                F.col("n_moved").cast("double")
+                / F.col("n_keys").cast("double")
+            ).alias("moved_fraction"),
+        )
+        .orderBy("node")
+    )
+
+
+@staged(
+    "q_vector_clocks",
+    oracle="""
+    WITH clocks AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c3,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS c4
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.d AS da, b.d AS db,
+             CASE WHEN a.c0 <= b.c0 AND a.c1 <= b.c1 AND a.c2 <= b.c2
+                   AND a.c3 <= b.c3 AND a.c4 <= b.c4 THEN 1 ELSE 0 END
+               AS le,
+             CASE WHEN b.c0 <= a.c0 AND b.c1 <= a.c1 AND b.c2 <= a.c2
+                   AND b.c3 <= a.c3 AND b.c4 <= a.c4 THEN 1 ELSE 0 END
+               AS ge
+      FROM clocks a JOIN clocks b ON a.d < b.d
+    ),
+    classed AS (
+      SELECT CASE WHEN le = 1 AND ge = 1 THEN 'equal'
+                  WHEN le = 1 THEN 'happens_before'
+                  WHEN ge = 1 THEN 'happens_after'
+                  ELSE 'concurrent' END AS relation
+      FROM pairs
+    )
+    SELECT relation, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM classed GROUP BY relation ORDER BY relation
+    """,
+)
+def q_vector_clocks(spark, sf_dir):
+    """VECTOR-CLOCK CAUSALITY CLASSIFICATION — the distributed-
+    systems completion next to q_crdt_gcounter (the G-counter MERGES
+    replica states; vector clocks ORDER them: component-wise <=
+    defines happens-before, incomparability means concurrency): each
+    day's 5 per-type event counters form a clock snapshot, every
+    ordered day pair is classified by the two exact component-wise
+    integer comparisons (le/ge — a 4-way partition into
+    happens-before / happens-after / concurrent / equal, decided by
+    integers only), and the day-pair space is the bounded 30x30
+    lattice. Cumulative (true vector-clock) snapshots would make
+    every pair comparable — the per-day DELTA clocks keep genuine
+    concurrency visible, documented. At 100 TB: raw volume dies in
+    the (day) conditional agg; the pair join is 435 rows."""
+    clocks = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col("event_type") == t, 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"c{i}")
+                for i, t in enumerate(
+                    ["click", "error", "purchase", "signup", "view"]
+                )
+            ]
+        )
+    )
+    clocks = track_persist(clocks)
+    a = clocks.alias("a")
+    b = clocks.alias("b")
+    le = F.lit(True)
+    ge = F.lit(True)
+    for i in range(5):
+        le = le & (F.col(f"a.c{i}") <= F.col(f"b.c{i}"))
+        ge = ge & (F.col(f"b.c{i}") <= F.col(f"a.c{i}"))
+    pairs = a.join(F.broadcast(b), F.col("a.d") < F.col("b.d")).select(
+        le.alias("le"), ge.alias("ge")
+    )
+    return (
+        pairs.select(
+            F.when(F.col("le") & F.col("ge"), "equal")
+            .when(F.col("le"), "happens_before")
+            .when(F.col("ge"), "happens_after")
+            .otherwise("concurrent")
+            .alias("relation")
+        )
+        .groupBy("relation")
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("relation")
+    )
+
+
+@staged(
+    "q_douglas_peucker",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) // 100
+               AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    ends AS (
+      SELECT g0.t, g0.x AS x0, g29.x AS x29
+      FROM (SELECT t, x FROM grid WHERE d = 0) g0
+      JOIN (SELECT t, x FROM grid WHERE d = 29) g29 ON g29.t = g0.t
+    ),
+    l1 AS (
+      SELECT t, d, x, cr FROM (
+        SELECT g.t, g.d, g.x,
+               CAST(abs(29 * (g.x - ends.x0)
+                 - g.d * (ends.x29 - ends.x0)) AS BIGINT) AS cr,
+               row_number() OVER (PARTITION BY g.t
+                 ORDER BY abs(29 * (g.x - ends.x0)
+                   - g.d * (ends.x29 - ends.x0)) DESC, g.d) AS rn
+        FROM grid g JOIN ends ON ends.t = g.t
+        WHERE g.d > 0 AND g.d < 29
+      ) WHERE rn = 1
+    ),
+    segs AS (
+      SELECT ends.t, 0 AS seg, CAST(0 AS BIGINT) AS da, ends.x0 AS xa,
+             l1.d AS db, l1.x AS xb
+      FROM ends JOIN l1 ON l1.t = ends.t
+      UNION ALL
+      SELECT ends.t, 1, l1.d, l1.x, CAST(29 AS BIGINT), ends.x29
+      FROM ends JOIN l1 ON l1.t = ends.t
+    ),
+    l2 AS (
+      SELECT t, seg, d, x, cr FROM (
+        SELECT g.t, s.seg, g.d, g.x,
+               CAST(abs((s.db - s.da) * (g.x - s.xa)
+                 - (g.d - s.da) * (s.xb - s.xa)) AS BIGINT) AS cr,
+               row_number() OVER (PARTITION BY g.t, s.seg
+                 ORDER BY abs((s.db - s.da) * (g.x - s.xa)
+                   - (g.d - s.da) * (s.xb - s.xa)) DESC, g.d) AS rn
+        FROM grid g JOIN segs s ON s.t = g.t
+        WHERE g.d > s.da AND g.d < s.db
+      ) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT t, 0 AS lvl, CAST(-1 AS BIGINT) AS seg,
+             CAST(0 AS BIGINT) AS d, x0 AS x, CAST(0 AS BIGINT) AS cr
+      FROM ends
+      UNION ALL
+      SELECT t, 0, CAST(-1 AS BIGINT), CAST(29 AS BIGINT), x29,
+             CAST(0 AS BIGINT)
+      FROM ends
+      UNION ALL
+      SELECT t, 1, CAST(-1 AS BIGINT), d, x, cr FROM l1
+      UNION ALL
+      SELECT t, 2, CAST(seg AS BIGINT), d, x, cr FROM l2
+    )
+    SELECT t, CAST(lvl AS BIGINT) AS lvl, seg, d, x, cr
+    FROM kept ORDER BY t, d, lvl
+    """,
+)
+def q_douglas_peucker(spark, sf_dir):
+    """DOUGLAS-PEUCKER POLYLINE SIMPLIFICATION (depth 2) of each
+    type's 30-day daily series — the geometry-family completion
+    (q_shoelace_area measures polygons, q_sax_symbolize discretizes
+    amplitude; DP keeps the SHAPE-CRITICAL vertices, the standard
+    trajectory/line compression in GIS and telemetry): every split
+    decision is the argmax of the perpendicular distance from the
+    segment chord, decided EXACTLY on the integer CROSS-PRODUCT
+    numerator |( db-da)(x-xa) - (d-da)(xb-xa)| (distance =
+    |cross| / |chord| and the chord is constant per segment, so the
+    sqrt-free argmax is derived-exact; ties to the earlier day),
+    two unrolled recursion levels over the bounded day grid, kept
+    vertices emitted with their exact cross numerators. At 100 TB:
+    raw volume dies in the (t, day) agg; both split levels are
+    150-row broadcast work."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(round(value * 100) AS BIGINT)) div 100"
+                " AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    grid = track_persist(grid)
+    ends = (
+        grid.filter(F.col("d") == 0)
+        .select("t", F.col("x").alias("x0"))
+        .join(
+            F.broadcast(
+                grid.filter(F.col("d") == 29).select(
+                    "t", F.col("x").alias("x29")
+                )
+            ),
+            "t",
+        )
+    )
+    cr1 = F.abs(
+        29 * (F.col("x") - F.col("x0"))
+        - F.col("d") * (F.col("x29") - F.col("x0"))
+    ).cast("bigint")
+    w1 = Window.partitionBy("t").orderBy(
+        F.desc("cr"), "d"
+    )
+    l1 = (
+        grid.filter((F.col("d") > 0) & (F.col("d") < 29))
+        .join(F.broadcast(ends), "t")
+        .select("t", "d", "x", cr1.alias("cr"))
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("t", "d", "x", "cr")
+    )
+    l1 = track_persist(l1)
+    segs = (
+        ends.join(F.broadcast(l1.select("t", F.col("d").alias("md"), F.col("x").alias("mx"))), "t")
+        .select(
+            "t",
+            F.lit(0).alias("seg"),
+            F.lit(0).cast("bigint").alias("da"),
+            F.col("x0").alias("xa"),
+            F.col("md").alias("db"),
+            F.col("mx").alias("xb"),
+        )
+        .unionAll(
+            ends.join(
+                F.broadcast(
+                    l1.select(
+                        "t",
+                        F.col("d").alias("md"),
+                        F.col("x").alias("mx"),
+                    )
+                ),
+                "t",
+            ).select(
+                "t",
+                F.lit(1).alias("seg"),
+                F.col("md").alias("da"),
+                F.col("mx").alias("xa"),
+                F.lit(29).cast("bigint").alias("db"),
+                F.col("x29").alias("xb"),
+            )
+        )
+    )
+    cr2 = F.abs(
+        (F.col("db") - F.col("da")) * (F.col("x") - F.col("xa"))
+        - (F.col("d") - F.col("da")) * (F.col("xb") - F.col("xa"))
+    ).cast("bigint")
+    w2 = Window.partitionBy("t", "seg").orderBy(F.desc("cr"), "d")
+    l2 = (
+        grid.join(F.broadcast(segs), "t")
+        .filter((F.col("d") > F.col("da")) & (F.col("d") < F.col("db")))
+        .select("t", "seg", "d", "x", cr2.alias("cr"))
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("t", "seg", "d", "x", "cr")
+    )
+    kept = (
+        ends.select(
+            "t",
+            F.lit(0).cast("bigint").alias("lvl"),
+            F.lit(-1).cast("bigint").alias("seg"),
+            F.lit(0).cast("bigint").alias("d"),
+            F.col("x0").alias("x"),
+            F.lit(0).cast("bigint").alias("cr"),
+        )
+        .unionAll(
+            ends.select(
+                "t",
+                F.lit(0).cast("bigint").alias("lvl"),
+                F.lit(-1).cast("bigint").alias("seg"),
+                F.lit(29).cast("bigint").alias("d"),
+                F.col("x29").alias("x"),
+                F.lit(0).cast("bigint").alias("cr"),
+            )
+        )
+        .unionAll(
+            l1.select(
+                "t",
+                F.lit(1).cast("bigint").alias("lvl"),
+                F.lit(-1).cast("bigint").alias("seg"),
+                "d",
+                "x",
+                "cr",
+            )
+        )
+        .unionAll(
+            l2.select(
+                "t",
+                F.lit(2).cast("bigint").alias("lvl"),
+                F.col("seg").cast("bigint").alias("seg"),
+                "d",
+                "x",
+                "cr",
+            )
+        )
+    )
+    return kept.orderBy("t", "d", "lvl")

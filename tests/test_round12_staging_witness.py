@@ -3014,3 +3014,140 @@ def test_no_python_row_udfs_in_round12_staged_b21(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 22
+
+
+def test_rendezvous_hash_witness(spark, duck):
+    keys = [
+        int(u)
+        for (u,) in duck.sql(
+            f"SELECT DISTINCT user_id FROM '{SF_DIR}/events.parquet'"
+        ).fetchall()
+    ]
+    nodes = [f"n{i}" for i in range(5)]
+
+    def w(uid, node):
+        return int(
+            hashlib.md5(f"{uid}@{node}".encode()).hexdigest()[:15], 16
+        )
+
+    own5 = {
+        uid: max(nodes, key=lambda nd: (w(uid, nd), [-ord(c) for c in nd]))
+        for uid in keys
+    }
+    own4 = {
+        uid: max(
+            nodes[:4], key=lambda nd: (w(uid, nd), [-ord(c) for c in nd])
+        )
+        for uid in keys
+    }
+    moved = sum(1 for uid in keys if own5[uid] != own4[uid])
+    illegal = sum(
+        1 for uid in keys if own5[uid] != own4[uid] and own5[uid] != "n4"
+    )
+    counts = collections.Counter(own5.values())
+    got = {
+        r.node: r
+        for r in STAGED_QUERIES["q_rendezvous_hash"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) <= set(nodes)
+    for node, r in got.items():
+        assert r.n_keys_owned == counts[node]
+        assert (r.n_keys, r.n_moved) == (len(keys), moved)
+        assert r.n_illegal_moves == illegal == 0  # HRW guarantee
+        assert r.moved_fraction == pytest.approx(
+            moved / len(keys), rel=1e-12
+        )
+    # only n4's keys moved
+    assert moved == counts["n4"]
+
+
+def test_vector_clocks_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)),"
+        f" event_type, COUNT(*) FROM '{SF_DIR}/events.parquet'"
+        f" GROUP BY 1, 2"
+    ).fetchall()
+    types = ["click", "error", "purchase", "signup", "view"]
+    clocks = collections.defaultdict(lambda: [0] * 5)
+    for d, t, n in rows:
+        clocks[d][types.index(t)] = n
+    days = sorted(clocks)
+    classed = collections.Counter()
+    for i, da in enumerate(days):
+        for db in days[i + 1 :]:
+            a, b = clocks[da], clocks[db]
+            le = all(x <= y for x, y in zip(a, b))
+            ge = all(y <= x for x, y in zip(a, b))
+            classed[
+                "equal"
+                if le and ge
+                else "happens_before"
+                if le
+                else "happens_after"
+                if ge
+                else "concurrent"
+            ] += 1
+    got = {
+        r.relation: r.n_pairs
+        for r in STAGED_QUERIES["q_vector_clocks"](spark, SF_DIR).collect()
+    }
+    assert got == dict(classed)
+    assert sum(got.values()) == len(days) * (len(days) - 1) // 2
+
+
+def test_douglas_peucker_witness(spark, duck):
+    import datetime
+
+    daily = _daily_cents(duck)
+    anchor = datetime.date(2024, 1, 1)
+    rows = STAGED_QUERIES["q_douglas_peucker"](spark, SF_DIR).collect()
+    per = collections.defaultdict(list)
+    for r in rows:
+        per[r.t].append(r)
+    assert set(per) == set(daily)
+    for t, rs in per.items():
+        byday = {(d - anchor).days: c // 100 for d, c in daily[t].items()}
+        xs = [byday.get(d, 0) for d in range(30)]
+
+        def split(da, db):
+            best = max(
+                ((abs((db - da) * (xs[d] - xs[da])
+                      - (d - da) * (xs[db] - xs[da])), -d), d)
+                for d in range(da + 1, db)
+            )
+            return best[1], best[0][0]
+
+        m1, cr1 = split(0, 29)
+        m20, cr20 = split(0, m1)
+        m21, cr21 = split(m1, 29)
+        expect = sorted(
+            [
+                (0, 0, -1, 0),
+                (29, 0, -1, 0),
+                (m1, 1, -1, cr1),
+                (m20, 2, 0, cr20),
+                (m21, 2, 1, cr21),
+            ]
+        )
+        gotrows = sorted((r.d, r.lvl, r.seg, r.cr) for r in rs)
+        assert gotrows == [
+            (d, lvl, seg, cr) for d, lvl, seg, cr in expect
+        ]
+        for r in rs:
+            assert r.x == xs[r.d]
+        # level-1 split dominates both level-2 residuals on its chord
+        assert len(rs) == 5
+
+
+@pytest.mark.parametrize(
+    "name", ["q_rendezvous_hash", "q_vector_clocks", "q_douglas_peucker"]
+)
+def test_no_python_row_udfs_in_round12_staged_b22(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
