@@ -10523,3 +10523,361 @@ def q_douglas_peucker(spark, sf_dir):
         )
     )
     return kept.orderBy("t", "d", "lvl")
+
+
+# =====================================================================
+# Round-12 staged batch 23 — engine-mechanics mechanisms: Batcher
+# sorting network (0-1-principle verified), Gorilla delta-of-delta
+# timestamp compression cost, Roaring bitmap container selection.
+# Promotion target: round 13.
+# =====================================================================
+
+
+def _batcher8():
+    """Batcher odd-even mergesort comparator network for n = 8
+    (19 comparators), generated by the textbook iterative algorithm —
+    one source of truth for both engines and the witness."""
+    comps = []
+    p = 1
+    while p < 8:
+        k = p
+        while k >= 1:
+            for j in range(k % p, 8 - k, 2 * k):
+                for i in range(0, min(k, 8 - j - k)):
+                    if (i + j) // (2 * p) == (i + j + k) // (2 * p):
+                        comps.append((i + j, i + j + k))
+            k //= 2
+        p *= 2
+    return comps
+
+
+def _sorting_network_oracle() -> str:
+    steps = []
+    prev = "s0"
+    anchor = (
+        "SELECT list(v ORDER BY bk) AS a FROM ("
+        "SELECT CAST(user_id % 8 AS BIGINT) AS bk,"
+        " CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v"
+        " FROM events GROUP BY 1)"
+    )
+    ctes = [f"s0 AS ({anchor})"]
+    for n, (lo, hi) in enumerate(_batcher8(), 1):
+        ctes.append(
+            f"s{n} AS (SELECT list_transform(range(1, 9), i -> CASE"
+            f" WHEN i = {lo + 1} THEN least(a[{lo + 1}], a[{hi + 1}])"
+            f" WHEN i = {hi + 1} THEN greatest(a[{lo + 1}], a[{hi + 1}])"
+            f" ELSE a[i] END) AS a FROM s{n - 1})"
+        )
+        prev = f"s{n}"
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT CAST(nn.n - 1 AS BIGINT) AS pos,
+           CAST({prev}.a[nn.n] AS BIGINT) AS v,
+           (SELECT {prev}.a = list_sort(s0.a) FROM s0) AS network_sorts
+    FROM {prev} CROSS JOIN (SELECT unnest(range(1, 9)) AS n) nn
+    ORDER BY pos
+    """
+
+
+@staged("q_sorting_network", oracle=_sorting_network_oracle())
+def q_sorting_network(spark, sf_dir):
+    """BATCHER ODD-EVEN MERGESORT NETWORK (n = 8, 19 comparators)
+    applied to the 8 user-bucket cents totals — the DATA-OBLIVIOUS
+    sorting mechanism (a comparator network's exchanges are fixed in
+    advance: the schedule hardware sorters, SIMD kernels and
+    oblivious/secure sorts run, as opposed to every comparison-
+    adaptive sort in the engine): the 19 comparator swaps fold over
+    the value array as min/max pairs generated FROM ONE PYTHON
+    ALGORITHM for both engines (the q_gale_shapley template
+    discipline), every exchange is an exact integer least/greatest,
+    and the output is pinned equal to array_sort — while the WITNESS
+    proves the network correct for ALL inputs via the 0-1 PRINCIPLE
+    (all 256 binary vectors sort => every input sorts, Knuth 5.3.4).
+    At 100 TB: one hash agg to 8 values; the network is 19 scalar
+    exchanges."""
+    vals = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.expr("CAST(user_id % 8 AS BIGINT)").alias("bk"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(bk, v))),"
+                " e -> e.v)"
+            ).alias("orig")
+        )
+    )
+    comps = "array(" + ", ".join(
+        f"struct({lo + 1} AS lo, {hi + 1} AS hi)"
+        for lo, hi in _batcher8()
+    ) + ")"
+    fold = F.expr(
+        f"aggregate({comps}, orig,"
+        " (acc, c) -> transform(sequence(1, 8), i -> CASE"
+        "   WHEN i = c.lo THEN least(element_at(acc, c.lo),"
+        "                            element_at(acc, c.hi))"
+        "   WHEN i = c.hi THEN greatest(element_at(acc, c.lo),"
+        "                               element_at(acc, c.hi))"
+        "   ELSE element_at(acc, CAST(i AS INT)) END))"
+    )
+    net = vals.select(fold.alias("a"), "orig")
+    return (
+        net.select(
+            F.posexplode("a").alias("pos", "v"),
+            F.expr("a = array_sort(orig)").alias("network_sorts"),
+        )
+        .select(
+            F.col("pos").cast("bigint").alias("pos"),
+            F.col("v").cast("bigint").alias("v"),
+            "network_sorts",
+        )
+        .orderBy("pos")
+    )
+
+
+@staged(
+    "q_gorilla_cost",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+             CAST(epoch_us(ts) // 1000000 AS BIGINT) AS s,
+             lag(CAST(epoch_us(ts) // 1000000 AS BIGINT), 1)
+               OVER w AS p1,
+             lag(CAST(epoch_us(ts) // 1000000 AS BIGINT), 2)
+               OVER w AS p2
+      FROM events
+      WINDOW w AS (
+        PARTITION BY event_type,
+                     datediff('day', DATE '2024-01-01', CAST(ts AS DATE))
+        ORDER BY ts, event_id)
+    ),
+    dod AS (
+      SELECT t, (s - p1) - (p1 - p2) AS dd
+      FROM seq WHERE p2 IS NOT NULL
+    ),
+    buckets AS (
+      SELECT t,
+             CASE WHEN dd = 0 THEN 'b0_zero'
+                  WHEN dd BETWEEN -63 AND 64 THEN 'b1_7bit'
+                  WHEN dd BETWEEN -255 AND 256 THEN 'b2_9bit'
+                  WHEN dd BETWEEN -2047 AND 2048 THEN 'b3_12bit'
+                  ELSE 'b4_32bit' END AS bucket,
+             CASE WHEN dd = 0 THEN 1
+                  WHEN dd BETWEEN -63 AND 64 THEN 9
+                  WHEN dd BETWEEN -255 AND 256 THEN 12
+                  WHEN dd BETWEEN -2047 AND 2048 THEN 16
+                  ELSE 36 END AS bits
+      FROM dod
+    ),
+    agg AS (
+      SELECT t, bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(bits) AS BIGINT) AS bits
+      FROM buckets GROUP BY t, bucket
+    ),
+    tots AS (
+      SELECT t, CAST(SUM(n) AS BIGINT) AS n_dods,
+             CAST(SUM(bits) AS BIGINT) AS dod_bits
+      FROM agg GROUP BY t
+    )
+    SELECT agg.t AS t, agg.bucket, agg.n, agg.bits,
+           tots.n_dods, tots.dod_bits,
+           CAST(tots.dod_bits AS DOUBLE)
+             / (64.0 * CAST(tots.n_dods AS DOUBLE)) AS compression_ratio
+    FROM agg JOIN tots ON tots.t = agg.t
+    ORDER BY t, bucket
+    """,
+)
+def q_gorilla_cost(spark, sf_dir):
+    """GORILLA DELTA-OF-DELTA timestamp compression accounting — the
+    time-series storage costing next to q_postings_compression
+    (Elias-gamma prices posting GAPS; Gorilla's variable-length
+    delta-of-delta — Facebook 2015 — prices TIMESTAMP streams, the
+    scheme inside every modern TSDB): per (type, day) partition the
+    stream is ordered by the full (ts, event_id) tuple, two lags
+    give dod = (t_i - t_{i-1}) - (t_{i-1} - t_{i-2}) on the exact
+    integer-second lattice (micros div 1e6 — the q_little_law
+    rounding finding), and the published bucket schedule (0 -> 1
+    bit; +-7/9/12-bit windows -> 9/12/16; else 36) is a pure
+    integer CASE — every bit count is an exact BIGINT, one division
+    at readout vs the 64-bit raw baseline. Day-partitioned windows,
+    not type-partitioned: 5 giant partitions would serialize at
+    100 TB, and the two lost dods per day-boundary are the
+    documented price of parallelism."""
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+    )
+    w = Window.partitionBy(F.col("event_type"), day).orderBy(
+        "ts", "event_id"
+    )
+    s = F.expr("CAST(unix_micros(ts) div 1000000 AS BIGINT)")
+    seq = ev.select(
+        F.col("event_type").alias("t"),
+        s.alias("s"),
+        F.lag(s, 1).over(w).alias("p1"),
+        F.lag(s, 2).over(w).alias("p2"),
+    )
+    dod = seq.filter(F.col("p2").isNotNull()).select(
+        "t",
+        (
+            (F.col("s") - F.col("p1")) - (F.col("p1") - F.col("p2"))
+        ).alias("dd"),
+    )
+    bucket = (
+        F.when(F.col("dd") == 0, "b0_zero")
+        .when(F.col("dd").between(-63, 64), "b1_7bit")
+        .when(F.col("dd").between(-255, 256), "b2_9bit")
+        .when(F.col("dd").between(-2047, 2048), "b3_12bit")
+        .otherwise("b4_32bit")
+    )
+    bits = (
+        F.when(F.col("dd") == 0, 1)
+        .when(F.col("dd").between(-63, 64), 9)
+        .when(F.col("dd").between(-255, 256), 12)
+        .when(F.col("dd").between(-2047, 2048), 16)
+        .otherwise(36)
+    )
+    agg = (
+        dod.select("t", bucket.alias("bucket"), bits.alias("bits"))
+        .groupBy("t", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("bits").cast("bigint").alias("bits"),
+        )
+    )
+    agg = track_persist(agg)
+    tots = agg.groupBy("t").agg(
+        F.sum("n").cast("bigint").alias("n_dods"),
+        F.sum("bits").cast("bigint").alias("dod_bits"),
+    )
+    return (
+        agg.join(F.broadcast(tots), "t")
+        .select(
+            "t",
+            "bucket",
+            "n",
+            "bits",
+            "n_dods",
+            "dod_bits",
+            (
+                F.col("dod_bits").cast("double")
+                / (64.0 * F.col("n_dods").cast("double"))
+            ).alias("compression_ratio"),
+        )
+        .orderBy("t", "bucket")
+    )
+
+
+@staged(
+    "q_roaring_containers",
+    oracle="""
+    WITH ids AS (
+      SELECT DISTINCT event_type AS t, CAST(event_id AS BIGINT) AS v
+      FROM events
+    ),
+    chunked AS (
+      SELECT t, CAST(v // 65536 AS BIGINT) AS chunk,
+             CAST(v % 65536 AS BIGINT) AS lo
+      FROM ids
+    ),
+    runs AS (
+      SELECT t, chunk, lo,
+             CASE WHEN lag(lo) OVER (PARTITION BY t, chunk ORDER BY lo)
+                    = lo - 1 THEN 0 ELSE 1 END AS run_start
+      FROM chunked
+    ),
+    stats AS (
+      SELECT t, chunk,
+             CAST(COUNT(*) AS BIGINT) AS card,
+             CAST(SUM(run_start) AS BIGINT) AS n_runs
+      FROM runs GROUP BY t, chunk
+    ),
+    sized AS (
+      SELECT t, chunk, card, n_runs,
+             CAST(2 * card AS BIGINT) AS array_bytes,
+             CAST(8192 AS BIGINT) AS bitmap_bytes,
+             CAST(2 + 4 * n_runs AS BIGINT) AS run_bytes
+      FROM stats
+    )
+    SELECT t, chunk, card, n_runs, array_bytes, bitmap_bytes, run_bytes,
+           CASE WHEN run_bytes < LEAST(array_bytes, bitmap_bytes)
+                  THEN 'run'
+                WHEN card <= 4096 THEN 'array'
+                ELSE 'bitmap' END AS container,
+           CAST(LEAST(run_bytes, array_bytes, bitmap_bytes) AS BIGINT)
+             AS best_bytes
+    FROM sized ORDER BY t, chunk
+    """,
+)
+def q_roaring_containers(spark, sf_dir):
+    """ROARING BITMAP CONTAINER SELECTION — the codec decision
+    inside the industry-standard compressed bitmap (q_bitmap_rollup
+    does the 64-bit OR algebra; real roaring splits the id space
+    into 65536-value chunks and picks array (2 bytes/value, cap
+    4096), bitmap (fixed 8 KiB) or run (4 bytes/run + 2) PER CHUNK
+    — Chambi et al. 2016): distinct per-type event ids chunk by
+    v div 65536, run counts come from ONE lag per (t, chunk)
+    partition (a run starts where the predecessor isn't v-1 — an
+    exact integer predicate), and every byte cost and the
+    container verdict are integer CASE decisions — the actual
+    roaring heuristic, never a float. At 100 TB: one distinct
+    projection, one partitioned lag, one hash agg — the same shape
+    as a real bitmap build."""
+    ids = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("t"),
+            F.col("event_id").cast("bigint").alias("v"),
+        )
+        .distinct()
+    )
+    chunked = ids.select(
+        "t",
+        F.expr("CAST(v div 65536 AS BIGINT)").alias("chunk"),
+        (F.col("v") % 65536).cast("bigint").alias("lo"),
+    )
+    w = Window.partitionBy("t", "chunk").orderBy("lo")
+    runs = chunked.select(
+        "t",
+        "chunk",
+        F.when(F.lag("lo").over(w) == F.col("lo") - 1, 0)
+        .otherwise(1)
+        .alias("run_start"),
+    )
+    stats = runs.groupBy("t", "chunk").agg(
+        F.count("*").cast("bigint").alias("card"),
+        F.sum("run_start").cast("bigint").alias("n_runs"),
+    )
+    sized = stats.select(
+        "t",
+        "chunk",
+        "card",
+        "n_runs",
+        (2 * F.col("card")).cast("bigint").alias("array_bytes"),
+        F.lit(8192).cast("bigint").alias("bitmap_bytes"),
+        (2 + 4 * F.col("n_runs")).cast("bigint").alias("run_bytes"),
+    )
+    return sized.select(
+        "t",
+        "chunk",
+        "card",
+        "n_runs",
+        "array_bytes",
+        "bitmap_bytes",
+        "run_bytes",
+        F.when(
+            F.col("run_bytes")
+            < F.least("array_bytes", "bitmap_bytes"),
+            "run",
+        )
+        .when(F.col("card") <= 4096, "array")
+        .otherwise("bitmap")
+        .alias("container"),
+        F.least("run_bytes", "array_bytes", "bitmap_bytes")
+        .cast("bigint")
+        .alias("best_bytes"),
+    ).orderBy("t", "chunk")

@@ -3151,3 +3151,127 @@ def test_no_python_row_udfs_in_round12_staged_b22(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 23
+
+
+def test_sorting_network_witness(spark, duck):
+    from aws_vpcflowlogs_parquet_spark.plans.staging import _batcher8
+
+    net = _batcher8()
+    assert len(net) == 19
+
+    def apply(xs):
+        xs = list(xs)
+        for a, b in net:
+            if xs[a] > xs[b]:
+                xs[a], xs[b] = xs[b], xs[a]
+        return xs
+
+    # 0-1 principle: sorting all 256 binary vectors proves the
+    # network sorts EVERY input (Knuth TAOCP 5.3.4)
+    for m in range(256):
+        bits = [(m >> i) & 1 for i in range(8)]
+        assert apply(bits) == sorted(bits), m
+    rows = duck.sql(
+        f"SELECT user_id % 8, SUM(CAST(round(value * 100) AS BIGINT))"
+        f" FROM '{SF_DIR}/events.parquet' GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    vals = [int(v) for _, v in rows]
+    got = STAGED_QUERIES["q_sorting_network"](spark, SF_DIR).collect()
+    assert [r.v for r in got] == apply(vals) == sorted(vals)
+    assert all(r.network_sorts for r in got)
+    assert [r.pos for r in got] == list(range(8))
+
+
+def test_gorilla_cost_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_type,"
+        f" datediff('day', DATE '2024-01-01', CAST(ts AS DATE)),"
+        f" CAST(epoch_us(ts) // 1000000 AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet' ORDER BY event_type, ts, event_id"
+    ).fetchall()
+    streams = collections.defaultdict(list)
+    for t, day, s in rows:
+        streams[(t, day)].append(int(s))
+
+    def price(dd):
+        if dd == 0:
+            return "b0_zero", 1
+        if -63 <= dd <= 64:
+            return "b1_7bit", 9
+        if -255 <= dd <= 256:
+            return "b2_9bit", 12
+        if -2047 <= dd <= 2048:
+            return "b3_12bit", 16
+        return "b4_32bit", 36
+
+    agg = collections.defaultdict(lambda: [0, 0])
+    for (t, _), ss in streams.items():
+        for i in range(2, len(ss)):
+            dd = (ss[i] - ss[i - 1]) - (ss[i - 1] - ss[i - 2])
+            b, cost = price(dd)
+            agg[(t, b)][0] += 1
+            agg[(t, b)][1] += cost
+    tots = collections.defaultdict(lambda: [0, 0])
+    for (t, _), (n, bits) in agg.items():
+        tots[t][0] += n
+        tots[t][1] += bits
+    got = STAGED_QUERIES["q_gorilla_cost"](spark, SF_DIR).collect()
+    assert {(r.t, r.bucket) for r in got} == set(agg)
+    for r in got:
+        n, bits = agg[(r.t, r.bucket)]
+        assert (r.n, r.bits) == (n, bits)
+        assert (r.n_dods, r.dod_bits) == tuple(tots[r.t])
+        assert r.compression_ratio == pytest.approx(
+            tots[r.t][1] / (64 * tots[r.t][0]), rel=1e-12
+        )
+        assert r.compression_ratio < 1.0  # it actually compresses
+
+
+def test_roaring_containers_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT DISTINCT event_type, CAST(event_id AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    chunks = collections.defaultdict(set)
+    for t, v in rows:
+        chunks[(t, v // 65536)].add(v % 65536)
+    got = {
+        (r.t, r.chunk): r
+        for r in STAGED_QUERIES["q_roaring_containers"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(chunks)
+    for (t, chunk), los in chunks.items():
+        ordered = sorted(los)
+        n_runs = sum(
+            1
+            for i, v in enumerate(ordered)
+            if i == 0 or ordered[i - 1] != v - 1
+        )
+        r = got[(t, chunk)]
+        assert (r.card, r.n_runs) == (len(los), n_runs)
+        assert r.array_bytes == 2 * len(los)
+        assert r.bitmap_bytes == 8192
+        assert r.run_bytes == 2 + 4 * n_runs
+        best = min(r.run_bytes, r.array_bytes, r.bitmap_bytes)
+        assert r.best_bytes == best
+        if r.run_bytes < min(r.array_bytes, r.bitmap_bytes):
+            assert r.container == "run"
+        elif r.card <= 4096:
+            assert r.container == "array"
+        else:
+            assert r.container == "bitmap"
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_sorting_network", "q_gorilla_cost", "q_roaring_containers"],
+)
+def test_no_python_row_udfs_in_round12_staged_b23(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
