@@ -10881,3 +10881,318 @@ def q_roaring_containers(spark, sf_dir):
         .cast("bigint")
         .alias("best_bytes"),
     ).orderBy("t", "chunk")
+
+
+# =====================================================================
+# Round-12 staged batch 24 — control & simulation folds: integer PID
+# controller, AIMD congestion window, discrete SIR epidemic. All
+# exact-integer sequential recurrences (q_stream_ewma discipline)
+# with recursive-CTE oracle replays. Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_pid_control",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    grid AS (
+      SELECT dd.d, CAST(COALESCE(daily.y, 0) AS BIGINT) AS y
+      FROM (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.d = dd.d
+    ),
+    sp AS (
+      SELECT CAST((SELECT SUM(y) FROM grid) // 30 AS BIGINT) AS setpoint
+    ),
+    rec AS (
+      SELECT -1 AS k, CAST(0 AS BIGINT) AS e, CAST(0 AS BIGINT) AS i,
+             CAST(0 AS BIGINT) AS u
+      UNION ALL
+      SELECT rec.k + 1,
+             sp.setpoint - g.y,
+             rec.i + (sp.setpoint - g.y),
+             (50 * (sp.setpoint - g.y)
+              + 10 * (rec.i + (sp.setpoint - g.y))
+              + 20 * ((sp.setpoint - g.y) - rec.e)) // 100
+      FROM rec CROSS JOIN sp JOIN grid g ON g.d = rec.k + 1
+      WHERE rec.k < 29
+    )
+    SELECT CAST(rec.k AS BIGINT) AS d, rec.e AS error,
+           rec.i AS integral, rec.u AS control,
+           sp.setpoint
+    FROM rec CROSS JOIN sp WHERE rec.k >= 0 ORDER BY d
+    """,
+)
+def q_pid_control(spark, sf_dir):
+    """PID CONTROLLER replay on the daily error-event count — the
+    control-systems family opener (q_token_bucket rate-limits,
+    q_sliding_rate_limit gates; a PID CLOSES THE LOOP: proportional
+    + integral + derivative of the tracking error, the controller
+    inside every autoscaler and thermostat): setpoint = the 30-day
+    mean count (integer div), per-day error / integral / derivative
+    are exact BIGINTs, and the control output u = (50e + 10*I +
+    20*de) div 100 keeps the FROZEN centi-gains (Kp=0.5, Ki=0.1,
+    Kd=0.2) on the integer lattice — negative operands DO reach the
+    division here, and the MEASURED cross-engine fact (caught by
+    this query's own sf0.001 gate) is that BOTH DuckDB's // and
+    Spark's div TRUNCATE TOWARD ZERO on negatives, while a
+    floor()-of-float-division detour floors (-290/100: div -> -2,
+    floor -> -3) — so the recurrence uses div verbatim on both
+    engines and the q_elo_ratings shift-nonneg trick is the
+    defensive alternative, not a necessity. One F.aggregate fold
+    over the zero-filled grid.
+    At 100 TB: raw volume dies in the day agg; the fold is 30
+    steps."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(F.count("*").cast("bigint").alias("y"))
+    )
+    grid = (
+        spark.range(30)
+        .select(F.col("id").alias("d"))
+        .join(F.broadcast(daily), ["d"], "left")
+        .select("d", F.coalesce("y", F.lit(0)).cast("bigint").alias("y"))
+    )
+    per = grid.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, y))), e -> e.y)"
+        ).alias("ys"),
+        F.expr("CAST(SUM(y) div 30 AS BIGINT)").alias("setpoint"),
+    )
+    fold = F.expr(
+        "aggregate(ys,"
+        " struct(CAST(0 AS BIGINT) AS e, CAST(0 AS BIGINT) AS i,"
+        "   CAST(array() AS"
+        "     ARRAY<STRUCT<e: BIGINT, i: BIGINT, u: BIGINT>>) AS rows),"
+        " (acc, y) -> struct("
+        "   setpoint - y AS e,"
+        "   acc.i + (setpoint - y) AS i,"
+        "   array_append(acc.rows, struct("
+        "     setpoint - y AS e,"
+        "     acc.i + (setpoint - y) AS i,"
+        "     CAST((50 * (setpoint - y)"
+        "       + 10 * (acc.i + (setpoint - y))"
+        "       + 20 * ((setpoint - y) - acc.e)) div 100 AS BIGINT)"
+        "       AS u)) AS rows))"
+        ".rows"
+    )
+    return (
+        per.select("setpoint", fold.alias("rows"))
+        .select("setpoint", F.posexplode("rows").alias("d", "r"))
+        .select(
+            F.col("d").cast("bigint").alias("d"),
+            F.col("r")["e"].alias("error"),
+            F.col("r")["i"].alias("integral"),
+            F.col("r")["u"].alias("control"),
+            "setpoint",
+        )
+        .orderBy("d")
+    )
+
+
+@staged(
+    "q_aimd_congestion",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS BIGINT) AS errs
+      FROM events WHERE event_type = 'error' GROUP BY 1
+    ),
+    grid AS (
+      SELECT dd.d, CAST(COALESCE(daily.errs, 0) AS BIGINT) AS errs
+      FROM (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.d = dd.d
+    ),
+    thr AS (
+      SELECT CAST((SELECT SUM(errs) FROM grid) // 30 AS BIGINT) AS bar
+    ),
+    rec AS (
+      SELECT -1 AS k, CAST(10 AS BIGINT) AS cwnd,
+             CAST(0 AS BIGINT) AS n_losses
+      UNION ALL
+      SELECT rec.k + 1,
+             CASE WHEN g.errs > thr.bar
+                  THEN GREATEST(rec.cwnd // 2, 1)
+                  ELSE rec.cwnd + 1 END,
+             rec.n_losses + CASE WHEN g.errs > thr.bar THEN 1 ELSE 0 END
+      FROM rec CROSS JOIN thr JOIN grid g ON g.d = rec.k + 1
+      WHERE rec.k < 29
+    )
+    SELECT CAST(rec.k AS BIGINT) AS d,
+           CAST(g.errs AS BIGINT) AS errs,
+           (g.errs > thr.bar) AS loss,
+           rec.cwnd, rec.n_losses, thr.bar
+    FROM rec CROSS JOIN thr JOIN grid g ON g.d = rec.k
+    WHERE rec.k >= 0 ORDER BY d
+    """,
+)
+def q_aimd_congestion(spark, sf_dir):
+    """AIMD CONGESTION WINDOW replay (TCP's additive-increase /
+    multiplicative-decrease) driven by daily error spikes — the
+    networking-control companion to q_pid_control (PID is
+    continuous correction; AIMD is the sawtooth that made the
+    internet stable, Chiu-Jain 1989): a loss day is errs > the
+    30-day integer-mean bar (an exact integer cut), the window
+    halves on loss (cwnd div 2, floored at 1 — all operands
+    NONNEGATIVE so floor = truncate on both engines, the
+    q_croston discipline) and adds one otherwise, folded day by
+    day in ONE F.aggregate; loss counts are exact. The sawtooth is
+    emitted per day with its driving signal. At 100 TB: raw
+    volume dies in the day agg; the fold is 30 steps."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(F.count("*").cast("bigint").alias("errs"))
+    )
+    grid = (
+        spark.range(30)
+        .select(F.col("id").alias("d"))
+        .join(F.broadcast(daily), ["d"], "left")
+        .select(
+            "d", F.coalesce("errs", F.lit(0)).cast("bigint").alias("errs")
+        )
+    )
+    per = grid.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, errs))),"
+            " e -> e.errs)"
+        ).alias("es"),
+        F.expr("CAST(SUM(errs) div 30 AS BIGINT)").alias("bar"),
+    )
+    fold = F.expr(
+        "aggregate(es,"
+        " struct(CAST(10 AS BIGINT) AS cwnd, CAST(0 AS BIGINT) AS nl,"
+        "   CAST(array() AS ARRAY<STRUCT<cwnd: BIGINT, nl: BIGINT>>)"
+        "     AS rows),"
+        " (acc, e) -> struct("
+        "   CASE WHEN e > bar THEN greatest(acc.cwnd div 2, 1)"
+        "        ELSE acc.cwnd + 1 END AS cwnd,"
+        "   acc.nl + CASE WHEN e > bar THEN 1 ELSE 0 END AS nl,"
+        "   array_append(acc.rows, struct("
+        "     CASE WHEN e > bar THEN greatest(acc.cwnd div 2, 1)"
+        "          ELSE acc.cwnd + 1 END AS cwnd,"
+        "     acc.nl + CASE WHEN e > bar THEN 1 ELSE 0 END AS nl))"
+        "     AS rows))"
+        ".rows"
+    )
+    return (
+        per.select("bar", fold.alias("rows"))
+        .select("bar", F.posexplode("rows").alias("d", "r"))
+        .join(F.broadcast(grid), "d")
+        .select(
+            F.col("d").cast("bigint").alias("d"),
+            "errs",
+            (F.col("errs") > F.col("bar")).alias("loss"),
+            F.col("r")["cwnd"].alias("cwnd"),
+            F.col("r")["nl"].alias("n_losses"),
+            "bar",
+        )
+        .orderBy("d")
+    )
+
+
+@staged(
+    "q_sir_epidemic",
+    oracle="""
+    WITH RECURSIVE seed AS (
+      SELECT CAST(10000 AS BIGINT) AS n,
+             CAST(GREATEST(
+               (SELECT COUNT(*) FROM events
+                WHERE event_type = 'error'
+                  AND datediff('day', DATE '2024-01-01',
+                        CAST(ts AS DATE)) = 0) % 100, 1) AS BIGINT) AS i0
+    ),
+    rec AS (
+      SELECT 0 AS k, n - i0 AS s, i0 AS i, CAST(0 AS BIGINT) AS r
+      FROM seed
+      UNION ALL
+      SELECT k + 1,
+             s - (3 * s * i) // (2 * 10000),
+             i + (3 * s * i) // (2 * 10000) - i // 4,
+             r + i // 4
+      FROM rec WHERE k < 30
+    )
+    SELECT CAST(k AS BIGINT) AS day, s AS susceptible, i AS infected,
+           r AS recovered, CAST(s + i + r AS BIGINT) AS total
+    FROM rec ORDER BY day
+    """,
+)
+def q_sir_epidemic(spark, sf_dir):
+    """DISCRETE SIR EPIDEMIC simulation seeded from the data — the
+    compartmental-model family opener (q_hazard_rate measures decay
+    from data; SIR FORWARD-SIMULATES contagion, the R0 = beta/gamma
+    = 6 textbook dynamics on a population of 10,000): day-0
+    infections seed from the fixture's day-0 error count (mod 100,
+    floored at 1 — an exact integer), and the recurrence
+    new_inf = (3*S*I) div 20000, recov = I div 4 runs 30 steps as
+    ONE F.aggregate fold with every compartment an exact BIGINT
+    (all operands nonnegative — div is floor on both engines; S*I
+    <= 1e8 so the product is exact). CONSERVATION is structural:
+    S+I+R = N at every step because the recurrence only moves the
+    same computed quanta between compartments — witness-pinned
+    per step. At 100 TB: the seed agg kills the raw volume; the
+    fold is 30 steps over 3 integers."""
+    seed = (
+        _t(spark, sf_dir, "events")
+        .filter(
+            (F.col("event_type") == "error")
+            & (
+                F.datediff(
+                    F.col("ts").cast("date"),
+                    F.lit("2024-01-01").cast("date"),
+                )
+                == 0
+            )
+        )
+        .agg(
+            F.greatest(
+                F.count("*").cast("bigint") % 100, F.lit(1)
+            )
+            .cast("bigint")
+            .alias("i0")
+        )
+    )
+    fold = F.expr(
+        "aggregate(sequence(1, 30),"
+        " struct(CAST(10000 - i0 AS BIGINT) AS s, i0 AS i,"
+        "   CAST(0 AS BIGINT) AS r,"
+        "   array(struct(CAST(10000 - i0 AS BIGINT) AS s,"
+        "     i0 AS i, CAST(0 AS BIGINT) AS r)) AS rows),"
+        " (acc, k) -> struct("
+        "   acc.s - (3 * acc.s * acc.i) div 20000 AS s,"
+        "   acc.i + (3 * acc.s * acc.i) div 20000 - acc.i div 4 AS i,"
+        "   acc.r + acc.i div 4 AS r,"
+        "   array_append(acc.rows, struct("
+        "     acc.s - (3 * acc.s * acc.i) div 20000 AS s,"
+        "     acc.i + (3 * acc.s * acc.i) div 20000 - acc.i div 4 AS i,"
+        "     acc.r + acc.i div 4 AS r)) AS rows))"
+        ".rows"
+    )
+    return (
+        seed.select(fold.alias("rows"))
+        .select(F.posexplode("rows").alias("day", "r"))
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            F.col("r")["s"].alias("susceptible"),
+            F.col("r")["i"].alias("infected"),
+            F.col("r")["r"].alias("recovered"),
+            (F.col("r")["s"] + F.col("r")["i"] + F.col("r")["r"])
+            .cast("bigint")
+            .alias("total"),
+        )
+        .orderBy("day")
+    )

@@ -3275,3 +3275,91 @@ def test_no_python_row_udfs_in_round12_staged_b23(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 24
+
+
+def _daily_error_counts(duck):
+    import datetime
+
+    rows = duck.sql(
+        f"SELECT CAST(ts AS DATE), COUNT(*)"
+        f" FROM '{SF_DIR}/events.parquet'"
+        f" WHERE event_type = 'error' GROUP BY 1"
+    ).fetchall()
+    anchor = datetime.date(2024, 1, 1)
+    byday = {(d - anchor).days: int(n) for d, n in rows}
+    return [byday.get(d, 0) for d in range(30)]
+
+
+def test_pid_control_witness(spark, duck):
+    ys = _daily_error_counts(duck)
+    sp = sum(ys) // 30
+
+    def tdiv(a, b):
+        return int(a / b)  # truncation toward zero, both engines
+
+    prev_e, integ = 0, 0
+    expect = []
+    for y in ys:
+        e = sp - y
+        integ += e
+        u = tdiv(50 * e + 10 * integ + 20 * (e - prev_e), 100)
+        expect.append((e, integ, u))
+        prev_e = e
+    rows = STAGED_QUERIES["q_pid_control"](spark, SF_DIR).collect()
+    assert [(r.error, r.integral, r.control) for r in rows] == expect
+    assert all(r.setpoint == sp for r in rows)
+    assert [r.d for r in rows] == list(range(30))
+    # the integral telescopes: last integral equals sum of errors
+    assert rows[-1].integral == sum(sp - y for y in ys)
+
+
+def test_aimd_congestion_witness(spark, duck):
+    ys = _daily_error_counts(duck)
+    bar = sum(ys) // 30
+    cwnd, nl = 10, 0
+    expect = []
+    for e in ys:
+        if e > bar:
+            cwnd = max(cwnd // 2, 1)
+            nl += 1
+        else:
+            cwnd += 1
+        expect.append((e, e > bar, cwnd, nl))
+    rows = STAGED_QUERIES["q_aimd_congestion"](spark, SF_DIR).collect()
+    assert [(r.errs, r.loss, r.cwnd, r.n_losses) for r in rows] == expect
+    assert all(r.bar == bar for r in rows)
+    assert all(r.cwnd >= 1 for r in rows)  # the floor holds
+    assert 0 < rows[-1].n_losses < 30  # the bar genuinely bites
+
+
+def test_sir_epidemic_witness(spark, duck):
+    ys = _daily_error_counts(duck)
+    i0 = max(ys[0] % 100, 1)
+    s, i, r = 10000 - i0, i0, 0
+    expect = [(s, i, r)]
+    for _ in range(30):
+        new_inf = (3 * s * i) // 20000
+        rec = i // 4
+        s, i, r = s - new_inf, i + new_inf - rec, r + rec
+        expect.append((s, i, r))
+    rows = STAGED_QUERIES["q_sir_epidemic"](spark, SF_DIR).collect()
+    assert [
+        (x.susceptible, x.infected, x.recovered) for x in rows
+    ] == expect
+    # conservation is structural: S+I+R = N every step
+    assert all(x.total == 10000 for x in rows)
+    # the epidemic actually takes off and then recovers mass
+    assert max(x.infected for x in rows) > i0
+    assert rows[-1].recovered > 0
+
+
+@pytest.mark.parametrize(
+    "name", ["q_pid_control", "q_aimd_congestion", "q_sir_epidemic"]
+)
+def test_no_python_row_udfs_in_round12_staged_b24(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
