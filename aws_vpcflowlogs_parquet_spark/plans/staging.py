@@ -11196,3 +11196,359 @@ def q_sir_epidemic(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+# =====================================================================
+# Round-12 staged batch 25 — finance/risk completions: Sharpe &
+# Sortino ratios, Kupiec proportion-of-failures VaR backtest
+# (out-of-sample), and first- vs second-price auction revenue.
+# Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_sharpe_sortino",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) // 100
+               AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    rets AS (
+      SELECT t, d, x - lag(x) OVER (PARTITION BY t ORDER BY d) AS r
+      FROM grid
+    ),
+    gs AS (
+      SELECT t, CAST(COUNT(r) AS BIGINT) AS n,
+             CAST(SUM(r) AS BIGINT) AS s,
+             CAST(SUM(r * r) AS BIGINT) AS ss,
+             CAST(SUM(CASE WHEN r < 0 THEN r * r ELSE 0 END) AS BIGINT)
+               AS ssd,
+             CAST(SUM(CASE WHEN r < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_down
+      FROM rets GROUP BY t
+    )
+    SELECT t, n, s, ss, ssd, n_down,
+           CAST(s AS DOUBLE) / n AS mean_ret,
+           (CAST(s AS DOUBLE) / n)
+             / sqrt(CAST(n * ss - s * s AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * (n - 1.0))) AS sharpe,
+           CASE WHEN ssd = 0 THEN 0.0 ELSE
+             (CAST(s AS DOUBLE) / n)
+               / sqrt(CAST(ssd AS DOUBLE) / CAST(n AS DOUBLE)) END
+             AS sortino
+    FROM gs ORDER BY t
+    """,
+)
+def q_sharpe_sortino(spark, sf_dir):
+    """SHARPE AND SORTINO RATIOS over daily dollar changes per type —
+    the risk-adjusted-return pair that completes the finance-metrics
+    family (q_drawdown prices path risk, the staged q_cvar_es the
+    tail; Sharpe divides mean return by TOTAL volatility, Sortino
+    only by DOWNSIDE volatility — the difference IS the skew story):
+    returns are exact integer day-over-day differences (one lag
+    over the zero-filled grid), all five sufficient statistics
+    (n, S, SS, downside-SS, downside count) are exact BIGINTs in
+    ONE conditional agg, both ratios are identical double chains
+    (sample-stdev denominator n*SS - S^2 — the q_deming_regression
+    moment form), and the no-downside degenerate case is decided by
+    an integer = 0. At 100 TB: raw volume dies in the (t, day)
+    agg; the lag runs over the bounded grid."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(round(value * 100) AS BIGINT)) div 100"
+                " AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    w = Window.partitionBy("t").orderBy("d")
+    rets = grid.select(
+        "t", (F.col("x") - F.lag("x").over(w)).alias("r")
+    ).filter(F.col("r").isNotNull())
+    gs = rets.groupBy("t").agg(
+        F.count("r").cast("bigint").alias("n"),
+        F.sum("r").cast("bigint").alias("s"),
+        F.sum(F.col("r") * F.col("r")).cast("bigint").alias("ss"),
+        F.sum(F.when(F.col("r") < 0, F.col("r") * F.col("r")).otherwise(0))
+        .cast("bigint")
+        .alias("ssd"),
+        F.sum(F.when(F.col("r") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    sd = F.sqrt(
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+    )
+    dd = F.sqrt(F.col("ssd").cast("double") / F.col("n").cast("double"))
+    return gs.select(
+        "t",
+        "n",
+        "s",
+        "ss",
+        "ssd",
+        "n_down",
+        mean.alias("mean_ret"),
+        (mean / sd).alias("sharpe"),
+        F.when(F.col("ssd") == 0, F.lit(0.0))
+        .otherwise(mean / dd)
+        .alias("sortino"),
+    ).orderBy("t")
+
+
+@staged(
+    "q_kupiec_backtest",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    train AS (SELECT t, v FROM base WHERE d < 15),
+    vh AS (
+      SELECT t, v, CAST(COUNT(*) AS BIGINT) AS c FROM train GROUP BY t, v
+    ),
+    ns AS (SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM vh GROUP BY t),
+    var95 AS (
+      SELECT t, CAST(MIN(v) AS BIGINT) AS var_cents FROM (
+        SELECT vh.t, vh.v,
+               SUM(vh.c) OVER (PARTITION BY vh.t ORDER BY vh.v) AS cm,
+               ns.n
+        FROM vh JOIN ns ON ns.t = vh.t
+      ) WHERE cm >= (19 * n + 19) // 20 GROUP BY t
+    ),
+    test AS (
+      SELECT base.t,
+             CAST(COUNT(*) AS BIGINT) AS n_test,
+             CAST(SUM(CASE WHEN base.v > var95.var_cents THEN 1 ELSE 0
+               END) AS BIGINT) AS x
+      FROM base JOIN var95 ON var95.t = base.t
+      WHERE base.d >= 15 GROUP BY base.t
+    )
+    SELECT test.t AS t, var95.var_cents, test.n_test, test.x,
+           CAST(x AS DOUBLE) / n_test AS breach_rate,
+           CASE WHEN x = 0 OR x = n_test THEN 0.0 ELSE
+             -2.0 * (CAST(n_test - x AS DOUBLE) * ln(0.95)
+                     + CAST(x AS DOUBLE) * ln(0.05)
+                     - CAST(n_test - x AS DOUBLE)
+                       * ln(1.0 - CAST(x AS DOUBLE) / n_test)
+                     - CAST(x AS DOUBLE)
+                       * ln(CAST(x AS DOUBLE) / n_test)) END AS lr_pof,
+           (CASE WHEN x = 0 OR x = n_test THEN 0.0 ELSE
+             -2.0 * (CAST(n_test - x AS DOUBLE) * ln(0.95)
+                     + CAST(x AS DOUBLE) * ln(0.05)
+                     - CAST(n_test - x AS DOUBLE)
+                       * ln(1.0 - CAST(x AS DOUBLE) / n_test)
+                     - CAST(x AS DOUBLE)
+                       * ln(CAST(x AS DOUBLE) / n_test)) END
+            > 3.841) AS reject
+    FROM test JOIN var95 ON var95.t = test.t
+    ORDER BY t
+    """,
+)
+def q_kupiec_backtest(spark, sf_dir):
+    """KUPIEC PROPORTION-OF-FAILURES VaR BACKTEST, genuinely
+    OUT-OF-SAMPLE — the model-validation completion of the staged
+    q_cvar_es (estimating VaR is half the job; Basel requires
+    BACKTESTING it, and Kupiec's likelihood ratio is the standard
+    gate): VaR95 is fitted by exact lattice counting on the FIRST
+    15 days only (the q_cvar_es selection verbatim, restricted),
+    breaches are counted on the LAST 15 days (an exact integer cut
+    against held-out data — in-sample backtests pass by
+    construction, documented), the LR statistic is ONE identical
+    double chain over the exact (x, n) pair, the degenerate
+    x ∈ {0, n} likelihoods are decided by integers (not NaN·ln(0)),
+    and the chi-square(1) alpha=0.05 verdict compares the identical
+    chain on both engines. At 100 TB: two scans' worth of hash
+    aggs; the window runs on the bounded train lattice."""
+    base = _t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("t"),
+        F.datediff(
+            F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+        ).alias("d"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    base = track_persist(base)
+    train = base.filter(F.col("d") < 15)
+    vh = train.groupBy("t", "v").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    ns = vh.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
+    wcum = (
+        Window.partitionBy("t")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    var95 = (
+        vh.select("t", "v", F.sum("c").over(wcum).alias("cm"))
+        .join(F.broadcast(ns), "t")
+        .filter(F.col("cm") >= F.expr("(19 * n + 19) div 20"))
+        .groupBy("t")
+        .agg(F.min("v").cast("bigint").alias("var_cents"))
+    )
+    test = (
+        base.filter(F.col("d") >= 15)
+        .join(F.broadcast(var95), "t")
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(F.col("v") > F.col("var_cents"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    xd = F.col("x").cast("double")
+    nd = F.col("n_test").cast("double")
+    lr = -2.0 * (
+        (nd - xd) * F.log(F.lit(0.95))
+        + xd * F.log(F.lit(0.05))
+        - (nd - xd) * F.log(1.0 - xd / nd)
+        - xd * F.log(xd / nd)
+    )
+    lr_guarded = F.when(
+        (F.col("x") == 0) | (F.col("x") == F.col("n_test")), F.lit(0.0)
+    ).otherwise(lr)
+    return (
+        test.join(F.broadcast(var95), "t")
+        .select(
+            "t",
+            "var_cents",
+            "n_test",
+            "x",
+            (xd / nd).alias("breach_rate"),
+            lr_guarded.alias("lr_pof"),
+            (lr_guarded > 3.841).alias("reject"),
+        )
+        .orderBy("t")
+    )
+
+
+@staged(
+    "q_second_price_auction",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             event_type AS t,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS b
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT d, t, b,
+             row_number() OVER (PARTITION BY d ORDER BY b DESC, t) AS rn
+      FROM daily
+    ),
+    auctions AS (
+      SELECT w.d, w.t AS winner, w.b AS first_price,
+             CAST(COALESCE(s.b, 0) AS BIGINT) AS second_price
+      FROM (SELECT d, t, b FROM ranked WHERE rn = 1) w
+      LEFT JOIN (SELECT d, b FROM ranked WHERE rn = 2) s ON s.d = w.d
+    ),
+    tot AS (
+      SELECT CAST(SUM(first_price) AS BIGINT) AS fp_revenue,
+             CAST(SUM(second_price) AS BIGINT) AS sp_revenue,
+             CAST(SUM(first_price - second_price) AS BIGINT)
+               AS winner_surplus
+      FROM auctions
+    )
+    SELECT auctions.d, auctions.winner, auctions.first_price,
+           auctions.second_price, tot.fp_revenue, tot.sp_revenue,
+           tot.winner_surplus
+    FROM auctions CROSS JOIN tot
+    ORDER BY d
+    """,
+)
+def q_second_price_auction(spark, sf_dir):
+    """FIRST- vs SECOND-PRICE AUCTION revenue over 30 daily auctions
+    (types bid their exact daily cents) — the single-item
+    mechanism-design companion to the staged q_double_auction
+    (Vickrey 1961: charging the SECOND price makes truthful bidding
+    dominant; the column-by-column gap fp - sp is exactly the
+    winner's information rent): winner and both prices come from
+    one (bid desc, t asc) ranking per day — integer-decided — and
+    the sole-bidder degenerate day reads second price 0 via a
+    left-join COALESCE. Revenues and the aggregate surplus are
+    exact BIGINT sums. At 100 TB: raw volume dies in the (day,
+    type) agg; the auction logic is 150-row window work."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+            F.col("event_type").alias("t"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("b")
+        )
+    )
+    w_day = Window.partitionBy("d").orderBy(F.desc("b"), "t")
+    ranked = daily.select(
+        "d", "t", "b", F.row_number().over(w_day).alias("rn")
+    )
+    ranked = track_persist(ranked)
+    wtop = ranked.filter(F.col("rn") == 1).select(
+        "d", F.col("t").alias("winner"), F.col("b").alias("first_price")
+    )
+    second = ranked.filter(F.col("rn") == 2).select(
+        "d", F.col("b").alias("sp")
+    )
+    auctions = wtop.join(F.broadcast(second), "d", "left").select(
+        "d",
+        "winner",
+        "first_price",
+        F.coalesce("sp", F.lit(0)).cast("bigint").alias("second_price"),
+    )
+    auctions = track_persist(auctions)
+    tot = auctions.agg(
+        F.sum("first_price").cast("bigint").alias("fp_revenue"),
+        F.sum("second_price").cast("bigint").alias("sp_revenue"),
+        F.sum(F.col("first_price") - F.col("second_price"))
+        .cast("bigint")
+        .alias("winner_surplus"),
+    )
+    return (
+        auctions.crossJoin(F.broadcast(tot))
+        .select(
+            "d",
+            "winner",
+            "first_price",
+            "second_price",
+            "fp_revenue",
+            "sp_revenue",
+            "winner_surplus",
+        )
+        .orderBy("d")
+    )

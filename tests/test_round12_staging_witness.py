@@ -3363,3 +3363,113 @@ def test_no_python_row_udfs_in_round12_staged_b24(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 25
+
+
+def test_sharpe_sortino_witness(spark, duck):
+    daily = _daily_cents(duck)
+    days = sorted({d for v in daily.values() for d in v})
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_sharpe_sortino"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(daily)
+    for t in daily:
+        xs = [daily[t].get(d, 0) // 100 for d in days]
+        rs = [b - a for a, b in zip(xs, xs[1:])]
+        n, s = len(rs), sum(rs)
+        ss = sum(r * r for r in rs)
+        ssd = sum(r * r for r in rs if r < 0)
+        r = got[t]
+        assert (r.n, r.s, r.ss, r.ssd) == (n, s, ss, ssd)
+        assert r.n_down == sum(1 for x in rs if x < 0)
+        mean = s / n
+        sd = math.sqrt((n * ss - s * s) / (n * (n - 1)))
+        assert r.mean_ret == pytest.approx(mean, rel=1e-12)
+        assert r.sharpe == pytest.approx(mean / sd, rel=1e-12)
+        if ssd:
+            assert r.sortino == pytest.approx(
+                mean / math.sqrt(ssd / n), rel=1e-12
+            )
+
+
+def test_kupiec_backtest_witness(spark, duck):
+    import datetime
+
+    rows = duck.sql(
+        f"SELECT event_type, CAST(ts AS DATE),"
+        f" CAST(round(value * 100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    anchor = datetime.date(2024, 1, 1)
+    per = collections.defaultdict(lambda: ([], []))
+    for t, d, v in rows:
+        per[t][0 if (d - anchor).days < 15 else 1].append(v)
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_kupiec_backtest"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for t, (train, test) in per.items():
+        train = sorted(train)
+        n = len(train)
+        var = train[(19 * n + 19) // 20 - 1]
+        x = sum(1 for v in test if v > var)
+        nt = len(test)
+        r = got[t]
+        assert (r.var_cents, r.n_test, r.x) == (var, nt, x)
+        assert r.breach_rate == pytest.approx(x / nt, rel=1e-12)
+        if 0 < x < nt:
+            lr = -2 * (
+                (nt - x) * math.log(0.95)
+                + x * math.log(0.05)
+                - (nt - x) * math.log(1 - x / nt)
+                - x * math.log(x / nt)
+            )
+            assert r.lr_pof == pytest.approx(lr, rel=1e-9)
+            assert r.reject == (lr > 3.841)
+            assert r.lr_pof >= 0.0  # an LR statistic is nonnegative
+
+
+def test_second_price_auction_witness(spark, duck):
+    daily = _daily_cents(duck)
+    days = sorted({d for v in daily.values() for d in v})
+    fp_rev = sp_rev = 0
+    expect = {}
+    for i, d in enumerate(days):
+        bids = sorted(
+            ((daily[t].get(d, 0), t) for t in daily),
+            key=lambda bt: (-bt[0], bt[1]),
+        )
+        fp, w = bids[0][0], bids[0][1]
+        sp = bids[1][0] if len(bids) > 1 else 0
+        expect[i] = (w, fp, sp)
+        fp_rev += fp
+        sp_rev += sp
+    got = {
+        r.d: r
+        for r in STAGED_QUERIES["q_second_price_auction"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(expect)
+    for d, (w, fp, sp) in expect.items():
+        r = got[d]
+        assert (r.winner, r.first_price, r.second_price) == (w, fp, sp)
+        assert (r.fp_revenue, r.sp_revenue) == (fp_rev, sp_rev)
+        assert r.winner_surplus == fp_rev - sp_rev
+        assert r.first_price >= r.second_price  # rank order holds
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_sharpe_sortino", "q_kupiec_backtest", "q_second_price_auction"],
+)
+def test_no_python_row_udfs_in_round12_staged_b25(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
