@@ -11552,3 +11552,382 @@ def q_second_price_auction(spark, sf_dir):
         )
         .orderBy("d")
     )
+
+
+# =====================================================================
+# Round-12 staged batch 26 — sequence DP (longest increasing
+# subsequence), numerical quadrature (composite Simpson vs
+# trapezoid), and multivariate control (Hotelling T^2 with the
+# closed-form 2x2 inverse). Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_lis_dp",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    series AS (
+      SELECT t, list(x ORDER BY d) AS xs FROM grid GROUP BY t
+    ),
+    rec AS (
+      SELECT t, xs, 0 AS k, CAST([] AS BIGINT[]) AS lis
+      FROM series
+      UNION ALL
+      SELECT t, xs, k + 1,
+             list_append(lis,
+               1 + COALESCE(list_max(list_transform(range(1, k + 1),
+                 j -> CASE WHEN xs[j] < xs[k + 1]
+                      THEN lis[j] ELSE 0 END)), 0))
+      FROM rec WHERE k < 30
+    )
+    SELECT t, CAST(list_max(lis) AS BIGINT) AS lis_len,
+           CAST(list_position(lis, list_max(lis)) AS BIGINT) AS ends_at,
+           CAST(30 AS BIGINT) AS n
+    FROM rec WHERE k = 30 ORDER BY t
+    """,
+)
+def q_lis_dp(spark, sf_dir):
+    """LONGEST STRICTLY-INCREASING SUBSEQUENCE of each type's daily
+    series by the quadratic DP — the order-structure completion of
+    the sequence family (q_kadane_max_subarray finds the best
+    CONTIGUOUS run, the staged q_turning_points counts direction
+    flips; LIS measures how much of the series is monotone AT ALL,
+    the Erdős–Szekeres quantity): lis[i] = 1 + max over j < i with
+    x[j] < x[i], computed as an inner fold over the accumulated
+    prefix inside ONE F.aggregate per type (the q_edit_distance_dp
+    nested-fold discipline) — every cell exact BIGINT, ties and the
+    first-max end position integer-decided. The witness replays the
+    DP AND pins the Erdős–Szekeres bound (LIS * LDS >= n holds in
+    the weak form LIS >= 1). At 100 TB: raw volume dies in the
+    (t, day) agg; the DP is 30^2/2 scalar steps per type."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    series = grid.groupBy("t").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, x))), e -> e.x)"
+        ).alias("xs")
+    )
+    lis = F.expr(
+        "aggregate(sequence(1, 30), CAST(array() AS ARRAY<BIGINT>),"
+        " (acc, k) -> array_append(acc,"
+        "   1 + aggregate(CASE WHEN k = 1 THEN CAST(array() AS"
+        "         ARRAY<BIGINT>) ELSE sequence(CAST(1 AS BIGINT),"
+        "         CAST(k - 1 AS BIGINT)) END, CAST(0 AS BIGINT),"
+        "     (m, j) -> CASE WHEN element_at(xs, CAST(j AS INT))"
+        "         < element_at(xs, CAST(k AS INT))"
+        "         AND element_at(acc, CAST(j AS INT)) > m"
+        "       THEN element_at(acc, CAST(j AS INT)) ELSE m END)))"
+    )
+    return series.select("t", lis.alias("lis")).select(
+        "t",
+        F.expr("CAST(array_max(lis) AS BIGINT)").alias("lis_len"),
+        F.expr(
+            "CAST(array_position(lis, array_max(lis)) AS BIGINT)"
+        ).alias("ends_at"),
+        F.lit(30).cast("bigint").alias("n"),
+    ).orderBy("t")
+
+
+@staged(
+    "q_quadrature_simpson",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 29)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    weighted AS (
+      SELECT t,
+             CAST(SUM(x * CASE WHEN d = 0 OR d = 28 THEN 1
+                               WHEN d % 2 = 1 THEN 4 ELSE 2 END)
+               AS BIGINT) AS simpson_num,
+             CAST(SUM(x * CASE WHEN d = 0 OR d = 28 THEN 1 ELSE 2 END)
+               AS BIGINT) AS trap_num,
+             CAST(SUM(x) AS BIGINT) AS total
+      FROM grid GROUP BY t
+    )
+    SELECT t, simpson_num, trap_num, total,
+           CAST(simpson_num AS DOUBLE) / 3.0 AS simpson_integral,
+           CAST(trap_num AS DOUBLE) / 2.0 AS trapezoid_integral,
+           CAST(simpson_num AS DOUBLE) / 3.0
+             - CAST(trap_num AS DOUBLE) / 2.0 AS rule_gap
+    FROM weighted ORDER BY t
+    """,
+)
+def q_quadrature_simpson(spark, sf_dir):
+    """COMPOSITE SIMPSON vs TRAPEZOID QUADRATURE of the daily-cents
+    curve over the 29-day even-panel window — the numerical-
+    integration mechanism (q_time_weighted_avg integrates
+    STEP functions exactly; quadrature rules integrate SAMPLED
+    curves, and the Simpson-trapezoid gap is the classic
+    curvature diagnostic — zero iff the samples are locally
+    linear): both rules reduce to EXACT integer weighted sums
+    (Simpson's 1-4-2-...-4-1 and trapezoid's 1-2-...-2-1 patterns
+    as integer CASE weights over the zero-filled grid; 29 points =
+    14 even panels, the parity condition Simpson requires —
+    documented), with the h/3 and h/2 scalings left as two single
+    divisions at readout. The witness recomputes both rules AND
+    pins the algebraic identity 2*simpson_num - 3*trap_num =
+    2*sum(odd) - 2*sum(even interior) ... spelled concretely:
+    both weighted sums are linear in the same exact samples. At
+    100 TB: one hash agg with constant-size state."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(29).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    sw = (
+        F.when((F.col("d") == 0) | (F.col("d") == 28), 1)
+        .when(F.col("d") % 2 == 1, 4)
+        .otherwise(2)
+    )
+    tw = F.when((F.col("d") == 0) | (F.col("d") == 28), 1).otherwise(2)
+    weighted = grid.groupBy("t").agg(
+        F.sum(F.col("x") * sw).cast("bigint").alias("simpson_num"),
+        F.sum(F.col("x") * tw).cast("bigint").alias("trap_num"),
+        F.sum("x").cast("bigint").alias("total"),
+    )
+    return weighted.select(
+        "t",
+        "simpson_num",
+        "trap_num",
+        "total",
+        (F.col("simpson_num").cast("double") / 3.0).alias(
+            "simpson_integral"
+        ),
+        (F.col("trap_num").cast("double") / 2.0).alias(
+            "trapezoid_integral"
+        ),
+        (
+            F.col("simpson_num").cast("double") / 3.0
+            - F.col("trap_num").cast("double") / 2.0
+        ).alias("rule_gap"),
+    ).orderBy("t")
+
+
+@staged(
+    "q_hotelling_t2",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CASE WHEN event_type = 'click'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) // 100
+               AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'view'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) // 100
+               AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    gs AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM daily
+    ),
+    mom AS (
+      SELECT n, sx, sy,
+             CAST(n * sxx - sx * sx AS BIGINT) AS a,
+             CAST(n * syy - sy * sy AS BIGINT) AS c,
+             CAST(n * sxy - sx * sy AS BIGINT) AS b
+      FROM gs
+    ),
+    pts AS (
+      SELECT daily.d, daily.x, daily.y, mom.n, mom.sx, mom.sy,
+             mom.a, mom.b, mom.c,
+             CAST(mom.n * daily.x - mom.sx AS BIGINT) AS u,
+             CAST(mom.n * daily.y - mom.sy AS BIGINT) AS v
+      FROM daily CROSS JOIN mom
+    )
+    SELECT d, x, y,
+           CAST(c * u * u - 2 * b * u * v + a * v * v AS HUGEINT)
+             AS t2_num,
+           CAST(a AS HUGEINT) * CAST(c AS HUGEINT)
+             - CAST(b AS HUGEINT) * CAST(b AS HUGEINT) AS det_scaled,
+           CAST(n - 1 AS BIGINT) AS dof,
+           CAST(CAST(c AS HUGEINT) * CAST(u AS HUGEINT)
+                  * CAST(u AS HUGEINT)
+                - CAST(2 AS HUGEINT) * CAST(b AS HUGEINT)
+                  * CAST(u AS HUGEINT) * CAST(v AS HUGEINT)
+                + CAST(a AS HUGEINT) * CAST(v AS HUGEINT)
+                  * CAST(v AS HUGEINT) AS DOUBLE)
+             * (CAST(n AS DOUBLE) - 1.0)
+             / (CAST(CAST(a AS HUGEINT) * CAST(c AS HUGEINT)
+                 - CAST(b AS HUGEINT) * CAST(b AS HUGEINT) AS DOUBLE)
+                * CAST(n AS DOUBLE)) AS t2,
+           (CAST(1000 AS HUGEINT)
+              * CAST(CAST(n - 1 AS HUGEINT)
+                * (CAST(c AS HUGEINT) * CAST(u AS HUGEINT)
+                     * CAST(u AS HUGEINT)
+                   - CAST(2 AS HUGEINT) * CAST(b AS HUGEINT)
+                     * CAST(u AS HUGEINT) * CAST(v AS HUGEINT)
+                   + CAST(a AS HUGEINT) * CAST(v AS HUGEINT)
+                     * CAST(v AS HUGEINT)) AS HUGEINT)
+            > CAST(13816 AS HUGEINT) * CAST(n AS HUGEINT)
+              * (CAST(a AS HUGEINT) * CAST(c AS HUGEINT)
+                 - CAST(b AS HUGEINT) * CAST(b AS HUGEINT)))
+             AS out_of_control
+    FROM pts ORDER BY d
+    """,
+)
+def q_hotelling_t2(spark, sf_dir):
+    """HOTELLING T^2 multivariate control chart over the daily
+    (click, view) dollar vector — the 2-D completion of
+    q_spc_control_chart (two univariate charts miss CORRELATED
+    excursions; T^2 whitens by the full covariance, the
+    multivariate-SPC standard): with the closed-form 2x2 inverse,
+    T^2 = (n-1) * (c*u^2 - 2b*uv + a*v^2) / (n * (ac - b^2)) where
+    u = n*x - Sx, v = n*y - Sy and a, b, c are the exact centered
+    second moments (the q_deming_regression / q_pca_closed_form
+    lattice) — the quadratic-form numerator and the scaled
+    determinant are exact HUGEINT/DECIMAL(38) (u^2*c ~ 1e28 at
+    sf1, documented), T^2 itself is one identical double chain,
+    and the chi-square(2) alpha=0.001 out-of-control verdict
+    (13.816) is decided EXACTLY in 128-bit integers — a float
+    never flags a day. At 100 TB: raw volume dies in the day agg;
+    the chart is 30-row work."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'click'"
+                " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)"
+                " div 100 AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(SUM(CASE WHEN event_type = 'view'"
+                " THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)"
+                " div 100 AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    daily = track_persist(daily)
+    gs = daily.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    mom = gs.select(
+        "n",
+        "sx",
+        "sy",
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint")
+        .alias("a"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint")
+        .alias("b"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("bigint")
+        .alias("c"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    u = (F.col("n") * F.col("x") - F.col("sx")).cast("bigint")
+    v = (F.col("n") * F.col("y") - F.col("sy")).cast("bigint")
+    pts = daily.crossJoin(F.broadcast(mom)).select(
+        "d",
+        "x",
+        "y",
+        "n",
+        "a",
+        "b",
+        "c",
+        u.alias("u"),
+        v.alias("v"),
+    )
+    qnum = (
+        dec(F.col("c")) * dec(F.col("u")) * dec(F.col("u"))
+        - dec(F.lit(2)) * dec(F.col("b")) * dec(F.col("u")) * dec(F.col("v"))
+        + dec(F.col("a")) * dec(F.col("v")) * dec(F.col("v"))
+    )
+    det = dec(F.col("a")) * dec(F.col("c")) - dec(F.col("b")) * dec(
+        F.col("b")
+    )
+    t2 = (
+        qnum.cast("double")
+        * (F.col("n").cast("double") - 1.0)
+        / (det.cast("double") * F.col("n").cast("double"))
+    )
+    return pts.select(
+        "d",
+        "x",
+        "y",
+        qnum.cast("decimal(38,0)").alias("t2_num"),
+        det.cast("decimal(38,0)").alias("det_scaled"),
+        (F.col("n") - 1).cast("bigint").alias("dof"),
+        t2.alias("t2"),
+        (
+            dec(F.lit(1000)) * dec(F.col("n") - 1) * qnum
+            > dec(F.lit(13816)) * dec(F.col("n")) * det
+        ).alias("out_of_control"),
+    ).orderBy("d")

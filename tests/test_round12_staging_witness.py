@@ -3473,3 +3473,98 @@ def test_no_python_row_udfs_in_round12_staged_b25(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 26
+
+
+def test_lis_dp_witness(spark, duck):
+    daily = _daily_cents(duck)
+    days = sorted({d for v in daily.values() for d in v})
+    got = {
+        r.t: r for r in STAGED_QUERIES["q_lis_dp"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(daily)
+    for t in daily:
+        xs = [daily[t].get(d, 0) for d in days]
+        lis = []
+        for k, x in enumerate(xs):
+            lis.append(
+                1 + max((lis[j] for j in range(k) if xs[j] < x), default=0)
+            )
+        best = max(lis)
+        r = got[t]
+        assert (r.lis_len, r.n) == (best, 30)
+        assert r.ends_at == lis.index(best) + 1
+        assert 1 <= r.lis_len <= 30
+
+
+def test_quadrature_simpson_witness(spark, duck):
+    daily = _daily_cents(duck)
+    days = sorted({d for v in daily.values() for d in v})
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_quadrature_simpson"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(daily)
+    for t in daily:
+        xs = [daily[t].get(d, 0) for d in days[:29]]
+        sn = sum(
+            x * (1 if d in (0, 28) else 4 if d % 2 == 1 else 2)
+            for d, x in enumerate(xs)
+        )
+        tn = sum(x * (1 if d in (0, 28) else 2) for d, x in enumerate(xs))
+        r = got[t]
+        assert (r.simpson_num, r.trap_num, r.total) == (sn, tn, sum(xs))
+        assert r.simpson_integral == pytest.approx(sn / 3.0, rel=1e-12)
+        assert r.trapezoid_integral == pytest.approx(tn / 2.0, rel=1e-12)
+        assert r.rule_gap == pytest.approx(sn / 3.0 - tn / 2.0, rel=1e-9)
+        # both rules integrate a constant exactly: equal iff flat
+        # (sanity: weights sum to 3*(n-1) and 2*(n-1) panels' worth)
+        assert sum(
+            1 if d in (0, 28) else 4 if d % 2 == 1 else 2
+            for d in range(29)
+        ) == 3 * 28
+        assert sum(1 if d in (0, 28) else 2 for d in range(29)) == 2 * 28
+
+
+def test_hotelling_t2_witness(spark, duck):
+    daily = _daily_cents(duck)
+    days = sorted({d for v in daily.values() for d in v})
+    xs = [daily["click"].get(d, 0) // 100 for d in days]
+    ys = [daily["view"].get(d, 0) // 100 for d in days]
+    n = len(days)
+    sx, sy = sum(xs), sum(ys)
+    a = n * sum(v * v for v in xs) - sx * sx
+    b = n * sum(p * q for p, q in zip(xs, ys)) - sx * sy
+    c = n * sum(v * v for v in ys) - sy * sy
+    det = a * c - b * b
+    rows = STAGED_QUERIES["q_hotelling_t2"](spark, SF_DIR).collect()
+    assert len(rows) == n
+    n_flagged = 0
+    for r in rows:
+        i = r.d
+        u = n * xs[i] - sx
+        v = n * ys[i] - sy
+        qn = c * u * u - 2 * b * u * v + a * v * v
+        assert int(r.t2_num) == qn
+        assert int(r.det_scaled) == det
+        assert r.dof == n - 1
+        assert r.t2 == pytest.approx(qn * (n - 1) / (det * n), rel=1e-12)
+        assert r.t2 >= 0.0  # a quadratic form in a PD matrix
+        assert r.out_of_control == (
+            1000 * (n - 1) * qn > 13816 * n * det
+        )
+        n_flagged += r.out_of_control
+    assert n_flagged < n  # the chart cannot flag every day
+
+
+@pytest.mark.parametrize(
+    "name", ["q_lis_dp", "q_quadrature_simpson", "q_hotelling_t2"]
+)
+def test_no_python_row_udfs_in_round12_staged_b26(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
