@@ -11931,3 +11931,377 @@ def q_hotelling_t2(spark, sf_dir):
             > dec(F.lit(13816)) * dec(F.col("n")) * det
         ).alias("out_of_control"),
     ).orderBy("d")
+
+
+# =====================================================================
+# Round-12 staged batch 27 — algorithmic engine mechanics: weighted
+# interval scheduling DP (the optimal upgrade of the greedy),
+# Blelloch work-efficient scan vs sequential cumsum (two routes),
+# and frame-of-reference bitpacking cost (the Parquet scheme).
+# Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_weighted_interval_dp",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT event_type AS t,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT tt.t, dd.d, CAST(COALESCE(daily.x, 0) AS BIGINT) AS x
+      FROM (SELECT DISTINCT t FROM daily) tt
+      CROSS JOIN (SELECT unnest(range(0, 30)) AS d) dd
+      LEFT JOIN daily ON daily.t = tt.t AND daily.d = dd.d
+    ),
+    ivals AS (
+      SELECT t, d AS s, CAST(d + 1 + x % 5 AS BIGINT) AS e,
+             CAST(1 + x % 97 AS BIGINT) AS w
+      FROM grid
+    ),
+    sorted_iv AS (
+      SELECT t, s, e, w,
+             row_number() OVER (PARTITION BY t ORDER BY e, s) AS j
+      FROM ivals
+    ),
+    preds AS (
+      SELECT a.t, a.j, a.s, a.e, a.w,
+             CAST(COALESCE(MAX(b.j), 0) AS BIGINT) AS p
+      FROM sorted_iv a LEFT JOIN sorted_iv b
+        ON b.t = a.t AND b.e <= a.s
+      GROUP BY a.t, a.j, a.s, a.e, a.w
+    ),
+    arr AS (
+      SELECT t, list(w ORDER BY j) AS ws, list(p ORDER BY j) AS ps
+      FROM preds GROUP BY t
+    ),
+    rec AS (
+      SELECT t, ws, ps, 0 AS k, CAST([0] AS BIGINT[]) AS m
+      FROM arr
+      UNION ALL
+      SELECT t, ws, ps, k + 1,
+             list_append(m, GREATEST(m[k + 1],
+               ws[k + 1] + m[CAST(ps[k + 1] AS INT) + 1]))
+      FROM rec WHERE k < 30
+    )
+    SELECT t, CAST(m[31] AS BIGINT) AS best_weight,
+           CAST(30 AS BIGINT) AS n_intervals
+    FROM rec WHERE k = 30 ORDER BY t
+    """,
+)
+def q_weighted_interval_dp(spark, sf_dir):
+    """WEIGHTED INTERVAL SCHEDULING solved EXACTLY by DP — the
+    optimal upgrade of q_interval_scheduling (the greedy
+    earliest-finish rule is optimal only for UNWEIGHTED counts;
+    with weights it is unboundedly suboptimal, and the Kleinberg-
+    Tardos DP m[j] = max(m[j-1], w_j + m[p(j)]) is the textbook
+    fix): 30 deterministic intervals per type derive from the daily
+    lattice (start d, length 1 + x mod 5, weight 1 + x mod 97 —
+    exact integers), the predecessor index p(j) comes from one
+    anti-overlap join on the (end <= start) integer predicate, and
+    the DP is ONE F.aggregate fold over the end-sorted list with an
+    exact BIGINT memo. The witness replays the DP AND cross-checks
+    a gap property (best >= max single weight; best <= total
+    weight). At 100 TB: raw volume dies in the (t, day) agg; the
+    DP is 30 steps per type over the bounded grid."""
+    daily = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")
+            ).alias("d"),
+        )
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    grid = (
+        daily.select("t")
+        .distinct()
+        .crossJoin(
+            F.broadcast(spark.range(30).select(F.col("id").alias("d")))
+        )
+        .join(F.broadcast(daily), ["t", "d"], "left")
+        .select(
+            "t", "d", F.coalesce("x", F.lit(0)).cast("bigint").alias("x")
+        )
+    )
+    ivals = grid.select(
+        "t",
+        F.col("d").cast("bigint").alias("s"),
+        (F.col("d") + 1 + F.col("x") % 5).cast("bigint").alias("e"),
+        (1 + F.col("x") % 97).cast("bigint").alias("w"),
+    )
+    w_j = Window.partitionBy("t").orderBy("e", "s")
+    sorted_iv = ivals.select(
+        "t", "s", "e", "w", F.row_number().over(w_j).alias("j")
+    )
+    sorted_iv = track_persist(sorted_iv)
+    a = sorted_iv.alias("a")
+    b = sorted_iv.alias("b")
+    preds = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.t") == F.col("a.t"))
+            & (F.col("b.e") <= F.col("a.s")),
+            "left",
+        )
+        .groupBy(
+            F.col("a.t").alias("t"),
+            F.col("a.j").alias("j"),
+            F.col("a.w").alias("w"),
+        )
+        .agg(
+            F.coalesce(F.max("b.j"), F.lit(0)).cast("bigint").alias("p")
+        )
+    )
+    arr = preds.groupBy("t").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, w))), e -> e.w)"
+        ).alias("ws"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, p))), e -> e.p)"
+        ).alias("ps"),
+    )
+    dp = F.expr(
+        "element_at(aggregate(sequence(1, 30),"
+        " CAST(array(0) AS ARRAY<BIGINT>),"
+        " (m, k) -> array_append(m, greatest("
+        "   element_at(m, CAST(k AS INT)),"
+        "   element_at(ws, CAST(k AS INT))"
+        "     + element_at(m, CAST(element_at(ps, CAST(k AS INT)) + 1"
+        "         AS INT))))), 31)"
+    )
+    return arr.select(
+        "t",
+        dp.cast("bigint").alias("best_weight"),
+        F.lit(30).cast("bigint").alias("n_intervals"),
+    ).orderBy("t")
+
+
+@staged(
+    "q_blelloch_scan",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(user_id % 32 AS BIGINT) AS bk,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT bb.bk, CAST(COALESCE(vals.v, 0) AS BIGINT) AS v
+      FROM (SELECT unnest(range(0, 32)) AS bk) bb
+      LEFT JOIN vals ON vals.bk = bb.bk
+    ),
+    seq AS (
+      SELECT bk, v,
+             CAST(COALESCE(SUM(v) OVER (ORDER BY bk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS excl_seq
+      FROM grid
+    )
+    SELECT bk AS pos, v, excl_seq,
+           excl_seq AS excl_blelloch, TRUE AS routes_agree
+    FROM seq ORDER BY pos
+    """,
+)
+def q_blelloch_scan(spark, sf_dir):
+    """BLELLOCH WORK-EFFICIENT EXCLUSIVE SCAN vs the sequential
+    window cumsum — two genuinely different algebraic routes to the
+    same prefix sums (the up-sweep/down-sweep tree scan is THE
+    primitive under GPU and vectorized-engine aggregation; the
+    sequential route is one window): Spark runs the REAL Blelloch
+    algorithm on the 32-slot array — 5 up-sweep levels folding
+    partial sums into the tree, root zeroed, 5 down-sweep levels
+    swapping-and-adding back down, all as one F.aggregate over the
+    level sequence with exact BIGINT cells — and emits it NEXT TO
+    the window-cumsum column; the routes_agree column is an integer
+    equality per position (the q_little_law two-routes discipline).
+    The oracle computes only the sequential route and pins
+    excl_blelloch = excl_seq — i.e. the tree scan must REPRODUCE
+    the window, which is exactly the parallel-scan correctness
+    theorem. At 100 TB: one hash agg to 32 slots; the scan is
+    2*log2(32) fold steps."""
+    vals = (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.expr("CAST(user_id % 32 AS BIGINT)").alias("bk"))
+        .agg(
+            F.sum(F.expr("CAST(round(value * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    grid = (
+        spark.range(32)
+        .select(F.col("id").cast("bigint").alias("bk"))
+        .join(F.broadcast(vals), "bk", "left")
+        .select(
+            "bk", F.coalesce("v", F.lit(0)).cast("bigint").alias("v")
+        )
+    )
+    per = grid.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(bk, v))), e -> e.v)"
+        ).alias("xs")
+    )
+    # up-sweep: for level d in 0..4, stride = 2^(d+1): cell at
+    # i = k*stride + stride - 1 += cell at i - 2^d
+    up = (
+        "aggregate(array(1, 2, 4, 8, 16), xs, (a, h) ->"
+        " transform(a, (x, i) -> CASE"
+        "   WHEN (i + 1) % (2 * h) = 0"
+        "   THEN x + element_at(a, CAST(i + 1 - h AS INT))"
+        "   ELSE x END))"
+    )
+    # zero the root, then down-sweep with mirrored strides
+    down = (
+        f"aggregate(array(16, 8, 4, 2, 1),"
+        f" transform({up}, (x, i) -> CASE WHEN i = 31"
+        f"   THEN CAST(0 AS BIGINT) ELSE x END),"
+        " (a, h) -> transform(a, (x, i) -> CASE"
+        "   WHEN (i + 1) % (2 * h) = 0"
+        "   THEN x + element_at(a, CAST(i + 1 - h AS INT))"
+        "   WHEN (i + 1 + h) % (2 * h) = 0"
+        "   THEN element_at(a, CAST(i + 1 + h AS INT))"
+        "   ELSE x END))"
+    )
+    scanned = per.select(
+        "xs", F.expr(down).alias("bl")
+    ).select(
+        F.posexplode("xs").alias("pos", "v"),
+        F.col("bl"),
+    ).select(
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("v").cast("bigint").alias("v"),
+        F.expr("element_at(bl, CAST(pos + 1 AS INT))")
+        .cast("bigint")
+        .alias("excl_blelloch"),
+    )
+    w_seq = Window.orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        scanned.select(
+            "pos",
+            "v",
+            F.coalesce(F.sum("v").over(w_seq), F.lit(0))
+            .cast("bigint")
+            .alias("excl_seq"),
+            "excl_blelloch",
+        )
+        .select(
+            "pos",
+            "v",
+            "excl_seq",
+            "excl_blelloch",
+            (F.col("excl_blelloch") == F.col("excl_seq")).alias(
+                "routes_agree"
+            ),
+        )
+        .orderBy("pos")
+    )
+
+
+@staged(
+    "q_for_bitpacking",
+    oracle="""
+    WITH blocks AS (
+      SELECT CAST(event_id // 32 AS BIGINT) AS blk,
+             CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ),
+    stats AS (
+      SELECT blk, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(v) AS BIGINT) AS lo, CAST(MAX(v) AS BIGINT) AS hi
+      FROM blocks GROUP BY blk
+    ),
+    widths AS (
+      SELECT blk, n, lo, hi,
+             CAST(CASE WHEN hi = lo THEN 0
+                  ELSE length(bin(hi - lo)) END AS BIGINT) AS width_bits
+      FROM stats
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(SUM(n) AS BIGINT) AS n_values,
+             CAST(SUM(64 + n * width_bits) AS BIGINT) AS packed_bits,
+             CAST(SUM(64 * n) AS BIGINT) AS raw_bits
+      FROM widths
+    ),
+    hist AS (
+      SELECT width_bits, CAST(COUNT(*) AS BIGINT) AS n_blocks_at
+      FROM widths GROUP BY width_bits
+    )
+    SELECT hist.width_bits, hist.n_blocks_at,
+           agg.n_blocks, agg.n_values, agg.packed_bits, agg.raw_bits,
+           CAST(agg.packed_bits AS DOUBLE) / CAST(agg.raw_bits AS DOUBLE)
+             AS compression_ratio
+    FROM hist CROSS JOIN agg
+    ORDER BY width_bits
+    """,
+)
+def q_for_bitpacking(spark, sf_dir):
+    """FRAME-OF-REFERENCE BITPACKING cost accounting — the
+    column-store integer codec (Parquet/DuckDB/Velox default:
+    per-block, store min as a 64-bit reference and pack v - min in
+    ceil(log2(range+1)) bits) completing the compression trio next
+    to q_postings_compression (Elias-gamma) and the staged
+    q_gorilla_cost (delta-of-delta): blocks are 32 event-ids wide,
+    the per-block width is the EXACT integer bit length of hi - lo
+    via length(bin(.)) (the q_unigram_surprisal no-float-log
+    discipline; the constant block is width 0 — decided by an
+    integer equality, not log(0)), and every bit total is an exact
+    BIGINT (64 reference bits per block + n*width packed). The
+    width histogram shows the codec's behavior; one ratio divides
+    at readout. At 100 TB: one hash agg over blocks — the same
+    shape as the writer's own encoding pass."""
+    blocks = _t(spark, sf_dir, "events").select(
+        F.expr("CAST(event_id div 32 AS BIGINT)").alias("blk"),
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("v"),
+    )
+    stats = blocks.groupBy("blk").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("v").cast("bigint").alias("lo"),
+        F.max("v").cast("bigint").alias("hi"),
+    )
+    widths = stats.select(
+        "blk",
+        "n",
+        F.when(F.col("hi") == F.col("lo"), 0)
+        .otherwise(F.expr("length(bin(hi - lo))"))
+        .cast("bigint")
+        .alias("width_bits"),
+    )
+    widths = track_persist(widths)
+    agg = widths.agg(
+        F.count("*").cast("bigint").alias("n_blocks"),
+        F.sum("n").cast("bigint").alias("n_values"),
+        F.sum(64 + F.col("n") * F.col("width_bits"))
+        .cast("bigint")
+        .alias("packed_bits"),
+        F.sum(64 * F.col("n")).cast("bigint").alias("raw_bits"),
+    )
+    hist = widths.groupBy("width_bits").agg(
+        F.count("*").cast("bigint").alias("n_blocks_at")
+    )
+    return (
+        hist.crossJoin(F.broadcast(agg))
+        .select(
+            "width_bits",
+            "n_blocks_at",
+            "n_blocks",
+            "n_values",
+            "packed_bits",
+            "raw_bits",
+            (
+                F.col("packed_bits").cast("double")
+                / F.col("raw_bits").cast("double")
+            ).alias("compression_ratio"),
+        )
+        .orderBy("width_bits")
+    )

@@ -3568,3 +3568,107 @@ def test_no_python_row_udfs_in_round12_staged_b26(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 27
+
+
+def test_weighted_interval_dp_witness(spark, duck):
+    import datetime
+
+    daily = _daily_cents(duck)
+    anchor = datetime.date(2024, 1, 1)
+    got = {
+        r.t: r
+        for r in STAGED_QUERIES["q_weighted_interval_dp"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(daily)
+    for t in daily:
+        byday = {(d - anchor).days: c for d, c in daily[t].items()}
+        iv = []
+        for d in range(30):
+            x = byday.get(d, 0)
+            iv.append((d, d + 1 + x % 5, 1 + x % 97))
+        iv.sort(key=lambda z: (z[1], z[0]))
+        m = [0]
+        for j, (s, e, w) in enumerate(iv, 1):
+            p = max(
+                (jj for jj in range(1, j) if iv[jj - 1][1] <= s),
+                default=0,
+            )
+            m.append(max(m[j - 1], w + m[p]))
+        r = got[t]
+        assert (r.best_weight, r.n_intervals) == (m[30], 30)
+        assert max(w for _, _, w in iv) <= r.best_weight
+        assert r.best_weight <= sum(w for _, _, w in iv)
+
+
+def test_blelloch_scan_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT user_id % 32, SUM(CAST(round(value * 100) AS BIGINT))"
+        f" FROM '{SF_DIR}/events.parquet' GROUP BY 1"
+    ).fetchall()
+    byb = {int(b): int(v) for b, v in rows}
+    xs = [byb.get(i, 0) for i in range(32)]
+    # independent Blelloch replay
+    a = list(xs)
+    for h in (1, 2, 4, 8, 16):
+        for i in range(2 * h - 1, 32, 2 * h):
+            a[i] += a[i - h]
+    a[31] = 0
+    for h in (16, 8, 4, 2, 1):
+        for i in range(2 * h - 1, 32, 2 * h):
+            a[i - h], a[i] = a[i], a[i] + a[i - h]
+    excl = [sum(xs[:i]) for i in range(32)]
+    assert a == excl  # the scan theorem, verified in Python too
+    rows2 = STAGED_QUERIES["q_blelloch_scan"](spark, SF_DIR).collect()
+    assert [r.v for r in rows2] == xs
+    assert [r.excl_blelloch for r in rows2] == excl
+    assert [r.excl_seq for r in rows2] == excl
+    assert all(r.routes_agree for r in rows2)
+
+
+def test_for_bitpacking_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_id // 32, CAST(round(value * 100) AS BIGINT)"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    blocks = collections.defaultdict(list)
+    for b, v in rows:
+        blocks[int(b)].append(int(v))
+    hist = collections.Counter()
+    packed = raw = nv = 0
+    for vs in blocks.values():
+        rng = max(vs) - min(vs)
+        width = rng.bit_length()
+        hist[width] += 1
+        packed += 64 + len(vs) * width
+        raw += 64 * len(vs)
+        nv += len(vs)
+    got = {
+        r.width_bits: r
+        for r in STAGED_QUERIES["q_for_bitpacking"](
+            spark, SF_DIR
+        ).collect()
+    }
+    assert set(got) == set(hist)
+    for w, r in got.items():
+        assert r.n_blocks_at == hist[w]
+        assert (r.n_blocks, r.n_values) == (len(blocks), nv)
+        assert (r.packed_bits, r.raw_bits) == (packed, raw)
+        assert r.compression_ratio == pytest.approx(
+            packed / raw, rel=1e-12
+        )
+        assert r.compression_ratio < 1.0
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_weighted_interval_dp", "q_blelloch_scan", "q_for_bitpacking"],
+)
+def test_no_python_row_udfs_in_round12_staged_b27(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
