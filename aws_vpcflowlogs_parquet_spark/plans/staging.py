@@ -12305,3 +12305,318 @@ def q_for_bitpacking(spark, sf_dir):
         )
         .orderBy("width_bits")
     )
+
+
+# =====================================================================
+# Round-12 staged batch 28 — ML-pipeline & privacy mechanisms:
+# stratified k-fold assignment audit, weight-of-evidence /
+# information value, and randomized-response estimation.
+# Promotion target: round 13.
+# =====================================================================
+
+
+@staged(
+    "q_kfold_assign",
+    oracle="""
+    WITH users AS (
+      SELECT user_id, event_type AS stratum,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(user_id AS VARCHAR) || ':cv'), user_id
+             ) AS rk
+      FROM (SELECT DISTINCT user_id, event_type FROM events)
+    ),
+    assigned AS (
+      SELECT user_id, stratum, CAST((rk - 1) % 5 AS BIGINT) AS fold
+      FROM users
+    ),
+    sizes AS (
+      SELECT stratum, fold, CAST(COUNT(*) AS BIGINT) AS n
+      FROM assigned GROUP BY stratum, fold
+    ),
+    balance AS (
+      SELECT stratum, CAST(MAX(n) - MIN(n) AS BIGINT) AS spread,
+             CAST(SUM(n) AS BIGINT) AS n_stratum
+      FROM sizes GROUP BY stratum
+    )
+    SELECT sizes.stratum AS stratum, sizes.fold, sizes.n,
+           balance.n_stratum, balance.spread,
+           (balance.spread <= 1) AS balanced
+    FROM sizes JOIN balance ON balance.stratum = sizes.stratum
+    ORDER BY sizes.stratum, sizes.fold
+    """,
+)
+def q_kfold_assign(spark, sf_dir):
+    """STRATIFIED K-FOLD ASSIGNMENT AUDIT (k = 5) — the
+    cross-validation split every ML pipeline needs before any score
+    is trusted (q_sample_stratified draws ONE stratified sample;
+    k-fold must PARTITION each stratum into k near-equal folds,
+    and a skewed fold silently biases every CV estimate): members
+    rank within their (user, type) stratum by the engine-portable
+    md5 order (the q_srm_check discipline, with the user_id
+    tiebreak making the rank total), fold = (rank-1) mod 5 — the
+    round-robin that GUARANTEES within-stratum balance — and the
+    audit pins the guarantee as an exact integer: max fold size -
+    min fold size <= 1 per stratum, never a float. At 100 TB: one
+    distinct projection, one rank window per stratum, two hash
+    aggs."""
+    users = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.col("event_type").alias("stratum"))
+        .distinct()
+    )
+    w_rk = Window.partitionBy("stratum").orderBy(
+        F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":cv"))),
+        "user_id",
+    )
+    assigned = users.select(
+        "user_id",
+        "stratum",
+        ((F.row_number().over(w_rk) - 1) % 5).cast("bigint").alias("fold"),
+    )
+    sizes = assigned.groupBy("stratum", "fold").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    sizes = track_persist(sizes)
+    balance = sizes.groupBy("stratum").agg(
+        (F.max("n") - F.min("n")).cast("bigint").alias("spread"),
+        F.sum("n").cast("bigint").alias("n_stratum"),
+    )
+    return (
+        sizes.join(F.broadcast(balance), "stratum")
+        .select(
+            "stratum",
+            "fold",
+            "n",
+            "n_stratum",
+            "spread",
+            (F.col("spread") <= 1).alias("balanced"),
+        )
+        .orderBy("stratum", "fold")
+    )
+
+
+@staged(
+    "q_woe_iv",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(event_id % 10 AS BIGINT) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    bins AS (
+      SELECT bin, CAST(SUM(y) AS BIGINT) AS g,
+             CAST(SUM(1 - y) AS BIGINT) AS b
+      FROM scored GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS gt, CAST(SUM(b) AS BIGINT) AS bt
+      FROM bins
+    ),
+    woe AS (
+      SELECT bins.bin, bins.g, bins.b, tot.gt, tot.bt,
+             CAST(floor(ln(CAST(bins.g AS DOUBLE) * tot.bt
+                 / (CAST(bins.b AS DOUBLE) * tot.gt))
+               * 1000000000.0 + 0.5) AS BIGINT) AS woe_nano
+      FROM bins CROSS JOIN tot
+      WHERE bins.g > 0 AND bins.b > 0
+    ),
+    iv AS (
+      SELECT CAST(SUM(
+               CAST(floor(
+                 (CAST(g AS DOUBLE) / gt - CAST(b AS DOUBLE) / bt)
+                 * CAST(woe_nano AS DOUBLE) + 0.5) AS BIGINT)
+             ) AS BIGINT) AS iv_nano
+      FROM woe
+    )
+    SELECT woe.bin, woe.g, woe.b, woe.woe_nano, iv.iv_nano,
+           CAST(iv.iv_nano AS DOUBLE) / 1000000000.0 AS information_value,
+           (iv.iv_nano > 20000000) AS predictive
+    FROM woe CROSS JOIN iv
+    ORDER BY woe.bin
+    """,
+)
+def q_woe_iv(spark, sf_dir):
+    """WEIGHT OF EVIDENCE + INFORMATION VALUE per score decile — the
+    credit-scoring feature screen that completes the supervised-
+    encoding family (q_target_encode smooths the mean, q_psi_stability
+    drifts the population; WOE = ln(good-share / bad-share) is the
+    scorecard transform and IV = sum (gshare - bshare) * WOE the
+    industry screening rule, IV > 0.02 = predictive): good/bad
+    counts per event_id-decile bin are exact BIGINTs, each WOE's
+    single log argument is the exact integer cross-ratio g*Bt/(b*Gt)
+    evaluated in ONE identical chain and quantized to the 1e-9
+    lattice, the per-bin IV contributions quantize BEFORE the exact
+    integer sum (the q_log_rank discipline), empty-sided bins are
+    excluded by integer predicates (ln(0) — documented), and the
+    IV > 0.02 verdict is an exact integer compare on the nano
+    lattice. At 100 TB: one scan, one 10-bin hash agg."""
+    scored = _t(spark, sf_dir, "events").select(
+        (F.col("event_id") % 10).cast("bigint").alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    bins = scored.groupBy("bin").agg(
+        F.sum("y").cast("bigint").alias("g"),
+        F.sum(1 - F.col("y")).cast("bigint").alias("b"),
+    )
+    bins = track_persist(bins)
+    tot = bins.agg(
+        F.sum("g").cast("bigint").alias("gt"),
+        F.sum("b").cast("bigint").alias("bt"),
+    )
+    woe = (
+        bins.crossJoin(F.broadcast(tot))
+        .filter((F.col("g") > 0) & (F.col("b") > 0))
+        .select(
+            "bin",
+            "g",
+            "b",
+            "gt",
+            "bt",
+            F.floor(
+                F.log(
+                    F.col("g").cast("double")
+                    * F.col("bt")
+                    / (F.col("b").cast("double") * F.col("gt"))
+                )
+                * 1000000000.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("woe_nano"),
+        )
+    )
+    woe = track_persist(woe)
+    iv = woe.agg(
+        F.sum(
+            F.floor(
+                (
+                    F.col("g").cast("double") / F.col("gt")
+                    - F.col("b").cast("double") / F.col("bt")
+                )
+                * F.col("woe_nano").cast("double")
+                + 0.5
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("iv_nano")
+    )
+    return (
+        woe.crossJoin(F.broadcast(iv))
+        .select(
+            "bin",
+            "g",
+            "b",
+            "woe_nano",
+            "iv_nano",
+            (F.col("iv_nano").cast("double") / 1000000000.0).alias(
+                "information_value"
+            ),
+            (F.col("iv_nano") > 20000000).alias("predictive"),
+        )
+        .orderBy("bin")
+    )
+
+
+@staged(
+    "q_randomized_response",
+    oracle="""
+    WITH coins AS (
+      SELECT CASE WHEN CAST(round(value * 100) AS BIGINT) > 5000
+               THEN 1 ELSE 0 END AS truth,
+             CAST(CAST('0x' || substring(
+               md5(CAST(event_id AS VARCHAR) || ':rr1'), 1, 8) AS BIGINT)
+               % 2 AS BIGINT) AS c1,
+             CAST(CAST('0x' || substring(
+               md5(CAST(event_id AS VARCHAR) || ':rr2'), 1, 8) AS BIGINT)
+               % 2 AS BIGINT) AS c2
+      FROM events
+    ),
+    reported AS (
+      SELECT truth,
+             CASE WHEN c1 = 1 THEN truth ELSE c2 END AS response
+      FROM coins
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(truth) AS BIGINT) AS n_true,
+             CAST(SUM(response) AS BIGINT) AS n_yes
+      FROM reported
+    )
+    SELECT n, n_true, n_yes,
+           CAST(n_true AS DOUBLE) / n AS true_rate,
+           CAST(n_yes AS DOUBLE) / n AS observed_rate,
+           2.0 * CAST(n_yes AS DOUBLE) / n - 0.5 AS estimated_rate,
+           abs((2.0 * CAST(n_yes AS DOUBLE) / n - 0.5)
+               - CAST(n_true AS DOUBLE) / n) AS estimator_error
+    FROM agg
+    """,
+)
+def q_randomized_response(spark, sf_dir):
+    """WARNER'S RANDOMIZED RESPONSE with the debiasing estimator —
+    the privacy-mechanism ESTIMATION side that completes the
+    anonymity family (q_k_anonymity / q_l_diversity / q_t_closeness
+    audit the published table; randomized response is the original
+    local-DP mechanism, and the whole point is that the TRUE rate
+    is recoverable in aggregate): each event answers truthfully on
+    heads (engine-portable md5 coin 1) and reports a second md5
+    coin otherwise — a deterministic REPLAY of the randomizer, so
+    both engines and the witness see the identical transcript —
+    and the classic unbiased estimator p-hat = 2*observed - 1/2
+    (for p_truth = q_noise = 1/2) is one identical chain next to
+    the ground truth (knowable here precisely because this is a
+    replay — the estimator_error column IS the utility audit). All
+    counts exact BIGINT. At 100 TB: one scan, constant-state
+    agg."""
+    ev = _t(spark, sf_dir, "events")
+
+    def coin(salt):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"), F.lit(salt)
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 2
+        )
+
+    reported = ev.select(
+        F.when(
+            F.expr("CAST(round(value * 100) AS BIGINT)") > 5000, 1
+        )
+        .otherwise(0)
+        .alias("truth"),
+        coin(":rr1").alias("c1"),
+        coin(":rr2").alias("c2"),
+    ).select(
+        "truth",
+        F.when(F.col("c1") == 1, F.col("truth"))
+        .otherwise(F.col("c2"))
+        .alias("response"),
+    )
+    agg = reported.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("truth").cast("bigint").alias("n_true"),
+        F.sum("response").cast("bigint").alias("n_yes"),
+    )
+    obs = F.col("n_yes").cast("double") / F.col("n")
+    true_rate = F.col("n_true").cast("double") / F.col("n")
+    return agg.select(
+        "n",
+        "n_true",
+        "n_yes",
+        true_rate.alias("true_rate"),
+        obs.alias("observed_rate"),
+        (2.0 * obs - 0.5).alias("estimated_rate"),
+        F.abs((2.0 * obs - 0.5) - true_rate).alias("estimator_error"),
+    )

@@ -3672,3 +3672,108 @@ def test_no_python_row_udfs_in_round12_staged_b27(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+# ---------------------------------------------------------------- batch 28
+
+
+def test_kfold_assign_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT DISTINCT user_id, event_type"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    strata = collections.defaultdict(list)
+    for uid, t in rows:
+        strata[t].append(uid)
+    sizes = {}
+    for t, uids in strata.items():
+        order = sorted(
+            uids,
+            key=lambda u: (
+                hashlib.md5(f"{u}:cv".encode()).hexdigest(),
+                u,
+            ),
+        )
+        for rk, _ in enumerate(order):
+            sizes[(t, rk % 5)] = sizes.get((t, rk % 5), 0) + 1
+    got = {
+        (r.stratum, r.fold): r
+        for r in STAGED_QUERIES["q_kfold_assign"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(sizes)
+    for (t, f), n in sizes.items():
+        r = got[(t, f)]
+        assert r.n == n
+        assert r.n_stratum == len(strata[t])
+        spread = max(
+            sizes.get((t, ff), 0) for ff in range(5)
+        ) - min(sizes.get((t, ff), 0) for ff in range(5))
+        assert r.spread == spread
+        assert r.balanced and spread <= 1  # round-robin guarantee
+
+
+def test_woe_iv_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_id % 10,"
+        f" CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    bins = collections.defaultdict(lambda: [0, 0])
+    for b, y in rows:
+        bins[int(b)][0 if y else 1] += 1
+    gt = sum(g for g, _ in bins.values())
+    bt = sum(b for _, b in bins.values())
+    woes = {}
+    iv = 0
+    for bn, (g, b) in bins.items():
+        if g > 0 and b > 0:
+            w = math.floor(math.log(g * bt / (b * gt)) * 1e9 + 0.5)
+            woes[bn] = w
+            iv += math.floor((g / gt - b / bt) * w + 0.5)
+    got = {
+        r.bin: r for r in STAGED_QUERIES["q_woe_iv"](spark, SF_DIR).collect()
+    }
+    assert set(got) == set(woes)
+    for bn, r in got.items():
+        g, b = bins[bn]
+        assert (r.g, r.b) == (g, b)
+        assert r.woe_nano == woes[bn]
+        assert r.iv_nano == iv
+        assert r.information_value == pytest.approx(iv / 1e9, rel=1e-12)
+        assert r.predictive == (iv > 20000000)
+    assert iv >= 0  # IV is a sum of (p-q)*ln(p/q) >= 0 terms
+
+
+def test_randomized_response_witness(spark, duck):
+    rows = duck.sql(
+        f"SELECT event_id, CAST(round(value * 100) AS BIGINT) > 5000"
+        f" FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    n = len(rows)
+    n_true = n_yes = 0
+    for eid, truth in rows:
+        truth = 1 if truth else 0
+        c1 = int(hashlib.md5(f"{eid}:rr1".encode()).hexdigest()[:8], 16) % 2
+        c2 = int(hashlib.md5(f"{eid}:rr2".encode()).hexdigest()[:8], 16) % 2
+        n_true += truth
+        n_yes += truth if c1 == 1 else c2
+    [r] = STAGED_QUERIES["q_randomized_response"](spark, SF_DIR).collect()
+    assert (r.n, r.n_true, r.n_yes) == (n, n_true, n_yes)
+    est = 2 * n_yes / n - 0.5
+    assert r.true_rate == pytest.approx(n_true / n, rel=1e-12)
+    assert r.observed_rate == pytest.approx(n_yes / n, rel=1e-12)
+    assert r.estimated_rate == pytest.approx(est, rel=1e-12)
+    assert r.estimator_error == pytest.approx(
+        abs(est - n_true / n), rel=1e-9
+    )
+    # the debiased estimate lands near truth (within sampling noise)
+    assert r.estimator_error < 0.2
+
+
+@pytest.mark.parametrize(
+    "name", ["q_kfold_assign", "q_woe_iv", "q_randomized_response"]
+)
+def test_no_python_row_udfs_in_round12_staged_b28(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
