@@ -12620,3 +12620,102 @@ def q_randomized_response(spark, sf_dir):
         (2.0 * obs - 0.5).alias("estimated_rate"),
         F.abs((2.0 * obs - 0.5) - true_rate).alias("estimator_error"),
     )
+
+
+@staged(
+    "q_halton_qmc",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(n AS BIGINT) AS n FROM range(0, 4096) t(n)
+    ),
+    radinv AS (
+      SELECT n,
+             CAST(
+               ((n // 1) % 2) * 2048 + ((n // 2) % 2) * 1024
+               + ((n // 4) % 2) * 512 + ((n // 8) % 2) * 256
+               + ((n // 16) % 2) * 128 + ((n // 32) % 2) * 64
+               + ((n // 64) % 2) * 32 + ((n // 128) % 2) * 16
+               + ((n // 256) % 2) * 8 + ((n // 512) % 2) * 4
+               + ((n // 1024) % 2) * 2 + ((n // 2048) % 2) * 1
+               AS BIGINT) AS x2,
+             CAST(
+               ((n // 1) % 3) * 2187 + ((n // 3) % 3) * 729
+               + ((n // 9) % 3) * 243 + ((n // 27) % 3) * 81
+               + ((n // 81) % 3) * 27 + ((n // 243) % 3) * 9
+               + ((n // 729) % 3) * 3 + ((n // 2187) % 3) * 1
+               AS BIGINT) AS y3
+      FROM pts
+    ),
+    flagged AS (
+      SELECT n, x2, y3,
+             CASE WHEN x2 * x2 * 43046721 + y3 * y3 * 16777216
+                       < 722204136308736 THEN 1 ELSE 0 END AS inside
+      FROM radinv
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+             CAST(SUM(inside) AS BIGINT) AS n_inside
+      FROM flagged
+    )
+    SELECT n_points, n_inside,
+           4.0 * CAST(n_inside AS DOUBLE) / CAST(n_points AS DOUBLE)
+             AS pi_estimate,
+           abs(4.0 * CAST(n_inside AS DOUBLE) / CAST(n_points AS DOUBLE)
+               - 3.14159265358979) AS pi_error,
+           (abs(4.0 * CAST(n_inside AS DOUBLE)
+                / CAST(n_points AS DOUBLE)
+                - 3.14159265358979) < 0.01) AS converged
+    FROM agg
+    """,
+)
+def q_halton_qmc(spark, sf_dir):
+    """QUASI-MONTE-CARLO pi BY THE HALTON SEQUENCE — deterministic
+    low-discrepancy integration (the variance-free sampling behind
+    finance QMC and rendering; every 'Monte Carlo' the catalog can
+    host must be DERANDOMIZED, and Halton's radical-inverse points
+    are pure arithmetic): the 4096 points are (phi_2(n), phi_3(n))
+    — digit-reversal in bases 2 and 3 as EXACT integer dot products
+    on the 4096 and 6561 lattices (no floats until readout), the
+    inside-circle test clears denominators to the single exact
+    128-bit-free comparison (x2*3^16... spelled with literal
+    constants 43046721 = 6561^2, 16777216 = 4096^2, and
+    722204136308736 = (4096*6561)^2 — all within int64), and the
+    estimator 4*inside/n with its error against the frozen pi
+    literal is one identical chain. QMC's O(log n / n) discrepancy
+    means 4096 points land within 0.01 of pi — the convergence
+    VERDICT is pinned. Deliberately data-free inputs (a generated
+    lattice): what is tested is the ENGINE's integer digit algebra
+    at scale-independent cost."""
+    pts = spark.range(4096).select(F.col("id").cast("bigint").alias("n"))
+    x2 = " + ".join(
+        f"((n div {2 ** i}) % 2) * {2 ** (11 - i)}" for i in range(12)
+    )
+    y3 = " + ".join(
+        f"((n div {3 ** i}) % 3) * {3 ** (7 - i)}" for i in range(8)
+    )
+    radinv = pts.select(
+        "n",
+        F.expr(f"CAST({x2} AS BIGINT)").alias("x2"),
+        F.expr(f"CAST({y3} AS BIGINT)").alias("y3"),
+    )
+    inside = F.when(
+        F.col("x2") * F.col("x2") * 43046721
+        + F.col("y3") * F.col("y3") * 16777216
+        < 722204136308736,
+        1,
+    ).otherwise(0)
+    agg = radinv.select(inside.alias("inside")).agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.sum("inside").cast("bigint").alias("n_inside"),
+    )
+    pi_est = (
+        4.0 * F.col("n_inside").cast("double")
+        / F.col("n_points").cast("double")
+    )
+    return agg.select(
+        "n_points",
+        "n_inside",
+        pi_est.alias("pi_estimate"),
+        F.abs(pi_est - 3.14159265358979).alias("pi_error"),
+        (F.abs(pi_est - 3.14159265358979) < 0.01).alias("converged"),
+    )

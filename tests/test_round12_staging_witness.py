@@ -3777,3 +3777,33 @@ def test_no_python_row_udfs_in_round12_staged_b28(spark, name):
     plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
     assert "BatchEvalPython" not in plan, name
     assert "CartesianProduct" not in plan, name
+
+
+def test_halton_qmc_witness(spark, duck):
+    def phi(n, base, digits):
+        out = 0
+        for i in range(digits):
+            out += ((n // base**i) % base) * base ** (digits - 1 - i)
+        return out
+
+    n_inside = 0
+    for n in range(4096):
+        x2 = phi(n, 2, 12)
+        y3 = phi(n, 3, 8)
+        if x2 * x2 * 6561**2 + y3 * y3 * 4096**2 < (4096 * 6561) ** 2:
+            n_inside += 1
+    [r] = STAGED_QUERIES["q_halton_qmc"](spark, SF_DIR).collect()
+    assert (r.n_points, r.n_inside) == (4096, n_inside)
+    est = 4 * n_inside / 4096
+    assert r.pi_estimate == pytest.approx(est, rel=1e-12)
+    assert r.pi_error == pytest.approx(
+        abs(est - 3.14159265358979), rel=1e-9
+    )
+    assert r.converged and abs(est - math.pi) < 0.01  # QMC discrepancy
+
+
+@pytest.mark.parametrize("name", ["q_halton_qmc"])
+def test_no_python_row_udfs_in_round12_staged_b28b(spark, name):
+    plan = _executed(STAGED_QUERIES[name](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan, name
+    assert "CartesianProduct" not in plan, name
