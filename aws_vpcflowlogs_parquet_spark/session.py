@@ -61,7 +61,16 @@ def ensure_session_posture(spark: SparkSession) -> SparkSession:
     The driver passes its own SparkSession into ``queries()`` callables; the
     settings that affect result correctness (timezone) or plan quality (AQE)
     are runtime-settable and applied here.
+
+    Applied once per session object: each conf.set is a py4j roundtrip,
+    and the wrapper calls this on EVERY query build (~10 ms x ~1100 timed
+    builds in a full bench). Queries that tweak posture confs mid-build
+    (the streaming harness, salted-join demos) all restore them in
+    ``finally``, so the posture holds for the session's lifetime.
     """
+    if getattr(spark, "_graft_postured", False):
+        return spark
+    spark._graft_postured = True
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -7,6 +7,8 @@ predicate pushdown, and column pruning; anything more would fight Catalyst.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = [
@@ -26,9 +28,26 @@ TABLE_NAMES = [
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = convert_nanos_ts(df)
+    # Memoize the resolved relation per (session, dir, table): every
+    # spark.read.parquet call re-lists the path and re-reads the footer
+    # for schema inference — pure driver-side metadata work, measured
+    # ~60-100 ms per call, paid by EVERY query build over an immutable
+    # input. A catalog/metastore caches exactly this (the guide §6 file-
+    # listing cache is the same idea); the returned DataFrame is an
+    # immutable plan, every execution still scans the parquet itself.
+    # The cache dies with the session object, so stop/start cycles in
+    # tests can never serve metadata from a dead JVM.
+    cache = getattr(spark, "_graft_table_cache", None)
+    if cache is None:
+        cache = {}
+        spark._graft_table_cache = cache
+    key = (os.path.abspath(sf_dir), name)
+    df = cache.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = convert_nanos_ts(df)
+        cache[key] = df
     return df
 
 
