@@ -176,7 +176,12 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     """
     sigs = track_persist(shingled(documents))
     sigs.count()  # settle the cache before concurrent first-touch
-    bands = band_keys(minhash_signatures(sigs))
+    # the band relation feeds both sides of the candidate self-join;
+    # persisting the signature table keeps the 16-min hash aggregation
+    # (the expensive explode+md5 pass) from executing once per side —
+    # measured as two identical signature pipelines in the executed plan
+    mins = track_persist(minhash_signatures(sigs))
+    bands = band_keys(mins)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -480,7 +485,14 @@ def _prefix_pairs_core(rows: DataFrame, tn: int, td: int) -> DataFrame:
     )
     # prefix length |x| - ceil(t|x|) + 1, with ceil on the int lattice
     plen = F.col("sz") - F.expr(f"(sz * {tn} + {td} - 1) div {td}") + 1
-    prefix = ranked.filter(F.col("pos") <= plen).select("doc_id", "s")
+    # the prefix relation feeds BOTH sides of the candidate self-join;
+    # unpersisted, the whole freq-join + rank-window pipeline executes
+    # once per side (measured: the window span and the freq exchange
+    # appear twice in the executed plan, ~2× the prefix-build cost) —
+    # persist so it runs once
+    prefix = track_persist(
+        ranked.filter(F.col("pos") <= plen).select("doc_id", "s")
+    )
     cand = (
         prefix.select(F.col("doc_id").alias("doc_a"), "s")
         .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
@@ -489,10 +501,16 @@ def _prefix_pairs_core(rows: DataFrame, tn: int, td: int) -> DataFrame:
         .distinct()
     )
     # exact overlap via per-doc shingle ARRAYS: one row per document,
-    # overlap computed in codegen — no per-candidate fan-out shuffle
-    arrs = rows.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("s")).alias("sh"),
-        F.count("*").alias("sz"),
+    # overlap computed in codegen — no per-candidate fan-out shuffle.
+    # Persisted: the array table joins into the candidates TWICE (doc_a
+    # and doc_b sides), and unpersisted each side re-runs the
+    # ObjectHashAggregate collect_list over the full shingle relation
+    # (measured ~2× the array-build cost in the executed plan).
+    arrs = track_persist(
+        rows.groupBy("doc_id").agg(
+            F.sort_array(F.collect_list("s")).alias("sh"),
+            F.count("*").alias("sz"),
+        )
     )
     verified = (
         cand.join(
