@@ -65,7 +65,10 @@ def profile(df: DataFrame) -> dict[str, Any]:
 
     Keys: rows_out, scan_rows (sum over scans), shuffle_bytes_written,
     shuffle_records, spill_bytes, peak_mem_bytes (max over operators),
-    n_exchanges, n_operators, wall_sec.
+    n_exchanges, n_operators, wall_sec, exchange_records (per-exchange
+    shuffleRecordsWritten, plan-walk order — lets a caller distinguish a
+    row-preserving scan-parallelization exchange from an aggregation
+    exchange whose record count proves map-side state is fixed-size).
     """
     import time
 
@@ -85,6 +88,7 @@ def profile(df: DataFrame) -> dict[str, Any]:
         "peak_mem_bytes": 0,
         "n_exchanges": 0,
         "n_operators": 0,
+        "exchange_records": [],
     }
     for node in _nodes(df._jdf.queryExecution().executedPlan()):
         name = node.nodeName()
@@ -94,6 +98,9 @@ def profile(df: DataFrame) -> dict[str, Any]:
             agg["scan_rows"] += vals.get("numOutputRows", 0)
         if "Exchange" in name:
             agg["n_exchanges"] += 1
+            agg["exchange_records"].append(
+                vals.get("shuffleRecordsWritten", 0)
+            )
         agg["shuffle_bytes_written"] += vals.get("shuffleBytesWritten", 0)
         agg["shuffle_records"] += vals.get("shuffleRecordsWritten", 0)
         agg["spill_bytes"] += vals.get("spillSize", 0)

