@@ -102,7 +102,10 @@ _VERIFIED_PRIOR_ROUNDS = frozenset({
     "q_tpch_q2", "q_tpch_q20", "q_tpch_q21", "q_changepoint_cusum",
     "q_vocab_growth", "q_burstiness", "q_conversion_lag",
     "q_segment_overlap", "q_gini", "q_sax_symbolize",
-    "q_dedup_prefix_filter", "q_kcore", "q_lorenz_curve", "q_top_paths",
+    # q_kcore dropped r12: its peel loop gained the convergence probe
+    # (identical results, oracle re-PASSed sf0.001+sf0.01) — changed
+    # implementation ⇒ driver re-verifies per the rule above
+    "q_dedup_prefix_filter", "q_lorenz_curve", "q_top_paths",
     "q_pop_change", "q_percentile_disc", "q_mode", "q_rolling_active",
     "q_theilsen", "q_rolling_hll", "q_window_funnel", "q_eval_confusion",
     "q_lsh_recall", "q_near_dup_rate",
