@@ -18,7 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from aws_vpcflowlogs_parquet_spark.plans.catalog import QUERIES
 from aws_vpcflowlogs_parquet_spark.session import get_spark
 
-OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12"),
+)
 
 
 def main() -> None:
