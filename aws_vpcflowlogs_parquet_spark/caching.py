@@ -102,3 +102,39 @@ def tracked_cache_count() -> int:
     """How many tracked intermediates are currently live (test hook)."""
     with _TRACKED_LOCK:
         return len(_TRACKED_CACHES)
+
+
+def ckpt_count(df: DataFrame, probe=None):
+    """Eager ``localCheckpoint`` + convergence probe in ONE job.
+
+    The iterative kernels (k-core / k-truss peeling, path-doubling
+    closures, min-label propagation) pay one materialization job per
+    round for lineage truncation; their convergence probes (``count()``
+    / ``isEmpty()`` / checksum compares) were a SECOND job over the
+    materialized leaf — pure per-round job floor (~0.1-0.3 s/job
+    measured in OPTIMIZATION_r12.md §session-3; the separate count is
+    in fact 3 jobs on Spark 4.1 with AQE). ``observe()`` computes the
+    probe aggregate with accumulators DURING the checkpoint's own
+    materialization (guide §1.2 "don't compute what you throw away"):
+    ``localCheckpoint`` runs through ``withAction``, so the
+    QueryExecutionListener fires and ``Observation.get`` returns without
+    launching another action.
+
+    ``probe`` defaults to ``count(1)`` (row count of the checkpointed
+    relation); pass e.g. ``F.count(F.when(cond, 1))`` or ``F.sum(col)``
+    to observe a filtered count / checksum in the same pass. Returns
+    ``(leaf, value)`` — the materialized plan leaf is identical to the
+    un-observed checkpoint (CollectMetrics is a row-preserving
+    pass-through consumed by the materialization).
+
+    Lives in this module (not plans/catalog.py) so operator modules can
+    use it without an import cycle; catalog re-exports it as
+    ``_ckpt_count``.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    expr = probe if probe is not None else F.count(F.lit(1))
+    out = df.observe(obs, expr.alias("n")).localCheckpoint(eager=True)
+    return out, obs.get["n"]

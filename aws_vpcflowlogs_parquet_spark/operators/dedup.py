@@ -310,6 +310,17 @@ def dedup_clusters(documents: DataFrame, max_id: int = 200) -> DataFrame:
         )
     ).persist()
 
+    # r13 NEGATIVE RESULT (tried, measured, reverted): fusing the
+    # changed-row probe into an eager ckpt_count(Σ cluster_id) per round
+    # (min-label propagation is monotone, so an unchanged checksum ⟺ no
+    # label changed) cut the job count (q_dedup_clusters 18 → 16) but
+    # measured net SLOWER where it matters — q_dedup_keep_best 1.36 →
+    # 2.16 s interleaved 4-rep medians — because the existing
+    # ``limit(1).count()`` probe short-circuits after the FIRST changed
+    # partition (CollectLimit's incremental job scans 1 partition on
+    # non-converged rounds) and only pays a full pass on the final
+    # converged round, while the eager checkpoint materializes every
+    # round in full. The lazy-persist + cheap-probe shape stays.
     labels = nodes.withColumn("cluster_id", F.col("doc_id"))
     prev_persisted = None
     while True:

@@ -51,9 +51,15 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = PR_DAMPING) -> 
     outdeg = track_persist(
         edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     )
-    nn = nodes.agg(F.count("*").alias("n_nodes"))
-    ranks = nodes.crossJoin(F.broadcast(nn)).select(
-        "node", "n_nodes", (F.lit(1.0) / F.col("n_nodes")).alias("rank")
+    # |V| as a DRIVER-side scalar, not a 1-row aggregate cross-joined
+    # back (r13): the broadcast-nn shape re-ran the count subtree and
+    # paid one broadcast build per round; the count job here runs once,
+    # also materializing the nodes persist the rounds reuse. Arithmetic
+    # is unchanged — the same bigint count promoted to double in the
+    # same expressions, so ranks are bit-identical.
+    n_nodes = float(nodes.count())
+    ranks = nodes.select(
+        "node", (F.lit(1.0) / F.lit(n_nodes)).alias("rank")
     )
     for _ in range(n_iter):
         contribs = (
@@ -76,12 +82,10 @@ def pagerank(edges: DataFrame, n_iter: int = 3, damping: float = PR_DAMPING) -> 
         )
         ranks = (
             nodes.join(summed, "node", "left")
-            .crossJoin(F.broadcast(nn))
             .select(
                 "node",
-                "n_nodes",
                 (
-                    F.lit(1.0 - damping) / F.col("n_nodes")
+                    F.lit(1.0 - damping) / F.lit(n_nodes)
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("csum"), F.lit(0.0))

@@ -286,11 +286,12 @@ def test_split_assign_and_gate_are_single_agg_scans(spark):
 
 
 def test_round3_stats_broadcast_and_stay_jvm(spark):
-    # entropy/chi2/mixture/MAD join tiny per-group scalar tables back to
+    # entropy/mixture/MAD join tiny per-group scalar tables back to
     # cell- or row-level data: those joins must broadcast (never SMJ) and
-    # the whole pipeline is built-in expressions — no Python evaluation
-    for name in ("q_entropy", "q_chi2_assoc", "q_dataset_mixture",
-                 "q_anomaly_mad"):
+    # the whole pipeline is built-in expressions — no Python evaluation.
+    # q_chi2_assoc left this list in r13: its totals are now window sums
+    # over the contingency cells, so it has NO join at all (pinned below).
+    for name in ("q_entropy", "q_dataset_mixture", "q_anomaly_mad"):
         plan = _executed(QUERIES[name](spark, SF_DIR))
         # keyed joins → BroadcastHashJoin; the one-row scalar cross join
         # in q_dataset_mixture → BroadcastNestedLoopJoin
@@ -300,6 +301,19 @@ def test_round3_stats_broadcast_and_stay_jvm(spark):
         assert "SortMergeJoin" not in plan, (name, plan)
         assert "BatchEvalPython" not in plan, (name, plan)
         assert "ArrowEvalPython" not in plan, (name, plan)
+
+
+def test_chi2_totals_are_windows_over_cells(spark):
+    # r13: row/col/grand totals are window sums over the R×C contingency
+    # cells — no join of re-aggregated totals back to the cells, one
+    # parquet scan, and the windowed relation is the domain-bounded cell
+    # table (never the events), so no SMJ and no Python either
+    plan = _executed(QUERIES["q_chi2_assoc"](spark, SF_DIR))
+    assert "Window" in plan, plan
+    assert "Join" not in plan, plan  # no broadcast/SMJ/BNLJ at all
+    assert plan.count("Scan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
 
 
 def test_rollup_hierarchy_single_scan(spark):

@@ -18,11 +18,38 @@ def test_every_query_has_oracle():
     assert set(ORACLES) == set(QUERIES)
 
 
+#: queries where an empty result is a valid answer at sf0.001
+#: (threshold-dependent near-dup detectors)
+MAY_BE_EMPTY = {"q_dedup_minhash", "q_embed_dup", "q_dedup_ngram"}
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, duck, name):
+    """Oracle value compare + dtype-family parity + nonemptiness, in ONE
+    build per query. The dtype and nonempty checks were standalone test
+    families re-BUILDING every query (iterative builds run real driver
+    jobs), ~380 s of the suite's 36 min; they now ride the build this
+    test already pays (r13 test-gate tiering, VERDICT r12 item 2).
+    Coverage is unchanged — same assertions, same per-query grain."""
     sdf = QUERIES[name](spark, SF_DIR)
+    # dtype-family parity (the round-5 HUGEINT/DECIMAL rendering class):
+    # schema-only, uses the already-built frame
+    rel = duck.sql(ORACLES[name])
+    duck_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+    for col, st in sdf.dtypes:
+        dt = duck_types.get(col)
+        assert dt is None or _type_family(st) == _type_family(dt), (
+            name, col, st, dt,
+        )
     ok, msg = compare_spark_duck(sdf, duck, ORACLES[name])
     assert ok, f"{name}: {msg}"
+    # nonemptiness: the value compare proved spark rows == oracle rows,
+    # so the oracle side (milliseconds in DuckDB at sf0.001) answers it
+    # without another Spark action
+    if name not in MAY_BE_EMPTY:
+        assert duck.execute(ORACLES[name]).fetchone() is not None, (
+            f"{name} returned 0 rows"
+        )
 
 
 def test_no_hugeint_in_oracle_results(duck):
@@ -65,33 +92,7 @@ def _type_family(t: str) -> str:
     return "other:" + t
 
 
-def test_no_cross_engine_dtype_family_mismatch(spark, duck):
-    """Broader form of the HUGEINT ban: for every query, each output
-    column's Spark type and DuckDB type must be in the same rendering
-    family (int/float/str/…). A family mismatch (e.g. DuckDB DECIMAL vs
-    Spark double) survives a fetchall() value compare but can render
-    differently through the driver's pandas/Arrow fetch path — the
-    round-5 root-cause class. Schema analysis only, nothing executes.
-    DuckDB JSON is classed with strings: it is VARCHAR-backed and
-    renders identically (driver-proven green on q_json_funcs since
-    r2)."""
-    offenders = []
-    for name in sorted(QUERIES):
-        rel = duck.sql(ORACLES[name])
-        duck_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
-        spark_types = dict(QUERIES[name](spark, SF_DIR).dtypes)
-        for col, st in spark_types.items():
-            dt = duck_types.get(col)
-            if dt is not None and _type_family(st) != _type_family(dt):
-                offenders.append((name, col, st, dt))
-    assert not offenders, offenders
-
-
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_nonempty(spark, name):
-    # every query should exercise real rows at sf0.001 except the
-    # threshold-dependent near-dup detectors (empty is a valid answer there)
-    may_be_empty = {"q_dedup_minhash", "q_embed_dup", "q_dedup_ngram"}
-    if name in may_be_empty:
-        return
-    assert QUERIES[name](spark, SF_DIR).limit(1).count() == 1, f"{name} returned 0 rows"
+# test_no_cross_engine_dtype_family_mismatch and test_query_nonempty
+# were merged into test_query_matches_oracle above (r13): all three
+# built every catalog query from scratch, tripling the most expensive
+# build set in the suite. The assertions live on, one build per query.
