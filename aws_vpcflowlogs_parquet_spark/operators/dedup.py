@@ -474,7 +474,47 @@ def prefix_filtered_pairs(
 
 def _prefix_pairs_core(rows: DataFrame, tn: int, td: int) -> DataFrame:
     """Steps 1-4 of :func:`prefix_filtered_pairs` over an
-    already-persisted, exact-dup-free (doc_id, s) shingle relation."""
+    already-persisted, exact-dup-free (doc_id, s) shingle relation.
+
+    SHINGLE ENCODING (r13, guide §2.3 "narrower types"): the core runs
+    on ``xxhash64(s)`` — 8-byte longs — instead of the ~20-char shingle
+    strings: the candidate equi-join key, the corpus-frequency groupBy,
+    the rank window and the verify arrays (``array_intersect`` over
+    bigint arrays) all shrink ~2.5× in width and compare by single
+    instruction. Measured: sf1 spot-bench 74-79 s → 40-42 s (−46%,
+    ABAB ×2); sf0.1 neutral (16-17 s → 16.0-16.5 s cold-session runs).
+    The r12 negative result on dictionary-ENCODED shingles (a dense-id
+    dictionary JOIN, 4.13 → 6.15 s) does not apply: the inline hash has
+    no dictionary join, no extra shuffle.
+
+    Exactness: the prefix theorem holds under ANY total order on
+    shingles, so ordering by (df, hash) instead of (df, s) changes only
+    the candidate set, never the verified output — UNLESS two distinct
+    shingles collide in 64 bits, which would merge their frequency
+    buckets and dedup them inside ``array_intersect``. Over a corpus of
+    D distinct shingles the collision probability is ~D²/2^65 (≈1.8e-7
+    at D=2.6M; the shipped corpora are fixed and verified collision-free
+    by the brute-force equality suite + oracle at three SFs). Deployments
+    that ingest arbitrary corpora can set ``SPARK_GRAFT_STRICT=1`` to
+    pay one guard job per run that PROVES injectivity on their data and
+    raises instead of ever answering wrong."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_STRICT"):
+        # injectivity guard: one pass over the (persisted) string
+        # relation proves xxhash64 is collision-free on THIS corpus —
+        # fail loud, never answer wrong
+        g = rows.agg(
+            F.countDistinct("s").alias("n_s"),
+            F.countDistinct(F.xxhash64("s")).alias("n_h"),
+        ).collect()[0]
+        if g["n_s"] != g["n_h"]:
+            raise ValueError(
+                f"xxhash64 shingle collision on this corpus "
+                f"({g['n_s']} distinct shingles, {g['n_h']} distinct "
+                f"hashes): rerun _prefix_pairs_core with string shingles"
+            )
+    rows = track_persist(rows.select("doc_id", F.xxhash64("s").alias("s")))
     # sizes and the verify arrays are DELIBERATELY separate aggregations
     # over the (persisted) shingle relation: the sizes branch is a
     # count-only hash agg with map-side combine, while folding it into

@@ -50,7 +50,10 @@ def main() -> None:
     results: dict = {}
     for rep in range(reps):
         for p, pr in variants:
-            os.environ["SPARK_GRAFT_STREAM_PARTITIONS"] = p
+            if p == "auto":
+                os.environ.pop("SPARK_GRAFT_STREAM_PARTITIONS", None)
+            else:
+                os.environ["SPARK_GRAFT_STREAM_PARTITIONS"] = p
             if pr == "rocksdb":
                 spark.conf.set(
                     "spark.sql.streaming.stateStore.providerClass", ROCKSDB
